@@ -1,0 +1,228 @@
+package graft.queries
+
+import graft.ops.{Clip, MaskExpr, Trims}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operator queries (SURVEY §2.3 clip/trim family + §2.5 aggs)
+ * expressed over the driver's synthetic tables, each with a DuckDB oracle.
+ *
+ * Conventions:
+ *  - `events.ts` is nanosecond-precision parquet; Spark reads it as raw long
+ *    nanos (spark.sql.legacy.parquet.nanosAsLong) and oracles emit
+ *    `epoch_ns(ts)` so both sides compare as BIGINT nanoseconds — exact.
+ *  - Masked-value outputs are raw parquet doubles (bitwise identical on both
+ *    sides); only derived arithmetic (sums/avgs) is rounded for hash parity.
+ *  - Every windowed op orders by (ts, event_id) within user_id — event_id is
+ *    unique so ordering is total and deterministic. At 100 TB the same plans
+ *    hold: trims partition by series key (user/deployment), never a global
+ *    single-partition window.
+ */
+object Relational {
+  import Tables._
+
+  /** Epoch nanoseconds for an ISO date/time literal (UTC). */
+  private def ns(s: String): Long = {
+    val iso = if (s.length == 10) s + "T00:00:00Z" else s + "Z"
+    java.time.Instant.parse(iso).toEpochMilli * 1000000L +
+      java.time.Instant.parse(iso).getNano % 1000000L
+  }
+
+  // per-user series window, total order
+  private val wUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  def qs: Seq[Q] = Seq(
+    // ---- §2.5 flagship aggregation (TPC-H Q1 shape) -------------------
+    Q("q1_agg",
+      (s, dir) => lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 6) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- clip_ds family (stglib/core/utils.py:73-180) -----------------
+    Q("clip_deployment",
+      (s, dir) => Clip.clipDeployment(events(s, dir), "ts",
+          nsL = ns("2024-01-05"), nsR = ns("2024-01-20"))
+        .selectExpr("event_id", "ts div 1000 as ts", "value"),
+      Some("""SELECT event_id, epoch_us(ts) AS ts, value FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-05' AND ts <= TIMESTAMP '2024-01-20'""".stripMargin)),
+
+    Q("clip_good_dates",
+      (s, dir) => Clip.clipGoodDatesNs(events(s, dir), "ts", Seq(
+          (ns("2024-01-03"), ns("2024-01-08")),
+          (ns("2024-01-15"), ns("2024-01-22"))))
+        .selectExpr("event_id", "ts div 1000 as ts", "value"),
+      Some("""SELECT event_id, epoch_us(ts) AS ts, value FROM events
+             |WHERE (ts > TIMESTAMP '2024-01-03' AND ts <= TIMESTAMP '2024-01-08')
+             |   OR (ts > TIMESTAMP '2024-01-15' AND ts <= TIMESTAMP '2024-01-22')""".stripMargin)),
+
+    Q("clip_good_ens",
+      (s, dir) => Clip.clipGoodEns(events(s, dir),
+          Seq((100, 2000), (5000, 8000)), order = Seq("event_id"))
+        .selectExpr("event_id", "ts div 1000 as ts", "value"),
+      Some("""SELECT event_id, epoch_us(ts) AS ts, value FROM (
+             |  SELECT *, row_number() OVER (ORDER BY event_id) - 1 AS pos FROM events)
+             |WHERE (pos >= 100 AND pos < 2000) OR (pos >= 5000 AND pos < 8000)""".stripMargin)),
+
+    // ---- value-masking trims (stglib/core/qaqc.py) --------------------
+    Q("trim_minmax",
+      (s, dir) => Trims.trimMax(Trims.trimMin(
+          events(s, dir), "value", 2.0), "value", 95.0)
+        .select("event_id", "value"),
+      Some("""SELECT event_id,
+             |  CASE WHEN value >= 2.0 AND value <= 95.0 THEN value END AS value
+             |FROM events""".stripMargin)),
+
+    Q("trim_max_diff",
+      (s, dir) => Trims.trimMaxDiff(events(s, dir), "value", 40.0,
+          order = Seq("ts", "event_id"), part = Seq("user_id"))
+        .select("event_id", "value"),
+      Some("""SELECT event_id, CASE WHEN d > 40.0 THEN NULL ELSE value END AS value FROM (
+             |  SELECT event_id, value, coalesce(value - lag(value) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS d
+             |  FROM events)""".stripMargin)),
+
+    Q("trim_min_diff",
+      (s, dir) => Trims.trimMinDiff(events(s, dir), "value", -40.0,
+          order = Seq("ts", "event_id"), part = Seq("user_id"))
+        .select("event_id", "value"),
+      Some("""SELECT event_id, CASE WHEN d < -40.0 THEN NULL ELSE value END AS value FROM (
+             |  SELECT event_id, value, coalesce(value - lag(value) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS d
+             |  FROM events)""".stripMargin)),
+
+    Q("trim_max_blip",
+      (s, dir) => Trims.trimMaxBlip(events(s, dir), "value", 30.0,
+          order = Seq("ts", "event_id"), part = Seq("user_id"))
+        .select("event_id", "value"),
+      Some("""SELECT event_id,
+             |  CASE WHEN dprev > 30.0 AND dnext < -30.0 THEN NULL ELSE value END AS value
+             |FROM (
+             |  SELECT event_id, value,
+             |    coalesce(value - lag(value)  OVER w, 0.0) AS dprev,
+             |    coalesce(lead(value) OVER w - value, 0.0) AS dnext
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin)),
+
+    Q("trim_maxabs_diff",
+      (s, dir) => Trims.trimMaxAbsDiff(events(s, dir), "value", 45.0,
+          order = Seq("ts", "event_id"), part = Seq("user_id"))
+        .select("event_id", "value"),
+      Some("""SELECT event_id, CASE WHEN abs(d) > 45.0 THEN NULL ELSE value END AS value FROM (
+             |  SELECT event_id, value, coalesce(value - lag(value) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS d
+             |  FROM events)""".stripMargin)),
+
+    Q("trim_warmup",
+      (s, dir) => {
+        val df = events(s, dir)
+          .withColumn("sample", row_number().over(wUser) - 1)
+        Trims.trimWarmup(df, "value", 3, "sample").select("event_id", "value")
+      },
+      Some("""SELECT event_id, CASE WHEN sample > 3 THEN value END AS value FROM (
+             |  SELECT event_id, value, row_number() OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS sample
+             |  FROM events)""".stripMargin)),
+
+    Q("trim_bad_ens_dates",
+      (s, dir) => Trims.trimBadEnsDatesNs(events(s, dir), "value", "ts", Seq(
+          (ns("2024-01-10"), ns("2024-01-12")),
+          (ns("2024-01-25"), ns("2024-01-26"))))
+        .select("event_id", "value"),
+      Some("""SELECT event_id, CASE WHEN
+             |  (ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-12') OR
+             |  (ts >= TIMESTAMP '2024-01-25' AND ts <= TIMESTAMP '2024-01-26')
+             |  THEN NULL ELSE value END AS value FROM events""".stripMargin)),
+
+    Q("trim_bad_ens_index",
+      (s, dir) => Trims.trimBadEnsIndex(events(s, dir), "value",
+          Seq((500, 600), (905, 910)), order = Seq("event_id"))
+        .select("event_id", "value"),
+      Some("""SELECT event_id, CASE WHEN (pos >= 500 AND pos < 600) OR (pos >= 905 AND pos < 910)
+             |  THEN NULL ELSE value END AS value FROM (
+             |  SELECT event_id, value, row_number() OVER (ORDER BY event_id) - 1 AS pos
+             |  FROM events)""".stripMargin)),
+
+    Q("trim_fliers",
+      (s, dir) => {
+        val masked = Trims.trimMax(events(s, dir), "value", 90.0)
+        Trims.trimFliers(masked, "value", 2,
+            order = Seq("ts", "event_id"), part = Seq("user_id"))
+          .select("event_id", "value")
+      },
+      Some("""WITH base AS (
+             |  SELECT event_id, user_id, ts, CASE WHEN value <= 90.0 THEN value END AS value
+             |  FROM events),
+             |isl AS (
+             |  SELECT *, sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM base),
+             |runs AS (
+             |  SELECT *, count(value) OVER (PARTITION BY user_id, island) AS runlen FROM isl)
+             |SELECT event_id, CASE WHEN runlen > 2 THEN value END AS value FROM runs""".stripMargin)),
+
+    Q("trim_mask_expr",
+      (s, dir) => MaskExpr.trimMaskExpr(events(s, dir), "value",
+          "(value < 1.0)|(value > 95.0)")
+        .select("event_id", "value"),
+      Some("""SELECT event_id,
+             |  CASE WHEN value < 1.0 OR value > 95.0 THEN NULL ELSE value END AS value
+             |FROM events""".stripMargin)),
+
+    Q("trim_med_diff",
+      (s, dir) => Trims.trimMedDiff(events(s, dir), "value", 30.0, 5,
+          order = Seq("ts", "event_id"), part = Seq("user_id"), zeroPad = false)
+        .select("event_id", "value"),
+      Some("""SELECT event_id, CASE WHEN abs(value - med) > 30.0 THEN NULL ELSE value END AS value
+             |FROM (
+             |  SELECT event_id, value, median(value) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med
+             |  FROM events)""".stripMargin)),
+
+    Q("trim_single_bins",
+      (s, dir) => {
+        // profile shape: bins = events per (user_id, day); null values in
+        // day-slices with exactly one valid bin (stglib/aqd/aqdutils.py:661-672)
+        val df = events(s, dir)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .withColumn("value", when(col("value") <= 90.0, col("value")))
+        Trims.trimSingleBins(df, "value", Seq("user_id", "day"))
+          .select("event_id", "value")
+      },
+      Some("""SELECT event_id, CASE WHEN nvalid = 1 THEN NULL ELSE value END AS value FROM (
+             |  SELECT event_id, value, count(value) OVER (PARTITION BY user_id, day) AS nvalid
+             |  FROM (SELECT event_id, user_id, epoch_ns(ts) // 86400000000000 AS day,
+             |          CASE WHEN value <= 90.0 THEN value END AS value FROM events))""".stripMargin)),
+
+    Q("dedup_time",
+      (s, dir) => {
+        // drop_duplicates(dim="time") analog (stglib/sig/cdf2nc.py:1582):
+        // deterministic keep-first by event_id per (user_id, minute) key
+        val df = events(s, dir)
+          .withColumn("minute", expr("ts div 60000000000"))
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy("user_id", "minute").orderBy("event_id")))
+          .filter(col("rn") === 1)
+          .select("event_id", "user_id", "minute", "value")
+      },
+      Some("""SELECT event_id, user_id, minute, value FROM (
+             |  SELECT event_id, user_id, epoch_ns(ts) // 60000000000 AS minute, value,
+             |    row_number() OVER (PARTITION BY user_id, epoch_ns(ts) // 60000000000
+             |                       ORDER BY event_id) AS rn
+             |  FROM events) WHERE rn = 1""".stripMargin))
+  )
+}

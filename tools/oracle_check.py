@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's correctness gate (dev tool, not library
+code): runs graft.Verify via sbt at a given SF, then replays each oracle SQL
+in DuckDB over the same parquet tables and diffs the result sets.
+
+Usage: python3 tools/oracle_check.py [sfdir] [--skip-verify] [--only name,...]
+"""
+import json, subprocess, sys, glob, os
+
+SFDIR = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
+    else "/root/testdata/sf0.01"
+OUT = "/root/repo/target/verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+only = None
+for a in sys.argv:
+    if a.startswith("--only"):
+        only = set(a.split("=", 1)[1].split(","))
+
+if "--skip-verify" not in sys.argv:
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'],
+        cwd="/root/repo", capture_output=True, text=True, timeout=1800)
+    sys.stdout.write("\n".join(
+        l for l in (r.stdout + r.stderr).splitlines()
+        if "[verify]" in l or "error" in l.lower()[:40]) + "\n")
+    if r.returncode != 0:
+        print("VERIFY RUN FAILED"); sys.exit(1)
+
+import duckdb
+con = duckdb.connect()
+for t in TABLES:
+    p = f"{SFDIR}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+names = sorted(d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}"))
+npass = nfail = 0
+for name in names:
+    if only and name not in only:
+        continue
+    files = glob.glob(f"{OUT}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); nfail += 1; continue
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetch_arrow_table()
+    except Exception as e:
+        print(f"FAIL {name}: cannot read spark output: {e}"); nfail += 1; continue
+    if name not in oracle:
+        print(f"SKIP {name}: rows-only ({got.num_rows} rows)")
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetch_arrow_table()
+    except Exception as e:
+        print(f"FAIL {name}: oracle SQL error: {e}"); nfail += 1; continue
+    # driver-style compare: sort columns by name, then sort rows, exact values
+    gcols, ecols = sorted(got.column_names), sorted(exp.column_names)
+    if gcols != ecols:
+        print(f"FAIL {name}: columns {gcols} vs oracle {ecols}"); nfail += 1; continue
+    con.register("got_t", got); con.register("exp_t", exp)
+    sel = ", ".join(f'"{c}"' for c in gcols)
+    d1 = con.execute(f"SELECT {sel} FROM got_t EXCEPT ALL SELECT {sel} FROM exp_t LIMIT 5").fetchall()
+    d2 = con.execute(f"SELECT {sel} FROM exp_t EXCEPT ALL SELECT {sel} FROM got_t LIMIT 5").fetchall()
+    con.unregister("got_t"); con.unregister("exp_t")
+    if got.num_rows != exp.num_rows or d1 or d2:
+        print(f"FAIL {name}: rows {got.num_rows} vs {exp.num_rows}")
+        for r_ in d1[:3]: print(f"   spark-only: {r_}")
+        for r_ in d2[:3]: print(f"   oracle-only: {r_}")
+        nfail += 1
+    else:
+        print(f"PASS {name} ({got.num_rows} rows)"); npass += 1
+print(f"\n{npass} pass, {nfail} fail, {len(names)} queries")
+sys.exit(1 if nfail else 0)
