@@ -14,6 +14,20 @@ final case class Q(
     oracle: Option[String] = None,
     note: String = "")
 
+/** Cross-engine float determinism helpers. Plain double sums/avgs are
+  * summation-order-dependent (Spark partial aggs vs DuckDB sequential), so two
+  * engines disagree in final ulps. For source columns with fixed decimal scale
+  * (the synthetic doubles are 2-decimal), summing as exact DECIMAL and doing a
+  * single double division at the end is bit-identical on both engines. */
+object Exact {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  def avg(c: Column): Column =
+    sum(c.cast("decimal(30,6)")).cast("double") / count(c)
+  def avgSql(x: String): String =
+    s"CAST(sum(CAST($x AS DECIMAL(30,6))) AS DOUBLE)/count($x)"
+}
+
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
