@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.kernels.Butterworth
+import graft.ops.Spectra
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Spectral/wave kernel queries (SURVEY §2.10) — not SQL-expressible, so the
+ * driver records rows-only checks; value correctness is covered by the
+ * kernel ScalaTest suites (Parseval, dispersion, monochromatic Hs) and the
+ * numpy cross-check in tools/.
+ *
+ * Bursts are synthesized from the events stream: global (ts, event_id) order
+ * chopped into fixed-size bursts — the same reshape the reference applies to
+ * continuous loggers (make_wave_bursts_mi, stglib/core/waves.py:2037-2091).
+ */
+object WaveQueries {
+  import Tables._
+
+  /** events → long-format (burst, sample, value…) with only full bursts kept. */
+  private def bursts(s: org.apache.spark.sql.SparkSession, dir: String, n: Int) = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, dir)
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("burst", col("user_id") * 1000 + (col("rn") / n).cast("long"))
+      .withColumn("sample", col("rn") % n)
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("burst")))
+      .filter(col("nb") === n)
+  }
+
+  /** Global-order bursts of n samples (for kernels needing long bursts:
+    * the elev variant's flo = 32-cycles band requires nsamps >> 64). */
+  private def burstsGlobal(s: org.apache.spark.sql.SparkSession, dir: String, n: Int) = {
+    val w = Window.orderBy("ts", "event_id")
+    events(s, dir)
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("burst", (col("rn") / n).cast("long"))
+      .withColumn("sample", col("rn") % n)
+      .withColumn("nb", count(lit(1)).over(Window.partitionBy("burst")))
+      .filter(col("nb") === n)
+  }
+
+  def qs: Seq[Q] = Seq(
+    // Welch pressure pipeline → Hs/Tm/Tp per burst (make_waves_ds)
+    Q("wave_stats_pressure",
+      (s, dir) => {
+        // monochromatic 8 s wave (on-bin for nfft=16) + small noise on a
+        // ~10.5 m column — a physically meaningful burst, so the J&M cutoff
+        // and tail logic exercise their non-degenerate paths
+        val b = bursts(s, dir, 64).withColumn("pres",
+          lit(10.0) + lit(0.5) * sin(lit(2.0 * math.Pi * 0.125) * col("sample")) +
+            col("value") / 1000.0)
+        // user wave_fcut cutoff (make_user_cutoff path): monochromatic
+        // spectra hit define_cutoff's legitimate NaN branch (noise floor ≈
+        // peak), exactly as the reference would; J&M auto-cutoff is covered
+        // by SpectralSpec on red spectra
+        Spectra.waveStatsFromPressure(b.toDF(), "burst", "sample", "pres",
+          fs = 1.0, z = 0.5, nsegs = 4, fcut = Some(0.2)).toDF()
+      }, None),
+
+    // surface-track variant (make_waves_ds_elev)
+    Q("wave_stats_elev",
+      (s, dir) => {
+        val b = burstsGlobal(s, dir, 1024).withColumn("elev",
+          lit(0.4) * sin(lit(2.0 * math.Pi * 0.125) * col("sample")) +
+            col("value") / 2000.0 - lit(0.025))
+        Spectra.waveStatsFromElevation(b.toDF(), "burst", "sample", "elev",
+          fs = 1.0, nsegs = 16).toDF()
+      }, None),
+
+    // per-burst elevation spectra, long format (spec["pspec"])
+    Q("wave_spectra",
+      (s, dir) => {
+        val b = bursts(s, dir, 64).withColumn("pres",
+          lit(10.0) + lit(0.5) * sin(lit(2.0 * math.Pi * 0.125) * col("sample")) +
+            col("value") / 1000.0)
+        Spectra.pressureSpectra(b.toDF(), "burst", "sample", "pres",
+          fs = 1.0, z = 0.5, nsegs = 4, fcut = Some(0.2)).toDF()
+      }, None),
+
+    // zero-phase Butterworth low-pass per user series (filtered water level,
+    // stglib/core/utils.py:1715-1756)
+    Q("butter_lowpass",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val df = events(s, dir).withColumn("sample", row_number().over(w) - 1)
+        // filter a smooth pressure-like series (tide + wave + small noise),
+        // matching the reference's filtered-water-level use case
+        val dfp = df.withColumn("pres",
+          lit(10.0) + lit(0.5) * sin(col("sample") * lit(2.0 * math.Pi / 40.0)) +
+            col("value") / 500.0)
+        Spectra.filtfiltPerGroup(dfp, "user_id", "sample", "pres",
+          Butterworth.lowpass(4, 0.05, 1.0)).toDF()
+      }, None)
+  )
+}
