@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for large-scale training-data pipelines: exact,
+ * n-gram Jaccard, MinHash+LSH, and SimHash (BASELINE.json north star).
+ *
+ * Scale design (100 TB):
+ *  - exact dedup is one hash-shuffle on a 16-byte key;
+ *  - all-pairs Jaccard is intentionally partition-scoped (within a grouping
+ *    key such as `source`) — the O(n²) verify step is only ever run inside
+ *    LSH/bucket candidates or bounded partitions;
+ *  - MinHash signatures are one pass over (doc, shingle) rows; LSH banding
+ *    turns global near-dup search into an equi-join on band keys — the join
+ *    explodes only where true candidates exist;
+ *  - hashes are pure integer arithmetic ((a·x+b) mod p on char-code shingle
+ *    keys), portable to any SQL engine (and to the DuckDB oracle) with no
+ *    engine-specific hash function.
+ */
+object Dedup {
+
+  val P: Long = 2147483647L // 2^31-1
+
+  /** Deterministic (a, b) parameter pairs for the k hash family. */
+  def hashParams(k: Int): Seq[(Int, Long, Long)] =
+    (0 until k).map { i =>
+      val a = (2654435761L * (i + 1)) % P
+      val b = (40503L * (i + 7) * (i + 7)) % P
+      (i, if (a % 2 == 0) a + 1 else a, b)
+    }
+
+  /** Distinct character k-shingles, long format (id, sh). */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), explode(array_distinct(expr(
+      s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substr($textCol, i, $k))"
+    ))).as("sh"))
+
+  /** Integer key of a 3-char shingle from char codes (base-256 packing) —
+    * exact, portable. */
+  def shingleKey(sh: Column): Column =
+    ascii(substring(sh, 1, 1)) * 65536 + ascii(substring(sh, 2, 1)) * 256 +
+      ascii(substring(sh, 3, 1))
+
+  /** Exact dedup: among rows sharing md5(text), keep the smallest id.
+    * One shuffle on the digest. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a scope column —
+    * the O(n²) baseline, to be applied only inside partitions/buckets.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        scopeCol: String, k: Int, threshold: Double): DataFrame = {
+    val sh = df.select(col(scopeCol), col(idCol)).join(
+      charShingles(df, idCol, textCol, k), idCol)
+    val sizes = sh.groupBy(col(idCol).as("__sid")).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col(scopeCol).as("__scope"), col(idCol).as("id_a"), col("sh"))
+    val b = sh.select(col(scopeCol).as("__scope2"), col(idCol).as("id_b"),
+      col("sh").as("__sh2"))
+    val inter = a.join(b,
+        col("__scope") === col("__scope2") && col("sh") === col("__sh2") &&
+        col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
+    inter
+      .join(sizes.withColumnRenamed("__sid", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+      .join(sizes.withColumnRenamed("__sid", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+      .withColumn("jaccard",
+        col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature rows (id, i, minhash) for a k-function family. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int, shingleK: Int = 3): DataFrame = {
+    val sh = charShingles(df, idCol, textCol, shingleK)
+      .withColumn("x", shingleKey(col("sh")))
+    val params = hashParams(numHashes)
+      .map { case (i, a, b) => s"($i, ${a}L, ${b}L)" }
+    val hp = df.sparkSession.sql(
+      s"SELECT col1 as i, col2 as a, col3 as b FROM VALUES ${params.mkString(", ")}")
+    sh.crossJoin(broadcast(hp))
+      .groupBy(col(idCol), col("i"))
+      .agg(min((col("a") * col("x") + col("b")) % P).as("minhash"))
+  }
+
+  /** LSH banding: (id, band, key) where key concatenates the band's
+    * signature rows; equal keys → candidate pair. */
+  def lshBands(sig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame =
+    sig.withColumn("band", (col("i") / rows).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(concat_ws(",", expr("transform(array_sort(collect_list(struct(i, minhash))), s -> s.minhash)"))
+        .as("key"))
+
+  /** Candidate pairs from shared LSH buckets + MinHash-agreement similarity
+    * estimate (fraction of equal signature rows). */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int, bands: Int, estThreshold: Double): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, numHashes)
+    val bandDf = lshBands(sig, idCol, bands, numHashes / bands)
+    val cand = bandDf.select(col(idCol).as("id_a"), col("band"), col("key"))
+      .join(bandDf.select(col(idCol).as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sa = sig.select(col(idCol).as("id_a"), col("i"), col("minhash").as("mha"))
+    val sb = sig.select(col(idCol).as("id_b"), col("i"), col("minhash").as("mhb"))
+    cand.join(sa, "id_a").join(sb, Seq("id_b", "i"))
+      .groupBy("id_a", "id_b")
+      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)).cast("double") /
+        numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  /** Portable SimHash over whitespace tokens: bit j of the signature is the
+    * sign of Σ_tokens (2·((a_j·x+b_j mod p) & 1) − 1), with x the base-256
+    * packing of the token's first 4 chars. numBits ≤ 32. */
+  def simhash(df: DataFrame, idCol: String, textCol: String, numBits: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(col(textCol), " ")).as("tok")).filter(length(col("tok")) > 0)
+    val x = (coalesce(ascii(substring(col("tok"), 1, 1)), lit(0)) * 16777216L +
+      coalesce(ascii(substring(col("tok"), 2, 1)), lit(0)) * 65536L +
+      coalesce(ascii(substring(col("tok"), 3, 1)), lit(0)) * 256L +
+      coalesce(ascii(substring(col("tok"), 4, 1)), lit(0))).cast("long")
+    val withX = toks.withColumn("x", x)
+    val params = hashParams(numBits)
+      .map { case (i, a, b) => s"($i, ${a}L, ${b}L)" }
+    val hp = df.sparkSession.sql(
+      s"SELECT col1 as j, col2 as a, col3 as b FROM VALUES ${params.mkString(", ")}")
+    withX.crossJoin(broadcast(hp))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(((col("a") * col("x") + col("b")) % P % 2) * 2 - 1).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a scope: hamming(sig_a, sig_b) <= maxDist. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   scopeCol: String, numBits: Int, maxDist: Int): DataFrame = {
+    val sig = simhash(df, idCol, textCol, numBits)
+      .join(df.select(col(idCol), col(scopeCol)), idCol)
+    val a = sig.select(col(scopeCol).as("__s"), col(idCol).as("id_a"),
+      col("simhash").as("sig_a"))
+    val b = sig.select(col(scopeCol).as("__s2"), col(idCol).as("id_b"),
+      col("simhash").as("sig_b"))
+    a.join(b, col("__s") === col("__s2") && col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

