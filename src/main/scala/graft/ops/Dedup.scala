@@ -57,14 +57,17 @@ object Dedup {
     * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         scopeCol: String, k: Int, threshold: Double): DataFrame = {
+    // join on the packed integer shingle key, not the string — smaller
+    // shuffle rows and a cheaper hash than UTF8String equality
     val sh = df.select(col(scopeCol), col(idCol)).join(
-      charShingles(df, idCol, textCol, k), idCol)
+        charShingles(df, idCol, textCol, k), idCol)
+      .withColumn("__x", shingleKey(col("sh"))).drop("sh")
     val sizes = sh.groupBy(col(idCol).as("__sid")).agg(count(lit(1)).as("__n"))
-    val a = sh.select(col(scopeCol).as("__scope"), col(idCol).as("id_a"), col("sh"))
+    val a = sh.select(col(scopeCol).as("__scope"), col(idCol).as("id_a"), col("__x"))
     val b = sh.select(col(scopeCol).as("__scope2"), col(idCol).as("id_b"),
-      col("sh").as("__sh2"))
+      col("__x").as("__x2"))
     val inter = a.join(b,
-        col("__scope") === col("__scope2") && col("sh") === col("__sh2") &&
+        col("__scope") === col("__scope2") && col("__x") === col("__x2") &&
         col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
     inter
@@ -76,18 +79,20 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature rows (id, i, minhash) for a k-function family. */
+  /** MinHash signature rows (id, i, minhash) for a k-function family.
+    * Computed as k parallel `min` aggregates over the shingle rows — partial
+    * aggregation collapses each map partition to one row per doc BEFORE the
+    * shuffle (vs exploding k rows per shingle, which shuffles k× the data). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleK: Int = 3): DataFrame = {
     val sh = charShingles(df, idCol, textCol, shingleK)
-      .withColumn("x", shingleKey(col("sh")))
-    val params = hashParams(numHashes)
-      .map { case (i, a, b) => s"($i, ${a}L, ${b}L)" }
-    val hp = df.sparkSession.sql(
-      s"SELECT col1 as i, col2 as a, col3 as b FROM VALUES ${params.mkString(", ")}")
-    sh.crossJoin(broadcast(hp))
-      .groupBy(col(idCol), col("i"))
-      .agg(min((col("a") * col("x") + col("b")) % P).as("minhash"))
+      .withColumn("x", shingleKey(col("sh")).cast("long"))
+    val aggs = hashParams(numHashes).map { case (i, a, b) =>
+      min((lit(a) * col("x") + lit(b)) % P).as(s"mh$i")
+    }
+    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val stack = (0 until numHashes).map(i => s"$i, mh$i").mkString(", ")
+    wide.selectExpr(idCol, s"stack($numHashes, $stack) as (i, minhash)")
   }
 
   /** LSH banding: (id, band, key) where key concatenates the band's
@@ -129,16 +134,16 @@ object Dedup {
       coalesce(ascii(substring(col("tok"), 3, 1)), lit(0)) * 256L +
       coalesce(ascii(substring(col("tok"), 4, 1)), lit(0))).cast("long")
     val withX = toks.withColumn("x", x)
-    val params = hashParams(numBits)
-      .map { case (i, a, b) => s"($i, ${a}L, ${b}L)" }
-    val hp = df.sparkSession.sql(
-      s"SELECT col1 as j, col2 as a, col3 as b FROM VALUES ${params.mkString(", ")}")
-    withX.crossJoin(broadcast(hp))
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(((col("a") * col("x") + col("b")) % P % 2) * 2 - 1).as("s"))
-      .groupBy(col(idCol))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L))
-        .as("simhash"))
+    // numBits parallel sum aggregates (map-side combinable) instead of
+    // exploding one row per (token, bit) — same win as minhashSignatures
+    val aggs = hashParams(numBits).map { case (j, a, b) =>
+      sum(((lit(a) * col("x") + lit(b)) % P % 2) * 2 - 1).as(s"s$j")
+    }
+    val wide = withX.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sigExpr = hashParams(numBits).map { case (j, _, _) =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    wide.select(col(idCol), sigExpr.as("simhash"))
   }
 
   /** SimHash near-dup pairs within a scope: hamming(sig_a, sig_b) <= maxDist. */

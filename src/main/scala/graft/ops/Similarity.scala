@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-order dot product of two double array columns. */
+  /** Sequential-order dot product (interpreted HOF fallback — prefer
+    * [[graft.functions.ArrayMath.dot]], the codegen'd form, in hot paths). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -30,13 +31,25 @@ object Similarity {
   private def asDouble(c: Column): Column =
     transform(c, x => x.cast("double"))
 
+  private val ndot = graft.functions.ArrayMath.dot _
+
+  /** Pre-normalized double vectors: cosine reduces to one dot per pair, and
+    * norms are computed once per vector instead of once per pair. */
+  private def normalized(df: DataFrame, idCol: String, embCol: String,
+                         outId: String, outEmb: String): DataFrame = {
+    val e = asDouble(col(embCol))
+    df.select(col(idCol).as(outId), e.as("__e"))
+      .withColumn("__n", sqrt(ndot(col("__e"), col("__e"))))
+      .select(col(outId), transform(col("__e"), x => x / col("__n")).as(outEmb))
+  }
+
   /** Exact cosine top-k neighbors per query vector.
     * Output: (vec_id, neighbor_id, cosine, rank). */
   def bruteTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
-    val a = df.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("ea"))
-    val b = df.select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("eb"))
-    val pairs = a.crossJoin(b).filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+    val a = normalized(df, idCol, embCol, "vec_id", "ea")
+    val b = normalized(df, idCol, embCol, "neighbor_id", "eb")
+    val pairs = a.crossJoin(broadcast(b)).filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine", ndot(col("ea"), col("eb")))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -60,12 +73,12 @@ object Similarity {
     * Recall < 1 by construction; increase bits→buckets tradeoff per scale. */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
               dims: Int, bits: Int, k: Int): DataFrame = {
-    val sig = df.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("e"))
+    val sig = normalized(df, idCol, embCol, "vec_id", "e")
       .withColumn("bucket", hyperplaneSignature(col("e"), dims, bits))
     val a = sig.select(col("vec_id"), col("e").as("ea"), col("bucket"))
     val b = sig.select(col("vec_id").as("neighbor_id"), col("e").as("eb"), col("bucket"))
     val pairs = a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))))
+      .withColumn("cosine", ndot(col("ea"), col("eb")))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

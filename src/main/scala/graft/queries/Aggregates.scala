@@ -133,11 +133,14 @@ object Aggregates {
     // spectral peak selection: top-1 by energy per series
     // (make_Tp, stglib/core/waves.py:951-961)
     Q("top1_peak",
+      // map-side-combinable aggregation, not a window: at 100 TB a window
+      // shuffles every row, max(struct) pre-aggregates per partition.
+      // Tie-break: max value, then smallest event_id (negated in the struct).
       (s, dir) => events(s, dir)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id"))))
-        .filter(col("rn") === 1)
-        .select("user_id", "event_id", "value"),
+        .groupBy("user_id")
+        .agg(max(struct(col("value"), (-col("event_id")).as("nid"))).as("m"))
+        .select(col("user_id"), (-col("m.nid")).as("event_id"),
+          col("m.value").as("value")),
       Some("""SELECT user_id, event_id, value FROM (
              |  SELECT user_id, event_id, value, row_number() OVER
              |    (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn

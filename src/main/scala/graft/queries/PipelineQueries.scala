@@ -48,7 +48,7 @@ object PipelineQueries {
 
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text",
-        numHashes = 16, bands = 4, estThreshold = 0.5),
+        numHashes = 16, bands = 2, estThreshold = 0.7),
       Some(s"""WITH pos AS (
              |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
              |  FROM documents),
@@ -61,9 +61,9 @@ object PipelineQueries {
              |  FROM shx, ${hpSql(16, "i, a, b")}
              |  GROUP BY doc_id, hp.i),
              |bandkey AS (
-             |  SELECT doc_id, i // 4 AS band,
+             |  SELECT doc_id, i // 8 AS band,
              |    string_agg(minhash, ',' ORDER BY i) AS key
-             |  FROM sig GROUP BY doc_id, i // 4),
+             |  FROM sig GROUP BY doc_id, i // 8),
              |cand AS (
              |  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
              |  FROM bandkey a JOIN bandkey b
@@ -75,7 +75,7 @@ object PipelineQueries {
              |  JOIN sig sa ON sa.doc_id = id_a
              |  JOIN sig sb ON sb.doc_id = id_b AND sb.i = sa.i
              |  GROUP BY 1, 2)
-             |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin)),
+             |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7""".stripMargin)),
 
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(documents(s, dir), "doc_id", "text",

@@ -1,0 +1,22 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object Prof {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    for (name <- args) {
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"TIMING $name ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
+      if (sys.env.contains("EXPLAIN")) df.explain("formatted")
+    }
+    spark.stop()
+  }
+}
