@@ -41,11 +41,14 @@ object Welch {
   }
 
   /** Welch PSD. Returns (frequencies, psd); both length nperseg/2+1.
-    * nperseg must be a power of 2 (callers use nextPow2(nsamps/nsegs)). */
-  def psd(x: Array[Double], fs: Double, nperseg: Int): (Array[Double], Array[Double]) = {
+    * nperseg must be a power of 2 (callers use nextPow2(nsamps/nsegs)).
+    * window: "hann" (default) or "boxcar" (used by the reference's Parseval
+    * variance-preservation test, test_puv_quick). */
+  def psd(x: Array[Double], fs: Double, nperseg: Int,
+          window: String = "hann"): (Array[Double], Array[Double]) = {
     val n = x.length
     val np = math.min(nperseg, n)
-    val win = hann(np)
+    val win = if (window == "boxcar") Array.fill(np)(1.0) else hann(np)
     val winSumSq = win.map(w => w * w).sum
     val scale = 1.0 / (fs * winSumSq)
     val step = np - np / 2 // 50% overlap

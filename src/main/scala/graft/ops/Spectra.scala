@@ -80,6 +80,34 @@ object Spectra {
       }
   }
 
+  final case class PuvRow(
+      burst: Long, hrmsp: Double, hrmsu: Double, ubr: Double, omegar: Double,
+      tr: Double, tpp: Double, tpu: Double, phir: Double, azr: Double,
+      ublo: Double, ubhi: Double, ubig: Double,
+      hrmsp_tail: Double, hrmsu_tail: Double)
+
+  /** puv_quick per burst over long-format (burst, sample, p, u, v) rows
+    * (call_puv_quick_vectorized, stglib/core/waves.py:1847-1989). */
+  def puvStats(df: DataFrame, burstCol: String, sampleCol: String,
+               pCol: String, uCol: String, vCol: String,
+               depth: Double, zp: Double, zuv: Double, fs: Double,
+               fftLength: Int = 512): Dataset[PuvRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
+        col(pCol).cast("double"), col(uCol).cast("double"), col(vCol).cast("double"))
+      .as[(Long, Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val r = graft.kernels.Puv.puvQuick(
+          rows.map(_._3), rows.map(_._4), rows.map(_._5),
+          depth, zp, zuv, fs, fftLength)
+        PuvRow(k, r.hrmsp, r.hrmsu, r.ubr, r.omegar, r.tr, r.tpp, r.tpu,
+          r.phir, r.azr, r.ublo, r.ubhi, r.ubig, r.hrmspTail, r.hrmsuTail)
+      }
+  }
+
   final case class FiltRow(series: Long, sample: Long, value_filt: Double)
 
   /** Zero-phase Butterworth filtering per series/burst/bin group

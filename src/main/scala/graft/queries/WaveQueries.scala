@@ -79,6 +79,24 @@ object WaveQueries {
           fs = 1.0, z = 0.5, nsegs = 4, fcut = Some(0.2)).toDF()
       }, None),
 
+    // PUV analysis per burst (puv_quick, stglib/core/waves.py:1354-1674):
+    // monochromatic wave in p/u/v with linear-theory-consistent amplitudes
+    Q("puv_stats",
+      (s, dir) => {
+        val b = burstsGlobal(s, dir, 1024)
+        val f0 = 0.1
+        val k = graft.kernels.Spectral.qkfs(2 * math.Pi * f0, 10.0)
+        val aP = 0.5 * math.cosh(k * 0.5) / math.cosh(k * 10.0)
+        val aU = 0.5 * 2 * math.Pi * f0 * math.cosh(k * 1.0) / math.sinh(k * 10.0)
+        val ph = col("sample") * lit(2.0 * math.Pi * f0)
+        val withPuv = b
+          .withColumn("p", lit(10.0) + lit(aP) * sin(ph) + col("value") / 5000.0)
+          .withColumn("u", lit(aU) * sin(ph) + col("value") / 10000.0)
+          .withColumn("v", lit(0.3 * aU) * sin(ph) + col("value") / 10000.0)
+        Spectra.puvStats(withPuv.toDF(), "burst", "sample", "p", "u", "v",
+          depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0, fftLength = 512).toDF()
+      }, None),
+
     // zero-phase Butterworth low-pass per user series (filtered water level,
     // stglib/core/utils.py:1715-1756)
     Q("butter_lowpass",
