@@ -108,6 +108,35 @@ object Spectra {
       }
   }
 
+  final case class DirSpecRow(
+      burst: Long, hs: Double, tp: Double, dtp: Double, dp: Double,
+      nfreq: Int, ndir: Int)
+
+  /** DIWASP directional spectrum per burst over (burst, sample, p, u, v)
+    * rows (make_diwasp_ds + call_diwasp_mp, stglib/core/waves.py:15-306).
+    * One mapGroups task per burst = the reference's dask fan-out, on Spark. */
+  def diwaspStats(df: DataFrame, burstCol: String, sampleCol: String,
+                  pCol: String, uCol: String, vCol: String,
+                  depth: Double, zp: Double, zuv: Double, fs: Double,
+                  nfft: Int, dres: Int, method: String, miter: Int,
+                  fmin: Double, fmax: Double): Dataset[DirSpecRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
+        col(pCol).cast("double"), col(uCol).cast("double"), col(vCol).cast("double"))
+      .as[(Long, Long, Double, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val d = graft.kernels.Diwasp.dirspec(
+          Array(rows.map(_._3), rows.map(_._4), rows.map(_._5)),
+          Array("pres", "velx", "vely"),
+          Array(Array(0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0), Array(zp, zuv, zuv)),
+          depth, fs, nfft, dres, method, miter, fmin, fmax)
+        DirSpecRow(k, d.hs, d.tp, d.dtp, d.dp, d.freqs.length, d.dirs.length)
+      }
+  }
+
   final case class FiltRow(series: Long, sample: Long, value_filt: Double)
 
   /** Zero-phase Butterworth filtering per series/burst/bin group

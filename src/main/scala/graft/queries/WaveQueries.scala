@@ -41,6 +41,27 @@ object WaveQueries {
       .filter(col("nb") === n)
   }
 
+  /** Shared synthetic PUV bursts: 8 s wave toward 30 deg (trig convention)
+    * with linear-theory-consistent amplitudes. */
+  private def puvBursts(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val f0 = 0.125
+    val k = graft.kernels.Diwasp.wavenumber(2 * math.Pi * f0, 10.0)
+    val aP = 0.5 * math.cosh(k * 0.5) / math.cosh(k * 10.0)
+    val aU = 0.5 * 2 * math.Pi * f0 * math.cosh(k * 1.0) / math.sinh(k * 10.0)
+    val dirR = math.toRadians(30.0)
+    val ph = col("sample") * lit(2.0 * math.Pi * f0)
+    // sensor noise must be DECORRELATED across p/u/v: with identical noise
+    // the cross-spectral matrix is rank-1 (perfectly coherent) and the
+    // matrix-inverting IMLM estimator blows up — only the direct DFTM
+    // survives. Distinct integer mixes of `value` give pseudo-independent
+    // deterministic noise per sensor.
+    burstsGlobal(s, dir, 1024)
+      .withColumn("p", lit(aP) * cos(ph) + (col("value") * 7919.0 % 97.0) / 5000.0)
+      .withColumn("u", lit(aU * math.cos(dirR)) * cos(ph) + (col("value") * 104729.0 % 89.0) / 5000.0)
+      .withColumn("v", lit(aU * math.sin(dirR)) * cos(ph) + (col("value") * 15485863.0 % 83.0) / 5000.0)
+      .toDF()
+  }
+
   def qs: Seq[Q] = Seq(
     // Welch pressure pipeline → Hs/Tm/Tp per burst (make_waves_ds)
     Q("wave_stats_pressure",
@@ -95,6 +116,25 @@ object WaveQueries {
           .withColumn("v", lit(0.3 * aU) * sin(ph) + col("value") / 10000.0)
         Spectra.puvStats(withPuv.toDF(), "burst", "sample", "p", "u", "v",
           depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0, fftLength = 512).toDF()
+      }, None),
+
+    // DIWASP directional spectrum per burst (DFTM + IMLM paths)
+    Q("diwasp_dftm",
+      (s, dir) => {
+        val b = puvBursts(s, dir)
+        Spectra.diwaspStats(b, "burst", "sample", "p", "u", "v",
+          depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0,
+          nfft = 256, dres = 90, method = "DFTM", miter = 0,
+          fmin = 0.05, fmax = 0.45).toDF()
+      }, None),
+
+    Q("diwasp_imlm",
+      (s, dir) => {
+        val b = puvBursts(s, dir)
+        Spectra.diwaspStats(b, "burst", "sample", "p", "u", "v",
+          depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0,
+          nfft = 256, dres = 90, method = "IMLM", miter = 50,
+          fmin = 0.05, fmax = 0.45).toDF()
       }, None),
 
     // zero-phase Butterworth low-pass per user series (filtered water level,
