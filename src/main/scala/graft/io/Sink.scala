@@ -1,0 +1,82 @@
+package graft.io
+
+import graft.core.Meta
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Output encoding + write conventions (SURVEY §2.2). Parquet is the
+ * canonical clean-data format (the reference's netCDF role); encodings
+ * mirror the reference's dtype rules: float data stored float32, overflow-
+ * guarded int32, coordinates never null, naming conventions preserved.
+ */
+object Sink {
+
+  /** set_var_dtype: encode double data vars as float32 unless listed
+    * (stglib/core/utils.py:856-859). */
+  def encodeFloat32(df: DataFrame, keep64: Seq[String] = Seq("time")): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == DoubleType && !keep64.contains(f.name))
+        d.withColumn(f.name, col(f.name).cast(FloatType))
+      else d
+    }
+
+  /** int32 encode with overflow guard: stays int64 when the value range
+    * exceeds Int.MaxValue (stglib/core/utils.py:1535-1553). This inspects
+    * min/max in one aggregate pass. */
+  def encodeInt32Guarded(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) return df
+    val stats = df.agg(
+      greatest(present.map(c => abs(max(col(c)))) ++
+               present.map(c => abs(min(col(c)))): _*).as("mx")).head()
+    val mx = Option(stats.get(0)).map(_.toString.toDouble).getOrElse(0.0)
+    if (mx <= Int.MaxValue.toDouble)
+      present.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(IntegerType)))
+    else df
+  }
+
+  /** Output naming convention (stglib/rsk/cdf2nc.py:127-149 and co.):
+    * -raw (ingest), b (burst clean), -a (averaged clean), s-a (stats). */
+  def conventionName(base: String, step: String): String = step match {
+    case "raw"   => s"$base-raw"
+    case "clean" => s"${base}b"
+    case "avg"   => s"$base-a"
+    case "stats" => s"${base}s-a"
+    case other   => s"$base-$other"
+  }
+
+  /** Write the canonical parquet: float32 encodings, global attrs as a
+    * sidecar JSON (the ds.attrs persistence), optional partitioning (the
+    * per-profile split-file analog, stglib/rsk/cdf2nc.py:212-239). */
+  def writeParquet(df: DataFrame, path: String, meta: Meta,
+                   partitionBy: Seq[String] = Nil,
+                   float32: Boolean = true): Unit = {
+    val encoded = if (float32) encodeFloat32(df) else df
+    val w = encoded.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    // sidecar attrs: provenance + config (history/note accumulation,
+    // stglib/core/utils.py:238-250)
+    val json = meta.attrs.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${esc(k)}": "${esc(v.toString)}""""
+    }.mkString("{", ", ", "}")
+    val fs = new java.io.File(path)
+    if (fs.isDirectory)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(path, "_graft_attrs.json"), json)
+  }
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+  /** Append a provenance line (insert_history, stglib/core/utils.py:238-250);
+    * timestamps injected by the caller for determinism. */
+  def insertHistory(meta: Meta, text: String, timestamp: String): Meta = {
+    val prev = meta.str("history").getOrElse("")
+    meta + ("history" -> s"$prev$timestamp: $text\n")
+  }
+}
