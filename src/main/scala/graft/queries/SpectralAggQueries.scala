@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.functions.{Physics => P}
+import graft.ops.Burst
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Spectral-adjacent aggregations that ARE SQL-expressible (SURVEY §2.5):
+ * mean wave direction over a (freq, dir) spectrum, burst nesting round-trip,
+ * bin geometry, and block averaging with duration cut.
+ */
+object SpectralAggQueries {
+  import Tables._
+
+  def qs: Seq[Q] = Seq(
+    // make_mwd (stglib/core/waves.py:912-933): double trapezoid integral of
+    // S·sin/cos over (freq, dir) with quadrant correction. Synthetic dspec
+    // rows from events: burst × 8 freqs × 12 dirs.
+    Q("mean_wave_dir",
+      (s, dir) => {
+        val w = Window.orderBy("event_id")
+        val rows = events(s, dir)
+          .withColumn("rn", row_number().over(w) - 1)
+          .withColumn("burst", expr("rn div 96"))
+          .withColumn("fi", expr("(rn % 96) div 12"))
+          .withColumn("di", col("rn") % 12)
+          .withColumn("nb", count(lit(1)).over(Window.partitionBy("burst")))
+          .filter(col("nb") === 96)
+          .withColumn("freq", lit(0.05) + col("fi") * 0.05)
+          .withColumn("dirdeg", col("di") * 30.0)
+          .withColumn("sval", col("value") + lit(1.0))
+        // trapezoid over dirs within (burst, freq), then over freqs; exact
+        // df/ddir spacing so the trapezoid is a weighted sum: interior
+        // weight 1, edges 1/2
+        val wDir = when(col("di") === 0 || col("di") === 11, 0.5).otherwise(1.0)
+        val wFreq = when(col("fi") === 0 || col("fi") === 7, 0.5).otherwise(1.0)
+        val weight = wDir * wFreq * lit(30.0 * 0.05) // ddir·df
+        val agg = rows.groupBy("burst").agg(
+          sum(col("sval") * sin(radians(col("dirdeg"))) * weight).as("dnum"),
+          sum(col("sval") * cos(radians(col("dirdeg"))) * weight).as("ddnom"))
+        agg.select(col("burst"),
+          round(
+            when(col("dnum") > 0 && col("ddnom") < 0,
+              lit(180.0) - degrees(atan(abs(col("dnum") / col("ddnom")))))
+            .when(col("dnum") < 0 && col("ddnom") < 0,
+              lit(180.0) + degrees(atan(abs(col("dnum") / col("ddnom")))))
+            .when(col("dnum") < 0 && col("ddnom") > 0,
+              lit(360.0) - degrees(atan(abs(col("dnum") / col("ddnom")))))
+            .otherwise(degrees(atan(abs(col("dnum") / col("ddnom"))))), 6)
+          .as("dm"))
+      },
+      Some("""WITH rows_ AS (
+             |  SELECT (row_number() OVER (ORDER BY event_id) - 1) AS rn, value
+             |  FROM events),
+             |g AS (
+             |  SELECT rn // 96 AS burst, (rn % 96) // 12 AS fi, rn % 12 AS di,
+             |    value + 1.0 AS sval,
+             |    count(*) OVER (PARTITION BY rn // 96) AS nb
+             |  FROM rows_),
+             |w AS (
+             |  SELECT burst, fi, di, sval,
+             |    (CASE WHEN di IN (0, 11) THEN 0.5 ELSE 1.0 END) *
+             |    (CASE WHEN fi IN (0, 7) THEN 0.5 ELSE 1.0 END) * (30.0 * 0.05) AS wt,
+             |    di * 30.0 AS dirdeg
+             |  FROM g WHERE nb = 96),
+             |agg AS (
+             |  SELECT burst,
+             |    sum(sval * sin(radians(dirdeg)) * wt) AS dnum,
+             |    sum(sval * cos(radians(dirdeg)) * wt) AS ddnom
+             |  FROM w GROUP BY burst)
+             |SELECT burst, round(
+             |  CASE WHEN dnum > 0 AND ddnom < 0 THEN 180.0 - degrees(atan(abs(dnum / ddnom)))
+             |       WHEN dnum < 0 AND ddnom < 0 THEN 180.0 + degrees(atan(abs(dnum / ddnom)))
+             |       WHEN dnum < 0 AND ddnom > 0 THEN 360.0 - degrees(atan(abs(dnum / ddnom)))
+             |       ELSE degrees(atan(abs(dnum / ddnom))) END, 6) AS dm
+             |FROM agg""".stripMargin)),
+
+    // long -> nested -> long burst round trip (SURVEY §1.5): identity map,
+    // verified relationally against the source rows
+    Q("burst_roundtrip",
+      (s, dir) => {
+        val long0 = Burst.fromContinuous(events(s, dir),
+          order = Seq("ts", "event_id"), part = Seq("user_id"),
+          nsamps = 16, burstCol = "burst", sampleCol = "sample")
+          .withColumn("bkey", col("user_id") * 10000 + col("burst"))
+        val nested = Burst.toNested(long0, "bkey", "sample", Seq("value"))
+        Burst.toLong(nested, "bkey", "value_arr", "value", "sample")
+      },
+      Some("""WITH ids AS (
+             |  SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+             |  FROM events),
+             |b AS (
+             |  SELECT user_id * 10000 + rn // 16 AS bkey, rn % 16 AS sample, value,
+             |    count(*) OVER (PARTITION BY user_id, rn // 16) AS n
+             |  FROM ids)
+             |SELECT bkey, sample, value FROM b WHERE n = 16""".stripMargin)),
+
+    // bin geometry (create_bindist/calc_bin_height, stglib/eofe.py:304-345,
+    // stglib/aqd/aqdutils.py:1041-1058): exact arithmetic
+    Q("bin_geometry",
+      (s, dir) => {
+        val df = part(s, dir)
+          .withColumn("bin", col("p_size") % 24)
+        df.select(col("p_partkey"), col("bin"),
+          P.binDist(col("bin"), 0.5).as("bindist"),
+          P.binHeight(P.binDist(col("bin"), 0.5), 0.15, orientationUp = true).as("bin_height_up"),
+          P.binHeight(P.binDist(col("bin"), 0.5), 10.0, orientationUp = false).as("bin_height_down"))
+      },
+      Some("""SELECT p_partkey, p_size % 24 AS bin,
+             |  0.25 + (p_size % 24) * 0.5 AS bindist,
+             |  0.15 + (0.25 + (p_size % 24) * 0.5) AS bin_height_up,
+             |  10.0 - (0.25 + (p_size % 24) * 0.5) AS bin_height_down
+             |FROM part""".stripMargin)),
+
+    // avg_cont with average_duration: mean of only the first n samples of
+    // each block (stglib/mar.py:259-332)
+    Q("avg_cont_duration",
+      (s, dir) => {
+        val df = events(s, dir)
+          .withColumn("bucket", expr("ts div 21600000000000"))
+          .withColumn("sample", row_number().over(
+            Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")) - 1)
+        df.groupBy("user_id", "bucket")
+          .agg(Exact.avg(when(col("sample") < 3, col("value"))).as("value_mean"),
+               count(when(col("sample") < 3, col("value"))).as("n_used"),
+               count(lit(1)).as("n_total"))
+      },
+      Some(s"""WITH b AS (
+             |  SELECT user_id, epoch_us(ts) // 21600000000 AS bucket, value,
+             |    row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 21600000000
+             |                       ORDER BY ts, event_id) - 1 AS sample
+             |  FROM events)
+             |SELECT user_id, bucket,
+             |  ${Exact.avgSql("CASE WHEN sample < 3 THEN value END")} AS value_mean,
+             |  count(CASE WHEN sample < 3 THEN value END) AS n_used,
+             |  count(*) AS n_total
+             |FROM b GROUP BY 1, 2""".stripMargin))
+  )
+}
