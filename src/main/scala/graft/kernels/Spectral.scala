@@ -127,6 +127,37 @@ object Spectral {
     if (imax == 0) Double.NaN else 1.0 / f(imax)
   }
 
+  /** Burst NaN repair (var_wave_burst_fill_nans,
+    * stglib/core/waves.py:1992-2034): when < 10% of samples are NaN, fill
+    * each from the nearest valid sample within tolSamples; otherwise leave
+    * as-is (stats go NaN downstream). */
+  def fillNaNsNearest(x: Array[Double], tolSamples: Int): Array[Double] = {
+    val n = x.length
+    var nans = 0
+    var i = 0
+    while (i < n) { if (x(i).isNaN) nans += 1; i += 1 }
+    if (nans == 0 || nans >= n * 0.1) return x
+    val valid = x.indices.filter(i => !x(i).isNaN).toArray
+    val out = x.clone()
+    i = 0
+    while (i < n) {
+      if (out(i).isNaN) {
+        // nearest valid index within tolerance; ties to the earlier one
+        var best = -1
+        var bestDist = Int.MaxValue
+        var j = 0
+        while (j < valid.length) {
+          val d = math.abs(valid(j) - i)
+          if (d < bestDist) { bestDist = d; best = valid(j) }
+          j += 1
+        }
+        if (best >= 0 && bestDist <= tolSamples) out(i) = x(best)
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Full per-burst pressure→wave-statistics kernel (make_waves_ds,
     * stglib/core/waves.py:571-681). Input: burst pressure samples (dbar),
     * sampling rate fs, sensor height z. */
@@ -135,10 +166,12 @@ object Spectral {
       wh4061: Double, wp4060: Double, wpPeak: Double,
       frequencies: Array[Double], pspec: Array[Double])
 
-  def waveStatsFromPressure(p: Array[Double], fs: Double, z: Double,
+  def waveStatsFromPressure(p0: Array[Double], fs: Double, z: Double,
                             nsegs: Int = 16, noise: Double = 0.9,
                             fcut: Option[Double] = None,
-                            kpmin: Option[Double] = None): WaveStats = {
+                            kpmin: Option[Double] = None,
+                            nanTolSamples: Int = 2): WaveStats = {
+    val p = fillNaNsNearest(p0, nanTolSamples)
     val nfft = Welch.nextPow2(p.length / nsegs)
     val (f, pxx) = Welch.psd(p, fs, nfft)
     val h = p.sum / p.length + z

@@ -30,7 +30,7 @@ object Spectra {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
-        col(presCol).cast("double"))
+        coalesce(col(presCol).cast("double"), lit(Double.NaN)))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapGroups { (k, it) =>
@@ -47,7 +47,7 @@ object Spectra {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
-        col(elevCol).cast("double"))
+        coalesce(col(elevCol).cast("double"), lit(Double.NaN)))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapGroups { (k, it) =>
@@ -69,7 +69,7 @@ object Spectra {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
-        col(presCol).cast("double"))
+        coalesce(col(presCol).cast("double"), lit(Double.NaN)))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
@@ -95,7 +95,9 @@ object Spectra {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
-        col(pCol).cast("double"), col(uCol).cast("double"), col(vCol).cast("double"))
+        coalesce(col(pCol).cast("double"), lit(Double.NaN)),
+        coalesce(col(uCol).cast("double"), lit(Double.NaN)),
+        coalesce(col(vCol).cast("double"), lit(Double.NaN)))
       .as[(Long, Long, Double, Double, Double)]
       .groupByKey(_._1)
       .mapGroups { (k, it) =>
@@ -123,7 +125,9 @@ object Spectra {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
-        col(pCol).cast("double"), col(uCol).cast("double"), col(vCol).cast("double"))
+        coalesce(col(pCol).cast("double"), lit(Double.NaN)),
+        coalesce(col(uCol).cast("double"), lit(Double.NaN)),
+        coalesce(col(vCol).cast("double"), lit(Double.NaN)))
       .as[(Long, Long, Double, Double, Double)]
       .groupByKey(_._1)
       .mapGroups { (k, it) =>
@@ -146,7 +150,7 @@ object Spectra {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(groupCol).cast("long"), col(sampleCol).cast("long"),
-        col(valueCol).cast("double"))
+        coalesce(col(valueCol).cast("double"), lit(Double.NaN)))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>

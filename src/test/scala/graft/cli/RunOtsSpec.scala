@@ -1,0 +1,80 @@
+package graft.cli
+
+import graft.io.Config
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end lifecycle: ingest → clean → waves on a synthetic RBR-style
+  * pressure CSV (the reference's test_rbr_wvs chain, SURVEY §7.3). */
+class RunOtsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("full RBR wave chain: csv -> raw -> clean -> wave statistics") {
+    val dir = java.nio.file.Files.createTempDirectory("runots").toFile
+    // 2048 samples at 1 Hz: 10 m column + 8 s wave + spikes outside range
+    val csv = new java.io.File(dir, "logger.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("time,Pressure,Temperature")
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    for (i <- 0 until 2200) {
+      val wave = 0.4 * math.sin(2 * math.Pi * 0.125 * i)
+      val spike = if (i % 500 == 499) 80.0 else 0.0 // trimmed by P_1_max
+      w.println(s"${t0.plusSeconds(i)},${10.0 + wave + spike},${20.0 + 0.001 * i}")
+    }
+    w.close()
+
+    val gatts = new java.io.File(dir, "gatts.txt")
+    val gw = new java.io.PrintWriter(gatts)
+    gw.println("MOORING; 9999")
+    gw.println("WATER_DEPTH; 10.5")
+    gw.println("latitude; 30.0")
+    gw.println("Deployment_date; 2024-02-01 00:00")
+    gw.println("Recovery_date; 2024-02-01 01:00")
+    gw.close()
+
+    val yaml = new java.io.File(dir, "config.yaml")
+    val yw = new java.io.PrintWriter(yaml)
+    yw.println("sample_interval: 1.0")
+    yw.println("initial_instrument_height: 0.5")
+    yw.println("P_1_max: 50.0")
+    yw.println("wave_nsamps: 512")
+    yw.println("spec_nsegs: 4")
+    yw.println("wave_fcut: 0.3")
+    yw.println("wh_min: 0.01")
+    yw.close()
+
+    val (meta, _) = Config.merge(
+      Config.readGlobalAttsFile(gatts.getAbsolutePath),
+      Config.readYamlFile(yaml.getAbsolutePath))
+
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    val waves = new java.io.File(dir, "waves").getAbsolutePath
+    RunOts.runStep(spark, "rsk", "ingest", meta, csv.getAbsolutePath, raw)
+    RunOts.runStep(spark, "rsk", "clean", meta, raw, clean)
+    RunOts.runStep(spark, "rsk", "waves", meta, clean, waves)
+
+    // clean: all 2200 samples fall inside [deploy, recover]; spikes nulled
+    val cleanDf = spark.read.parquet(clean)
+    assert(cleanDf.count() == 2200)
+    val spikes = cleanDf.filter("P_1 > 50.0").count()
+    assert(spikes == 0, s"$spikes spikes survived P_1_max")
+
+    // waves: full 512-sample bursts from 2200 samples = 4 bursts
+    val stats = spark.read.parquet(waves)
+    assert(stats.count() == 4)
+    val row = stats.orderBy("burst").head()
+    val hs = row.getAs[Double]("wh_4061")
+    val tp = row.getAs[Double]("wp_peak")
+    // 0.4 dbar PRESSURE amplitude at the sensor; the pipeline divides by
+    // Kp (≈0.72 at h≈10.5 m, T=8 s) to recover surface elevation, so
+    // Hs ≈ 2*sqrt(2) * 0.4/0.72 ≈ 1.57 (+ tail energy)
+    assert(math.abs(tp - 8.0) < 0.5, s"Tp=$tp")
+    assert(hs > 1.4 && hs < 1.9, s"Hs=$hs")
+    // provenance sidecar exists
+    assert(new java.io.File(waves, "_graft_attrs.json").exists())
+  }
+}
