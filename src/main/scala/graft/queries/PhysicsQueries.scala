@@ -160,10 +160,16 @@ object PhysicsQueries {
         .selectExpr("event_id", "ts div 1000 as ts_us")
         .select(col("event_id"),
           P.epicTime(col("ts_us")).as("epic_time"),
-          P.epicTime2(col("ts_us")).as("epic_time2")),
+          P.epicTime2(col("ts_us")).as("epic_time2"),
+          // epic_to_datetime round trip (stglib/core/utils.py:891-894),
+          // ms precision
+          ((P.epicTime(col("ts_us")) - 2440588L) * 86400000000L +
+            P.epicTime2(col("ts_us")) * 1000L).as("ts_back_us")),
       Some("""SELECT event_id,
              |  epoch_us(ts) // 86400000000 + 2440588 AS epic_time,
-             |  (epoch_us(ts) % 86400000000) // 1000 AS epic_time2
+             |  (epoch_us(ts) % 86400000000) // 1000 AS epic_time2,
+             |  (epoch_us(ts) // 86400000000) * 86400000000 +
+             |    ((epoch_us(ts) % 86400000000) // 1000) * 1000 AS ts_back_us
              |FROM events""".stripMargin)),
 
     // wave-product trims (stglib/core/utils.py:752-828), applied in reference

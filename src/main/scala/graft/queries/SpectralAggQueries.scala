@@ -14,6 +14,45 @@ object SpectralAggQueries {
   import Tables._
 
   def qs: Seq[Q] = Seq(
+    // quantile threshold scan (find_ast_qual_min,
+    // stglib/sig/cdf2nc.py:1808-1831): exact interpolated percentile per
+    // group — Spark `percentile` and DuckDB `quantile_cont` share the
+    // sort + linear-interpolation definition
+    Q("quantile_scan",
+      (s, dir) => events(s, dir)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.95)"), 8).as("q95"),
+             round(expr("percentile(value, 0.5)"), 8).as("q50"),
+             count(lit(1)).as("n")),
+      Some("""SELECT event_type, round(quantile_cont(value, 0.95), 8) AS q95,
+             |  round(quantile_cont(value, 0.5), 8) AS q50, count(*) AS n
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // atmos_correct_profile (stglib/rsk/cdf2nc.py:181-209): met sampled at
+    // each profile's start time — per-order correction from a broadcast
+    // daily met series
+    Q("atmos_profile",
+      (s, dir) => {
+        val met = orders(s, dir)
+          .groupBy(expr("cast(o_orderdate as date)").as("day"))
+          .agg(Exact.avg(col("o_totalprice") / 10000.0).as("atm"))
+        val li = lineitem(s, dir).join(
+          orders(s, dir).select(col("o_orderkey"), expr("cast(o_orderdate as date)").as("day")),
+          col("l_orderkey") === col("o_orderkey"))
+        li.join(broadcast(met), Seq("day"), "left")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice") / 100.0 - col("atm")).as("p_ac"))
+      },
+      Some(s"""WITH met AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS day,
+             |    ${Exact.avgSql("o_totalprice / 10000.0")} AS atm
+             |  FROM orders GROUP BY 1)
+             |SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice / 100.0 - m.atm AS p_ac
+             |FROM lineitem l
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |LEFT JOIN met m ON CAST(o.o_orderdate AS DATE) = m.day""".stripMargin)),
+
     // make_mwd (stglib/core/waves.py:912-933): double trapezoid integral of
     // S·sin/cos over (freq, dir) with quadrant correction. Synthetic dspec
     // rows from events: burst × 8 freqs × 12 dirs.
