@@ -69,6 +69,34 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** IVF-style coarse quantization: the first nCentroids vectors (by id)
+    * serve as deterministic centroids; each vector is assigned to its
+    * nearest centroid cell and search re-ranks within the cell. At cluster
+    * scale the assignment is a broadcast join (centroids are tiny) and the
+    * per-cell pair join replaces the global quadratic blowup — the same
+    * shape as a trained IVF index with nprobe=1. */
+  def ivfTopK(df: DataFrame, idCol: String, embCol: String,
+              nCentroids: Int, k: Int): DataFrame = {
+    val vecs = normalized(df, idCol, embCol, "vec_id", "e")
+    val cents = vecs.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    // assign to nearest centroid (max cosine; normalized → dot)
+    val assigned = vecs.crossJoin(broadcast(cents))
+      .withColumn("csim", ndot(col("e"), col("ce")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
+    val a = assigned.select(col("vec_id"), col("e").as("ea"), col("cell"))
+    val b = assigned.select(col("vec_id").as("neighbor_id"), col("e").as("eb"), col("cell"))
+    val pairs = a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("cosine", ndot(col("ea"), col("eb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "cell", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed cosine top-k: exact re-rank within shared buckets.
     * Recall < 1 by construction; increase bits→buckets tradeoff per scale. */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,

@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scalable two-pass global index must agree exactly with the
+  * single-partition window formulation. */
+class IndexSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("withGlobalPosition == row_number over global order") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val df = (1 to 5000).map(i => (rnd.nextLong(), i)).toDF("key", "payload")
+      .repartition(7)
+    val viaWindow = df.withColumn("pos",
+      row_number().over(Window.orderBy("key", "payload")) - 1)
+    val viaIndex = Index.withGlobalPosition(df, Seq("key", "payload"), "pos")
+    assert(viaIndex.select("pos").distinct().count() == 5000)
+    val diff = viaWindow.select("key", "payload", "pos")
+      .exceptAll(viaIndex.select("key", "payload", "pos")).count()
+    assert(diff == 0, s"$diff rows differ")
+  }
+}
