@@ -180,8 +180,8 @@ object ProfileQueries {
       (s, dir) => {
         val good = orders(s, dir).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"))
-        lineitem(s, dir).join(good,
-            lineitem(s, dir)("l_orderkey") === good("o_orderkey"), "left_semi")
+        val li = lineitem(s, dir)
+        li.join(good, li("l_orderkey") === good("o_orderkey"), "left_semi")
           .select("l_orderkey", "l_linenumber", "l_quantity")
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

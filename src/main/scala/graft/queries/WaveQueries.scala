@@ -55,7 +55,7 @@ object WaveQueries {
     // matrix-inverting IMLM estimator blows up — only the direct DFTM
     // survives. Distinct integer mixes of `value` give pseudo-independent
     // deterministic noise per sensor.
-    burstsGlobal(s, dir, 1024)
+    burstsGlobal(s, dir, 512)
       .withColumn("p", lit(aP) * cos(ph) + (col("value") * 7919.0 % 97.0) / 5000.0)
       .withColumn("u", lit(aU * math.cos(dirR)) * cos(ph) + (col("value") * 104729.0 % 89.0) / 5000.0)
       .withColumn("v", lit(aU * math.sin(dirR)) * cos(ph) + (col("value") * 15485863.0 % 83.0) / 5000.0)
@@ -83,11 +83,13 @@ object WaveQueries {
     // surface-track variant (make_waves_ds_elev)
     Q("wave_stats_elev",
       (s, dir) => {
-        val b = burstsGlobal(s, dir, 1024).withColumn("elev",
+        // 512-sample bursts so even the sf0.001 smoke table (1000 events)
+        // yields a burst; flo = 1/(512/32) = 0.0625 Hz keeps the band valid
+        val b = burstsGlobal(s, dir, 512).withColumn("elev",
           lit(0.4) * sin(lit(2.0 * math.Pi * 0.125) * col("sample")) +
             col("value") / 2000.0 - lit(0.025))
         Spectra.waveStatsFromElevation(b.toDF(), "burst", "sample", "elev",
-          fs = 1.0, nsegs = 16).toDF()
+          fs = 1.0, nsegs = 8).toDF()
       }, None),
 
     // per-burst elevation spectra, long format (spec["pspec"])
@@ -104,7 +106,7 @@ object WaveQueries {
     // monochromatic wave in p/u/v with linear-theory-consistent amplitudes
     Q("puv_stats",
       (s, dir) => {
-        val b = burstsGlobal(s, dir, 1024)
+        val b = burstsGlobal(s, dir, 512)
         val f0 = 0.1
         val k = graft.kernels.Spectral.qkfs(2 * math.Pi * f0, 10.0)
         val aP = 0.5 * math.cosh(k * 0.5) / math.cosh(k * 10.0)
