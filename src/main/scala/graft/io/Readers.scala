@@ -99,6 +99,76 @@ object Readers {
       }
     }
 
+  /** YSI EXO sonde CSV (stglib/exo.py:9-137): a fixed-size header block
+    * precedes the column row; column names vary in casing across KOR
+    * software versions → lowercased, then date+time columns merged. Spark
+    * has no skiprows, so the preamble is dropped by position via a
+    * monotonically-increasing file-order index over the text lines. */
+  def readExoCsv(spark: SparkSession, path: String, skipRows: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // read as text, drop the header block, re-parse the remainder as CSV
+    val lines = spark.read.option("wholetext", "true").text(path)
+      .select(explode(split(col("value"), "\r?\n")).as("line"))
+      .withColumn("idx", row_number().over(
+        Window.orderBy(monotonically_increasing_id())) - 1)
+      .filter(col("idx") >= skipRows && length(trim(col("line"))) > 0)
+      .select("line")
+    val header = lines.head().getString(0).split(",").map(_.trim.toLowerCase)
+    val data = lines.filter(col("line") =!= lit(lines.head().getString(0)))
+      .select(split(col("line"), ",").as("f"))
+    val cols = header.zipWithIndex.map { case (name, i) =>
+      element_at(col("f"), i + 1).as(name)
+    }
+    var df = data.select(cols.toIndexedSeq: _*)
+    // merge the date + time columns (position/casing varies)
+    val dateVar = header.find(_.contains("date"))
+    val timeVar = header.find(h => h.contains("time") && !h.contains("fract"))
+    (dateVar, timeVar) match {
+      case (Some(d), Some(t)) =>
+        df = df.withColumn("time",
+          to_timestamp(concat_ws(" ", col(d), col(t)), "M/d/yyyy H:mm:ss"))
+          .drop(d, t)
+      case _ =>
+    }
+    // numeric casts for everything except time
+    df.columns.filter(_ != "time").foldLeft(df)((acc, c) =>
+      acc.withColumn(c, col(c).cast("double")))
+  }
+
+  /** Onset HOBO CSV (stglib/hobo.py:11-45): serial-number title row, then
+    * data columns whose names encode units; sniff known patterns and rename
+    * (ds_rename_vars, stglib/hobo.py:95-154). */
+  val hoboRenames: Map[String, String] = Map(
+    "AbsPres_kPa" -> "AbsPres_dbar", "AbsPresBarom_kPa" -> "AbsPresBarom_mbar",
+    "Temp_C" -> "T_28", "condlo_uScm" -> "SpC_48_lo", "condhi_uScm" -> "SpC_48_hi")
+
+  def readHoboCsv(spark: SparkSession, path: String,
+                  names: Seq[String] = Seq("#", "DateTime", "AbsPres_kPa", "Temp_C"),
+                  skipRows: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = spark.read.option("wholetext", "true").text(path)
+      .select(explode(split(col("value"), "\r?\n")).as("line"))
+      .withColumn("idx", row_number().over(
+        Window.orderBy(monotonically_increasing_id())) - 1)
+      .filter(col("idx") > skipRows && length(trim(col("line"))) > 0)
+      .select(split(col("line"), ",").as("f"))
+    val cols = names.zipWithIndex.map { case (name, i) =>
+      element_at(col("f"), i + 1).as(name)
+    }
+    var df = lines.select(cols.toIndexedSeq: _*)
+    df = df.withColumn("time", to_timestamp(col("DateTime"), "MM/dd/yy hh:mm:ss a"))
+      .drop("DateTime", "#")
+    df = df.columns.filter(_ != "time").foldLeft(df)((acc, c) =>
+      acc.withColumn(c, col(c).cast("double")))
+    // unit-aware renames: kPa pressures stored as dbar after /10
+    var out = df
+    if (out.columns.contains("AbsPres_kPa"))
+      out = out.withColumn("AbsPres_kPa", col("AbsPres_kPa") / 10.0)
+    hoboRenames.foldLeft(out) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+  }
+
   /** shift_time + ClockError applied at ingest (stglib/core/utils.py:997-1029). */
   def applyClockError(df: DataFrame, timeCol: String, meta: Meta): DataFrame =
     meta.dbl("ClockError") match {

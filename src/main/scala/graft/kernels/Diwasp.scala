@@ -191,7 +191,9 @@ object Diwasp {
   }
 
   /** IMLM iterated maximum-likelihood method (private/IMLM.py);
-    * gamma=0.1, alpha=0.1 fixed as in the reference. */
+    * gamma=0.1, alpha=0.1 fixed as in the reference. Hot loops use primitive
+    * re/im arrays — the boxed-complex formulation allocated one object per
+    * arithmetic op and dominated the whole benchmark. */
   def imlm(xps: Array[Array[Array[C]]], trm: Array[Array[Array[Double]]],
            kx: Array[Array[Array[Array[Double]]]], ss: Array[Array[C]],
            ddirs: Int, miter: Int): Array[Array[Double]] = {
@@ -200,21 +202,23 @@ object Diwasp {
     val szd = xps.length
     val nf = xps(0)(0).length
     val ddir = 2.0 * math.Pi / ddirs
+    val sz2 = szd * szd
 
     Array.tabulate(nf) { ff =>
-      // Htemp(d)(m)(n) = H·Hs·exp(i kx); iHtemp with exp(-i kx)
-      val htemp = Array.ofDim[C](ddirs, szd, szd)
-      val ihtemp = Array.ofDim[C](ddirs, szd, szd)
+      // flat (m*szd+n)*ddirs+d layout; iH is the conjugate of H
+      val hRe = new Array[Double](sz2 * ddirs)
+      val hIm = new Array[Double](sz2 * ddirs)
       var m = 0
       while (m < szd) {
         var n = 0
         while (n < szd) {
+          val base = (m * szd + n) * ddirs
           var d = 0
           while (d < ddirs) {
             val h = trm(n)(ff)(d) * trm(m)(ff)(d)
             val ang = kx(m)(n)(ff)(d)
-            htemp(d)(m)(n) = C(h * math.cos(ang), h * math.sin(ang))
-            ihtemp(d)(m)(n) = C(h * math.cos(ang), -h * math.sin(ang))
+            hRe(base + d) = h * math.cos(ang)
+            hIm(base + d) = h * math.sin(ang)
             d += 1
           }
           n += 1
@@ -222,53 +226,102 @@ object Diwasp {
         m += 1
       }
 
-      def mlEstimate(invcps: Array[Array[C]]): Array[C] = {
-        val sf = Array.fill(ddirs)(C.zero)
+      val eRe = new Array[Double](ddirs); val eIm = new Array[Double](ddirs)
+      val tRe = new Array[Double](ddirs); val tIm = new Array[Double](ddirs)
+      val toRe = new Array[Double](ddirs); val toIm = new Array[Double](ddirs)
+      val eoRe = new Array[Double](ddirs); val eoIm = new Array[Double](ddirs)
+      val sfRe = new Array[Double](ddirs); val sfIm = new Array[Double](ddirs)
+
+      // sf = Σ_{m,n} invcps(m,n)·H(m,n,·); then out = 1/sf
+      def mlEstimate(invcps: Array[Array[C]], outRe: Array[Double],
+                     outIm: Array[Double]): Unit = {
+        java.util.Arrays.fill(sfRe, 0.0); java.util.Arrays.fill(sfIm, 0.0)
         var mm = 0
         while (mm < szd) {
           var nn = 0
           while (nn < szd) {
             val ic = invcps(mm)(nn)
+            val base = (mm * szd + nn) * ddirs
             var d = 0
-            while (d < ddirs) { sf(d) = sf(d) + ic * htemp(d)(mm)(nn); d += 1 }
+            while (d < ddirs) {
+              val hr = hRe(base + d); val hi = hIm(base + d)
+              sfRe(d) += ic.re * hr - ic.im * hi
+              sfIm(d) += ic.re * hi + ic.im * hr
+              d += 1
+            }
             nn += 1
           }
           mm += 1
         }
-        sf
+        var d = 0
+        while (d < ddirs) {
+          val den = sfRe(d) * sfRe(d) + sfIm(d) * sfIm(d)
+          outRe(d) = sfRe(d) / den
+          outIm(d) = -sfIm(d) / den
+          d += 1
+        }
       }
 
-      def normalize(e: Array[C]): Array[C] = {
-        var sum = C.zero
+      // x *= 1/(ddir·Σx) (complex kappa)
+      def normalize(xRe: Array[Double], xIm: Array[Double]): Unit = {
+        var sr = 0.0; var si = 0.0
         var d = 0
-        while (d < ddirs) { sum = sum + e(d); d += 1 }
-        val kappa = C.one / (sum * ddir)
-        e.map(_ * kappa)
+        while (d < ddirs) { sr += xRe(d); si += xIm(d); d += 1 }
+        sr *= ddir; si *= ddir
+        val den = sr * sr + si * si
+        val kr = sr / den; val ki = -si / den
+        d = 0
+        while (d < ddirs) {
+          val r = xRe(d) * kr - xIm(d) * ki
+          val i = xRe(d) * ki + xIm(d) * kr
+          xRe(d) = r; xIm(d) = i
+          d += 1
+        }
       }
 
       val cps = Array.tabulate(szd, szd)((i, j) => xps(i)(j)(ff))
-      val eo = normalize(mlEstimate(inv(cps)).map(s => C.one / s))
-      var e = eo
-      var t = eo
+      mlEstimate(inv(cps), eoRe, eoIm)
+      normalize(eoRe, eoIm)
+      System.arraycopy(eoRe, 0, eRe, 0, ddirs); System.arraycopy(eoIm, 0, eIm, 0, ddirs)
+      System.arraycopy(eoRe, 0, tRe, 0, ddirs); System.arraycopy(eoIm, 0, tIm, 0, ddirs)
 
+      val ixps = Array.ofDim[C](szd, szd)
       var it = 0
       while (it < miter) {
-        // forward-model the cross spectra from current E
-        val ixps = Array.tabulate(szd, szd) { (mm, nn) =>
-          var s = C.zero
-          var d = 0
-          while (d < ddirs) { s = s + ihtemp(d)(mm)(nn) * e(d); d += 1 }
-          s * ddir
+        // forward-model cross spectra: ixps(m,n) = ddir·Σ_d conj(H)·E
+        var mm = 0
+        while (mm < szd) {
+          var nn = 0
+          while (nn < szd) {
+            val base = (mm * szd + nn) * ddirs
+            var sr = 0.0; var si = 0.0
+            var d = 0
+            while (d < ddirs) {
+              val hr = hRe(base + d); val hi = -hIm(base + d) // conj(H)
+              sr += hr * eRe(d) - hi * eIm(d)
+              si += hr * eIm(d) + hi * eRe(d)
+              d += 1
+            }
+            ixps(mm)(nn) = C(sr * ddir, si * ddir)
+            nn += 1
+          }
+          mm += 1
         }
-        val told = t
-        t = normalize(mlEstimate(inv(ixps)).map(s => C.one / s))
-        val ei = Array.tabulate(ddirs)(d =>
-          (eo(d) - t(d) + (t(d) - told(d)) * alpha) * gamma)
-        e = normalize(Array.tabulate(ddirs)(d => e(d) + ei(d)))
+        System.arraycopy(tRe, 0, toRe, 0, ddirs); System.arraycopy(tIm, 0, toIm, 0, ddirs)
+        mlEstimate(inv(ixps), tRe, tIm)
+        normalize(tRe, tIm)
+        var d = 0
+        while (d < ddirs) {
+          eRe(d) += gamma * ((eoRe(d) - tRe(d)) + alpha * (tRe(d) - toRe(d)))
+          eIm(d) += gamma * ((eoIm(d) - tIm(d)) + alpha * (tIm(d) - toIm(d)))
+          d += 1
+        }
+        normalize(eRe, eIm)
         it += 1
       }
       val scale = ss(0)(ff)
-      Array.tabulate(ddirs)(d => (scale * e(d).conj).re)
+      // (scale · conj(E)).re
+      Array.tabulate(ddirs)(d => scale.re * eRe(d) + scale.im * eIm(d))
     }
   }
 

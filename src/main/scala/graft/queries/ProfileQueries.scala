@@ -221,6 +221,29 @@ object ProfileQueries {
              |      (PARTITION BY user_id, epoch_ns(ts) // 86400000000000) AS bad
              |  FROM events)""".stripMargin)),
 
+    // trim provenance counts (the reference counts affected values for each
+    // trim note, e.g. stglib/core/qaqc.py:66-69)
+    Q("trim_counts",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, dir)
+          .withColumn("d", coalesce(col("value") - lag("value", 1).over(w), lit(0.0)))
+          .agg(
+            sum(when(col("value") < 2.0, 1).otherwise(0)).as("n_below_min"),
+            sum(when(col("value") > 95.0, 1).otherwise(0)).as("n_above_max"),
+            sum(when(col("d") > 40.0, 1).otherwise(0)).as("n_spikes"),
+            count(lit(1)).as("n_total"))
+      },
+      Some("""SELECT
+             |  sum(CASE WHEN value < 2.0 THEN 1 ELSE 0 END) AS n_below_min,
+             |  sum(CASE WHEN value > 95.0 THEN 1 ELSE 0 END) AS n_above_max,
+             |  sum(CASE WHEN d > 40.0 THEN 1 ELSE 0 END) AS n_spikes,
+             |  count(*) AS n_total
+             |FROM (
+             |  SELECT value, coalesce(value - lag(value) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS d
+             |  FROM events)""".stripMargin)),
+
     // clip_ds_prf: vertical bin range clip (stglib/core/utils.py:1812-1854)
     Q("clip_bindist",
       (s, dir) => graft.ops.Clip.clipBindist(
