@@ -212,6 +212,35 @@ object PhysicsQueries {
              |  CASE WHEN wp_peak / wp_4060 < 1.15 THEN wp_4060 END AS wp_4060,
              |  wh_4061 FROM t3""".stripMargin)),
 
+    // Vector point-velocity transform (stglib/core/transform.py): fixed
+    // TransMatrix, per-row orientmat, orientation-down roll flip
+    Q("vec_transform",
+      (s, dir) => {
+        val derived = Seq(
+          "value * 3.6 as heading", "value / 12.5 - 4 as pitch",
+          "cast(event_id % 2 as int) as orientation",
+          "value / 10 - 5 + (case when event_id % 2 = 1 then 180.0 else 0.0 end) as roll_adj",
+          "value / 100 - 0.5 as v1",
+          "(cast(event_id % 101 as double) - 50) / 100 as v2",
+          "(cast(event_id % 37 as double) - 18) / 100 as v3")
+        val df = events(s, dir).selectExpr("event_id" +: derived: _*)
+        val (u, v, w) = vecExprs
+        df.selectExpr("event_id", s"round($u, 8) as u",
+          s"round($v, 8) as v", s"round($w, 8) as w")
+      },
+      Some {
+        val (u, v, w) = vecExprs
+        s"""WITH b AS (SELECT event_id, value * 3.6 as heading,
+           |  value / 12.5 - 4 as pitch,
+           |  CAST(event_id % 2 AS INT) as orientation,
+           |  value / 10 - 5 + (CASE WHEN event_id % 2 = 1 THEN 180.0 ELSE 0.0 END) as roll_adj,
+           |  value / 100 - 0.5 as v1,
+           |  (CAST(event_id % 101 AS DOUBLE) - 50) / 100 as v2,
+           |  (CAST(event_id % 37 AS DOUBLE) - 18) / 100 as v3 FROM events)
+           |SELECT event_id, round($u, 8) AS u, round($v, 8) AS v, round($w, 8) AS w
+           |FROM b""".stripMargin
+      }),
+
     // per-record 3×3 coordinate transform BEAM→ENU with per-row heading/
     // pitch/roll (stglib/aqd/aqdutils.py:133-214): R = H(hh)·P(pp,rr)·T,
     // expanded symbolically to closed-form expressions on both engines
@@ -237,6 +266,21 @@ object PhysicsQueries {
            |FROM b""".stripMargin
       })
   )
+
+  /** Vector (point) BEAM→XYZ→ENU with per-row orientmat and the
+    * orientation-down roll flip (stglib/core/transform.py:8-177):
+    * ENU = H(hh)·P(pp,rr) · T · beam. */
+  private lazy val vecExprs: (String, String, String) = {
+    val T = Mat3.const(Array(
+      Array(2.710, -1.409, -1.299),
+      Array(0.071, 2.372, -2.442),
+      Array(0.344, 0.344, 0.344)))
+    val r = Mat3.mul(Mat3.mul(
+      Mat3.heading("radians(heading - 90)"),
+      Mat3.tilt("radians(pitch)", "radians(roll_adj)")), T)
+    val Seq(u, v, w) = Mat3.apply3(r, Seq("v1", "v2", "v3"))
+    (u, v, w)
+  }
 
   /** Closed-form BEAM→ENU expressions shared verbatim by Spark and DuckDB.
     * T is a representative Nortek 3-beam geometry matrix (constant per
