@@ -40,6 +40,7 @@ object Qaqc {
     d("max_diff_pct").foreach(thr => df = Trims.trimMaxDiffPct(df, v, thr, order, part))
     d("maxabs_diff").foreach(thr => df = Trims.trimMaxAbsDiff(df, v, thr, order, part))
     d("max_blip").foreach(thr => df = Trims.trimMaxBlip(df, v, thr, order, part))
+    d("max_blip_pct").foreach(thr => df = Trims.trimMaxBlipPct(df, v, thr, order, part))
     d("std_ratio").foreach(r => df = Trims.trimStdRatio(df, v, r, s"${v}_std"))
     d("max_std").foreach(m => df = Trims.trimMaxStd(df, v, m, s"${v}_std"))
     i("warmup_samples").foreach { n =>

@@ -91,6 +91,17 @@ object Trims {
     maskWhere(df, v,
       (diffPrev(v, order, part) > lit(thr)) && (diffNext(v, order, part) < lit(-thr)))
 
+  /** trim_max_blip_pct: percent-change variant of the spike trim
+    * (stglib/core/qaqc.py:374-396). */
+  def trimMaxBlipPct(df: DataFrame, v: String, thrPct: Double,
+                     order: Seq[String], part: Seq[String] = Nil): DataFrame = {
+    val prev = lag(col(v), 1).over(w(order, part))
+    val next = lead(col(v), 1).over(w(order, part))
+    val risePct = lit(100.0) * (col(v) - prev) / prev
+    val fallPct = lit(100.0) * (next - col(v)) / col(v)
+    maskWhere(df, v, risePct > lit(thrPct) && fallPct < lit(-thrPct))
+  }
+
   /** trim_maxabs_diff along a time-like (1-D) series: |diff| > thr, strict
     * (stglib/core/qaqc.py:620-627). */
   def trimMaxAbsDiff(df: DataFrame, v: String, thr: Double,
