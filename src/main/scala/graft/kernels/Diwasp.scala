@@ -150,7 +150,8 @@ object Diwasp {
     }
 
   // ---- estimators ----------------------------------------------------
-  /** DFTM direct Fourier transform method (private/DFTM.py). */
+  /** DFTM direct Fourier transform method (private/DFTM.py). Primitive
+    * re/im accumulation — boxed complex ops dominated the per-burst cost. */
   def dftm(xps: Array[Array[Array[C]]], trm: Array[Array[Array[Double]]],
            kx: Array[Array[Array[Array[Double]]]], ss: Array[Array[C]],
            ddirs: Int): Array[Array[Double]] = {
@@ -158,34 +159,42 @@ object Diwasp {
     val nf = xps(0)(0).length
     val ddir = 2.0 * math.Pi / ddirs
     Array.tabulate(nf) { ff =>
-      val sf = Array.fill(ddirs)(C.zero)
+      val sfRe = new Array[Double](ddirs)
+      val sfIm = new Array[Double](ddirs)
       var m = 0
       while (m < szd) {
         var n = 0
         while (n < szd) {
           val x = xps(m)(n)(ff)
+          val kxr = kx(m)(n)(ff)
+          val tn = trm(n)(ff); val tm = trm(m)(ff)
           var d = 0
           while (d < ddirs) {
-            val h = trm(n)(ff)(d)
-            val hs = trm(m)(ff)(d) // real → conj is itself
-            val e = C(math.cos(kx(m)(n)(ff)(d)), math.sin(kx(m)(n)(ff)(d)))
-            // (x·H·Hs·e) accumulated conjugated, then conjugated back — the
-            // double conj in the reference cancels for the real part we keep
-            val t = x * (h * hs) * e
-            sf(d) = sf(d) + t.conj
+            val h = tn(d) * tm(d) // real transfer product
+            val er = math.cos(kxr(d)); val ei = math.sin(kxr(d))
+            // t = x·h·e; accumulate conj(t)
+            val tr = (x.re * er - x.im * ei) * h
+            val ti = (x.re * ei + x.im * er) * h
+            sfRe(d) += tr
+            sfIm(d) -= ti
             d += 1
           }
           n += 1
         }
         m += 1
       }
-      var sum = C.zero
+      var sr = 0.0; var si = 0.0
       var d = 0
-      while (d < ddirs) { sum = sum + sf(d); d += 1 }
+      while (d < ddirs) { sr += sfRe(d); si += sfIm(d); d += 1 }
+      sr *= ddir; si *= ddir
+      val den = sr * sr + si * si
       val scale = ss(0)(ff)
       Array.tabulate(ddirs) { d =>
-        val e = sf(d).conj / (sum * ddir)
-        (scale * e).re
+        // e = conj(sf)/sum; out = (scale·e).re
+        val cr = sfRe(d); val ci = -sfIm(d)
+        val er = (cr * sr + ci * si) / den
+        val ei = (ci * sr - cr * si) / den
+        scale.re * er - scale.im * ei
       }
     }
   }
