@@ -21,7 +21,9 @@ object Align {
 
   /** As-of nearest: for each left row, the single right row minimizing
     * |leftTs − rightTs| within tolerance; ties to the earlier right row.
-    * Time columns must share units (we standardize on long microseconds). */
+    * Time columns must share units (we standardize on long microseconds).
+    * Precondition: left rows are distinct (the rank window partitions by
+    * the full left row; duplicated left rows would collapse to one). */
   def asofNearest(left: DataFrame, right: DataFrame,
                   leftTs: String, rightTs: String, tolerance: Long): DataFrame = {
     val joined = left.join(broadcast(right),

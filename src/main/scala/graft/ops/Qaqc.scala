@@ -106,9 +106,11 @@ object ProfileTrims {
     val anyValid = max(when(col(v).isNotNull, 1).otherwise(0))
       .over(Window.partitionBy(col(bindistCol)))
     val tagged = df.withColumn("__valid_bin", anyValid)
-    val firstBad = min(when(col("__valid_bin") === 0, col(bindistCol)))
-      .over(Window.partitionBy())
-    tagged.withColumn("__first_bad", firstBad)
+    // scalar threshold via aggregate + broadcast join — a global window here
+    // would force the whole table into one partition
+    val firstBad = tagged.agg(
+      min(when(col("__valid_bin") === 0, col(bindistCol))).as("__first_bad"))
+    tagged.crossJoin(broadcast(firstBad))
       .filter(col("__first_bad").isNull || col(bindistCol) < col("__first_bad"))
       .drop("__valid_bin", "__first_bad")
   }
