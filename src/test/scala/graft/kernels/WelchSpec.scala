@@ -183,3 +183,27 @@ class CutoffSpec extends AnyFunSuite {
     assert(Spectral.userCutoff(f, Array(1.0, 0.5, 0.2, 0.05), None, Some(0.3)) == 2)
   }
 }
+
+/** Golden cross-validation against numpy: PSD values computed by an
+  * independent numpy implementation (same LCG-deterministic signal; see
+  * tools/WelchX.scala for the generator) must match to double precision. */
+class WelchGoldenSpec extends AnyFunSuite {
+  test("PSD matches numpy rfft implementation on a deterministic signal") {
+    var s = 123456789L
+    def nxt(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (s >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val x = Array.tabulate(2048)(i => math.sin(2 * math.Pi * 0.08 * i) + 0.3 * nxt())
+    val (_, p) = Welch.psd(x, fs = 1.0, nperseg = 256)
+    val golden = Seq(
+      0 -> 0.02677368539376733, 1 -> 0.0336915098227617,
+      10 -> 0.017928943164938427, 20 -> 63.11353118659905,
+      21 -> 59.739440188413575, 32 -> 0.015211696433462494,
+      64 -> 0.010775850970326128, 100 -> 0.017827647510681232,
+      128 -> 0.005190188585135278)
+    for ((i, expect) <- golden)
+      assert(math.abs(p(i) - expect) / expect < 1e-10,
+        s"bin $i: ${p(i)} vs numpy $expect")
+  }
+}
