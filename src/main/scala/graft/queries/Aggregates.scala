@@ -190,7 +190,7 @@ object Aggregates {
         .withColumn("rn", row_number().over(wUser) - 1)
         .select(col("event_id"), col("user_id"),
           (col("rn") / 16).cast("long").as("burst"),
-          (col("rn") % 16).as("sample")),
+          (col("rn") % 16).cast("long").as("sample")),
       Some("""SELECT event_id, user_id, rn // 16 AS burst, rn % 16 AS sample FROM (
              |  SELECT event_id, user_id, row_number() OVER
              |    (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn

@@ -105,9 +105,9 @@ object PhysicsQueries {
       Some(s"""WITH b AS (SELECT event_id, ${uvIn.mkString(", ")} FROM events),
              |s AS (SELECT event_id, sqrt(u*u + v*v) AS spd,
              |  (degrees(atan2(u, v)) + 360.0) % 360.0 AS head FROM b)
-             |SELECT event_id, spd, round(head, 8) AS heading,
-             |  round(spd * sin(radians(head)), 8) AS u_back,
-             |  round(spd * cos(radians(head)), 8) AS v_back
+             |SELECT event_id, spd, round(head, 8) + 0.0 AS heading,
+             |  round(spd * sin(radians(head)), 8) + 0.0 AS u_back,
+             |  round(spd * cos(radians(head)), 8) + 0.0 AS v_back
              |FROM s""".stripMargin)),
 
     // magnetic-declination rotation (stglib/aqd/aqdutils.py:372-432)

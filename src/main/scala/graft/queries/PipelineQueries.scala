@@ -100,7 +100,7 @@ object PipelineQueries {
              |  FROM bits GROUP BY doc_id),
              |scoped AS (SELECT s.doc_id, simhash, d.source FROM sig s JOIN documents d USING (doc_id))
              |SELECT a.doc_id id_a, b.doc_id id_b,
-             |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
              |FROM scoped a JOIN scoped b
              |  ON a.source = b.source AND a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin)),
@@ -120,7 +120,8 @@ object PipelineQueries {
              |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
              |    AS cosine
              |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
-             |SELECT vec_id, neighbor_id, round(cosine, 8) AS cosine, rank FROM (
+             |SELECT vec_id, neighbor_id, round(cosine, 8) AS cosine,
+             |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, neighbor_id, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
              |  FROM pairs) WHERE rank <= 5""".stripMargin)),
@@ -140,7 +141,8 @@ object PipelineQueries {
              |  FROM e, generate_series(0, 7) g(j)),
              |sig AS (
              |  SELECT b.vec_id, e.emb, b.bucket FROM
-             |    (SELECT vec_id, sum(bit) AS bucket FROM sigbits GROUP BY vec_id) b
+             |    (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+             |     FROM sigbits GROUP BY vec_id) b
              |    JOIN e ON b.vec_id = e.vec_id),
              |pairs AS (
              |  SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id,
@@ -150,7 +152,8 @@ object PipelineQueries {
              |     * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.emb[i] * b.emb[i]))))
              |    AS cosine
              |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-             |SELECT vec_id, bucket, neighbor_id, round(cosine, 8) AS cosine, rank FROM (
+             |SELECT vec_id, bucket, neighbor_id, round(cosine, 8) AS cosine,
+             |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, bucket, neighbor_id, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
              |  FROM pairs) WHERE rank <= 5""".stripMargin)),
@@ -182,7 +185,8 @@ object PipelineQueries {
              |      i -> a.e[i] * b.e[i])) AS cosine
              |  FROM assigned a JOIN assigned b
              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-             |SELECT vec_id, cell, neighbor_id, round(cosine, 8) AS cosine, rank FROM (
+             |SELECT vec_id, cell, neighbor_id, round(cosine, 8) AS cosine,
+             |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, cell, neighbor_id, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
              |  FROM pairs) WHERE rank <= 5""".stripMargin)),
@@ -204,7 +208,8 @@ object PipelineQueries {
              |      t -> list_contains(['the','a','of','and','to','in','is','it','on','for'], t)))
              |      AS stop_hits
              |  FROM documents)
-             |SELECT doc_id, n_chars_m, n_tokens,
+             |SELECT doc_id, CAST(n_chars_m AS INTEGER) AS n_chars_m,
+             |  CAST(n_tokens AS INTEGER) AS n_tokens,
              |  round(mtl, 8) AS mean_tok_len,
              |  round(CAST(stop_hits AS DOUBLE) / n_tokens, 8) AS stopword_ratio,
              |  round((CASE WHEN n_chars_m BETWEEN 100 AND 400 THEN 1.0
@@ -238,8 +243,8 @@ object PipelineQueries {
         TA.subwordCount("text").as("n_subwords"),
         TA.fingerprint(col("text")).as("fingerprint")),
       Some("""SELECT doc_id,
-             |  len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS n_tokens,
-             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords,
+             |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS INTEGER) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_subwords,
              |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
              |FROM documents""".stripMargin)),
 
@@ -249,8 +254,8 @@ object PipelineQueries {
         documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
         "doc_id", "blob").toDF(),
       Some("""SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
-             |  64 + (ascii(substr(text, 1, 1)) % 8) * 32 AS width,
-             |  64 + (length(text) % 7) * 32 AS height, 3 AS channels
+             |  CAST(64 + (ascii(substr(text, 1, 1)) % 8) * 32 AS INTEGER) AS width,
+             |  CAST(64 + (length(text) % 7) * 32 AS INTEGER) AS height, 3 AS channels
              |FROM documents""".stripMargin)),
 
     Q("multimodal_features",

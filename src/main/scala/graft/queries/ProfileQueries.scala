@@ -136,6 +136,7 @@ object ProfileQueries {
         Trims.trimMaxAbsDiff2d(grid, "value",
             dim1Order = "bin", dim1Part = Seq("t"), thr1 = 40.0,
             dim2Order = "t", dim2Part = Seq("bin"), thr2 = 50.0)
+          .withColumn("bin", col("bin").cast("long"))
           .select("t", "bin", "value")
       },
       Some("""WITH grid AS (
@@ -201,8 +202,8 @@ object ProfileQueries {
           .select("l_orderkey", "row_size", "row_start")
       },
       Some("""SELECT l_orderkey, row_size,
-             |  sum(row_size) OVER (ORDER BY l_orderkey
-             |    ROWS UNBOUNDED PRECEDING) - row_size AS row_start
+             |  CAST(sum(row_size) OVER (ORDER BY l_orderkey
+             |    ROWS UNBOUNDED PRECEDING) - row_size AS BIGINT) AS row_start
              |FROM (SELECT l_orderkey, count(*) AS row_size FROM lineitem
              |      GROUP BY l_orderkey)""".stripMargin)),
 
@@ -235,9 +236,9 @@ object ProfileQueries {
             count(lit(1)).as("n_total"))
       },
       Some("""SELECT
-             |  sum(CASE WHEN value < 2.0 THEN 1 ELSE 0 END) AS n_below_min,
-             |  sum(CASE WHEN value > 95.0 THEN 1 ELSE 0 END) AS n_above_max,
-             |  sum(CASE WHEN d > 40.0 THEN 1 ELSE 0 END) AS n_spikes,
+             |  CAST(sum(CASE WHEN value < 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below_min,
+             |  CAST(sum(CASE WHEN value > 95.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_max,
+             |  CAST(sum(CASE WHEN d > 40.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes,
              |  count(*) AS n_total
              |FROM (
              |  SELECT value, coalesce(value - lag(value) OVER
@@ -251,8 +252,10 @@ object ProfileQueries {
             .withColumn("bindist", lit(0.25) + (col("l_linenumber") - 1) * 0.5),
           "bindist", 0.5, 2.5)
         .select("l_orderkey", "l_linenumber", "bindist"),
-      Some("""SELECT l_orderkey, l_linenumber, 0.25 + (l_linenumber - 1) * 0.5 AS bindist
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CAST(0.25 AS DOUBLE) + (l_linenumber - 1) * CAST(0.5 AS DOUBLE) AS bindist
              |FROM lineitem
-             |WHERE 0.25 + (l_linenumber - 1) * 0.5 BETWEEN 0.5 AND 2.5""".stripMargin))
+             |WHERE CAST(0.25 AS DOUBLE) + (l_linenumber - 1) * CAST(0.5 AS DOUBLE)
+             |  BETWEEN 0.5 AND 2.5""".stripMargin))
   )
 }

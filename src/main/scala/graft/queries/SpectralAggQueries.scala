@@ -125,6 +125,7 @@ object SpectralAggQueries {
           .withColumn("bkey", col("user_id") * 10000 + col("burst"))
         val nested = Burst.toNested(long0, "bkey", "sample", Seq("value"))
         Burst.toLong(nested, "bkey", "value_arr", "value", "sample")
+          .withColumn("sample", col("sample").cast("long"))
       },
       Some("""WITH ids AS (
              |  SELECT user_id, value,
@@ -148,9 +149,9 @@ object SpectralAggQueries {
           P.binHeight(P.binDist(col("bin"), 0.5), 10.0, orientationUp = false).as("bin_height_down"))
       },
       Some("""SELECT p_partkey, p_size % 24 AS bin,
-             |  0.25 + (p_size % 24) * 0.5 AS bindist,
-             |  0.15 + (0.25 + (p_size % 24) * 0.5) AS bin_height_up,
-             |  10.0 - (0.25 + (p_size % 24) * 0.5) AS bin_height_down
+             |  CAST(0.25 AS DOUBLE) + (p_size % 24) * CAST(0.5 AS DOUBLE) AS bindist,
+             |  CAST(0.15 AS DOUBLE) + (CAST(0.25 AS DOUBLE) + (p_size % 24) * CAST(0.5 AS DOUBLE)) AS bin_height_up,
+             |  CAST(10.0 AS DOUBLE) - (CAST(0.25 AS DOUBLE) + (p_size % 24) * CAST(0.5 AS DOUBLE)) AS bin_height_down
              |FROM part""".stripMargin)),
 
     // avg_cont with average_duration: mean of only the first n samples of

@@ -68,6 +68,32 @@ for name in names:
         for r_ in d1[:3]: print(f"   spark-only: {r_}")
         for r_ in d2[:3]: print(f"   oracle-only: {r_}")
         nfail += 1
+        continue
+    # driver hashes values bitwise after sorting — catch -0.0/0.0, NaN-bit,
+    # and int-width differences that SQL EXCEPT (value equality) misses.
+    import numpy as np
+    bitfail = []
+    try:
+        gdf = got.to_pandas()[gcols].sort_values(by=gcols, kind="mergesort").reset_index(drop=True)
+        edf = exp.to_pandas()[gcols].sort_values(by=gcols, kind="mergesort").reset_index(drop=True)
+        for c in gcols:
+            ga, ea = gdf[c], edf[c]
+            if ga.dtype != ea.dtype:
+                bitfail.append(f"{c}: dtype {ga.dtype} vs {ea.dtype}")
+                continue
+            if ga.dtype.kind == "f":
+                gb, eb = ga.values.view("u8"), ea.values.view("u8")
+                if not np.array_equal(gb, eb):
+                    idx = np.nonzero(gb != eb)[0][:3]
+                    bitfail.append(f"{c}: {len(np.nonzero(gb != eb)[0])} bit-diffs, e.g. " +
+                                   ", ".join(f"{ga.values[i]!r}<->{ea.values[i]!r}" for i in idx))
+            else:
+                if not ga.equals(ea):
+                    bitfail.append(f"{c}: value diffs")
+    except Exception as e:
+        bitfail.append(f"(bitwise compare error: {e})")
+    if bitfail:
+        print(f"BITFAIL {name}: " + "; ".join(bitfail)); nfail += 1
     else:
         print(f"PASS {name} ({got.num_rows} rows)"); npass += 1
 print(f"\n{npass} pass, {nfail} fail, {len(names)} queries")
