@@ -70,11 +70,54 @@ object Butterworth {
     }.toArray
   }
 
-  /** Band-pass as high-pass(flo) ∘ low-pass(fhi) cascade (the reference's
-    * "band" option composes the same way through scipy butter(btype="band")
-    * at matched order). */
-  def bandpass(n: Int, flo: Double, fhi: Double, fs: Double): Array[Sos] =
-    highpass(n, flo, fs) ++ lowpass(n, fhi, fs)
+  private def csqrt(z: C): C = {
+    val m = math.hypot(z.re, z.im)
+    val re = math.sqrt((m + z.re) / 2.0)
+    val im = math.sqrt(math.max(0.0, (m - z.re) / 2.0))
+    C(re, if (z.im >= 0) im else -im)
+  }
+
+  /** Band-pass via the analog lowpass→bandpass transform
+    * s → (s² + wlo·whi)/(s·(whi−wlo)) of the order-n prototype — the same
+    * pole set as scipy butter(btype="bandpass") (lp2bp_zpk): 2n poles,
+    * n zeros at z=+1 and n at z=−1 after the bilinear transform. */
+  def bandpass(n: Int, flo: Double, fhi: Double, fs: Double): Array[Sos] = {
+    require(n % 2 == 0, "even order only")
+    val fs2 = 2.0 * fs
+    val wlo = fs2 * math.tan(math.Pi * flo / fs)
+    val whi = fs2 * math.tan(math.Pi * fhi / fs)
+    val bw = whi - wlo
+    val w02 = wlo * whi
+    // one prototype pole per conjugate pair (upper half-plane)
+    val upperProto = (0 until n / 2).map { k =>
+      val theta = math.Pi * (2.0 * k + 1) / (2.0 * n) + math.Pi / 2.0
+      C(math.cos(theta), math.sin(theta))
+    }
+    // each prototype pole maps to two bandpass poles: roots of
+    // s² − (bw·P)s + w0² = 0; their conjugates come from conj(P)
+    val bpPoles = upperProto.flatMap { p =>
+      val pb = p * bw
+      val disc = csqrt(pb * pb - C(4.0 * w02, 0))
+      Seq((pb + disc) * 0.5, (pb - disc) * 0.5)
+    }
+    // overall gain: analog k = bw^n, bilinear contributes fs2^n (n zeros at
+    // s=0) over Π(fs2 − p_i) across all 2n poles (product is real by symmetry)
+    var prod = C(1, 0)
+    bpPoles.foreach { p =>
+      val d = C(fs2, 0) - p
+      prod = prod * (d * d.conj) // pole and its conjugate together
+    }
+    val kGain = math.pow(bw, n) * math.pow(fs2, n) / prod.re
+    val sections = bpPoles.map { p =>
+      val zp = (C(fs2, 0) + p) / (C(fs2, 0) - p)
+      // numerator (z−1)(z+1)/z² = 1 + 0·z⁻¹ − 1·z⁻²
+      Sos(1.0, 0.0, -1.0, -2.0 * zp.re, zp.re * zp.re + zp.im * zp.im)
+    }.toArray
+    // distribute the gain evenly so no single section over/under-flows
+    val perSection = math.pow(kGain, 1.0 / sections.length)
+    sections.map(s => Sos(s.b0 * perSection, s.b1 * perSection,
+      s.b2 * perSection, s.a1, s.a2))
+  }
 
   /** Direct-form II transposed single-pass filter with initial state scaled
     * to the first sample (steady-state-ish start, as sosfiltfilt does with

@@ -397,7 +397,7 @@ object Diwasp {
 
     // infospec (pyDIWASP infospec.py:6-56): integrate over dirs → 1-D, then
     // Hs = 4√(∫∫S), Tp at peak of 1-D spectrum, DTp = peak dir at fp, Dp =
-    // dir of the overall 2-D maximum
+    // dir with the highest frequency-integrated energy
     val ddir = 2.0 * math.Pi / dres
     val df = if (fK.length > 1) fK(1) - fK(0) else 1.0
     val oneD = s.map(_.sum * ddir)
@@ -411,13 +411,18 @@ object Diwasp {
     var j = 1
     while (j < dres) { if (s(ip)(j) > s(ip)(jp)) jp = j; j += 1 }
     val dtp = math.toDegrees(pidirs(jp))
-    var (bi, bj) = (0, 0)
+    // Dp = direction with the highest energy integrated over all frequencies
+    // (pyDIWASP infospec.py: np.argmax(np.sum(S, 0))), not the single 2-D peak
+    val dirTotals = new Array[Double](dres)
     i = 0
     while (i < s.length) {
       j = 0
-      while (j < dres) { if (s(i)(j) > s(bi)(bj)) { bi = i; bj = j }; j += 1 }
+      while (j < dres) { dirTotals(j) += s(i)(j); j += 1 }
       i += 1
     }
+    var bj = 0
+    j = 1
+    while (j < dres) { if (dirTotals(j) > dirTotals(bj)) bj = j; j += 1 }
     val dp = math.toDegrees(pidirs(bj))
     DirSpec(fK, pidirs, s, hs, tp, dtp, dp)
   }

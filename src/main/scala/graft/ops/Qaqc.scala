@@ -109,10 +109,15 @@ object ProfileTrims {
     // scalar threshold via aggregate + broadcast join — a global window here
     // would force the whole table into one partition
     val firstBad = tagged.agg(
-      min(when(col("__valid_bin") === 0, col(bindistCol))).as("__first_bad"))
+      min(when(col("__valid_bin") === 0, col(bindistCol))).as("__first_bad"),
+      min(col(bindistCol)).as("__min_bin"))
+    // reference no-ops when the first all-null bin is bin 0 (aqdutils.py
+    // `if not lastbin == 0`) — don't drop the entire profile in that case
     tagged.crossJoin(broadcast(firstBad))
-      .filter(col("__first_bad").isNull || col(bindistCol) < col("__first_bad"))
-      .drop("__valid_bin", "__first_bad")
+      .filter(col("__first_bad").isNull ||
+        col("__first_bad") === col("__min_bin") ||
+        col(bindistCol) < col("__first_bad"))
+      .drop("__valid_bin", "__first_bad", "__min_bin")
   }
 
   /** AGC / correlation quality gating: null velocity components where the

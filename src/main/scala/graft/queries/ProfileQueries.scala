@@ -83,10 +83,11 @@ object ProfileQueries {
              |  SELECT *, max(CASE WHEN vel_t IS NOT NULL THEN 1 ELSE 0 END)
              |    OVER (PARTITION BY bindist) AS valid_bin FROM t),
              |cut AS (
-             |  SELECT *, min(CASE WHEN valid_bin = 0 THEN bindist END) OVER () AS first_bad
+             |  SELECT *, min(CASE WHEN valid_bin = 0 THEN bindist END) OVER () AS first_bad,
+             |    min(bindist) OVER () AS min_bin
              |  FROM bins)
              |SELECT l_orderkey, l_linenumber, vel_t AS vel FROM cut
-             |WHERE first_bad IS NULL OR bindist < first_bad""".stripMargin)),
+             |WHERE first_bad IS NULL OR first_bad = min_bin OR bindist < first_bad""".stripMargin)),
 
     // AGC / correlation gating (stglib/aqd/aqdutils.py:1631-1716)
     Q("agc_gate",

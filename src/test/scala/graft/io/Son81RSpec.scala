@@ -46,8 +46,10 @@ class Son81RSpec extends AnyFunSuite {
     assert(r0.ping == 1 && r0.headPosition == 700)
     assert(math.abs(r0.headAngleDeg - (700 - 600) * 3.0) < 1e-9)
     assert(r0.stepDirection == 0 && rows(1).stepDirection == 1)
-    assert(r0.intensities.length == 200)
+    // reference keeps offset:-1 — all bytes to totalBytes-1, not NDataPoints
+    assert(r0.intensities.length == total - (2048 + 40 + 32) - 1)
     assert((r0.intensities(5) & 0xff) == 5)
+    assert((r0.intensities(499 - 1) & 0xff) == 0) // padding beyond the ramp
     val h = Son81R.parsePingHeader(stream.take(1024))
     assert(h.orientationUp && h.mode == 1)
     assert(math.abs(h.soundVelocity - 1483.1f) < 1e-3)

@@ -159,6 +159,30 @@ class ButterworthSpec extends AnyFunSuite {
     assert(amp(0.01) < 0.05)
     assert(amp(0.4) < 0.05)
   }
+
+  test("bandpass edges at exactly -3 dB (true lp2bp transform, not a cascade)") {
+    // scipy butter(btype='bandpass') yields |H| = 1/sqrt(2) at both pre-warped
+    // band edges; the hp∘lp cascade puts ~-6 dB there instead
+    val (flo, fhi, fs) = (0.05, 0.15, 1.0)
+    val sos = bandpass(4, flo, fhi, fs)
+    def mag(f: Double): Double = {
+      val w = 2 * math.Pi * f / fs
+      val (zr, zi) = (math.cos(-w), math.sin(-w))    // z^-1
+      val (z2r, z2i) = (math.cos(-2 * w), math.sin(-2 * w)) // z^-2
+      sos.map { s =>
+        val nr = s.b0 + s.b1 * zr + s.b2 * z2r
+        val ni = s.b1 * zi + s.b2 * z2i
+        val dr = 1.0 + s.a1 * zr + s.a2 * z2r
+        val di = s.a1 * zi + s.a2 * z2i
+        math.sqrt((nr * nr + ni * ni) / (dr * dr + di * di))
+      }.product
+    }
+    assert(math.abs(mag(flo) - 1.0 / math.sqrt(2)) < 1e-9, s"|H(flo)|=${mag(flo)}")
+    assert(math.abs(mag(fhi) - 1.0 / math.sqrt(2)) < 1e-9, s"|H(fhi)|=${mag(fhi)}")
+    assert(math.abs(mag(math.sqrt(flo * fhi)) - 1.0) < 0.02) // ≈1 near center
+    // 2n poles: order-4 prototype → 4 second-order sections
+    assert(sos.length == 4)
+  }
 }
 
 class CutoffSpec extends AnyFunSuite {
