@@ -49,12 +49,70 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * Codegen'd intersection size of two SORTED long arrays (two-pointer merge).
+ * Turns per-pair set intersection (n-gram Jaccard verify step) into a tight
+ * primitive loop instead of a shingle-level equi-join whose row count is
+ * Σ_shingle freq² — quadratic in shingle frequency.
+ */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var c = 0L
+    var i = 0
+    var j = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |long $c = 0L; int $i = 0; int $j = 0;
+         |int ${i}n = $a.numElements(); int ${j}n = $b.numElements();
+         |while ($i < ${i}n && $j < ${j}n) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object ArrayMath {
   import org.apache.spark.sql.{GraftColumnBridge => EU}
 
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot(a: Column, b: Column): Column =
     EU.column(DotProduct(
+      EU.expression(a), EU.expression(b)))
+
+  /** Codegen'd |a ∩ b| for two sorted ArrayType(LongType) columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    EU.column(SortedIntersectCount(
       EU.expression(a), EU.expression(b)))
 
   /** Also registered for SQL use: `graft_dot(a, b)`. */

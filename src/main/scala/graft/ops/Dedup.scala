@@ -54,25 +54,37 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all pairs within a scope column —
     * the O(n²) baseline, to be applied only inside partitions/buckets.
-    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold. */
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    *
+    * Each document is reduced to ONE row holding its sorted distinct shingle
+    * keys; the scoped pair join then computes |a ∩ b| with a codegen'd
+    * two-pointer merge. The alternative — an equi-join on shingle rows —
+    * produces Σ_shingle freq² intermediate rows, which explodes on common
+    * shingles ("the", " an") that appear in nearly every document. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         scopeCol: String, k: Int, threshold: Double): DataFrame = {
-    // join on the packed integer shingle key, not the string — smaller
-    // shuffle rows and a cheaper hash than UTF8String equality
-    val sh = df.select(col(scopeCol), col(idCol)).join(
-        charShingles(df, idCol, textCol, k), idCol)
-      .withColumn("__x", shingleKey(col("sh"))).drop("sh")
-    val sizes = sh.groupBy(col(idCol).as("__sid")).agg(count(lit(1)).as("__n"))
-    val a = sh.select(col(scopeCol).as("__scope"), col(idCol).as("id_a"), col("__x"))
-    val b = sh.select(col(scopeCol).as("__scope2"), col(idCol).as("id_b"),
-      col("__x").as("__x2"))
-    val inter = a.join(b,
-        col("__scope") === col("__scope2") && col("__x") === col("__x2") &&
+    import graft.functions.ArrayMath
+    val keys = expr(
+      s"""array_sort(array_distinct(transform(
+         |  transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
+         |            i -> substr($textCol, i, $k)),
+         |  s -> CAST(ascii(substr(s,1,1)) * 65536 + ascii(substr(s,2,1)) * 256
+         |            + ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
+    // spread: a small single-file table arrives as ONE partition and would
+    // serialize both the shingle extraction and all pair intersects
+    val sets = Spread.byKey(df, col(idCol))
+      .select(col(scopeCol).as("__scope"), col(idCol).as("__id"),
+        keys.as("__keys"))
+    val a = sets.select(col("__scope"), col("__id").as("id_a"),
+      col("__keys").as("__ka"), size(col("__keys")).as("__na"))
+    val b = sets.select(col("__scope").as("__scope2"), col("__id").as("id_b"),
+      col("__keys").as("__kb"), size(col("__keys")).as("__nb"))
+    // broadcast the right side: scopes are few (skewed shuffle keys), docs/
+    // scope can be large — a broadcast keeps parallelism at the left side's
+    // partitioning. At cluster scale swap for a bucketed self-join per scope.
+    a.join(broadcast(b), col("__scope") === col("__scope2") &&
         col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("__i"))
-    inter
-      .join(sizes.withColumnRenamed("__sid", "id_a").withColumnRenamed("__n", "__na"), "id_a")
-      .join(sizes.withColumnRenamed("__sid", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+      .withColumn("__i", ArrayMath.sortedIntersectCount(col("__ka"), col("__kb")))
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -85,7 +97,7 @@ object Dedup {
     * shuffle (vs exploding k rows per shingle, which shuffles k× the data). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleK: Int = 3): DataFrame = {
-    val sh = charShingles(df, idCol, textCol, shingleK)
+    val sh = charShingles(Spread.byKey(df, col(idCol)), idCol, textCol, shingleK)
       .withColumn("x", shingleKey(col("sh")).cast("long"))
     val aggs = hashParams(numHashes).map { case (i, a, b) =>
       min((lit(a) * col("x") + lit(b)) % P).as(s"mh$i")
@@ -104,30 +116,55 @@ object Dedup {
         .as("key"))
 
   /** Candidate pairs from shared LSH buckets + MinHash-agreement similarity
-    * estimate (fraction of equal signature rows). */
+    * estimate (fraction of equal signature rows).
+    *
+    * Stays in WIDE signature form end-to-end: one aggregation produces
+    * (id, mh0..mhk); band keys are string-concats of column slices, and the
+    * per-pair estimate is k inline column comparisons against two broadcast
+    * copies of the signature table. The long-format alternative re-shuffles
+    * the signatures twice (band re-agg + per-(pair, i) join). */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int, bands: Int, estThreshold: Double): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, numHashes)
-    val bandDf = lshBands(sig, idCol, bands, numHashes / bands)
+    val rows = numHashes / bands
+    // repartition by id: spreads the explode across the cluster AND makes the
+    // groupBy(id) aggregation shuffle-free (already clustered on the key)
+    val sh = charShingles(Spread.byKey(df, col(idCol)), idCol, textCol, 3)
+      .withColumn("x", shingleKey(col("sh")).cast("long"))
+    val aggs = hashParams(numHashes).map { case (i, a, b) =>
+      min((lit(a) * col("x") + lit(b)) % P).as(s"mh$i")
+    }
+    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    // one row per (doc, band); key = comma-joined band slice of the signature
+    val bandStructs = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (bnd * rows until (bnd + 1) * rows).map(i => col(s"mh$i")): _*)
+          .as("key"))
+    }
+    val bandDf = wide.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = bandDf.select(col(idCol).as("id_a"), col("band"), col("key"))
       .join(bandDf.select(col(idCol).as("id_b"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val sa = sig.select(col(idCol).as("id_a"), col("i"), col("minhash").as("mha"))
-    val sb = sig.select(col(idCol).as("id_b"), col("i"), col("minhash").as("mhb"))
-    cand.join(sa, "id_a").join(sb, Seq("id_b", "i"))
-      .groupBy("id_a", "id_b")
-      .agg((sum(when(col("mha") === col("mhb"), 1).otherwise(0)).cast("double") /
-        numHashes).as("est_jaccard"))
+    val wa = wide.select(col(idCol).as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val wb = wide.select(col(idCol).as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val eqSum = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(broadcast(wa), "id_a").join(broadcast(wb), "id_b")
+      .withColumn("est_jaccard", eqSum.cast("double") / numHashes)
       .filter(col("est_jaccard") >= estThreshold)
+      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** Portable SimHash over whitespace tokens: bit j of the signature is the
     * sign of Σ_tokens (2·((a_j·x+b_j mod p) & 1) − 1), with x the base-256
     * packing of the token's first 4 chars. numBits ≤ 32. */
   def simhash(df: DataFrame, idCol: String, textCol: String, numBits: Int): DataFrame = {
-    val toks = df.select(col(idCol),
+    val toks = Spread.byKey(df, col(idCol)).select(col(idCol),
       explode(split(col(textCol), " ")).as("tok")).filter(length(col("tok")) > 0)
     val x = (coalesce(ascii(substring(col("tok"), 1, 1)), lit(0)) * 16777216L +
       coalesce(ascii(substring(col("tok"), 2, 1)), lit(0)) * 65536L +
@@ -155,7 +192,10 @@ object Dedup {
       col("simhash").as("sig_a"))
     val b = sig.select(col(scopeCol).as("__s2"), col(idCol).as("id_b"),
       col("simhash").as("sig_b"))
-    a.join(b, col("__s") === col("__s2") && col("id_a") < col("id_b"))
+    // broadcast the right side: the scope column has few distinct values, so
+    // a shuffle join would hash-partition onto a handful of skewed tasks;
+    // broadcasting keeps the pair generation at the left side's parallelism
+    a.join(broadcast(b), col("__s") === col("__s2") && col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")

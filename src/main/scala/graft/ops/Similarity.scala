@@ -46,7 +46,11 @@ object Similarity {
   /** Exact cosine top-k neighbors per query vector.
     * Output: (vec_id, neighbor_id, cosine, rank). */
   def bruteTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
-    val a = normalized(df, idCol, embCol, "vec_id", "ea")
+    // repartition the streamed side on the query id: a small parquet table
+    // arrives as ONE partition, which would serialize the O(n²·d) pair work;
+    // hash(vec_id) partitioning also pre-satisfies the top-k window, so the
+    // 4M-row pair set is never shuffled
+    val a = Spread.byKey(normalized(df, idCol, embCol, "vec_id", "ea"), col("vec_id"))
     val b = normalized(df, idCol, embCol, "neighbor_id", "eb")
     val pairs = a.crossJoin(broadcast(b)).filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine", ndot(col("ea"), col("eb")))
@@ -87,9 +91,13 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
-    val a = assigned.select(col("vec_id"), col("e").as("ea"), col("cell"))
+    val a = Spread.byKey(
+      assigned.select(col("vec_id"), col("e").as("ea"), col("cell")), col("vec_id"))
     val b = assigned.select(col("vec_id").as("neighbor_id"), col("e").as("eb"), col("cell"))
-    val pairs = a.join(b, Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+    // broadcast keeps the per-cell pair join at hash(vec_id) parallelism
+    // (cells are few → a shuffle join would land on a handful of tasks) and
+    // pre-satisfies the window partitioning
+    val pairs = a.join(broadcast(b), Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine", ndot(col("ea"), col("eb")))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -103,9 +111,10 @@ object Similarity {
               dims: Int, bits: Int, k: Int): DataFrame = {
     val sig = normalized(df, idCol, embCol, "vec_id", "e")
       .withColumn("bucket", hyperplaneSignature(col("e"), dims, bits))
-    val a = sig.select(col("vec_id"), col("e").as("ea"), col("bucket"))
+    val a = Spread.byKey(
+      sig.select(col("vec_id"), col("e").as("ea"), col("bucket")), col("vec_id"))
     val b = sig.select(col("vec_id").as("neighbor_id"), col("e").as("eb"), col("bucket"))
-    val pairs = a.join(b, Seq("bucket")).filter(col("vec_id") =!= col("neighbor_id"))
+    val pairs = a.join(broadcast(b), Seq("bucket")).filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine", ndot(col("ea"), col("eb")))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
