@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
  */
 object Align {
 
+  /** Bucketized as-of core: quantize both sides to tolerance-sized buckets,
+    * explode each right row to the adjacent bucket keys that could contain a
+    * matching left row, and equi-join on the bucket. This turns the band join
+    * into a Broadcast HASH join — a plain band predicate on a broadcast side
+    * becomes a nested-loop scan, O(|L|·|R|) comparisons regardless of how few
+    * rows actually fall inside the band. A candidate right row matches
+    * exactly one bucket key per left row, so no dedup is needed. */
+  private def bucketJoin(left: DataFrame, right: DataFrame,
+                         leftTs: String, rightTs: String, tolerance: Long,
+                         rightKeyOffsets: Seq[Int], bandPred: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val lb = Spread.byKey(left, col(leftTs))
+      .withColumn("__bucket", floor(col(leftTs) / tolerance))
+    val rb = right
+      .withColumn("__rbucket", floor(col(rightTs) / tolerance))
+      .withColumn("__bucket",
+        explode(array(rightKeyOffsets.map(o => col("__rbucket") + o): _*)))
+      .drop("__rbucket")
+    lb.join(broadcast(rb), lb("__bucket") === rb("__bucket") && bandPred, "left")
+      .drop("__bucket")
+  }
+
   /** As-of nearest: for each left row, the single right row minimizing
     * |leftTs − rightTs| within tolerance; ties to the earlier right row.
     * Time columns must share units (we standardize on long microseconds).
@@ -26,9 +48,12 @@ object Align {
     * the full left row; duplicated left rows would collapse to one). */
   def asofNearest(left: DataFrame, right: DataFrame,
                   leftTs: String, rightTs: String, tolerance: Long): DataFrame = {
-    val joined = left.join(broadcast(right),
+    // |r − l| ≤ tol ⇒ floor(r/tol) ∈ {floor(l/tol)−1, …, +1} → right rows
+    // carry keys {b−1, b, b+1}
+    val joined = bucketJoin(left, right, leftTs, rightTs, tolerance,
+      Seq(-1, 0, 1),
       col(rightTs) >= col(leftTs) - tolerance &&
-      col(rightTs) <= col(leftTs) + tolerance, "left")
+      col(rightTs) <= col(leftTs) + tolerance)
     val rightOrder = right.columns.filter(_ != rightTs).map(col).toSeq
     val w = Window.partitionBy(left.columns.map(col): _*)
       .orderBy(abs(col(leftTs) - col(rightTs)) +: col(rightTs) +: rightOrder: _*)
@@ -40,9 +65,12 @@ object Align {
     * tolerance (boundary/brange pattern, stglib/aqd/aqdutils.py:550-560). */
   def asofBackward(left: DataFrame, right: DataFrame,
                    leftTs: String, rightTs: String, tolerance: Long): DataFrame = {
-    val joined = left.join(broadcast(right),
+    // l−tol ≤ r ≤ l ⇒ floor(r/tol) ∈ {floor(l/tol)−1, floor(l/tol)} → right
+    // rows carry keys {b, b+1}
+    val joined = bucketJoin(left, right, leftTs, rightTs, tolerance,
+      Seq(0, 1),
       col(rightTs) <= col(leftTs) &&
-      col(rightTs) >= col(leftTs) - tolerance, "left")
+      col(rightTs) >= col(leftTs) - tolerance)
     val rightOrder = right.columns.filter(_ != rightTs).map(c => col(c).desc).toSeq
     val w = Window.partitionBy(left.columns.map(col): _*)
       .orderBy(col(rightTs).desc +: rightOrder: _*)

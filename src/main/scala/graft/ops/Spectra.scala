@@ -1,21 +1,52 @@
 package graft.ops
 
+import scala.reflect.ClassTag
+
 import graft.kernels.{Butterworth, Spectral}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 
 /**
- * Spark wiring for the per-burst signal kernels (SURVEY §2.10/§2.12):
- * `groupByKey(burst).mapGroups(kernel)` — the same fan-out point where the
- * reference used one dask future per burst (stglib/core/waves.py:263-306),
- * but distributed by Spark's scheduler for every kernel, not just DIWASP.
+ * Spark wiring for the per-burst signal kernels (SURVEY §2.10/§2.12) — the
+ * same fan-out point where the reference used one dask future per burst
+ * (stglib/core/waves.py:263-306), but distributed by Spark's scheduler for
+ * every kernel, not just DIWASP.
  *
- * Scale: burst groups are small (≤4096 samples × few vars), so per-group
- * state is bounded; the shuffle keys on burst id, and skew is impossible by
- * construction (all bursts equal size). Sample order is restored inside the
- * group (Spark guarantees no intra-group order), matching SURVEY §7.5 risk 7.
+ * Distribution pattern: `repartition(n, burst) + sortWithinPartitions +
+ * mapPartitions` over contiguous runs, NOT `groupByKey.mapGroups`. The
+ * groupByKey exchange is subject to AQE partition coalescing, which sizes
+ * partitions by shuffle BYTES — a few MB of burst rows coalesce to one or
+ * two partitions and the kernel work (the actual cost, invisible to AQE)
+ * serializes. REPARTITION_BY_NUM is exempt from coalescing, and the
+ * partition-local sort both restores sample order (Spark guarantees no
+ * intra-group order) and makes each burst a contiguous run.
+ *
+ * Scale: burst groups are small (≤4096 samples × few vars), so per-run
+ * state is bounded; skew is impossible by construction (equal-size bursts).
  */
 object Spectra {
+
+  /** Repartition by group key (AQE-exempt), sort (key, sample) within
+    * partitions, and run `f` once per contiguous equal-key run. */
+  private def perGroup[T: ClassTag, R](ds: Dataset[T], keyOf: T => Long)(
+      f: (Long, Array[T]) => Iterator[R])(implicit enc: Encoder[R]): Dataset[R] = {
+    val n = ds.sparkSession.sparkContext.defaultParallelism
+    ds.repartition(n, col("_1"))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions { it =>
+        val b = it.buffered
+        val runs = new Iterator[(Long, Array[T])] {
+          def hasNext: Boolean = b.hasNext
+          def next(): (Long, Array[T]) = {
+            val k = keyOf(b.head)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[T]
+            while (b.hasNext && keyOf(b.head) == k) buf += b.next()
+            (k, buf.toArray)
+          }
+        }
+        runs.flatMap { case (k, arr) => f(k, arr) }
+      }
+  }
 
   final case class WaveStatsRow(
       burst: Long, h: Double, wh_4061: Double, wp_4060: Double,
@@ -29,15 +60,16 @@ object Spectra {
                             kpmin: Option[Double] = None): Dataset[WaveStatsRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
-        coalesce(col(presCol).cast("double"), lit(Double.NaN)))
+    val ds = df.select(col(burstCol).cast("long").as("_1"),
+        col(sampleCol).cast("long").as("_2"),
+        coalesce(col(presCol).cast("double"), lit(Double.NaN)).as("_3"))
       .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (k, it) =>
-        val p = it.toArray.sortBy(_._2).map(_._3)
-        val w = Spectral.waveStatsFromPressure(p, fs, z, nsegs, noise, fcut, kpmin)
-        WaveStatsRow(k, w.h, w.wh4061, w.wp4060, w.wpPeak, w.m0, w.m2, w.tailind)
-      }
+    perGroup(ds, (t: (Long, Long, Double)) => t._1) { (k, rows) =>
+      val p = rows.map(_._3)
+      val w = Spectral.waveStatsFromPressure(p, fs, z, nsegs, noise, fcut, kpmin)
+      Iterator.single(
+        WaveStatsRow(k, w.h, w.wh4061, w.wp4060, w.wpPeak, w.m0, w.m2, w.tailind))
+    }
   }
 
   /** make_waves_ds_elev over long-format (burst, sample, elevation) rows. */
@@ -46,15 +78,15 @@ object Spectra {
                              nsegs: Int = 16): Dataset[WaveStatsRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
-        coalesce(col(elevCol).cast("double"), lit(Double.NaN)))
+    val ds = df.select(col(burstCol).cast("long").as("_1"),
+        col(sampleCol).cast("long").as("_2"),
+        coalesce(col(elevCol).cast("double"), lit(Double.NaN)).as("_3"))
       .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (k, it) =>
-        val e = it.toArray.sortBy(_._2).map(_._3)
-        val w = Spectral.waveStatsFromElevation(e, fs, nsegs)
-        WaveStatsRow(k, w.h, w.wh4061, w.wp4060, w.wpPeak, w.m0, w.m2, w.tailind)
-      }
+    perGroup(ds, (t: (Long, Long, Double)) => t._1) { (k, rows) =>
+      val w = Spectral.waveStatsFromElevation(rows.map(_._3), fs, nsegs)
+      Iterator.single(
+        WaveStatsRow(k, w.h, w.wh4061, w.wp4060, w.wpPeak, w.m0, w.m2, w.tailind))
+    }
   }
 
   final case class SpectrumRow(burst: Long, frequency: Double, pspec: Double)
@@ -68,16 +100,16 @@ object Spectra {
                       kpmin: Option[Double] = None): Dataset[SpectrumRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
-        coalesce(col(presCol).cast("double"), lit(Double.NaN)))
+    val ds = df.select(col(burstCol).cast("long").as("_1"),
+        col(sampleCol).cast("long").as("_2"),
+        coalesce(col(presCol).cast("double"), lit(Double.NaN)).as("_3"))
       .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (k, it) =>
-        val p = it.toArray.sortBy(_._2).map(_._3)
-        val w = Spectral.waveStatsFromPressure(p, fs, z, nsegs, fcut = fcut, kpmin = kpmin)
-        w.frequencies.indices.iterator.map(i =>
-          SpectrumRow(k, w.frequencies(i), w.pspec(i)))
-      }
+    perGroup(ds, (t: (Long, Long, Double)) => t._1) { (k, rows) =>
+      val w = Spectral.waveStatsFromPressure(rows.map(_._3), fs, z, nsegs,
+        fcut = fcut, kpmin = kpmin)
+      w.frequencies.indices.iterator.map(i =>
+        SpectrumRow(k, w.frequencies(i), w.pspec(i)))
+    }
   }
 
   final case class PuvRow(
@@ -94,20 +126,20 @@ object Spectra {
                fftLength: Int = 512): Dataset[PuvRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
-        coalesce(col(pCol).cast("double"), lit(Double.NaN)),
-        coalesce(col(uCol).cast("double"), lit(Double.NaN)),
-        coalesce(col(vCol).cast("double"), lit(Double.NaN)))
+    val ds = df.select(col(burstCol).cast("long").as("_1"),
+        col(sampleCol).cast("long").as("_2"),
+        coalesce(col(pCol).cast("double"), lit(Double.NaN)).as("_3"),
+        coalesce(col(uCol).cast("double"), lit(Double.NaN)).as("_4"),
+        coalesce(col(vCol).cast("double"), lit(Double.NaN)).as("_5"))
       .as[(Long, Long, Double, Double, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (k, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val r = graft.kernels.Puv.puvQuick(
-          rows.map(_._3), rows.map(_._4), rows.map(_._5),
-          depth, zp, zuv, fs, fftLength)
+    perGroup(ds, (t: (Long, Long, Double, Double, Double)) => t._1) { (k, rows) =>
+      val r = graft.kernels.Puv.puvQuick(
+        rows.map(_._3), rows.map(_._4), rows.map(_._5),
+        depth, zp, zuv, fs, fftLength)
+      Iterator.single(
         PuvRow(k, r.hrmsp, r.hrmsu, r.ubr, r.omegar, r.tr, r.tpp, r.tpu,
-          r.phir, r.azr, r.ublo, r.ubhi, r.ubig, r.hrmspTail, r.hrmsuTail)
-      }
+          r.phir, r.azr, r.ublo, r.ubhi, r.ubig, r.hrmspTail, r.hrmsuTail))
+    }
   }
 
   final case class DirSpecRow(
@@ -116,7 +148,7 @@ object Spectra {
 
   /** DIWASP directional spectrum per burst over (burst, sample, p, u, v)
     * rows (make_diwasp_ds + call_diwasp_mp, stglib/core/waves.py:15-306).
-    * One mapGroups task per burst = the reference's dask fan-out, on Spark. */
+    * One kernel run per burst = the reference's dask fan-out, on Spark. */
   def diwaspStats(df: DataFrame, burstCol: String, sampleCol: String,
                   pCol: String, uCol: String, vCol: String,
                   depth: Double, zp: Double, zuv: Double, fs: Double,
@@ -124,21 +156,21 @@ object Spectra {
                   fmin: Double, fmax: Double): Dataset[DirSpecRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(burstCol).cast("long"), col(sampleCol).cast("long"),
-        coalesce(col(pCol).cast("double"), lit(Double.NaN)),
-        coalesce(col(uCol).cast("double"), lit(Double.NaN)),
-        coalesce(col(vCol).cast("double"), lit(Double.NaN)))
+    val ds = df.select(col(burstCol).cast("long").as("_1"),
+        col(sampleCol).cast("long").as("_2"),
+        coalesce(col(pCol).cast("double"), lit(Double.NaN)).as("_3"),
+        coalesce(col(uCol).cast("double"), lit(Double.NaN)).as("_4"),
+        coalesce(col(vCol).cast("double"), lit(Double.NaN)).as("_5"))
       .as[(Long, Long, Double, Double, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (k, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val d = graft.kernels.Diwasp.dirspec(
-          Array(rows.map(_._3), rows.map(_._4), rows.map(_._5)),
-          Array("pres", "velx", "vely"),
-          Array(Array(0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0), Array(zp, zuv, zuv)),
-          depth, fs, nfft, dres, method, miter, fmin, fmax)
-        DirSpecRow(k, d.hs, d.tp, d.dtp, d.dp, d.freqs.length, d.dirs.length)
-      }
+    perGroup(ds, (t: (Long, Long, Double, Double, Double)) => t._1) { (k, rows) =>
+      val d = graft.kernels.Diwasp.dirspec(
+        Array(rows.map(_._3), rows.map(_._4), rows.map(_._5)),
+        Array("pres", "velx", "vely"),
+        Array(Array(0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0), Array(zp, zuv, zuv)),
+        depth, fs, nfft, dres, method, miter, fmin, fmax)
+      Iterator.single(
+        DirSpecRow(k, d.hs, d.tp, d.dtp, d.dp, d.freqs.length, d.dirs.length))
+    }
   }
 
   final case class FiltRow(series: Long, sample: Long, value_filt: Double)
@@ -149,14 +181,13 @@ object Spectra {
                        valueCol: String, sos: Array[Butterworth.Sos]): Dataset[FiltRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(groupCol).cast("long"), col(sampleCol).cast("long"),
-        coalesce(col(valueCol).cast("double"), lit(Double.NaN)))
+    val ds = df.select(col(groupCol).cast("long").as("_1"),
+        col(sampleCol).cast("long").as("_2"),
+        coalesce(col(valueCol).cast("double"), lit(Double.NaN)).as("_3"))
       .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroups { (k, it) =>
-        val rows = it.toArray.sortBy(_._2)
-        val y = Butterworth.filtfilt(sos, rows.map(_._3))
-        rows.indices.iterator.map(i => FiltRow(k, rows(i)._2, y(i)))
-      }
+    perGroup(ds, (t: (Long, Long, Double)) => t._1) { (k, rows) =>
+      val y = Butterworth.filtfilt(sos, rows.map(_._3))
+      rows.indices.iterator.map(i => FiltRow(k, rows(i)._2, y(i)))
+    }
   }
 }
