@@ -61,6 +61,66 @@ object Physics {
     (rho0 + a * s + b * s * sqrt(s) + lit(0.000483140) * s * s) / 1000.0
   }
 
+  /** UNESCO EOS-80 seawater density ρ(S,T,p) [kg/m³] via the secant bulk
+    * modulus (Millero & Poisson 1981; UNESCO 1983). The reference computes
+    * density with gsw.rho (TEOS-10, stglib/core/utils.py:1982) — EOS-80
+    * agrees to ~0.01 kg/m³ over oceanographic ranges and uses only
+    * +−×÷√, making it reproducible bit-for-bit in any SQL engine.
+    * p in decibar. */
+  def rhoEos80(s: Column, t: Column, pDbar: Column): Column = {
+    val t2 = t * t
+    val rho0 = lit(999.842594) + lit(0.06793952) * t + lit(-0.00909529) * t2 +
+      lit(1.001685e-4) * t2 * t + lit(-1.120083e-6) * t2 * t2 +
+      lit(6.536332e-9) * t2 * t2 * t
+    val a = lit(0.824493) + lit(-0.004089) * t + lit(7.6438e-5) * t2 +
+      lit(-8.2467e-7) * t2 * t + lit(5.3875e-9) * t2 * t2
+    val b = lit(-0.00572466) + lit(1.0227e-4) * t + lit(-1.6546e-6) * t2
+    val rhoST0 = rho0 + a * s + b * s * sqrt(s) + lit(0.000483140) * s * s
+    // secant bulk modulus K(S,T,p), p in bar
+    val p = pDbar / 10.0
+    val kw = lit(19652.21) + lit(148.4206) * t + lit(-2.327105) * t2 +
+      lit(1.360477e-2) * t2 * t + lit(-5.155288e-5) * t2 * t2
+    val kst0 = kw +
+      s * (lit(54.6746) + lit(-0.603459) * t + lit(1.09987e-2) * t2 +
+        lit(-6.1670e-5) * t2 * t) +
+      s * sqrt(s) * (lit(7.944e-2) + lit(1.6483e-2) * t + lit(-5.3009e-4) * t2)
+    val aw = lit(3.239908) + lit(1.43713e-3) * t + lit(1.16092e-4) * t2 +
+      lit(-5.77905e-7) * t2 * t
+    val aa = aw + s * (lit(2.2838e-3) + lit(-1.0981e-5) * t +
+      lit(-1.6078e-6) * t2) + lit(1.91075e-4) * s * sqrt(s)
+    val bw = lit(8.50935e-5) + lit(-6.12293e-6) * t + lit(5.2787e-8) * t2
+    val bb = bw + s * (lit(-9.9348e-7) + lit(2.0816e-8) * t + lit(9.1697e-10) * t2)
+    val k = kst0 + aa * p + bb * p * p
+    rhoST0 / (lit(1.0) - p / k)
+  }
+
+  /** Somigliana/GRS-80 surface gravity at latitude [deg] — the p=0 case of
+    * gsw.grav used by pres2dep (stglib/core/utils.py:1983). Scala-side
+    * constant (latitude is a dataset attribute). */
+  def grav(latDeg: Double): Double = {
+    val x = math.sin(math.toRadians(latDeg))
+    val sin2 = x * x
+    9.780327 * (1.0 + (5.2792e-3 + 2.32e-5 * sin2) * sin2)
+  }
+
+  /** pres2dep: depth [m] = P/(ρg)·10⁴ with P in dbar
+    * (stglib/core/utils.py:1926-1985). */
+  def pres2dep(pDbar: Column, s: Column, t: Column, latDeg: Double): Column =
+    pDbar / (rhoEos80(s, t, pDbar) * grav(latDeg)) * 10000.0
+
+  /** Mackenzie (1981) nine-term sound speed [m/s]; S in PSU, T in °C, D in m.
+    * The reference adjusts altimeter ranges with gsw.sound_speed
+    * (stglib/eofe.py:398) — Mackenzie agrees to ~0.1 m/s in coastal ranges
+    * and is exactly reproducible cross-engine (+−× only). */
+  def soundSpeedMackenzie(s: Column, t: Column, d: Column): Column = {
+    val t2 = t * t
+    val s35 = s - 35.0
+    lit(1448.96) + lit(4.591) * t + lit(-5.304e-2) * t2 +
+      lit(2.374e-4) * t2 * t + lit(1.340) * s35 + lit(1.630e-2) * d +
+      lit(1.675e-7) * d * d + lit(-1.025e-2) * t * s35 +
+      lit(-7.139e-13) * t * d * d * d
+  }
+
   /** Wavenumber from angular frequency and depth — Wiberg & Sherwood (2009)
     * with exactly 3 unrolled Newton iterations (stglib/core/waves.py:988-1007). */
   def qkfs(omega: Column, h: Column): Column = {

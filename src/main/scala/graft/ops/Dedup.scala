@@ -183,6 +183,30 @@ object Dedup {
     wide.select(col(idCol), sigExpr.as("simhash"))
   }
 
+  /** Embedding-cosine near-dup pairs within a scope: cosine(e_a, e_b) ≥
+    * threshold (the semantic-dedup step of a training-data pipeline).
+    * Vectors are pre-normalized (norms computed once per vector); the scoped
+    * pair join uses the codegen'd dot product. At cluster scale the scope
+    * column is an LSH bucket or cluster id — the quadratic work only happens
+    * inside scopes, same contract as [[ngramJaccardPairs]]. */
+  def embedCosinePairs(df: DataFrame, idCol: String, embCol: String,
+                       scopeCol: String, threshold: Double): DataFrame = {
+    import graft.functions.ArrayMath
+    val e0 = transform(col(embCol), x => x.cast("double"))
+    val base = Spread.byKey(df, col(idCol))
+      .select(col(scopeCol).as("__s"), col(idCol).as("__id"), e0.as("__e0"))
+      .withColumn("__n", sqrt(ArrayMath.dot(col("__e0"), col("__e0"))))
+      .select(col("__s"), col("__id"),
+        transform(col("__e0"), x => x / col("__n")).as("__e"))
+    val a = base.select(col("__s"), col("__id").as("id_a"), col("__e").as("__ea"))
+    val b = base.select(col("__s").as("__s2"), col("__id").as("id_b"),
+      col("__e").as("__eb"))
+    a.join(broadcast(b), col("__s") === col("__s2") && col("id_a") < col("id_b"))
+      .withColumn("__cos", ArrayMath.dot(col("__ea"), col("__eb")))
+      .filter(col("__cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 8).as("cosine"))
+  }
+
   /** SimHash near-dup pairs within a scope: hamming(sig_a, sig_b) <= maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    scopeCol: String, numBits: Int, maxDist: Int): DataFrame = {

@@ -34,7 +34,104 @@ object PhysicsQueries {
        |       round(((exp((y3/h) * 0.5)+exp(-((y3/h) * 0.5)))/2)/((exp((y3/h) * h)+exp(-((y3/h) * h)))/2), 8) AS kp
        |FROM i3""".stripMargin
 
+  /** EOS-80 density SQL mirroring Physics.rhoEos80 term-for-term (same
+    * association order → bit-identical doubles). Expects columns t, s, p
+    * (p in dbar) in scope; emits a SELECT-fragment expression. */
+  private def rhoEos80Sql: String =
+    """(999.842594 + 0.06793952*t + (-0.00909529)*(t*t) + 1.001685e-4*(t*t)*t
+      |   + (-1.120083e-6)*(t*t)*(t*t) + 6.536332e-9*(t*t)*(t*t)*t
+      | + (0.824493 + (-0.004089)*t + 7.6438e-5*(t*t) + (-8.2467e-7)*(t*t)*t
+      |    + 5.3875e-9*(t*t)*(t*t))*s
+      | + ((-0.00572466) + 1.0227e-4*t + (-1.6546e-6)*(t*t))*s*sqrt(s)
+      | + 0.000483140*s*s)
+      |/ (1.0 - (p/10.0) /
+      |   (19652.21 + 148.4206*t + (-2.327105)*(t*t) + 1.360477e-2*(t*t)*t
+      |      + (-5.155288e-5)*(t*t)*(t*t)
+      |    + s*(54.6746 + (-0.603459)*t + 1.09987e-2*(t*t) + (-6.1670e-5)*(t*t)*t)
+      |    + s*sqrt(s)*(7.944e-2 + 1.6483e-2*t + (-5.3009e-4)*(t*t))
+      |    + (3.239908 + 1.43713e-3*t + 1.16092e-4*(t*t) + (-5.77905e-7)*(t*t)*t
+      |       + s*(2.2838e-3 + (-1.0981e-5)*t + (-1.6078e-6)*(t*t))
+      |       + 1.91075e-4*s*sqrt(s))*(p/10.0)
+      |    + (8.50935e-5 + (-6.12293e-6)*t + 5.2787e-8*(t*t)
+      |       + s*((-9.9348e-7) + 2.0816e-8*t + 9.1697e-10*(t*t)))*(p/10.0)*(p/10.0)))"""
+      .stripMargin.replace("\n", " ")
+
+  private val presIn = Seq("5.0 + value/10.0 as p",
+    "30.0 + cast(event_id % 100 as double)/50.0 as s", "8.0 + value/20.0 as t")
+
+  /** Double literal for DuckDB SQL: plain decimal literals with >15 digits
+    * parse as DECIMAL and lose the exact double value (the unscaled integer
+    * exceeds 2^53); an exponent suffix forces a true DOUBLE (strtod) parse. */
+  private def dlit(x: Double): String = {
+    val s = x.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
   def qs: Seq[Q] = Seq(
+    // pres2dep: P[dbar] → sensor depth via EOS-80 rho + Somigliana gravity
+    // (stglib/core/utils.py:1926-1985; reference uses gsw.rho/gsw.grav —
+    // EOS-80 deviation documented in Physics.rhoEos80)
+    Q("pres2dep",
+      (s, dir) => {
+        val df = events(s, dir).selectExpr("event_id" +: presIn: _*)
+        df.select(col("event_id"),
+          P.pres2dep(col("p"), col("s"), col("t"), latDeg = 40.0).as("depth"))
+      },
+      Some(s"""WITH b AS (SELECT event_id, ${presIn.mkString(", ")} FROM events)
+             |SELECT event_id, p / ($rhoEos80Sql * ${dlit(P.grav(40.0))}) * 10000.0 AS depth
+             |FROM b""".stripMargin)),
+
+    // create_water_depth_var: burst-mean sensor depth + instrument height
+    // (stglib/core/utils.py:1052-1100)
+    Q("water_depth_var",
+      (s, dir) => {
+        val df = events(s, dir).selectExpr(
+          "event_id" +: "user_id" +: "ts div 21600000000000 as block" +: presIn: _*)
+        val dep = P.pres2dep(col("p"), col("s"), col("t"), latDeg = 40.0)
+        df.withColumn("dep", dep)
+          .groupBy("user_id", "block")
+          .agg((Exact.avg(col("dep")) + lit(0.5)).as("water_depth"))
+      },
+      Some(s"""WITH b AS (SELECT event_id, user_id,
+             |    epoch_us(ts) // 21600000000 AS block, ${presIn.mkString(", ")}
+             |  FROM events),
+             |d AS (SELECT user_id, block,
+             |    p / ($rhoEos80Sql * ${dlit(P.grav(40.0))}) * 10000.0 AS dep FROM b)
+             |SELECT user_id, block,
+             |  ${Exact.avgSql("dep")} + 0.5 AS water_depth
+             |FROM d GROUP BY 1, 2""".stripMargin)),
+
+    // calc_cor_brange + calc_boundary_elev (LMSL, down-looking): altimeter
+    // range corrected by adjusted sound speed, then datum-referenced seabed
+    // elevation (stglib/eofe.py:373-571; reference uses gsw.sound_speed —
+    // Mackenzie (1981) deviation documented in Physics.soundSpeedMackenzie)
+    Q("cor_brange_elev",
+      (s, dir) => {
+        val wd = 10.5; val iih = 0.5; val nominalSv = 1500.0; val salAvg = 32.0
+        val df = events(s, dir).selectExpr("event_id",
+          "2.0 + value/50.0 as alt", "8.0 + value/20.0 as t")
+        val med = df.agg(expr("median(alt)").as("__med"))
+        val withP = df.crossJoin(broadcast(med))
+          .withColumn("pdep", lit(wd) - iih + col("__med") / 2.0)
+        val c = P.soundSpeedMackenzie(lit(salAvg), col("t"), col("pdep"))
+        withP.select(col("event_id"),
+          round(col("alt") / nominalSv * c, 3).as("brange"),
+          round(lit(wd) + round(col("alt") / nominalSv * c, 3) - iih, 3)
+            .as("boundary_elevation"))
+      },
+      Some("""WITH b AS (SELECT event_id, 2.0 + value/50.0 AS alt,
+             |    8.0 + value/20.0 AS t FROM events),
+             |m AS (SELECT median(alt) AS med FROM b),
+             |p AS (SELECT b.*, 10.5 - 0.5 + m.med/2.0 AS pdep FROM b, m),
+             |c AS (SELECT *,
+             |  1448.96 + 4.591*t + (-5.304e-2)*(t*t) + 2.374e-4*(t*t)*t
+             |    + 1.340*(32.0 - 35.0) + 1.630e-2*pdep + 1.675e-7*pdep*pdep
+             |    + (-1.025e-2)*t*(32.0 - 35.0) + (-7.139e-13)*t*pdep*pdep*pdep AS sv
+             |  FROM p)
+             |SELECT event_id, round(alt/1500.0*sv, 3) + 0.0 AS brange,
+             |  round(10.5 + (round(alt/1500.0*sv, 3) + 0.0) - 0.5, 3) + 0.0
+             |    AS boundary_elevation
+             |FROM c""".stripMargin)),
     // Schemel salinity ↔ specific conductance round trip
     // (stglib/core/utils.py:1494-1532); sqrt/mult only → exact parity
     Q("salinity_schemel",

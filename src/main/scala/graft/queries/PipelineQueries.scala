@@ -105,6 +105,26 @@ object PipelineQueries {
              |  ON a.source = b.source AND a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin)),
 
+    // embedding-cosine near-dup (semantic dedup) within label scope
+    Q("dedup_embed",
+      (s, dir) => Dedup.embedCosinePairs(embeddings(s, dir), "vec_id",
+        "embedding", "label", 0.3),
+      Some("""WITH e0 AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |e AS (SELECT vec_id, label,
+             |    list_transform(generate_series(1, 64), i -> emb[i] /
+             |      sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        j -> emb[j] * emb[j])))) AS e
+             |  FROM e0),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> a.e[i] * b.e[i])) AS c
+             |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, round(c, 8) AS cosine
+             |FROM pairs WHERE c >= 0.3""".stripMargin)),
+
     // ---- similarity search ------------------------------------------
     Q("similarity_topk",
       (s, dir) => Similarity.bruteTopK(embeddings(s, dir), "vec_id", "embedding", 5)

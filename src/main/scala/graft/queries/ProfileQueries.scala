@@ -246,6 +246,42 @@ object ProfileQueries {
              |    (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS d
              |  FROM events)""".stripMargin)),
 
+    // trim_avg_vel_bins ("water level" method): post-average top-bin trim —
+    // null velocity where bindist >= P - bin_size*avg_bins
+    // (stglib/sig/cdf2nc.py:1646-1727)
+    Q("trim_avg_bins",
+      (s, dir) => {
+        val df = lineitem(s, dir)
+          .withColumn("bindist", lit(0.25) + (col("l_linenumber") - 1) * 0.5)
+          .withColumn("p_ac", lit(1.2) + (col("l_orderkey") % 40).cast("double") / 20.0)
+          .withColumn("vel", col("l_extendedprice") / 1000.0)
+        df.select(col("l_orderkey"), col("l_linenumber"),
+          when(col("bindist") < col("p_ac") - lit(0.5) * 2, col("vel")).as("vel"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN CAST(0.25 AS DOUBLE) + (l_linenumber - 1) * CAST(0.5 AS DOUBLE)
+             |            < (1.2 + CAST(l_orderkey % 40 AS DOUBLE) / 20.0) - 0.5 * 2
+             |       THEN l_extendedprice / 1000.0 END AS vel
+             |FROM lineitem""".stripMargin)),
+
+    // puv_qaqc: null direction stats where the tail-based Hrmsu is null
+    // (stglib/core/waves.py:1831-1836)
+    Q("puv_qaqc",
+      (s, dir) => {
+        val df = events(s, dir)
+          .withColumn("hrmsu_tail", when(col("value") <= 90.0, col("value") / 10.0))
+          .withColumn("phir", col("value") - 50.0)
+          .withColumn("azr", (col("event_id") % 360).cast("double"))
+        df.select(col("event_id"), col("hrmsu_tail"),
+          when(col("hrmsu_tail").isNotNull, col("phir")).as("phir"),
+          when(col("hrmsu_tail").isNotNull, col("azr")).as("azr"))
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN value <= 90.0 THEN value / 10.0 END AS hrmsu_tail,
+             |  CASE WHEN value <= 90.0 THEN value - 50.0 END AS phir,
+             |  CASE WHEN value <= 90.0 THEN CAST(event_id % 360 AS DOUBLE) END AS azr
+             |FROM events""".stripMargin)),
+
     // clip_ds_prf: vertical bin range clip (stglib/core/utils.py:1812-1854)
     Q("clip_bindist",
       (s, dir) => graft.ops.Clip.clipBindist(
