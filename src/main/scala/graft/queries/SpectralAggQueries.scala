@@ -154,6 +154,56 @@ object SpectralAggQueries {
              |  CAST(10.0 AS DOUBLE) - (CAST(0.25 AS DOUBLE) + (p_size % 24) * CAST(0.5 AS DOUBLE)) AS bin_height_down
              |FROM part""".stripMargin)),
 
+    // create_z / create_nominal_instrument_depth: vertical coordinate from
+    // datum attrs ± bindist (stglib/core/utils.py:1165-1299); NAVD88 datum,
+    // both orientations, plus zsen from the pressure sensor height
+    Q("create_z",
+      (s, dir) => {
+        val hagd = 1.75; val iih = 0.5; val psh = 0.35; val wd = 10.5
+        val df = part(s, dir).withColumn("bin", col("p_size") % 24)
+        df.select(col("p_partkey"), col("bin"),
+          P.binDist(col("bin"), 0.5).as("bindist"),
+          (lit(hagd) + iih - P.binDist(col("bin"), 0.5)).as("z_down"),
+          (lit(hagd) + iih + P.binDist(col("bin"), 0.5)).as("z_up"),
+          lit(hagd + psh).as("zsen"),
+          lit(wd - iih).as("nominal_instrument_depth"))
+      },
+      Some("""SELECT p_partkey, p_size % 24 AS bin,
+             |  CAST(0.25 AS DOUBLE) + (p_size % 24) * CAST(0.5 AS DOUBLE) AS bindist,
+             |  1.75 + 0.5 - (CAST(0.25 AS DOUBLE) + (p_size % 24) * CAST(0.5 AS DOUBLE)) AS z_down,
+             |  1.75 + 0.5 + (CAST(0.25 AS DOUBLE) + (p_size % 24) * CAST(0.5 AS DOUBLE)) AS z_up,
+             |  CAST(2.1 AS DOUBLE) AS zsen,
+             |  CAST(10.0 AS DOUBLE) AS nominal_instrument_depth
+             |FROM part""".stripMargin)),
+
+    // unit scaling: IQ mm/s → m/s and ABS counts scaling
+    // (stglib/iq.py:497-508, stglib/abss.py:274-349)
+    Q("unit_scale",
+      (s, dir) => events(s, dir).select(col("event_id"),
+        (col("value") / 1000).as("vel_ms"),
+        (col("value") * 0.25 + 2.5).as("abs_scaled")),
+      Some("""SELECT event_id, value / 1000 AS vel_ms,
+             |  value * 0.25 + 2.5 AS abs_scaled FROM events""".stripMargin)),
+
+    // wave_start_time clip + wave_duration sample cut
+    // (stglib/rsk/nc2waves.py:20-42): drop rows before the configured start,
+    // then keep only the first nsamps samples of each burst
+    Q("wave_start_time",
+      (s, dir) => {
+        val startNs = 1704153600000000000L // 2024-01-02T00:00:00Z
+        val df = events(s, dir).filter(col("ts") >= startNs)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")) - 1)
+          .withColumn("burst", (col("rn") / 16).cast("long"))
+          .withColumn("sample", (col("rn") % 16).cast("long"))
+        df.filter(col("sample") < 10).select("event_id", "burst", "sample")
+      },
+      Some("""SELECT event_id, rn // 16 AS burst, rn % 16 AS sample FROM (
+             |  SELECT event_id, row_number() OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+             |  FROM events WHERE epoch_ns(ts) >= 1704153600000000000)
+             |WHERE rn % 16 < 10""".stripMargin)),
+
     // avg_cont with average_duration: mean of only the first n samples of
     // each block (stglib/mar.py:259-332)
     Q("avg_cont_duration",
