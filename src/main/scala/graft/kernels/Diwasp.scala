@@ -339,17 +339,80 @@ object Diwasp {
       freqs: Array[Double], dirs: Array[Double], s: Array[Array[Double]],
       hs: Double, tp: Double, dtp: Double, dp: Double)
 
+  /** smoothspec (pyDIWASP private/smoothspec.py, kernel [[1,.5,.25],[1,.5,.25]]
+    * as dirspec.py:168 passes): 5-point frequency + 5-point direction
+    * weighted average over the interior [2, n-2) region, NaN→0 first.
+    * Exact port (including the non-circular direction edges). */
+  def smoothSpec(sIn: Array[Array[Double]]): Array[Array[Double]] = {
+    val (f1, f2, f3, d1, d2, d3) = (0.25, 0.5, 1.0, 0.25, 0.5, 1.0)
+    val tot = 2 * f1 + 2 * f2 + f3 + 2 * d1 + 2 * d2 + d3
+    val nf = sIn.length
+    val nd = if (nf > 0) sIn(0).length else 0
+    val z = sIn.map(_.map(v => if (v.isNaN) 0.0 else v))
+    val out = z.map(_.clone())
+    var i = 2
+    while (i < nf - 2) {
+      var j = 2
+      while (j < nd - 2) {
+        out(i)(j) = (f1 * z(i - 2)(j) + f2 * z(i - 1)(j) + f3 * z(i)(j) +
+          f2 * z(i + 1)(j) + f1 * z(i + 2)(j) +
+          d1 * z(i)(j - 2) + d2 * z(i)(j - 1) + d3 * z(i)(j) +
+          d2 * z(i)(j + 1) + d1 * z(i)(j + 2)) / tot
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** interpspec (pyDIWASP interpspec.py): resample a directional spectrum
+    * onto a user (freq, dir) grid. Documented deviation: the reference runs
+    * scipy griddata (Delaunay linear interpolation in (f·sinθ, f·cosθ)
+    * space); for the polar-regular grids both sides use, separable bilinear
+    * interpolation in (f, θ) — with circular direction wrap and 0 outside
+    * the frequency range (griddata's NaN→0) — is the same reconstruction up
+    * to triangulation diagonal choice. Same-unit grids, so the spectobasis
+    * scale factors cancel. */
+  def interpSpec(fIn: Array[Double], dIn: Array[Double], s: Array[Array[Double]],
+                 fOut: Array[Double], dOut: Array[Double]): Array[Array[Double]] = {
+    val nd = dIn.length
+    val twoPi = 2.0 * math.Pi
+    Array.tabulate(fOut.length, dOut.length) { (i, j) =>
+      val fq = fOut(i)
+      if (fq < fIn.head || fq > fIn.last) 0.0
+      else {
+        val fi = java.util.Arrays.binarySearch(fIn, fq)
+        val (i0, i1, wf) = if (fi >= 0) (fi, fi, 0.0) else {
+          val ins = -fi - 1
+          val lo = math.max(0, ins - 1)
+          val hi = math.min(fIn.length - 1, ins)
+          (lo, hi, if (hi == lo) 0.0 else (fq - fIn(lo)) / (fIn(hi) - fIn(lo)))
+        }
+        // circular direction coordinate on the dIn grid
+        val dd = dIn(1) - dIn(0)
+        var x = (dOut(j) - dIn(0)) / dd
+        x -= math.floor(x / nd) * nd // wrap into [0, nd)
+        val j0 = x.toInt % nd
+        val j1 = (j0 + 1) % nd
+        val wd = x - math.floor(x)
+        def bil(r: Array[Double]) = r(j0) * (1 - wd) + r(j1) * wd
+        bil(s(i0)) * (1 - wf) + bil(s(i1)) * wf
+      }
+    }
+  }
+
   /**
    * dirspec (pyDIWASP dirspec.py:23-189): data columns are sensors (≤3),
    * layout(0/1/2)(m) = x/y/z of sensor m, datatypes e.g. ("pres","velx","vely").
-   * Deviations from the reference, documented: output stays on the native
-   * (csd-frequency × dres-direction) grid — no interpspec resampling and no
-   * smoothing (the reference interpolates onto the user SM grid).
+   * Matches the reference pipeline: estimator → clamp → interpspec onto the
+   * user grid (when `interpTo` given) → smoothspec (default ON, as
+   * EP["smooth"]) → infospec.
    */
   def dirspec(data: Array[Array[Double]], datatypes: Array[String],
               layout: Array[Array[Double]], depth: Double, fs: Double,
               nfft: Int, dres: Int, method: String, miter: Int,
-              fmin: Double, fmax: Double): DirSpec = {
+              fmin: Double, fmax: Double, smooth: Boolean = true,
+              interpTo: Option[(Array[Double], Array[Double])] = None): DirSpec = {
     val szd = data.length
     val detrended = data.map(Puv.detrendLinear)
 
@@ -393,37 +456,45 @@ object Diwasp {
       case other  => throw new IllegalArgumentException(s"unknown method $other")
     }
     // NaN / negative → 0 (dirspec.py:160)
-    val s = sRaw.map(_.map(v => if (v.isNaN || v < 0) 0.0 else v))
+    val clamped = sRaw.map(_.map(v => if (v.isNaN || v < 0) 0.0 else v))
+
+    // interpspec onto user grid (dirspec.py:162), then smoothspec (:168)
+    val (fFin, dFin, sInterp) = interpTo match {
+      case Some((fU, dU)) => (fU, dU, interpSpec(fK, pidirs, clamped, fU, dU))
+      case None => (fK, pidirs, clamped)
+    }
+    val s = if (smooth) smoothSpec(sInterp) else sInterp
+    val dresFin = dFin.length
 
     // infospec (pyDIWASP infospec.py:6-56): integrate over dirs → 1-D, then
     // Hs = 4√(∫∫S), Tp at peak of 1-D spectrum, DTp = peak dir at fp, Dp =
     // dir with the highest frequency-integrated energy
-    val ddir = 2.0 * math.Pi / dres
-    val df = if (fK.length > 1) fK(1) - fK(0) else 1.0
+    val ddir = if (dFin.length > 1) dFin(1) - dFin(0) else 2.0 * math.Pi / dres
+    val df = if (fFin.length > 1) fFin(1) - fFin(0) else 1.0
     val oneD = s.map(_.sum * ddir)
     val m0 = oneD.sum * df
     val hs = 4.0 * math.sqrt(m0)
     var ip = 0
     var i = 1
     while (i < oneD.length) { if (oneD(i) > oneD(ip)) ip = i; i += 1 }
-    val tp = 1.0 / fK(ip)
+    val tp = 1.0 / fFin(ip)
     var jp = 0
     var j = 1
-    while (j < dres) { if (s(ip)(j) > s(ip)(jp)) jp = j; j += 1 }
-    val dtp = math.toDegrees(pidirs(jp))
+    while (j < dresFin) { if (s(ip)(j) > s(ip)(jp)) jp = j; j += 1 }
+    val dtp = math.toDegrees(dFin(jp))
     // Dp = direction with the highest energy integrated over all frequencies
     // (pyDIWASP infospec.py: np.argmax(np.sum(S, 0))), not the single 2-D peak
-    val dirTotals = new Array[Double](dres)
+    val dirTotals = new Array[Double](dresFin)
     i = 0
     while (i < s.length) {
       j = 0
-      while (j < dres) { dirTotals(j) += s(i)(j); j += 1 }
+      while (j < dresFin) { dirTotals(j) += s(i)(j); j += 1 }
       i += 1
     }
     var bj = 0
     j = 1
-    while (j < dres) { if (dirTotals(j) > dirTotals(bj)) bj = j; j += 1 }
-    val dp = math.toDegrees(pidirs(bj))
-    DirSpec(fK, pidirs, s, hs, tp, dtp, dp)
+    while (j < dresFin) { if (dirTotals(j) > dirTotals(bj)) bj = j; j += 1 }
+    val dp = math.toDegrees(dFin(bj))
+    DirSpec(fFin, dFin, s, hs, tp, dtp, dp)
   }
 }

@@ -153,7 +153,9 @@ object Spectra {
                   pCol: String, uCol: String, vCol: String,
                   depth: Double, zp: Double, zuv: Double, fs: Double,
                   nfft: Int, dres: Int, method: String, miter: Int,
-                  fmin: Double, fmax: Double): Dataset[DirSpecRow] = {
+                  fmin: Double, fmax: Double, smooth: Boolean = true,
+                  interpTo: Option[(Array[Double], Array[Double])] = None)
+      : Dataset[DirSpecRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     val ds = df.select(col(burstCol).cast("long").as("_1"),
@@ -167,7 +169,7 @@ object Spectra {
         Array(rows.map(_._3), rows.map(_._4), rows.map(_._5)),
         Array("pres", "velx", "vely"),
         Array(Array(0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0), Array(zp, zuv, zuv)),
-        depth, fs, nfft, dres, method, miter, fmin, fmax)
+        depth, fs, nfft, dres, method, miter, fmin, fmax, smooth, interpTo)
       Iterator.single(
         DirSpecRow(k, d.hs, d.tp, d.dtp, d.dp, d.freqs.length, d.dirs.length))
     }

@@ -139,6 +139,21 @@ object WaveQueries {
           fmin = 0.05, fmax = 0.45).toDF()
       }, None),
 
+    // full reference pipeline variant: estimator → interpspec onto the user
+    // SM grid (flo..fhi step, dres dirs) → smoothspec → infospec
+    // (pyDIWASP dirspec.py:162-168, stglib/core/waves.py:15-260 grid config)
+    Q("diwasp_interp",
+      (s, dir) => {
+        val b = puvBursts(s, dir)
+        val fUser = Array.tabulate(41)(i => 0.05 + i * 0.01)
+        val dUser = Array.tabulate(72)(j => -math.Pi + j * 2.0 * math.Pi / 72)
+        Spectra.diwaspStats(b, "burst", "sample", "p", "u", "v",
+          depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0,
+          nfft = 256, dres = 90, method = "DFTM", miter = 0,
+          fmin = 0.05, fmax = 0.45, smooth = true,
+          interpTo = Some((fUser, dUser))).toDF()
+      }, None),
+
     // zero-phase Butterworth low-pass per user series (filtered water level,
     // stglib/core/utils.py:1715-1756)
     Q("butter_lowpass",

@@ -91,4 +91,46 @@ class DiwaspSpec extends AnyFunSuite {
     assert(math.abs(d2.dtp - (-60.0)) < 15.0, s"DTp=${d2.dtp}")
     assert(math.abs(d1.dtp - d2.dtp) > 45.0)
   }
+
+  test("smoothSpec: flat spectrum is a fixed point; kernel conserves level") {
+    val flat = Array.fill(12, 16)(2.5)
+    val sm = Diwasp.smoothSpec(flat)
+    for (i <- 2 until 10; j <- 2 until 14)
+      assert(math.abs(sm(i)(j) - 2.5) < 1e-12)
+    // edges untouched (reference smooths only the interior region)
+    assert(sm(0)(0) == 2.5 && sm(11)(15) == 2.5)
+  }
+
+  test("smoothSpec reduces a single spike and spreads it along both axes") {
+    val s = Array.fill(12, 16)(0.0)
+    s(6)(8) = 10.0
+    val sm = Diwasp.smoothSpec(s)
+    assert(sm(6)(8) < 10.0)
+    assert(sm(5)(8) > 0 && sm(4)(8) > 0 && sm(6)(7) > 0 && sm(6)(6) > 0)
+    assert(sm(3)(8) == 0.0) // 5-point kernel reach only
+  }
+
+  test("interpSpec: identity on the same grid, circular direction wrap") {
+    val f = Array.tabulate(10)(i => 0.05 + i * 0.05)
+    val d = Array.tabulate(8)(j => -math.Pi + j * 2 * math.Pi / 8)
+    val s = Array.tabulate(10, 8)((i, j) => i * 1.0 + j * 0.1)
+    val same = Diwasp.interpSpec(f, d, s, f, d)
+    for (i <- 0 until 10; j <- 0 until 8)
+      assert(math.abs(same(i)(j) - s(i)(j)) < 1e-12)
+    // a direction 2pi above an existing grid point wraps onto it
+    val dWrapped = d.map(_ + 2 * math.Pi)
+    val wrapped = Diwasp.interpSpec(f, d, s, f, dWrapped)
+    for (i <- 0 until 10; j <- 0 until 8)
+      assert(math.abs(wrapped(i)(j) - s(i)(j)) < 1e-12)
+  }
+
+  test("interpSpec: out-of-range frequencies are zero (griddata NaN -> 0)") {
+    val f = Array(0.1, 0.2, 0.3)
+    val d = Array(-math.Pi, 0.0)
+    val s = Array.fill(3, 2)(1.0)
+    val out = Diwasp.interpSpec(f, d, s, Array(0.05, 0.15, 0.45), d)
+    assert(out(0).forall(_ == 0.0))
+    assert(out(1).forall(v => math.abs(v - 1.0) < 1e-12))
+    assert(out(2).forall(_ == 0.0))
+  }
 }
