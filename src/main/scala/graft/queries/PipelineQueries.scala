@@ -278,6 +278,8 @@ object PipelineQueries {
              |  CAST(64 + (length(text) % 7) * 32 AS INTEGER) AS height, 3 AS channels
              |FROM documents""".stripMargin)),
 
+    // documents are pure ASCII, so UTF-8 blob bytes == ascii codes and the
+    // 16-bin histogram / mean / entropy are SQL-expressible exactly
     Q("multimodal_features",
       (s, dir) => Multimodal.extractFeatures(
         documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
@@ -285,7 +287,28 @@ object PipelineQueries {
         .select(col("media_id"), col("width"), col("height"),
           round(col("mean_byte"), 8).as("mean_byte"),
           round(col("byte_entropy"), 8).as("byte_entropy")),
-      None),
+      Some("""WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n
+             |  FROM documents),
+             |bytes AS (
+             |  SELECT media_id, n, ascii(substr(text, CAST(i AS INT), 1)) AS byte
+             |  FROM (SELECT media_id, n, text,
+             |          unnest(generate_series(1, length(text))) AS i FROM b)),
+             |bins AS (SELECT media_id, n, byte // 16 AS bin, count(*) AS c
+             |  FROM bytes GROUP BY 1, 2, 3),
+             |agg AS (
+             |  SELECT media_id,
+             |    -sum((CAST(c AS DOUBLE)/n * ln(CAST(c AS DOUBLE)/n)) / ln(2))
+             |      AS entropy
+             |  FROM bins GROUP BY media_id),
+             |mb AS (SELECT media_id, CAST(sum(byte) AS DOUBLE)
+             |         / any_value(n) AS mean_byte
+             |       FROM bytes GROUP BY media_id)
+             |SELECT b.media_id,
+             |  CAST(64 + (ascii(substr(text, 1, 1)) % 8) * 32 AS INTEGER) AS width,
+             |  CAST(64 + (n % 7) * 32 AS INTEGER) AS height,
+             |  round(mb.mean_byte, 8) AS mean_byte,
+             |  round(agg.entropy, 8) AS byte_entropy
+             |FROM b JOIN mb USING (media_id) JOIN agg USING (media_id)""".stripMargin)),
 
     Q("multimodal_frames",
       (s, dir) => Multimodal.sampleFrames(
