@@ -1,7 +1,7 @@
 package graft.cli
 
 import graft.core.Meta
-import graft.io.{Config, Readers, Sink}
+import graft.io.{Config, Netcdf3, Readers, Rsk, Sink}
 import graft.ops.{Clip, Qaqc, Spectra, Trims, Burst}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -52,15 +52,56 @@ object RunOts {
     case "ingest" => ingest(spark, meta, input, output)
     case "clean"  => clean(spark, meta, input, output)
     case "waves"  => waves(spark, meta, input, output)
+    case "export" => export(spark, meta, input, output)
     case other    => throw new IllegalArgumentException(s"unknown step $other")
   }
 
-  /** Instrument file → renamed, clock-corrected long-format raw parquet. */
+  /** Instrument file → renamed, clock-corrected long-format raw parquet.
+    * Native `.rsk` (SQLite) deployments route to the binary reader; the CSV
+    * family goes through the framework reader (reference registry pattern,
+    * stglib/core/runcmd.py:527-599). */
   def ingest(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
-    val df = Readers.readInstrumentCsv(spark, input, meta)
+    val df =
+      if (input.toLowerCase.endsWith(".rsk")) {
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(input))
+        // tstamp is ms epoch (rsk2cdf.py); channelNN→EPIC names come from
+        // config keys `rename_<channel>` (the reference hardcodes channel01=
+        // pressure per instrument family)
+        var d = Rsk.readSeries(spark, bytes)
+          .withColumn("time", expr("timestamp_millis(tstamp)")).drop("tstamp")
+        meta.attrs.foreach { case (k, v) =>
+          if (k.startsWith("rename_") && d.columns.contains(k.stripPrefix("rename_")))
+            d = d.withColumnRenamed(k.stripPrefix("rename_"), v.toString)
+        }
+        Readers.withCfMetadata(d)
+      } else Readers.readInstrumentCsv(spark, input, meta)
     val shifted = Readers.applyClockError(df, "time", meta)
     Sink.writeParquet(shifted, output, Sink.insertHistory(meta,
       s"Ingested $input.", "1970-01-01T00:00:00Z"), float32 = false)
+  }
+
+  /** Final export: processed parquet → netCDF-3 classic (the reference's
+    * `to_netcdf(unlimited_dims=["time"])` sink). Numeric columns become
+    * record variables; metadata attrs travel as global attributes. */
+  def export(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
+    val df0 = spark.read.parquet(input)
+    val numeric = df0.schema.fields.filter(f => f.dataType.typeName match {
+      case "double" | "float" | "integer" | "long" | "timestamp" => true
+      case _ => false
+    }).map(_.name).toSeq
+    val ordered = (if (numeric.contains("time")) Seq("time") else Nil) ++
+      numeric.filterNot(_ == "time")
+    val df = df0.select(ordered.map { c =>
+      if (df0.schema(c).dataType.typeName == "timestamp")
+        (col(c).cast("double")).as(c) // CF seconds-since-epoch
+      else col(c)
+    }: _*)
+    val gatts = meta.attrs.toSeq.sortBy(_._1)
+      .map { case (k, v) => k -> v.toString }
+    val varAttrs = if (ordered.contains("time"))
+      Map("time" -> Seq("units" -> "seconds since 1970-01-01T00:00:00Z",
+        "standard_name" -> "time")) else Map.empty[String, Seq[(String, String)]]
+    Netcdf3.write(df, output, gatts, varAttrs)
   }
 
   /** Raw parquet → deployment clip → atmospheric correction → call_qaqc →

@@ -77,4 +77,30 @@ class RunOtsSpec extends AnyFunSuite {
     // provenance sidecar exists
     assert(new java.io.File(waves, "_graft_attrs.json").exists())
   }
+
+  test("native .rsk ingest and netCDF-3 export round the lifecycle") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_rsk").toFile
+    val rsk = getClass.getResource("/fixture.rsk").getPath
+    val meta = graft.core.Meta(Map(
+      "rename_channel01" -> "P_1", "rename_channel02" -> "S_41",
+      "filename" -> "test9999"))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    RunOts.runStep(spark, "rsk", "ingest", meta, rsk, raw)
+    val df = spark.read.parquet(raw)
+    assert(df.columns.toSet == Set("time", "P_1", "S_41"))
+    assert(df.count() == 6000)
+    val first = df.orderBy("time").limit(1).collect()(0)
+    assert(first.getTimestamp(df.columns.indexOf("time")).getTime == 1704067200000L)
+
+    val nc = new java.io.File(dir, "out.nc").getAbsolutePath
+    RunOts.runStep(spark, "rsk", "export", meta, raw, nc)
+    val read = graft.io.Netcdf3.read(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(nc)))
+    assert(read.numrecs == 6000)
+    assert(read.vars.map(_.name).contains("P_1"))
+    assert(read.attrs("filename") == "test9999")
+    assert(read.vars.find(_.name == "time").get.attrs("standard_name") == "time")
+    // time column exported as CF seconds since epoch
+    assert(read.column("time").min == 1704067200.0)
+  }
 }
