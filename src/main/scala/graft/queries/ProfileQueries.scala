@@ -282,6 +282,49 @@ object ProfileQueries {
              |  CASE WHEN value <= 90.0 THEN CAST(event_id % 360 AS DOUBLE) END AS azr
              |FROM events""".stripMargin)),
 
+    // trim_alt ("altitude" method): null data vars where the altimeter range
+    // is outside [Deadzone_m, Range_m] (stglib/eofe.py:700-739)
+    Q("trim_alt",
+      (s, dir) => {
+        val df = events(s, dir)
+          .withColumn("alt", col("value") / 10.0)
+          .withColumn("counts", (col("event_id") % 250).cast("double"))
+        val ok = col("alt") >= 0.5 && col("alt") <= 9.0
+        df.select(col("event_id"),
+          when(ok, col("alt")).as("alt"),
+          when(ok, col("counts")).as("counts"))
+      },
+      Some("""SELECT event_id,
+             |  CASE WHEN value/10.0 >= 0.5 AND value/10.0 <= 9.0
+             |       THEN value/10.0 END AS alt,
+             |  CASE WHEN value/10.0 >= 0.5 AND value/10.0 <= 9.0
+             |       THEN CAST(event_id % 250 AS DOUBLE) END AS counts
+             |FROM events""".stripMargin)),
+
+    // add_brange: per-profile bindist of the peak echo amplitude beyond the
+    // blanking distance (idxmax over bindist, stglib/sig/cdf2nc.py:1728-1806)
+    Q("add_brange",
+      (s, dir) => {
+        val df = lineitem(s, dir)
+          .withColumn("bindist", lit(0.25) + (col("l_linenumber") - 1) * 0.5)
+          .withColumn("amp", col("l_extendedprice") / 1000.0)
+          .filter(col("bindist") > 0.3)
+        // argmax via max(struct(amp, bindist)): map-side combinable, no
+        // window shuffle; ties break to the LARGER bindist deterministically
+        df.groupBy("l_orderkey")
+          .agg(max(struct(col("amp"), col("bindist"))).getField("bindist")
+            .as("brange"))
+      },
+      Some("""SELECT l_orderkey,
+             |  (max(struct_pack(amp := amp, bindist := bindist))).bindist AS brange
+             |FROM (
+             |  SELECT l_orderkey,
+             |    CAST(0.25 AS DOUBLE) + (l_linenumber - 1) * CAST(0.5 AS DOUBLE) AS bindist,
+             |    l_extendedprice / 1000.0 AS amp
+             |  FROM lineitem)
+             |WHERE bindist > 0.3
+             |GROUP BY l_orderkey""".stripMargin)),
+
     // clip_ds_prf: vertical bin range clip (stglib/core/utils.py:1812-1854)
     Q("clip_bindist",
       (s, dir) => graft.ops.Clip.clipBindist(
