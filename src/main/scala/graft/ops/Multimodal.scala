@@ -84,6 +84,46 @@ object Multimodal {
   /** Frame sampling for a (fake) video byte stream: every strideBytes-th
     * offset becomes a "frame" row — the explode stage of a real
     * frame-sampling pipeline (bounded output per input row). */
+  final case class ResizedRow(media_id: Long, out_w: Int, out_h: Int,
+                              resized: Array[Byte], checksum: Long)
+
+  /** STUB nearest-neighbor resize to (outW, outH): treats the blob as a
+    * (height × width) fake pixel grid per [[decodeStub]] with
+    * pixel(y, x) = bytes[(y·w + x) mod n], samples source pixels at
+    * sy = y·h/outH, sx = x·w/outW, and emits the resized blob plus an
+    * integer checksum. Real plumbing (schema, per-partition batches,
+    * binary out); a real implementation swaps the pixel getter for a
+    * decoded raster. */
+  def resizeStub(df: DataFrame, idCol: String, blobCol: String,
+                 outW: Int, outH: Int): Dataset[ResizedRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, _) = decodeStub(bytes)
+          val n = math.max(bytes.length, 1)
+          val out = new Array[Byte](outW * outH)
+          var sum = 0L
+          var y = 0
+          while (y < outH) {
+            val sy = y.toLong * h / outH
+            var x = 0
+            while (x < outW) {
+              val sx = x.toLong * w / outW
+              val px = bytes(((sy * w + sx) % n).toInt)
+              out(y * outW + x) = px
+              sum += px & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          ResizedRow(id, outW, outH, out, sum)
+        }
+      }
+  }
+
   final case class FrameRow(media_id: Long, frame_idx: Int, offset: Long, probe: Int)
 
   def sampleFrames(df: DataFrame, idCol: String, blobCol: String,

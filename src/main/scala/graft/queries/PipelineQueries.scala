@@ -310,6 +310,25 @@ object PipelineQueries {
              |  round(agg.entropy, 8) AS byte_entropy
              |FROM b JOIN mb USING (media_id) JOIN agg USING (media_id)""".stripMargin)),
 
+    // stubbed nearest-neighbor resize: blob-as-pixel-grid per decodeStub;
+    // checksum (sum of sampled bytes) is oracle-checkable since the docs
+    // are pure ASCII
+    Q("multimodal_resize",
+      (s, dir) => Multimodal.resizeStub(
+        documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
+        "doc_id", "blob", outW = 8, outH = 8).toDF()
+        .select("media_id", "out_w", "out_h", "checksum"),
+      Some("""WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n,
+             |    64 + (ascii(substr(text, 1, 1)) % 8) * 32 AS w,
+             |    64 + (length(text) % 7) * 32 AS h
+             |  FROM documents)
+             |SELECT media_id, 8 AS out_w, 8 AS out_h,
+             |  CAST(list_sum(list_transform(generate_series(0, 63), k ->
+             |    ascii(substr(text,
+             |      CAST((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) % n AS INT) + 1,
+             |      1)))) AS BIGINT) AS checksum
+             |FROM b""".stripMargin)),
+
     Q("multimodal_frames",
       (s, dir) => Multimodal.sampleFrames(
         documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
