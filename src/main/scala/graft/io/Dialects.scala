@@ -4,12 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Dedicated CSV dialects beyond the generic framework reader:
- * Marotte tilt current meter (stglib/mar.py:12-39) and Geolux wave radar
- * Campbell-logger TOA5 files (stglib/glx.py:12-65). Text-in APIs like the
- * other instrument readers; multi-file deployments parallelize via
- * binaryFile with one decode task per file (the reference's glob-concat
- * becomes Spark's native multi-file scan).
+ * Dedicated CSV dialects beyond the generic framework reader: Marotte
+ * (stglib/mar.py:12-39), Geolux/Campbell TOA5 (stglib/glx.py:12-65,
+ * stglib/met.py:30-47), Lowell TCM (stglib/tcm.py:13-50), Mayfly
+ * (stglib/met.py:9-27), WET Labs ECO NTU/PAR (stglib/eco.py:8-97),
+ * SBE 37 MicroCAT .asc (stglib/mc.py:7-57), Aqua TROLL
+ * (stglib/troll.py:118-152), TruBlue 255 (stglib/tb.py:9-103).
+ * Text-in APIs like the other instrument readers; multi-file deployments
+ * parallelize via binaryFile with one decode task per file (the
+ * reference's glob-concat becomes Spark's native multi-file scan).
  */
 object Dialects {
 
@@ -52,5 +55,146 @@ object Dialects {
     typed.withColumn("time", to_timestamp(col("TIMESTAMP")))
       .drop("TIMESTAMP")
       .orderBy("time")
+  }
+
+  final case class TcmRow(time: String, speed: Double, bearing: Double,
+                          vel_n: Double, vel_e: Double)
+
+  /** Lowell TCM _CR.txt: one header row, (DateTime, Speed, Bearing,
+    * Velocity-N, Velocity-E). */
+  def readTcm(spark: SparkSession, text: String, skipRows: Int = 1): DataFrame = {
+    import spark.implicits._
+    val rows = text.linesIterator.drop(skipRows).filter(_.trim.nonEmpty).map { l =>
+      val c = l.split(",").map(_.trim)
+      TcmRow(c(0), c(1).toDouble, c(2).toDouble, c(3).toDouble, c(4).toDouble)
+    }.toSeq
+    spark.createDataset(rows).toDF()
+      .withColumn("time", to_timestamp(col("time")))
+  }
+
+  /** EnviroDIY Mayfly: 7 preamble rows, header row, -9999 = missing. */
+  def readMayfly(spark: SparkSession, text: String, skipRows: Int = 7): DataFrame = {
+    import spark.implicits._
+    val lines = text.linesIterator.drop(skipRows).toSeq
+    val names = lines.head.split(",").map(_.trim).toSeq
+    val data = lines.tail.filter(_.trim.nonEmpty)
+      .map(_.split(",").map(_.trim).toSeq.padTo(names.length, ""))
+    val df = spark.createDataset(data).toDF("r")
+      .select(names.zipWithIndex.map { case (n, i) => col("r")(i).as(n) }: _*)
+    val typed = names.foldLeft(df) { (d, n) =>
+      if (n == "Date and Time in UTC") d
+      else d.withColumn(n,
+        when(col(n) === "-9999", lit(null)).otherwise(col(n)).cast("double"))
+    }
+    typed.withColumn("time", to_timestamp(col("Date and Time in UTC")))
+      .drop("Date and Time in UTC")
+  }
+
+  /** Campbell Scientific met logger .dat — same TOA5 envelope as Geolux
+    * with "NAN" missing values (met.py:30-47). */
+  def readCampbell(spark: SparkSession, text: String): DataFrame = {
+    val df = readGeolux(spark,
+      text.replaceAll("(?<=,)\"?NAN\"?(?=,|$)", ""))
+    df
+  }
+
+  final case class EcoRow(time: String, counts: Double)
+
+  /** WET Labs ECO NTU/PAR tab-separated log: (date, time, [a,] counts
+    * [, b]); countsIdx selects the counts column (PAR=2, NTU=3). */
+  def readEco(spark: SparkSession, text: String, countsIdx: Int): DataFrame = {
+    import spark.implicits._
+    val rows = text.linesIterator.filter(_.trim.nonEmpty).flatMap { l =>
+      val c = l.trim.split("\t").map(_.trim)
+      if (c.length <= countsIdx) None
+      else scala.util.Try(EcoRow(c(0) + " " + c(1), c(countsIdx).toDouble)).toOption
+    }.toSeq
+    spark.createDataset(rows).toDF()
+      .withColumn("time", to_timestamp(col("time"), "MM/dd/yy HH:mm:ss"))
+  }
+
+  final case class McRow(time: String, temp: Double, cond: Double, sal: Double)
+
+  /** SBE 37 MicroCAT .asc: *-prefixed header block, then
+    * (Temp, Cond, Sal, Date, Time) rows. */
+  def readMicrocat(spark: SparkSession, text: String): DataFrame = {
+    import spark.implicits._
+    val rows = text.linesIterator
+      .filterNot(l => l.startsWith("*") || l.trim.isEmpty)
+      .flatMap { l =>
+        val c = l.split(",").map(_.trim)
+        if (c.length < 5) None
+        else scala.util.Try(McRow(c(3) + " " + c(4),
+          c(0).toDouble, c(1).toDouble, c(2).toDouble)).toOption
+      }.toSeq
+    spark.createDataset(rows).toDF()
+      .withColumn("time", to_timestamp(col("time"), "dd MMM yyyy HH:mm:ss"))
+  }
+
+  /** MicroCAT .asc header scrape (mc.py:39-57). */
+  def microcatHeader(text: String): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    text.linesIterator.takeWhile(_.contains("*")).foreach { line =>
+      val col = line.trim.split("\\s+")
+      if (line.contains("SERIAL NO.")) {
+        m("serial_number") = col(6); m("instrument_type") = col(1)
+      } else if (line.contains("sample interval")) m("sample_interval") = col(4)
+    }
+    m.toMap
+  }
+
+  /** Aqua TROLL exported csv: skiprows preamble, header row with unit
+    * suffixes, first column is the timestamp (troll.py:118-152). */
+  def readAquatroll(spark: SparkSession, text: String, skipRows: Int = 69): DataFrame = {
+    import spark.implicits._
+    val renames = Map(
+      "Temperature (C)" -> "temperature",
+      "Actual Conductivity (µS/cm)" -> "conductivity",
+      "Pressure (kPa)" -> "pressure", "Pressure (PSI)" -> "pressure",
+      "Date and Time (UTC)" -> "time", "Date and Time" -> "time")
+    val lines = text.linesIterator.drop(skipRows).toSeq
+    val names0 = lines.head.split(",").map(_.trim).toSeq
+    val names = names0.map(n => renames.getOrElse(n, n))
+    val data = lines.tail.filter(_.trim.nonEmpty)
+      .map(_.split(",").map(_.trim).toSeq.padTo(names.length, ""))
+    val df = spark.createDataset(data).toDF("r")
+      .select(names.zipWithIndex.map { case (n, i) => col("r")(i).as(n) }: _*)
+    names.foldLeft(df) { (d, n) =>
+      if (n == "time") d.withColumn("time", to_timestamp(col("time")))
+      else d.withColumn(n, col(n).cast("double"))
+    }
+  }
+
+  final case class TbRow(time: String, elapsed: Double, p_1: Double, t_28: Double)
+
+  /** TruBlue 255 csv: keyword header block to "ID,Name,Address", then
+    * (ID, Name, Address, time, Elapsed, P_1, T_28) rows (tb.py:9-103). */
+  def readTruBlue(spark: SparkSession, text: String): DataFrame = {
+    import spark.implicits._
+    val rows = text.linesIterator
+      .dropWhile(l => !l.contains("ID,Name,Address")).drop(1)
+      .filter(_.trim.nonEmpty)
+      .flatMap { l =>
+        val c = l.split(",").map(_.trim)
+        if (c.length < 7) None
+        else scala.util.Try(TbRow(c(3), c(4).toDouble, c(5).toDouble,
+          c(6).toDouble)).toOption
+      }.toSeq
+    spark.createDataset(rows).toDF()
+      .withColumn("time", to_timestamp(col("time")))
+      .withColumnRenamed("p_1", "P_1").withColumnRenamed("t_28", "T_28")
+  }
+
+  /** TruBlue header scrape (tb.py:9-47). */
+  def truBlueHeader(text: String): Map[String, String] = {
+    val m = scala.collection.mutable.Map.empty[String, String]
+    text.linesIterator.takeWhile(l => !l.contains("ID,Name,Address")).foreach { line =>
+      val col = line.trim.split("\\s+")
+      if (line.contains("Transducer Model")) m("TransducerModel") = col(3)
+      else if (line.contains("Transducer Serial")) m("serial_number") = col(3)
+      else if (line.contains("Scan Type")) m("ScanType") = col(2)
+      else if (line.contains("Firmware Version")) m("FirmwareVersion") = col(2)
+    }
+    m.toMap
   }
 }

@@ -39,4 +39,82 @@ class DialectsSpec extends AnyFunSuite {
     assert(r.getTimestamp(df.columns.indexOf("time")).toInstant.toString ==
       "2024-03-01T00:00:01Z")
   }
+
+  test("Lowell TCM _CR.txt rows") {
+    val txt = """DateTime,Speed (cm/s),Bearing (deg),Velocity-N (cm/s),Velocity-E (cm/s)
+                |2024-03-01 00:00:00,5.2,184.0,-5.19,-0.36
+                |2024-03-01 00:00:30,5.4,186.0,-5.37,-0.56
+                |""".stripMargin
+    val df = Dialects.readTcm(spark, txt)
+    assert(df.count() == 2)
+    val r = df.orderBy("time").collect()(0)
+    assert(r.getDouble(df.columns.indexOf("speed")) == 5.2)
+    assert(r.getDouble(df.columns.indexOf("vel_n")) == -5.19)
+  }
+
+  test("Mayfly csv with -9999 missing values") {
+    val txt = (Seq.fill(7)("preamble") ++ Seq(
+      "Date and Time in UTC,Temp,Turb",
+      "2024-03-01 00:00:00,18.5,12.1",
+      "2024-03-01 00:15:00,-9999,12.2")).mkString("\n")
+    val df = Dialects.readMayfly(spark, txt)
+    assert(df.count() == 2)
+    val rows = df.orderBy("time").collect()
+    assert(rows(0).getDouble(df.columns.indexOf("Temp")) == 18.5)
+    assert(rows(1).isNullAt(df.columns.indexOf("Temp")))
+  }
+
+  test("ECO NTU/PAR tab-separated with counts column selection") {
+    val par = "05/01/24\t12:00:00\t512\n05/01/24\t12:00:01\t514\n"
+    val dfPar = Dialects.readEco(spark, par, countsIdx = 2)
+    assert(dfPar.count() == 2)
+    assert(dfPar.orderBy("time").collect()(0).getDouble(1) == 512.0)
+    val ntu = "05/01/24\t12:00:00\t700\t123\t456\n"
+    val dfNtu = Dialects.readEco(spark, ntu, countsIdx = 3)
+    assert(dfNtu.collect()(0).getDouble(1) == 123.0)
+  }
+
+  test("MicroCAT .asc with header scrape") {
+    val txt = """* SBE37-SM V 2.6b  SERIAL NO. 1234  01 Mar 2024  00:00:00
+                |* sample interval = 60 seconds
+                |*S>
+                | 18.7301, 4.23450, 29.9182, 01 Mar 2024, 00:00:00
+                | 18.7302, 4.23455, 29.9183, 01 Mar 2024, 00:01:00
+                |""".stripMargin
+    val hdr = Dialects.microcatHeader(txt)
+    assert(hdr("serial_number") == "1234")
+    assert(hdr("sample_interval") == "60")
+    val df = Dialects.readMicrocat(spark, txt)
+    assert(df.count() == 2)
+    val r = df.orderBy("time").collect()(0)
+    assert(r.getDouble(df.columns.indexOf("temp")) == 18.7301)
+    assert(r.getTimestamp(0).toInstant.toString == "2024-03-01T00:00:00Z")
+  }
+
+  test("Aqua TROLL csv with unit-suffix column renames") {
+    val txt = (Seq.fill(3)("preamble") ++ Seq(
+      "Date and Time (UTC),Temperature (C),Actual Conductivity (\u00b5S/cm),Pressure (PSI)",
+      "2024-03-01 00:00:00,18.5,30123.0,14.7",
+      "2024-03-01 00:01:00,18.6,30150.0,14.8")).mkString("\n")
+    val df = Dialects.readAquatroll(spark, txt, skipRows = 3)
+    assert(df.columns.toSet == Set("time", "temperature", "conductivity", "pressure"))
+    assert(df.count() == 2)
+    assert(df.orderBy("time").collect()(0).getDouble(
+      df.columns.indexOf("conductivity")) == 30123.0)
+  }
+
+  test("TruBlue csv with keyword header block") {
+    val txt = """Transducer Model : TB255
+                |Transducer Serial : 998877
+                |Scan Type : Normal
+                |ID,Name,Address,Scan Date & Time,Elapsed Time,Pressure,Temperature
+                |1,TB,0,2024-03-01 00:00:00,0.0,10.13,18.2
+                |2,TB,0,2024-03-01 00:10:00,600.0,10.14,18.3
+                |""".stripMargin
+    assert(Dialects.truBlueHeader(txt)("serial_number") == "998877")
+    val df = Dialects.readTruBlue(spark, txt)
+    assert(df.count() == 2)
+    val r = df.orderBy("time").collect()(1)
+    assert(r.getDouble(df.columns.indexOf("P_1")) == 10.14)
+  }
 }
