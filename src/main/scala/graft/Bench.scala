@@ -34,7 +34,8 @@ object Bench {
     val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
     // keep the JSON line short (ms precision): the driver captures only the
     // tail of the build output and must be able to parse this line whole
-    def r3(v: Double): String = f"$v%.3f"
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

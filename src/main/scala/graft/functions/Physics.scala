@@ -72,7 +72,7 @@ object Physics {
     val rho0 = lit(999.842594) + lit(0.06793952) * t + lit(-0.00909529) * t2 +
       lit(1.001685e-4) * t2 * t + lit(-1.120083e-6) * t2 * t2 +
       lit(6.536332e-9) * t2 * t2 * t
-    val a = lit(0.824493) + lit(-0.004089) * t + lit(7.6438e-5) * t2 +
+    val a = lit(0.824493) + lit(-4.0899e-3) * t + lit(7.6438e-5) * t2 +
       lit(-8.2467e-7) * t2 * t + lit(5.3875e-9) * t2 * t2
     val b = lit(-0.00572466) + lit(1.0227e-4) * t + lit(-1.6546e-6) * t2
     val rhoST0 = rho0 + a * s + b * s * sqrt(s) + lit(0.000483140) * s * s

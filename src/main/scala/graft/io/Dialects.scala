@@ -90,13 +90,11 @@ object Dialects {
       .drop("Date and Time in UTC")
   }
 
-  /** Campbell Scientific met logger .dat — same TOA5 envelope as Geolux
-    * with "NAN" missing values (met.py:30-47). */
-  def readCampbell(spark: SparkSession, text: String): DataFrame = {
-    val df = readGeolux(spark,
-      text.replaceAll("(?<=,)\"?NAN\"?(?=,|$)", ""))
-    df
-  }
+  /** Campbell Scientific met logger .dat — same TOA5 envelope as Geolux;
+    * "NAN" missing values become null via the failed double cast
+    * (met.py:30-47). */
+  def readCampbell(spark: SparkSession, text: String): DataFrame =
+    readGeolux(spark, text)
 
   final case class EcoRow(time: String, counts: Double)
 

@@ -63,6 +63,16 @@ object Netcdf3 {
   def write(df: DataFrame, path: String, attrs: Seq[(String, String)] = Nil,
             varAttrs: Map[String, Seq[(String, String)]] = Map.empty): Long = {
     val fields = df.schema.fields.toSeq
+    // fail BEFORE any bytes hit disk: a non-numeric column would otherwise
+    // throw mid-stream and leave a corrupt half-written file
+    val bad = fields.filterNot(f => f.dataType match {
+      case DoubleType | FloatType | IntegerType | LongType | ShortType |
+           ByteType => true
+      case _ => false
+    })
+    require(bad.isEmpty,
+      s"netCDF-3 export supports numeric columns only; cast or drop: " +
+        bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
     val types = fields.map(f => ncType(f.dataType))
     val recSize = types.map(ncSize).sum
 

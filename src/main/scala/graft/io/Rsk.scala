@@ -25,9 +25,10 @@ object Rsk {
       val vals = rows.iterator.map(_(i)).filter(_ != null)
       var dt: DataType = null
       vals.foreach {
-        case _: java.lang.Double => dt = DoubleType // promotes over LongType
+        case _: java.lang.Double => if (dt != StringType) dt = DoubleType
         case _: java.lang.Long => if (dt == null) dt = LongType
-        case _: String => if (dt == null) dt = StringType
+        case _: String =>
+          if (dt == null || dt == LongType) dt = StringType // mixed → text
         case _: Array[Byte] => if (dt == null) dt = BinaryType
         case _ => ()
       }
@@ -37,6 +38,8 @@ object Rsk {
   private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (x: java.lang.Long, DoubleType) => x.toDouble
+    case (x: java.lang.Long, StringType) => x.toString
+    case (x: java.lang.Double, StringType) => x.toString
     case (x, _) => x
   }
 
@@ -46,11 +49,16 @@ object Rsk {
     val info = db.tables.getOrElse(table.toLowerCase,
       throw new NoSuchElementException(
         s"table $table not in ${db.tables.keys.mkString(", ")}"))
-    val rows = Sqlite.scanTable(db, info.rootPage)
+    val rows = Sqlite.scanTable(db, info.rootPage, info.rowidAlias)
     val schema = inferSchema(info.columns, rows)
-    val data = rows.map(r => Row.fromSeq(
-      r.take(info.columns.length).zip(schema.fields)
-        .map { case (v, f) => coerce(v, f.dataType) }))
+    // old records may be SHORTER than the schema (ALTER TABLE ADD COLUMN
+    // leaves existing rows with fewer serial types) — pad with nulls
+    val data = rows.map { r =>
+      val padded = r.take(info.columns.length)
+        .padTo(info.columns.length, null: Any)
+      Row.fromSeq(padded.zip(schema.fields)
+        .map { case (v, f) => coerce(v, f.dataType) })
+    }
     spark.createDataFrame(
       spark.sparkContext.parallelize(data,
         math.max(1, spark.sparkContext.defaultParallelism)), schema)

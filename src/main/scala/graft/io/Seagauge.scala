@@ -74,6 +74,9 @@ object Seagauge {
         val burst = col(1).toLong
         val start = col(2).toLong
         val nsamps = col(4).toInt
+        // floor(nsamps/4) full 4-column lines, matching the reference's
+        // math.floor(sample_no/4) — a trailing partial line is dropped by
+        // the instrument format (sgutils.py:119-121)
         val rows = nsamps / 4
         var s = 0L
         (0 until rows).foreach { _ =>

@@ -84,7 +84,8 @@ object Son81R {
       // the switch command's NDataPoints
       val dataOff = swOff + ph.switchBytes + ph.returnHeaderBytes
       PingRow(ph.pingNumber, ph.timeRaw, headPosition, headAngle,
-        stepDirection, java.util.Arrays.copyOfRange(rec, dataOff, total - 1))
+        stepDirection,
+        java.util.Arrays.copyOfRange(rec, dataOff, math.max(dataOff, total - 1)))
     }
   }
 }

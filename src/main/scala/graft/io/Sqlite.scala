@@ -21,7 +21,8 @@ object Sqlite {
 
   final case class Db(bytes: Array[Byte], pageSize: Int,
                       tables: Map[String, TableInfo])
-  final case class TableInfo(name: String, rootPage: Int, columns: Seq[String])
+  final case class TableInfo(name: String, rootPage: Int, columns: Seq[String],
+                             rowidAlias: Boolean)
 
   private def u16(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
@@ -51,11 +52,21 @@ object Sqlite {
     val tables = scanTable(db0, 1).flatMap { rec =>
       (rec(0), rec(1), rec(3), rec(4)) match {
         case ("table", name: String, root: Long, sql: String) =>
-          Some(name.toLowerCase -> TableInfo(name, root.toInt, parseColumns(sql)))
+          Some(name.toLowerCase -> TableInfo(name, root.toInt,
+            parseColumns(sql), hasRowidAlias(sql)))
         case _ => None
       }
     }.toMap
     db0.copy(tables = tables)
+  }
+
+  /** True when the FIRST column is declared INTEGER PRIMARY KEY — SQLite
+    * then stores it as the rowid and records carry serial type NULL there
+    * (fileformat2.html "rowid aliases"). */
+  private[io] def hasRowidAlias(sql: String): Boolean = {
+    val body = sql.substring(sql.indexOf('(') + 1)
+    val firstDef = body.split(",")(0).trim.toLowerCase
+    firstDef.matches(".*\\binteger\\s+primary\\s+key\\b.*")
   }
 
   /** Column names from CREATE TABLE DDL (top-level comma split; first token
@@ -82,13 +93,19 @@ object Sqlite {
     * null / Long / Double / String / Array[Byte]; element 0 substitutes the
     * rowid when the first column is an INTEGER PRIMARY KEY alias (serial
     * type NULL in the record). */
-  def scanTable(db: Db, page: Int): Seq[Seq[Any]] = {
+  def scanTable(db: Db, page: Int): Seq[Seq[Any]] =
+    scanTable(db, page, rowidAlias = true)
+
+  /** rowidAlias governs whether a NULL serial type in column 0 is replaced
+    * by the record's rowid (INTEGER PRIMARY KEY alias) or kept as NULL. */
+  def scanTable(db: Db, page: Int, rowidAlias: Boolean): Seq[Seq[Any]] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
-    walk(db, page, out)
+    walk(db, page, out, rowidAlias)
     out.toSeq
   }
 
-  private def walk(db: Db, page: Int, out: scala.collection.mutable.ArrayBuffer[Seq[Any]]): Unit = {
+  private def walk(db: Db, page: Int, out: scala.collection.mutable.ArrayBuffer[Seq[Any]],
+                   rowidAlias: Boolean): Unit = {
     val b = db.bytes
     val base = (page - 1) * db.pageSize
     val hdr = if (page == 1) base + 100 else base
@@ -97,8 +114,8 @@ object Sqlite {
     ptype match {
       case 0x05 => // interior table page
         val cellPtrs = (0 until ncells).map(i => base + u16(b, hdr + 12 + 2 * i))
-        cellPtrs.foreach { off => walk(db, u32(b, off).toInt, out) }
-        walk(db, u32(b, hdr + 8).toInt, out) // rightmost child
+        cellPtrs.foreach { off => walk(db, u32(b, off).toInt, out, rowidAlias) }
+        walk(db, u32(b, hdr + 8).toInt, out, rowidAlias) // rightmost child
       case 0x0d => // leaf table page
         var i = 0
         while (i < ncells) {
@@ -106,7 +123,7 @@ object Sqlite {
           val (payloadLen, n1) = varint(b, off)
           val (rowid, n2) = varint(b, off + n1)
           val payload = readPayload(db, off + n1 + n2, payloadLen.toInt)
-          out += decodeRecord(payload, rowid)
+          out += decodeRecord(payload, rowid, rowidAlias)
           i += 1
         }
       case other =>
@@ -138,7 +155,8 @@ object Sqlite {
     payload
   }
 
-  private def decodeRecord(p: Array[Byte], rowid: Long): Seq[Any] = {
+  private def decodeRecord(p: Array[Byte], rowid: Long,
+                           rowidAlias: Boolean): Seq[Any] = {
     val (hdrLen, n0) = varint(p, 0)
     val types = scala.collection.mutable.ArrayBuffer.empty[Long]
     var o = n0
@@ -151,7 +169,7 @@ object Sqlite {
     types.zipWithIndex.map { case (t, idx) =>
       val bb = ByteBuffer.wrap(p).order(ByteOrder.BIG_ENDIAN)
       t match {
-        case 0 => if (idx == 0) rowid else null // INTEGER PRIMARY KEY alias
+        case 0 => if (idx == 0 && rowidAlias) rowid else null
         case 1 => val v = p(data).toLong; data += 1; v
         case 2 => val v = bb.getShort(data).toLong; data += 2; v
         case 3 =>

@@ -97,14 +97,22 @@ object Dedup {
     * shuffle (vs exploding k rows per shingle, which shuffles k× the data). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int, shingleK: Int = 3): DataFrame = {
+    val wide = wideSignatures(df, idCol, textCol, numHashes, shingleK)
+    val stack = (0 until numHashes).map(i => s"$i, mh$i").mkString(", ")
+    wide.selectExpr(idCol, s"stack($numHashes, $stack) as (i, minhash)")
+  }
+
+  /** Wide MinHash signatures (id, mh0..mh{k-1}): ONE aggregation over the
+    * spread shingle rows — the shared core of [[minhashSignatures]] (long
+    * format) and [[minhashLshPairs]] (bands + estimates). */
+  def wideSignatures(df: DataFrame, idCol: String, textCol: String,
+                     numHashes: Int, shingleK: Int = 3): DataFrame = {
     val sh = charShingles(Spread.byKey(df, col(idCol)), idCol, textCol, shingleK)
       .withColumn("x", shingleKey(col("sh")).cast("long"))
     val aggs = hashParams(numHashes).map { case (i, a, b) =>
       min((lit(a) * col("x") + lit(b)) % P).as(s"mh$i")
     }
-    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-    val stack = (0 until numHashes).map(i => s"$i, mh$i").mkString(", ")
-    wide.selectExpr(idCol, s"stack($numHashes, $stack) as (i, minhash)")
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: (id, band, key) where key concatenates the band's
@@ -126,14 +134,7 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int, bands: Int, estThreshold: Double): DataFrame = {
     val rows = numHashes / bands
-    // repartition by id: spreads the explode across the cluster AND makes the
-    // groupBy(id) aggregation shuffle-free (already clustered on the key)
-    val sh = charShingles(Spread.byKey(df, col(idCol)), idCol, textCol, 3)
-      .withColumn("x", shingleKey(col("sh")).cast("long"))
-    val aggs = hashParams(numHashes).map { case (i, a, b) =>
-      min((lit(a) * col("x") + lit(b)) % P).as(s"mh$i")
-    }
-    val wide = sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val wide = wideSignatures(df, idCol, textCol, numHashes)
     // one row per (doc, band); key = comma-joined band slice of the signature
     val bandStructs = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),

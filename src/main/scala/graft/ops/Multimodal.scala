@@ -103,7 +103,9 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val (w, h, _) = decodeStub(bytes)
-          val n = math.max(bytes.length, 1)
+          if (bytes.isEmpty) ResizedRow(id, outW, outH, new Array[Byte](outW * outH), 0L)
+          else {
+          val n = bytes.length
           val out = new Array[Byte](outW * outH)
           var sum = 0L
           var y = 0
@@ -120,6 +122,7 @@ object Multimodal {
             y += 1
           }
           ResizedRow(id, outW, outH, out, sum)
+          }
         }
       }
   }

@@ -40,7 +40,7 @@ object PhysicsQueries {
   private def rhoEos80Sql: String =
     """(999.842594 + 0.06793952*t + (-0.00909529)*(t*t) + 1.001685e-4*(t*t)*t
       |   + (-1.120083e-6)*(t*t)*(t*t) + 6.536332e-9*(t*t)*(t*t)*t
-      | + (0.824493 + (-0.004089)*t + 7.6438e-5*(t*t) + (-8.2467e-7)*(t*t)*t
+      | + (0.824493 + (-4.0899e-3)*t + 7.6438e-5*(t*t) + (-8.2467e-7)*(t*t)*t
       |    + 5.3875e-9*(t*t)*(t*t))*s
       | + ((-0.00572466) + 1.0227e-4*t + (-1.6546e-6)*(t*t))*s*sqrt(s)
       | + 0.000483140*s*s)
