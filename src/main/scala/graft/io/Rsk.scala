@@ -49,16 +49,14 @@ object Rsk {
     val info = db.tables.getOrElse(table.toLowerCase,
       throw new NoSuchElementException(
         s"table $table not in ${db.tables.keys.mkString(", ")}"))
-    val rows = Sqlite.scanTable(db, info.rootPage, info.rowidAlias)
-    val schema = inferSchema(info.columns, rows)
     // old records may be SHORTER than the schema (ALTER TABLE ADD COLUMN
-    // leaves existing rows with fewer serial types) — pad with nulls
-    val data = rows.map { r =>
-      val padded = r.take(info.columns.length)
-        .padTo(info.columns.length, null: Any)
-      Row.fromSeq(padded.zip(schema.fields)
-        .map { case (v, f) => coerce(v, f.dataType) })
-    }
+    // leaves existing rows with fewer serial types) — pad with nulls BEFORE
+    // type inference indexes every column
+    val rows = Sqlite.scanTable(db, info.rootPage, info.rowidAlias)
+      .map(_.take(info.columns.length).padTo(info.columns.length, null: Any))
+    val schema = inferSchema(info.columns, rows)
+    val data = rows.map(r => Row.fromSeq(r.zip(schema.fields)
+      .map { case (v, f) => coerce(v, f.dataType) }))
     spark.createDataFrame(
       spark.sparkContext.parallelize(data,
         math.max(1, spark.sparkContext.defaultParallelism)), schema)
