@@ -104,6 +104,27 @@ object Aquadopp {
     spark.createDataset(rows).toDF("ens", "bin", valueCol)
   }
 
+  /** Aquadopp waves `.wad` (stglib/aqd/wvswad2cdf.py:152-206): whitespace
+    * rows; columns 2,5,6,7,9,10,11 are pressure, three velocities (named by
+    * coordinate system), three amplitudes. Rows reshape to (burst, sample)
+    * by WaveNumberOfSamples, truncated to the last full burst. */
+  def readWad(spark: SparkSession, text: String, samplesPerBurst: Int,
+              coordSystem: String): DataFrame = {
+    import spark.implicits._
+    val vels = velNames(coordSystem)
+    val rows = text.linesIterator.filter(_.trim.nonEmpty).zipWithIndex.map {
+      case (line, i) =>
+        val c = line.trim.split("\\s+")
+        (i.toLong / samplesPerBurst, i.toLong % samplesPerBurst,
+          c(2).toDouble, c(5).toDouble, c(6).toDouble, c(7).toDouble,
+          c(9).toDouble, c(10).toDouble, c(11).toDouble)
+    }.toSeq
+    val nburst = rows.length / samplesPerBurst // truncate to full bursts
+    spark.createDataset(rows.take(nburst * samplesPerBurst))
+      .toDF("burst", "sample", "pressure",
+        vels(0), vels(1), vels(2), "amp1", "amp2", "amp3")
+  }
+
   /** Velocity variable names by coordinate system (hdr2cdf.py:135-141). */
   def velNames(coordSystem: String): Seq[String] = coordSystem match {
     case "BEAM" => Seq("VEL1", "VEL2", "VEL3")

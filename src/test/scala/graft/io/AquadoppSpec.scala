@@ -72,4 +72,18 @@ class AquadoppSpec extends AnyFunSuite {
     assert(Aquadopp.velNames("ENU") == Seq("U", "V", "W"))
     assert(Aquadopp.velNames("BEAM") == Seq("VEL1", "VEL2", "VEL3"))
   }
+
+  test("wad wave bursts reshape and truncate to full bursts") {
+    // 5 rows, 2 samples/burst -> last row truncated
+    val wad = (0 until 5).map { i =>
+      s"3 1 ${10.0 + i} 0 0 ${0.1 * i} ${0.2 * i} ${0.3 * i} 0 $i ${i + 1} ${i + 2} 0"
+    }.mkString("\n")
+    val df = Aquadopp.readWad(spark, wad, samplesPerBurst = 2, coordSystem = "ENU")
+    assert(df.count() == 4)
+    assert(df.columns.toSeq == Seq("burst", "sample", "pressure",
+      "U", "V", "W", "amp1", "amp2", "amp3"))
+    val r = df.filter("burst = 1 AND sample = 1").collect()(0)
+    assert(r.getDouble(df.columns.indexOf("pressure")) == 13.0)
+    assert(r.getDouble(df.columns.indexOf("amp1")) == 3.0)
+  }
 }
