@@ -74,6 +74,11 @@ object RunOts {
             d = d.withColumnRenamed(k.stripPrefix("rename_"), v.toString)
         }
         Readers.withCfMetadata(d)
+      } else if (input.toLowerCase.endsWith(".log")) {
+        // EofE ECHOLOGGER point data; time parsed from the per-ping UTC stamp
+        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(input))
+        graft.io.Eofe.readPoint(spark, bytes)
+          .withColumn("time", to_timestamp(col("timeUtc"))).drop("timeUtc")
       } else Readers.readInstrumentCsv(spark, input, meta)
     val shifted = Readers.applyClockError(df, "time", meta)
     Sink.writeParquet(shifted, output, Sink.insertHistory(meta,

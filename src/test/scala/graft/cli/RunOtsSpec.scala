@@ -103,4 +103,48 @@ class RunOtsSpec extends AnyFunSuite {
     // time column exported as CF seconds since epoch
     assert(read.column("time").min == 1704067200.0)
   }
+
+  test("EofE altimeter chain: .log ingest -> clean (trim) -> netCDF export") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_ea").toFile
+    val log = new java.io.File(dir, "alt.log")
+    val w = new java.io.PrintWriter(log)
+    w.println("#NSamples 4")
+    w.println("#Pulses in series,num  1")
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    for (i <- 0 until 60) {
+      val alt = if (i % 20 == 19) 0.1 else 2.0 + 0.01 * i // deadzone spikes
+      w.println(s"#TimeUTC ${t0.plusSeconds(i * 60).toString.replace("T", " ").replace("Z", "")}")
+      w.println("#Ping   " + i)
+      w.println("#Ping num in series 1")
+      w.println(s"#Altitude,m $alt")
+      w.println("#Temperature,C 12.5")
+      w.println("#Pitch,deg 0.2")
+      w.println("#Roll,deg -0.1")
+    }
+    w.close()
+    val meta = graft.core.Meta(Map(
+      "Deployment_date" -> "2024-02-01 00:00",
+      "Recovery_date" -> "2024-02-01 02:00",
+      "altitudeM_min" -> 0.5, "altitudeM_max" -> 9.0))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "eofe", "ingest", meta, log.getAbsolutePath, raw)
+    val rawDf = spark.read.parquet(raw)
+    assert(rawDf.count() == 60)
+    assert(rawDf.columns.contains("altitudeM") && rawDf.columns.contains("time"))
+    RunOts.runStep(spark, "eofe", "clean", meta, raw, clean)
+    val cleanDf = spark.read.parquet(clean)
+    // deployment window keeps the first 120 minutes of data (all 60 rows),
+    // min/max trim nulls the deadzone spikes
+    assert(cleanDf.count() == 60)
+    val nulls = cleanDf.filter("altitudeM IS NULL").count()
+    assert(nulls == 3, s"expected 3 trimmed spikes, got $nulls")
+    val nc = new java.io.File(dir, "alt.nc").getAbsolutePath
+    RunOts.runStep(spark, "eofe", "export", meta,
+      clean, nc)
+    val read = graft.io.Netcdf3.read(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(nc)))
+    assert(read.numrecs == 60)
+    assert(read.vars.map(_.name).contains("altitudeM"))
+  }
 }
