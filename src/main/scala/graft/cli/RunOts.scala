@@ -79,6 +79,18 @@ object RunOts {
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(input))
         graft.io.Eofe.readPoint(spark, bytes)
           .withColumn("time", to_timestamp(col("timeUtc"))).drop("timeUtc")
+      } else if (input.toLowerCase.endsWith(".tid")) {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(input)), "US-ASCII")
+        graft.io.Seagauge.readTid(spark, text)
+          .withColumn("time", to_timestamp(col("time"), "MM/dd/yyyy HH:mm:ss"))
+          .withColumnRenamed("p_dbar", "P_1").withColumnRenamed("temp_c", "T_28")
+      } else if (input.toLowerCase.endsWith(".wb")) {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(input)), "US-ASCII")
+        graft.io.Seagauge.readWb(spark, text)
+          .withColumn("time", expr("timestamp_seconds(startTime)"))
+          .withColumnRenamed("p_dbar", "P_1")
       } else Readers.readInstrumentCsv(spark, input, meta)
     val shifted = Readers.applyClockError(df, "time", meta)
     Sink.writeParquet(shifted, output, Sink.insertHistory(meta,
