@@ -115,14 +115,6 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding: (id, band, key) where key concatenates the band's
-    * signature rows; equal keys → candidate pair. */
-  def lshBands(sig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame =
-    sig.withColumn("band", (col("i") / rows).cast("int"))
-      .groupBy(col(idCol), col("band"))
-      .agg(concat_ws(",", expr("transform(array_sort(collect_list(struct(i, minhash))), s -> s.minhash)"))
-        .as("key"))
-
   /** Candidate pairs from shared LSH buckets + MinHash-agreement similarity
     * estimate (fraction of equal signature rows).
     *
