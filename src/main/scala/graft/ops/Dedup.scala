@@ -24,6 +24,12 @@ object Dedup {
 
   val P: Long = 2147483647L // 2^31-1
 
+  /** Salt fan-out for scoped pair joins (see [[Spread.saltedJoin]]): bounds
+    * per-task build memory at |scope|/SALT and lifts parallelism to
+    * scopes × SALT. Sized so replication (×SALT of the smaller side) stays
+    * cheap while a single giant scope still splits across many tasks. */
+  val SALT = 8
+
   /** Deterministic (a, b) parameter pairs for the k hash family. */
   def hashParams(k: Int): Seq[(Int, Long, Long)] =
     (0 until k).map { i =>
@@ -79,11 +85,13 @@ object Dedup {
       col("__keys").as("__ka"), size(col("__keys")).as("__na"))
     val b = sets.select(col("__scope").as("__scope2"), col("__id").as("id_b"),
       col("__keys").as("__kb"), size(col("__keys")).as("__nb"))
-    // broadcast the right side: scopes are few (skewed shuffle keys), docs/
-    // scope can be large — a broadcast keeps parallelism at the left side's
-    // partitioning. At cluster scale swap for a bucketed self-join per scope.
-    a.join(broadcast(b), col("__scope") === col("__scope2") &&
-        col("id_a") < col("id_b"))
+    // scopes are few (skewed shuffle keys), docs/scope can be large — a
+    // salted shuffle join keys on (scope, salt-of-id_a) so parallelism is
+    // scopes × SALT and each task's hash build is |scope|/SALT left rows,
+    // never a full-table broadcast (which dies past executor memory).
+    Spread.saltedJoin(a, b,
+        col("__scope") === col("__scope2") && col("id_a") < col("id_b"),
+        col("id_a"), SALT)
       .withColumn("__i", ArrayMath.sortedIntersectCount(col("__ka"), col("__kb")))
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
@@ -147,7 +155,10 @@ object Dedup {
     val eqSum = (0 until numHashes)
       .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand.join(broadcast(wa), "id_a").join(broadcast(wb), "id_b")
+    // id_a / id_b are high-cardinality: plain shuffle hash joins distribute
+    // evenly, and the signature build sides are per-partition slices — no
+    // full-signature-table broadcast (which dies past executor memory).
+    cand.join(wa.hint("shuffle_hash"), "id_a").join(wb.hint("shuffle_hash"), "id_b")
       .withColumn("est_jaccard", eqSum.cast("double") / numHashes)
       .filter(col("est_jaccard") >= estThreshold)
       .select("id_a", "id_b", "est_jaccard")
@@ -194,7 +205,9 @@ object Dedup {
     val a = base.select(col("__s"), col("__id").as("id_a"), col("__e").as("__ea"))
     val b = base.select(col("__s").as("__s2"), col("__id").as("id_b"),
       col("__e").as("__eb"))
-    a.join(broadcast(b), col("__s") === col("__s2") && col("id_a") < col("id_b"))
+    Spread.saltedJoin(a, b,
+        col("__s") === col("__s2") && col("id_a") < col("id_b"),
+        col("id_a"), SALT)
       .withColumn("__cos", ArrayMath.dot(col("__ea"), col("__eb")))
       .filter(col("__cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("__cos"), 8).as("cosine"))
@@ -209,10 +222,11 @@ object Dedup {
       col("simhash").as("sig_a"))
     val b = sig.select(col(scopeCol).as("__s2"), col(idCol).as("id_b"),
       col("simhash").as("sig_b"))
-    // broadcast the right side: the scope column has few distinct values, so
-    // a shuffle join would hash-partition onto a handful of skewed tasks;
-    // broadcasting keeps the pair generation at the left side's parallelism
-    a.join(broadcast(b), col("__s") === col("__s2") && col("id_a") < col("id_b"))
+    // the scope column has few distinct values — a salted shuffle join keeps
+    // pair generation at scopes × SALT parallelism with bounded build sides
+    Spread.saltedJoin(a, b,
+        col("__s") === col("__s2") && col("id_a") < col("id_b"),
+        col("id_a"), SALT)
       .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")

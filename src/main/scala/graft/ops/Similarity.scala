@@ -44,16 +44,23 @@ object Similarity {
   }
 
   /** Exact cosine top-k neighbors per query vector.
-    * Output: (vec_id, neighbor_id, cosine, rank). */
+    * Output: (vec_id, neighbor_id, cosine, rank).
+    *
+    * The O(n²·d) pair work runs as a 2-D blocked cross join
+    * ([[Spread.blockedCross]]): queries tile into BA blocks, neighbors into
+    * BB blocks, and each of the BA×BB tasks pairs one tile against one
+    * |n|/BB-row hash build side — no executor ever holds the full vector
+    * table (a `broadcast` of all vectors dies past executor memory at
+    * 100 TB). The pair set is projected to scalars before the top-k window
+    * shuffles it on vec_id. */
   def bruteTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
-    // repartition the streamed side on the query id: a small parquet table
-    // arrives as ONE partition, which would serialize the O(n²·d) pair work;
-    // hash(vec_id) partitioning also pre-satisfies the top-k window, so the
-    // 4M-row pair set is never shuffled
-    val a = Spread.byKey(normalized(df, idCol, embCol, "vec_id", "ea"), col("vec_id"))
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val a = normalized(df, idCol, embCol, "vec_id", "ea")
     val b = normalized(df, idCol, embCol, "neighbor_id", "eb")
-    val pairs = a.crossJoin(broadcast(b)).filter(col("vec_id") =!= col("neighbor_id"))
+    val pairs = Spread.blockedCross(a, b, col("vec_id"), col("neighbor_id"),
+        sa = n, sb = 4, cond = col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine", ndot(col("ea"), col("eb")))
+      .select("vec_id", "neighbor_id", "cosine")
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -61,14 +68,18 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component: sin((j+1)·(i+1)) for
-    * hyperplane j, dimension i — portable to any engine, no RNG state. */
+    * hyperplane j, dimension i — portable to any engine, no RNG state.
+    *
+    * The hyperplanes are Scala-side constant array literals (same
+    * `java.lang.Math.sin` Catalyst would constant-fold to) and each
+    * projection is the codegen'd [[graft.functions.ArrayMath.dot]] — the
+    * interpreted `aggregate`/`zip_with` HOF pair evaluates per element per
+    * row and measured ~10× slower. */
   def hyperplaneSignature(emb: Column, dims: Int, bits: Int): Column = {
+    val e = transform(emb, x => x.cast("double"))
     val bitCols = (0 until bits).map { j =>
-      val d = aggregate(
-        zip_with(emb, expr(s"transform(sequence(1, $dims), i -> sin(${j + 1}.0 * i))"),
-          (x, h) => x.cast("double") * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(d > 0, expr(s"shiftleft(cast(1 as bigint), $j)")).otherwise(lit(0L))
+      val hj = array((1 to dims).map(i => lit(math.sin((j + 1).toDouble * i))): _*)
+      when(ndot(e, hj) > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
@@ -91,13 +102,15 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
-    val a = Spread.byKey(
-      assigned.select(col("vec_id"), col("e").as("ea"), col("cell")), col("vec_id"))
-    val b = assigned.select(col("vec_id").as("neighbor_id"), col("e").as("eb"), col("cell"))
-    // broadcast keeps the per-cell pair join at hash(vec_id) parallelism
-    // (cells are few → a shuffle join would land on a handful of tasks) and
-    // pre-satisfies the window partitioning
-    val pairs = a.join(broadcast(b), Seq("cell")).filter(col("vec_id") =!= col("neighbor_id"))
+    val a = assigned.select(col("vec_id"), col("e").as("ea"), col("cell"))
+    val b = assigned.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
+      col("cell").as("__cell2"))
+    // cells are few (skewed keys) — a salted shuffle join runs the per-cell
+    // pair work at cells × SALT parallelism with |cell|/SALT build sides,
+    // never broadcasting the full assigned vector set
+    val pairs = Spread.saltedJoin(a, b,
+        col("cell") === col("__cell2") && col("vec_id") =!= col("neighbor_id"),
+        col("vec_id"), Dedup.SALT)
       .withColumn("cosine", ndot(col("ea"), col("eb")))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
@@ -111,10 +124,14 @@ object Similarity {
               dims: Int, bits: Int, k: Int): DataFrame = {
     val sig = normalized(df, idCol, embCol, "vec_id", "e")
       .withColumn("bucket", hyperplaneSignature(col("e"), dims, bits))
-    val a = Spread.byKey(
-      sig.select(col("vec_id"), col("e").as("ea"), col("bucket")), col("vec_id"))
-    val b = sig.select(col("vec_id").as("neighbor_id"), col("e").as("eb"), col("bucket"))
-    val pairs = a.join(broadcast(b), Seq("bucket")).filter(col("vec_id") =!= col("neighbor_id"))
+    val a = sig.select(col("vec_id"), col("e").as("ea"), col("bucket"))
+    val b = sig.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
+      col("bucket").as("__bucket2"))
+    // buckets can be skewed (popular signatures) — salted shuffle join, same
+    // rationale as [[ivfTopK]]; no full-table broadcast
+    val pairs = Spread.saltedJoin(a, b,
+        col("bucket") === col("__bucket2") && col("vec_id") =!= col("neighbor_id"),
+        col("vec_id"), Dedup.SALT)
       .withColumn("cosine", ndot(col("ea"), col("eb")))
     val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))

@@ -18,4 +18,54 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Spread {
   def byKey(df: DataFrame, key: Column): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
+  import org.apache.spark.sql.functions._
+
+  /**
+   * Skew-proof pair join on a low-cardinality equi-condition (scope / LSH
+   * bucket / IVF cell). A plain shuffle join keyed on few distinct values
+   * lands on a handful of skewed tasks; a `broadcast()` of the right side
+   * collects an unbounded table to the driver and every executor — both die
+   * at 100 TB. Instead:
+   *
+   *  - the LEFT side is salted deterministically: `salt = pmod(hash(saltKey),
+   *    s)` with `saltKey` a high-cardinality column (the row id);
+   *  - the RIGHT side is replicated s ways (explode over 0..s-1);
+   *  - the join runs on (original equi-keys, salt) with a shuffle-hash hint
+   *    on the LEFT side, whose per-task build set is |scope|/s rows —
+   *    bounded by choosing s ∝ scope size.
+   *
+   * Output is identical to the unsalted join (the salt columns are internal
+   * and dropped); `hash` is Murmur3 with a fixed seed, so the plan is
+   * deterministic across runs.
+   */
+  def saltedJoin(a: DataFrame, b: DataFrame, cond: Column, saltKey: Column,
+                 s: Int): DataFrame = {
+    val sa = a.withColumn("__lsalt", pmod(hash(saltKey), lit(s)))
+    val sb = b.withColumn("__rsalt", explode(sequence(lit(0), lit(s - 1))))
+    sa.hint("shuffle_hash")
+      .join(sb, cond && col("__lsalt") === col("__rsalt"))
+      .drop("__lsalt", "__rsalt")
+  }
+
+  /**
+   * Blocked cross join — the scale-safe form of `a.crossJoin(broadcast(b))`.
+   * Both sides are tiled: a keeps block `pmod(hash(aKey), sa)` and is
+   * replicated over b's sb blocks; b keeps block `pmod(hash(bKey), sb)` and
+   * is replicated over a's sa blocks. The equi-join on (block_a, block_b)
+   * yields sa×sb independent tasks, each pairing |a|/sa × |b|/sb rows with
+   * an |b|/sb-row hash build side — no task ever materializes a full table,
+   * so the O(n²) pair work distributes across the cluster instead of
+   * requiring b to fit in every executor. Shuffle volume is |a|·sb + |b|·sa.
+   */
+  def blockedCross(a: DataFrame, b: DataFrame, aKey: Column, bKey: Column,
+                   sa: Int, sb: Int, cond: Column): DataFrame = {
+    val ta = a.withColumn("__ba", pmod(hash(aKey), lit(sa)))
+      .withColumn("__bb", explode(sequence(lit(0), lit(sb - 1))))
+    val tb = b.withColumn("__bb", pmod(hash(bKey), lit(sb)))
+      .withColumn("__ba", explode(sequence(lit(0), lit(sa - 1))))
+    ta.join(tb.hint("shuffle_hash"), Seq("__ba", "__bb"))
+      .filter(cond)
+      .drop("__ba", "__bb")
+  }
 }
