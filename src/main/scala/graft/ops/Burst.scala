@@ -35,10 +35,18 @@ object Burst {
     * complete bursts. */
   def fromContinuous(df: DataFrame, order: Seq[String], part: Seq[String],
                      nsamps: Int, burstCol: String, sampleCol: String): DataFrame = {
-    val base = if (part.isEmpty) Window.partitionBy() else Window.partitionBy(part.map(col): _*)
-    val w = base.orderBy(order.map(col): _*)
-    val withIds = df
-      .withColumn("__rn", row_number().over(w) - 1)
+    // whole-series (part empty): ranged two-pass index, not an unpartitioned
+    // window (which would serialize the series through one task); int cast
+    // keeps the row_number()-1 schema
+    val indexed =
+      if (part.isEmpty)
+        Index.withGlobalPosition(df, order, "__rn")
+          .withColumn("__rn", col("__rn").cast("int"))
+      else {
+        val w = Window.partitionBy(part.map(col): _*).orderBy(order.map(col): _*)
+        df.withColumn("__rn", row_number().over(w) - 1)
+      }
+    val withIds = indexed
       .withColumn(burstCol, expr(s"__rn div $nsamps"))
       .withColumn(sampleCol, col("__rn") % nsamps)
       .drop("__rn")

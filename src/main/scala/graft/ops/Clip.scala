@@ -43,13 +43,21 @@ object Clip {
 
   /** clip by positional index ranges good_ens: union of half-open [a, b)
     * 0-based positions in series order (np.arange, stglib/core/utils.py:95-105).
-    * Positions are materialized with row_number over an explicit sort key. */
+    * Whole-series positions come from [[Index.withGlobalPosition]] (ranged
+    * two-pass — no single-partition window); per-group positions use a
+    * partitioned row_number. */
   def clipGoodEns(df: DataFrame, ranges: Seq[(Int, Int)],
                   order: Seq[String], part: Seq[String] = Nil): DataFrame = {
-    val base = if (part.isEmpty) Window.partitionBy() else Window.partitionBy(part.map(col): _*)
-    val pos = row_number().over(base.orderBy(order.map(col): _*)) - 1
-    val cond = ranges.map { case (a, b) => pos >= lit(a) && pos < lit(b) }.reduce(_ || _)
-    df.withColumn("__pos_keep", cond).filter(col("__pos_keep")).drop("__pos_keep")
+    val keep = (pos: org.apache.spark.sql.Column) =>
+      ranges.map { case (a, b) => pos >= lit(a) && pos < lit(b) }.reduce(_ || _)
+    if (part.isEmpty)
+      Index.withGlobalPosition(df, order, "__pos")
+        .filter(keep(col("__pos"))).drop("__pos")
+    else {
+      val w = Window.partitionBy(part.map(col): _*).orderBy(order.map(col): _*)
+      df.withColumn("__pos", row_number().over(w) - 1)
+        .filter(keep(col("__pos"))).drop("__pos")
+    }
   }
 
   /** clip_ds_prf analog: keep profiler bins within a vertical range

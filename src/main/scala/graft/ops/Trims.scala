@@ -218,7 +218,14 @@ object Trims {
   def trimBadEnsIndex(df: DataFrame, v: String, ranges: Seq[(Int, Int)],
                       order: Seq[String], part: Seq[String] = Nil): DataFrame =
     if (ranges.isEmpty) df
-    else {
+    else if (part.isEmpty) {
+      // whole-series positions via the ranged two-pass index — a
+      // row_number over an unpartitioned window serializes the table
+      val cond = (pos: Column) =>
+        ranges.map { case (a, b) => pos >= lit(a) && pos < lit(b) }.reduce(_ || _)
+      maskWhere(Index.withGlobalPosition(df, order, "__pos"), v,
+        cond(col("__pos"))).drop("__pos")
+    } else {
       val pos = row_number().over(w(order, part)) - 1
       val cond = ranges.map { case (a, b) => pos >= lit(a) && pos < lit(b) }.reduce(_ || _)
       maskWhere(df, v, cond)

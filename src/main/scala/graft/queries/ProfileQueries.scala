@@ -129,9 +129,11 @@ object ProfileQueries {
       // event order — (l_orderkey, l_linenumber) is not unique, and tied
       // window orderings are engine-nondeterministic
       (s, dir) => {
-        val w = Window.orderBy("event_id")
-        val grid = events(s, dir)
-          .withColumn("rn", row_number().over(w) - 1)
+        // grid positions via the ranged two-pass index (no single-partition
+        // window); int cast keeps the row_number()-1 schema the oracle sees
+        val grid = graft.ops.Index.withGlobalPosition(
+            events(s, dir), Seq("event_id"), "__pos")
+          .withColumn("rn", col("__pos").cast("int")).drop("__pos")
           .withColumn("t", expr("rn div 16"))
           .withColumn("bin", col("rn") % 16)
         Trims.trimMaxAbsDiff2d(grid, "value",
@@ -196,10 +198,11 @@ object ProfileQueries {
       (s, dir) => {
         val sizes = lineitem(s, dir).groupBy("l_orderkey")
           .agg(count(lit(1)).as("row_size"))
-        val w = Window.orderBy("l_orderkey")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        sizes.withColumn("row_start",
-            sum("row_size").over(w) - col("row_size"))
+        // scale-safe prefix sum (ranged two-pass) — a global-ORDER BY
+        // window would serialize all profiles through one task
+        graft.ops.Index.withRunningTotal(sizes, Seq("l_orderkey"),
+            "row_size", "__cum")
+          .withColumn("row_start", col("__cum") - col("row_size"))
           .select("l_orderkey", "row_size", "row_start")
       },
       Some("""SELECT l_orderkey, row_size,

@@ -58,9 +58,11 @@ object SpectralAggQueries {
     // rows from events: burst × 8 freqs × 12 dirs.
     Q("mean_wave_dir",
       (s, dir) => {
-        val w = Window.orderBy("event_id")
-        val rows = events(s, dir)
-          .withColumn("rn", row_number().over(w) - 1)
+        // grid positions via the ranged two-pass index (no single-partition
+        // window); int cast keeps the row_number()-1 schema the oracle sees
+        val rows = graft.ops.Index.withGlobalPosition(
+            events(s, dir), Seq("event_id"), "__pos")
+          .withColumn("rn", col("__pos").cast("int")).drop("__pos")
           .withColumn("burst", expr("rn div 96"))
           .withColumn("fi", expr("(rn % 96) div 12"))
           .withColumn("di", col("rn") % 12)

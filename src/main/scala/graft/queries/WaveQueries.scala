@@ -30,11 +30,12 @@ object WaveQueries {
   }
 
   /** Global-order bursts of n samples (for kernels needing long bursts:
-    * the elev variant's flo = 32-cycles band requires nsamps >> 64). */
+    * the elev variant's flo = 32-cycles band requires nsamps >> 64).
+    * Whole-series positions come from the ranged two-pass
+    * [[graft.ops.Index.withGlobalPosition]] — an unpartitioned row_number
+    * window would serialize the events table through one task. */
   private def burstsGlobal(s: org.apache.spark.sql.SparkSession, dir: String, n: Int) = {
-    val w = Window.orderBy("ts", "event_id")
-    events(s, dir)
-      .withColumn("rn", row_number().over(w) - 1)
+    graft.ops.Index.withGlobalPosition(events(s, dir), Seq("ts", "event_id"), "rn")
       .withColumn("burst", (col("rn") / n).cast("long"))
       .withColumn("sample", col("rn") % n)
       .withColumn("nb", count(lit(1)).over(Window.partitionBy("burst")))

@@ -18,7 +18,8 @@ for a in sys.argv:
 
 if "--skip-verify" not in sys.argv:
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SFDIR} {OUT}'
+         + (" " + ",".join(sorted(only)) if only else "")],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     sys.stdout.write("\n".join(
         l for l in (r.stdout + r.stderr).splitlines()
