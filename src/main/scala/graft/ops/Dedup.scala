@@ -77,10 +77,11 @@ object Dedup {
          |  s -> CAST(ascii(substr(s,1,1)) * 65536 + ascii(substr(s,2,1)) * 256
          |            + ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
     // spread: a small single-file table arrives as ONE partition and would
-    // serialize both the shingle extraction and all pair intersects
-    val sets = Spread.byKey(df, col(idCol))
+    // serialize both the shingle extraction and all pair intersects;
+    // shared: both pair sides read the one extracted shingle-set table
+    val sets = Spread.shared(Spread.byKey(df, col(idCol))
       .select(col(scopeCol).as("__scope"), col(idCol).as("__id"),
-        keys.as("__keys"))
+        keys.as("__keys")))
     val a = sets.select(col("__scope"), col("__id").as("id_a"),
       col("__keys").as("__ka"), size(col("__keys")).as("__na"))
     val b = sets.select(col("__scope").as("__scope2"), col("__id").as("id_b"),
@@ -134,7 +135,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int, bands: Int, estThreshold: Double): DataFrame = {
     val rows = numHashes / bands
-    val wide = wideSignatures(df, idCol, textCol, numHashes)
+    // shared: bands + both estimate sides read the one aggregated signature
+    // table instead of re-running the shingle explode + k min-aggs 4×
+    val wide = Spread.shared(wideSignatures(df, idCol, textCol, numHashes))
     // one row per (doc, band); key = comma-joined band slice of the signature
     val bandStructs = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -197,11 +200,11 @@ object Dedup {
                        scopeCol: String, threshold: Double): DataFrame = {
     import graft.functions.ArrayMath
     val e0 = transform(col(embCol), x => x.cast("double"))
-    val base = Spread.byKey(df, col(idCol))
+    val base = Spread.shared(Spread.byKey(df, col(idCol))
       .select(col(scopeCol).as("__s"), col(idCol).as("__id"), e0.as("__e0"))
       .withColumn("__n", sqrt(ArrayMath.dot(col("__e0"), col("__e0"))))
       .select(col("__s"), col("__id"),
-        transform(col("__e0"), x => x / col("__n")).as("__e"))
+        transform(col("__e0"), x => x / col("__n")).as("__e")))
     val a = base.select(col("__s"), col("__id").as("id_a"), col("__e").as("__ea"))
     val b = base.select(col("__s").as("__s2"), col("__id").as("id_b"),
       col("__e").as("__eb"))
@@ -216,8 +219,8 @@ object Dedup {
   /** SimHash near-dup pairs within a scope: hamming(sig_a, sig_b) <= maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    scopeCol: String, numBits: Int, maxDist: Int): DataFrame = {
-    val sig = simhash(df, idCol, textCol, numBits)
-      .join(df.select(col(idCol), col(scopeCol)), idCol)
+    val sig = Spread.shared(simhash(df, idCol, textCol, numBits)
+      .join(df.select(col(idCol), col(scopeCol)), idCol))
     val a = sig.select(col(scopeCol).as("__s"), col(idCol).as("id_a"),
       col("simhash").as("sig_a"))
     val b = sig.select(col(scopeCol).as("__s2"), col(idCol).as("id_b"),

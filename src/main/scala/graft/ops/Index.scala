@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -15,71 +15,68 @@ import org.apache.spark.sql.functions._
  */
 object Index {
 
+  /** Range-partition + locally sort on the order key, tag each row with
+    * `monotonically_increasing_id` (partition id in the high bits, local
+    * 0-based index in the low 33), and persist — the counts pass and the
+    * data pass share one shuffle + sort, and identical call sites across
+    * queries share the cache entry (Spark's cache is keyed on the
+    * canonicalized plan). Everything stays in DataFrame land: no RDD
+    * round-trip, no Row re-encoding, downstream plans keep whole-stage
+    * codegen. */
+  private def rangedWithMid(df: DataFrame, orderCols: Seq[String],
+                            numPartitions: Int): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.sessionState.conf.numShufflePartitions
+    Spread.shared(
+      df.repartitionByRange(n, orderCols.map(col): _*)
+        .sortWithinPartitions(orderCols.map(col): _*)
+        .withColumn("__mid", monotonically_increasing_id()))
+  }
+
+  /** Per-partition offsets (tiny driver array → broadcast-joined back).
+    * `agg` maps a partition's rows to the per-partition quantity being
+    * cumulated (count for positions, sum for running totals). */
+  private def offsetsDf(ranged: DataFrame, agg: Column): DataFrame = {
+    val spark = ranged.sparkSession
+    import spark.implicits._
+    val per = ranged.groupBy((shiftright(col("__mid"), 33)).as("__p")).agg(agg.as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = per.map { case (p, c) => val o = (p, acc); acc += c; o }
+    offs.toSeq.toDF("__p", "__off")
+  }
+
   /** Append a 0-based global position column in (orderCols) order.
     * orderCols must form a total order (include a unique key).
-    * The ranged RDD is persisted so the counts pass and the data pass share
-    * one shuffle + sort instead of recomputing it. */
+    * pos = partition offset (bounded driver array, broadcast back) + the
+    * row's local index from the mid tag. One ranged shuffle, no partition
+    * ever holds the series, fully codegen'd. */
   def withGlobalPosition(df: DataFrame, orderCols: Seq[String],
                          posCol: String, numPartitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-    val rdd = ranged.rdd.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
-      .collect().sortBy(_._1).map(_._2.toLong)
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val schema = org.apache.spark.sql.types.StructType(
-      ranged.schema.fields :+
-        org.apache.spark.sql.types.StructField(posCol,
-          org.apache.spark.sql.types.LongType, nullable = false))
-    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
-      var pos = offsets(i)
-      it.map { r =>
-        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pos)
-        pos += 1
-        out
-      }
-    }
-    spark.createDataFrame(rows, schema)
+    val ranged = rangedWithMid(df, orderCols, numPartitions)
+    val offs = offsetsDf(ranged, count(lit(1)))
+    ranged.withColumn("__p", shiftright(col("__mid"), 33))
+      .join(broadcast(offs), "__p")
+      .withColumn(posCol, col("__off") + (col("__mid") bitwiseAND ((1L << 33) - 1)))
+      .drop("__p", "__off", "__mid")
   }
 
   /** Append a running total (inclusive prefix sum) of an integral column in
     * (orderCols) order — the scale-safe form of
     * `sum(v).over(Window.orderBy(...))`, whose empty partitioning serializes
-    * the table through one task. Same two-pass shape as
-    * [[withGlobalPosition]]: per-partition sums are a tiny driver array;
-    * each partition then streams once adding its offset. */
+    * the table through one task. Partition-local prefix sums come from a
+    * window PARTITIONED by the ranged partition id; cross-partition offsets
+    * from the broadcast-joined driver array. */
   def withRunningTotal(df: DataFrame, orderCols: Seq[String], valueCol: String,
                        outCol: String, numPartitions: Int = 0): DataFrame = {
-    val spark = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-    val vIdx = ranged.schema.fieldIndex(valueCol)
-    val rdd = ranged.rdd.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach(r => s += r.get(vIdx).asInstanceOf[Number].longValue())
-      Iterator((i, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(0L)(_ + _)
-    val schema = org.apache.spark.sql.types.StructType(
-      ranged.schema.fields :+
-        org.apache.spark.sql.types.StructField(outCol,
-          org.apache.spark.sql.types.LongType, nullable = false))
-    val rows = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = offsets(i)
-      it.map { r =>
-        acc += r.get(vIdx).asInstanceOf[Number].longValue()
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ acc)
-      }
-    }
-    spark.createDataFrame(rows, schema)
+    val ranged = rangedWithMid(df, orderCols, numPartitions)
+    val offs = offsetsDf(ranged, sum(col(valueCol).cast("long")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__p").orderBy(orderCols.map(col): _*)
+    ranged.withColumn("__p", shiftright(col("__mid"), 33))
+      .join(broadcast(offs), "__p")
+      .withColumn(outCol,
+        col("__off") + sum(col(valueCol).cast("long")).over(w))
+      .drop("__p", "__off", "__mid")
   }
 }

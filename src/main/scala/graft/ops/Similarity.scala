@@ -55,8 +55,9 @@ object Similarity {
     * shuffles it on vec_id. */
   def bruteTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
     val n = df.sparkSession.sparkContext.defaultParallelism
-    val a = normalized(df, idCol, embCol, "vec_id", "ea")
-    val b = normalized(df, idCol, embCol, "neighbor_id", "eb")
+    val base = Spread.shared(normalized(df, idCol, embCol, "vec_id", "ea"))
+    val a = base
+    val b = base.select(col("vec_id").as("neighbor_id"), col("ea").as("eb"))
     val pairs = Spread.blockedCross(a, b, col("vec_id"), col("neighbor_id"),
         sa = n, sb = 4, cond = col("vec_id") =!= col("neighbor_id"))
       .withColumn("cosine", ndot(col("ea"), col("eb")))
@@ -92,7 +93,7 @@ object Similarity {
     * shape as a trained IVF index with nprobe=1. */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String,
               nCentroids: Int, k: Int): DataFrame = {
-    val vecs = normalized(df, idCol, embCol, "vec_id", "e")
+    val vecs = Spread.shared(normalized(df, idCol, embCol, "vec_id", "e"))
     val cents = vecs.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("e").as("ce"))
     // assign to nearest centroid (max cosine; normalized → dot)
@@ -102,8 +103,9 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
-    val a = assigned.select(col("vec_id"), col("e").as("ea"), col("cell"))
-    val b = assigned.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
+    val shAssigned = Spread.shared(assigned)
+    val a = shAssigned.select(col("vec_id"), col("e").as("ea"), col("cell"))
+    val b = shAssigned.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
       col("cell").as("__cell2"))
     // cells are few (skewed keys) — a salted shuffle join runs the per-cell
     // pair work at cells × SALT parallelism with |cell|/SALT build sides,
@@ -122,8 +124,8 @@ object Similarity {
     * Recall < 1 by construction; increase bits→buckets tradeoff per scale. */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
               dims: Int, bits: Int, k: Int): DataFrame = {
-    val sig = normalized(df, idCol, embCol, "vec_id", "e")
-      .withColumn("bucket", hyperplaneSignature(col("e"), dims, bits))
+    val sig = Spread.shared(normalized(df, idCol, embCol, "vec_id", "e")
+      .withColumn("bucket", hyperplaneSignature(col("e"), dims, bits)))
     val a = sig.select(col("vec_id"), col("e").as("ea"), col("bucket"))
     val b = sig.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
       col("bucket").as("__bucket2"))

@@ -49,6 +49,18 @@ object Spread {
   }
 
   /**
+   * Mark a DataFrame consumed by multiple plan branches as shared: persisted
+   * MEMORY_AND_DISK so the (expensive) sub-plan runs once instead of once
+   * per branch. Spark's ReusedExchange can't dedupe these sub-plans because
+   * Spread.byKey pre-partitions them — the aggregate then has no exchange
+   * boundary to reuse. The cache entry is small (per-doc signatures /
+   * normalized vectors) and evicted LRU; spill-safe at scale via the DISK
+   * tier.
+   */
+  def shared(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /**
    * Blocked cross join — the scale-safe form of `a.crossJoin(broadcast(b))`.
    * Both sides are tiled: a keeps block `pmod(hash(aKey), sa)` and is
    * replicated over b's sb blocks; b keeps block `pmod(hash(bKey), sb)` and
