@@ -49,30 +49,67 @@ object RunOts {
     * pattern, stglib/core/runcmd.py:527-599). */
   def runStep(spark: SparkSession, instrument: String, step: String,
               meta: Meta, input: String, output: String): Unit = step match {
-    case "ingest" => ingest(spark, meta, input, output)
+    case "ingest" => ingest(spark, meta, input, output, instrument)
     case "clean"  => clean(spark, meta, input, output)
     case "waves"  => waves(spark, meta, input, output)
     case "export" => export(spark, meta, input, output)
     case other    => throw new IllegalArgumentException(s"unknown step $other")
   }
 
+  private def readText(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "US-ASCII")
+
+  private def readBytes(path: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+
   /** Instrument file → renamed, clock-corrected long-format raw parquet.
-    * Native `.rsk` (SQLite) deployments route to the binary reader; the CSV
-    * family goes through the framework reader (reference registry pattern,
-    * stglib/core/runcmd.py:527-599). */
-  def ingest(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
+    * Native `.rsk` (SQLite) deployments route to the binary reader; binary
+    * instrument families (.pd0/.81R/.hdr/.vhd/.wad/.mat) route to their
+    * dedicated decoders; the CSV family goes through the framework reader
+    * (reference registry pattern, stglib/core/runcmd.py:527-599). */
+  def ingest(spark: SparkSession, meta: Meta, input: String, output: String,
+             instrument: String = ""): Unit = {
+    val lower = input.toLowerCase
     val df =
-      if (input.toLowerCase.endsWith(".rsk")) {
+      if (lower.endsWith(".pd0") || lower.endsWith(".000")) {
+        // RDI ADCP binary ensembles (stglib/rdi/rdiadcpy.py)
+        graft.io.Pd0.read(spark, input)
+          .withColumn("time", expr("timestamp_micros(timeUs)"))
+      } else if (lower.endsWith(".81r")) {
+        // Imagenex rotary sonar (stglib/son/raw2cdf.py)
+        import spark.implicits._
+        spark.createDataset(graft.io.Son81R.decode(readBytes(input)).toSeq)
+          .toDF()
+          .withColumn("time",
+            to_timestamp(col("timeRaw"), "dd-MMM-yyyy HH:mm:ss"))
+      } else if (lower.endsWith(".hdr")) {
+        // Aquadopp profiler: .hdr config + .sen system + .aN/.vN matrices
+        // (stglib/aqd/hdr2cdf.py)
+        aquadoppIngest(spark, meta, input)
+      } else if (lower.endsWith(".vhd")) {
+        // Vector velocimeter: .vhd burst headers + .dat samples
+        // (stglib/vec/dat2cdf.py:103-260)
+        val base = input.stripSuffix(".vhd")
+        val vhd = graft.io.Vector.readVhd(spark, readText(input))
+        val dat = graft.io.Vector.readDat(spark, readText(base + ".dat"))
+        val rate = meta.dbl("VECSamplingRate").getOrElse(8.0)
+        graft.io.Vector.withBurstTime(dat, vhd, samplingRateHz = rate)
+      } else if (lower.endsWith(".wad")) {
+        // Aquadopp waves burst samples (stglib/aqd/wvswad2cdf.py:152-206)
+        val nsamps = meta.int("WaveNumberOfSamples").getOrElse(1024)
+        val coord = meta.str("AQDCoordinateSystem").getOrElse("BEAM")
+        graft.io.Aquadopp.readWad(spark, readText(input), nsamps, coord)
+      } else if (lower.endsWith(".mat")) {
+        // MAT5 instrument families (sig/iq/rdi/abss mat2cdf)
+        matIngest(spark, meta, input, instrument)
+      } else if (lower.endsWith(".rsk")) {
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(input))
         // tstamp is ms epoch (rsk2cdf.py); channelNN→EPIC names come from
         // config keys `rename_<channel>` (the reference hardcodes channel01=
         // pressure per instrument family)
-        var d = Rsk.readSeries(spark, bytes)
+        val d = Rsk.readSeries(spark, bytes)
           .withColumn("time", expr("timestamp_millis(tstamp)")).drop("tstamp")
-        meta.attrs.foreach { case (k, v) =>
-          if (k.startsWith("rename_") && d.columns.contains(k.stripPrefix("rename_")))
-            d = d.withColumnRenamed(k.stripPrefix("rename_"), v.toString)
-        }
         Readers.withCfMetadata(d)
       } else if (input.toLowerCase.endsWith(".log")) {
         // EofE ECHOLOGGER point data; time parsed from the per-ping UTC stamp
@@ -92,9 +129,76 @@ object RunOts {
           .withColumn("time", expr("timestamp_seconds(startTime)"))
           .withColumnRenamed("p_dbar", "P_1")
       } else Readers.readInstrumentCsv(spark, input, meta)
-    val shifted = Readers.applyClockError(df, "time", meta)
+    // config-driven EPIC renames (`rename_<col>: <EPIC name>`) apply to every
+    // instrument family (the reference hardcodes the map per family)
+    var renamed = df
+    meta.attrs.foreach { case (k, v) =>
+      if (k.startsWith("rename_") && renamed.columns.contains(k.stripPrefix("rename_")))
+        renamed = renamed.withColumnRenamed(k.stripPrefix("rename_"), v.toString)
+    }
+    val shifted =
+      if (renamed.columns.contains("time"))
+        Readers.applyClockError(renamed, "time", meta)
+      else renamed // burst-indexed inputs (.wad) carry no per-sample timestamps
     Sink.writeParquet(shifted, output, Sink.insertHistory(meta,
       s"Ingested $input.", "1970-01-01T00:00:00Z"), float32 = false)
+  }
+
+  /** Aquadopp .hdr deployment: scrape the header keywords, read the .sen
+    * system file and the per-cell amplitude/velocity matrices, join on
+    * (ens[, bin]) and attach bin geometry (stglib/aqd/hdr2cdf.py). Velocity
+    * names follow the header's coordinate system. */
+  private def aquadoppIngest(spark: SparkSession, meta: Meta, input: String): DataFrame = {
+    import graft.io.Aquadopp
+    val base = input.stripSuffix(".hdr")
+    val hdr = Aquadopp.readHdr(readText(input))
+    def hdrStr(k: String): Option[String] = hdr.get(k).map(_.toString)
+    val coord = hdrStr("AQDCoordinateSystem")
+      .orElse(hdrStr("AQDHRCoordinateSystem")).getOrElse("BEAM")
+    val vels = Aquadopp.velNames(coord)
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    val sen = Aquadopp.readSen(spark, readText(base + ".sen"))
+    val mats =
+      (1 to 3).flatMap { i =>
+        val a = base + s".a$i"
+        if (exists(a)) Some(Aquadopp.readMatrix(spark, readText(a), s"amp$i")) else None
+      } ++ (1 to 3).flatMap { i =>
+        val v = base + s".v$i"
+        if (exists(v)) Some(Aquadopp.readMatrix(spark, readText(v), vels(i - 1))) else None
+      }
+    val cells = mats.reduceOption((x, y) => x.join(y, Seq("ens", "bin")))
+    val joined = cells.map(_.join(sen, "ens")).getOrElse(sen)
+    // bindist = blanking + cellsize/2 + bin*cellsize (cm → m; hdr2cdf.py)
+    val csM = hdr.get("AQDCellSize").map(_.toString.toDouble / 100.0)
+    val blankM = hdr.get("AQDBlankingDistance").map(_.toString.toDouble)
+    (csM, blankM) match {
+      case (Some(cs), Some(bl)) if joined.columns.contains("bin") =>
+        joined.withColumn("bindist", lit(bl) + lit(cs / 2) + col("bin") * cs)
+      case _ => joined
+    }
+  }
+
+  /** Generic MAT5 ingest: equal-length top-level numeric vectors become
+    * columns (rdi/abss mat2cdf family). Dedicated per-datatype pipelines
+    * (sig, iq) dispatch on the instrument name. */
+  private def matIngest(spark: SparkSession, meta: Meta, input: String,
+                        instrument: String): DataFrame = {
+    import graft.io.Mat5
+    val vars = Mat5.parse(readBytes(input))
+    val nums = vars.collect {
+      case (name, Mat5.MatNum(dims, data)) if dims.count(_ > 1) <= 1 =>
+        name -> data
+    }.toSeq.sortBy(_._1)
+    require(nums.nonEmpty, s"no numeric vectors in $input")
+    val n = nums.map(_._2.length).max
+    val full = nums.filter(_._2.length == n)
+    import spark.implicits._
+    val rows = (0 until n).map(i => full.map(_._2(i)))
+    val df = spark.createDataset(rows.map(r => r.toArray))
+      .toDF("__row")
+      .select(full.zipWithIndex.map { case ((name, _), j) =>
+        col("__row")(j).as(name) }: _*)
+    df
   }
 
   /** Final export: processed parquet → netCDF-3 classic (the reference's
@@ -126,11 +230,28 @@ object RunOts {
   def clean(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
     var df = spark.read.parquet(input)
     df = Clip.clipDs(df, meta)
-    // atmos_correct: constant offset path when atmpres is a scalar attr
-    // (full as-of join path is ops.Align when an aux series is configured)
-    meta.dbl("atmpres").foreach { atm =>
-      if (df.columns.contains("P_1"))
-        df = df.withColumn("P_1ac", col("P_1") - atm)
+    // atmos_correct: aux time series (as-of nearest within tolerance, the
+    // reference's met["atmpres"].reindex_like(method="nearest",
+    // tolerance="5s") − offset; stglib/aqd/aqdutils.py:93-118). Scalar
+    // `atmpres` attr falls back to a constant offset.
+    meta.str("atmpres_file") match {
+      case Some(f) if df.columns.contains("P_1") =>
+        val met0 = if (f.toLowerCase.endsWith(".csv"))
+          spark.read.option("header", "true").option("inferSchema", "true").csv(f)
+        else spark.read.parquet(f)
+        val offset = meta.dbl("atmpres_offset").getOrElse(0.0)
+        val tolUs = (meta.dbl("atmpres_tolerance_sec").getOrElse(5.0) * 1e6).toLong
+        val l = df.withColumn("__tus", unix_micros(col("time")))
+        val r = met0.select(unix_micros(col("time").cast("timestamp")).as("__rus"),
+          col("atmpres").cast("double").as("__atm"))
+        df = graft.ops.Align.asofNearest(l, r, "__tus", "__rus", tolUs)
+          .withColumn("P_1ac", col("P_1") - col("__atm") - offset)
+          .drop("__tus", "__rus", "__atm")
+      case _ =>
+        meta.dbl("atmpres").foreach { atm =>
+          if (df.columns.contains("P_1"))
+            df = df.withColumn("P_1ac", col("P_1") - atm)
+        }
     }
     val dataVars = df.columns.filterNot(Seq("time").contains).toSeq
     df = Trims.nanToNull(df, dataVars.filter(c =>

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
  *   0x0080 variable leader (ensemble number, RTC time, sensors, :1185-1270)
  *   0x0100 velocity (i16 mm/s per beam×cell, -32768 = bad, :1400-1420)
  *   0x0200 correlation / 0x0300 echo intensity / 0x0400 percent good
- *          (u8 per beam×cell)
+ *          (u8 per beam×cell, :1425-1495)
+ *   0x0600 bottom track (per-beam range cm at +16, velocity mm/s at +24,
+ *          -32768 = bad, :1844-1920)
  *
  * Distribution model: files arrive via spark.read.format("binaryFile"); each
  * file's ensembles decode independently inside a flatMap — at 100 TB the
@@ -31,12 +33,19 @@ object Pd0 {
                                   pitchCdeg: Int, rollCdeg: Int, salinity: Int,
                                   temperatureCdegC: Int)
 
-  /** One decoded bin of one ensemble — the long-format row. */
+  /** One decoded bin of one ensemble — the long-format row. Percent-good is
+    * per (cell, beam); bottom-track range/velocity are per-ensemble (beam
+    * scalars, repeated on each bin row like the attitude sensors). */
   final case class Pd0Row(
       ensemble: Long, timeUs: Long, bin: Int, bindistM: Double,
       vel1: Option[Int], vel2: Option[Int], vel3: Option[Int], vel4: Option[Int],
       cor1: Int, cor2: Int, cor3: Int, cor4: Int,
       echo1: Int, echo2: Int, echo3: Int, echo4: Int,
+      pg1: Int, pg2: Int, pg3: Int, pg4: Int,
+      btRangeM1: Option[Double], btRangeM2: Option[Double],
+      btRangeM3: Option[Double], btRangeM4: Option[Double],
+      btVel1: Option[Int], btVel2: Option[Int],
+      btVel3: Option[Int], btVel4: Option[Int],
       headingDeg: Double, pitchDeg: Double, rollDeg: Double,
       temperatureC: Double, xducerDepthM: Double)
 
@@ -99,6 +108,9 @@ object Pd0 {
     var vel: Option[Array[Array[Int]]] = None   // (cell)(beam)
     var cor: Option[Array[Array[Int]]] = None
     var echo: Option[Array[Array[Int]]] = None
+    var pg: Option[Array[Array[Int]]] = None
+    var btRange: Option[Array[Int]] = None      // (beam), cm
+    var btVel: Option[Array[Int]] = None        // (beam), mm/s
 
     // first pass: leaders (geometry needed to size the data blocks)
     for (off <- offsets) u16(ens, off) match {
@@ -116,6 +128,12 @@ object Pd0 {
       case 0x0300 =>
         echo = Some(Array.tabulate(f.ncells, f.nbeams)((c, b) =>
           u8(ens, off + 2 + c * f.nbeams + b)))
+      case 0x0400 =>
+        pg = Some(Array.tabulate(f.ncells, f.nbeams)((c, b) =>
+          u8(ens, off + 2 + c * f.nbeams + b)))
+      case 0x0600 =>
+        btRange = Some(Array.tabulate(f.nbeams)(b => i16(ens, off + 16 + 2 * b)))
+        btVel = Some(Array.tabulate(f.nbeams)(b => i16(ens, off + 24 + 2 * b)))
       case _ =>
     }
 
@@ -128,6 +146,11 @@ object Pd0 {
           vel.map(_(c)(b)).filter(_ != -32768)
         def u8At(a: Option[Array[Array[Int]]], c: Int, b: Int): Int =
           a.map(_(c)(b)).getOrElse(0)
+        def btRangeAt(b: Int): Option[Double] =
+          if (b >= f.nbeams) None
+          else btRange.map(_(b)).filter(_ != -32768).map(_ / 100.0)
+        def btVelAt(b: Int): Option[Int] =
+          if (b >= f.nbeams) None else btVel.map(_(b)).filter(_ != -32768)
         (0 until f.ncells).map { c =>
           Pd0Row(
             ensemble = v.ensembleNumber, timeUs = timeUs, bin = c,
@@ -141,6 +164,13 @@ object Pd0 {
             echo1 = u8At(echo, c, 0), echo2 = u8At(echo, c, 1),
             echo3 = if (f.nbeams > 2) u8At(echo, c, 2) else 0,
             echo4 = if (f.nbeams > 3) u8At(echo, c, 3) else 0,
+            pg1 = u8At(pg, c, 0), pg2 = u8At(pg, c, 1),
+            pg3 = if (f.nbeams > 2) u8At(pg, c, 2) else 0,
+            pg4 = if (f.nbeams > 3) u8At(pg, c, 3) else 0,
+            btRangeM1 = btRangeAt(0), btRangeM2 = btRangeAt(1),
+            btRangeM3 = btRangeAt(2), btRangeM4 = btRangeAt(3),
+            btVel1 = btVelAt(0), btVel2 = btVelAt(1),
+            btVel3 = btVelAt(2), btVel4 = btVelAt(3),
             headingDeg = v.headingCdeg / 100.0, pitchDeg = v.pitchCdeg / 100.0,
             rollDeg = v.rollCdeg / 100.0, temperatureC = v.temperatureCdegC / 100.0,
             xducerDepthM = v.xducerDepthDm / 10.0)

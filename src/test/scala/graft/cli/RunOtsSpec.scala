@@ -147,4 +147,83 @@ class RunOtsSpec extends AnyFunSuite {
     assert(read.numrecs == 60)
     assert(read.vars.map(_.name).contains("altitudeM"))
   }
+
+  test("Aquadopp chain: .hdr/.sen/.aN/.vN ingest -> clean with aux-series atmos as-of") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_aqd").toFile
+    def pad(l: String, v: String) = l.padTo(38, ' ') + v
+    val hdr = new java.io.File(dir, "dep.hdr")
+    var w = new java.io.PrintWriter(hdr)
+    w.println(pad("Profile interval", "60 sec"))
+    w.println(pad("Number of cells", "3"))
+    w.println(pad("Cell size", "100 cm"))
+    w.println(pad("Blanking distance", "0.40 m"))
+    w.println(pad("Coordinate system", "ENU"))
+    w.println(pad("Number of beams", "3"))
+    w.close()
+    // .sen: 4 ensembles, one per minute from 2024-02-15T06:30
+    w = new java.io.PrintWriter(new java.io.File(dir, "dep.sen"))
+    for (i <- 0 until 4)
+      w.println(s" 2 15 2024  6 ${30 + i}  0 0 0 13.2 0 271.1 -1.5 0.8 10.1${i} 18.55 0 0")
+    w.close()
+    for (m <- Seq("a1", "a2", "a3", "v1", "v2", "v3")) {
+      w = new java.io.PrintWriter(new java.io.File(dir, s"dep.$m"))
+      for (i <- 0 until 4) w.println(s"${i}.1 ${i}.2 ${i}.3")
+      w.close()
+    }
+    // aux atmospheric pressure series offset by <=2 s from sample times
+    val met = new java.io.File(dir, "met.csv")
+    w = new java.io.PrintWriter(met)
+    w.println("time,atmpres")
+    for (i <- 0 until 4)
+      w.println(s"2024-02-15T06:${30 + i}:02,10.0${i}")
+    w.close()
+    val meta = graft.core.Meta(Map(
+      "rename_pressure" -> "P_1",
+      "atmpres_file" -> met.getAbsolutePath,
+      "atmpres_offset" -> 0.01,
+      "atmpres_tolerance_sec" -> 5.0))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "aqd", "ingest", meta, hdr.getAbsolutePath, raw)
+    val rawDf = spark.read.parquet(raw)
+    // 4 ensembles x 3 bins, ENU velocity names, bin geometry attached
+    assert(rawDf.count() == 12)
+    for (c <- Seq("time", "P_1", "U", "V", "W", "amp1", "bindist"))
+      assert(rawDf.columns.contains(c), s"missing $c")
+    val b0 = rawDf.filter("ens = 0 AND bin = 0").collect()(0)
+    assert(math.abs(b0.getDouble(rawDf.columns.indexOf("bindist")) - 0.9) < 1e-9)
+    assert(b0.getDouble(rawDf.columns.indexOf("U")) == 0.1)
+
+    RunOts.runStep(spark, "aqd", "clean", meta, raw, clean)
+    val cleanDf = spark.read.parquet(clean)
+    assert(cleanDf.count() == 12)
+    // P_1ac = P_1 - atmpres(asof nearest, 2 s away) - offset
+    val r0 = cleanDf.filter("ens = 0 AND bin = 0").collect()(0)
+    val pac = r0.getDouble(cleanDf.columns.indexOf("P_1ac"))
+    assert(math.abs(pac - (10.10 - 10.00 - 0.01)) < 1e-9, s"P_1ac=$pac")
+    val r3 = cleanDf.filter("ens = 3 AND bin = 0").collect()(0)
+    val pac3 = r3.getDouble(cleanDf.columns.indexOf("P_1ac"))
+    assert(math.abs(pac3 - (10.13 - 10.03 - 0.01)) < 1e-9, s"P_1ac=$pac3")
+  }
+
+  test("RDI PD0 chain: .pd0 ingest -> clean, pct-good and bottom-track present") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_rdi").toFile
+    val pd0 = new java.io.File(dir, "deploy.pd0")
+    val os = new java.io.FileOutputStream(pd0)
+    (1 to 6).foreach(i => os.write(
+      graft.io.Pd0Fixture.ensemble(i, ncells = 4, nbeams = 4, (c, b) => 100 * c + 10 * b)))
+    os.close()
+    val meta = graft.core.Meta(Map("rename_xducerDepthM" -> "P_1"))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "rdi", "ingest", meta, pd0.getAbsolutePath, raw)
+    val rawDf = spark.read.parquet(raw)
+    assert(rawDf.count() == 24) // 6 ensembles x 4 cells
+    for (c <- Seq("time", "P_1", "vel1", "pg1", "btRangeM1", "btVel1"))
+      assert(rawDf.columns.contains(c), s"missing $c")
+    val t = rawDf.select("time").distinct().collect()(0).getTimestamp(0)
+    assert(t.toInstant.toString == "2024-03-15T12:30:45.500Z")
+    RunOts.runStep(spark, "rdi", "clean", meta, raw, clean)
+    assert(spark.read.parquet(clean).count() == 24)
+  }
 }
