@@ -71,6 +71,12 @@ object RunOts {
   def ingest(spark: SparkSession, meta: Meta, input: String, output: String,
              instrument: String = ""): Unit = {
     val lower = input.toLowerCase
+    if (lower.endsWith(".mat") && instrument == "sig") {
+      sigIngest(spark, meta, input, output); return
+    }
+    if (lower.endsWith(".mat") && instrument == "iq") {
+      iqIngest(spark, meta, input, output); return
+    }
     val df =
       if (lower.endsWith(".pd0") || lower.endsWith(".000")) {
         // RDI ADCP binary ensembles (stglib/rdi/rdiadcpy.py)
@@ -176,6 +182,55 @@ object RunOts {
         joined.withColumn("bindist", lit(bl) + lit(cs / 2) + col("bin") * cs)
       case _ => joined
     }
+  }
+
+  /** Nortek Signature deployment: multi-chunk `basefile_*.mat` → one raw
+    * parquet per data_type group (the reference's per-ftype -raw.cdf files,
+    * stglib/sig/mat2cdf.py:700-790). The primary (Burst) group lands at
+    * `output`; others at `output_<ftype>`. The Beam2xyz wave-coord matrix
+    * travels in the attrs sidecar. */
+  private def sigIngest(spark: SparkSession, meta: Meta, input: String,
+                        output: String): Unit = {
+    // accept either the basefile or any chunk path (`dep_1.mat` → `dep`)
+    val basefile =
+      if (input.toLowerCase.endsWith(".mat"))
+        input.replaceAll("_\\d+\\.(?i:mat)$", "")
+      else input
+    val groups = graft.io.Sig.ingest(spark, basefile)
+    val primary = groups.find(g => graft.io.Sig.ftype(g.dataType) == "burst")
+      .orElse(groups.headOption)
+    groups.foreach { g =>
+      val dest = if (primary.contains(g)) output
+                 else output + "_" + graft.io.Sig.ftype(g.dataType)
+      val attrs = meta.attrs ++
+        Map("data_type" -> g.dataType) ++
+        g.beam2xyz.map(m => "Beam2xyz" -> m.mkString(",")).toMap
+      val shifted = Readers.applyClockError(g.df, "time", meta)
+      Sink.writeParquet(shifted, dest, Sink.insertHistory(Meta(attrs),
+        s"Ingested $basefile (${g.dataType}).", "1970-01-01T00:00:00Z"),
+        float32 = false)
+    }
+  }
+
+  /** SonTek IQ deployment (stglib/iq.py:12-40 mat_to_cdf): flat-MAT
+    * traversal via [[graft.io.Iq.read]], per-sample flow series to `output`,
+    * (time, beam, bin) profile rows with per-sample bindist to
+    * `output_profiles`. Time shifts to the flow-sample middle
+    * (`flowSampleDuration`/2) like the reference's shift_time. */
+  private def iqIngest(spark: SparkSession, meta: Meta, input: String,
+                       output: String): Unit = {
+    val mat = graft.io.Mat5.parse(readBytes(input))
+    val iq = graft.io.Iq.read(spark, mat)
+    val shiftSec = meta.dbl("flowSampleDuration").getOrElse(0.0) / 2
+    def shift(df: DataFrame): DataFrame =
+      if (shiftSec == 0) df
+      else df.withColumn("time",
+        col("time") + expr(s"INTERVAL ${shiftSec.toLong} SECOND"))
+    Sink.writeParquet(shift(iq.flow), output, Sink.insertHistory(meta,
+      s"Ingested $input (IQ flow).", "1970-01-01T00:00:00Z"), float32 = false)
+    Sink.writeParquet(shift(iq.profiles), output + "_profiles",
+      Sink.insertHistory(meta, s"Ingested $input (IQ profiles).",
+        "1970-01-01T00:00:00Z"), float32 = false)
   }
 
   /** Generic MAT5 ingest: equal-length top-level numeric vectors become

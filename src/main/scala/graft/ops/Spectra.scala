@@ -175,6 +175,40 @@ object Spectra {
     }
   }
 
+  final case class DspecRow(burst: Long, freq: Double, dir: Double, s: Double)
+
+  /** Full DIWASP directional spectrum S(freq, dir) per burst — the grid the
+    * reference materializes as the `dspec` variable (stglib/core/waves.py:
+    * 185-192), exploded to long-format rows. Same kernel fan-out as
+    * [[diwaspStats]]; output volume is bursts × nfreq × ndir. */
+  def diwaspFullSpectrum(df: DataFrame, burstCol: String, sampleCol: String,
+                         pCol: String, uCol: String, vCol: String,
+                         depth: Double, zp: Double, zuv: Double, fs: Double,
+                         nfft: Int, dres: Int, method: String, miter: Int,
+                         fmin: Double, fmax: Double, smooth: Boolean = true,
+                         interpTo: Option[(Array[Double], Array[Double])] = None)
+      : Dataset[DspecRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(burstCol).cast("long").as("_1"),
+        col(sampleCol).cast("long").as("_2"),
+        coalesce(col(pCol).cast("double"), lit(Double.NaN)).as("_3"),
+        coalesce(col(uCol).cast("double"), lit(Double.NaN)).as("_4"),
+        coalesce(col(vCol).cast("double"), lit(Double.NaN)).as("_5"))
+      .as[(Long, Long, Double, Double, Double)]
+    perGroup(ds, (t: (Long, Long, Double, Double, Double)) => t._1) { (k, rows) =>
+      val d = graft.kernels.Diwasp.dirspec(
+        Array(rows.map(_._3), rows.map(_._4), rows.map(_._5)),
+        Array("pres", "velx", "vely"),
+        Array(Array(0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0), Array(zp, zuv, zuv)),
+        depth, fs, nfft, dres, method, miter, fmin, fmax, smooth, interpTo)
+      for {
+        fi <- d.freqs.indices.iterator
+        di <- d.dirs.indices.iterator
+      } yield DspecRow(k, d.freqs(fi), d.dirs(di), d.s(fi)(di))
+    }
+  }
+
   final case class FiltRow(series: Long, sample: Long, value_filt: Double)
 
   /** Zero-phase Butterworth filtering per series/burst/bin group

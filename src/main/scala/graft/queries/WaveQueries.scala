@@ -155,6 +155,18 @@ object WaveQueries {
           interpTo = Some((fUser, dUser))).toDF()
       }, None),
 
+    // full directional spectrum S(freq, dir) per burst — the reference's
+    // `dspec` output grid (stglib/core/waves.py:185-192), long-format
+    Q("diwasp_dspec",
+      (s, dir) => {
+        val b = puvBursts(s, dir)
+        Spectra.diwaspFullSpectrum(b, "burst", "sample", "p", "u", "v",
+          depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0,
+          nfft = 128, dres = 36, method = "DFTM", miter = 0,
+          fmin = 0.05, fmax = 0.45).toDF()
+      }, None,
+      note = "rows-only: bursts x nfreq x ndir grid; goldens in DiwaspSpec"),
+
     // zero-phase Butterworth low-pass per user series (filtered water level,
     // stglib/core/utils.py:1715-1756)
     Q("butter_lowpass",

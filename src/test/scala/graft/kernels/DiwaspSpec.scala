@@ -85,6 +85,26 @@ class DiwaspSpec extends AnyFunSuite {
     assert(d.hs > 0.3 && d.hs < 3.0, s"Hs=${d.hs}")
   }
 
+  test("full S(f,dir) grid: 2-D peak sits at the wave frequency/direction") {
+    val d = runDirspec("DFTM", 30.0)
+    // grid dims match the reported axes
+    assert(d.s.length == d.freqs.length)
+    assert(d.s.head.length == d.dirs.length)
+    // locate the 2-D maximum
+    var (pf, pd, pmax) = (0, 0, Double.MinValue)
+    for (i <- d.s.indices; j <- d.s(i).indices)
+      if (d.s(i)(j) > pmax) { pmax = d.s(i)(j); pf = i; pd = j }
+    assert(pmax > 0.0)
+    // peak frequency bin within one df of 1/8 Hz
+    assert(math.abs(d.freqs(pf) - 0.125) < 1.0 / 256 + 1e-9,
+      s"peak f=${d.freqs(pf)}")
+    // peak direction equals the reported DTp (same cell) and is near 30 deg
+    assert(math.abs(math.toDegrees(d.dirs(pd)) - d.dtp) < 1e-9)
+    assert(math.abs(d.dtp - 30.0) < 15.0)
+    // all spectral density non-negative
+    assert(d.s.forall(_.forall(v => v >= 0.0 || v.isNaN == false)))
+  }
+
   test("direction flips with wave direction") {
     val d1 = runDirspec("DFTM", 30.0)
     val d2 = runDirspec("DFTM", -60.0)
