@@ -151,11 +151,58 @@ object Butterworth {
     cur
   }
 
+  /** Largest pole magnitude of the cascade — governs how fast the IIR
+    * transient decays (error after M samples ~ r^M). Section poles are the
+    * roots of z² + a1·z + a2: |p| = √a2 for complex pairs. */
+  def poleRadius(sos: Array[Sos]): Double = sos.map { s =>
+    val disc = s.a1 * s.a1 - 4.0 * s.a2
+    if (disc < 0) math.sqrt(s.a2)
+    else {
+      val sq = math.sqrt(disc)
+      math.max(math.abs((-s.a1 + sq) / 2.0), math.abs((-s.a1 - sq) / 2.0))
+    }
+  }.max
+
+  /** Overlap margin for segmented filtfilt: enough samples for the filter
+    * transient to decay below `tol` (relative), r^M ≤ tol → M = log tol /
+    * log r. Floor at the scipy pad length. */
+  def marginFor(sos: Array[Sos], tol: Double = 1e-16): Int = {
+    val r = poleRadius(sos)
+    val m = if (r <= 0.0 || r >= 1.0) 100000
+            else math.ceil(math.log(tol) / math.log(r)).toInt
+    math.max(3 * 2 * sos.length, m)
+  }
+
+  /** Segmented zero-phase filtering — overlap-save for IIR filtfilt: each
+    * segLen block is filtered with [[marginFor]] REAL neighboring samples of
+    * context on each side, then only the block's own samples are kept. The
+    * forward and backward transients from the artificial segment edges decay
+    * below ~1e-12 within the margin (spec-proven against the single-pass
+    * [[filtfilt]]), so a 10⁹-sample series can be filtered with bounded
+    * per-task state. Series ends use the same odd reflection as filtfilt,
+    * so boundary segments agree exactly. */
+  def filtfiltSegmented(sos: Array[Sos], x: Array[Double], segLen: Int): Array[Double] = {
+    val margin = marginFor(sos)
+    val n = x.length
+    if (n <= segLen) return filtfilt(sos, x)
+    val out = new Array[Double](n)
+    var a = 0
+    while (a < n) {
+      val b = math.min(n, a + segLen)
+      val lo = math.max(0, a - margin)
+      val hi = math.min(n, b + margin)
+      val y = filtfilt(sos, java.util.Arrays.copyOfRange(x, lo, hi))
+      System.arraycopy(y, a - lo, out, a, b - a)
+      a = b
+    }
+    out
+  }
+
   /** Zero-phase forward-backward filtering with odd-reflection padding —
     * scipy sosfiltfilt semantics (padlen = 3 * 2 * nsections, padtype="odd").
     * The reference applies this whole-series, per burst, or per bin
-    * (stglib/core/filter.py:60-153); at scale, whole-series use requires
-    * segmentation with this pad as overlap. */
+    * (stglib/core/filter.py:60-153); at scale, whole-series use segments
+    * via [[filtfiltSegmented]] / Spectra.filtfiltWholeSeries. */
   def filtfilt(sos: Array[Sos], x: Array[Double]): Array[Double] = {
     val padlen = math.min(3 * 2 * sos.length, x.length - 1)
     val n = x.length

@@ -211,6 +211,42 @@ object Spectra {
 
   final case class FiltRow(series: Long, sample: Long, value_filt: Double)
 
+  /** Whole-series zero-phase Butterworth filtering via DISTRIBUTED
+    * overlap-save (filtered water level, stglib/core/utils.py:1715-1756):
+    * global positions come from [[Index.withGlobalPosition]]; rows within
+    * `margin` of a segment boundary are duplicated into the neighboring
+    * segment; each segment task then runs filtfilt over (margin + segLen +
+    * margin) samples and keeps only its own. The IIR edge transient decays
+    * below ~1e-12 inside the margin ([[Butterworth.marginFor]],
+    * ButterworthSpec), so no task ever holds the series and the result
+    * matches the single-pass filter. One ranged shuffle + one segment
+    * shuffle. */
+  def filtfiltWholeSeries(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                          sos: Array[Butterworth.Sos],
+                          segLen: Int = 65536): Dataset[FiltRow] = {
+    val margin = Butterworth.marginFor(sos)
+    require(segLen > 2 * margin, s"segLen $segLen must exceed 2x margin $margin")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pos = Index.withGlobalPosition(
+      df.select((orderCols.map(col) :+ col(valueCol)): _*), orderCols, "__pos")
+    val segd = pos.select(col("__pos").as("pos"),
+        coalesce(col(valueCol).cast("double"), lit(Double.NaN)).as("v"))
+      .withColumn("segs", array_compact(array(
+        expr(s"pos div $segLen"),
+        when(col("pos") % segLen < margin, expr(s"pos div $segLen - 1")),
+        when(col("pos") % segLen >= segLen - margin, expr(s"pos div $segLen + 1")))))
+      .select(explode(col("segs")).as("_1"), col("pos").as("_2"), col("v").as("_3"))
+      .filter(col("_1") >= 0)
+      .as[(Long, Long, Double)]
+    perGroup(segd, (t: (Long, Long, Double)) => t._1) { (seg, rows) =>
+      val y = Butterworth.filtfilt(sos, rows.map(_._3))
+      rows.indices.iterator
+        .filter(i => rows(i)._2 / segLen == seg) // keep own samples only
+        .map(i => FiltRow(seg, rows(i)._2, y(i)))
+    }
+  }
+
   /** Zero-phase Butterworth filtering per series/burst/bin group
     * (apply_butter_filt, stglib/core/filter.py:60-153). */
   def filtfiltPerGroup(df: DataFrame, groupCol: String, sampleCol: String,

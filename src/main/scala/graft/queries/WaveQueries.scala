@@ -171,15 +171,16 @@ object WaveQueries {
     // stglib/core/utils.py:1715-1756)
     Q("butter_lowpass",
       (s, dir) => {
-        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val df = events(s, dir).withColumn("sample", row_number().over(w) - 1)
-        // filter a smooth pressure-like series (tide + wave + small noise),
-        // matching the reference's filtered-water-level use case
-        val dfp = df.withColumn("pres",
-          lit(10.0) + lit(0.5) * sin(col("sample") * lit(2.0 * math.Pi / 40.0)) +
+        // filter a smooth pressure-like series (tide + wave + small noise)
+        // over the WHOLE series in global (ts, event_id) order — distributed
+        // overlap-save segmentation, no single task holds the series
+        // (filtered water level, stglib/core/utils.py:1715-1756)
+        val dfp = events(s, dir).withColumn("pres",
+          lit(10.0) + lit(0.5) * sin((col("ts") / lit(4.0e10)) % lit(2.0 * math.Pi)) +
             col("value") / 500.0)
-        Spectra.filtfiltPerGroup(dfp, "user_id", "sample", "pres",
-          Butterworth.lowpass(4, 0.05, 1.0)).toDF()
-      }, None)
+        Spectra.filtfiltWholeSeries(dfp, Seq("ts", "event_id"), "pres",
+          Butterworth.lowpass(4, 0.05, 1.0), segLen = 4096).toDF()
+      }, None,
+      note = "rows-only: whole-series overlap-save filtfilt; equivalence in ButterworthSpec")
   )
 }

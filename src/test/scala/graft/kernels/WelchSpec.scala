@@ -107,6 +107,37 @@ class SpectralSpec extends AnyFunSuite {
 class ButterworthSpec extends AnyFunSuite {
   import Butterworth._
 
+  test("segmented filtfilt == single-pass to 1e-12 on 1e6 samples") {
+    val sos = lowpass(4, 0.05, 1.0)
+    val n = 1000000
+    // deterministic multi-tone + pseudo-noise series
+    val x = Array.tabulate(n)(i =>
+      10.0 + 0.5 * math.sin(2 * math.Pi * 0.002 * i) +
+        0.2 * math.sin(2 * math.Pi * 0.11 * i) +
+        ((i * 2654435761L % 1000) - 500) / 5000.0)
+    val single = filtfilt(sos, x)
+    val seg = filtfiltSegmented(sos, x, segLen = 65536)
+    var maxDiff = 0.0
+    var i = 0
+    while (i < n) {
+      val d = math.abs(seg(i) - single(i)); if (d > maxDiff) maxDiff = d
+      i += 1
+    }
+    assert(maxDiff < 1e-12, s"max segment-boundary error $maxDiff")
+    // uneven tail segment too
+    val seg2 = filtfiltSegmented(sos, x, segLen = 12345)
+    assert((0 until n).forall(i => math.abs(seg2(i) - single(i)) < 1e-12))
+  }
+
+  test("marginFor scales with pole radius and floors at the scipy padlen") {
+    val sos = lowpass(4, 0.05, 1.0)
+    val r = poleRadius(sos)
+    assert(r > 0 && r < 1, s"pole radius $r")
+    assert(marginFor(sos) >= 3 * 2 * sos.length)
+    // sharper filter (cutoff closer to 0) -> slower decay -> bigger margin
+    assert(marginFor(lowpass(4, 0.005, 1.0)) > marginFor(sos))
+  }
+
   test("lowpass filtfilt preserves DC exactly") {
     val sos = lowpass(4, 0.05, 1.0)
     val x = Array.fill(500)(3.7)
