@@ -77,6 +77,18 @@ object RunOts {
     if (lower.endsWith(".mat") && instrument == "iq") {
       iqIngest(spark, meta, input, output); return
     }
+    if (instrument == "abss" &&
+        (lower.endsWith(".mat") || new java.io.File(input).isDirectory)) {
+      // AQUAscat: one .mat per burst in a deployment dir (stglib/abss.py)
+      val dir = if (new java.io.File(input).isDirectory) input
+                else new java.io.File(input).getParent
+      val abss = graft.io.Abss.ingest(spark, dir)
+      Sink.writeParquet(abss.abs, output, Sink.insertHistory(meta,
+        s"Ingested $dir (ABS bursts).", "1970-01-01T00:00:00Z"), float32 = false)
+      Sink.writeParquet(abss.aux, output + "_aux", Sink.insertHistory(meta,
+        s"Ingested $dir (ABS aux).", "1970-01-01T00:00:00Z"), float32 = false)
+      return
+    }
     val df =
       if (lower.endsWith(".pd0") || lower.endsWith(".000")) {
         // RDI ADCP binary ensembles (stglib/rdi/rdiadcpy.py)

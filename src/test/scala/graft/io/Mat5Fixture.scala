@@ -45,6 +45,26 @@ object Mat5Fixture {
     element(14, body.toByteArray)
   }
 
+  /** 3-D numeric array (column-major xs). */
+  def matrixNum3(name: String, d1: Int, d2: Int, d3: Int, xs: Double*): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    body.write(element(6, Array[Byte](6, 0, 0, 0, 0, 0, 0, 0)))
+    body.write(element(5, le(d1) ++ le(d2) ++ le(d3)))
+    body.write(element(1, name.getBytes("US-ASCII")))
+    body.write(element(9, doubles(xs: _*)))
+    element(14, body.toByteArray)
+  }
+
+  /** Cell array of the given element matrices. */
+  def matrixCell(name: String, items: Seq[Array[Byte]]): Array[Byte] = {
+    val body = new ByteArrayOutputStream()
+    body.write(element(6, Array[Byte](1, 0, 0, 0, 0, 0, 0, 0))) // flags: mxCELL
+    body.write(element(5, le(items.length) ++ le(1)))
+    body.write(element(1, name.getBytes("US-ASCII")))
+    items.foreach(body.write)
+    element(14, body.toByteArray)
+  }
+
   def matrixStruct(name: String, fields: Seq[(String, Array[Byte])]): Array[Byte] = {
     val fieldNameLen = 32
     val body = new ByteArrayOutputStream()
