@@ -27,11 +27,20 @@ import org.apache.spark.sql.functions._
 object Spectra {
 
   /** Repartition by group key (AQE-exempt), sort (key, sample) within
-    * partitions, and run `f` once per contiguous equal-key run. */
+    * partitions, and run `f` once per contiguous equal-key run.
+    *
+    * The extra `lit(0)` hash column is load-bearing: when the input is
+    * already hash-partitioned on the key (e.g. a window PARTITION BY the
+    * burst upstream), the planner statically elides a plain
+    * `repartition(n, key)` — and AQE then coalesces the remaining ordinary
+    * exchange of a small input to ONE partition, serializing every kernel
+    * through one task (measured 195 IMLM bursts on a single core). A
+    * distinct expression set keeps the REPARTITION_BY_NUM exchange, which
+    * AQE must honor. */
   private def perGroup[T: ClassTag, R](ds: Dataset[T], keyOf: T => Long)(
       f: (Long, Array[T]) => Iterator[R])(implicit enc: Encoder[R]): Dataset[R] = {
     val n = ds.sparkSession.sparkContext.defaultParallelism
-    ds.repartition(n, col("_1"))
+    ds.repartition(n, col("_1"), lit(0))
       .sortWithinPartitions("_1", "_2")
       .mapPartitions { it =>
         val b = it.buffered

@@ -38,7 +38,10 @@ object SonarQueries {
             col("rn").cast("long").as("_2"), col("value").cast("double").as("_3"))
           .as[(Long, Long, Double)]
         val n = s.sparkContext.defaultParallelism
-        val out = grid.repartition(n, col("_1"))
+        // lit(0) keeps the AQE-exempt exchange from being statically elided
+        // (see Spectra.perGroup) — without it the scan-key window upstream
+        // satisfies the partitioning and AQE serializes the kernel
+        val out = grid.repartition(n, col("_1"), lit(0))
           .sortWithinPartitions("_1", "_2")
           .mapPartitions { it =>
             val b = it.buffered
