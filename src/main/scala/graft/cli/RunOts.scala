@@ -63,6 +63,18 @@ object RunOts {
   private def readBytes(path: String): Array[Byte] =
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
 
+  /** Config-driven EPIC renames (`rename_<col>: <EPIC name>`) — the
+    * reference hardcodes the map per instrument family. */
+  private def applyRenames(df: DataFrame, meta: Meta): DataFrame = {
+    var renamed = df
+    meta.attrs.foreach { case (k, v) =>
+      if (k.startsWith("rename_") &&
+          renamed.columns.contains(k.stripPrefix("rename_")))
+        renamed = renamed.withColumnRenamed(k.stripPrefix("rename_"), v.toString)
+    }
+    renamed
+  }
+
   /** Instrument file → renamed, clock-corrected long-format raw parquet.
     * Native `.rsk` (SQLite) deployments route to the binary reader; binary
     * instrument families (.pd0/.81R/.hdr/.vhd/.wad/.mat) route to their
@@ -83,9 +95,9 @@ object RunOts {
       val dir = if (new java.io.File(input).isDirectory) input
                 else new java.io.File(input).getParent
       val abss = graft.io.Abss.ingest(spark, dir)
-      Sink.writeParquet(abss.abs, output, Sink.insertHistory(meta,
+      Sink.writeParquet(applyRenames(abss.abs, meta), output, Sink.insertHistory(meta,
         s"Ingested $dir (ABS bursts).", "1970-01-01T00:00:00Z"), float32 = false)
-      Sink.writeParquet(abss.aux, output + "_aux", Sink.insertHistory(meta,
+      Sink.writeParquet(applyRenames(abss.aux, meta), output + "_aux", Sink.insertHistory(meta,
         s"Ingested $dir (ABS aux).", "1970-01-01T00:00:00Z"), float32 = false)
       return
     }
@@ -147,13 +159,7 @@ object RunOts {
           .withColumn("time", expr("timestamp_seconds(startTime)"))
           .withColumnRenamed("p_dbar", "P_1")
       } else Readers.readInstrumentCsv(spark, input, meta)
-    // config-driven EPIC renames (`rename_<col>: <EPIC name>`) apply to every
-    // instrument family (the reference hardcodes the map per family)
-    var renamed = df
-    meta.attrs.foreach { case (k, v) =>
-      if (k.startsWith("rename_") && renamed.columns.contains(k.stripPrefix("rename_")))
-        renamed = renamed.withColumnRenamed(k.stripPrefix("rename_"), v.toString)
-    }
+    val renamed = applyRenames(df, meta)
     val shifted =
       if (renamed.columns.contains("time"))
         Readers.applyClockError(renamed, "time", meta)
@@ -217,7 +223,7 @@ object RunOts {
       val attrs = meta.attrs ++
         Map("data_type" -> g.dataType) ++
         g.beam2xyz.map(m => "Beam2xyz" -> m.mkString(",")).toMap
-      val shifted = Readers.applyClockError(g.df, "time", meta)
+      val shifted = Readers.applyClockError(applyRenames(g.df, meta), "time", meta)
       Sink.writeParquet(shifted, dest, Sink.insertHistory(Meta(attrs),
         s"Ingested $basefile (${g.dataType}).", "1970-01-01T00:00:00Z"),
         float32 = false)
@@ -238,9 +244,10 @@ object RunOts {
       if (shiftSec == 0) df
       else df.withColumn("time",
         col("time") + expr(s"INTERVAL ${shiftSec.toLong} SECOND"))
-    Sink.writeParquet(shift(iq.flow), output, Sink.insertHistory(meta,
-      s"Ingested $input (IQ flow).", "1970-01-01T00:00:00Z"), float32 = false)
-    Sink.writeParquet(shift(iq.profiles), output + "_profiles",
+    Sink.writeParquet(shift(applyRenames(iq.flow, meta)), output,
+      Sink.insertHistory(meta,
+        s"Ingested $input (IQ flow).", "1970-01-01T00:00:00Z"), float32 = false)
+    Sink.writeParquet(shift(applyRenames(iq.profiles, meta)), output + "_profiles",
       Sink.insertHistory(meta, s"Ingested $input (IQ profiles).",
         "1970-01-01T00:00:00Z"), float32 = false)
   }

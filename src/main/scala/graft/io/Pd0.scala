@@ -15,6 +15,9 @@ import org.apache.spark.sql.functions._
  *          (u8 per beam×cell, :1425-1495)
  *   0x0600 bottom track (per-beam range cm at +16, velocity mm/s at +24,
  *          -32768 = bad, :1844-1920)
+ *   0x0F01 vertical beam leader (V-series; cell count at +2, :1622-1650) with
+ *          0x0A00 velocity / 0x0B00 correlation / 0x0C00 amplitude per cell
+ *          (:1668-1740) → vel5/cor5/echo5 columns
  *
  * Distribution model: files arrive via spark.read.format("binaryFile"); each
  * file's ensembles decode independently inside a flatMap — at 100 TB the
@@ -46,6 +49,7 @@ object Pd0 {
       btRangeM3: Option[Double], btRangeM4: Option[Double],
       btVel1: Option[Int], btVel2: Option[Int],
       btVel3: Option[Int], btVel4: Option[Int],
+      vel5: Option[Int], cor5: Option[Int], echo5: Option[Int],
       headingDeg: Double, pitchDeg: Double, rollDeg: Double,
       temperatureC: Double, xducerDepthM: Double)
 
@@ -111,11 +115,16 @@ object Pd0 {
     var pg: Option[Array[Array[Int]]] = None
     var btRange: Option[Array[Int]] = None      // (beam), cm
     var btVel: Option[Array[Int]] = None        // (beam), mm/s
+    var vCells = 0                              // vertical beam leader
+    var vVel: Option[Array[Int]] = None         // (vcell), mm/s
+    var vCor: Option[Array[Int]] = None
+    var vEcho: Option[Array[Int]] = None
 
     // first pass: leaders (geometry needed to size the data blocks)
     for (off <- offsets) u16(ens, off) match {
       case 0x0000 => fl = Some(parseFixedLeader(ens, off))
       case 0x0080 => vl = Some(parseVariableLeader(ens, off))
+      case 0x0F01 => vCells = u16(ens, off + 2) // vertical beam leader
       case _      =>
     }
     for (off <- offsets; f <- fl) u16(ens, off) match {
@@ -134,6 +143,12 @@ object Pd0 {
       case 0x0600 =>
         btRange = Some(Array.tabulate(f.nbeams)(b => i16(ens, off + 16 + 2 * b)))
         btVel = Some(Array.tabulate(f.nbeams)(b => i16(ens, off + 24 + 2 * b)))
+      case 0x0A00 if vCells > 0 =>
+        vVel = Some(Array.tabulate(vCells)(c => i16(ens, off + 2 + 2 * c)))
+      case 0x0B00 if vCells > 0 =>
+        vCor = Some(Array.tabulate(vCells)(c => u8(ens, off + 2 + c)))
+      case 0x0C00 if vCells > 0 =>
+        vEcho = Some(Array.tabulate(vCells)(c => u8(ens, off + 2 + c)))
       case _ =>
     }
 
@@ -171,6 +186,9 @@ object Pd0 {
             btRangeM3 = btRangeAt(2), btRangeM4 = btRangeAt(3),
             btVel1 = btVelAt(0), btVel2 = btVelAt(1),
             btVel3 = btVelAt(2), btVel4 = btVelAt(3),
+            vel5 = vVel.filter(_ => c < vCells).map(_(c)).filter(_ != -32768),
+            cor5 = vCor.filter(_ => c < vCells).map(_(c)),
+            echo5 = vEcho.filter(_ => c < vCells).map(_(c)),
             headingDeg = v.headingCdeg / 100.0, pitchDeg = v.pitchCdeg / 100.0,
             rollDeg = v.rollCdeg / 100.0, temperatureC = v.temperatureCdegC / 100.0,
             xducerDepthM = v.xducerDepthDm / 10.0)

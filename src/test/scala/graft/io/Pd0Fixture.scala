@@ -77,7 +77,27 @@ object Pd0Fixture {
     btb.write(Array.fill(49)(0.toByte)) // through byte 80
     val bt = btb.toByteArray
 
-    val blocks = Seq(fl, vl, vd, cd, ed, pd, bt)
+    // V-series vertical beam: leader (0x0F01) + velocity/correlation/
+    // amplitude blocks with their own cell count (= ncells here)
+    val vbl = new ByteArrayOutputStream()
+    vbl.write(u16(0x0F01))
+    vbl.write(u16(ncells)) // Vertical_Depth_Cells
+    vbl.write(u16(1)); vbl.write(u16(100)); vbl.write(u16(160))
+    val vblB = vbl.toByteArray
+    val vv = new ByteArrayOutputStream()
+    vv.write(u16(0x0A00))
+    for (c <- 0 until ncells) vv.write(i16(500 + c))
+    val vvB = vv.toByteArray
+    val vc = new ByteArrayOutputStream()
+    vc.write(u16(0x0B00))
+    for (c <- 0 until ncells) vc.write(80 + c)
+    val vcB = vc.toByteArray
+    val ve = new ByteArrayOutputStream()
+    ve.write(u16(0x0C00))
+    for (c <- 0 until ncells) ve.write(40 + c)
+    val veB = ve.toByteArray
+
+    val blocks = Seq(fl, vl, vd, cd, ed, pd, bt, vblB, vvB, vcB, veB)
     val ndt = blocks.length
     val headerLen = 6 + 2 * ndt
     val offsets = blocks.scanLeft(headerLen)((acc, b) => acc + b.length).init

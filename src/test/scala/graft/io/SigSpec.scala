@@ -123,4 +123,31 @@ class SigSpec extends AnyFunSuite {
     assert(attrs.contains("Beam2xyz"))
     assert(attrs.contains("\"data_type\""))
   }
+
+  test("sig chain continues through clean; per-profile split sink") {
+    val dir = java.nio.file.Files.createTempDirectory("sig_clean").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "dep_1.mat").toPath,
+      chunk(d0, 4, 10.0))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    val meta = graft.core.Meta(Map(
+      "rename_Pressure" -> "P_1", "atmpres" -> 0.5, "P_1_max" -> 10.02))
+    graft.cli.RunOts.runStep(spark, "sig", "ingest", meta,
+      new java.io.File(dir, "dep_1.mat").getAbsolutePath, raw)
+    graft.cli.RunOts.runStep(spark, "sig", "clean", meta, raw, clean)
+    val df = spark.read.parquet(clean)
+    assert(df.count() == 8)
+    // scalar atmos offset applied; P_1_max trim nulled values > 10.02
+    val r = df.filter("bin = 0").orderBy("time").collect()
+    assert(math.abs(r(0).getDouble(df.columns.indexOf("P_1ac")) - 9.5) < 1e-9)
+    assert(df.filter("P_1 IS NULL").count() == 2) // t=2,3 (10.02, 10.03) x... 
+    // per-profile split: partitionBy writes one dir per bin (the reference's
+    // per-profile file split, stglib/rsk/csv2cdf.py)
+    val split = new java.io.File(dir, "split").getAbsolutePath
+    graft.io.Sink.writeParquet(df, split, meta, partitionBy = Seq("bin"),
+      float32 = false)
+    assert(new java.io.File(split, "bin=0").isDirectory)
+    assert(new java.io.File(split, "bin=1").isDirectory)
+    assert(spark.read.parquet(split).count() == 8)
+  }
 }
