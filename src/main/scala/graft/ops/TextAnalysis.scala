@@ -80,6 +80,38 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
 
+  /** Non-empty whitespace tokens — project this ONCE and feed the array to
+    * [[wordNgrams]]/[[duplicateNgramFraction]] so tokenization isn't
+    * re-evaluated per n-gram element. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Word n-grams (space-joined) over a token-array column — empty below n
+    * tokens (Spark's `sequence(1, 0)` DESCENDS, so the size guard is
+    * required). */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array())
+
+  /** Gopher-style repetition metric: duplicate word-n-gram fraction within
+    * a document — 1 − distinct/total (0 when no n-grams). High values flag
+    * boilerplate/repetitive documents for filtering. */
+  def duplicateNgramFraction(toks: Column, n: Int): Column = {
+    val grams = wordNgrams(toks, n)
+    val total = size(grams)
+    when(total > 0,
+      (total - size(array_distinct(grams))).cast("double") / total)
+      .otherwise(0.0)
+  }
+
+  /** Deterministic per-document sampling hash in [0, 1000): the
+    * train/validation-split primitive. (a·id + b) mod p — portable integer
+    * arithmetic, reproducible on any engine, no RNG state. */
+  def sampleHash(id: Column): Column =
+    (id * 2654435761L + 40503L) % 2147483647L % 1000L
+
   /** Simple quality score in [0,1]: length in sweet spot, few repeats,
     * reasonable mean token length (composite of the metrics above). */
   def qualityScore(text: Column): Column = {

@@ -268,6 +268,78 @@ object PipelineQueries {
              |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
              |FROM documents""".stripMargin)),
 
+    // Gopher-style repetition filter: duplicate word-3-gram fraction per doc
+    Q("text_repetition",
+      (s, dir) => {
+        val d = documents(s, dir)
+          .withColumn("__toks", TA.tokens(col("text")))
+        d.select(col("doc_id"),
+          size(TA.wordNgrams(col("__toks"), 3)).as("n_3grams"),
+          size(array_distinct(TA.wordNgrams(col("__toks"), 3))).as("n_distinct"),
+          round(TA.duplicateNgramFraction(col("__toks"), 3), 8).as("dup_frac"),
+          (TA.duplicateNgramFraction(col("__toks"), 3) > 0.3).as("repetitive"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+             |    list_transform(generate_series(1, len(toks) - 2),
+             |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             |    ELSE [] END AS grams
+             |  FROM t)
+             |SELECT doc_id, CAST(len(grams) AS INTEGER) AS n_3grams,
+             |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+             |  round(CASE WHEN len(grams) > 0 THEN
+             |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             |    ELSE 0.0 END, 8) AS dup_frac,
+             |  (CASE WHEN len(grams) > 0 THEN
+             |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             |    ELSE 0.0 END) > 0.3 AS repetitive
+             |FROM g""".stripMargin)),
+
+    // corpus-level top-k n-grams: one hash-shuffle aggregation with
+    // map-side combine, then TakeOrderedAndProject (per-partition top-k
+    // merged on the driver — never a global sort of the counts)
+    Q("corpus_ngram_topk",
+      (s, dir) => {
+        val grams = documents(s, dir)
+          .withColumn("__toks", TA.tokens(col("text")))
+          .select(explode(TA.wordNgrams(col("__toks"), 2)).as("ngram"))
+        grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("ngram"))
+          .limit(20)
+      },
+      Some("""WITH t AS (
+             |  SELECT list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+             |    list_transform(generate_series(1, len(toks) - 1),
+             |      i -> concat_ws(' ', toks[i], toks[i+1]))
+             |    ELSE [] END) AS ngram
+             |  FROM t)
+             |SELECT ngram, cnt FROM (
+             |  SELECT ngram, count(*) AS cnt FROM g GROUP BY ngram)
+             |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin)),
+
+    // deterministic stratified sampling: per-source keep rates via a
+    // portable integer hash — the reproducible train/val-split primitive
+    Q("sample_stratified",
+      (s, dir) => {
+        val rate = when(col("source") === "src0", 100)
+          .when(col("source") === "src1", 250).otherwise(50)
+        documents(s, dir)
+          .withColumn("__h", TA.sampleHash(col("doc_id")))
+          .filter(col("__h") < rate)
+          .select("doc_id", "source")
+      },
+      Some("""SELECT doc_id, source FROM documents
+             |WHERE (doc_id * 2654435761 + 40503) % 2147483647 % 1000 <
+             |  CASE WHEN source = 'src0' THEN 100
+             |       WHEN source = 'src1' THEN 250 ELSE 50 END""".stripMargin)),
+
     // ---- multimodal (stubbed decode, real plumbing) ------------------
     Q("multimodal_meta",
       (s, dir) => Multimodal.withMeta(
