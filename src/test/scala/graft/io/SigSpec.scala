@@ -150,4 +150,38 @@ class SigSpec extends AnyFunSuite {
     assert(new java.io.File(split, "bin=1").isDirectory)
     assert(spark.read.parquet(split).count() == 8)
   }
+
+  test("sig wave chain: scalar-pressure burst group -> clean -> wave stats") {
+    val dir = java.nio.file.Files.createTempDirectory("sig_waves").toFile
+    // 1100 x 1 Hz samples: 10 m column + 8 s wave (nsamps 256 -> 4 bursts)
+    val nt = 1100
+    val times = (0 until nt).map(i => (d0 + i / 86400.0))
+    val pres = (0 until nt).map(i =>
+      10.0 + 0.4 * math.sin(2 * math.Pi * 0.125 * i))
+    val data = matrixStruct("Data", Seq(
+      "Burst_Time" -> matrixNum("", nt, 1, times: _*),
+      "Burst_Pressure" -> matrixNum("", nt, 1, pres: _*)))
+    val cfg = matrixStruct("Config", Seq(
+      "Plan_BurstEnabled" -> matrixChars("", "True")))
+    java.nio.file.Files.write(new java.io.File(dir, "wv_1.mat").toPath,
+      matFile(data, cfg))
+    val meta = graft.core.Meta(Map(
+      "rename_Pressure" -> "P_1", "sample_interval" -> 1.0,
+      "pressure_sensor_height" -> 0.5, "WATER_DEPTH" -> 10.5,
+      "wave_nsamps" -> 256, "spec_nsegs" -> 4, "wave_fcut" -> 0.3))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    val waves = new java.io.File(dir, "waves").getAbsolutePath
+    graft.cli.RunOts.runStep(spark, "sig", "ingest", meta,
+      new java.io.File(dir, "wv_1.mat").getAbsolutePath, raw)
+    graft.cli.RunOts.runStep(spark, "sig", "clean", meta, raw, clean)
+    graft.cli.RunOts.runStep(spark, "sig", "waves", meta, clean, waves)
+    val stats = spark.read.parquet(waves)
+    assert(stats.count() == 4) // 1100 samples -> 4 full 256-sample bursts
+    val r = stats.orderBy("burst").collect()(0)
+    val tp = r.getAs[Double]("wp_peak")
+    val hs = r.getAs[Double]("wh_4061")
+    assert(math.abs(tp - 8.0) < 0.5, s"Tp=$tp")
+    assert(hs > 1.0 && hs < 2.2, s"Hs=$hs") // 2*sqrt(2)*0.4/Kp(~0.72)
+  }
 }
