@@ -86,26 +86,31 @@ object Similarity {
   }
 
   /** IVF-style coarse quantization: the first nCentroids vectors (by id)
-    * serve as deterministic centroids; each vector is assigned to its
-    * nearest centroid cell and search re-ranks within the cell. At cluster
-    * scale the assignment is a broadcast join (centroids are tiny) and the
-    * per-cell pair join replaces the global quadratic blowup — the same
-    * shape as a trained IVF index with nprobe=1. */
+    * serve as deterministic centroids; each vector is INDEXED under its
+    * nearest centroid cell, and each query PROBES its `nprobe` nearest
+    * cells (multi-probe is the standard IVF recall lever — the index side
+    * stays single-cell, so index size is unchanged and the pair work grows
+    * only ×nprobe). At cluster scale the assignment is a broadcast join
+    * (centroids are tiny) and the per-cell pair join replaces the global
+    * quadratic blowup. */
   def ivfTopK(df: DataFrame, idCol: String, embCol: String,
-              nCentroids: Int, k: Int): DataFrame = {
+              nCentroids: Int, k: Int, nprobe: Int = 1): DataFrame = {
     val vecs = Spread.shared(normalized(df, idCol, embCol, "vec_id", "e"))
-    val cents = vecs.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    // assign to nearest centroid (max cosine; normalized → dot)
-    val assigned = vecs.crossJoin(broadcast(cents))
+    val ranked = vecs.crossJoin(broadcast(
+        vecs.filter(col("vec_id") < nCentroids)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce"))))
       .withColumn("csim", ndot(col("e"), col("ce")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
-    val shAssigned = Spread.shared(assigned)
-    val a = shAssigned.select(col("vec_id"), col("e").as("ea"), col("cell"))
-    val b = shAssigned.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
+    // index side: nearest cell only; probe side: nprobe nearest cells
+    val assigned = Spread.shared(ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cent_id").as("cell")))
+    val probed =
+      if (nprobe <= 1) assigned
+      else Spread.shared(ranked.filter(col("rn") <= nprobe)
+        .select(col("vec_id"), col("e"), col("cent_id").as("cell")))
+    val a = probed.select(col("vec_id"), col("e").as("ea"), col("cell"))
+    val b = assigned.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
       col("cell").as("__cell2"))
     // cells are few (skewed keys) — a salted shuffle join runs the per-cell
     // pair work at cells × SALT parallelism with |cell|/SALT build sides,

@@ -211,6 +211,41 @@ object PipelineQueries {
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
              |  FROM pairs) WHERE rank <= 5""".stripMargin)),
 
+    // multi-probe IVF: queries probe their 2 nearest cells (the standard
+    // recall lever); the index side stays single-cell
+    Q("similarity_ivf_probe",
+      (s, dir) => Similarity.ivfTopK(embeddings(s, dir), "vec_id", "embedding",
+        nCentroids = 8, k = 5, nprobe = 2)
+        .withColumn("cosine", round(col("cosine"), 8)),
+      Some("""WITH e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |e AS (SELECT vec_id,
+             |    list_transform(generate_series(1, 64), i -> emb[i] /
+             |      sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        j -> emb[j] * emb[j])))) AS e
+             |  FROM e0),
+             |cents AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < 8),
+             |ranked AS (
+             |  SELECT a.vec_id, a.e, c.cent_id AS cell,
+             |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             |      list_sum(list_transform(generate_series(1, 64),
+             |        i -> a.e[i] * c.ce[i])) DESC, c.cent_id) AS rn
+             |  FROM e a, cents c),
+             |assigned AS (SELECT vec_id, e, cell FROM ranked WHERE rn = 1),
+             |probed AS (SELECT vec_id, e, cell FROM ranked WHERE rn <= 2),
+             |pairs AS (
+             |  SELECT a.vec_id, a.cell, b.vec_id AS neighbor_id,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> a.e[i] * b.e[i])) AS cosine
+             |  FROM probed a JOIN assigned b
+             |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+             |SELECT vec_id, cell, neighbor_id, round(cosine, 8) AS cosine,
+             |  CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT vec_id, cell, neighbor_id, cosine, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM pairs) WHERE rank <= 5""".stripMargin)),
+
     // ---- text analysis ----------------------------------------------
     Q("text_quality",
       (s, dir) => documents(s, dir).select(col("doc_id"),
