@@ -335,32 +335,52 @@ object RunOts {
       "Clipped, corrected, QA/QC applied.", "1970-01-01T00:00:00Z"), float32 = false)
   }
 
-  /** Clean parquet → burst reshape → Welch wave statistics → stat trims. */
+  /** Clean parquet → burst reshape → wave statistics → stat trims.
+    * Already-burst-indexed inputs (.wad ingest output) skip the reshape;
+    * inputs with u/v velocity columns route through the PUV path (the
+    * reference's vec/aqdwvs nc2waves, stglib/core/waves.py:1847-1989)
+    * when `wave_vars: puv` is configured. */
   def waves(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
     val df = spark.read.parquet(input)
-    val presVar = if (df.columns.contains("P_1ac")) "P_1ac" else "P_1"
+    val presVar =
+      if (df.columns.contains("P_1ac")) "P_1ac"
+      else if (df.columns.contains("P_1")) "P_1"
+      else "pressure" // .wad ingest naming (stglib/aqd/wvswad2cdf.py)
     val nsamps = meta.int("wave_nsamps").getOrElse(512)
     val fs = 1.0 / meta.dbl("sample_interval").getOrElse(1.0)
     val z = meta.dbl("pressure_sensor_height")
       .orElse(meta.dbl("initial_instrument_height")).getOrElse(0.0)
-    val bursts = Burst.fromContinuous(df, order = Seq("time"), part = Nil,
-      nsamps = nsamps, burstCol = "burst", sampleCol = "sample")
-    var stats = Spectra.waveStatsFromPressure(bursts, "burst", "sample", presVar,
-      fs = fs, z = z,
-      nsegs = meta.int("spec_nsegs").getOrElse(16),
-      fcut = meta.dbl("wave_fcut"),
-      kpmin = meta.dbl("wave_Kpmin")).toDF()
-    // wave-product trims (stglib/core/utils.py:752-828)
-    meta.dbl("wp_max").foreach { m =>
+    val bursts =
+      if (df.columns.contains("burst") && df.columns.contains("sample")) df
+      else Burst.fromContinuous(df, order = Seq("time"), part = Nil,
+        nsamps = nsamps, burstCol = "burst", sampleCol = "sample")
+    val puvVars = meta.str("wave_vars").contains("puv") &&
+      Seq("u", "v").forall(bursts.columns.contains)
+    var stats =
+      if (puvVars)
+        Spectra.puvStats(bursts, "burst", "sample", presVar, "u", "v",
+          depth = meta.dbl("WATER_DEPTH").getOrElse(10.0),
+          zp = z, zuv = meta.dbl("velocity_sample_height").getOrElse(z),
+          fs = fs, fftLength = math.min(nsamps, 512)).toDF()
+      else Spectra.waveStatsFromPressure(bursts, "burst", "sample", presVar,
+        fs = fs, z = z,
+        nsegs = meta.int("spec_nsegs").getOrElse(16),
+        fcut = meta.dbl("wave_fcut"),
+        kpmin = meta.dbl("wave_Kpmin")).toDF()
+    // wave-product trims (stglib/core/utils.py:752-828) — pressure-path
+    // outputs only (the PUV stats carry their own variable set)
+    def hasWaveVars = Seq("wp_peak", "wh_4061", "wp_4060")
+      .forall(stats.columns.contains)
+    meta.dbl("wp_max").filter(_ => hasWaveVars).foreach { m =>
       val c = col("wp_peak") < m && col("wp_4060") < m
       stats = stats.withColumn("wp_peak", when(c, col("wp_peak")))
         .withColumn("wp_4060", when(c, col("wp_4060")))
     }
-    meta.dbl("wh_min").foreach { m =>
+    meta.dbl("wh_min").filter(_ => hasWaveVars).foreach { m =>
       for (v <- Seq("wp_peak", "wh_4061", "wp_4060"))
         stats = stats.withColumn(v, when(col("wh_4061") > m, col(v)))
     }
-    meta.dbl("wh_max").foreach { m =>
+    meta.dbl("wh_max").filter(_ => hasWaveVars).foreach { m =>
       for (v <- Seq("wp_peak", "wh_4061", "wp_4060"))
         stats = stats.withColumn(v, when(col("wh_4061") < m, col(v)))
     }

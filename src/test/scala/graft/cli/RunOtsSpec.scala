@@ -226,4 +226,60 @@ class RunOtsSpec extends AnyFunSuite {
     RunOts.runStep(spark, "rdi", "clean", meta, raw, clean)
     assert(spark.read.parquet(clean).count() == 24)
   }
+
+  test("Aquadopp waves chain: .wad burst ingest -> wave stats (no reshape)") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_wad").toFile
+    val wad = new java.io.File(dir, "dep.wad")
+    val w = new java.io.PrintWriter(wad)
+    // 3 bursts x 256 samples: 10 m column + 8 s 0.4 dbar wave
+    for (i <- 0 until 3 * 256) {
+      val p = 10.0 + 0.4 * math.sin(2 * math.Pi * 0.125 * i)
+      w.println(s"3 1 $p 0 0 0.1 0.2 0.3 0 1 2 3 0")
+    }
+    w.close()
+    val meta = graft.core.Meta(Map(
+      "WaveNumberOfSamples" -> 256, "AQDCoordinateSystem" -> "ENU",
+      "sample_interval" -> 1.0, "pressure_sensor_height" -> 0.5,
+      "wave_nsamps" -> 256, "spec_nsegs" -> 4, "wave_fcut" -> 0.3))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val waves = new java.io.File(dir, "waves").getAbsolutePath
+    RunOts.runStep(spark, "aqdwvs", "ingest", meta, wad.getAbsolutePath, raw)
+    val rawDf = spark.read.parquet(raw)
+    assert(rawDf.count() == 768)
+    assert(rawDf.columns.contains("burst") && rawDf.columns.contains("U"))
+    RunOts.runStep(spark, "aqdwvs", "waves", meta, raw, waves)
+    val stats = spark.read.parquet(waves)
+    assert(stats.count() == 3)
+    val r = stats.orderBy("burst").collect()(0)
+    assert(math.abs(r.getAs[Double]("wp_peak") - 8.0) < 0.5)
+  }
+
+  test("PUV waves path: wave_vars puv routes bursts through puv_quick") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_puv").toFile
+    import spark.implicits._
+    // synthetic clean parquet with burst/sample + p,u,v 8 s wave
+    val f0 = 0.125; val depth = 10.0; val zp = 0.5; val zuv = 1.0
+    val k = graft.kernels.Diwasp.wavenumber(2 * math.Pi * f0, depth)
+    val aP = 0.5 * math.cosh(k * zp) / math.cosh(k * depth)
+    val aU = 0.5 * 2 * math.Pi * f0 * math.cosh(k * zuv) / math.sinh(k * depth)
+    val rows = for (b <- 0L until 2L; i <- 0 until 512) yield {
+      val ph = 2 * math.Pi * f0 * i
+      (b, i.toLong, aP * math.cos(ph) + (i * 7919.0 % 97.0) / 5000.0,
+        aU * math.cos(ph) + (i * 104729.0 % 89.0) / 5000.0,
+        (i * 15485863.0 % 83.0) / 5000.0)
+    }
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    rows.toDF("burst", "sample", "P_1", "u", "v").write.parquet(clean)
+    val meta = graft.core.Meta(Map(
+      "wave_vars" -> "puv", "WATER_DEPTH" -> depth,
+      "pressure_sensor_height" -> zp, "velocity_sample_height" -> zuv,
+      "sample_interval" -> 1.0, "wave_nsamps" -> 512))
+    val waves = new java.io.File(dir, "waves").getAbsolutePath
+    RunOts.runStep(spark, "vec", "waves", meta, clean, waves)
+    val stats = spark.read.parquet(waves)
+    assert(stats.count() == 2)
+    assert(stats.columns.contains("tpp") && stats.columns.contains("hrmsp"))
+    val r = stats.orderBy("burst").collect()(0)
+    assert(math.abs(r.getAs[Double]("tpp") - 8.0) < 1.0, s"tpp=${r.getAs[Double]("tpp")}")
+  }
 }
