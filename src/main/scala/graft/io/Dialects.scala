@@ -195,4 +195,42 @@ object Dialects {
     }
     m.toMap
   }
+
+  /** SonTek Argonaut .dat: whitespace columns with a header row; the first
+    * six (Year Month Day Hour Minute Second) assemble into `time`, the rest
+    * keep their header names as doubles (stglib/argonaut.py:15-27). */
+  def readArgonautDat(spark: SparkSession, text: String): DataFrame = {
+    import spark.implicits._
+    val lines = text.linesIterator.filter(_.trim.nonEmpty).toSeq
+    require(lines.length >= 2, "argonaut .dat too short")
+    val names = lines.head.trim.split("\\s+").toSeq
+    require(names.take(6) == Seq("Year", "Month", "Day", "Hour", "Minute", "Second"),
+      s"unexpected argonaut header: ${names.take(6)}")
+    val rows = lines.drop(1).map { l =>
+      val c = l.trim.split("\\s+")
+      val ts = f"${c(0).toInt}%04d-${c(1).toInt}%02d-${c(2).toInt}%02d " +
+        f"${c(3).toInt}%02d:${c(4).toInt}%02d:${c(5).toInt}%02d"
+      (ts, c.drop(6).map(_.toDouble).toSeq)
+    }
+    val df = spark.createDataset(rows).toDF("ts", "vals")
+    val dataNames = names.drop(6)
+    df.select((col("ts") +: dataNames.zipWithIndex.map { case (n, i) =>
+        col("vals")(i).as(n) }): _*)
+      .withColumn("time", to_timestamp(col("ts"))).drop("ts")
+  }
+
+  /** AreaComp station area/stage export: 4 preamble lines then a CSV with
+    * header (stglib/indexvel.py:7-16) — the stage-area rating input of the
+    * index-velocity workflow. */
+  def readAreacomp(spark: SparkSession, text: String): DataFrame = {
+    import spark.implicits._
+    val lines = text.linesIterator.toSeq.drop(4).filter(_.trim.nonEmpty)
+    require(lines.nonEmpty, "areacomp file too short")
+    val names = lines.head.split(",").map(_.trim).toSeq
+    val rows = lines.drop(1).map(_.split(",").map(_.trim).toSeq
+      .padTo(names.length, ""))
+    spark.createDataset(rows).toDF("r")
+      .select(names.zipWithIndex.map { case (n, i) =>
+        col("r")(i).cast("double").as(n) }: _*)
+  }
 }

@@ -117,4 +117,34 @@ class DialectsSpec extends AnyFunSuite {
     val r = df.orderBy("time").collect()(1)
     assert(r.getDouble(df.columns.indexOf("P_1")) == 10.14)
   }
+
+  test("Argonaut .dat: Y/M/D/H/M/S columns assemble time, data cols named") {
+    val dat = """Year Month Day Hour Minute Second VelX VelY SNR1
+                | 2024 2 1 0 0 0 0.12 -0.03 21.5
+                | 2024 2 1 0 30 0 0.15 -0.01 22.0
+                |""".stripMargin
+    val df = Dialects.readArgonautDat(spark, dat)
+    assert(df.count() == 2)
+    val r = df.orderBy("time").collect()(0)
+    assert(r.getTimestamp(df.columns.indexOf("time")).toInstant.toString
+      == "2024-02-01T00:00:00Z")
+    assert(r.getDouble(df.columns.indexOf("VelX")) == 0.12)
+    assert(r.getDouble(df.columns.indexOf("SNR1")) == 21.5)
+  }
+
+  test("AreaComp CSV: 4 preamble lines skipped, numeric columns") {
+    val txt = """AreaComp 3.1
+                |Station: TEST
+                |Units: m
+                |generated 2024-02-01
+                |Stage,Area,Width
+                |0.5,12.0,30.0
+                |1.0,25.5,31.0
+                |""".stripMargin
+    val df = Dialects.readAreacomp(spark, txt)
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("Stage", "Area", "Width"))
+    val r = df.orderBy("Stage").collect()(1)
+    assert(r.getDouble(1) == 25.5)
+  }
 }
