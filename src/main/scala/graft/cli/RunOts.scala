@@ -107,12 +107,21 @@ object RunOts {
         graft.io.Pd0.read(spark, input)
           .withColumn("time", expr("timestamp_micros(timeUs)"))
       } else if (lower.endsWith(".81r")) {
-        // Imagenex rotary sonar (stglib/son/raw2cdf.py)
+        // Imagenex rotary sonar (stglib/son/raw2cdf.py). The 13-char header
+        // time field is YYYYHHMMSS.f; month+day come from the FILENAME's
+        // mmddHHMM.81R suffix (sonutils.py:25-76 parses
+        // month_day + header[14:27] as %m%d%Y%H%M%S.%f).
         import spark.implicits._
+        val name = new java.io.File(input).getName
+        val md = if (name.length >= 12) name.slice(name.length - 12, name.length - 8)
+                 else "0101"
         spark.createDataset(graft.io.Son81R.decode(readBytes(input)).toSeq)
           .toDF()
-          .withColumn("time",
-            to_timestamp(col("timeRaw"), "dd-MMM-yyyy HH:mm:ss"))
+          .withColumn("time", to_timestamp(concat(
+            substring(col("timeRaw"), 1, 4), lit(s"-${md.take(2)}-${md.drop(2)} "),
+            substring(col("timeRaw"), 5, 2), lit(":"),
+            substring(col("timeRaw"), 7, 2), lit(":"),
+            substring(col("timeRaw"), 9, 5))))
       } else if (lower.endsWith(".hdr")) {
         // Aquadopp profiler: .hdr config + .sen system + .aN/.vN matrices
         // (stglib/aqd/hdr2cdf.py)

@@ -54,4 +54,23 @@ class Son81RSpec extends AnyFunSuite {
     assert(h.orientationUp && h.mode == 1)
     assert(math.abs(h.soundVelocity - 1483.1f) < 1e-3)
   }
+
+  test("RunOts .81R ingest: filename mmdd + header YYYYHHMMSS.f -> time") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val total = 2048 + 40 + 32 + 100
+    val rec = ping(1, 700, 0, 50, total)
+    "2024123015.50".getBytes.copyToArray(rec, 14)
+    val dir = java.nio.file.Files.createTempDirectory("son81r").toFile
+    val f = new java.io.File(dir, "dep_03150000.81R")
+    java.nio.file.Files.write(f.toPath, rec)
+    val out = new java.io.File(dir, "raw").getAbsolutePath
+    graft.cli.RunOts.runStep(spark, "son", "ingest",
+      graft.core.Meta(Map.empty[String, Any]), f.getAbsolutePath, out)
+    val df = spark.read.parquet(out)
+    assert(df.count() == 1)
+    val t = df.collect()(0).getTimestamp(df.columns.indexOf("time"))
+    assert(t.toInstant.toString == "2024-03-15T12:30:15.500Z")
+  }
 }
