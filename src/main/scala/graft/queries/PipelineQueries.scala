@@ -125,6 +125,38 @@ object PipelineQueries {
              |SELECT id_a, id_b, round(c, 8) AS cosine
              |FROM pairs WHERE c >= 0.3""".stripMargin)),
 
+    // embedding near-dup with an LSH-bucket scope — the 100 TB path the
+    // Dedup scaladoc promises: quadratic work only inside hyperplane
+    // buckets, never a global pair join
+    Q("dedup_embed_lsh",
+      (s, dir) => Dedup.embedCosinePairs(
+        embeddings(s, dir).withColumn("bucket",
+          Similarity.hyperplaneSignature(col("embedding"), 64, 8)),
+        "vec_id", "embedding", "bucket", 0.3),
+      Some("""WITH e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |sigbits AS (
+             |  SELECT vec_id, g.j,
+             |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+             |        i -> emb[i] * sin((g.j + 1) * 1.0 * i))) > 0
+             |      THEN (1::BIGINT << g.j) ELSE 0 END AS bit
+             |  FROM e0, generate_series(0, 7) g(j)),
+             |buck AS (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
+             |  FROM sigbits GROUP BY vec_id),
+             |e AS (SELECT e0.vec_id, buck.bucket,
+             |    list_transform(generate_series(1, 64), i -> emb[i] /
+             |      sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        j -> emb[j] * emb[j])))) AS e
+             |  FROM e0 JOIN buck ON e0.vec_id = buck.vec_id),
+             |pairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> a.e[i] * b.e[i])) AS c
+             |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, round(c, 8) AS cosine
+             |FROM pairs WHERE c >= 0.3""".stripMargin)),
+
     // ---- similarity search ------------------------------------------
     Q("similarity_topk",
       (s, dir) => Similarity.bruteTopK(embeddings(s, dir), "vec_id", "embedding", 5)

@@ -282,4 +282,21 @@ class RunOtsSpec extends AnyFunSuite {
     val r = stats.orderBy("burst").collect()(0)
     assert(math.abs(r.getAs[Double]("tpp") - 8.0) < 1.0, s"tpp=${r.getAs[Double]("tpp")}")
   }
+
+  test("generic .mat ingest: equal-length vectors become columns") {
+    import graft.io.Mat5Fixture._
+    val dir = java.nio.file.Files.createTempDirectory("runots_mat").toFile
+    val mat = new java.io.File(dir, "dep.mat")
+    java.nio.file.Files.write(mat.toPath, matFile(
+      matrixNum("pressure", 3, 1, 10.1, 10.2, 10.3),
+      matrixNum("temperature", 3, 1, 21.0, 21.1, 21.2),
+      matrixNum("serial", 1, 1, 42.0))) // shorter vector ignored
+    val out = new java.io.File(dir, "raw").getAbsolutePath
+    RunOts.runStep(spark, "rdi", "ingest",
+      graft.core.Meta(Map("rename_pressure" -> "P_1")), mat.getAbsolutePath, out)
+    val df = spark.read.parquet(out)
+    assert(df.count() == 3)
+    assert(df.columns.toSet == Set("P_1", "temperature"))
+    assert(df.orderBy("P_1").collect()(0).getDouble(df.columns.indexOf("P_1")) == 10.1)
+  }
 }
