@@ -90,8 +90,13 @@ object Dedup {
     // salted shuffle join keys on (scope, salt-of-id_a) so parallelism is
     // scopes × SALT and each task's hash build is |scope|/SALT left rows,
     // never a full-table broadcast (which dies past executor memory).
+    // length filter: J(a,b) = |a∩b|/|a∪b| ≤ min(|a|,|b|)/max(|a|,|b|), so
+    // size-mismatched pairs can never reach the threshold — prune them
+    // BEFORE the O(|a|+|b|) intersect (values unchanged, provably)
     Spread.saltedJoin(a, b,
-        col("__scope") === col("__scope2") && col("id_a") < col("id_b"),
+        col("__scope") === col("__scope2") && col("id_a") < col("id_b") &&
+          col("__na") >= lit(threshold) * col("__nb") &&
+          col("__nb") >= lit(threshold) * col("__na"),
         col("id_a"), SALT)
       .withColumn("__i", ArrayMath.sortedIntersectCount(col("__ka"), col("__kb")))
       .withColumn("jaccard",
