@@ -95,10 +95,14 @@ object RunOts {
       val dir = if (new java.io.File(input).isDirectory) input
                 else new java.io.File(input).getParent
       val abss = graft.io.Abss.ingest(spark, dir)
-      Sink.writeParquet(applyRenames(abss.abs, meta), output, Sink.insertHistory(meta,
-        s"Ingested $dir (ABS bursts).", "1970-01-01T00:00:00Z"), float32 = false)
-      Sink.writeParquet(applyRenames(abss.aux, meta), output + "_aux", Sink.insertHistory(meta,
-        s"Ingested $dir (ABS aux).", "1970-01-01T00:00:00Z"), float32 = false)
+      Sink.writeParquet(
+        Readers.applyClockError(applyRenames(abss.abs, meta), "time", meta),
+        output, Sink.insertHistory(meta,
+          s"Ingested $dir (ABS bursts).", "1970-01-01T00:00:00Z"), float32 = false)
+      Sink.writeParquet(
+        Readers.applyClockError(applyRenames(abss.aux, meta), "time", meta),
+        output + "_aux", Sink.insertHistory(meta,
+          s"Ingested $dir (ABS aux).", "1970-01-01T00:00:00Z"), float32 = false)
       return
     }
     val df =
@@ -149,7 +153,8 @@ object RunOts {
         // pressure per instrument family)
         val d = Rsk.readSeries(spark, bytes)
           .withColumn("time", expr("timestamp_millis(tstamp)")).drop("tstamp")
-        Readers.withCfMetadata(d)
+        // renames must precede CF metadata: cfAttrs is keyed by EPIC names
+        Readers.withCfMetadata(applyRenames(d, meta))
       } else if (input.toLowerCase.endsWith(".log")) {
         // EofE ECHOLOGGER point data; time parsed from the per-ping UTC stamp
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(input))
@@ -248,11 +253,14 @@ object RunOts {
                        output: String): Unit = {
     val mat = graft.io.Mat5.parse(readBytes(input))
     val iq = graft.io.Iq.read(spark, mat)
-    val shiftSec = meta.dbl("flowSampleDuration").getOrElse(0.0) / 2
-    def shift(df: DataFrame): DataFrame =
-      if (shiftSec == 0) df
-      else df.withColumn("time",
-        col("time") + expr(s"INTERVAL ${shiftSec.toLong} SECOND"))
+    val shiftUs = math.round(meta.dbl("flowSampleDuration").getOrElse(0.0) / 2 * 1e6)
+    def shift(df: DataFrame): DataFrame = {
+      val shifted =
+        if (shiftUs == 0) df
+        else df.withColumn("time",
+          col("time") + expr(s"INTERVAL $shiftUs MICROSECOND"))
+      Readers.applyClockError(shifted, "time", meta)
+    }
     Sink.writeParquet(shift(applyRenames(iq.flow, meta)), output,
       Sink.insertHistory(meta,
         s"Ingested $input (IQ flow).", "1970-01-01T00:00:00Z"), float32 = false)

@@ -158,18 +158,25 @@ object Pd0 {
           .of(v.year, v.month, v.day, v.hour, v.minute, v.second, v.hundredths * 10000000)
           .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
         def velAt(c: Int, b: Int): Option[Int] =
-          vel.map(_(c)(b)).filter(_ != -32768)
+          if (c >= f.ncells) None else vel.map(_(c)(b)).filter(_ != -32768)
         def u8At(a: Option[Array[Array[Int]]], c: Int, b: Int): Int =
-          a.map(_(c)(b)).getOrElse(0)
+          if (c >= f.ncells) 0 else a.map(_(c)(b)).getOrElse(0)
         def btRangeAt(b: Int): Option[Double] =
+          // signed decode matches the reference (rdiadcpy.py:1871 "<h");
+          // range 0 = no bottom detection per the TRDI manual → None
           if (b >= f.nbeams) None
-          else btRange.map(_(b)).filter(_ != -32768).map(_ / 100.0)
+          else btRange.map(_(b)).filter(_ != 0).map(_ / 100.0)
         def btVelAt(b: Int): Option[Int] =
           if (b >= f.nbeams) None else btVel.map(_(b)).filter(_ != -32768)
-        (0 until f.ncells).map { c =>
+        // the V-series vertical beam has its OWN cell count — emit rows out
+        // to max(ncells, vCells); slant-beam fields are absent (None/0) and
+        // bindist undefined (NaN) beyond the slant profile
+        val nrows = math.max(f.ncells, vCells)
+        (0 until nrows).map { c =>
           Pd0Row(
             ensemble = v.ensembleNumber, timeUs = timeUs, bin = c,
-            bindistM = (f.bin1DistCm + c * f.cellLengthCm) / 100.0,
+            bindistM = if (c < f.ncells)
+              (f.bin1DistCm + c * f.cellLengthCm) / 100.0 else Double.NaN,
             vel1 = velAt(c, 0), vel2 = velAt(c, 1),
             vel3 = if (f.nbeams > 2) velAt(c, 2) else None,
             vel4 = if (f.nbeams > 3) velAt(c, 3) else None,

@@ -41,18 +41,24 @@ object Sig {
   final case class Group(dataType: String, df: DataFrame,
                          beam2xyz: Option[Array[Double]])
 
-  /** Output-file type suffix per data_type (mat_to_cdf :758-781). */
+  /** Output-file type suffix per data_type (mat_to_cdf :758-781). Echo
+    * groups keep their transducer number (`Echo2Bin1_450kHz` → echo2);
+    * only one of Burst/BurstHR (and Alt_Burst/Alt_BurstHR) exists per
+    * deployment — the HighResolution flag picks the variant — so those
+    * shared suffixes cannot collide. */
   def ftype(dataType: String): String = dataType match {
     case "Burst" | "BurstHR"           => "burst"
     case "IBurst" | "IBurstHR"         => "iburst"
-    case "EchoSounder"                 => "echo1"
     case "BurstRawAltimeter"           => "burstrawalt"
     case "Average"                     => "avgd"
     case "Alt_Average"                 => "altavgd"
     case "Alt_Burst" | "Alt_BurstHR"   => "altburst"
     case "Alt_IBurst" | "Alt_IBurstHR" => "altiburst"
-    case "Alt_EchoSounder"             => "altecho1"
     case "Alt_BurstRawAltimeter"       => "altburstrawalt"
+    case e if e.startsWith("Alt_Echo") =>
+      "altecho" + e.drop("Alt_Echo".length).takeWhile(_.isDigit)
+    case e if e.startsWith("Echo") =>
+      "echo" + e.drop("Echo".length).takeWhile(_.isDigit)
     case other                         => other.toLowerCase
   }
 
@@ -66,12 +72,13 @@ object Sig {
     else p
   }
 
-  /** Reference data_type label for a data prefix (Echo1Bin1_450kHz →
-    * EchoSounder, mat2cdf.py:186-205). */
-  private def dataType(prefix: String): String =
-    if (prefix.startsWith("Echo")) "EchoSounder"
-    else if (prefix.startsWith("Alt_Echo")) "Alt_EchoSounder"
-    else prefix
+  /** data_type label for a data prefix. Echo groups KEEP their full prefix
+    * (`Echo1Bin1_450kHz`) — the reference only handles echo1 "to start"
+    * (mat2cdf.py:186), but a file can carry several echo transducers and
+    * collapsing them to one label would merge (or clobber) distinct
+    * groups. [[ftype]] still maps them onto the reference's echoN file
+    * names via the leading digit. */
+  private def dataType(prefix: String): String = prefix
 
   private def num(v: Mat5.MatValue): Option[Array[Double]] = v match {
     case Mat5.MatNum(_, data) => Some(data)

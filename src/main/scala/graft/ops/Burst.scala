@@ -36,12 +36,13 @@ object Burst {
   def fromContinuous(df: DataFrame, order: Seq[String], part: Seq[String],
                      nsamps: Int, burstCol: String, sampleCol: String): DataFrame = {
     // whole-series (part empty): ranged two-pass index, not an unpartitioned
-    // window (which would serialize the series through one task); int cast
-    // keeps the row_number()-1 schema
+    // window (which would serialize the series through one task). The
+    // position stays LONG — an int cast would wrap past 2^31 rows, exactly
+    // the regime the index exists for (burst/sample types differ from the
+    // partitioned path's int row_number; no oracle depends on this branch)
     val indexed =
       if (part.isEmpty)
         Index.withGlobalPosition(df, order, "__rn")
-          .withColumn("__rn", col("__rn").cast("int"))
       else {
         val w = Window.partitionBy(part.map(col): _*).orderBy(order.map(col): _*)
         df.withColumn("__rn", row_number().over(w) - 1)

@@ -96,19 +96,21 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, embCol: String,
               nCentroids: Int, k: Int, nprobe: Int = 1): DataFrame = {
     val vecs = Spread.shared(normalized(df, idCol, embCol, "vec_id", "e"))
-    val ranked = vecs.crossJoin(broadcast(
+    // share the RANKED assignment (the expensive centroid cross-join +
+    // window) — both the index and probe sides are cheap filters of it
+    val ranked = Spread.shared(vecs.crossJoin(broadcast(
         vecs.filter(col("vec_id") < nCentroids)
           .select(col("vec_id").as("cent_id"), col("e").as("ce"))))
       .withColumn("csim", ndot(col("e"), col("ce")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id"))))
+        Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id")))))
     // index side: nearest cell only; probe side: nprobe nearest cells
-    val assigned = Spread.shared(ranked.filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cent_id").as("cell")))
+    val assigned = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
     val probed =
       if (nprobe <= 1) assigned
-      else Spread.shared(ranked.filter(col("rn") <= nprobe)
-        .select(col("vec_id"), col("e"), col("cent_id").as("cell")))
+      else ranked.filter(col("rn") <= nprobe)
+        .select(col("vec_id"), col("e"), col("cent_id").as("cell"))
     val a = probed.select(col("vec_id"), col("e").as("ea"), col("cell"))
     val b = assigned.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
       col("cell").as("__cell2"))

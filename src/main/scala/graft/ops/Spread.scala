@@ -55,7 +55,10 @@ object Spread {
    * Spread.byKey pre-partitions them — the aggregate then has no exchange
    * boundary to reuse. The cache entry is small (per-doc signatures /
    * normalized vectors) and evicted LRU; spill-safe at scale via the DISK
-   * tier.
+   * tier. Lifecycle: there is no explicit unpersist — Spark's
+   * ContextCleaner unpersists cached data asynchronously once the
+   * DataFrame becomes unreachable (reference tracking), so entries do not
+   * accumulate beyond the live query set.
    */
   def shared(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -338,13 +338,18 @@ object PipelineQueries {
     // Gopher-style repetition filter: duplicate word-3-gram fraction per doc
     Q("text_repetition",
       (s, dir) => {
+        // project the gram array ONCE; all four outputs derive from it
         val d = documents(s, dir)
-          .withColumn("__toks", TA.tokens(col("text")))
-        d.select(col("doc_id"),
-          size(TA.wordNgrams(col("__toks"), 3)).as("n_3grams"),
-          size(array_distinct(TA.wordNgrams(col("__toks"), 3))).as("n_distinct"),
-          round(TA.duplicateNgramFraction(col("__toks"), 3), 8).as("dup_frac"),
-          (TA.duplicateNgramFraction(col("__toks"), 3) > 0.3).as("repetitive"))
+          .withColumn("__grams",
+            TA.wordNgrams(TA.tokens(col("text")), 3))
+          .withColumn("__n", size(col("__grams")))
+          .withColumn("__nd", size(array_distinct(col("__grams"))))
+          .withColumn("__frac", when(col("__n") > 0,
+            (col("__n") - col("__nd")).cast("double") / col("__n")).otherwise(0.0))
+        d.select(col("doc_id"), col("__n").as("n_3grams"),
+          col("__nd").as("n_distinct"),
+          round(col("__frac"), 8).as("dup_frac"),
+          (col("__frac") > 0.3).as("repetitive"))
       },
       Some("""WITH t AS (
              |  SELECT doc_id,
