@@ -78,6 +78,45 @@ object Align {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** As-of forward: earliest right row at-or-after leftTs within tolerance
+    * (the other bracket of linear interpolation). */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftTs: String, rightTs: String, tolerance: Long): DataFrame = {
+    // l ≤ r ≤ l+tol ⇒ floor(r/tol) ∈ {floor(l/tol), floor(l/tol)+1} → right
+    // rows carry keys {b−1, b}
+    val joined = bucketJoin(left, right, leftTs, rightTs, tolerance,
+      Seq(-1, 0),
+      col(rightTs) >= col(leftTs) &&
+      col(rightTs) <= col(leftTs) + tolerance)
+    val rightOrder = right.columns.filter(_ != rightTs).map(col).toSeq
+    val w = Window.partitionBy(left.columns.map(col): _*)
+      .orderBy(col(rightTs) +: rightOrder: _*)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Linear time interpolation of a right-side series onto left timestamps —
+    * the reference's `reindex`/`interp` with method="linear" (xarray interp;
+    * e.g. stglib met-series alignment): y = y0 + (y1−y0)·(t−t0)/(t1−t0)
+    * from the bracketing right rows within tolerance; exact hits return y0;
+    * a missing bracket yields null (no extrapolation, like xarray's NaN
+    * outside). Built from the bucketized as-of joins — two broadcast-range
+    * equi-joins, no global sort. */
+  def interpLinear(left: DataFrame, right: DataFrame, leftTs: String,
+                   rightTs: String, valCol: String, tolerance: Long,
+                   outCol: String): DataFrame = {
+    val r0 = right.select(col(rightTs).as("__t0"), col(valCol).as("__y0"))
+    val r1 = right.select(col(rightTs).as("__t1"), col(valCol).as("__y1"))
+    asofForward(asofBackward(left, r0, leftTs, "__t0", tolerance),
+        r1, leftTs, "__t1", tolerance)
+      .withColumn(outCol,
+        when(col("__t1") === col("__t0"), col("__y0"))
+          .otherwise(col("__y0") + (col("__y1") - col("__y0")) *
+            ((col(leftTs) - col("__t0")).cast("double") /
+             (col("__t1") - col("__t0")).cast("double"))))
+      .drop("__t0", "__y0", "__t1", "__y1")
+  }
+
   /** Perfect calendar grid [startUs, endUs) with the given step — the
     * date_range(t0, Δ=1/sr) reindex target. Generated distributed via
     * sequence+explode, not a driver-side loop. */

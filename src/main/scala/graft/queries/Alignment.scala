@@ -90,6 +90,43 @@ object Alignment {
              |    ON b.b_us <= a.a_us AND b.b_us >= a.a_us - ${2 * HOUR_US})
              |WHERE rn = 1""".stripMargin)),
 
+    // linear time interpolation onto left timestamps — reindex/interp with
+    // method="linear" (xarray interp semantics; null outside the bracket)
+    Q("interp_linear",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val a = ev.filter(col("event_type") === "purchase")
+          .selectExpr("event_id", "ts div 1000 as a_us")
+        val b = ev.filter(col("event_type") === "error")
+          .selectExpr("ts div 1000 as b_us", "value as b_value")
+        Align.interpLinear(a, b, "a_us", "b_us", "b_value", HOUR_US, "v_interp")
+          .select(col("event_id"), round(col("v_interp"), 8).as("v_interp"))
+      },
+      Some(s"""WITH a AS (SELECT event_id, epoch_us(ts) AS a_us FROM events
+             |           WHERE event_type = 'purchase'),
+             |b AS (SELECT epoch_us(ts) AS b_us, value AS b_value
+             |      FROM events WHERE event_type = 'error'),
+             |lo AS (SELECT event_id, a_us, t0, y0 FROM (
+             |  SELECT a.event_id, a.a_us, b.b_us AS t0, b.b_value AS y0,
+             |    row_number() OVER (PARTITION BY a.event_id
+             |      ORDER BY b.b_us DESC, b.b_value DESC) AS rn
+             |  FROM a LEFT JOIN b
+             |    ON b.b_us <= a.a_us AND b.b_us >= a.a_us - $HOUR_US)
+             |  WHERE rn = 1),
+             |hi AS (SELECT event_id, a_us, t0, y0, t1, y1 FROM (
+             |  SELECT lo.event_id, lo.a_us, lo.t0, lo.y0,
+             |    b.b_us AS t1, b.b_value AS y1,
+             |    row_number() OVER (PARTITION BY lo.event_id
+             |      ORDER BY b.b_us, b.b_value) AS rn
+             |  FROM lo LEFT JOIN b
+             |    ON b.b_us >= lo.a_us AND b.b_us <= lo.a_us + $HOUR_US)
+             |  WHERE rn = 1)
+             |SELECT event_id, round(CASE WHEN t1 = t0 THEN y0
+             |  ELSE y0 + (y1 - y0) * (CAST(a_us - t0 AS DOUBLE)
+             |                         / CAST(t1 - t0 AS DOUBLE)) END, 8)
+             |  AS v_interp
+             |FROM hi""".stripMargin)),
+
     // fill_time_gaps: perfect calendar + nearest-within-tolerance reindex
     // (stglib/sig/cdf2nc.py:1553-1594)
     Q("fill_time_gaps",
