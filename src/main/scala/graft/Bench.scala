@@ -24,22 +24,36 @@ object Bench {
     // comparable across rounds; best-of-2 per query filters scheduler /
     // codegen-compilation noise out of the measurement
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    def runOnce(): Map[String, Double] = names.map { case (name, fn) =>
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+    def runOnce(tag: String): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (debug) System.err.println(f"[bench:$tag] $name%-28s $dt%7.3f s")
+      name -> dt
     }.toMap
-    val r1 = runOnce()
-    val r2 = runOnce()
+    val r1 = runOnce("r1")
+    val r2 = runOnce("r2")
     val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
-    // keep the JSON line short (ms precision): the driver captures only the
-    // tail of the build output and must be able to parse this line whole
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
+    def qjson(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val sorted = results.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qjson(sorted)},"sf":"$sfDir"}"""
+    // full per-query map (~3 KB for 100+ queries) exceeds the output-tail
+    // window the driver captures — keep it on disk + one full stdout line,
+    // and END with a compact line (total + slowest 20) that fits the tail
+    // whole and parses standalone
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      w.println(full); w.close()
+    } catch { case _: Throwable => () }
+    println(full)
+    val top = results.toSeq.sortBy(-_._2).take(20)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(top)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -221,6 +221,66 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 8).as("cosine"))
   }
 
+  /** Connected components over a near-dup pair list — the clustering step
+    * between candidate pairs and the deduplicated corpus (pairs alone can't
+    * be deduplicated: a~b and b~c must collapse to ONE representative even
+    * when a~c was never emitted).
+    *
+    * Iterative min-label propagation: every node starts as its own label;
+    * each round a node takes the min of its own and its neighbors' labels.
+    * Converges to comp(x) = min id reachable from x, which is deterministic
+    * and engine-independent (the DuckDB oracle computes the same fixpoint
+    * with a recursive CTE).
+    *
+    * Scale design: each round is one shuffle of the (symmetrized) edge list
+    * keyed by the high-cardinality node id — evenly distributed, map-side
+    * combinable min agg, no driver-side graph. A pointer-jumping shortcut
+    * (comp(x) <- comp(comp(x)), a self-join of the label table) halves the
+    * remaining propagation distance each round, so convergence takes
+    * O(log diameter) rounds even on pathological chain graphs (dense
+    * near-dup clusters converge in 2-3). Convergence is detected by the
+    * label SUM, which is strictly decreasing until fixpoint (labels only
+    * ever decrease), so the check is a 1-row aggregate, not a join.
+    * `localCheckpoint` cuts lineage so the plan stays flat across rounds
+    * (on a real cluster, `checkpoint` to reliable storage).
+    *
+    * Input: edges (id_a, id_b) + the node table; output (id, comp). */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("id_a").cast("long").as("__src"),
+        col("id_b").cast("long").as("__dst"))
+      .union(edges.select(col("id_b").cast("long").as("__src"),
+        col("id_a").cast("long").as("__dst")))
+    var comp = nodes
+      .select(col(idCol).cast("long").as("__nid"), col(idCol).cast("long").as("__c"))
+      .localCheckpoint()
+    var prevSum = comp.agg(sum("__c")).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = sym.join(comp, sym("__dst") === comp("__nid"))
+        .groupBy(col("__src")).agg(min("__c").as("__nc"))
+      val stepped = comp.join(nbrMin, comp("__nid") === nbrMin("__src"), "left")
+        .select(col("__nid"),
+          least(col("__c"), coalesce(col("__nc"), col("__c"))).as("__c"))
+      // pointer jump: follow my label's own label (labels are node ids, so
+      // every label resolves) — doubles the shortcut length per round
+      val next = stepped.as("l")
+        .join(stepped.select(col("__nid").as("__jid"), col("__c").as("__jc")),
+          col("l.__c") === col("__jid"))
+        .select(col("l.__nid").as("__nid"),
+          least(col("l.__c"), col("__jc")).as("__c"))
+        .localCheckpoint()
+      val s = next.agg(sum("__c")).head().getLong(0)
+      comp.unpersist()
+      comp = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    comp.select(col("__nid").as(idCol), col("__c").as("comp"))
+  }
+
   /** SimHash near-dup pairs within a scope: hamming(sig_a, sig_b) <= maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    scopeCol: String, numBits: Int, maxDist: Int): DataFrame = {

@@ -17,6 +17,36 @@ object PipelineQueries {
     Dedup.hashParams(k).map { case (i, a, b) => s"($i, $a, $b)" }
       .mkString(s"(VALUES ", ", ", s") hp($cols)")
 
+  // simhash near-dup pair CTE chain (16 bits, hamming <= 2, source-scoped),
+  // shared by the dedup_simhash / dedup_components / dedup_cluster_keep
+  // oracles — `spairs` is (id_a, id_b, hamming) with id_a < id_b
+  private def simhashPairCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tx AS (
+       |  SELECT doc_id,
+       |    coalesce(ascii(substr(tok,1,1)), 0)*16777216
+       |    + coalesce(ascii(substr(tok,2,1)), 0)*65536
+       |    + coalesce(ascii(substr(tok,3,1)), 0)*256
+       |    + coalesce(ascii(substr(tok,4,1)), 0) AS x
+       |  FROM toks WHERE length(tok) > 0),
+       |bits AS (
+       |  SELECT doc_id, hp.j,
+       |    sum(((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647 % 2) * 2 - 1) AS s
+       |  FROM tx, ${hpSql(16, "j, a, b")}
+       |  GROUP BY doc_id, hp.j),
+       |sig AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |scoped AS (SELECT s.doc_id, simhash, d.source FROM sig s JOIN documents d USING (doc_id)),
+       |spairs AS (
+       |  SELECT a.doc_id id_a, b.doc_id id_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |  FROM scoped a JOIN scoped b
+       |    ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2)""".stripMargin
+
   def qs: Seq[Q] = Seq(
     // ---- dedup -------------------------------------------------------
     Q("dedup_exact",
@@ -80,30 +110,50 @@ object PipelineQueries {
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(documents(s, dir), "doc_id", "text",
         "source", numBits = 16, maxDist = 2),
-      Some(s"""WITH toks AS (
-             |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-             |tx AS (
-             |  SELECT doc_id,
-             |    coalesce(ascii(substr(tok,1,1)), 0)*16777216
-             |    + coalesce(ascii(substr(tok,2,1)), 0)*65536
-             |    + coalesce(ascii(substr(tok,3,1)), 0)*256
-             |    + coalesce(ascii(substr(tok,4,1)), 0) AS x
-             |  FROM toks WHERE length(tok) > 0),
-             |bits AS (
-             |  SELECT doc_id, hp.j,
-             |    sum(((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647 % 2) * 2 - 1) AS s
-             |  FROM tx, ${hpSql(16, "j, a, b")}
-             |  GROUP BY doc_id, hp.j),
-             |sig AS (
-             |  SELECT doc_id,
-             |    sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-             |  FROM bits GROUP BY doc_id),
-             |scoped AS (SELECT s.doc_id, simhash, d.source FROM sig s JOIN documents d USING (doc_id))
-             |SELECT a.doc_id id_a, b.doc_id id_b,
-             |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-             |FROM scoped a JOIN scoped b
-             |  ON a.source = b.source AND a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin)),
+      Some(s"""WITH $simhashPairCtes
+             |SELECT id_a, id_b, hamming FROM spairs""".stripMargin)),
+
+    // near-dup cluster labels: simhash pairs -> connected components
+    // (min-reachable-id fixpoint; oracle = recursive-CTE reachability)
+    Q("dedup_components",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        Dedup.connectedComponents(
+          Dedup.simhashPairs(docs, "doc_id", "text", "source", 16, 2),
+          docs, "doc_id")
+      },
+      Some(s"""WITH RECURSIVE $simhashPairCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+             |          UNION ALL SELECT id_b, id_a FROM spairs),
+             |walk(id, comp) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+             |SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin)),
+
+    // the deduplicated corpus: one representative (min doc_id) per near-dup
+    // cluster + all singletons — what a training pipeline actually feeds on
+    Q("dedup_cluster_keep",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val comp = Dedup.connectedComponents(
+          Dedup.simhashPairs(docs, "doc_id", "text", "source", 16, 2),
+          docs, "doc_id")
+        docs.join(comp.filter(col("doc_id") === col("comp")).select("doc_id"),
+            "doc_id")
+          .select("doc_id", "source", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE $simhashPairCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+             |          UNION ALL SELECT id_b, id_a FROM spairs),
+             |walk(id, comp) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+             |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+             |SELECT d.doc_id, d.source, d.n_chars
+             |FROM cc JOIN documents d ON cc.id = d.doc_id
+             |WHERE cc.id = cc.comp""".stripMargin)),
 
     // embedding-cosine near-dup (semantic dedup) within label scope
     Q("dedup_embed",

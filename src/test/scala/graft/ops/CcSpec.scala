@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connected components must label every node with the min id reachable
+  * from it — including transitive merges the pair list never emitted. */
+class CcSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("chains merge transitively; singletons keep their own id") {
+    import spark.implicits._
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4; {10,11}; {20} singleton
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val got = Dedup.connectedComponents(edges, nodes, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("long path converges within the iteration budget") {
+    import spark.implicits._
+    // a 30-node path graph: diameter 29 — plain propagation would need 29
+    // rounds; pointer jumping gets there in O(log 29) ~ 6, well inside 25
+    val edges = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val nodes = (0L to 29L).toDF("id")
+    val got = Dedup.connectedComponents(edges, nodes, "id").collect()
+    assert(got.forall(_.getLong(1) == 0L), "all nodes must reach label 0")
+  }
+}
