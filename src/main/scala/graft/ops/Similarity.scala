@@ -127,6 +127,105 @@ object Similarity {
       .select("vec_id", "cell", "neighbor_id", "cosine", "rank")
   }
 
+  /** Lloyd's k-means over an embedding column — the trainer for [[ivfTopK]]'s
+    * coarse quantizer (IVF with TRAINED centroids instead of the first-k
+    * seed). Deterministic and engine-portable:
+    *
+    *  - inputs are quantized to integer micro-units (floor(x*1e6) — floor
+    *    of a double is bit-deterministic on every engine, unlike decimal
+    *    round, whose Spark form rounds the SHORTEST string representation),
+    *    so centroid means are EXACT integer sums + one double division,
+    *    identical on any engine regardless of summation order;
+    *  - seeds are the first k vectors by id; assignment minimizes
+    *    |c|^2 - 2 x.c (the |x|^2 term is constant per row) with ties broken
+    *    by centroid id; dot products accumulate in index order on both
+    *    engines;
+    *  - a cluster that loses all members keeps its previous centroid.
+    *
+    * Scale design: the model state (k x dims doubles) is bounded by k, not
+    * by data — collecting it to the driver each round is the textbook
+    * pattern (Spark MLlib does the same); the assignment is a codegen'd
+    * expression over centroid literals (no join, no shuffle), and the
+    * update is one map-side-combinable aggregation per round. Rounds are a
+    * fixed small count. */
+  def kmeansLoop(df: DataFrame, idCol: String, embCol: String, k: Int,
+                 dims: Int, iters: Int): (Array[Array[Double]], DataFrame) = {
+    val x = df.select(col(idCol).cast("long").as("id"),
+        transform(asDouble(col(embCol)),
+          v => floor(v * lit(1000000.0)).cast("long")).as("xi"))
+      .withColumn("x", transform(col("xi"), v => v.cast("double") / lit(1000000.0)))
+    var cents: Array[Array[Double]] = x.orderBy("id").limit(k).select("x").collect()
+      .map(_.getSeq[Double](0).toArray)
+    def assignExpr(cs: Array[Array[Double]]): Column = {
+      val structs = cs.zipWithIndex.map { case (c, j) =>
+        val d = lit(c.map(v => v * v).sum) -
+          lit(2.0) * ndot(col("x"), array(c.map(lit): _*))
+        struct(d.as("d"), lit(j.toLong).as("c"))
+      }
+      least(structs: _*).getField("c")
+    }
+    for (_ <- 1 to iters) {
+      val assigned = x.withColumn("cell", assignExpr(cents))
+      val aggs = (0 until dims).map(i =>
+        sum(element_at(col("xi"), i + 1)).as(s"s$i")) :+
+        count(lit(1)).as("n")
+      val rows = assigned.groupBy("cell").agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val cell = r.getLong(0)
+          val n = r.getLong(dims + 1)
+          cell -> (0 until dims).map(i =>
+            r.getLong(i + 1).toDouble / (1000000.0 * n)).toArray
+        }.toMap
+      cents = cents.zipWithIndex.map { case (prev, j) =>
+        rows.getOrElse(j.toLong, prev)
+      }
+    }
+    val assignedF = x.withColumn("cell", assignExpr(cents))
+      .select(col("id"), col("cell"))
+    (cents, assignedF)
+  }
+
+  /** Trained centroids in long format (cent_id, dim, v) — dim is 1-based. */
+  def kmeansCentroids(df: DataFrame, idCol: String, embCol: String, k: Int,
+                      dims: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (cents, _) = kmeansLoop(df, idCol, embCol, k, dims, iters)
+    cents.zipWithIndex.flatMap { case (c, j) =>
+      c.zipWithIndex.map { case (v, i) => (j.toLong, i + 1, v) }
+    }.toSeq.toDF("cent_id", "dim", "v")
+  }
+
+  /** Final cluster assignment (vec_id, cell) under the trained centroids. */
+  def kmeansAssign(df: DataFrame, idCol: String, embCol: String, k: Int,
+                   dims: Int, iters: Int): DataFrame = {
+    val (_, assigned) = kmeansLoop(df, idCol, embCol, k, dims, iters)
+    assigned.select(col("id").as("vec_id"), col("cell"))
+  }
+
+  /** IVF top-k with a TRAINED coarse quantizer: cells come from
+    * [[kmeansLoop]] (euclidean Lloyd assignment) instead of the first-k
+    * seed; ranking inside a cell is exact cosine. Same scale contract as
+    * [[ivfTopK]] — the per-cell pair work runs as a salted shuffle join. */
+  def ivfTopKTrained(df: DataFrame, idCol: String, embCol: String,
+                     nCentroids: Int, dims: Int, iters: Int, k: Int): DataFrame = {
+    val (_, assigned) = kmeansLoop(df, idCol, embCol, nCentroids, dims, iters)
+    val vecs = normalized(df, idCol, embCol, "vec_id", "e")
+    val withCell = Spread.shared(
+      vecs.join(assigned.withColumnRenamed("id", "vec_id"), "vec_id"))
+    val a = withCell.select(col("vec_id"), col("e").as("ea"), col("cell"))
+    val b = withCell.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
+      col("cell").as("__cell2"))
+    val pairs = Spread.saltedJoin(a, b,
+        col("cell") === col("__cell2") && col("vec_id") =!= col("neighbor_id"),
+        col("vec_id"), Dedup.SALT)
+      .withColumn("cosine", ndot(col("ea"), col("eb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "cell", "neighbor_id", "cosine", "rank")
+  }
+
   /** LSH-bucketed cosine top-k: exact re-rank within shared buckets.
     * Recall < 1 by construction; increase bits→buckets tradeoff per scale. */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,

@@ -47,6 +47,49 @@ object PipelineQueries {
        |    ON a.source = b.source AND a.doc_id < b.doc_id
        |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2)""".stripMargin
 
+  // Lloyd's k-means CTE chain, iterations unrolled (the oracle replays the
+  // SAME fixed-round training): micro-unit quantized inputs, seeds = first
+  // k vectors by id, argmin of |c|^2 - 2 x.c with cent_id tie-break, exact
+  // integer-sum means, empty cells keep their previous centroid
+  private def kmeansCtes(k: Int, dims: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""xq AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding,
+         |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT)) AS xi
+         |  FROM embeddings),
+         |xd AS (SELECT id, xi,
+         |    list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x
+         |  FROM xq),
+         |cent0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cent_id,
+         |    x AS cx
+         |  FROM (SELECT id, x FROM xd ORDER BY id LIMIT $k))""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(s""",
+         |asg$t AS (
+         |  SELECT id, xi, cell FROM (
+         |    SELECT xd.id, xd.xi, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY xd.id ORDER BY
+         |        list_sum(list_transform(generate_series(1, $dims), i -> c.cx[i] * c.cx[i]))
+         |        - 2 * list_sum(list_transform(generate_series(1, $dims), i -> xd.x[i] * c.cx[i])),
+         |        c.cent_id) AS rn
+         |    FROM xd, cent${t - 1} c) WHERE rn = 1),
+         |cm$t AS (
+         |  SELECT cell AS cent_id, g.i AS i,
+         |    CAST(CAST(sum(xi[g.i]) AS BIGINT) AS DOUBLE) / (1000000.0 * count(*)) AS v
+         |  FROM asg$t, generate_series(1, $dims) g(i)
+         |  GROUP BY cell, g.i),
+         |centm$t AS (SELECT cent_id, list(v ORDER BY i) AS cx FROM cm$t GROUP BY cent_id),
+         |cent$t AS (
+         |  SELECT cent_id, cx FROM centm$t
+         |  UNION ALL
+         |  SELECT p.cent_id, p.cx FROM cent${t - 1} p
+         |  WHERE p.cent_id NOT IN (SELECT cent_id FROM centm$t))""".stripMargin)
+    }
+    sb.toString
+  }
+
   def qs: Seq[Q] = Seq(
     // ---- dedup -------------------------------------------------------
     Q("dedup_exact",
@@ -208,6 +251,65 @@ object PipelineQueries {
              |FROM pairs WHERE c >= 0.3""".stripMargin)),
 
     // ---- similarity search ------------------------------------------
+    // k-means trainer for the IVF coarse quantizer (3 Lloyd rounds,
+    // deterministic first-k seed) — centroids in long format
+    Q("kmeans_train",
+      (s, dir) => Similarity.kmeansCentroids(embeddings(s, dir), "vec_id",
+        "embedding", k = 8, dims = 64, iters = 3),
+      Some(s"""WITH ${kmeansCtes(8, 64, 3)}
+             |SELECT cent_id, CAST(g.i AS INTEGER) AS dim, cx[g.i] AS v
+             |FROM cent3, generate_series(1, 64) g(i)""".stripMargin)),
+
+    // final cluster assignment under the trained centroids
+    Q("kmeans_assign",
+      (s, dir) => Similarity.kmeansAssign(embeddings(s, dir), "vec_id",
+        "embedding", k = 8, dims = 64, iters = 3),
+      Some(s"""WITH ${kmeansCtes(8, 64, 3)},
+             |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq)
+             |SELECT id AS vec_id, cell FROM (
+             |  SELECT xdd.id, c.cent_id AS cell,
+             |    row_number() OVER (PARTITION BY xdd.id ORDER BY
+             |      list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |      - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
+             |      c.cent_id) AS rn
+             |  FROM xdd, cent3 c) WHERE rn = 1""".stripMargin)),
+
+    // IVF search under the TRAINED quantizer (kmeans cells, cosine re-rank)
+    Q("similarity_ivf_trained",
+      (s, dir) => Similarity.ivfTopKTrained(embeddings(s, dir), "vec_id",
+        "embedding", nCentroids = 8, dims = 64, iters = 3, k = 5)
+        .withColumn("cosine", round(col("cosine"), 8)),
+      Some(s"""WITH ${kmeansCtes(8, 64, 3)},
+             |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
+             |asgf AS (
+             |  SELECT id, cell FROM (
+             |    SELECT xdd.id, c.cent_id AS cell,
+             |      row_number() OVER (PARTITION BY xdd.id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |        - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
+             |        c.cent_id) AS rn
+             |    FROM xdd, cent3 c) WHERE rn = 1),
+             |e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |e AS (SELECT vec_id,
+             |    list_transform(generate_series(1, 64), i -> emb[i] /
+             |      sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        j -> emb[j] * emb[j])))) AS e
+             |  FROM e0),
+             |wc AS (SELECT e.vec_id, e.e, a.cell FROM e JOIN asgf a ON e.vec_id = a.id),
+             |pairs AS (
+             |  SELECT a.vec_id, a.cell, b.vec_id AS neighbor_id,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> a.e[i] * b.e[i])) AS cosine
+             |  FROM wc a JOIN wc b
+             |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+             |SELECT vec_id, cell, neighbor_id, round(cosine, 8) AS cosine,
+             |  CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT vec_id, cell, neighbor_id, cosine, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM pairs) WHERE rank <= 5""".stripMargin)),
+
     Q("similarity_topk",
       (s, dir) => Similarity.bruteTopK(embeddings(s, dir), "vec_id", "embedding", 5)
         .withColumn("cosine", round(col("cosine"), 8)),
