@@ -63,6 +63,129 @@ object WaveQueries {
       .toDF()
   }
 
+  // ---- DFT-in-SQL oracles for the Welch pipeline ------------------------
+  // The per-burst kernels (Welch PSD → dispersion → transfer → tail →
+  // moments) are closed-form arithmetic, so the oracle can replay them as a
+  // direct DFT in SQL. Cross-engine differences are ulp-level (libm trig,
+  // FFT-vs-DFT summation order), absorbed by round(8) on every derived
+  // output; frequencies are exact dyadics (q·fs/2^m).
+
+  /** One Newton step of the Wiberg–Sherwood dispersion solve on column
+    * expression `y` (tanh via exp — DuckDB 1.0 has no tanh). */
+  private def newtonSql(y: String): String = {
+    val t = s"((exp(2*$y)-1)/(exp(2*$y)+1))"
+    s"$y - (($y*$t - x) / ($t + $y*(1.0 - $t*$t)))"
+  }
+
+  /** Welch PSD chain: `bbCtes` must define CTE bb(burst, sample, p) holding
+    * only full bursts of `nsamps`; emits CTE psd(burst, q, f, pxx) for
+    * nperseg = np (hann, 50% overlap, per-segment mean detrend, density
+    * scaling, one-sided doubling) — mirrors kernels/Welch.psd. */
+  private def welchSql(bbCtes: String, nsamps: Int, np: Int): String = {
+    val step = np / 2
+    val nseg = (nsamps - np) / step + 1
+    s"""$bbCtes,
+       |win AS (SELECT j, 0.5 - 0.5*cos(2*pi()*j/$np) AS w
+       |  FROM (SELECT unnest(generate_series(0, ${np - 1})) AS j)),
+       |wss AS (SELECT sum(w*w) AS wss FROM win),
+       |seg AS (
+       |  SELECT bb.burst, g.s, bb.sample - g.s*$step AS j, bb.p
+       |  FROM bb, (SELECT unnest(generate_series(0, ${nseg - 1})) AS s) g
+       |  WHERE bb.sample - g.s*$step BETWEEN 0 AND ${np - 1}),
+       |segmean AS (SELECT burst, s, sum(p)/$np AS m FROM seg GROUP BY burst, s),
+       |segw AS (SELECT seg.burst, seg.s, seg.j, (seg.p - sm.m) * win.w AS xw
+       |  FROM seg JOIN segmean sm USING (burst, s) JOIN win USING (j)),
+       |dft AS (
+       |  SELECT burst, s, qq.q,
+       |    sum(xw * cos(2*pi()*qq.q*j/$np)) AS re,
+       |    sum(xw * sin(2*pi()*qq.q*j/$np)) AS im
+       |  FROM segw, (SELECT unnest(generate_series(0, ${np / 2})) AS q) qq
+       |  GROUP BY burst, s, qq.q),
+       |pwr AS (SELECT burst, q, sum(re*re + im*im) AS acc FROM dft GROUP BY burst, q),
+       |psd AS (
+       |  SELECT burst, q, q * 1.0 / $np AS f,
+       |    acc/$nseg*(1.0/(1.0*wss.wss))*(CASE WHEN q = 0 OR q = ${np / 2} THEN 1.0 ELSE 2.0 END) AS pxx
+       |  FROM pwr, wss)""".stripMargin
+  }
+
+  /** Pressure bursts (64 samples, per-user order) → elevation spectrum CTE
+    * chain ending in spec(burst, q, f, pspec) — mirrors
+    * Spectral.waveStatsFromPressure with z=0.5, fs=1, nsegs=4, fcut=0.2:
+    * Welch → h = mean+z → qkfs dispersion → Kp transfer (NaN k at f=0 →
+    * Kp=1) → pnn = pxx/Kp² → user cutoff (first f ≥ 0.2) → f⁻⁴ tail. */
+  private def presSpecCtes: String = {
+    val bb =
+      """pb AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+        |  FROM events),
+        |b0 AS (
+        |  SELECT user_id * 1000 + rn // 64 AS burst, rn % 64 AS sample,
+        |    10.0 + 0.5 * sin(2*pi()*0.125 * (rn % 64)) + value / 1000.0 AS p
+        |  FROM pb),
+        |fullb AS (SELECT burst FROM b0 GROUP BY burst HAVING count(*) = 64),
+        |bb AS (SELECT b0.burst, b0.sample, b0.p FROM b0 JOIN fullb USING (burst))""".stripMargin
+    s"""${welchSql(bb, 64, 16)},
+       |hh AS (SELECT burst, sum(p)/64 + 0.5 AS h FROM bb GROUP BY burst),
+       |d0 AS (SELECT psd.burst, psd.q, psd.f, psd.pxx, hh.h,
+       |    2*pi()*psd.f AS omega FROM psd JOIN hh USING (burst)),
+       |d1 AS (SELECT *, omega*omega*h/9.81 AS x FROM d0),
+       |d2 AS (SELECT *, CASE WHEN x < 1.0 THEN sqrt(x) ELSE x END AS y0 FROM d1),
+       |d3 AS (SELECT *, ${newtonSql("y0")} AS y1 FROM d2),
+       |d4 AS (SELECT *, ${newtonSql("y1")} AS y2 FROM d3),
+       |d5 AS (SELECT *, ${newtonSql("y2")} AS y3 FROM d4),
+       |d6 AS (SELECT *, y3/h AS k FROM d5),
+       |kpc AS (SELECT *, CASE WHEN k IS NULL OR isnan(k) THEN 1.0 ELSE
+       |    ((exp(k*0.5)+exp(-(k*0.5)))/2)/((exp(k*h)+exp(-(k*h)))/2) END AS kp FROM d6),
+       |pnn AS (SELECT *, pxx/(kp*kp) AS pnn FROM kpc),
+       |ti AS (SELECT burst, min(q) AS tq FROM pnn WHERE f >= 0.2 GROUP BY burst),
+       |tv AS (SELECT p.burst, p.f AS ft, p.pnn AS pt
+       |  FROM pnn p JOIN ti ON p.burst = ti.burst AND p.q = ti.tq),
+       |spec AS (SELECT pnn.burst, pnn.q, pnn.f,
+       |    CASE WHEN pnn.q < ti.tq THEN pnn.pnn
+       |         ELSE tv.pt/((pnn.f/tv.ft)*(pnn.f/tv.ft)*(pnn.f/tv.ft)*(pnn.f/tv.ft)) END AS pspec
+       |  FROM pnn JOIN ti USING (burst) JOIN tv USING (burst))""".stripMargin
+  }
+
+  /** Trapezoidal moments + first-max peak + wave stats over a spec CTE. */
+  private def statsSql(extra: String): String =
+    s"""mom AS (
+       |  SELECT a.burst,
+       |    sum(0.5*(a.pspec*pow(a.f, 0) + b.pspec*pow(b.f, 0))*(b.f - a.f)) AS m0,
+       |    sum(0.5*(a.pspec*pow(a.f, 2) + b.pspec*pow(b.f, 2))*(b.f - a.f)) AS m2
+       |  FROM spec a JOIN spec b ON a.burst = b.burst AND b.q = a.q + 1
+       |  GROUP BY a.burst),
+       |pk AS (SELECT burst, q AS pq, f AS pf FROM (
+       |    SELECT burst, q, f,
+       |      row_number() OVER (PARTITION BY burst ORDER BY pspec DESC, q) AS rn
+       |    FROM spec) WHERE rn = 1)
+       |SELECT mom.burst,$extra
+       |  round(4.0*sqrt(m0), 8) AS wh_4061,
+       |  round(sqrt(m0/m2), 8) AS wp_4060,
+       |  CASE WHEN pk.pq = 0 THEN CAST('nan' AS DOUBLE)
+       |       ELSE round(1.0/pk.pf, 8) END AS wp_peak,
+       |  round(m0, 8) AS m0, round(m2, 8) AS m2""".stripMargin
+
+  /** Global-order elevation bursts (512 samples) → band-limited spectrum
+    * spec(burst, q, f, pspec) — mirrors Spectral.waveStatsFromElevation
+    * with fs=1, nsegs=8: flo = rint(1/(512/32)·1000)/1000 = 0.062,
+    * fhi = min(2, fs/2) = 0.5, no transfer, no tail. */
+  private def elevSpecCtes: String = {
+    val bb =
+      """gb AS (
+        |  SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+        |  FROM events),
+        |b0 AS (
+        |  SELECT rn // 512 AS burst, rn % 512 AS sample,
+        |    0.4 * sin(2*pi()*0.125 * (rn % 512)) + value / 2000.0 - 0.025 AS p
+        |  FROM gb),
+        |fullb AS (SELECT burst FROM b0 GROUP BY burst HAVING count(*) = 512),
+        |bb AS (SELECT b0.burst, b0.sample, b0.p FROM b0 JOIN fullb USING (burst))""".stripMargin
+    s"""${welchSql(bb, 512, 64)},
+       |spec AS (SELECT burst, q, f, pxx AS pspec FROM psd
+       |  WHERE f >= 0.062 AND f <= 0.5)""".stripMargin
+  }
+
   def qs: Seq[Q] = Seq(
     // Welch pressure pipeline → Hs/Tm/Tp per burst (make_waves_ds)
     Q("wave_stats_pressure",
@@ -79,7 +202,17 @@ object WaveQueries {
         // by SpectralSpec on red spectra
         Spectra.waveStatsFromPressure(b.toDF(), "burst", "sample", "pres",
           fs = 1.0, z = 0.5, nsegs = 4, fcut = Some(0.2)).toDF()
-      }, None),
+          .select(col("burst"), round(col("h"), 8).as("h"),
+            round(col("wh_4061"), 8).as("wh_4061"),
+            round(col("wp_4060"), 8).as("wp_4060"),
+            round(col("wp_peak"), 8).as("wp_peak"),
+            round(col("m0"), 8).as("m0"), round(col("m2"), 8).as("m2"),
+            col("tailind"))
+      },
+      Some(s"""WITH $presSpecCtes,
+             |${statsSql("""
+             |  round(hh.h, 8) AS h,""")}, CAST(ti.tq AS INTEGER) AS tailind
+             |FROM mom JOIN hh USING (burst) JOIN pk USING (burst) JOIN ti USING (burst)""".stripMargin)),
 
     // surface-track variant (make_waves_ds_elev)
     Q("wave_stats_elev",
@@ -91,7 +224,15 @@ object WaveQueries {
             col("value") / 2000.0 - lit(0.025))
         Spectra.waveStatsFromElevation(b.toDF(), "burst", "sample", "elev",
           fs = 1.0, nsegs = 8).toDF()
-      }, None),
+          .select(col("burst"),
+            round(col("wh_4061"), 8).as("wh_4061"),
+            round(col("wp_4060"), 8).as("wp_4060"),
+            round(col("wp_peak"), 8).as("wp_peak"),
+            round(col("m0"), 8).as("m0"), round(col("m2"), 8).as("m2"))
+      },
+      Some(s"""WITH $elevSpecCtes,
+             |${statsSql("")}
+             |FROM mom JOIN pk USING (burst)""".stripMargin)),
 
     // per-burst elevation spectra, long format (spec["pspec"])
     Q("wave_spectra",
@@ -101,7 +242,11 @@ object WaveQueries {
             col("value") / 1000.0)
         Spectra.pressureSpectra(b.toDF(), "burst", "sample", "pres",
           fs = 1.0, z = 0.5, nsegs = 4, fcut = Some(0.2)).toDF()
-      }, None),
+          .select(col("burst"), col("frequency"),
+            round(col("pspec"), 8).as("pspec"))
+      },
+      Some(s"""WITH $presSpecCtes
+             |SELECT burst, f AS frequency, round(pspec, 8) AS pspec FROM spec""".stripMargin)),
 
     // PUV analysis per burst (puv_quick, stglib/core/waves.py:1354-1674):
     // monochromatic wave in p/u/v with linear-theory-consistent amplitudes
