@@ -186,6 +186,185 @@ object WaveQueries {
        |  WHERE f >= 0.062 AND f <= 0.5)""".stripMargin
   }
 
+  /** puv_quick oracle — mirrors kernels/Puv.puvQuick branch-for-branch for
+    * the registered synthetic input (depth=10, zp=0.5, zuv=1, fs=1,
+    * fftLength=512 → ONE Welch segment, df = 2^-9 so the x2 and xdf
+    * scalings are exact). Band indices are compile-time constants of the
+    * f-grid:
+    * ff=10, lf=103, ig=25 (same firstAbove/last<=cut logic, precomputed). */
+  private def puvSql: String = {
+    // synthetic amplitude constants replicated in SQL (Scala computes them
+    // with math.tanh/cosh; exp-forms agree to ulps, absorbed by round(8))
+    val disp =
+      s"""k0 AS (
+         |  SELECT x, CASE WHEN x < 1.0 THEN sqrt(x) ELSE x END AS y0
+         |  FROM (SELECT (2*pi())*0.1*((2*pi())*0.1)*10.0/9.81 AS x)),
+         |k1 AS (SELECT *, ${newtonSql("y0")} AS y1 FROM k0),
+         |k2 AS (SELECT *, ${newtonSql("y1")} AS y2 FROM k1),
+         |k3 AS (SELECT y2 AS yy, ${newtonSql("y2")} AS y3 FROM k2),
+         |amp AS (SELECT
+         |    0.5 * ((exp((y3/10.0)*0.5)+exp(-((y3/10.0)*0.5)))/2)
+         |      / ((exp((y3/10.0)*10.0)+exp(-((y3/10.0)*10.0)))/2) AS ap,
+         |    0.5 * 2 * pi() * 0.1 * ((exp((y3/10.0)*1.0)+exp(-((y3/10.0)*1.0)))/2)
+         |      / ((exp((y3/10.0)*10.0)-exp(-((y3/10.0)*10.0)))/2) AS au
+         |  FROM k3)""".stripMargin
+    s"""WITH $disp,
+       |gb AS (
+       |  SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+       |  FROM events),
+       |raw AS (
+       |  SELECT rn // 512 AS burst, rn % 512 AS sample,
+       |    10.0 + amp.ap * sin((2*pi())*0.1 * (rn % 512)) + value / 5000.0 AS p0,
+       |    amp.au * sin((2*pi())*0.1 * (rn % 512)) + value / 10000.0 AS u0,
+       |    0.3 * amp.au * sin((2*pi())*0.1 * (rn % 512)) + value / 10000.0 AS v0
+       |  FROM gb, amp),
+       |fullb AS (SELECT burst FROM raw GROUP BY burst HAVING count(*) = 512),
+       |r2 AS (SELECT raw.* FROM raw JOIN fullb USING (burst)),
+       |-- least-squares linear detrend per burst (y - (mean + b*(t - 255.5)))
+       |dt AS (
+       |  SELECT burst,
+       |    sum(p0)/512 AS pm, sum((sample - 255.5)*p0)/(512.0*(512.0*512 - 1)/12.0) AS pb,
+       |    sum(u0)/512 AS um, sum((sample - 255.5)*u0)/(512.0*(512.0*512 - 1)/12.0) AS ub,
+       |    sum(v0)/512 AS vm, sum((sample - 255.5)*v0)/(512.0*(512.0*512 - 1)/12.0) AS vb
+       |  FROM r2 GROUP BY burst),
+       |bb AS (
+       |  SELECT r2.burst, r2.sample,
+       |    (p0 - (pm + pb*(sample - 255.5))) * 1025.0 * 9.81 AS p,
+       |    u0 - (um + ub*(sample - 255.5)) AS u,
+       |    v0 - (vm + vb*(sample - 255.5)) AS v
+       |  FROM r2 JOIN dt USING (burst)),
+       |win AS (SELECT j, 0.5 - 0.5*cos(2*pi()*j/512) AS w
+       |  FROM (SELECT unnest(generate_series(0, 511)) AS j)),
+       |wss AS (SELECT sum(w*w) AS wss FROM win),
+       |sm AS (SELECT burst, sum(p)/512 AS pm2, sum(u)/512 AS um2,
+       |    sum(v)/512 AS vm2 FROM bb GROUP BY burst),
+       |xw AS (
+       |  SELECT bb.burst, bb.sample AS j, (p - pm2)*w.w AS pw,
+       |    (u - um2)*w.w AS uw, (v - vm2)*w.w AS vw
+       |  FROM bb JOIN sm USING (burst) JOIN win w ON w.j = bb.sample),
+       |dft AS (
+       |  SELECT burst, qq.q,
+       |    sum(pw * cos(2*pi()*qq.q*j/512)) AS pre, sum(pw * sin(2*pi()*qq.q*j/512)) AS pim,
+       |    sum(uw * cos(2*pi()*qq.q*j/512)) AS ure, sum(uw * sin(2*pi()*qq.q*j/512)) AS uim,
+       |    sum(vw * cos(2*pi()*qq.q*j/512)) AS vre, sum(vw * sin(2*pi()*qq.q*j/512)) AS vim
+       |  FROM xw, (SELECT unnest(generate_series(0, 256)) AS q) qq
+       |  GROUP BY burst, qq.q),
+       |psd AS (
+       |  SELECT burst, q, q * 1.0 / 512 AS f,
+       |    (pre*pre+pim*pim)/1*(1.0/(1.0*wss.wss))*(CASE WHEN q = 0 OR q = 256 THEN 1.0 ELSE 2.0 END) AS gpp,
+       |    (ure*ure+uim*uim)/1*(1.0/(1.0*wss.wss))*(CASE WHEN q = 0 OR q = 256 THEN 1.0 ELSE 2.0 END) AS guu,
+       |    (vre*vre+vim*vim)/1*(1.0/(1.0*wss.wss))*(CASE WHEN q = 0 OR q = 256 THEN 1.0 ELSE 2.0 END) AS gvv
+       |  FROM dft, wss),
+       |-- dispersion k(f) at depth 10 + transfer functions (q=0 pinned to 1)
+       |e0 AS (SELECT *, guu + gvv AS guv, 2*pi()*f AS omega FROM psd),
+       |e1 AS (SELECT *, omega*omega*10.0/9.81 AS x FROM e0),
+       |e2 AS (SELECT *, CASE WHEN x < 1.0 THEN sqrt(x) ELSE x END AS y0 FROM e1),
+       |e3 AS (SELECT *, ${newtonSql("y0")} AS y1 FROM e2),
+       |e4 AS (SELECT *, ${newtonSql("y1")} AS y2 FROM e3),
+       |e5 AS (SELECT *, ${newtonSql("y2")} AS y3 FROM e4),
+       |e6 AS (SELECT *, y3/10.0 AS k FROM e5),
+       |tf AS (
+       |  SELECT *,
+       |    CASE WHEN q = 0 THEN 1.0 ELSE
+       |      1025.0 * 9.81 * (((exp(k*0.5)+exp(-(k*0.5)))/2)/((exp(k*10.0)+exp(-(k*10.0)))/2)) END AS hp,
+       |    CASE WHEN q = 0 THEN 1.0 ELSE
+       |      omega * (((exp(k*1.0)+exp(-(k*1.0)))/2)/((exp(k*10.0)-exp(-(k*10.0)))/2)) END AS huv,
+       |    CASE WHEN k IS NULL OR isnan(k) THEN 1.0 ELSE
+       |      ((exp(k*0.5)+exp(-(k*0.5)))/2)/((exp(k*10.0)+exp(-(k*10.0)))/2) END AS kp,
+       |    CASE WHEN k IS NULL OR isnan(k) THEN 1.0 ELSE
+       |      ((exp(k*1.0)+exp(-(k*1.0)))/2)/((exp(k*10.0)+exp(-(k*10.0)))/2) END AS kpu
+       |  FROM e6),
+       |-- J&M cutoff per burst for (gpp, kp) and (guv, kpu)
+       |jm AS (
+       |  SELECT burst,
+       |    12.0*(sum(gpp) FILTER (WHERE f >= 0.9*0.5)/count(*) FILTER (WHERE f >= 0.9*0.5)) AS nfp,
+       |    12.0*(sum(guv) FILTER (WHERE f >= 0.9*0.5)/count(*) FILTER (WHERE f >= 0.9*0.5)) AS nfu
+       |  FROM tf GROUP BY burst),
+       |pkq AS (
+       |  SELECT burst,
+       |    first(q ORDER BY gpp DESC, q) AS imaxp,
+       |    first(q ORDER BY guv DESC, q) AS imaxu
+       |  FROM tf GROUP BY burst),
+       |cut AS (
+       |  SELECT tf.burst,
+       |    coalesce(max(tf.q) FILTER (WHERE tf.gpp > jm.nfp), 0) AS ncp,
+       |    coalesce(max(tf.q) FILTER (WHERE tf.guv > jm.nfu), 0) AS ncu,
+       |    count(*) FILTER (WHERE tf.f < 1.1*(pp.f)) AS fpp,
+       |    count(*) FILTER (WHERE tf.f < 1.1*(pu.f)) AS fpu,
+       |    coalesce(max(tf.q + 1) FILTER (WHERE tf.kp > 0.1), 0) AS kcp,
+       |    coalesce(max(tf.q + 1) FILTER (WHERE tf.kpu > 0.1), 0) AS kcu
+       |  FROM tf
+       |  JOIN jm USING (burst)
+       |  JOIN pkq USING (burst)
+       |  JOIN tf pp ON pp.burst = tf.burst AND pp.q = pkq.imaxp
+       |  JOIN tf pu ON pu.burst = tf.burst AND pu.q = pkq.imaxu
+       |  GROUP BY tf.burst),
+       |tind AS (
+       |  SELECT burst,
+       |    CASE WHEN ncp > fpp AND ncp <= kcp THEN ncp
+       |         WHEN ncp > fpp AND ncp > kcp THEN kcp ELSE -1 END AS tp_,
+       |    CASE WHEN ncu > fpu AND ncu <= kcu THEN ncu
+       |         WHEN ncu > fpu AND ncu > kcu THEN kcu ELSE -1 END AS tu_
+       |  FROM cut),
+       |tvp AS (SELECT tf.burst, tf.f AS ftp, tf.gpp/(tf.hp*tf.hp) AS ptp
+       |  FROM tf JOIN tind ON tf.burst = tind.burst AND tf.q = tind.tp_),
+       |tvu AS (SELECT tf.burst, tf.f AS ftu, tf.guv/(tf.huv*tf.huv) AS ptu
+       |  FROM tf JOIN tind ON tf.burst = tind.burst AND tf.q = tind.tu_),
+       |-- band sums (df = 1/512 exact dyadic); snp/snu band is [10, 103)
+       |agg AS (
+       |  SELECT tf.burst,
+       |    sum(tf.gpp/(tf.hp*tf.hp)) FILTER (WHERE q >= 10 AND q < 103) AS snpsum,
+       |    sum(tf.guv/(tf.huv*tf.huv)) FILTER (WHERE q >= 10 AND q < 103) AS snusum,
+       |    sum(tf.guv) FILTER (WHERE q >= 10 AND q < 103) AS guvband,
+       |    sum(tf.omega*tf.guv*0.001953125) FILTER (WHERE q >= 10 AND q < 103) AS omnum,
+       |    sum(tf.guv*0.001953125) FILTER (WHERE q >= 10 AND q < 103) AS omden,
+       |    sum(tf.guu) FILTER (WHERE q >= 10 AND q < 103) AS guuband,
+       |    sum(tf.gvv) FILTER (WHERE q >= 10 AND q < 103) AS gvvband,
+       |    sum(tf.guv) FILTER (WHERE q >= 1 AND q < 10) AS guvlo,
+       |    sum(tf.guv) FILTER (WHERE q >= 10 AND q < 25) AS guvig,
+       |    sum(tf.guv) FILTER (WHERE q >= 103) AS guvhi,
+       |    sum(CASE WHEN tind.tp_ >= 0 AND q >= tind.tp_
+       |          THEN tvp.ptp/((tf.f/tvp.ftp)*(tf.f/tvp.ftp)*(tf.f/tvp.ftp)*(tf.f/tvp.ftp))
+       |          ELSE tf.gpp/(tf.hp*tf.hp) END) FILTER (WHERE q >= 1) AS snptail,
+       |    sum(CASE WHEN tind.tu_ >= 0 AND q >= tind.tu_
+       |          THEN tvu.ptu/((tf.f/tvu.ftu)*(tf.f/tvu.ftu)*(tf.f/tvu.ftu)*(tf.f/tvu.ftu))
+       |          ELSE tf.guv/(tf.huv*tf.huv) END) FILTER (WHERE q >= 1) AS snutail
+       |  FROM tf JOIN tind USING (burst)
+       |  LEFT JOIN tvp USING (burst) LEFT JOIN tvu USING (burst)
+       |  GROUP BY tf.burst),
+       |-- first-max peaks inside the clip band
+       |pks AS (
+       |  SELECT burst,
+       |    first(q ORDER BY gpphp DESC, q) AS qp,
+       |    first(q ORDER BY guvhuv DESC, q) AS qu
+       |  FROM (SELECT burst, q, gpp/(hp*hp) AS gpphp, guv/(huv*huv) AS guvhuv
+       |        FROM tf WHERE q >= 10 AND q < 103) GROUP BY burst),
+       |-- sign of corr(u, v) over the detrended series
+       |sgn AS (
+       |  SELECT b1.burst, sign(sum((u - mu)*(v - mv))) AS ortest
+       |  FROM bb b1 JOIN (SELECT burst, sum(u)/512 AS mu, sum(v)/512 AS mv
+       |                   FROM bb GROUP BY burst) m ON b1.burst = m.burst
+       |  GROUP BY b1.burst)
+       |SELECT agg.burst,
+       |  round(2.0*sqrt(2.0*snpsum*0.001953125), 8) AS hrmsp,
+       |  round(2.0*sqrt(2.0*snusum*0.001953125), 8) AS hrmsu,
+       |  round(sqrt(2.0*(guvband*0.001953125)), 8) AS ubr,
+       |  round(omnum/omden, 8) AS omegar,
+       |  round(2*pi()/(omnum/omden), 8) AS tr,
+       |  round(1.0/(qp * 1.0 / 512), 8) AS tpp,
+       |  round(1.0/(qu * 1.0 / 512), 8) AS tpu,
+       |  round(atan2(ortest*(gvvband*0.001953125), guuband*0.001953125), 8) AS phir,
+       |  round(90.0 - degrees(atan2(ortest*(gvvband*0.001953125), guuband*0.001953125)), 8) AS azr,
+       |  round(sqrt(2.0*(guvlo*0.001953125)), 8) AS ublo,
+       |  round(sqrt(2.0*(guvhi*0.001953125)), 8) AS ubhi,
+       |  round(sqrt(2.0*(guvig*0.001953125)), 8) AS ubig,
+       |  CASE WHEN tind.tp_ < 0 THEN CAST('nan' AS DOUBLE)
+       |       ELSE round(2.0*sqrt(2.0*(snptail*0.001953125)), 8) END AS hrmsp_tail,
+       |  CASE WHEN tind.tu_ < 0 THEN CAST('nan' AS DOUBLE)
+       |       ELSE round(2.0*sqrt(2.0*(snutail*0.001953125)), 8) END AS hrmsu_tail
+       |FROM agg JOIN tind USING (burst) JOIN pks USING (burst) JOIN sgn USING (burst)""".stripMargin
+  }
+
   def qs: Seq[Q] = Seq(
     // Welch pressure pipeline → Hs/Tm/Tp per burst (make_waves_ds)
     Q("wave_stats_pressure",
@@ -262,9 +441,12 @@ object WaveQueries {
           .withColumn("p", lit(10.0) + lit(aP) * sin(ph) + col("value") / 5000.0)
           .withColumn("u", lit(aU) * sin(ph) + col("value") / 10000.0)
           .withColumn("v", lit(0.3 * aU) * sin(ph) + col("value") / 10000.0)
-        Spectra.puvStats(withPuv.toDF(), "burst", "sample", "p", "u", "v",
+        val r = Spectra.puvStats(withPuv.toDF(), "burst", "sample", "p", "u", "v",
           depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0, fftLength = 512).toDF()
-      }, None),
+        r.select(col("burst") +: r.columns.filter(_ != "burst")
+          .map(c => round(col(c), 8).as(c)): _*)
+      },
+      Some(puvSql)),
 
     // DIWASP directional spectrum per burst (DFTM + IMLM paths)
     Q("diwasp_dftm",
