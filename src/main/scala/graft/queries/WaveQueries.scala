@@ -365,6 +365,135 @@ object WaveQueries {
        |FROM agg JOIN tind USING (burst) JOIN pks USING (burst) JOIN sgn USING (burst)""".stripMargin
   }
 
+  /** DIWASP DFTM oracle chain — mirrors kernels/Diwasp.dirspec for the
+    * registered puvBursts input (colocated p/u/v sensors: every kx phase is
+    * exactly 0, so the estimator's complex exponentials collapse to 1 and
+    * the auto-spectra are exactly real). Emits CTE smg(burst, q, d, s):
+    * the clamped + smoothed directional spectrum over the kept band.
+    *
+    * The Dalrymple wavenumber solve (data-dependent Newton loop) runs as a
+    * recursive CTE carrying (a1, da1) until |da1/a1| <= 1e-8 — the same
+    * stop rule as the kernel; tanh/cosh via exp (DuckDB 1.0). */
+  private def diwaspCtes(nfft: Int, dres: Int): String = {
+    val half = nfft / 2
+    val nseg = 512 / nfft
+    // kept band replicated with the kernel's own double comparisons
+    val keep = (1 to half).filter(q => q * 1.0 / nfft >= 0.05 && q * 1.0 / nfft <= 0.45)
+    val (qLo, qHi) = (keep.head, keep.last)
+    val th = (x: String) => s"((exp(2*$x)-1)/(exp(2*$x)+1))"
+    val ch = (x: String) => s"((exp($x)+exp(-($x)))/2)"
+    val sh = (x: String) => s"((exp($x)-exp(-($x)))/2)"
+    // 9 (m, n) pairs in the kernel's m-outer/n-inner order; h = tn*tm
+    val pairs = for (m <- 0 to 2; n <- 0 to 2) yield (m, n)
+    val sfre = pairs.map { case (m, n) => s"x.re$m$n*(t.t$n*t.t$m)" }.mkString(" + ")
+    val sfim = pairs.map { case (m, n) => s"- x.im$m$n*(t.t$n*t.t$m)" }.mkString(" ")
+    s"""gb AS (
+       |  SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+       |  FROM events),
+       |qg AS (SELECT unnest(generate_series($qLo, $qHi)) AS q),
+       |dg AS (SELECT unnest(generate_series(0, ${dres - 1})) AS d),
+       |dd AS (SELECT d, -pi() + d*2.0*pi()/$dres AS dir FROM dg),
+       |seeds AS (
+       |  SELECT q, ((2*pi())*(q*1.0/$nfft))*((2*pi())*(q*1.0/$nfft))*10.0/9.81 AS a0 FROM qg
+       |  UNION ALL
+       |  SELECT -1, ((2*pi())*0.125)*((2*pi())*0.125)*10.0/9.81),
+       |wn AS (
+       |  SELECT q, a0,
+       |    a0*pow(1.0/${th(s"pow(a0, 0.75)")}, 0.666) AS a1,
+       |    CAST(1000 AS DOUBLE) AS da1
+       |  FROM seeds
+       |  UNION ALL
+       |  SELECT q, a0,
+       |    a1 + (-(a0 - a1*${th("a1")}) / (-a1/(${ch("a1")}*${ch("a1")}) - ${th("a1")})),
+       |    (-(a0 - a1*${th("a1")}) / (-a1/(${ch("a1")}*${ch("a1")}) - ${th("a1")}))
+       |  FROM wn WHERE abs(da1/a1) > 1e-8),
+       |kk AS (SELECT q, a1/10.0 AS k FROM wn WHERE abs(da1/a1) <= 1e-8),
+       |amp AS (
+       |  SELECT 0.5*${ch("(k*0.5)")}/${ch("(k*10.0)")} AS ap,
+       |    0.5*2*pi()*0.125*${ch("(k*1.0)")}/${sh("(k*10.0)")} AS au
+       |  FROM kk WHERE q = -1),
+       |raw AS (
+       |  SELECT rn // 512 AS burst, rn % 512 AS sample,
+       |    amp.ap * cos(((2*pi())*0.125)*(rn % 512)) + (value*7919.0 % 97.0)/5000.0 AS x0,
+       |    (amp.au*cos((30.0/180.0)*pi())) * cos(((2*pi())*0.125)*(rn % 512)) + (value*104729.0 % 89.0)/5000.0 AS x1,
+       |    (amp.au*sin((30.0/180.0)*pi())) * cos(((2*pi())*0.125)*(rn % 512)) + (value*15485863.0 % 83.0)/5000.0 AS x2
+       |  FROM gb, amp),
+       |fullb AS (SELECT burst FROM raw GROUP BY burst HAVING count(*) = 512),
+       |r2 AS (SELECT raw.* FROM raw JOIN fullb USING (burst)),
+       |dt AS (
+       |  SELECT burst,
+       |    sum(x0)/512 AS m0_, sum((sample - 255.5)*x0)/(512.0*(512.0*512 - 1)/12.0) AS b0_,
+       |    sum(x1)/512 AS m1_, sum((sample - 255.5)*x1)/(512.0*(512.0*512 - 1)/12.0) AS b1_,
+       |    sum(x2)/512 AS m2_, sum((sample - 255.5)*x2)/(512.0*(512.0*512 - 1)/12.0) AS b2_
+       |  FROM r2 GROUP BY burst),
+       |bb AS (
+       |  SELECT r2.burst, r2.sample,
+       |    x0 - (m0_ + b0_*(sample - 255.5)) AS d0,
+       |    x1 - (m1_ + b1_*(sample - 255.5)) AS d1,
+       |    x2 - (m2_ + b2_*(sample - 255.5)) AS d2
+       |  FROM r2 JOIN dt USING (burst)),
+       |win AS (SELECT j, 0.54 - 0.46*cos(2*pi()*j/$nfft) AS w
+       |  FROM (SELECT unnest(generate_series(0, ${nfft - 1})) AS j)),
+       |wss AS (SELECT sum(w*w) AS wss FROM win),
+       |xw AS (
+       |  SELECT bb.burst, bb.sample // $nfft AS s, bb.sample % $nfft AS j,
+       |    d0*w.w AS w0, d1*w.w AS w1, d2*w.w AS w2
+       |  FROM bb JOIN win w ON w.j = bb.sample % $nfft),
+       |dftc AS (
+       |  SELECT burst, s, qg.q,
+       |    sum(w0 * cos(2*pi()*qg.q*j/$nfft)) AS cre0, sum(w0 * sin(2*pi()*qg.q*j/$nfft)) AS csn0,
+       |    sum(w1 * cos(2*pi()*qg.q*j/$nfft)) AS cre1, sum(w1 * sin(2*pi()*qg.q*j/$nfft)) AS csn1,
+       |    sum(w2 * cos(2*pi()*qg.q*j/$nfft)) AS cre2, sum(w2 * sin(2*pi()*qg.q*j/$nfft)) AS csn2
+       |  FROM xw, qg GROUP BY burst, s, qg.q),
+       |xps AS (
+       |  SELECT burst, q,
+       |${pairs.map { case (m, n) =>
+            s"    sum(cre$m*cre$n + csn$m*csn$n)*((1.0/(1.0*(SELECT wss FROM wss))*2.0)/$nseg) AS re$m$n,\n" +
+            s"    sum(csn$m*cre$n - cre$m*csn$n)*((1.0/(1.0*(SELECT wss FROM wss))*2.0)/$nseg) AS im$m$n"
+          }.mkString(",\n")}
+       |  FROM dftc GROUP BY burst, q),
+       |trm AS (
+       |  SELECT kk.q, dd.d, dd.dir,
+       |    greatest(${ch("(0.5*k)")}/${ch("(10.0*k)")}, 0.1) AS t0,
+       |    ((2*pi())*(kk.q*1.0/$nfft))*greatest(${ch("(1.0*k)")}/${sh("(10.0*k)")}, 0.1)*cos(dd.dir) AS t1,
+       |    ((2*pi())*(kk.q*1.0/$nfft))*greatest(${ch("(1.0*k)")}/${sh("(10.0*k)")}, 0.1)*sin(dd.dir) AS t2
+       |  FROM kk, dd WHERE kk.q >= 0),
+       |sf AS (
+       |  SELECT x.burst, x.q, t.d, t.dir,
+       |    $sfre AS sfre,
+       |    $sfim AS sfim,
+       |    (x.re00*(t.t0*t.t0))/((t.t0*t.t0)*(t.t0*t.t0)) AS ssre,
+       |    (x.im00*(t.t0*t.t0))/((t.t0*t.t0)*(t.t0*t.t0)) AS ssim
+       |  FROM xps x JOIN trm t ON x.q = t.q),
+       |tot AS (
+       |  SELECT burst, q,
+       |    sum(sfre)*(2.0*pi()/$dres) AS sr, sum(sfim)*(2.0*pi()/$dres) AS si
+       |  FROM sf GROUP BY burst, q),
+       |ee AS (
+       |  SELECT sf.burst, sf.q, sf.d, sf.dir,
+       |    sf.ssre*((sf.sfre*tot.sr + (-sf.sfim)*tot.si)/(tot.sr*tot.sr + tot.si*tot.si))
+       |      - sf.ssim*(((-sf.sfim)*tot.sr - sf.sfre*tot.si)/(tot.sr*tot.sr + tot.si*tot.si)) AS v
+       |  FROM sf JOIN tot USING (burst, q)),
+       |cl AS (SELECT burst, q, d, dir,
+       |    CASE WHEN isnan(v) OR v < 0 THEN 0.0 ELSE v END AS v FROM ee),
+       |smg AS (
+       |  SELECT c.burst, c.q, c.d, c.dir,
+       |    CASE WHEN c.q >= ${qLo + 2} AND c.q <= ${qHi - 2}
+       |              AND c.d >= 2 AND c.d <= ${dres - 3} THEN
+       |      (0.25*fm2.v + 0.5*fm1.v + 1.0*c.v + 0.5*fp1.v + 0.25*fp2.v
+       |       + 0.25*dm2.v + 0.5*dm1.v + 1.0*c.v + 0.5*dp1.v + 0.25*dp2.v) / 5.0
+       |    ELSE c.v END AS s
+       |  FROM cl c
+       |  LEFT JOIN cl fm2 ON fm2.burst = c.burst AND fm2.q = c.q - 2 AND fm2.d = c.d
+       |  LEFT JOIN cl fm1 ON fm1.burst = c.burst AND fm1.q = c.q - 1 AND fm1.d = c.d
+       |  LEFT JOIN cl fp1 ON fp1.burst = c.burst AND fp1.q = c.q + 1 AND fp1.d = c.d
+       |  LEFT JOIN cl fp2 ON fp2.burst = c.burst AND fp2.q = c.q + 2 AND fp2.d = c.d
+       |  LEFT JOIN cl dm2 ON dm2.burst = c.burst AND dm2.q = c.q AND dm2.d = c.d - 2
+       |  LEFT JOIN cl dm1 ON dm1.burst = c.burst AND dm1.q = c.q AND dm1.d = c.d - 1
+       |  LEFT JOIN cl dp1 ON dp1.burst = c.burst AND dp1.q = c.q AND dp1.d = c.d + 1
+       |  LEFT JOIN cl dp2 ON dp2.burst = c.burst AND dp2.q = c.q AND dp2.d = c.d + 2)""".stripMargin
+  }
+
   def qs: Seq[Q] = Seq(
     // Welch pressure pipeline → Hs/Tm/Tp per burst (make_waves_ds)
     Q("wave_stats_pressure",
@@ -456,7 +585,30 @@ object WaveQueries {
           depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0,
           nfft = 256, dres = 90, method = "DFTM", miter = 0,
           fmin = 0.05, fmax = 0.45).toDF()
-      }, None),
+          .select(col("burst"), round(col("hs"), 8).as("hs"),
+            round(col("tp"), 8).as("tp"), round(col("dtp"), 8).as("dtp"),
+            round(col("dp"), 8).as("dp"), col("nfreq"), col("ndir"))
+      },
+      Some(s"""WITH RECURSIVE ${diwaspCtes(256, 90)},
+             |oneD AS (SELECT burst, q,
+             |    sum(s)*((-pi() + 1*2.0*pi()/90) - (-pi())) AS e1
+             |  FROM smg GROUP BY burst, q),
+             |mm AS (SELECT burst, sum(e1)*(14.0/256 - 13.0/256) AS m0
+             |  FROM oneD GROUP BY burst),
+             |ip AS (SELECT burst, first(q ORDER BY e1 DESC, q) AS qp
+             |  FROM oneD GROUP BY burst),
+             |jp AS (SELECT s.burst, first(s.d ORDER BY s.s DESC, s.d) AS dtpj
+             |  FROM smg s JOIN ip ON s.burst = ip.burst AND s.q = ip.qp
+             |  GROUP BY s.burst),
+             |dirt AS (SELECT burst, d, sum(s) AS tot FROM smg GROUP BY burst, d),
+             |bj AS (SELECT burst, first(d ORDER BY tot DESC, d) AS dpj
+             |  FROM dirt GROUP BY burst)
+             |SELECT mm.burst, round(4.0*sqrt(m0), 8) AS hs,
+             |  round(1.0/(qp*1.0/256), 8) AS tp,
+             |  round(((-pi() + dtpj*2.0*pi()/90)*180.0)/pi(), 8) + 0.0 AS dtp,
+             |  round(((-pi() + dpj*2.0*pi()/90)*180.0)/pi(), 8) + 0.0 AS dp,
+             |  CAST(103 AS INTEGER) AS nfreq, CAST(90 AS INTEGER) AS ndir
+             |FROM mm JOIN ip USING (burst) JOIN jp USING (burst) JOIN bj USING (burst)""".stripMargin)),
 
     Q("diwasp_imlm",
       (s, dir) => {
@@ -491,8 +643,12 @@ object WaveQueries {
           depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0,
           nfft = 128, dres = 36, method = "DFTM", miter = 0,
           fmin = 0.05, fmax = 0.45).toDF()
-      }, None,
-      note = "rows-only: bursts x nfreq x ndir grid; goldens in DiwaspSpec"),
+          .select(col("burst"), col("freq"), col("dir"),
+            round(col("s"), 8).as("s"))
+      },
+      Some(s"""WITH RECURSIVE ${diwaspCtes(128, 36)}
+             |SELECT burst, q * 1.0 / 128 AS freq, dir, round(s, 8) + 0.0 AS s
+             |FROM smg""".stripMargin)),
 
     // zero-phase Butterworth low-pass per user series (filtered water level,
     // stglib/core/utils.py:1715-1756)
