@@ -474,9 +474,9 @@ object WaveQueries {
        |    sf.ssre*((sf.sfre*tot.sr + (-sf.sfim)*tot.si)/(tot.sr*tot.sr + tot.si*tot.si))
        |      - sf.ssim*(((-sf.sfim)*tot.sr - sf.sfre*tot.si)/(tot.sr*tot.sr + tot.si*tot.si)) AS v
        |  FROM sf JOIN tot USING (burst, q)),
-       |cl AS (SELECT burst, q, d, dir,
+       |cl AS MATERIALIZED (SELECT burst, q, d, dir,
        |    CASE WHEN isnan(v) OR v < 0 THEN 0.0 ELSE v END AS v FROM ee),
-       |smg AS (
+       |smg AS MATERIALIZED (
        |  SELECT c.burst, c.q, c.d, c.dir,
        |    CASE WHEN c.q >= ${qLo + 2} AND c.q <= ${qHi - 2}
        |              AND c.d >= 2 AND c.d <= ${dres - 3} THEN
@@ -632,7 +632,97 @@ object WaveQueries {
           nfft = 256, dres = 90, method = "DFTM", miter = 0,
           fmin = 0.05, fmax = 0.45, smooth = true,
           interpTo = Some((fUser, dUser))).toDF()
-      }, None),
+          .select(col("burst"), round(col("hs"), 8).as("hs"),
+            round(col("tp"), 8).as("tp"), round(col("dtp"), 8).as("dtp"),
+            round(col("dp"), 8).as("dp"), col("nfreq"), col("ndir"))
+      },
+      // interpSpec (separable bilinear, circular dirs, 0 outside the f
+      // range) onto the 41x72 user grid, then smoothspec + infospec there.
+      // All user-grid arithmetic is CAST AS DOUBLE: 0.05/0.01 are not
+      // dyadic, and DuckDB DECIMAL*DECIMAL is exact decimal arithmetic —
+      // a different number than the kernel's double 0.05 + i*0.01.
+      Some(s"""WITH RECURSIVE ${diwaspCtes(256, 90)},
+             |fu AS (SELECT i, CAST(0.05 AS DOUBLE) + i*CAST(0.01 AS DOUBLE) AS fq
+             |  FROM (SELECT unnest(generate_series(0, 40)) AS i)),
+             |du AS (SELECT j, -pi() + j*2.0*pi()/72 AS dq
+             |  FROM (SELECT unnest(generate_series(0, 71)) AS j)),
+             |kgrid AS (SELECT q, q*CAST(1.0 AS DOUBLE)/256 AS f FROM qg),
+             |fins AS (
+             |  SELECT fu.i, fu.fq,
+             |    count(kg.q) FILTER (WHERE kg.f < fu.fq) AS ins,
+             |    max(kg.q) FILTER (WHERE kg.f = fu.fq) AS eq
+             |  FROM fu, kgrid kg GROUP BY fu.i, fu.fq),
+             |fbw AS (
+             |  SELECT i, fq,
+             |    CASE WHEN eq IS NOT NULL THEN eq
+             |         ELSE 13 + greatest(ins - 1, 0) END AS ql,
+             |    CASE WHEN eq IS NOT NULL THEN eq
+             |         ELSE 13 + least(ins, 102) END AS qh
+             |  FROM fins),
+             |fbr AS (
+             |  SELECT i, fq, ql, qh,
+             |    CASE WHEN qh = ql THEN 0.0
+             |         ELSE (fq - ql*CAST(1.0 AS DOUBLE)/256)
+             |              / (qh*CAST(1.0 AS DOUBLE)/256 - ql*CAST(1.0 AS DOUBLE)/256) END AS wf
+             |  FROM fbw),
+             |dw AS (SELECT j, dq,
+             |    (dq - (-pi())) / ((-pi() + 1*2.0*pi()/90) - (-pi())) AS x0 FROM du),
+             |dbr AS (SELECT j, dq,
+             |    CAST(floor(x) AS INTEGER) % 90 AS j0,
+             |    (CAST(floor(x) AS INTEGER) % 90 + 1) % 90 AS j1,
+             |    x - floor(x) AS wd
+             |  FROM (SELECT j, dq, x0 - floor(x0/90)*90 AS x FROM dw)),
+             |grid AS (
+             |  SELECT b.burst, fb.i, fb.fq, fb.ql, fb.qh, fb.wf,
+             |    db.j, db.j0, db.j1, db.wd
+             |  FROM (SELECT DISTINCT burst FROM cl) b
+             |  CROSS JOIN fbr fb CROSS JOIN dbr db),
+             |itp AS MATERIALIZED (
+             |  SELECT g.burst, g.i, g.j,
+             |    CASE WHEN g.fq < 13*CAST(1.0 AS DOUBLE)/256
+             |           OR g.fq > 115*CAST(1.0 AS DOUBLE)/256 THEN 0.0
+             |    ELSE (lo0.v*(1 - g.wd) + lo1.v*g.wd)*(1 - g.wf)
+             |       + (hi0.v*(1 - g.wd) + hi1.v*g.wd)*g.wf END AS v
+             |  FROM grid g
+             |  LEFT JOIN cl lo0 ON lo0.burst = g.burst AND lo0.q = g.ql AND lo0.d = g.j0
+             |  LEFT JOIN cl lo1 ON lo1.burst = g.burst AND lo1.q = g.ql AND lo1.d = g.j1
+             |  LEFT JOIN cl hi0 ON hi0.burst = g.burst AND hi0.q = g.qh AND hi0.d = g.j0
+             |  LEFT JOIN cl hi1 ON hi1.burst = g.burst AND hi1.q = g.qh AND hi1.d = g.j1),
+             |smu AS MATERIALIZED (
+             |  SELECT c.burst, c.i, c.j,
+             |    CASE WHEN c.i BETWEEN 2 AND 38 AND c.j BETWEEN 2 AND 69 THEN
+             |      (0.25*fm2.v + 0.5*fm1.v + 1.0*c.v + 0.5*fp1.v + 0.25*fp2.v
+             |       + 0.25*dm2.v + 0.5*dm1.v + 1.0*c.v + 0.5*dp1.v + 0.25*dp2.v) / 5.0
+             |    ELSE c.v END AS s
+             |  FROM itp c
+             |  LEFT JOIN itp fm2 ON fm2.burst = c.burst AND fm2.i = c.i - 2 AND fm2.j = c.j
+             |  LEFT JOIN itp fm1 ON fm1.burst = c.burst AND fm1.i = c.i - 1 AND fm1.j = c.j
+             |  LEFT JOIN itp fp1 ON fp1.burst = c.burst AND fp1.i = c.i + 1 AND fp1.j = c.j
+             |  LEFT JOIN itp fp2 ON fp2.burst = c.burst AND fp2.i = c.i + 2 AND fp2.j = c.j
+             |  LEFT JOIN itp dm2 ON dm2.burst = c.burst AND dm2.i = c.i AND dm2.j = c.j - 2
+             |  LEFT JOIN itp dm1 ON dm1.burst = c.burst AND dm1.i = c.i AND dm1.j = c.j - 1
+             |  LEFT JOIN itp dp1 ON dp1.burst = c.burst AND dp1.i = c.i AND dp1.j = c.j + 1
+             |  LEFT JOIN itp dp2 ON dp2.burst = c.burst AND dp2.i = c.i AND dp2.j = c.j + 2),
+             |oneD AS (SELECT burst, i,
+             |    sum(s)*((-pi() + 1*2.0*pi()/72) - (-pi())) AS e1
+             |  FROM smu GROUP BY burst, i),
+             |mm AS (SELECT burst, sum(e1)*((CAST(0.05 AS DOUBLE) + 1*CAST(0.01 AS DOUBLE))
+             |    - (CAST(0.05 AS DOUBLE) + 0*CAST(0.01 AS DOUBLE))) AS m0
+             |  FROM oneD GROUP BY burst),
+             |ip AS (SELECT burst, first(i ORDER BY e1 DESC, i) AS ipk
+             |  FROM oneD GROUP BY burst),
+             |jp AS (SELECT s.burst, first(s.j ORDER BY s.s DESC, s.j) AS dtpj
+             |  FROM smu s JOIN ip ON s.burst = ip.burst AND s.i = ip.ipk
+             |  GROUP BY s.burst),
+             |dirt AS (SELECT burst, j, sum(s) AS tot FROM smu GROUP BY burst, j),
+             |bj AS (SELECT burst, first(j ORDER BY tot DESC, j) AS dpj
+             |  FROM dirt GROUP BY burst)
+             |SELECT mm.burst, round(4.0*sqrt(m0), 8) AS hs,
+             |  round(1.0/(CAST(0.05 AS DOUBLE) + ipk*CAST(0.01 AS DOUBLE)), 8) AS tp,
+             |  round(((-pi() + dtpj*2.0*pi()/72)*180.0)/pi(), 8) + 0.0 AS dtp,
+             |  round(((-pi() + dpj*2.0*pi()/72)*180.0)/pi(), 8) + 0.0 AS dp,
+             |  CAST(41 AS INTEGER) AS nfreq, CAST(72 AS INTEGER) AS ndir
+             |FROM mm JOIN ip USING (burst) JOIN jp USING (burst) JOIN bj USING (burst)""".stripMargin)),
 
     // full directional spectrum S(freq, dir) per burst — the reference's
     // `dspec` output grid (stglib/core/waves.py:185-192), long-format
