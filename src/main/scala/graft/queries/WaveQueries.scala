@@ -6,10 +6,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Spectral/wave kernel queries (SURVEY §2.10) — not SQL-expressible, so the
- * driver records rows-only checks; value correctness is covered by the
- * kernel ScalaTest suites (Parseval, dispersion, monochromatic Hs) and the
- * numpy cross-check in tools/.
+ * Spectral/wave kernel queries (SURVEY §2.10). The closed-form chains
+ * (Welch, PUV, DIWASP DFTM incl. interp/smooth/infospec) carry exact
+ * DuckDB oracles that replay the kernels as direct DFTs in SQL; only the
+ * genuinely iterative kernels (IMLM's 50 matrix-inversion rounds, the IIR
+ * filtfilt recursion) stay rows-only, covered by the kernel ScalaTest
+ * suites (Parseval, dispersion, monochromatic Hs) and the numpy
+ * cross-check in tools/.
  *
  * Bursts are synthesized from the events stream: global (ts, event_id) order
  * chopped into fixed-size bursts — the same reshape the reference applies to
