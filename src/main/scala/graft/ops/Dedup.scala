@@ -244,13 +244,37 @@ object Dedup {
     * `localCheckpoint` cuts lineage so the plan stays flat across rounds
     * (on a real cluster, `checkpoint` to reliable storage).
     *
-    * Input: edges (id_a, id_b) + the node table; output (id, comp). */
+    * Input: edges (id_a, id_b) + the node table; output (id, comp).
+    *
+    * Results are memoized per (session, canonical input plans): the loop's
+    * output is checkpoint-backed, so Spark's plan-keyed CacheManager can't
+    * dedupe it across queries — several registered queries (components +
+    * corpus selection) share one labeling, and without the memo each would
+    * re-run the candidate-pair pipeline AND the full iteration. */
+  // keyed on the canonicalized plan OBJECTS (deep case-class equality —
+  // LocalRelation data included; a toString key would collide plans whose
+  // rendering hides the data)
+  private val ccMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Any, Any, String, Int), DataFrame]()
+
   def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
                           maxIter: Int = 25): DataFrame = {
+    val key = (edges.sparkSession.hashCode(),
+      edges.queryExecution.analyzed.canonicalized,
+      nodes.queryExecution.analyzed.canonicalized, idCol, maxIter)
+    ccMemo.computeIfAbsent(key,
+      _ => connectedComponentsImpl(edges, nodes, idCol, maxIter))
+  }
+
+  private def connectedComponentsImpl(edges: DataFrame, nodes: DataFrame,
+                                      idCol: String, maxIter: Int): DataFrame = {
+    // materialize the edge list once — its lineage (often a whole candidate-
+    // pair pipeline) would otherwise re-execute on every iteration
     val sym = edges.select(col("id_a").cast("long").as("__src"),
         col("id_b").cast("long").as("__dst"))
       .union(edges.select(col("id_b").cast("long").as("__src"),
         col("id_a").cast("long").as("__dst")))
+      .localCheckpoint()
     var comp = nodes
       .select(col(idCol).cast("long").as("__nid"), col(idCol).cast("long").as("__c"))
       .localCheckpoint()

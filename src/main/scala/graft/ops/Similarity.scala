@@ -148,8 +148,27 @@ object Similarity {
     * expression over centroid literals (no join, no shuffle), and the
     * update is one map-side-combinable aggregation per round. Rounds are a
     * fixed small count. */
+  private val kmeansMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Any, String), (Array[Array[Double]], DataFrame)]()
+
+  /** Memoized per (session, canonicalized input plan OBJECT, params): the
+    * trainer's output feeds three registered queries (centroids,
+    * assignment, IVF search); without the memo each re-runs the full Lloyd
+    * iteration. Plan objects compare with deep case-class equality (a
+    * toString key would collide LocalRelations, whose rendering hides the
+    * data). */
   def kmeansLoop(df: DataFrame, idCol: String, embCol: String, k: Int,
                  dims: Int, iters: Int): (Array[Array[Double]], DataFrame) = {
+    val key = (df.sparkSession.hashCode(),
+      df.queryExecution.analyzed.canonicalized,
+      s"$idCol|$embCol|$k|$dims|$iters")
+    kmeansMemo.computeIfAbsent(key,
+      _ => kmeansLoopImpl(df, idCol, embCol, k, dims, iters))
+  }
+
+  private def kmeansLoopImpl(df: DataFrame, idCol: String, embCol: String,
+                             k: Int, dims: Int, iters: Int)
+      : (Array[Array[Double]], DataFrame) = {
     val x = df.select(col(idCol).cast("long").as("id"),
         transform(asDouble(col(embCol)),
           v => floor(v * lit(1000000.0)).cast("long")).as("xi"))

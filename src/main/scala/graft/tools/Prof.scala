@@ -11,8 +11,10 @@ object Prof {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     for (name <- args) {
-      val df = graft.SparkEntry.queries(name)(spark, dir)
+      // time construction too: iterative operators (connected components,
+      // k-means) run driver-side loops eagerly while building the plan
       val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(name)(spark, dir)
       val n = df.count()
       println(f"TIMING $name ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
       if (sys.env.contains("EXPLAIN")) df.explain("formatted")
