@@ -112,6 +112,42 @@ object TextAnalysis {
   def sampleHash(id: Column): Column =
     (id * 2654435761L + 40503L) % 2147483647L % 1000L
 
+  /** Corpus-trained char-bigram language-model score per document: the
+    * average log-likelihood of a doc's bigrams under add-one-smoothed
+    * corpus statistics, P(c2|c1) = (count(c1c2)+1)/(count(c1·)+V). The
+    * classic cheap fluency/quality signal — gibberish and wrong-charset
+    * documents score far below the corpus mode.
+    *
+    * Scale design: the model (bigram counts) is bounded by alphabet², so
+    * the two model joins are genuinely broadcastable; training is one
+    * map-side-combinable count aggregation over (doc, bigram) rows; V is a
+    * bounded driver scalar (like k-means centroids). Cross-engine exact:
+    * each bigram's log-prob is rounded to 9 decimals and summed as exact
+    * DECIMAL, so the per-doc mean is bit-identical regardless of
+    * summation order.
+    *
+    * Output: (id, n_bigrams, lm_score). */
+  def charBigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val bg = Spread.byKey(df, col(idCol)).select(col(idCol).as("__id"),
+        explode(expr(s"transform(sequence(1, greatest(length($textCol) - 1, 1)), i -> substr($textCol, i, 2))")).as("bg"))
+      .filter(length(col("bg")) === 2)
+    val counts = Spread.shared(
+      bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
+        .withColumn("c1", substring(col("bg"), 1, 1)))
+    val tots = counts.groupBy("c1").agg(sum("cnt").as("tot"))
+    val v = counts.select(substring(col("bg"), 2, 1)).distinct().count()
+    bg.join(broadcast(counts.select("bg", "cnt")), "bg")
+      .withColumn("c1", substring(col("bg"), 1, 1))
+      .join(broadcast(tots), "c1")
+      .withColumn("lp",
+        round(log((col("cnt") + 1).cast("double") / (col("tot") + lit(v)).cast("double")), 9)
+          .cast("decimal(20,9)"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
+  }
+
   /** Simple quality score in [0,1]: length in sweet spot, few repeats,
     * reasonable mean token length (composite of the metrics above). */
   def qualityScore(text: Column): Column = {

@@ -431,6 +431,28 @@ object PipelineQueries {
              |  FROM pairs) WHERE rank <= 5""".stripMargin)),
 
     // ---- text analysis ----------------------------------------------
+    // corpus-trained char-bigram LM fluency score (add-one smoothing);
+    // per-bigram log-probs rounded to 9 decimals and decimal-summed, so
+    // the per-doc mean is summation-order-independent on both engines
+    Q("text_lm_score",
+      (s, dir) => TA.charBigramLmScore(documents(s, dir), "doc_id", "text"),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-1, 1))) AS i
+             |  FROM documents),
+             |bg AS (SELECT doc_id, substr(text, i, 2) AS bg FROM pos
+             |  WHERE length(substr(text, i, 2)) = 2),
+             |counts AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+             |c1t AS (SELECT substr(bg, 1, 1) AS c1, CAST(sum(cnt) AS BIGINT) AS tot
+             |  FROM counts GROUP BY 1),
+             |vv AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM counts),
+             |sc AS (SELECT b.doc_id,
+             |    CAST(round(ln((c.cnt + 1) / (t.tot + vv.v)), 9) AS DECIMAL(20,9)) AS lp
+             |  FROM bg b JOIN counts c USING (bg)
+             |  JOIN c1t t ON t.c1 = substr(b.bg, 1, 1), vv)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  CAST(sum(lp) AS DOUBLE)/count(*) AS lm_score
+             |FROM sc GROUP BY doc_id""".stripMargin)),
+
     Q("text_quality",
       (s, dir) => documents(s, dir).select(col("doc_id"),
         TA.charCount(col("text")).as("n_chars_m"),
