@@ -268,6 +268,9 @@ object Dedup {
 
   private def connectedComponentsImpl(edges: DataFrame, nodes: DataFrame,
                                       idCol: String, maxIter: Int): DataFrame = {
+    if (nodes.isEmpty)
+      return nodes.select(col(idCol).cast("long").as(idCol),
+        col(idCol).cast("long").as("comp"))
     // materialize the edge list once — its lineage (often a whole candidate-
     // pair pipeline) would otherwise re-execute on every iteration
     val sym = edges.select(col("id_a").cast("long").as("__src"),

@@ -175,6 +175,7 @@ object Similarity {
       .withColumn("x", transform(col("xi"), v => v.cast("double") / lit(1000000.0)))
     var cents: Array[Array[Double]] = x.orderBy("id").limit(k).select("x").collect()
       .map(_.getSeq[Double](0).toArray)
+    require(cents.nonEmpty, "kmeans needs at least one input vector")
     def assignExpr(cs: Array[Array[Double]]): Column = {
       val structs = cs.zipWithIndex.map { case (c, j) =>
         val d = lit(c.map(v => v * v).sum) -

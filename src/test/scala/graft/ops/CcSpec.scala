@@ -23,6 +23,37 @@ class CcSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("random graphs match a union-find referee") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 120
+      val edges = (1 to 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find referee with min-id labels
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("id_a", "id_b"), (0L until n.toLong).toDF("id"), "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("empty node table yields an empty labeling") {
+    import spark.implicits._
+    val got = Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      Seq.empty[Long].toDF("id"), "id")
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("id", "comp"))
+  }
+
   test("long path converges within the iteration budget") {
     import spark.implicits._
     // a 30-node path graph: diameter 29 — plain propagation would need 29
