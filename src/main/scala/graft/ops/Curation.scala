@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.ops.{TextAnalysis => TA}
+
+/**
+ * Corpus-curation operators for LLM training-data pipelines: benchmark
+ * decontamination, concat-and-chunk sequence packing, domain-mixture
+ * rebalancing, repeated-span detection, and BM25 relevance scoring.
+ *
+ * Scale design notes (100 TB):
+ *  - every operator is a declarative DataFrame plan — no collect(), no
+ *    driver-side loops, no unbounded broadcast. The only broadcast sides
+ *    are 1-row aggregates and the per-source count table (bounded by the
+ *    number of corpus sources, not by corpus size).
+ *  - n-gram explosion is the dominant row amplification (×~doclen); each
+ *    exploded relation is immediately reduced (distinct / groupBy) so the
+ *    shuffle carries (key, id) pairs, never document text.
+ *  - sequence packing uses the ranged two-pass global index
+ *    ([[Index.withRunningTotal]]) — no single-partition window anywhere.
+ */
+object Curation {
+
+  /**
+   * Benchmark decontamination: flag training documents that share at least
+   * one word n-gram with the held-out/eval partition of the corpus —
+   * the GPT-3/PaLM-style n-gram-overlap contamination check.
+   *
+   * Both sides are reduced to DISTINCT (id, ngram) pairs before the join,
+   * so the equi-join on the n-gram key is linear in corpus n-grams; the
+   * eval side is additionally projected to distinct n-grams only. The join
+   * is a plain shuffle hash join — the eval set is usually broadcastable
+   * in practice, but we let AQE make that call from runtime sizes rather
+   * than hinting an unbounded side.
+   *
+   * Returns (idCol, n_overlap): one row per *contaminated* training doc
+   * with the count of distinct overlapping n-grams.
+   */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         evalPred: Column, n: Int): DataFrame = {
+    val grams = docs
+      .withColumn("__eval", evalPred)
+      .select(col(idCol), col("__eval"),
+        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram"))
+    val trainGrams = grams.filter(!col("__eval"))
+      .select(col(idCol), col("__ngram")).distinct()
+    val evalGrams = grams.filter(col("__eval"))
+      .select("__ngram").distinct()
+    trainGrams.join(evalGrams, "__ngram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /**
+   * GPT-style sequence packing: concatenate all documents' tokens in
+   * idCol order and cut the stream into fixed-length training sequences
+   * of `seqLen` tokens. Emits the resulting (chunk, doc) span map —
+   * exactly the metadata a tokenize-and-pack job materializes:
+   *
+   *   (chunk_id, id, doc_off, n_toks)
+   *
+   * where doc_off is the offset inside the document where this chunk's
+   * slice starts and n_toks is the slice length (a document spanning a
+   * chunk boundary emits one row per chunk it touches).
+   *
+   * Global token offsets come from the ranged two-pass running total
+   * ([[Index.withRunningTotal]]) — scale-safe, no global window. The
+   * chunk-range explode fans each doc out to ceil(len/seqLen)+1 rows max.
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int): DataFrame = {
+    val base = docs.select(col(idCol),
+      TA.tokenCount(col(textCol)).cast("long").as("__n"))
+    val cum = Index.withRunningTotal(base, Seq(idCol), "__n", "__cum")
+    val L = lit(seqLen.toLong)
+    cum.filter(col("__n") > 0)
+      .withColumn("__prev", col("__cum") - col("__n"))
+      .withColumn("chunk_id",
+        explode(sequence(floor(col("__prev") / L).cast("long"),
+          floor((col("__cum") - 1) / L).cast("long"))))
+      .select(col("chunk_id"), col(idCol),
+        (greatest(col("__prev"), col("chunk_id") * L) - col("__prev"))
+          .as("doc_off"),
+        (least(col("__cum"), (col("chunk_id") + 1) * L)
+          - greatest(col("__prev"), col("chunk_id") * L)).as("n_toks"))
+  }
+
+  /**
+   * Domain-mixture rebalancing: given target mixture weights per source
+   * (per-mille integers), down-sample each source deterministically so the
+   * kept corpus matches the target mixture as closely as possible WITHOUT
+   * upsampling any source. T = min_s(count_s * 1000 / f_s) is the largest
+   * achievable total; source s keeps its doc iff
+   * sampleHash(id) * count_s < f_s * T — pure integer arithmetic, so any
+   * engine reproduces the exact same subset.
+   *
+   * The per-source count table is bounded by the number of sources (not
+   * corpus size) — genuinely broadcastable; T is a 1-row aggregate.
+   */
+  def mixtureResample(docs: DataFrame, idCol: String, srcCol: String,
+                      fracPermille: Column): DataFrame = {
+    val counts = docs.groupBy(srcCol).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__f", fracPermille)
+    val t = counts.agg(min(expr("__cnt * 1000 div __f")).as("__T"))
+    docs.join(broadcast(counts), srcCol)
+      .crossJoin(broadcast(t))
+      .filter(TA.sampleHash(col(idCol)) * col("__cnt") < col("__f") * col("__T"))
+      .select(idCol, srcCol)
+  }
+
+  /**
+   * Repeated-span detection — the fixed-n shingle approximation of
+   * suffix-array training-data dedup ("Deduplicating Training Data Makes
+   * Language Models Better"): every position whose word n-gram occurs more
+   * than once corpus-wide is a candidate duplicated span.
+   *
+   * Plan: posexplode n-grams → count per n-gram (map-side combinable) →
+   * filter cnt > 1 → shuffle equi-join back on the n-gram key to recover
+   * positions. No broadcast of an unbounded side.
+   *
+   * Returns (id, pos, ngram, cnt) for repeated positions.
+   */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+        posexplode(TA.wordNgrams(TA.tokens(col(textCol)), n))
+          .as(Seq("pos", "ngram")))
+    val dup = grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    grams.join(dup, "ngram").select(col(idCol), col("pos"), col("ngram"), col("cnt"))
+  }
+
+  /**
+   * BM25 relevance scoring of every document against a fixed query-term
+   * set (k1 = 1.2, b = 0.75) — the classic retrieval/quality-filter
+   * primitive. Corpus statistics (N, avgdl, per-term df) reduce to ONE
+   * 1-row aggregate (map-side combinable, broadcast as a literal-sized
+   * side); per-doc scoring is then a pure projection — embarrassingly
+   * parallel, no shuffle of document rows.
+   *
+   * Cross-engine exactness: each term's contribution is rounded to 9
+   * decimals and summed left-to-right as exact DECIMAL (same trick as
+   * [[TextAnalysis.charBigramLmScore]]), so engines that differ in the
+   * last ulp of ln() still hash-agree.
+   *
+   * Returns (id, dl, bm25) for docs matching at least one term.
+   */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withToks = docs.select(col(idCol), TA.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val statAggs = count(lit(1)).as("__N") +: sum(col("__dl")).as("__sdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__toks"), t), 1L).otherwise(0L)).as(s"__df$i")
+      }
+    val stats = withToks.agg(statAggs.head, statAggs.tail: _*)
+    val scored = withToks.crossJoin(broadcast(stats))
+      .withColumn("__avgdl", col("__sdl").cast("double") / col("__N"))
+    val contribs = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks"), x => x === t)).cast("double")
+      val df = col(s"__df$i").cast("double")
+      val idf = log((col("__N") - df + 0.5) / (df + 0.5) + 1.0)
+      round(idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))), 9)
+        .cast("decimal(28,9)")
+    }
+    scored
+      .withColumn("bm25", contribs.reduceLeft(_ + _).cast("double"))
+      .filter(col("bm25") > 0)
+      .select(col(idCol), col("__dl").as("dl"), col("bm25"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.ops.Curation
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-curation queries (decontamination, packing, mixture, spans, BM25)
+ * over the documents table, each with an exact DuckDB oracle. All hashes and
+ * thresholds are pure integer arithmetic; doubles follow the round-9 +
+ * exact-DECIMAL-sum discipline so both engines hash-agree bitwise.
+ */
+object CurationQueries {
+  import Tables._
+
+  // shared DuckDB fragment: non-empty whitespace tokens per doc
+  private val toksCte =
+    """t AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
+  // shared DuckDB fragment: word trigrams (n = 3) with 0-based position
+  private val trigramCte =
+    s"""$toksCte,
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |      i -> i - 1)) AS pos,
+       |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+       |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram
+       |  FROM t)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+
+    // GPT-3-style benchmark decontamination: the eval partition is the
+    // deterministic doc_id % 41 == 0 slice; a training doc is contaminated
+    // when it shares any word trigram with the eval side.
+    Q("decontam_ngram",
+      (s, dir) => Curation.contaminationFlags(
+        documents(s, dir), "doc_id", "text", col("doc_id") % 41 === 0, 3),
+      Some(s"""WITH $trigramCte,
+              |tr AS (
+              |  SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 41 <> 0),
+              |eg AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 41 = 0)
+              |SELECT tr.doc_id, count(*) AS n_overlap
+              |FROM tr JOIN eg USING (ngram) GROUP BY 1""".stripMargin)),
+
+    // concat-and-chunk sequence packing (seqLen = 512): global token
+    // offsets via the ranged two-pass running total, then each doc explodes
+    // to the chunks its token span touches.
+    Q("pack_sequences",
+      (s, dir) => Curation.packSequences(documents(s, dir), "doc_id", "text", 512),
+      Some(s"""WITH $toksCte,
+              |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+              |c AS (
+              |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM b),
+              |p AS (SELECT doc_id, n, cum, cum - n AS prev FROM c WHERE n > 0),
+              |e AS (
+              |  SELECT doc_id, cum, prev,
+              |    unnest(generate_series(prev // 512, (cum - 1) // 512)) AS chunk_id
+              |  FROM p)
+              |SELECT chunk_id, doc_id,
+              |  greatest(prev, chunk_id * 512) - prev AS doc_off,
+              |  least(cum, (chunk_id + 1) * 512) - greatest(prev, chunk_id * 512) AS n_toks
+              |FROM e""".stripMargin)),
+
+    // domain-mixture rebalancing: src0-src3 target 150 per-mille each, the
+    // rest 25 per-mille; largest achievable total without upsampling, then
+    // integer-exact deterministic hash sampling per source.
+    Q("mixture_resample",
+      (s, dir) => Curation.mixtureResample(
+        documents(s, dir), "doc_id", "source",
+        when(col("source").isin("src0", "src1", "src2", "src3"), lit(150L))
+          .otherwise(lit(25L))),
+      Some("""WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY 1),
+             |f AS (SELECT source, cnt,
+             |    CASE WHEN source IN ('src0','src1','src2','src3')
+             |         THEN 150 ELSE 25 END AS f
+             |  FROM c),
+             |t AS (SELECT min(cnt * 1000 // f) AS T FROM f)
+             |SELECT d.doc_id, d.source
+             |FROM documents d JOIN f USING (source), t
+             |WHERE (d.doc_id * 2654435761 + 40503) % 2147483647 % 1000 * f.cnt
+             |      < f.f * t.T""".stripMargin)),
+
+    // repeated-span detection (fixed-n shingle suffix-dedup approximation):
+    // every trigram position whose trigram occurs > 1 time corpus-wide.
+    Q("dedup_spans",
+      (s, dir) => Curation.repeatedSpans(documents(s, dir), "doc_id", "text", 3)
+        .withColumn("pos", col("pos").cast("long")),
+      Some(s"""WITH $trigramCte,
+              |d AS (SELECT ngram, count(*) AS cnt FROM g
+              |      GROUP BY 1 HAVING count(*) > 1)
+              |SELECT g.doc_id, g.pos, g.ngram, d.cnt
+              |FROM g JOIN d USING (ngram)""".stripMargin)),
+
+    // BM25 scoring against a fixed query-term set; corpus stats are one
+    // 1-row aggregate, scoring is a pure projection. Round-9 + DECIMAL sum
+    // per term keeps engines bit-identical despite ln().
+    Q("bm25_score",
+      (s, dir) => Curation.bm25(
+        documents(s, dir), "doc_id", "text",
+        Seq("table", "value", "scan", "merge")),
+      Some {
+        val terms = Seq("table", "value", "scan", "merge")
+        val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+          s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+        }.mkString(",\n              |    ").stripMargin
+        val contribs = terms.zipWithIndex.map { case (t, i) =>
+          s"""CAST(round(ln((N - df$i + 0.5e0) / (df$i + 0.5e0) + 1.0e0)
+             |      * len(list_filter(toks, x -> x = '$t')) * 2.2e0
+             |      / (len(list_filter(toks, x -> x = '$t'))
+             |         + 1.2e0 * (0.25e0 + 0.75e0 * dl / avgdl)), 9)
+             |    AS DECIMAL(28,9))""".stripMargin
+        }.mkString(" + ")
+        s"""WITH $toksCte,
+           |w AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM t),
+           |s AS (
+           |  SELECT count(*) AS N, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+           |    $dfAggs
+           |  FROM w)
+           |SELECT doc_id, dl, bm25 FROM (
+           |  SELECT doc_id, dl, CAST($contribs AS DOUBLE) AS bm25
+           |  FROM w, s)
+           |WHERE bm25 > 0e0""".stripMargin
+      }))
+}

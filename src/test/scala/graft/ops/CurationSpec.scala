@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the corpus-curation operators (decontamination, packing,
+  * mixture resampling, repeated spans, BM25). */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("contaminationFlags: overlap iff a shared n-gram exists; eval never flagged") {
+    val df = docs(
+      0L -> "a b c d e",      // eval (id % 2 == 0 pred below uses id < 2)
+      1L -> "x y z",          // eval
+      2L -> "q a b c w",      // shares trigram "a b c" with doc 0
+      3L -> "no overlap here at all",
+      4L -> "x y z x y z")    // shares "x y z" with doc 1
+    val got = Curation.contaminationFlags(df, "doc_id", "text",
+        col("doc_id") < 2, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 1L, 4L -> 1L)) // distinct overlapping trigrams
+  }
+
+  test("packSequences: chunks partition the token stream exactly") {
+    val df = docs((0L until 40L).map(i =>
+      i -> Seq.fill(7 + (i % 5).toInt)("tok").mkString(" ")): _*)
+    val L = 16
+    val out = Curation.packSequences(df, "doc_id", "text", L).cache()
+    val total = df.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    // every chunk except the last holds exactly L tokens; the last the rest
+    val perChunk = out.groupBy("chunk_id").agg(sum("n_toks").as("n"))
+      .orderBy("chunk_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(perChunk.map(_._2).sum == total)
+    assert(perChunk.init.forall(_._2 == L))
+    assert(perChunk.last._2 == total - L * (perChunk.length - 1))
+    // chunk ids are contiguous from 0
+    assert(perChunk.map(_._1).toSeq == (0L until perChunk.length.toLong))
+    // per doc, slices tile the doc: offsets start at 0 and are contiguous
+    val slices = out.orderBy("doc_id", "doc_off")
+      .collect().groupBy(_.getLong(1))
+    slices.values.foreach { rs =>
+      val offs = rs.map(r => (r.getLong(2), r.getLong(3)))
+      assert(offs.head._1 == 0L)
+      offs.sliding(2).foreach {
+        case Array((o1, n1), (o2, _)) => assert(o1 + n1 == o2)
+        case _ =>
+      }
+    }
+  }
+
+  test("mixtureResample: never upsamples, hits integer targets, deterministic") {
+    import spark.implicits._
+    val df = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val frac = when(col("source") === "src0", lit(500L)).otherwise(lit(250L))
+    val kept = Curation.mixtureResample(df, "doc_id", "source", frac).cache()
+    val bySrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T = min(100*1000/500, 100*1000/250) = 200; targets: src0 100, others 50.
+    // Hash sampling hits the target in expectation (exact only for keep-all).
+    assert(bySrc("src0") == 100L) // threshold = full range -> kept entirely
+    assert(math.abs(bySrc.getOrElse("src1", 0L) - 50L) <= 10L)
+    assert(math.abs(bySrc.getOrElse("src2", 0L) - 50L) <= 10L)
+    // deterministic: second run identical
+    val again = Curation.mixtureResample(df, "doc_id", "source", frac)
+    assert(kept.except(again).isEmpty && again.except(kept).isEmpty)
+  }
+
+  test("repeatedSpans: emits exactly the positions of non-unique n-grams") {
+    val df = docs(
+      0L -> "a b c d",   // trigrams: "a b c", "b c d"
+      1L -> "a b c x",   // trigram "a b c" repeats corpus-wide
+      2L -> "u v w q")
+    val got = Curation.repeatedSpans(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((0L, 0, "a b c", 2L), (1L, 0, "a b c", 2L)))
+  }
+
+  test("bm25: more query-term hits => higher score; no hits filtered out") {
+    val df = docs(
+      0L -> "table table table pad pad",
+      1L -> "table pad pad pad pad",
+      2L -> "pad pad pad pad pad")
+    val got = Curation.bm25(df, "doc_id", "text", Seq("table"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) > got(1L) && got(1L) > 0.0)
+  }
+}
