@@ -745,18 +745,107 @@ object WaveQueries {
 
     // zero-phase Butterworth low-pass per user series (filtered water level,
     // stglib/core/utils.py:1715-1756)
+    butterQ)
+
+  /** Exact DuckDB replay of the segmented zero-phase Butterworth filter:
+    * the overlap-save segmentation (segLen 4096, margin from the pole
+    * radius), odd-reflection padding, and the two direct-form-II-transposed
+    * cascade passes are reproduced operation-for-operation as recursive
+    * CTEs (one row per segment per sample step — all segments advance in
+    * lockstep; materialized CTEs keep each iteration O(1)). SOS
+    * coefficients and derived init-state constants are embedded as
+    * %.17e literals from the live [[Butterworth.lowpass]] design, so the
+    * oracle tracks the kernel. Lateral aliases are deliberately named
+    * ny1/nz1a etc. — unqualified names colliding with the CTE's declared
+    * columns would bind to the PREVIOUS row's values in the recursive term. */
+  private lazy val butterOracle: String = {
+    val sos = Butterworth.lowpass(4, 0.05, 1.0)
+    val mar = Butterworth.marginFor(sos)
+    val seg = 4096
+    val pad = 3 * 2 * sos.length
+    def f(d: Double) = "%.17e".format(d)
+    val Array(sA, sB) = sos
+    val gA = (sA.b0 + sA.b1 + sA.b2) / (1.0 + sA.a1 + sA.a2)
+    val gB = (sB.b0 + sB.b1 + sB.b2) / (1.0 + sB.a1 + sB.a2)
+    val (b0a, b1a, b2a, a1a, a2a) = (f(sA.b0), f(sA.b1), f(sA.b2), f(sA.a1), f(sA.a2))
+    val (b0b, b1b, b2b, a1b, a2b) = (f(sB.b0), f(sB.b1), f(sB.b2), f(sB.a1), f(sB.a2))
+    val g1 = f(gA)
+    val (c1a, c2a) = (f(sA.b1 - sA.a1 * gA), f(sA.b2 - sA.a2 * gA))
+    val (c1b, c2b) = (f(sB.b1 - sB.a1 * gB), f(sB.b2 - sB.a2 * gB))
+
+    // init state from x0, then process step 0 (x = x0)
+    def seedSel(x0sel: String): String =
+      s"""  SELECT s, len, 0 AS j,
+         |    $b0a*x + (x*$c1a + x*$c2a) AS ny1,
+         |    $b0b*ny1 + ((x*$g1)*$c1b + (x*$g1)*$c2b) AS ny2,
+         |    $b1a*x - $a1a*ny1 + (x*$c2a) AS nz1a,
+         |    $b2a*x - $a2a*ny1 AS nz2a,
+         |    $b1b*ny1 - $a1b*ny2 + ((x*$g1)*$c2b) AS nz1b,
+         |    $b2b*ny1 - $a2b*ny2 AS nz2b
+         |  FROM ($x0sel)""".stripMargin
+
+    def stepSel(cte: String, xjoin: String): String =
+      s"""  SELECT r.s, r.len, r.j + 1 AS j,
+         |    $b0a*xx.x + r.z1a AS ny1,
+         |    $b0b*ny1 + r.z1b AS ny2,
+         |    $b1a*xx.x - $a1a*ny1 + r.z2a AS nz1a,
+         |    $b2a*xx.x - $a2a*ny1 AS nz2a,
+         |    $b1b*ny1 - $a1b*ny2 + r.z2b AS nz1b,
+         |    $b2b*ny1 - $a2b*ny2 AS nz2b
+         |  FROM $cte r JOIN ($xjoin) xx ON xx.s = r.s AND xx.j = r.j + 1""".stripMargin
+
+    s"""WITH RECURSIVE base AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY event_id) - 1 AS pos,
+       |         10.0e0 + 0.5e0 * sin(event_id * 1.23e-2) + "value" / 500.0e0 AS v
+       |  FROM events),
+       |nn AS (SELECT count(*) AS n FROM base),
+       |sl AS MATERIALIZED (
+       |  SELECT s, greatest(0, s * $seg - $mar) AS lo, least(n, (s + 1) * $seg + $mar) AS hi
+       |  FROM (SELECT unnest(generate_series(0, (n - 1) // $seg)) AS s, n FROM nn)),
+       |xs AS MATERIALIZED (
+       |  SELECT sl.s, sl.lo, sl.hi - sl.lo AS len, b.pos - sl.lo AS i, b.v
+       |  FROM base b JOIN sl ON b.pos >= sl.lo AND b.pos < sl.hi),
+       |ext AS MATERIALIZED (
+       |  SELECT s, len, i + $pad AS j, v AS x FROM xs
+       |  UNION ALL
+       |  SELECT p.s, p.len, $pad - p.i AS j, 2.0e0 * x0.v - p.v AS x
+       |  FROM xs p JOIN (SELECT s, v FROM xs WHERE i = 0) x0 USING (s)
+       |  WHERE p.i BETWEEN 1 AND $pad
+       |  UNION ALL
+       |  SELECT p.s, p.len, $pad + 2*p.len - 2 - p.i AS j, 2.0e0 * xl.v - p.v AS x
+       |  FROM xs p JOIN (SELECT s, v FROM xs WHERE i = len - 1) xl USING (s)
+       |  WHERE p.i BETWEEN p.len - ${pad + 1} AND p.len - 2),
+       |fwd(s, len, j, y1, y2, z1a, z2a, z1b, z2b) AS (
+       |${seedSel(s"SELECT s, len, x FROM ext WHERE j = 0")}
+       |  UNION ALL
+       |${stepSel("fwd", "SELECT s, j, x FROM ext")}),
+       |fwdm AS MATERIALIZED (SELECT s, len, j, y2 FROM fwd),
+       |bwd(s, len, j, y1, y2, z1a, z2a, z1b, z2b) AS (
+       |${seedSel(s"SELECT s, len, y2 AS x FROM fwdm WHERE j = len + ${2 * pad - 1}")}
+       |  UNION ALL
+       |${stepSel("bwd", s"SELECT s, len + ${2 * pad - 1} - j AS j, y2 AS x FROM fwdm")})
+       |SELECT x.s AS series, x.lo + x.i AS sample,
+       |       round(b.y2, 8) AS value_filt
+       |FROM xs x JOIN bwd b ON b.s = x.s AND b.j = $pad + x.len - 1 - x.i
+       |WHERE x.lo + x.i >= x.s * $seg AND x.lo + x.i < (x.s + 1) * $seg""".stripMargin
+  }
+
+  private lazy val butterQ: Q =
     Q("butter_lowpass",
       (s, dir) => {
         // filter a smooth pressure-like series (tide + wave + small noise)
-        // over the WHOLE series in global (ts, event_id) order — distributed
+        // over the WHOLE series in global event_id order — distributed
         // overlap-save segmentation, no single task holds the series
-        // (filtered water level, stglib/core/utils.py:1715-1756)
+        // (filtered water level, stglib/core/utils.py:1715-1756). Input is
+        // derived from event_id (exact in both engines); round-8 output
+        // absorbs libm sin() ulp differences.
         val dfp = events(s, dir).withColumn("pres",
-          lit(10.0) + lit(0.5) * sin((col("ts") / lit(4.0e10)) % lit(2.0 * math.Pi)) +
+          lit(10.0) + lit(0.5) * sin(col("event_id") * lit(0.0123)) +
             col("value") / 500.0)
-        Spectra.filtfiltWholeSeries(dfp, Seq("ts", "event_id"), "pres",
+        Spectra.filtfiltWholeSeries(dfp, Seq("event_id"), "pres",
           Butterworth.lowpass(4, 0.05, 1.0), segLen = 4096).toDF()
-      }, None,
-      note = "rows-only: whole-series overlap-save filtfilt; equivalence in ButterworthSpec")
-  )
+          .select(col("series"), col("sample"),
+            round(col("value_filt"), 8).as("value_filt"))
+      }, Some(butterOracle),
+      note = "exact: segmented sosfiltfilt replayed in SQL as recursive CTEs")
 }
