@@ -39,7 +39,9 @@ object Curation {
    */
   def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
                          evalPred: Column, n: Int): DataFrame = {
-    val grams = docs
+    // Spread the document scan first: a small single-file input arrives as
+    // one partition and would serialize the n-gram explode on one core.
+    val grams = Spread.byKey(docs, col(idCol))
       .withColumn("__eval", evalPred)
       .select(col(idCol), col("__eval"),
         explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram"))
@@ -122,7 +124,7 @@ object Curation {
    */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
-    val grams = docs.select(col(idCol),
+    val grams = Spread.byKey(docs, col(idCol)).select(col(idCol),
         posexplode(TA.wordNgrams(TA.tokens(col(textCol)), n))
           .as(Seq("pos", "ngram")))
     val dup = grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
