@@ -165,6 +165,30 @@ object Alignment {
       Some("""SELECT event_id, value FROM events WHERE event_type = 'click'
              |UNION ALL
              |SELECT event_id, value + 1000.0 AS value FROM events
-             |WHERE event_type = 'error'""".stripMargin))
+             |WHERE event_type = 'error'""".stripMargin)),
+
+    // data-dependent session windows per user (12 h inactivity gap) via
+    // Spark's native session_window — the same plan streams with a
+    // watermark (SessionizeSpec proves batch parity). Oracle: classic
+    // gaps-and-islands over microsecond longs — integer-exact.
+    Q("sessionize",
+      (s, dir) => graft.ops.Sessionize.sessions(
+        events(s, dir).withColumn("__t",
+          timestamp_micros(expr("ts div 1000"))),
+        "user_id", "__t", "12 hours"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+             |m AS (
+             |  SELECT user_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |         OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |g AS (
+             |  SELECT user_id, us, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m)
+             |SELECT user_id, min(us) AS session_start_us,
+             |       max(us) + 43200000000 AS session_end_us,
+             |       count(*) AS n_events
+             |FROM g GROUP BY user_id, sid""".stripMargin))
   )
 }
