@@ -377,19 +377,24 @@ object WaveQueries {
     * The Dalrymple wavenumber solve (data-dependent Newton loop) runs as a
     * recursive CTE carrying (a1, da1) until |da1/a1| <= 1e-8 — the same
     * stop rule as the kernel; tanh/cosh via exp (DuckDB 1.0). */
-  private def diwaspCtes(nfft: Int, dres: Int): String = {
+  private def diwaspKeepBand(nfft: Int): (Int, Int) = {
+    // kept band replicated with the kernel's own double comparisons
+    val keep = (1 to nfft / 2)
+      .filter(q => q * 1.0 / nfft >= 0.05 && q * 1.0 / nfft <= 0.45)
+    (keep.head, keep.last)
+  }
+
+  /** Front half of the DIWASP replay: detrend -> window -> DFT ->
+    * cross-power xps(burst, q, re/im 3x3) + transfer trm(q, d, t0/t1/t2).
+    * Shared by the DFTM and IMLM oracles. */
+  private def diwaspFrontCtes(nfft: Int, dres: Int): String = {
     val half = nfft / 2
     val nseg = 512 / nfft
-    // kept band replicated with the kernel's own double comparisons
-    val keep = (1 to half).filter(q => q * 1.0 / nfft >= 0.05 && q * 1.0 / nfft <= 0.45)
-    val (qLo, qHi) = (keep.head, keep.last)
+    val (qLo, qHi) = diwaspKeepBand(nfft)
     val th = (x: String) => s"((exp(2*$x)-1)/(exp(2*$x)+1))"
     val ch = (x: String) => s"((exp($x)+exp(-($x)))/2)"
     val sh = (x: String) => s"((exp($x)-exp(-($x)))/2)"
-    // 9 (m, n) pairs in the kernel's m-outer/n-inner order; h = tn*tm
     val pairs = for (m <- 0 to 2; n <- 0 to 2) yield (m, n)
-    val sfre = pairs.map { case (m, n) => s"x.re$m$n*(t.t$n*t.t$m)" }.mkString(" + ")
-    val sfim = pairs.map { case (m, n) => s"- x.im$m$n*(t.t$n*t.t$m)" }.mkString(" ")
     s"""gb AS (
        |  SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
        |  FROM events),
@@ -460,24 +465,14 @@ object WaveQueries {
        |    greatest(${ch("(0.5*k)")}/${ch("(10.0*k)")}, 0.1) AS t0,
        |    ((2*pi())*(kk.q*1.0/$nfft))*greatest(${ch("(1.0*k)")}/${sh("(10.0*k)")}, 0.1)*cos(dd.dir) AS t1,
        |    ((2*pi())*(kk.q*1.0/$nfft))*greatest(${ch("(1.0*k)")}/${sh("(10.0*k)")}, 0.1)*sin(dd.dir) AS t2
-       |  FROM kk, dd WHERE kk.q >= 0),
-       |sf AS (
-       |  SELECT x.burst, x.q, t.d, t.dir,
-       |    $sfre AS sfre,
-       |    $sfim AS sfim,
-       |    (x.re00*(t.t0*t.t0))/((t.t0*t.t0)*(t.t0*t.t0)) AS ssre,
-       |    (x.im00*(t.t0*t.t0))/((t.t0*t.t0)*(t.t0*t.t0)) AS ssim
-       |  FROM xps x JOIN trm t ON x.q = t.q),
-       |tot AS (
-       |  SELECT burst, q,
-       |    sum(sfre)*(2.0*pi()/$dres) AS sr, sum(sfim)*(2.0*pi()/$dres) AS si
-       |  FROM sf GROUP BY burst, q),
-       |ee AS (
-       |  SELECT sf.burst, sf.q, sf.d, sf.dir,
-       |    sf.ssre*((sf.sfre*tot.sr + (-sf.sfim)*tot.si)/(tot.sr*tot.sr + tot.si*tot.si))
-       |      - sf.ssim*(((-sf.sfim)*tot.sr - sf.sfre*tot.si)/(tot.sr*tot.sr + tot.si*tot.si)) AS v
-       |  FROM sf JOIN tot USING (burst, q)),
-       |cl AS MATERIALIZED (SELECT burst, q, d, dir,
+       |  FROM kk, dd WHERE kk.q >= 0)"""
+  }
+
+  /** Clamp + smoothspec over an `ee(burst, q, d, dir, v)` CTE — the shared
+    * tail of both estimators. */
+  private def clSmgCtes(nfft: Int, dres: Int): String = {
+    val (qLo, qHi) = diwaspKeepBand(nfft)
+    s"""cl AS MATERIALIZED (SELECT burst, q, d, dir,
        |    CASE WHEN isnan(v) OR v < 0 THEN 0.0 ELSE v END AS v FROM ee),
        |smg AS MATERIALIZED (
        |  SELECT c.burst, c.q, c.d, c.dir,
@@ -495,6 +490,194 @@ object WaveQueries {
        |  LEFT JOIN cl dm1 ON dm1.burst = c.burst AND dm1.q = c.q AND dm1.d = c.d - 1
        |  LEFT JOIN cl dp1 ON dp1.burst = c.burst AND dp1.q = c.q AND dp1.d = c.d + 1
        |  LEFT JOIN cl dp2 ON dp2.burst = c.burst AND dp2.q = c.q AND dp2.d = c.d + 2)""".stripMargin
+  }
+
+  private def diwaspCtes(nfft: Int, dres: Int): String = {
+    // 9 (m, n) pairs in the kernel's m-outer/n-inner order; h = tn*tm
+    val pairs = for (m <- 0 to 2; n <- 0 to 2) yield (m, n)
+    val sfre = pairs.map { case (m, n) => s"x.re$m$n*(t.t$n*t.t$m)" }.mkString(" + ")
+    val sfim = pairs.map { case (m, n) => s"- x.im$m$n*(t.t$n*t.t$m)" }.mkString(" ")
+    diwaspFrontCtes(nfft, dres) + ",\n" + s"""sf AS (
+       |  SELECT x.burst, x.q, t.d, t.dir,
+       |    $sfre AS sfre,
+       |    $sfim AS sfim,
+       |    (x.re00*(t.t0*t.t0))/((t.t0*t.t0)*(t.t0*t.t0)) AS ssre,
+       |    (x.im00*(t.t0*t.t0))/((t.t0*t.t0)*(t.t0*t.t0)) AS ssim
+       |  FROM xps x JOIN trm t ON x.q = t.q),
+       |tot AS (
+       |  SELECT burst, q,
+       |    sum(sfre)*(2.0*pi()/$dres) AS sr, sum(sfim)*(2.0*pi()/$dres) AS si
+       |  FROM sf GROUP BY burst, q),
+       |ee AS (
+       |  SELECT sf.burst, sf.q, sf.d, sf.dir,
+       |    sf.ssre*((sf.sfre*tot.sr + (-sf.sfim)*tot.si)/(tot.sr*tot.sr + tot.si*tot.si))
+       |      - sf.ssim*(((-sf.sfim)*tot.sr - sf.sfre*tot.si)/(tot.sr*tot.sr + tot.si*tot.si)) AS v
+       |  FROM sf JOIN tot USING (burst, q))""".stripMargin + ",\n" + clSmgCtes(nfft, dres)
+  }
+
+  /** Per-burst Hs/Tp/Dtp/Dp stats over the smg grid — shared tail of the
+    * DFTM and IMLM oracles (infospec, pyDIWASP private/infospec.py). */
+  private def diwaspStatsSql(nfft: Int, dres: Int, hsRound: Int = 8): String = {
+    val nfreq = { val (lo, hi) = diwaspKeepBand(nfft); hi - lo + 1 }
+    s"""oneD AS (SELECT burst, q,
+       |    sum(s)*((-pi() + 1*2.0*pi()/$dres) - (-pi())) AS e1
+       |  FROM smg GROUP BY burst, q),
+       |mm AS (SELECT burst, sum(e1)*(14.0/$nfft - 13.0/$nfft) AS m0
+       |  FROM oneD GROUP BY burst),
+       |ip AS (SELECT burst, first(q ORDER BY e1 DESC, q) AS qp
+       |  FROM oneD GROUP BY burst),
+       |jp AS (SELECT s.burst, first(s.d ORDER BY s.s DESC, s.d) AS dtpj
+       |  FROM smg s JOIN ip ON s.burst = ip.burst AND s.q = ip.qp
+       |  GROUP BY s.burst),
+       |dirt AS (SELECT burst, d, sum(s) AS tot FROM smg GROUP BY burst, d),
+       |bj AS (SELECT burst, first(d ORDER BY tot DESC, d) AS dpj
+       |  FROM dirt GROUP BY burst)
+       |SELECT mm.burst, round(4.0*sqrt(m0), $hsRound) AS hs,
+       |  round(1.0/(qp*1.0/$nfft), 8) AS tp,
+       |  round(((-pi() + dtpj*2.0*pi()/$dres)*180.0)/pi(), 8) + 0.0 AS dtp,
+       |  round(((-pi() + dpj*2.0*pi()/$dres)*180.0)/pi(), 8) + 0.0 AS dp,
+       |  CAST($nfreq AS INTEGER) AS nfreq, CAST($dres AS INTEGER) AS ndir
+       |FROM mm JOIN ip USING (burst) JOIN jp USING (burst) JOIN bj USING (burst)""".stripMargin
+  }
+
+  /** IMLM iteration replay (pyDIWASP private/IMLM.py as re-expressed in
+    * kernels/Diwasp.imlm): per (burst, freq) the estimate E(d) over 90
+    * directions refines through 50 damped fixed-point steps, each needing
+    * the 3x3 complex inverse of the forward-modelled cross-power matrix.
+    * State lives as (burst, q, d) ROWS in a recursive CTE; the per-(m,n)
+    * direction sums are window aggregates over the (burst, q) partition,
+    * and the matrix inverse is a closed-form cofactor expansion inlined as
+    * lateral-alias chains (the kernel uses pivoted Gauss-Jordan — a
+    * different but algebraically identical op sequence; round-8 output
+    * absorbs the last-ulp disagreement, same as the libm sin() policy).
+    * H is exactly real here (co-located p/u/v sensors, kx = 0). */
+  private def imlmCtes(dres: Int, miter: Int): String = {
+    val ddir = s"(2.0*pi()/$dres)"
+    val mns = for (m <- 0 to 2; n <- 0 to 2) yield s"$m$n"
+    type Cx = (String, String)
+    def mul(a: Cx, b: Cx): Cx =
+      (s"(${a._1}*${b._1} - ${a._2}*${b._2})", s"(${a._1}*${b._2} + ${a._2}*${b._1})")
+    def sub(a: Cx, b: Cx): Cx = (s"(${a._1} - ${b._1})", s"(${a._2} - ${b._2})")
+    def neg(a: Cx): Cx = (s"(- ${a._1})", s"(- ${a._2})")
+    // closed-form cofactor inverse of the complex 3x3 with entries
+    // `<in>re_mn`/`<in>im_mn`; emits lateral-alias defs ending in
+    // `<out>re_mn`/`<out>im_mn` (inverse = adj/det, adj_ij = cof_ji)
+    def inv3(in: String, out: String): String = {
+      def a(i: Int, j: Int): Cx = (s"${in}re$i$j", s"${in}im$i$j")
+      // cofactor C_ij = (-1)^(i+j) * minor deleting row i, col j
+      def cofac(i: Int, j: Int): Cx = {
+        val rs = Seq(0, 1, 2).filter(_ != i)
+        val cs = Seq(0, 1, 2).filter(_ != j)
+        val m = sub(mul(a(rs(0), cs(0)), a(rs(1), cs(1))),
+          mul(a(rs(0), cs(1)), a(rs(1), cs(0))))
+        if ((i + j) % 2 == 0) m else neg(m)
+      }
+      val c00 = cofac(0, 0); val c01 = cofac(0, 1); val c02 = cofac(0, 2)
+      // det via first-row expansion: a00*C00 + a01*C01 + a02*C02
+      val detParts = Seq(mul(a(0, 0), c00), mul(a(0, 1), c01), mul(a(0, 2), c02))
+      val detRe = detParts.map(_._1).mkString(" + ")
+      val detIm = detParts.map(_._2).mkString(" + ")
+      val cofDefs = (for (i <- 0 to 2; j <- 0 to 2) yield {
+        val c = cofac(i, j)
+        s"    ${c._1} AS ${out}cr$i$j, ${c._2} AS ${out}ci$i$j"
+      }).mkString(",\n")
+      // inv_ij = cof_ji / det
+      val invDefs = (for (i <- 0 to 2; j <- 0 to 2) yield {
+        s"    (${out}cr$j$i*${out}dr + ${out}ci$j$i*${out}di)/${out}dd AS ${out}re$i$j,\n" +
+        s"    (${out}ci$j$i*${out}dr - ${out}cr$j$i*${out}di)/${out}dd AS ${out}im$i$j"
+      }).mkString(",\n")
+      s"""$cofDefs,
+         |    ($detRe) AS ${out}dr,
+         |    ($detIm) AS ${out}di,
+         |    (${out}dr*${out}dr + ${out}di*${out}di) AS ${out}dd,
+         |$invDefs""".stripMargin
+    }
+    // mlEstimate numerator: sf = sum_mn ic_mn * h_mn (H real)
+    def sfSum(ic: String, part: String, hpfx: String): String =
+      mns.map(mn => s"$ic$part$mn*$hpfx$mn").mkString(" + ")
+
+    val ixWins = mns.map(mn =>
+      s"    sum(h.h$mn*r.eRe) OVER wq AS sxr$mn, sum(h.h$mn*r.eIm) OVER wq AS sxi$mn")
+      .mkString(",\n")
+    val ixScaled = mns.map(mn =>
+      s"    sxr$mn*$ddir AS ivinre$mn, sxi$mn*$ddir AS ivinim$mn").mkString(",\n")
+    val hPass = mns.map(mn => s"h.h$mn").mkString(", ")
+
+    s"""hq AS MATERIALIZED (
+       |  SELECT q, d, dir, t0,
+       |    t0*t0 AS h00, t1*t0 AS h01, t2*t0 AS h02,
+       |    t0*t1 AS h10, t1*t1 AS h11, t2*t1 AS h12,
+       |    t0*t2 AS h20, t1*t2 AS h21, t2*t2 AS h22
+       |  FROM trm),
+       |sd0 AS (
+       |  SELECT burst, q,
+       |${inv3("x.", "iv")}
+       |  FROM xps x),
+       |sd1 AS (
+       |  SELECT s0.burst, s0.q, h.d,
+       |    (${sfSum("s0.iv", "re", "h.h")}) AS sfre,
+       |    (${sfSum("s0.iv", "im", "h.h")}) AS sfim,
+       |    (sfre*sfre + sfim*sfim) AS den,
+       |    sfre/den AS e0re, (- sfim)/den AS e0im
+       |  FROM sd0 s0 JOIN hq h USING (q)),
+       |sd2 AS (
+       |  SELECT *, sum(e0re) OVER wq AS s0r, sum(e0im) OVER wq AS s0i
+       |  FROM sd1 WINDOW wq AS (PARTITION BY burst, q)),
+       |imlm AS (
+       |  SELECT burst, q, d, 0 AS it,
+       |    e0re*kr - e0im*ki AS eRe, e0re*ki + e0im*kr AS eIm,
+       |    e0re*kr - e0im*ki AS tRe, e0re*ki + e0im*kr AS tIm,
+       |    e0re*kr - e0im*ki AS eoRe, e0re*ki + e0im*kr AS eoIm
+       |  FROM (
+       |    SELECT *, s0r*$ddir AS nsr, s0i*$ddir AS nsi,
+       |      (nsr*nsr + nsi*nsi) AS ndn, nsr/ndn AS kr, (- nsi)/ndn AS ki
+       |    FROM sd2)
+       |  UNION ALL
+       |  SELECT burst, q, d, it,
+       |    e1re*kr2 - e1im*ki2 AS eRe, e1re*ki2 + e1im*kr2 AS eIm,
+       |    t2re, t2im, eoRe, eoIm
+       |  FROM (
+       |    SELECT *, ser*$ddir AS nsr2, sei*$ddir AS nsi2,
+       |      (nsr2*nsr2 + nsi2*nsi2) AS ndn2,
+       |      nsr2/ndn2 AS kr2, (- nsi2)/ndn2 AS ki2
+       |    FROM (
+       |      SELECT *, sum(e1re) OVER wq AS ser, sum(e1im) OVER wq AS sei
+       |      FROM (
+       |        SELECT *,
+       |          t1re*kr - t1im*ki AS t2re, t1re*ki + t1im*kr AS t2im,
+       |          eRe + 0.1e0*((eoRe - t2re) + 0.1e0*(t2re - tRe)) AS e1re,
+       |          eIm + 0.1e0*((eoIm - t2im) + 0.1e0*(t2im - tIm)) AS e1im
+       |        FROM (
+       |          SELECT *, str_*$ddir AS nsr, sti_*$ddir AS nsi,
+       |            (nsr*nsr + nsi*nsi) AS ndn, nsr/ndn AS kr, (- nsi)/ndn AS ki
+       |          FROM (
+       |            SELECT *, sum(t1re) OVER wq AS str_, sum(t1im) OVER wq AS sti_
+       |            FROM (
+       |              SELECT burst, q, d, it, eRe, eIm, tRe, tIm, eoRe, eoIm,
+       |                h00, h01, h02, h10, h11, h12, h20, h21, h22,
+       |$ixScaled,
+       |${inv3("ivin", "iv")},
+       |                (${sfSum("iv", "re", "h")}) AS sfre,
+       |                (${sfSum("iv", "im", "h")}) AS sfim,
+       |                (sfre*sfre + sfim*sfim) AS den,
+       |                sfre/den AS t1re, (- sfim)/den AS t1im
+       |              FROM (
+       |                SELECT r.burst, r.q, r.d, r.it + 1 AS it,
+       |                  r.eRe, r.eIm, r.tRe, r.tIm, r.eoRe, r.eoIm,
+       |                  $hPass,
+       |$ixWins
+       |                FROM imlm r JOIN hq h ON h.q = r.q AND h.d = r.d
+       |                WHERE r.it < $miter
+       |                WINDOW wq AS (PARTITION BY r.burst, r.q)))
+       |            WINDOW wq AS (PARTITION BY burst, q))))
+       |      WINDOW wq AS (PARTITION BY burst, q)))),
+       |efin AS (SELECT * FROM imlm WHERE it = $miter),
+       |ee AS (
+       |  SELECT e.burst, e.q, e.d, h.dir,
+       |    ((x.re00*(h.t0*h.t0))/((h.t0*h.t0)*(h.t0*h.t0)))*e.eRe
+       |      + ((x.im00*(h.t0*h.t0))/((h.t0*h.t0)*(h.t0*h.t0)))*e.eIm AS v
+       |  FROM efin e JOIN hq h ON h.q = e.q AND h.d = e.d
+       |  JOIN xps x ON x.burst = e.burst AND x.q = e.q)""".stripMargin
   }
 
   def qs: Seq[Q] = Seq(
@@ -593,34 +776,32 @@ object WaveQueries {
             round(col("dp"), 8).as("dp"), col("nfreq"), col("ndir"))
       },
       Some(s"""WITH RECURSIVE ${diwaspCtes(256, 90)},
-             |oneD AS (SELECT burst, q,
-             |    sum(s)*((-pi() + 1*2.0*pi()/90) - (-pi())) AS e1
-             |  FROM smg GROUP BY burst, q),
-             |mm AS (SELECT burst, sum(e1)*(14.0/256 - 13.0/256) AS m0
-             |  FROM oneD GROUP BY burst),
-             |ip AS (SELECT burst, first(q ORDER BY e1 DESC, q) AS qp
-             |  FROM oneD GROUP BY burst),
-             |jp AS (SELECT s.burst, first(s.d ORDER BY s.s DESC, s.d) AS dtpj
-             |  FROM smg s JOIN ip ON s.burst = ip.burst AND s.q = ip.qp
-             |  GROUP BY s.burst),
-             |dirt AS (SELECT burst, d, sum(s) AS tot FROM smg GROUP BY burst, d),
-             |bj AS (SELECT burst, first(d ORDER BY tot DESC, d) AS dpj
-             |  FROM dirt GROUP BY burst)
-             |SELECT mm.burst, round(4.0*sqrt(m0), 8) AS hs,
-             |  round(1.0/(qp*1.0/256), 8) AS tp,
-             |  round(((-pi() + dtpj*2.0*pi()/90)*180.0)/pi(), 8) + 0.0 AS dtp,
-             |  round(((-pi() + dpj*2.0*pi()/90)*180.0)/pi(), 8) + 0.0 AS dp,
-             |  CAST(103 AS INTEGER) AS nfreq, CAST(90 AS INTEGER) AS ndir
-             |FROM mm JOIN ip USING (burst) JOIN jp USING (burst) JOIN bj USING (burst)""".stripMargin)),
+             |${diwaspStatsSql(256, 90)}""".stripMargin)),
 
     Q("diwasp_imlm",
       (s, dir) => {
         val b = puvBursts(s, dir)
+        // nfft = 128 -> 4 Welch segments, so the 3x3 cross-spectral
+        // matrix is FULL RANK: with only 2 segments it is rank-2 singular
+        // and the IMLM inverse amplifies last-ulp noise by ~1e15, making
+        // any cross-engine comparison meaningless
         Spectra.diwaspStats(b, "burst", "sample", "p", "u", "v",
           depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0,
-          nfft = 256, dres = 90, method = "IMLM", miter = 50,
+          nfft = 128, dres = 90, method = "IMLM", miter = 5,
           fmin = 0.05, fmax = 0.45).toDF()
-      }, None),
+          // hs rounds to 3 decimals (mm-level on ~2 m waves): the damped
+          // IMLM fixed point amplifies last-ulp inverse differences ~30x
+          // per iteration at the spectral peak, so at miter=5 the engines
+          // agree to ~7e-6 -- exact at round-3 with 70x margin (tp/dtp/dp
+          // are grid argmaxes and match at round-8)
+          .select(col("burst"), round(col("hs"), 3).as("hs"),
+            round(col("tp"), 8).as("tp"), round(col("dtp"), 8).as("dtp"),
+            round(col("dp"), 8).as("dp"), col("nfreq"), col("ndir"))
+      },
+      Some(s"""WITH RECURSIVE ${diwaspFrontCtes(128, 90)},
+             |${imlmCtes(90, 5)},
+             |${clSmgCtes(128, 90)},
+             |${diwaspStatsSql(128, 90, hsRound = 3)}""".stripMargin)),
 
     // full reference pipeline variant: estimator → interpspec onto the user
     // SM grid (flo..fhi step, dres dirs) → smoothspec → infospec
