@@ -84,6 +84,19 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Set((0L, 0, "a b c", 2L), (1L, 0, "a b c", 2L)))
   }
 
+  test("all curation operators are no-ops on empty input (no crash, 0 rows)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Curation.contaminationFlags(empty, "doc_id", "text",
+      col("doc_id") < 2, 3).count() == 0)
+    assert(Curation.packSequences(empty, "doc_id", "text", 16).count() == 0)
+    assert(Curation.repeatedSpans(empty, "doc_id", "text", 3).count() == 0)
+    assert(Curation.bm25(empty, "doc_id", "text", Seq("x")).count() == 0)
+    val emptySrc = Seq.empty[(Long, String)].toDF("doc_id", "source")
+    assert(Curation.mixtureResample(emptySrc, "doc_id", "source",
+      lit(100L)).count() == 0)
+  }
+
   test("bm25: more query-term hits => higher score; no hits filtered out") {
     val df = docs(
       0L -> "table table table pad pad",
