@@ -77,9 +77,12 @@ object Curation {
     val L = lit(seqLen.toLong)
     cum.filter(col("__n") > 0)
       .withColumn("__prev", col("__cum") - col("__n"))
+      // integer division (div), not floor(x/y): double division loses
+      // exactness past 2^53 cumulative tokens and would shift chunk
+      // boundaries vs the oracle's integer `//`
       .withColumn("chunk_id",
-        explode(sequence(floor(col("__prev") / L).cast("long"),
-          floor((col("__cum") - 1) / L).cast("long"))))
+        explode(sequence(expr(s"__prev div $seqLen"),
+          expr(s"(__cum - 1) div $seqLen"))))
       .select(col("chunk_id"), col(idCol),
         (greatest(col("__prev"), col("chunk_id") * L) - col("__prev"))
           .as("doc_off"),

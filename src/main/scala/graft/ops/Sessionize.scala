@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /**
  * Session-window aggregation: group a keyed event stream into activity
- * sessions separated by >= `gap` of inactivity — the standard behavioral
+ * sessions separated by more than `gap` of inactivity — the standard behavioral
  * sessionization primitive (and the reference's burst-boundary notion
  * generalized to data-dependent windows).
  *

@@ -107,10 +107,14 @@ object TextAnalysis {
   }
 
   /** Deterministic per-document sampling hash in [0, 1000): the
-    * train/validation-split primitive. (a·id + b) mod p — portable integer
-    * arithmetic, reproducible on any engine, no RNG state. */
+    * train/validation-split primitive. (a·(id mod p) + b) mod p — portable
+    * integer arithmetic, reproducible on any engine, no RNG state. The id
+    * reduces mod p BEFORE the multiply so the product stays below 2^63 for
+    * any Long id (a·p ≈ 5.7e18): without it, ids ≥ ~3.47e9 silently wrap
+    * negative in Spark while DuckDB raises an overflow error. Values are
+    * unchanged for id < p = 2^31-1. */
   def sampleHash(id: Column): Column =
-    (id * 2654435761L + 40503L) % 2147483647L % 1000L
+    ((id % 2147483647L) * 2654435761L + 40503L) % 2147483647L % 1000L
 
   /** Corpus-trained char-bigram language-model score per document: the
     * average log-likelihood of a doc's bigrams under add-one-smoothed

@@ -82,7 +82,7 @@ object CurationQueries {
              |t AS (SELECT min(cnt * 1000 // f) AS T FROM f)
              |SELECT d.doc_id, d.source
              |FROM documents d JOIN f USING (source), t
-             |WHERE (d.doc_id * 2654435761 + 40503) % 2147483647 % 1000 * f.cnt
+             |WHERE ((d.doc_id % 2147483647) * 2654435761 + 40503) % 2147483647 % 1000 * f.cnt
              |      < f.f * t.T""".stripMargin)),
 
     // repeated-span detection (fixed-n shingle suffix-dedup approximation):

@@ -582,7 +582,7 @@ object PipelineQueries {
           .select("doc_id", "source")
       },
       Some("""SELECT doc_id, source FROM documents
-             |WHERE (doc_id * 2654435761 + 40503) % 2147483647 % 1000 <
+             |WHERE ((doc_id % 2147483647) * 2654435761 + 40503) % 2147483647 % 1000 <
              |  CASE WHEN source = 'src0' THEN 100
              |       WHEN source = 'src1' THEN 250 ELSE 50 END""".stripMargin)),
 

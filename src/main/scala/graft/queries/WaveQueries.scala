@@ -388,7 +388,6 @@ object WaveQueries {
     * cross-power xps(burst, q, re/im 3x3) + transfer trm(q, d, t0/t1/t2).
     * Shared by the DFTM and IMLM oracles. */
   private def diwaspFrontCtes(nfft: Int, dres: Int): String = {
-    val half = nfft / 2
     val nseg = 512 / nfft
     val (qLo, qHi) = diwaspKeepBand(nfft)
     val th = (x: String) => s"((exp(2*$x)-1)/(exp(2*$x)+1))"
@@ -938,7 +937,15 @@ object WaveQueries {
     * %.17e literals from the live [[Butterworth.lowpass]] design, so the
     * oracle tracks the kernel. Lateral aliases are deliberately named
     * ny1/nz1a etc. — unqualified names colliding with the CTE's declared
-    * columns would bind to the PREVIOUS row's values in the recursive term. */
+    * columns would bind to the PREVIOUS row's values in the recursive term.
+    *
+    * Precondition: the series must be longer than the reflection pad
+    * (3·2·nsections = 12 samples) — the kernel shortens padlen for shorter
+    * inputs (padlen = min(12, n-1)) but the SQL replay fixes it at 12, so
+    * a ≤12-sample series would find no j=0 seed row and return 0 rows.
+    * Every segment slice here is ≥ margin+1 = 312 samples whenever the
+    * table has > 12 rows, so the registered 10k-row query is far inside
+    * the precondition. */
   private lazy val butterOracle: String = {
     val sos = Butterworth.lowpass(4, 0.05, 1.0)
     val mar = Butterworth.marginFor(sos)
