@@ -198,6 +198,52 @@ object PipelineQueries {
              |FROM cc JOIN documents d ON cc.id = d.doc_id
              |WHERE cc.id = cc.comp""".stripMargin)),
 
+    // quality-aware representative selection: instead of min-id, keep the
+    // HIGHEST-QUALITY doc per near-dup cluster (n_chars as the integer
+    // quality signal; ties break to min doc_id). Top-1 per cluster via a
+    // max(struct(quality, -id)) aggregation — map-side combinable, no
+    // full-row shuffle, no window.
+    Q("dedup_cluster_best",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val comp = Dedup.connectedComponents(
+          Dedup.simhashPairs(docs, "doc_id", "text", "source", 16, 2),
+          docs, "doc_id")
+        docs.join(comp, "doc_id")
+          .groupBy("comp")
+          .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid")))
+            .as("best"))
+          .select(col("comp"), (-col("best.nid")).as("doc_id"),
+            col("best.n_chars").as("n_chars"))
+      },
+      Some(s"""WITH RECURSIVE $simhashPairCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+             |          UNION ALL SELECT id_b, id_a FROM spairs),
+             |walk(id, comp) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+             |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+             |SELECT comp,
+             |  first(d.doc_id ORDER BY d.n_chars DESC, d.doc_id) AS doc_id,
+             |  first(d.n_chars ORDER BY d.n_chars DESC, d.doc_id) AS n_chars
+             |FROM cc JOIN documents d ON cc.id = d.doc_id
+             |GROUP BY comp""".stripMargin)),
+
+    // deterministic fixed-size uniform sample: exactly k docs by hash order
+    // — TakeOrderedAndProject at scale (per-partition top-k merged on the
+    // driver; the full table is never sorted or shuffled)
+    Q("sample_fixed_k",
+      (s, dir) => documents(s, dir)
+        .withColumn("__h", TA.sampleHash(col("doc_id")))
+        .orderBy(col("__h"), col("doc_id"))
+        .limit(100)
+        .select("doc_id", "source"),
+      Some("""SELECT doc_id, source FROM documents
+             |ORDER BY ((doc_id % 2147483647) * 2654435761 + 40503)
+             |  % 2147483647 % 1000, doc_id
+             |LIMIT 100""".stripMargin)),
+
     // embedding-cosine near-dup (semantic dedup) within label scope
     Q("dedup_embed",
       (s, dir) => Dedup.embedCosinePairs(embeddings(s, dir), "vec_id",
