@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must register the native expressions as SQL
+  * functions in a fresh session configured only via spark.sql.extensions
+  * (the shared-cluster deployment path — no driver code). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // spark.sql.extensions is a STATIC conf — fixed by whichever suite
+  // creates the first session in this JVM — so the config-string path can
+  // only be exercised in a fresh JVM (it is, via spark-submit in real
+  // deployments). builder.withExtensions applies the same injection logic
+  // at session construction regardless of JVM history: clear the session
+  // handles so getOrCreate builds a new session over the shared context.
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .withExtensions(new GraftExtensions())
+      .config("spark.ui.enabled", "false").getOrCreate()
+  }
+
+  test("graft_dot and graft_sorted_intersect resolve and evaluate from SQL") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+        |       graft_sorted_intersect(array(1L, 3L, 5L, 9L),
+        |                              array(3L, 4L, 9L, 11L)) AS n""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getLong(1) == 2L)
+  }
+
+  test("SQL function results match the typed Column API") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array(0.5, -1.5, 2.0), Array(4.0, 2.0, 0.25)))
+      .toDF("a", "b")
+    val viaSql = df.selectExpr("graft_dot(a, b)").head().getDouble(0)
+    val viaApi = df.select(graft.functions.ArrayMath.dot(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(viaSql == viaApi)
+  }
+}
