@@ -266,4 +266,113 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("vec_id", "bucket", "neighbor_id", "cosine", "rank")
   }
+
+  // ---- Product quantization (the billion-scale ANN memory lever) -------
+
+  /** Per-subspace PQ codebooks: the embedding splits into `m` contiguous
+    * subvectors of `dims/m` dims, and each subspace trains an independent
+    * `ksub`-centroid Lloyd quantizer via [[kmeansLoop]] (deterministic
+    * first-k seeds, integer micro-unit means — engine-portable). A vector's
+    * code is then `m` small ints (log2(ksub) bits each) instead of `dims`
+    * floats — at 100 TB this is the difference between an index that fits
+    * in cluster memory and one that doesn't (64 float dims → 8 bytes of
+    * codes at m=8/ksub=256).
+    *
+    * Codebooks train on RAW (cast-to-double) subvectors, so assignment and
+    * ADC arithmetic stay bitwise engine-portable (floor-quantized casts are
+    * exact; no sqrt/normalize inside the training loop). */
+  def pqModel(df: DataFrame, idCol: String, embCol: String, dims: Int,
+              m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val dsub = dims / m
+    val x = df.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("e"))
+    (0 until m).toArray.map { s =>
+      val sub = x.select(col("vec_id"), slice(col("e"), s * dsub + 1, dsub).as("se"))
+      kmeansLoop(sub, "vec_id", "se", ksub, dsub, iters)._1
+    }
+  }
+
+  /** Nearest-codeword id under a trained codebook, reproducing
+    * [[kmeansLoop]]'s micro-unit quantization (floor(x·1e6)/1e6) so codes
+    * equal what the trainer's own final assignment would emit; ties break
+    * by codeword id. */
+  private def quantAssignExpr(cs: Array[Array[Double]], sub: Column): Column = {
+    val x = transform(sub,
+      v => floor(v * lit(1000000.0)).cast("long").cast("double") / lit(1000000.0))
+    val structs = cs.zipWithIndex.map { case (c, j) =>
+      val d = lit(c.map(v => v * v).sum) -
+        lit(2.0) * ndot(x, array(c.map(lit): _*))
+      struct(d.as("d"), lit(j.toLong).as("c"))
+    }
+    least(structs: _*).getField("c")
+  }
+
+  /** Wide PQ code table (vec_id, code0..code{m-1}) — one scan, all `m`
+    * assignments as codegen column expressions over centroid literals (no
+    * join, no shuffle; the model is driver state bounded by m·ksub·dims). */
+  def pqCodesWide(df: DataFrame, idCol: String, embCol: String, dims: Int,
+                  m: Int, ksub: Int, iters: Int): DataFrame = {
+    val model = pqModel(df, idCol, embCol, dims, m, ksub, iters)
+    val dsub = dims / m
+    df.select(col(idCol).cast("long").as("vec_id"), asDouble(col(embCol)).as("e"))
+      .select(col("vec_id") +: (0 until m).map(s =>
+        quantAssignExpr(model(s), slice(col("e"), s * dsub + 1, dsub)).as(s"code$s")): _*)
+  }
+
+  /** Long-format PQ codes (vec_id, sub, code) — the oracle-facing shape. */
+  def pqCodes(df: DataFrame, idCol: String, embCol: String, dims: Int,
+              m: Int, ksub: Int, iters: Int): DataFrame = {
+    val wide = pqCodesWide(df, idCol, embCol, dims, m, ksub, iters)
+    wide.select(col("vec_id"), explode(array((0 until m).map(s =>
+        struct(lit(s).as("sub"), col(s"code$s").as("code"))): _*)).as("sc"))
+      .select(col("vec_id"), col("sc.sub").as("sub"), col("sc.code").as("code"))
+  }
+
+  /** IVF-PQ search with asymmetric distance computation (ADC), the
+    * canonical billion-scale ANN layout (Jégou et al., TPAMI 2011):
+    *
+    *  - a coarse quantizer ([[kmeansLoop]], `nCells` cells) partitions the
+    *    corpus; each vector is indexed in its cell as `m` PQ codes;
+    *  - each query builds an m×ksub LUT of exact subvector·codeword inner
+    *    products (one scan, codegen dots against centroid literals), then
+    *    scores every candidate in its probed cell with `m` array lookups +
+    *    adds — never touching the candidate's full vector;
+    *  - ranking is by approximate inner product (MIPS form; the db side is
+    *    reconstructed from codewords, the query side stays exact).
+    *
+    * Scale contract: the model (coarse + PQ centroids) is tiny driver
+    * state; codes+cells shuffle once on cell; the per-cell pair work runs
+    * as a salted shuffle join ([[Spread.saltedJoin]]) — no unbounded
+    * broadcast, executor memory holds `m` code bytes + one LUT row per
+    * in-flight pair, which is the entire point of PQ. */
+  def pqTopK(df: DataFrame, idCol: String, embCol: String, dims: Int,
+             m: Int, ksub: Int, iters: Int,
+             nCells: Int, cellIters: Int, k: Int): DataFrame = {
+    val model = pqModel(df, idCol, embCol, dims, m, ksub, iters)
+    val dsub = dims / m
+    val (_, assigned) = kmeansLoop(df, idCol, embCol, nCells, dims, cellIters)
+    val cells = assigned.select(col("id").as("vec_id"), col("cell"))
+    val x = Spread.shared(
+      df.select(col(idCol).cast("long").as("vec_id"), asDouble(col(embCol)).as("e"))
+        .join(cells, "vec_id"))
+    val codes = x.select(col("vec_id").as("neighbor_id") +: col("cell").as("__cell2") +:
+      (0 until m).map(s =>
+        quantAssignExpr(model(s), slice(col("e"), s * dsub + 1, dsub)).as(s"code$s")): _*)
+    val luts = x.select(col("vec_id") +: col("cell") +: (0 until m).map { s =>
+      array(model(s).indices.map(j =>
+        ndot(slice(col("e"), s * dsub + 1, dsub),
+          array(model(s)(j).map(lit): _*))): _*).as(s"lut$s")
+    }: _*)
+    val pairs = Spread.saltedJoin(luts, codes,
+      col("cell") === col("__cell2") && col("vec_id") =!= col("neighbor_id"),
+      col("vec_id"), Dedup.SALT)
+    // ADC score: m LUT lookups, added in fixed subspace order (left fold —
+    // bitwise portable)
+    val score = (0 until m).map(s =>
+      element_at(col(s"lut$s"), col(s"code$s").cast("int") + 1)).reduce(_ + _)
+    val w = Window.partitionBy("vec_id").orderBy(col("adc_dot").desc, col("neighbor_id"))
+    pairs.withColumn("adc_dot", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "cell", "neighbor_id", "adc_dot", "rank")
+  }
 }

@@ -90,6 +90,66 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** Per-subspace PQ codebook training + final assignment as DuckDB CTEs —
+    * [[kmeansCtes]] generalized to `m` independent sub-quantizers over
+    * contiguous `dsub`-dim slices of the raw embedding. Emits, per subspace
+    * s: `xq_s`/`xd_s` (micro-unit-quantized subvectors), `cent{0..iters}_s`
+    * (Lloyd rounds), and `codes_s` (final nearest-codeword assignment,
+    * ties by codeword id). Also emits `ed` (shared raw doubles) once. */
+  private def pqCtes(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
+    val sb = new StringBuilder(
+      s"""ed AS (SELECT vec_id AS id,
+         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+         |  FROM embeddings)""".stripMargin)
+    for (s <- 0 until m) {
+      val off = s * dsub
+      sb.append(s""",
+         |xq_$s AS (SELECT id,
+         |    list_transform(generate_series(${off + 1}, ${off + dsub}),
+         |      i -> CAST(floor(e[i] * 1000000.0) AS BIGINT)) AS xi
+         |  FROM ed),
+         |xd_$s AS (SELECT id, xi,
+         |    list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x
+         |  FROM xq_$s),
+         |cent0_$s AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS cent_id,
+         |    x AS cx
+         |  FROM (SELECT id, x FROM xd_$s ORDER BY id LIMIT $ksub))""".stripMargin)
+      for (t <- 1 to iters) {
+        sb.append(s""",
+           |asg${t}_$s AS (
+           |  SELECT id, xi, cell FROM (
+           |    SELECT xd.id, xd.xi, c.cent_id AS cell,
+           |      row_number() OVER (PARTITION BY xd.id ORDER BY
+           |        list_sum(list_transform(generate_series(1, $dsub), i -> c.cx[i] * c.cx[i]))
+           |        - 2 * list_sum(list_transform(generate_series(1, $dsub), i -> xd.x[i] * c.cx[i])),
+           |        c.cent_id) AS rn
+           |    FROM xd_$s xd, cent${t - 1}_$s c) WHERE rn = 1),
+           |cm${t}_$s AS (
+           |  SELECT cell AS cent_id, g.i AS i,
+           |    CAST(CAST(sum(xi[g.i]) AS BIGINT) AS DOUBLE) / (1000000.0 * count(*)) AS v
+           |  FROM asg${t}_$s, generate_series(1, $dsub) g(i)
+           |  GROUP BY cell, g.i),
+           |centm${t}_$s AS (SELECT cent_id, list(v ORDER BY i) AS cx FROM cm${t}_$s GROUP BY cent_id),
+           |cent${t}_$s AS (
+           |  SELECT cent_id, cx FROM centm${t}_$s
+           |  UNION ALL
+           |  SELECT p.cent_id, p.cx FROM cent${t - 1}_$s p
+           |  WHERE p.cent_id NOT IN (SELECT cent_id FROM centm${t}_$s))""".stripMargin)
+      }
+      sb.append(s""",
+         |codes_$s AS (
+         |  SELECT id, cell AS code FROM (
+         |    SELECT xd.id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY xd.id ORDER BY
+         |        list_sum(list_transform(generate_series(1, $dsub), i -> c.cx[i] * c.cx[i]))
+         |        - 2 * list_sum(list_transform(generate_series(1, $dsub), i -> xd.x[i] * c.cx[i])),
+         |        c.cent_id) AS rn
+         |    FROM xd_$s xd, cent${iters}_$s c) WHERE rn = 1)""".stripMargin)
+    }
+    sb.toString
+  }
+
   def qs: Seq[Q] = Seq(
     // ---- dedup -------------------------------------------------------
     Q("dedup_exact",
@@ -355,6 +415,62 @@ object PipelineQueries {
              |  SELECT vec_id, cell, neighbor_id, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
              |  FROM pairs) WHERE rank <= 5""".stripMargin)),
+
+    // PQ codebook assignment: 4 subspaces × 16 codewords over the raw
+    // 64-dim embeddings (2 Lloyd rounds each, deterministic first-k seeds)
+    Q("pq_codes",
+      (s, dir) => Similarity.pqCodes(embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 16, iters = 2),
+      Some(s"""WITH ${pqCtes(4, 16, 16, 2)}
+             |SELECT id AS vec_id, sub, code FROM (
+             |${(0 until 4).map(s =>
+                 s"  SELECT id, $s AS sub, code FROM codes_$s").mkString("\n  UNION ALL\n")}
+             |)""".stripMargin)),
+
+    // IVF-PQ with asymmetric distance computation: coarse kmeans cells
+    // (shared with kmeans_train via the model memo) + per-query LUT of
+    // subvector·codeword inner products + m-lookup ADC scoring — the
+    // billion-scale ANN layout (query never touches candidate vectors)
+    Q("similarity_pq",
+      (s, dir) => Similarity.pqTopK(embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 16, iters = 2, nCells = 8, cellIters = 3, k = 5)
+        .withColumn("adc_dot", round(col("adc_dot"), 8)),
+      Some(s"""WITH ${kmeansCtes(8, 64, 3)},
+             |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
+             |asgf AS (
+             |  SELECT id, cell FROM (
+             |    SELECT xdd.id, c.cent_id AS cell,
+             |      row_number() OVER (PARTITION BY xdd.id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |        - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
+             |        c.cent_id) AS rn
+             |    FROM xdd, cent3 c) WHERE rn = 1),
+             |${pqCtes(4, 16, 16, 2)},
+             |${(0 until 4).map(s =>
+                 s"""lut_$s AS (SELECT ed.id AS q_id, c.cent_id AS code,
+                    |    list_sum(list_transform(generate_series(1, 16),
+                    |      i -> ed.e[${s * 16} + i] * c.cx[i])) AS part
+                    |  FROM ed, cent2_$s c)""".stripMargin).mkString(",\n")},
+             |prs AS (
+             |  SELECT q.id AS vec_id, q.cell, d.id AS neighbor_id
+             |  FROM asgf q JOIN asgf d ON q.cell = d.cell AND q.id <> d.id),
+             |scored AS (
+             |  SELECT p.vec_id, p.cell, p.neighbor_id,
+             |    ((l0.part + l1.part) + l2.part) + l3.part AS adc
+             |  FROM prs p
+             |  JOIN codes_0 c0 ON c0.id = p.neighbor_id
+             |  JOIN lut_0 l0 ON l0.q_id = p.vec_id AND l0.code = c0.code
+             |  JOIN codes_1 c1 ON c1.id = p.neighbor_id
+             |  JOIN lut_1 l1 ON l1.q_id = p.vec_id AND l1.code = c1.code
+             |  JOIN codes_2 c2 ON c2.id = p.neighbor_id
+             |  JOIN lut_2 l2 ON l2.q_id = p.vec_id AND l2.code = c2.code
+             |  JOIN codes_3 c3 ON c3.id = p.neighbor_id
+             |  JOIN lut_3 l3 ON l3.q_id = p.vec_id AND l3.code = c3.code)
+             |SELECT vec_id, cell, neighbor_id, round(adc, 8) AS adc_dot,
+             |  CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT vec_id, cell, neighbor_id, adc, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
+             |  FROM scored) WHERE rank <= 5""".stripMargin)),
 
     Q("similarity_topk",
       (s, dir) => Similarity.bruteTopK(embeddings(s, dir), "vec_id", "embedding", 5)
