@@ -174,4 +174,60 @@ object Curation {
       .filter(col("bm25") > 0)
       .select(col(idCol), col("__dl").as("dl"), col("bm25"))
   }
+
+  /**
+   * DSIR-style importance scoring (Xie et al., NeurIPS 2023 "Data Selection
+   * via Importance Resampling"): rank raw documents by how much more likely
+   * their hashed-n-gram bag is under the TARGET distribution than under the
+   * RAW distribution,
+   *
+   *   w(doc) = Σ_b n_b(doc) · ( ln p̂_t[b] − ln p̂_r[b] ),
+   *
+   * with word-bigram features hashed into `buckets` buckets (md5-prefix
+   * integer hash — engine-portable) and add-one-smoothed bucket models
+   * fitted on the target slice (`targetPred`) and the whole corpus. The
+   * top-`topK` weighted docs are the resampled selection (deterministic
+   * rank form of the paper's Gumbel sampling).
+   *
+   * Scale contract: the two bucket models are bounded by `buckets` (not by
+   * corpus size) — a legitimately broadcastable side; the n-gram explode is
+   * pre-spread and immediately reduced to (doc, bucket, n) counts; the
+   * final selection is orderBy+limit = TakeOrderedAndProject (per-partition
+   * top-k, no global sort). Per-bucket contributions are rounded to 9
+   * decimals and DECIMAL-summed, so engines differing in the last ulp of
+   * ln() still hash-agree and rank identically.
+   */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, buckets: Int, topK: Int): DataFrame = {
+    val grams = Spread.byKey(docs, col(idCol))
+      .withColumn("__t", targetPred)
+      .select(col(idCol), col("__t"),
+        explode(TA.wordNgrams(TA.tokens(col(textCol)), 2)).as("__g"))
+      .withColumn("__b",
+        expr(s"CAST(conv(substring(md5(__g), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+    val perDoc = Spread.shared(grams
+      .groupBy(col(idCol), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__n")))
+    // bucket models: bounded by `buckets` rows — broadcast is safe by
+    // construction (model size, not data size)
+    val tgt = perDoc.filter(col("__t"))
+      .groupBy("__b").agg(sum("__n").as("__ct"))
+    val raw = perDoc.groupBy("__b").agg(sum("__n").as("__cr"))
+    val model = raw.join(tgt, Seq("__b"), "left")
+      .na.fill(0L, Seq("__ct"))
+    val totals = model.agg(sum("__ct").as("__Tt"), sum("__cr").as("__Tr"))
+    val contrib = round(
+      col("__n") * (log((col("__ct") + 1.0) / (col("__Tt") + lit(buckets.toDouble)))
+        - log((col("__cr") + 1.0) / (col("__Tr") + lit(buckets.toDouble)))), 9)
+      .cast("decimal(28,9)")
+    perDoc
+      .join(broadcast(model), "__b")
+      .crossJoin(broadcast(totals))
+      .withColumn("__c", contrib)
+      .groupBy(col(idCol))
+      .agg(sum("__n").as("n_grams"),
+        sum(col("__c")).cast("double").as("dsir_logratio"))
+      .orderBy(col("dsir_logratio").desc, col(idCol))
+      .limit(topK)
+  }
 }

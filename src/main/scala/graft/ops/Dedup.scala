@@ -326,4 +326,28 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    * clusters scope the quadratic cosine work, then within each cluster a
+    * vector is DROPPED iff some lower-id cluster-mate has cosine ≥ tau
+    * (deterministic greedy keep-first — the paper keeps one point per
+    * ε-ball; lowest id is the engine-portable choice of survivor).
+    *
+    * Output: the kept rows (vec_id, cell). Scale contract: clustering is
+    * the bounded-model [[Similarity.kmeansLoop]] (no data-sized driver
+    * state), and the pair work is [[embedCosinePairs]]'s salted shuffle
+    * join scoped to cells — quadratic only within a cluster, never global. */
+  def semDedup(df: DataFrame, idCol: String, embCol: String, dims: Int,
+               nCells: Int, iters: Int, tau: Double): DataFrame = {
+    val (_, assigned) =
+      Similarity.kmeansLoop(df, idCol, embCol, nCells, dims, iters)
+    val cells = Spread.shared(
+      assigned.select(col("id").as(idCol), col("cell")))
+    val withCell = df.select(col(idCol).cast("long").as(idCol), col(embCol))
+      .join(cells, idCol)
+    val removed = embedCosinePairs(withCell, idCol, embCol, "cell", tau)
+      .select(col("id_b").as(idCol)).distinct()
+    cells.join(removed, Seq(idCol), "left_anti")
+      .select(col(idCol).as("vec_id"), col("cell"))
+  }
 }

@@ -125,5 +125,43 @@ object CurationQueries {
            |  SELECT doc_id, dl, CAST($contribs AS DOUBLE) AS bm25
            |  FROM w, s)
            |WHERE bm25 > 0e0""".stripMargin
-      }))
+      }),
+
+    // DSIR importance resampling: hashed word-bigram bag models (1024
+    // buckets, add-one smoothing) for the target slice (lang = 'en') vs the
+    // raw corpus; top-200 docs by summed log-likelihood ratio. Round-9 +
+    // DECIMAL sum per bucket contribution keeps ranking engine-identical.
+    Q("dsir_select",
+      (s, dir) => Curation.dsirSelect(documents(s, dir), "doc_id", "text",
+        col("lang") === "en", buckets = 1024, topK = 200),
+      Some(s"""WITH tl AS (
+              |  SELECT doc_id, lang = 'en' AS tt,
+              |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+              |  FROM documents),
+              |g AS (
+              |  SELECT doc_id, tt,
+              |    unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+              |      i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+              |  FROM tl),
+              |gb AS (SELECT doc_id, tt,
+              |    CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 1024 AS b
+              |  FROM g),
+              |pd AS (SELECT doc_id, tt, b, count(*) AS n FROM gb GROUP BY 1, 2, 3),
+              |tgt AS (SELECT b, sum(n) AS ct FROM pd WHERE tt GROUP BY b),
+              |raw AS (SELECT b, sum(n) AS cr FROM pd GROUP BY b),
+              |model AS (
+              |  SELECT raw.b, coalesce(tgt.ct, 0) AS ct, raw.cr
+              |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+              |tot AS (SELECT sum(ct) AS Tt, sum(cr) AS Tr FROM model),
+              |sc AS (
+              |  SELECT pd.doc_id, pd.n,
+              |    CAST(round(pd.n * (ln((model.ct + 1.0e0) / (tot.Tt + 1024.0e0))
+              |      - ln((model.cr + 1.0e0) / (tot.Tr + 1024.0e0))), 9)
+              |      AS DECIMAL(28,9)) AS c
+              |  FROM pd JOIN model ON pd.b = model.b, tot)
+              |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_grams,
+              |  CAST(sum(c) AS DOUBLE) AS dsir_logratio
+              |FROM sc GROUP BY doc_id
+              |ORDER BY dsir_logratio DESC, doc_id
+              |LIMIT 200""".stripMargin)))
 }

@@ -472,6 +472,38 @@ object PipelineQueries {
              |    (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
              |  FROM scored) WHERE rank <= 5""".stripMargin)),
 
+    // SemDeDup: k-means clusters scope the cosine pair work; drop a vector
+    // iff a lower-id cluster-mate is within tau — kept rows survive
+    Q("semdedup",
+      (s, dir) => Dedup.semDedup(embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, nCells = 8, iters = 3, tau = 0.25),
+      Some(s"""WITH ${kmeansCtes(8, 64, 3)},
+             |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
+             |asgf AS (
+             |  SELECT id, cell FROM (
+             |    SELECT xdd.id, c.cent_id AS cell,
+             |      row_number() OVER (PARTITION BY xdd.id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |        - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
+             |        c.cent_id) AS rn
+             |    FROM xdd, cent3 c) WHERE rn = 1),
+             |e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |e AS (SELECT vec_id,
+             |    list_transform(generate_series(1, 64), i -> emb[i] /
+             |      sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        j -> emb[j] * emb[j])))) AS e
+             |  FROM e0),
+             |wc AS (SELECT e.vec_id, e.e, a.cell FROM e JOIN asgf a ON e.vec_id = a.id),
+             |rem AS (
+             |  SELECT DISTINCT b.vec_id FROM wc a JOIN wc b
+             |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |    AND list_sum(list_transform(generate_series(1, 64),
+             |      i -> a.e[i] * b.e[i])) >= 0.25)
+             |SELECT a.id AS vec_id, a.cell FROM asgf a
+             |WHERE a.id NOT IN (SELECT vec_id FROM rem)""".stripMargin)),
+
     Q("similarity_topk",
       (s, dir) => Similarity.bruteTopK(embeddings(s, dir), "vec_id", "embedding", 5)
         .withColumn("cosine", round(col("cosine"), 8)),
