@@ -163,4 +163,37 @@ object TextAnalysis {
     val mtlScore = when(mtl.between(3.0, 8.0), 1.0).otherwise(0.5)
     (lenScore * 0.6 + mtlScore * 0.4)
   }
+
+  // ---- PII scrubbing (C4/Dolma-style pre-training hygiene) -----------
+
+  /** Patterns restricted to the RE2-compatible subset (no backreferences,
+    * no lookaround) so Java-regex (Spark) and RE2 (DuckDB, and most
+    * production scrubbers) agree match-for-match. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Count + redact emails, phone numbers, and IPv4 addresses — the
+    * standard PII scrub every web-scale pre-training pipeline runs before
+    * packing. Pure column expressions (codegen'd regex over each row): no
+    * shuffle, no UDF, embarrassingly parallel at any scale. Counts are
+    * measured on the ORIGINAL text; redaction applies email → phone → ip
+    * in that fixed order. Returns (id, n_emails, n_phones, n_ips,
+    * n_chars_redacted, redacted_md5) — the digest stands in for the
+    * scrubbed text so downstream equality checks stay row-sized. */
+  def piiRedact(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
+      length(red).cast("long").as("n_chars_redacted"),
+      md5(red).as("redacted_md5"))
+  }
 }

@@ -647,6 +647,44 @@ object PipelineQueries {
              |  CAST(sum(lp) AS DOUBLE)/count(*) AS lm_score
              |FROM sc GROUP BY doc_id""".stripMargin)),
 
+    // PII scrub: the synthetic corpus has no contact strings, so the query
+    // first splices a deterministic email/phone/IPv4 per doc (identically on
+    // both engines), then counts + redacts — the scrub machinery itself is
+    // what's under test
+    Q("pii_redact",
+      (s, dir) => TA.piiRedact(
+        documents(s, dir).withColumn("__ptext",
+          concat(lit("user"), col("doc_id").cast("string"),
+            lit("@example.com or "),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit("."),
+            (col("doc_id") % 100).cast("string"), lit(" "), col("text"))),
+        "doc_id", "__ptext"),
+      Some("""WITH p AS (SELECT doc_id,
+             |    'user' || doc_id || '@example.com or ' ||
+             |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-555-' ||
+             |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             |    ' ip 10.0.' || (doc_id % 256) || '.' || (doc_id % 100) ||
+             |    ' ' || text AS ptext
+             |  FROM documents),
+             |r AS (SELECT doc_id, ptext,
+             |    regexp_replace(regexp_replace(regexp_replace(ptext,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red
+             |  FROM p)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(ptext,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+             |  CAST(len(regexp_extract_all(ptext,
+             |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INTEGER) AS n_phones,
+             |  CAST(len(regexp_extract_all(ptext,
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+             |  CAST(length(red) AS BIGINT) AS n_chars_redacted,
+             |  md5(red) AS redacted_md5
+             |FROM r""".stripMargin)),
+
     Q("text_quality",
       (s, dir) => documents(s, dir).select(col("doc_id"),
         TA.charCount(col("text")).as("n_chars_m"),
@@ -781,6 +819,24 @@ object PipelineQueries {
              |       WHEN source = 'src1' THEN 250 ELSE 50 END""".stripMargin)),
 
     // ---- multimodal (stubbed decode, real plumbing) ------------------
+    // JSON sidecar-metadata extraction (every crawl pipeline's props blob):
+    // schema-on-read parse of events.props, typed field pulled with
+    // get_json_object (codegen'd, no UDF), grouped stats with the exact
+    // DECIMAL-sum mean so both engines agree bitwise
+    Q("json_props_stats",
+      (s, dir) => events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min("k").as("k_min"), max("k").as("k_max"),
+          Exact.avg(col("k")).as("k_avg")),
+      Some(s"""SELECT event_type, count(*) AS n,
+             |  min(k) AS k_min, max(k) AS k_max,
+             |  ${Exact.avgSql("k")} AS k_avg
+             |FROM (SELECT event_type,
+             |    CAST(props::JSON->>'k' AS BIGINT) AS k
+             |  FROM events)
+             |GROUP BY event_type""".stripMargin)),
+
     Q("multimodal_meta",
       (s, dir) => Multimodal.withMeta(
         documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
