@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
  *   0x0600 bottom track (per-beam range cm at +16, velocity mm/s at +24,
  *          -32768 = bad, :1844-1920)
  *   0x0F01 vertical beam leader (V-series; cell count at +2, :1622-1650) with
- *          0x0A00 velocity / 0x0B00 correlation / 0x0C00 amplitude per cell
- *          (:1668-1740) → vel5/cor5/echo5 columns
+ *          0x0A00 velocity / 0x0B00 correlation / 0x0C00 amplitude / 0x0D00
+ *          percent good per cell (:1668-1766) → vel5/cor5/echo5/pg5 columns
+ *   0x3200 instrument transformation matrix (3 axes × nbeams raw i16,
+ *          :1497-1527) → per-ensemble xform array (axis-major)
  *
  * Distribution model: files arrive via spark.read.format("binaryFile"); each
  * file's ensembles decode independently inside a flatMap — at 100 TB the
@@ -49,9 +51,10 @@ object Pd0 {
       btRangeM3: Option[Double], btRangeM4: Option[Double],
       btVel1: Option[Int], btVel2: Option[Int],
       btVel3: Option[Int], btVel4: Option[Int],
-      vel5: Option[Int], cor5: Option[Int], echo5: Option[Int],
+      vel5: Option[Int], cor5: Option[Int], echo5: Option[Int], pg5: Option[Int],
       headingDeg: Double, pitchDeg: Double, rollDeg: Double,
-      temperatureC: Double, xducerDepthM: Double)
+      temperatureC: Double, xducerDepthM: Double,
+      xform: Option[Array[Int]])
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def u16(b: Array[Byte], i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
@@ -119,6 +122,8 @@ object Pd0 {
     var vVel: Option[Array[Int]] = None         // (vcell), mm/s
     var vCor: Option[Array[Int]] = None
     var vEcho: Option[Array[Int]] = None
+    var vPg: Option[Array[Int]] = None
+    var xform: Option[Array[Int]] = None        // 3 axes × nbeams, raw i16
 
     // first pass: leaders (geometry needed to size the data blocks)
     for (off <- offsets) u16(ens, off) match {
@@ -149,6 +154,13 @@ object Pd0 {
         vCor = Some(Array.tabulate(vCells)(c => u8(ens, off + 2 + c)))
       case 0x0C00 if vCells > 0 =>
         vEcho = Some(Array.tabulate(vCells)(c => u8(ens, off + 2 + c)))
+      case 0x0D00 if vCells > 0 =>
+        vPg = Some(Array.tabulate(vCells)(c => u8(ens, off + 2 + c)))
+      case 0x3200 =>
+        // axis-major raw ints, matching the reference's beam×3 int array
+        // (rdiadcpy.py:1513-1527); scaling to ±1 is a cdf2nc-stage concern
+        xform = Some(Array.tabulate(3 * f.nbeams)(i =>
+          i16(ens, off + 2 + 2 * i)))
       case _ =>
     }
 
@@ -196,9 +208,11 @@ object Pd0 {
             vel5 = vVel.filter(_ => c < vCells).map(_(c)).filter(_ != -32768),
             cor5 = vCor.filter(_ => c < vCells).map(_(c)),
             echo5 = vEcho.filter(_ => c < vCells).map(_(c)),
+            pg5 = vPg.filter(_ => c < vCells).map(_(c)),
             headingDeg = v.headingCdeg / 100.0, pitchDeg = v.pitchCdeg / 100.0,
             rollDeg = v.rollCdeg / 100.0, temperatureC = v.temperatureCdegC / 100.0,
-            xducerDepthM = v.xducerDepthDm / 10.0)
+            xducerDepthM = v.xducerDepthDm / 10.0,
+            xform = xform)
         }.toList
       case _ => Nil
     }

@@ -96,8 +96,20 @@ object Pd0Fixture {
     ve.write(u16(0x0C00))
     for (c <- 0 until ncells) ve.write(40 + c)
     val veB = ve.toByteArray
+    val vg = new ByteArrayOutputStream()
+    vg.write(u16(0x0D00))
+    for (c <- 0 until ncells) vg.write(95 - c)
+    val vgB = vg.toByteArray
 
-    val blocks = Seq(fl, vl, vd, cd, ed, pd, bt, vblB, vvB, vcB, veB)
+    // instrument transformation matrix: 3 axes × nbeams raw i16
+    // (rdiadcpy.py:1497-1527); values ±14619 ≈ ±1.4619 in TRDI scaling
+    val xm = new ByteArrayOutputStream()
+    xm.write(u16(0x3200))
+    for (a <- 0 until 3; b <- 0 until nbeams)
+      xm.write(i16(if (a == 0) 14619 else 1000 * a + b))
+    val xmB = xm.toByteArray
+
+    val blocks = Seq(fl, vl, vd, cd, ed, pd, bt, vblB, vvB, vcB, veB, vgB, xmB)
     val ndt = blocks.length
     val headerLen = 6 + 2 * ndt
     val offsets = blocks.scanLeft(headerLen)((acc, b) => acc + b.length).init

@@ -31,9 +31,13 @@ class Pd0Spec extends AnyFunSuite {
     assert(r0.pg1 == 90 && r0.pg2 == 91 && r0.pg4 == 93)
     assert(r0.btRangeM1.contains(12.0) && r0.btRangeM4.contains(12.3))
     assert(r0.btVel1.contains(-50) && r0.btVel3.contains(-40))
-    // vertical beam (0x0F01 leader + 0x0A00/0x0B00/0x0C00) round-trip
+    // vertical beam (0x0F01 leader + 0x0A00/0x0B00/0x0C00/0x0D00) round-trip
     assert(r0.vel5.contains(500) && rows(1).vel5.contains(501))
     assert(r0.cor5.contains(80) && r0.echo5.contains(40))
+    assert(r0.pg5.contains(95) && rows(1).pg5.contains(94))
+    // instrument transformation matrix (0x3200): axis-major raw i16
+    val xm = r0.xform.get
+    assert(xm.length == 12 && xm(0) == 14619 && xm(4) == 1000 && xm(9) == 2001)
     // bad-value sentinel → None
     val e2bad = rows.filter(r => r.ensemble == 2 && r.bin == 3)
     assert(e2bad.head.vel1.isEmpty && e2bad.head.vel2.isEmpty)
