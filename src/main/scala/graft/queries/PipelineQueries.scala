@@ -647,6 +647,49 @@ object PipelineQueries {
              |  CAST(sum(lp) AS DOUBLE)/count(*) AS lm_score
              |FROM sc GROUP BY doc_id""".stripMargin)),
 
+    // exact length percentiles per source — the scale-correct plan: reduce
+    // data rows to a (source, value) HISTOGRAM first (map-side combine),
+    // then run the cumulative window over histogram rows (bounded by
+    // distinct values, not corpus size) and pick the smallest value whose
+    // cumulative count reaches ceil(p·n). No data-sized window, no
+    // approx-percentile sketch divergence between engines — exact by
+    // construction.
+    Q("token_percentiles",
+      (s, dir) => {
+        val d = documents(s, dir).select(col("source"),
+          TA.tokenCount(col("text")).as("n_tokens"))
+        val hist = d.groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
+        val byVal = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("n_tokens")
+        val all = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        hist.withColumn("cum", sum("c").over(byVal))
+          .withColumn("n", sum("c").over(all))
+          .groupBy("source")
+          .agg(max("n").as("n_docs"),
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("n_tokens")))
+              .as("p50_tokens"),
+            min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("n_tokens")))
+              .as("p90_tokens"),
+            max("n_tokens").as("max_tokens"))
+      },
+      Some("""WITH d AS (
+             |  SELECT source,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      t -> length(t) > 0)) AS INTEGER) AS n_tokens
+             |  FROM documents),
+             |h AS (SELECT source, n_tokens, count(*) AS c FROM d GROUP BY 1, 2),
+             |cw AS (
+             |  SELECT source, n_tokens, c,
+             |    sum(c) OVER (PARTITION BY source ORDER BY n_tokens
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(c) OVER (PARTITION BY source) AS n
+             |  FROM h)
+             |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+             |  min(CASE WHEN cum >= (n + 1) // 2 THEN n_tokens END) AS p50_tokens,
+             |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_tokens END) AS p90_tokens,
+             |  max(n_tokens) AS max_tokens
+             |FROM cw GROUP BY source""".stripMargin)),
+
     // PII scrub: the synthetic corpus has no contact strings, so the query
     // first splices a deterministic email/phone/IPv4 per doc (identically on
     // both engines), then counts + redacts — the scrub machinery itself is
