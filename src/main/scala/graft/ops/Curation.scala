@@ -41,10 +41,10 @@ object Curation {
                          evalPred: Column, n: Int): DataFrame = {
     // Spread the document scan first: a small single-file input arrives as
     // one partition and would serialize the n-gram explode on one core.
-    val grams = Spread.byKey(docs, col(idCol))
+    val grams = Spread.shared(Spread.byKey(docs, col(idCol))
       .withColumn("__eval", evalPred)
       .select(col(idCol), col("__eval"),
-        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram"))
+        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram")))
     val trainGrams = grams.filter(!col("__eval"))
       .select(col(idCol), col("__ngram")).distinct()
     val evalGrams = grams.filter(col("__eval"))
@@ -127,9 +127,11 @@ object Curation {
    */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     n: Int): DataFrame = {
-    val grams = Spread.byKey(docs, col(idCol)).select(col(idCol),
+    // the exploded gram relation feeds BOTH the duplicate-count aggregate
+    // and the final join — share it so the n-gram explode runs once
+    val grams = Spread.shared(Spread.byKey(docs, col(idCol)).select(col(idCol),
         posexplode(TA.wordNgrams(TA.tokens(col(textCol)), n))
-          .as(Seq("pos", "ngram")))
+          .as(Seq("pos", "ngram"))))
     val dup = grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
     grams.join(dup, "ngram").select(col(idCol), col("pos"), col("ngram"), col("cnt"))
