@@ -375,4 +375,52 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("vec_id", "cell", "neighbor_id", "adc_dot", "rank")
   }
+
+  /** IVF-PQ with RESIDUAL encoding — the canonical Jégou et al. layout:
+    * each vector PQ-encodes its residual r = x − c(cell) from the coarse
+    * centroid, so codebooks spend their bits on within-cell variation
+    * (much lower quantization error than coding raw vectors), and ADC
+    * reconstructs
+    *
+    *   dot(q, y) ≈ dot(q, c_cell)  [exact, one dot per query]
+    *             + Σ_s dot(q_s, codeword_s(r_y))  [m LUT lookups]
+    *
+    * Same scale contract as [[pqTopK]]: bounded driver-side model, one
+    * shuffle on cell, salted per-cell pair join, candidates touched only
+    * through m code bytes. */
+  def pqTopKResidual(df: DataFrame, idCol: String, embCol: String, dims: Int,
+                     m: Int, ksub: Int, iters: Int,
+                     nCells: Int, cellIters: Int, k: Int): DataFrame = {
+    val dsub = dims / m
+    val (cents, assigned) = kmeansLoop(df, idCol, embCol, nCells, dims, cellIters)
+    val cells = assigned.select(col("id").as("vec_id"), col("cell"))
+    val centArr = array(cents.map(c => array(c.map(lit): _*)): _*)
+    // residual r_i = e_i − c_cell,i: IEEE subtraction of identical doubles,
+    // bit-portable across engines
+    val x = Spread.shared(
+      df.select(col(idCol).cast("long").as("vec_id"), asDouble(col(embCol)).as("e"))
+        .join(cells, "vec_id")
+        .withColumn("__cc", element_at(centArr, col("cell").cast("int") + 1))
+        .withColumn("r", zip_with(col("e"), col("__cc"), (a, b) => a - b)))
+    val model = pqModel(x, "vec_id", "r", dims, m, ksub, iters)
+    val codes = x.select(col("vec_id").as("neighbor_id") +: col("cell").as("__cell2") +:
+      (0 until m).map(s =>
+        quantAssignExpr(model(s), slice(col("r"), s * dsub + 1, dsub)).as(s"code$s")): _*)
+    val luts = x.select(col("vec_id") +: col("cell") +:
+      ndot(col("e"), col("__cc")).as("qdot") +: (0 until m).map { s =>
+      array(model(s).indices.map(j =>
+        ndot(slice(col("e"), s * dsub + 1, dsub),
+          array(model(s)(j).map(lit): _*))): _*).as(s"lut$s")
+    }: _*)
+    val pairs = Spread.saltedJoin(luts, codes,
+      col("cell") === col("__cell2") && col("vec_id") =!= col("neighbor_id"),
+      col("vec_id"), Dedup.SALT)
+    val score = (col("qdot") +: (0 until m).map(s =>
+      element_at(col(s"lut$s"), col(s"code$s").cast("int") + 1))).reduce(_ + _)
+    val w = Window.partitionBy("vec_id").orderBy(col("adc_dot").desc, col("neighbor_id"))
+    pairs.withColumn("adc_dot", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "cell", "neighbor_id", "adc_dot", "rank")
+  }
 }

@@ -92,23 +92,30 @@ object PipelineQueries {
 
   /** Per-subspace PQ codebook training + final assignment as DuckDB CTEs —
     * [[kmeansCtes]] generalized to `m` independent sub-quantizers over
-    * contiguous `dsub`-dim slices of the raw embedding. Emits, per subspace
-    * s: `xq_s`/`xd_s` (micro-unit-quantized subvectors), `cent{0..iters}_s`
-    * (Lloyd rounds), and `codes_s` (final nearest-codeword assignment,
-    * ties by codeword id). Also emits `ed` (shared raw doubles) once. */
-  private def pqCtes(m: Int, dsub: Int, ksub: Int, iters: Int): String = {
-    val sb = new StringBuilder(
-      s"""ed AS (SELECT vec_id AS id,
-         |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
-         |  FROM embeddings)""".stripMargin)
+    * contiguous `dsub`-dim slices of `vcol` in CTE `src` (the raw doubles
+    * `ed`, or a residual relation). Emits, per subspace s: `xq_s`/`xd_s`
+    * (micro-unit-quantized subvectors), `cent{0..iters}_s` (Lloyd rounds),
+    * and `codes_s` (final nearest-codeword assignment, ties by codeword
+    * id). Also emits `ed` (shared raw doubles) once. */
+  private val edCte =
+    """ed AS MATERIALIZED (SELECT vec_id AS id,
+      |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      |  FROM embeddings)""".stripMargin
+
+  /** When `emitEd` is false the output STARTS with a comma (the caller has
+    * already emitted the preceding CTE list including `ed`). */
+  private def pqCtes(m: Int, dsub: Int, ksub: Int, iters: Int,
+                     src: String = "ed", vcol: String = "e",
+                     emitEd: Boolean = true): String = {
+    val sb = new StringBuilder(if (emitEd) edCte else "")
     for (s <- 0 until m) {
       val off = s * dsub
       sb.append(s""",
          |xq_$s AS (SELECT id,
          |    list_transform(generate_series(${off + 1}, ${off + dsub}),
-         |      i -> CAST(floor(e[i] * 1000000.0) AS BIGINT)) AS xi
-         |  FROM ed),
-         |xd_$s AS (SELECT id, xi,
+         |      i -> CAST(floor($vcol[i] * 1000000.0) AS BIGINT)) AS xi
+         |  FROM $src),
+         |xd_$s AS MATERIALIZED (SELECT id, xi,
          |    list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x
          |  FROM xq_$s),
          |cent0_$s AS (
@@ -457,6 +464,59 @@ object PipelineQueries {
              |scored AS (
              |  SELECT p.vec_id, p.cell, p.neighbor_id,
              |    ((l0.part + l1.part) + l2.part) + l3.part AS adc
+             |  FROM prs p
+             |  JOIN codes_0 c0 ON c0.id = p.neighbor_id
+             |  JOIN lut_0 l0 ON l0.q_id = p.vec_id AND l0.code = c0.code
+             |  JOIN codes_1 c1 ON c1.id = p.neighbor_id
+             |  JOIN lut_1 l1 ON l1.q_id = p.vec_id AND l1.code = c1.code
+             |  JOIN codes_2 c2 ON c2.id = p.neighbor_id
+             |  JOIN lut_2 l2 ON l2.q_id = p.vec_id AND l2.code = c2.code
+             |  JOIN codes_3 c3 ON c3.id = p.neighbor_id
+             |  JOIN lut_3 l3 ON l3.q_id = p.vec_id AND l3.code = c3.code)
+             |SELECT vec_id, cell, neighbor_id, round(adc, 8) AS adc_dot,
+             |  CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT vec_id, cell, neighbor_id, adc, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
+             |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    // IVF-PQ with residual encoding — codebooks trained on r = x − c(cell);
+    // ADC adds the exact query·centroid term to the m residual LUT lookups
+    Q("similarity_pq_residual",
+      (s, dir) => Similarity.pqTopKResidual(embeddings(s, dir), "vec_id",
+        "embedding", dims = 64, m = 4, ksub = 16, iters = 2,
+        nCells = 8, cellIters = 3, k = 5)
+        .withColumn("adc_dot", round(col("adc_dot"), 8)),
+      Some(s"""WITH ${kmeansCtes(8, 64, 3)},
+             |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
+             |asgf AS (
+             |  SELECT id, cell FROM (
+             |    SELECT xdd.id, c.cent_id AS cell,
+             |      row_number() OVER (PARTITION BY xdd.id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |        - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
+             |        c.cent_id) AS rn
+             |    FROM xdd, cent3 c) WHERE rn = 1),
+             |$edCte,
+             |res AS MATERIALIZED (
+             |  SELECT ed.id, a.cell,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> ed.e[i] * c.cx[i])) AS qdot,
+             |    list_transform(generate_series(1, 64),
+             |      i -> ed.e[i] - c.cx[i]) AS r
+             |  FROM ed JOIN asgf a ON ed.id = a.id
+             |  JOIN cent3 c ON c.cent_id = a.cell)${
+               pqCtes(4, 16, 16, 2, src = "res", vcol = "r", emitEd = false)},
+             |${(0 until 4).map(s =>
+                 s"""lut_$s AS (SELECT ed.id AS q_id, c.cent_id AS code,
+                    |    list_sum(list_transform(generate_series(1, 16),
+                    |      i -> ed.e[${s * 16} + i] * c.cx[i])) AS part
+                    |  FROM ed, cent2_$s c)""".stripMargin).mkString(",\n")},
+             |prs AS (
+             |  SELECT q.id AS vec_id, q.cell, q.qdot, d.id AS neighbor_id
+             |  FROM res q JOIN res d ON q.cell = d.cell AND q.id <> d.id),
+             |scored AS (
+             |  SELECT p.vec_id, p.cell, p.neighbor_id,
+             |    ((((p.qdot + l0.part) + l1.part) + l2.part) + l3.part) AS adc
              |  FROM prs p
              |  JOIN codes_0 c0 ON c0.id = p.neighbor_id
              |  JOIN lut_0 l0 ON l0.q_id = p.vec_id AND l0.code = c0.code
