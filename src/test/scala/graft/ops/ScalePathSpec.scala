@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** At sf0.01 AQE freely broadcasts locally-tiny sides, which hides the
+  * join strategy a 1000-executor cluster would actually use. This spec
+  * re-runs the join-heavy registered queries with
+  * `spark.sql.autoBroadcastJoinThreshold = -1` — forcing every
+  * size-elective broadcast into a shuffle join, i.e. the 100 TB physical
+  * path — and asserts bit-identical results. Only bounded model-state
+  * broadcasts remain hinted in the plans (centroids, 1-row aggregates),
+  * which is exactly the set that survives at scale. */
+class ScalePathSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private val joinHeavy = Seq(
+    "join_asof_nearest", "join_atmos", "semdedup", "similarity_pq",
+    "similarity_pq_residual", "dedup_minhash_lsh", "dsir_select",
+    "token_percentiles", "decontam_ngram", "mixture_resample")
+
+  test("forcing shuffle joins (no size-elective broadcast) preserves results") {
+    for (name <- joinHeavy) {
+      val fn = graft.SparkEntry.queries(name)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val want = fn(spark, sfDir).collect().map(_.toString).sorted
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val got = fn(spark, sfDir).collect().map(_.toString).sorted
+        assert(got.sameElements(want), s"$name diverges without broadcasts")
+        assert(got.nonEmpty, s"$name empty")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    }
+  }
+}
