@@ -52,6 +52,7 @@ object RunOts {
     case "ingest" => ingest(spark, meta, input, output, instrument)
     case "clean"  => clean(spark, meta, input, output)
     case "waves"  => waves(spark, meta, input, output)
+    case "diwasp" => diwasp(spark, meta, input, output)
     case "export" => export(spark, meta, input, output)
     case other    => throw new IllegalArgumentException(s"unknown step $other")
   }
@@ -403,5 +404,54 @@ object RunOts {
     }
     Sink.writeParquet(stats, output, Sink.insertHistory(meta,
       "Wave statistics computed.", "1970-01-01T00:00:00Z"), float32 = false)
+  }
+
+  /** Directional wave analysis — the reference's `nc2diwasp` step
+    * (stglib/core/runcmd.py + core/waves.py:155-306): burst-reshaped
+    * pressure + horizontal velocities → DIWASP directional spectra. Writes
+    * the per-burst stats (Hs/Tp/Dtp/Dp) to `output`, and the full
+    * S(freq, dir) grid to `output_dspec` when `diwasp_dspec: true` is
+    * configured (the reference's `dspec` variable). Estimator, direction
+    * resolution, nfft, and frequency limits all come from metadata, like
+    * the reference's make_diwasp_inputs. */
+  def diwasp(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
+    val df = spark.read.parquet(input)
+    require(Seq("u", "v").forall(df.columns.contains),
+      "diwasp step needs u/v velocity columns (PUV-capable input)")
+    val presVar =
+      if (df.columns.contains("P_1ac")) "P_1ac"
+      else if (df.columns.contains("P_1")) "P_1"
+      else "pressure"
+    val nsamps = meta.int("wave_nsamps").getOrElse(512)
+    val fs = 1.0 / meta.dbl("sample_interval").getOrElse(1.0)
+    val z = meta.dbl("pressure_sensor_height")
+      .orElse(meta.dbl("initial_instrument_height")).getOrElse(0.0)
+    val bursts =
+      if (df.columns.contains("burst") && df.columns.contains("sample")) df
+      else Burst.fromContinuous(df, order = Seq("time"), part = Nil,
+        nsamps = nsamps, burstCol = "burst", sampleCol = "sample")
+    val depth = meta.dbl("WATER_DEPTH").getOrElse(10.0)
+    val zuv = meta.dbl("velocity_sample_height").getOrElse(z)
+    val nfft = meta.int("diwasp_nfft").getOrElse(math.min(nsamps, 256))
+    val dres = meta.int("diwasp_dres").getOrElse(90)
+    val method = meta.str("diwasp_method").getOrElse("DFTM")
+    val miter = meta.int("diwasp_miter").getOrElse(if (method == "IMLM") 5 else 0)
+    val fmin = meta.dbl("diwasp_fmin").getOrElse(0.05)
+    val fmax = meta.dbl("diwasp_fmax").getOrElse(0.45)
+    val stats = Spectra.diwaspStats(bursts, "burst", "sample", presVar, "u", "v",
+      depth = depth, zp = z, zuv = zuv, fs = fs, nfft = nfft, dres = dres,
+      method = method, miter = miter, fmin = fmin, fmax = fmax).toDF()
+    Sink.writeParquet(stats, output, Sink.insertHistory(meta,
+      s"DIWASP $method directional statistics computed.",
+      "1970-01-01T00:00:00Z"), float32 = false)
+    if (meta.str("diwasp_dspec").exists(_.equalsIgnoreCase("true"))) {
+      val grid = Spectra.diwaspFullSpectrum(bursts, "burst", "sample", presVar,
+        "u", "v", depth = depth, zp = z, zuv = zuv, fs = fs, nfft = nfft,
+        dres = dres, method = method, miter = miter,
+        fmin = fmin, fmax = fmax).toDF()
+      Sink.writeParquet(grid, output + "_dspec", Sink.insertHistory(meta,
+        "DIWASP directional spectrum grid computed.",
+        "1970-01-01T00:00:00Z"), float32 = false)
+    }
   }
 }
