@@ -358,12 +358,17 @@ object RunOts {
     * inputs with u/v velocity columns route through the PUV path (the
     * reference's vec/aqdwvs nc2waves, stglib/core/waves.py:1847-1989)
     * when `wave_vars: puv` is configured. */
-  def waves(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
+  /** Shared waves/diwasp input resolution: read the clean parquet, pick the
+    * pressure variable (P_1ac → P_1 → `pressure`, the .wad ingest naming,
+    * stglib/aqd/wvswad2cdf.py), and burst-reshape continuous inputs.
+    * Returns (bursts, presVar, nsamps, fs, z). */
+  private def waveInput(spark: SparkSession, meta: Meta, input: String)
+      : (DataFrame, String, Int, Double, Double) = {
     val df = spark.read.parquet(input)
     val presVar =
       if (df.columns.contains("P_1ac")) "P_1ac"
       else if (df.columns.contains("P_1")) "P_1"
-      else "pressure" // .wad ingest naming (stglib/aqd/wvswad2cdf.py)
+      else "pressure"
     val nsamps = meta.int("wave_nsamps").getOrElse(512)
     val fs = 1.0 / meta.dbl("sample_interval").getOrElse(1.0)
     val z = meta.dbl("pressure_sensor_height")
@@ -372,6 +377,11 @@ object RunOts {
       if (df.columns.contains("burst") && df.columns.contains("sample")) df
       else Burst.fromContinuous(df, order = Seq("time"), part = Nil,
         nsamps = nsamps, burstCol = "burst", sampleCol = "sample")
+    (bursts, presVar, nsamps, fs, z)
+  }
+
+  def waves(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
+    val (bursts, presVar, nsamps, fs, z) = waveInput(spark, meta, input)
     val puvVars = meta.str("wave_vars").contains("puv") &&
       Seq("u", "v").forall(bursts.columns.contains)
     var stats =
@@ -415,43 +425,39 @@ object RunOts {
     * resolution, nfft, and frequency limits all come from metadata, like
     * the reference's make_diwasp_inputs. */
   def diwasp(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
-    val df = spark.read.parquet(input)
-    require(Seq("u", "v").forall(df.columns.contains),
+    val (bursts, presVar, nsamps, fs, z) = waveInput(spark, meta, input)
+    require(Seq("u", "v").forall(bursts.columns.contains),
       "diwasp step needs u/v velocity columns (PUV-capable input)")
-    val presVar =
-      if (df.columns.contains("P_1ac")) "P_1ac"
-      else if (df.columns.contains("P_1")) "P_1"
-      else "pressure"
-    val nsamps = meta.int("wave_nsamps").getOrElse(512)
-    val fs = 1.0 / meta.dbl("sample_interval").getOrElse(1.0)
-    val z = meta.dbl("pressure_sensor_height")
-      .orElse(meta.dbl("initial_instrument_height")).getOrElse(0.0)
-    val bursts =
-      if (df.columns.contains("burst") && df.columns.contains("sample")) df
-      else Burst.fromContinuous(df, order = Seq("time"), part = Nil,
-        nsamps = nsamps, burstCol = "burst", sampleCol = "sample")
     val depth = meta.dbl("WATER_DEPTH").getOrElse(10.0)
     val zuv = meta.dbl("velocity_sample_height").getOrElse(z)
     val nfft = meta.int("diwasp_nfft").getOrElse(math.min(nsamps, 256))
     val dres = meta.int("diwasp_dres").getOrElse(90)
     val method = meta.str("diwasp_method").getOrElse("DFTM")
-    val miter = meta.int("diwasp_miter").getOrElse(if (method == "IMLM") 5 else 0)
+    val miter = meta.int("diwasp_miter")
+      .getOrElse(if (method.equalsIgnoreCase("IMLM")) 5 else 0)
     val fmin = meta.dbl("diwasp_fmin").getOrElse(0.05)
     val fmax = meta.dbl("diwasp_fmax").getOrElse(0.45)
-    val stats = Spectra.diwaspStats(bursts, "burst", "sample", presVar, "u", "v",
-      depth = depth, zp = z, zuv = zuv, fs = fs, nfft = nfft, dres = dres,
-      method = method, miter = miter, fmin = fmin, fmax = fmax).toDF()
-    Sink.writeParquet(stats, output, Sink.insertHistory(meta,
-      s"DIWASP $method directional statistics computed.",
-      "1970-01-01T00:00:00Z"), float32 = false)
-    if (meta.str("diwasp_dspec").exists(_.equalsIgnoreCase("true"))) {
-      val grid = Spectra.diwaspFullSpectrum(bursts, "burst", "sample", presVar,
-        "u", "v", depth = depth, zp = z, zuv = zuv, fs = fs, nfft = nfft,
-        dres = dres, method = method, miter = miter,
-        fmin = fmin, fmax = fmax).toDF()
-      Sink.writeParquet(grid, output + "_dspec", Sink.insertHistory(meta,
-        "DIWASP directional spectrum grid computed.",
-        "1970-01-01T00:00:00Z"), float32 = false)
+    def note(what: String) = Sink.insertHistory(meta,
+      s"DIWASP $method $what computed.", "1970-01-01T00:00:00Z")
+    if (meta.bool("diwasp_dspec").contains(true)) {
+      // one kernel run per burst serves BOTH outputs: the grid rows carry
+      // the per-burst stats, so the estimator isn't executed twice
+      val grid = graft.ops.Spread.shared(
+        Spectra.diwaspSpectrumWithStats(bursts, "burst", "sample", presVar,
+          "u", "v", depth = depth, zp = z, zuv = zuv, fs = fs, nfft = nfft,
+          dres = dres, method = method, miter = miter,
+          fmin = fmin, fmax = fmax).toDF())
+      Sink.writeParquet(
+        grid.select("burst", "hs", "tp", "dtp", "dp", "nfreq", "ndir").distinct(),
+        output, note("directional statistics"), float32 = false)
+      Sink.writeParquet(grid.select("burst", "freq", "dir", "s"),
+        output + "_dspec", note("directional spectrum grid"), float32 = false)
+    } else {
+      val stats = Spectra.diwaspStats(bursts, "burst", "sample", presVar, "u", "v",
+        depth = depth, zp = z, zuv = zuv, fs = fs, nfft = nfft, dres = dres,
+        method = method, miter = miter, fmin = fmin, fmax = fmax).toDF()
+      Sink.writeParquet(stats, output, note("directional statistics"),
+        float32 = false)
     }
   }
 }

@@ -329,9 +329,11 @@ object Dedup {
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     * clusters scope the quadratic cosine work, then within each cluster a
-    * vector is DROPPED iff some lower-id cluster-mate has cosine ≥ tau
-    * (deterministic greedy keep-first — the paper keeps one point per
-    * ε-ball; lowest id is the engine-portable choice of survivor).
+    * vector is DROPPED iff some lower-id cluster-mate has cosine ≥ tau.
+    * The rule is SURVIVOR-INDEPENDENT (the witness may itself have been
+    * dropped) — deliberately NOT chained-greedy, whose keep set depends on
+    * iteration order and is awkward to replay cross-engine; lowest id per
+    * ε-neighborhood is the engine-portable survivor choice.
     *
     * Output: the kept rows (vec_id, cell). Scale contract: clustering is
     * the bounded-model [[Similarity.kmeansLoop]] (no data-sized driver

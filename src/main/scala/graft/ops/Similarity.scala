@@ -283,6 +283,9 @@ object Similarity {
     * exact; no sqrt/normalize inside the training loop). */
   def pqModel(df: DataFrame, idCol: String, embCol: String, dims: Int,
               m: Int, ksub: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(dims % m == 0,
+      s"dims ($dims) must divide evenly into m=$m subspaces — trailing " +
+        "dimensions would be silently dropped otherwise")
     val dsub = dims / m
     val x = df.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("e"))
     (0 until m).toArray.map { s =>

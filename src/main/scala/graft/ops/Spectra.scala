@@ -186,6 +186,41 @@ object Spectra {
 
   final case class DspecRow(burst: Long, freq: Double, dir: Double, s: Double)
 
+  final case class DspecStatRow(burst: Long, freq: Double, dir: Double,
+                                s: Double, hs: Double, tp: Double, dtp: Double,
+                                dp: Double, nfreq: Int, ndir: Int)
+
+  /** Full S(freq, dir) grid WITH the per-burst stats repeated on every row —
+    * one kernel run serves both the grid sink and the stats sink (the CLI
+    * diwasp step); callers project/distinct the slice they need. */
+  def diwaspSpectrumWithStats(df: DataFrame, burstCol: String, sampleCol: String,
+                              pCol: String, uCol: String, vCol: String,
+                              depth: Double, zp: Double, zuv: Double, fs: Double,
+                              nfft: Int, dres: Int, method: String, miter: Int,
+                              fmin: Double, fmax: Double, smooth: Boolean = true)
+      : Dataset[DspecStatRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ds = df.select(col(burstCol).cast("long").as("_1"),
+        col(sampleCol).cast("long").as("_2"),
+        coalesce(col(pCol).cast("double"), lit(Double.NaN)).as("_3"),
+        coalesce(col(uCol).cast("double"), lit(Double.NaN)).as("_4"),
+        coalesce(col(vCol).cast("double"), lit(Double.NaN)).as("_5"))
+      .as[(Long, Long, Double, Double, Double)]
+    perGroup(ds, (t: (Long, Long, Double, Double, Double)) => t._1) { (k, rows) =>
+      val d = graft.kernels.Diwasp.dirspec(
+        Array(rows.map(_._3), rows.map(_._4), rows.map(_._5)),
+        Array("pres", "velx", "vely"),
+        Array(Array(0.0, 0.0, 0.0), Array(0.0, 0.0, 0.0), Array(zp, zuv, zuv)),
+        depth, fs, nfft, dres, method, miter, fmin, fmax, smooth, None)
+      for {
+        fi <- d.freqs.indices.iterator
+        di <- d.dirs.indices.iterator
+      } yield DspecStatRow(k, d.freqs(fi), d.dirs(di), d.s(fi)(di),
+        d.hs, d.tp, d.dtp, d.dp, d.freqs.length, d.dirs.length)
+    }
+  }
+
   /** Full DIWASP directional spectrum S(freq, dir) per burst — the grid the
     * reference materializes as the `dspec` variable (stglib/core/waves.py:
     * 185-192), exploded to long-format rows. Same kernel fan-out as

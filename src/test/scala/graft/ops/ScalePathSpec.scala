@@ -32,6 +32,10 @@ class ScalePathSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
       val want = fn(spark, sfDir).collect().map(_.toString).sorted
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // drop every persisted sub-plan (Spread.shared) so the no-broadcast
+      // run re-executes the full physical path instead of replaying cached
+      // InMemoryRelations populated by the first run
+      spark.catalog.clearCache()
       try {
         val got = fn(spark, sfDir).collect().map(_.toString).sorted
         assert(got.sameElements(want), s"$name diverges without broadcasts")
