@@ -311,6 +311,35 @@ object PipelineQueries {
              |  % 2147483647 % 1000, doc_id
              |LIMIT 100""".stripMargin)),
 
+    // deterministic per-epoch shuffling — the training-data ordering
+    // primitive: each epoch reads the corpus in a different reproducible
+    // pseudo-random order. Within-epoch ranks come from the ranged
+    // two-pass global index over (epoch, hash) MINUS the epoch offset —
+    // a per-epoch window would serialize the whole corpus through one
+    // task; this stays one range exchange
+    Q("epoch_shuffle",
+      (s, dir) => {
+        val d = documents(s, dir).select(col("doc_id"))
+          .withColumn("epoch", explode(sequence(lit(0L), lit(2L))))
+          .withColumn("hkey",
+            TA.sampleHash(col("doc_id") * 1000003L + col("epoch") * 7919L))
+        val n = documents(s, dir).agg(count(lit(1)).as("__n"))
+        graft.ops.Index.withGlobalPosition(d,
+            Seq("epoch", "hkey", "doc_id"), "gpos")
+          .crossJoin(broadcast(n))
+          .select(col("epoch"), col("doc_id"), col("hkey"),
+            (col("gpos") - col("epoch") * col("__n") + 1L).as("rank"))
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, e.epoch,
+             |    ((doc_id * 1000003 + e.epoch * 7919) % 2147483647)
+             |      * 2654435761 % 2147483647 AS h0
+             |  FROM documents, generate_series(0, 2) e(epoch))
+             |SELECT epoch, doc_id, (h0 + 40503) % 2147483647 % 1000 AS hkey,
+             |  row_number() OVER (PARTITION BY epoch
+             |    ORDER BY (h0 + 40503) % 2147483647 % 1000, doc_id) AS rank
+             |FROM h""".stripMargin)),
+
     // embedding-cosine near-dup (semantic dedup) within label scope
     Q("dedup_embed",
       (s, dir) => Dedup.embedCosinePairs(embeddings(s, dir), "vec_id",
