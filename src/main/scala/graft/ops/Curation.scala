@@ -54,6 +54,27 @@ object Curation {
   }
 
   /**
+   * Stateless decontamination against a FIXED eval n-gram set — the
+   * ingestion-time deployment shape of [[contaminationFlags]]: benchmark
+   * suites are bounded by construction (KBs–MBs of n-grams), so the eval
+   * set ships as a literal array and each document is flagged by a pure
+   * projection (`array_intersect` of its distinct n-grams with the set).
+   * No join, no shuffle, no state — the identical plan runs under
+   * Structured Streaming in append mode on each arriving micro-batch
+   * (proven in StreamDecontamSpec).
+   *
+   * Returns (idCol, n_overlap) for contaminated docs, matching
+   * [[contaminationFlags]]'s semantics (count of distinct shared n-grams).
+   */
+  def contaminationFlagsStatic(docs: DataFrame, idCol: String, textCol: String,
+                               evalGrams: Seq[String], n: Int): DataFrame = {
+    val grams = array_distinct(TA.wordNgrams(TA.tokens(col(textCol)), n))
+    docs.select(col(idCol),
+        size(array_intersect(grams, lit(evalGrams.toArray))).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+  }
+
+  /**
    * GPT-style sequence packing: concatenate all documents' tokens in
    * idCol order and cut the stream into fixed-length training sequences
    * of `seqLen` tokens. Emits the resulting (chunk, doc) span map —
