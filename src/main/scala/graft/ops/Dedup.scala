@@ -172,6 +172,51 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Incremental MinHash-LSH — the production shape for a growing corpus:
+    * only pairs TOUCHING the new batch are generated. The band join's left
+    * side is restricted to new-batch bands, so candidate work is
+    * |new bands| × bucket-mates — the existing index is never paired
+    * against itself (re-running full LSH over 100 TB per ingest is the
+    * thing this avoids). Output pairs are normalized (id_a < id_b) and
+    * estimated exactly like [[minhashLshPairs]] (k signature-agreement
+    * columns over shuffle hash joins). */
+  def minhashLshIncremental(df: DataFrame, idCol: String, textCol: String,
+                            numHashes: Int, bands: Int, estThreshold: Double,
+                            newPred: Column): DataFrame = {
+    val rows = numHashes / bands
+    val wide = Spread.shared(wideSignatures(df, idCol, textCol, numHashes)
+      .join(df.select(col(idCol), newPred.as("__new")), idCol))
+    val bandStructs = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws(",", (bnd * rows until (bnd + 1) * rows).map(i => col(s"mh$i")): _*)
+          .as("key"))
+    }
+    val bandDf = Spread.shared(wide
+      .select(col(idCol), col("__new"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("__new"), col("bk.band").as("band"),
+        col("bk.key").as("key")))
+    val newB = bandDf.filter(col("__new"))
+      .select(col(idCol).as("__na"), col("band"), col("key"))
+    val cand = newB
+      .join(bandDf.select(col(idCol).as("__b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("__na") =!= col("__b"))
+      .select(least(col("__na"), col("__b")).as("id_a"),
+        greatest(col("__na"), col("__b")).as("id_b"))
+      .distinct()
+    val wa = wide.select(col(idCol).as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val wb = wide.select(col(idCol).as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val eqSum = (0 until numHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(wa.hint("shuffle_hash"), "id_a").join(wb.hint("shuffle_hash"), "id_b")
+      .withColumn("est_jaccard", eqSum.cast("double") / numHashes)
+      .filter(col("est_jaccard") >= estThreshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** Portable SimHash over whitespace tokens: bit j of the signature is the
     * sign of Σ_tokens (2·((a_j·x+b_j mod p) & 1) − 1), with x the base-256
     * packing of the token's first 4 chars. numBits ≤ 32. */

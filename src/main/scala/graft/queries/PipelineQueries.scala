@@ -217,6 +217,43 @@ object PipelineQueries {
              |  GROUP BY 1, 2)
              |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7""".stripMargin)),
 
+    // incremental LSH: the doc_id % 5 == 0 slice plays the newly-ingested
+    // batch; only pairs touching it are generated — the index side is
+    // never paired against itself
+    Q("dedup_incremental",
+      (s, dir) => Dedup.minhashLshIncremental(documents(s, dir), "doc_id",
+        "text", numHashes = 16, bands = 2, estThreshold = 0.7,
+        newPred = col("doc_id") % 5 === 0),
+      Some(s"""WITH pos AS (
+             |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh FROM pos),
+             |shx AS (SELECT doc_id,
+             |    ascii(substr(sh,1,1))*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS x
+             |  FROM sh),
+             |sig AS MATERIALIZED (
+             |  SELECT doc_id, hp.i, min((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647) AS minhash
+             |  FROM shx, ${hpSql(16, "i, a, b")}
+             |  GROUP BY doc_id, hp.i),
+             |bandkey AS MATERIALIZED (
+             |  SELECT doc_id, i // 8 AS band,
+             |    string_agg(minhash, ',' ORDER BY i) AS key
+             |  FROM sig GROUP BY doc_id, i // 8),
+             |cand AS (
+             |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+             |    greatest(a.doc_id, b.doc_id) AS id_b
+             |  FROM bandkey a JOIN bandkey b
+             |    ON a.band = b.band AND a.key = b.key AND a.doc_id <> b.doc_id
+             |  WHERE a.doc_id % 5 = 0),
+             |est AS (
+             |  SELECT id_a, id_b,
+             |    sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+             |  FROM cand
+             |  JOIN sig sa ON sa.doc_id = id_a
+             |  JOIN sig sb ON sb.doc_id = id_b AND sb.i = sa.i
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7""".stripMargin)),
+
     Q("dedup_simhash",
       (s, dir) => Dedup.simhashPairs(documents(s, dir), "doc_id", "text",
         "source", numBits = 16, maxDist = 2),
