@@ -52,6 +52,72 @@ object Relational {
              |  count(*) AS count_order
              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // ---- multi-join OLAP shapes (TPC-H Q3/Q5) — dims broadcast by AQE,
+    // facts shuffle on their join keys; revenue sums follow the exact
+    // DECIMAL discipline so both engines agree bitwise ----------------
+    Q("q3_shipping",
+      (s, dir) => {
+        val rev = sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast("decimal(30,4)")).cast("double")
+        lineitem(s, dir).filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+          .join(orders(s, dir)
+            .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(rev.as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the cast is
+          // an identity reinterpretation and epoch_us(DuckDB) agrees
+          .selectExpr("l_orderkey",
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate", "revenue")
+      },
+      Some("""SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate,
+             |  CAST(sum(CAST(round(l_extendedprice * (1.0e0 - l_discount), 4)
+             |    AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |  AND o_orderdate < TIMESTAMP '1998-07-01'
+             |JOIN customer ON o_custkey = c_custkey
+             |  AND c_mktsegment = 'BUILDING'
+             |WHERE l_shipdate > TIMESTAMP '1998-07-01'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    Q("q5_region",
+      (s, dir) => {
+        val rev = sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast("decimal(30,4)")).cast("double")
+        customer(s, dir)
+          .join(orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(supplier(s, dir),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .join(nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+          .join(region(s, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(rev.as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(round(l_extendedprice * (1.0e0 - l_discount), 4)
+             |    AS DECIMAL(30,4))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin)),
+
     // ---- clip_ds family (stglib/core/utils.py:73-180) -----------------
     Q("clip_deployment",
       (s, dir) => Clip.clipDeployment(events(s, dir), "ts",
