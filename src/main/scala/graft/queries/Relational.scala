@@ -118,6 +118,34 @@ object Relational {
              |JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
              |GROUP BY n_name""".stripMargin)),
 
+    // rollup: all three grouping levels in ONE scan via Catalyst's Expand
+    // (vs three separate aggregations + union)
+    Q("q1_rollup",
+      (s, dir) => lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // explicit-value pivot: long → wide event counts per user bucket; the
+    // pivot value list is fixed so the output schema is static (the only
+    // scale-safe form — inferred pivots scan twice and can explode columns)
+    Q("events_pivot",
+      (s, dir) => events(s, dir)
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy("bucket")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(count(lit(1)))
+        .na.fill(0L),
+      Some("""SELECT user_id % 10 AS bucket,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // ---- clip_ds family (stglib/core/utils.py:73-180) -----------------
     Q("clip_deployment",
       (s, dir) => Clip.clipDeployment(events(s, dir), "ts",
