@@ -23,8 +23,9 @@ class ScalePathSpec extends AnyFunSuite {
 
   private val joinHeavy = Seq(
     "join_asof_nearest", "join_atmos", "semdedup", "similarity_pq",
-    "similarity_pq_residual", "dedup_minhash_lsh", "dsir_select",
-    "token_percentiles", "decontam_ngram", "mixture_resample")
+    "similarity_pq_residual", "dedup_minhash_lsh", "dedup_incremental",
+    "dsir_select", "token_percentiles", "decontam_ngram",
+    "mixture_resample", "q3_shipping", "q5_region")
 
   test("forcing shuffle joins (no size-elective broadcast) preserves results") {
     for (name <- joinHeavy) {
