@@ -754,6 +754,61 @@ object PipelineQueries {
     // corpus-trained char-bigram LM fluency score (add-one smoothing);
     // per-bigram log-probs rounded to 9 decimals and decimal-summed, so
     // the per-doc mean is summation-order-independent on both engines
+    // CCNet-style per-domain quality filtering: drop each source's bottom
+    // 20% by LM fluency score. The per-source percentile threshold comes
+    // from the score HISTOGRAM + cumulative window (bounded by distinct
+    // score values, not corpus size) — no data-sized window, and the
+    // LM scores themselves are bitwise engine-identical (decimal-summed),
+    // so the cut lands on the same documents in both engines
+    Q("quality_percentile_filter",
+      (s, dir) => {
+        val scored = TA.charBigramLmScore(documents(s, dir), "doc_id", "text")
+          .join(documents(s, dir).select("doc_id", "source"), "doc_id")
+        val hist = scored.groupBy("source", "lm_score").agg(count(lit(1)).as("c"))
+        val byVal = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("lm_score")
+        val all = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        val thresh = hist.withColumn("cum", sum("c").over(byVal))
+          .withColumn("n", sum("c").over(all))
+          .groupBy("source")
+          .agg(min(when(col("cum") >= expr("(n + 4) div 5"), col("lm_score")))
+            .as("t20"))
+        scored.join(thresh, "source")
+          .filter(col("lm_score") >= col("t20"))
+          .select("doc_id", "source", "lm_score")
+      },
+      Some("""WITH pos AS (
+             |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-1, 1))) AS i
+             |  FROM documents),
+             |bg AS (SELECT doc_id, substr(text, i, 2) AS bg FROM pos
+             |  WHERE length(substr(text, i, 2)) = 2),
+             |counts AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+             |c1t AS (SELECT substr(bg, 1, 1) AS c1, CAST(sum(cnt) AS BIGINT) AS tot
+             |  FROM counts GROUP BY 1),
+             |vv AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM counts),
+             |sc AS (SELECT b.doc_id,
+             |    CAST(round(ln((c.cnt + 1) / (t.tot + vv.v)), 9) AS DECIMAL(20,9)) AS lp
+             |  FROM bg b JOIN counts c USING (bg)
+             |  JOIN c1t t ON t.c1 = substr(b.bg, 1, 1), vv),
+             |scored AS MATERIALIZED (
+             |  SELECT s.doc_id, d.source,
+             |    CAST(sum(s.lp) AS DOUBLE)/count(*) AS lm_score
+             |  FROM sc s JOIN documents d ON s.doc_id = d.doc_id
+             |  GROUP BY s.doc_id, d.source),
+             |h AS (SELECT source, lm_score, count(*) AS c FROM scored GROUP BY 1, 2),
+             |cw AS (
+             |  SELECT source, lm_score,
+             |    sum(c) OVER (PARTITION BY source ORDER BY lm_score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(c) OVER (PARTITION BY source) AS n
+             |  FROM h),
+             |th AS (SELECT source,
+             |    min(CASE WHEN cum >= (n + 4) // 5 THEN lm_score END) AS t20
+             |  FROM cw GROUP BY source)
+             |SELECT s.doc_id, s.source, s.lm_score
+             |FROM scored s JOIN th ON s.source = th.source
+             |WHERE s.lm_score >= th.t20""".stripMargin)),
+
     Q("text_lm_score",
       (s, dir) => TA.charBigramLmScore(documents(s, dir), "doc_id", "text"),
       Some("""WITH pos AS (
