@@ -379,6 +379,36 @@ object Similarity {
       .select("vec_id", "cell", "neighbor_id", "adc_dot", "rank")
   }
 
+  /** Hard-negative mining for embedding/contrastive training: for every
+    * vector, the top-k most-similar vectors carrying a DIFFERENT label —
+    * the standard way to build contrastive batches (similar-but-wrong
+    * examples teach the margin). Candidate generation is scoped to k-means
+    * cells (the quadratic work never goes global) and runs as a salted
+    * shuffle join; ranking is exact cosine within the cell. */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, dims: Int, nCells: Int, iters: Int,
+                    k: Int): DataFrame = {
+    val (_, assigned) = kmeansLoop(df, idCol, embCol, nCells, dims, iters)
+    val cells = assigned.select(col("id").as("vec_id"), col("cell"))
+    val base = Spread.shared(normalized(df, idCol, embCol, "vec_id", "e")
+      .join(df.select(col(idCol).cast("long").as("vec_id"),
+        col(labelCol).as("lbl")), "vec_id")
+      .join(cells, "vec_id"))
+    val a = base.select(col("vec_id"), col("e").as("ea"), col("lbl").as("label"),
+      col("cell"))
+    val b = base.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
+      col("lbl").as("neg_label"), col("cell").as("__c2"))
+    val pairs = Spread.saltedJoin(a, b,
+        col("cell") === col("__c2") && col("vec_id") =!= col("neighbor_id") &&
+          col("label") =!= col("neg_label"),
+        col("vec_id"), Dedup.SALT)
+      .withColumn("cosine", ndot(col("ea"), col("eb")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "label", "neighbor_id", "neg_label", "cosine", "rank")
+  }
+
   /** IVF-PQ with RESIDUAL encoding — the canonical Jégou et al. layout:
     * each vector PQ-encodes its residual r = x − c(cell) from the coarse
     * centroid, so codebooks spend their bits on within-cell variation

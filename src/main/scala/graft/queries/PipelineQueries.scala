@@ -598,6 +598,48 @@ object PipelineQueries {
              |    (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
              |  FROM scored) WHERE rank <= 5""".stripMargin)),
 
+    // hard-negative mining: top-3 most-similar DIFFERENT-label neighbors
+    // per vector (contrastive-batch construction), candidates scoped to
+    // the shared k-means cells
+    Q("hard_negatives",
+      (s, dir) => Similarity.hardNegatives(embeddings(s, dir), "vec_id",
+        "embedding", "label", dims = 64, nCells = 8, iters = 3, k = 3)
+        .withColumn("cosine", round(col("cosine"), 8)),
+      Some(s"""WITH ${kmeansCtes(8, 64, 3)},
+             |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
+             |asgf AS (
+             |  SELECT id, cell FROM (
+             |    SELECT xdd.id, c.cent_id AS cell,
+             |      row_number() OVER (PARTITION BY xdd.id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |        - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
+             |        c.cent_id) AS rn
+             |    FROM xdd, cent3 c) WHERE rn = 1),
+             |e0 AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |e AS (SELECT vec_id, label,
+             |    list_transform(generate_series(1, 64), i -> emb[i] /
+             |      sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        j -> emb[j] * emb[j])))) AS e
+             |  FROM e0),
+             |wc AS (SELECT e.vec_id, e.label, e.e, a.cell
+             |  FROM e JOIN asgf a ON e.vec_id = a.id),
+             |prs AS (
+             |  SELECT a.vec_id, a.label, b.vec_id AS neighbor_id,
+             |    b.label AS neg_label,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> a.e[i] * b.e[i])) AS cosine
+             |  FROM wc a JOIN wc b
+             |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+             |    AND a.label <> b.label)
+             |SELECT vec_id, label, neighbor_id, neg_label,
+             |  round(cosine, 8) AS cosine, CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT vec_id, label, neighbor_id, neg_label, cosine,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM prs) WHERE rank <= 3""".stripMargin)),
+
     // SemDeDup: k-means clusters scope the cosine pair work; drop a vector
     // iff a lower-id cluster-mate is within tau — kept rows survive
     Q("semdedup",
