@@ -1103,6 +1103,25 @@ object PipelineQueries {
              |  FROM events)
              |GROUP BY event_type""".stripMargin)),
 
+    // REAL audio decode (PCM WAV is pure byte arithmetic — no codec lib):
+    // synthesize a deterministic WAV per doc, decode it with the RIFF
+    // chunk-walking parser, emit stats; the oracle computes the same stats
+    // in closed form from the synthesis rule, so the decoder only passes
+    // if it recovers every sample bit-exactly
+    Q("multimodal_wav_decode",
+      (s, dir) => Multimodal.wavRoundTrip(documents(s, dir), "doc_id",
+        nSamples = 64, sampleRate = 8000).toDF(),
+      Some("""WITH smp AS (
+             |  SELECT doc_id, ((doc_id * 31 + g.i * 7) % 65536) - 32768 AS amp
+             |  FROM documents, generate_series(0, 63) g(i))
+             |SELECT doc_id AS media_id,
+             |  CAST(8000 AS INTEGER) AS sample_rate,
+             |  CAST(1 AS INTEGER) AS channels,
+             |  CAST(64 AS INTEGER) AS n_samples,
+             |  CAST(sum(amp) AS DOUBLE) / 64 AS mean_amp,
+             |  CAST(max(amp) AS INTEGER) AS max_amp
+             |FROM smp GROUP BY doc_id""".stripMargin)),
+
     Q("multimodal_meta",
       (s, dir) => Multimodal.withMeta(
         documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),

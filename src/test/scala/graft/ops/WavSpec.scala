@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RIFF/WAVE PCM16 decoder — real byte-level parsing, not a stub. */
+class WavSpec extends AnyFunSuite {
+
+  test("encode → decode round-trips samples, rate, and channel count") {
+    val samples = Array.tabulate(17)(i => (i * 1000 - 8000).toShort)
+    val bytes = Multimodal.encodeWavPcm16(samples, 44100)
+    val (sr, ch, got) = Multimodal.decodeWavPcm16(bytes)
+    assert(sr == 44100 && ch == 1)
+    assert(got.toSeq == samples.toSeq)
+  }
+
+  test("chunk walker skips foreign chunks (LIST with odd size + pad byte)") {
+    val samples = Array[Short](1, -2, 32767, -32768)
+    val base = Multimodal.encodeWavPcm16(samples, 8000)
+    // splice an odd-sized LIST chunk between fmt and data (RIFF pads odd
+    // chunk bodies to even length)
+    val listBody = "INFOx".getBytes("US-ASCII") // 5 bytes (odd)
+    val pre = base.slice(0, 36)                 // through fmt chunk
+    val post = base.slice(36, base.length)      // data chunk
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ listBody ++ Array[Byte](0) // pad to even
+    val spliced = pre ++ list ++ post
+    // fix the RIFF size field (bytes 4-7, little endian)
+    val total = spliced.length - 8
+    for (j <- 0 until 4) spliced(4 + j) = ((total >> (8 * j)) & 0xff).toByte
+    val (sr, ch, got) = Multimodal.decodeWavPcm16(spliced)
+    assert(sr == 8000 && ch == 1)
+    assert(got.toSeq == samples.toSeq)
+  }
+
+  test("rejects non-WAV bytes and non-PCM formats") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("definitely not audio".getBytes)
+    }
+    val bad = Multimodal.encodeWavPcm16(Array[Short](1, 2), 8000)
+    bad(20) = 3 // audio format 3 = IEEE float
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(bad) }
+  }
+
+  test("interleaved stereo: channel-0 extraction") {
+    // hand-build a 2-channel data chunk: pairs (L, R)
+    val mono = Multimodal.encodeWavPcm16(Array[Short](0, 0, 0), 8000)
+    val stereoData = Array[Short](10, -99, 20, -88, 30, -77)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(mono.slice(0, 22)) // header through fmt audioFormat
+    out.write(Array[Byte](2, 0)) // channels = 2
+    out.write(mono.slice(24, 36))
+    out.write("data".getBytes("US-ASCII"))
+    out.write(Array[Byte](12, 0, 0, 0))
+    stereoData.foreach { v =>
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+    }
+    val bytes = out.toByteArray
+    val total = bytes.length - 8
+    for (j <- 0 until 4) bytes(4 + j) = ((total >> (8 * j)) & 0xff).toByte
+    val (_, ch, got) = Multimodal.decodeWavPcm16(bytes)
+    assert(ch == 2)
+    assert(got.toSeq == Seq[Short](10, 20, 30))
+  }
+}
