@@ -203,6 +203,79 @@ object Multimodal {
   final case class WavInfo(media_id: Long, sample_rate: Int, channels: Int,
                            n_samples: Int, mean_amp: Double, max_amp: Int)
 
+  // ---- REAL image decode: uncompressed 24-bit BMP --------------------
+  // The other codec-free container: BITMAPFILEHEADER + BITMAPINFOHEADER,
+  // BI_RGB only, bottom-up rows padded to 4-byte boundaries, BGR order.
+
+  /** Decode an uncompressed 24-bit BMP: (width, height, top-down RGB
+    * bytes, 3 per pixel). Throws on compressed or non-24-bit input. */
+  def decodeBmp24(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
+    val dataOff = u32le(bytes, 10).toInt
+    val w = u32le(bytes, 18).toInt
+    val h = u32le(bytes, 22).toInt
+    require(u16le(bytes, 28) == 24, "24-bit only")
+    require(u32le(bytes, 30) == 0L, "BI_RGB (uncompressed) only")
+    val stride = (w * 3 + 3) & ~3
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val src = dataOff + (h - 1 - y) * stride // bottom-up storage
+      var x = 0
+      while (x < w) {
+        out((y * w + x) * 3) = bytes(src + x * 3 + 2)     // R
+        out((y * w + x) * 3 + 1) = bytes(src + x * 3 + 1) // G
+        out((y * w + x) * 3 + 2) = bytes(src + x * 3)     // B
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Encode top-down RGB bytes as an uncompressed 24-bit BMP. */
+  def encodeBmp24(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val dataSz = stride * h
+    val out = new Array[Byte](54 + dataSz)
+    def p32(i: Int, v: Long): Unit = for (j <- 0 until 4)
+      out(i + j) = ((v >> (8 * j)) & 0xff).toByte
+    def p16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, 54L + dataSz); p32(10, 54L)
+    p32(14, 40L); p32(18, w.toLong); p32(22, h.toLong)
+    p16(26, 1); p16(28, 24); p32(30, 0L); p32(34, dataSz.toLong)
+    for (y <- 0 until h; x <- 0 until w) {
+      val dst = 54 + (h - 1 - y) * stride + x * 3
+      out(dst) = rgb((y * w + x) * 3 + 2)     // B
+      out(dst + 1) = rgb((y * w + x) * 3 + 1) // G
+      out(dst + 2) = rgb((y * w + x) * 3)     // R
+    }
+    out
+  }
+
+  final case class BmpInfo(media_id: Long, width: Int, height: Int,
+                           mean_pixel: Double, max_pixel: Int)
+
+  /** Synthesize a deterministic per-row BMP, decode it with the real
+    * parser, emit pixel stats — gated by a closed-form oracle exactly like
+    * [[wavRoundTrip]]. Width 5 exercises the 4-byte row padding. */
+  def bmpRoundTrip(df: DataFrame, idCol: String, w: Int, h: Int): Dataset[BmpInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rgb = new Array[Byte](w * h * 3)
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          rgb((y * w + x) * 3 + c) =
+            (((id * 7 + x * 3 + y * 11 + c * 5) % 256).toInt & 0xff).toByte
+        val (gw, gh, got) = decodeBmp24(encodeBmp24(w, h, rgb))
+        val s = got.map(_ & 0xff)
+        BmpInfo(id, gw, gh, s.map(_.toLong).sum.toDouble / s.length, s.max)
+      }
+    }
+  }
+
   /** Synthesize a deterministic per-row WAV, then DECODE it with the real
     * parser and emit audio stats. The oracle computes the same stats in
     * closed form from the synthesis rule — the decoder only matches if it

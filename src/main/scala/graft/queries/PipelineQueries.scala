@@ -1122,6 +1122,25 @@ object PipelineQueries {
              |  CAST(max(amp) AS INTEGER) AS max_amp
              |FROM smp GROUP BY doc_id""".stripMargin)),
 
+    // REAL image decode: uncompressed 24-bit BMP (bottom-up rows, 4-byte
+    // padding — width 5 makes the padding path load-bearing); same
+    // synthesize→decode→closed-form-oracle gate as the WAV query
+    Q("multimodal_bmp_decode",
+      (s, dir) => Multimodal.bmpRoundTrip(documents(s, dir), "doc_id",
+        w = 5, h = 4).toDF(),
+      Some("""WITH px AS (
+             |  SELECT doc_id,
+             |    (doc_id * 7 + gx.x * 3 + gy.y * 11 + gc.c * 5) % 256 AS v
+             |  FROM documents,
+             |    generate_series(0, 4) gx(x),
+             |    generate_series(0, 3) gy(y),
+             |    generate_series(0, 2) gc(c))
+             |SELECT doc_id AS media_id,
+             |  CAST(5 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+             |  CAST(sum(v) AS DOUBLE) / 60 AS mean_pixel,
+             |  CAST(max(v) AS INTEGER) AS max_pixel
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
     Q("multimodal_meta",
       (s, dir) => Multimodal.withMeta(
         documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),

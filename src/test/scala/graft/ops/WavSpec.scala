@@ -41,6 +41,20 @@ class WavSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(bad) }
   }
 
+  test("BMP 24-bit round-trip: padding, bottom-up rows, BGR→RGB") {
+    // width 3 → row bytes 9, stride 12 (padding load-bearing)
+    val w = 3; val h = 2
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 5) % 256).toByte)
+    val bytes = Multimodal.encodeBmp24(w, h, rgb)
+    assert(bytes.length == 54 + 12 * h)
+    val (gw, gh, got) = Multimodal.decodeBmp24(bytes)
+    assert(gw == w && gh == h)
+    assert(got.toSeq == rgb.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp24("not an image at all......".getBytes ++ new Array[Byte](54))
+    }
+  }
+
   test("interleaved stereo: channel-0 extraction") {
     // hand-build a 2-channel data chunk: pairs (L, R)
     val mono = Multimodal.encodeWavPcm16(Array[Short](0, 0, 0), 8000)
