@@ -276,6 +276,37 @@ object Multimodal {
     }
   }
 
+  final case class BmpResized(media_id: Long, out_w: Int, out_h: Int,
+                              mean_pixel: Double, max_pixel: Int)
+
+  /** Decode → transform on REAL pixels: nearest-neighbor resample of the
+    * decoded BMP (source index sx = x·w div outW — integer arithmetic, so
+    * the oracle can name every output pixel in closed form). Gated like
+    * [[bmpRoundTrip]]: stats only match if decode AND resample are exact. */
+  def bmpResizeRoundTrip(df: DataFrame, idCol: String, w: Int, h: Int,
+                         outW: Int, outH: Int): Dataset[BmpResized] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rgb = new Array[Byte](w * h * 3)
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          rgb((y * w + x) * 3 + c) =
+            (((id * 7 + x * 3 + y * 11 + c * 5) % 256).toInt & 0xff).toByte
+        val (gw, gh, px) = decodeBmp24(encodeBmp24(w, h, rgb))
+        var sum = 0L; var max = 0
+        for (y <- 0 until outH; x <- 0 until outW; c <- 0 until 3) {
+          val sx = x * gw / outW
+          val sy = y * gh / outH
+          val v = px((sy * gw + sx) * 3 + c) & 0xff
+          sum += v; if (v > max) max = v
+        }
+        BmpResized(id, outW, outH,
+          sum.toDouble / (outW * outH * 3), max)
+      }
+    }
+  }
+
   /** Synthesize a deterministic per-row WAV, then DECODE it with the real
     * parser and emit audio stats. The oracle computes the same stats in
     * closed form from the synthesis rule — the decoder only matches if it

@@ -1141,6 +1141,26 @@ object PipelineQueries {
              |  CAST(max(v) AS INTEGER) AS max_pixel
              |FROM px GROUP BY doc_id""".stripMargin)),
 
+    // decode → transform on real pixels: nearest-neighbor resize of the
+    // decoded BMP (integer source indices name every output pixel in the
+    // oracle); stats match only if decode AND resample are exact
+    Q("multimodal_bmp_resize",
+      (s, dir) => Multimodal.bmpResizeRoundTrip(documents(s, dir), "doc_id",
+        w = 5, h = 4, outW = 8, outH = 6).toDF(),
+      Some("""WITH px AS (
+             |  SELECT doc_id,
+             |    (doc_id * 7 + ((gx.x * 5) // 8) * 3
+             |      + ((gy.y * 4) // 6) * 11 + gc.c * 5) % 256 AS v
+             |  FROM documents,
+             |    generate_series(0, 7) gx(x),
+             |    generate_series(0, 5) gy(y),
+             |    generate_series(0, 2) gc(c))
+             |SELECT doc_id AS media_id,
+             |  CAST(8 AS INTEGER) AS out_w, CAST(6 AS INTEGER) AS out_h,
+             |  CAST(sum(v) AS DOUBLE) / 144 AS mean_pixel,
+             |  CAST(max(v) AS INTEGER) AS max_pixel
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
     Q("multimodal_meta",
       (s, dir) => Multimodal.withMeta(
         documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
