@@ -157,8 +157,10 @@ object Pd0 {
       case 0x0D00 if vCells > 0 =>
         vPg = Some(Array.tabulate(vCells)(c => u8(ens, off + 2 + c)))
       case 0x3200 =>
-        // axis-major raw ints, matching the reference's beam×3 int array
-        // (rdiadcpy.py:1513-1527); scaling to ±1 is a cdf2nc-stage concern
+        // Flat AXIS-MAJOR raw ints as laid out on the wire: index =
+        // axis*nbeams + beam. NOTE this is the TRANSPOSE of the reference's
+        // returned beam×3 array (rdiadcpy.py:1513-1527 transposes to
+        // beam-major before returning); scaling to ±1 is a cdf2nc concern.
         xform = Some(Array.tabulate(3 * f.nbeams)(i =>
           i16(ens, off + 2 + 2 * i)))
       case _ =>

@@ -166,6 +166,10 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val id = new String(bytes.slice(pos, pos + 4), "US-ASCII")
       val sz = u32le(bytes, pos + 4).toInt
+      // Untrusted input: a negative (wrapped) or overlong chunk size must
+      // throw (quarantine-able), never hang the walker or read OOB.
+      require(sz >= 0 && pos + 8 + sz.toLong <= bytes.length,
+        s"malformed WAV chunk '$id' size=$sz at $pos")
       id match {
         case "fmt " =>
           require(u16le(bytes, pos + 8) == 1, "PCM only")
@@ -208,19 +212,28 @@ object Multimodal {
   // BI_RGB only, bottom-up rows padded to 4-byte boundaries, BGR order.
 
   /** Decode an uncompressed 24-bit BMP: (width, height, top-down RGB
-    * bytes, 3 per pixel). Throws on compressed or non-24-bit input. */
+    * bytes, 3 per pixel). Throws on compressed or non-24-bit input.
+    * biHeight is SIGNED per the BMP spec: negative means top-down rows. */
   def decodeBmp24(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP")
     val dataOff = u32le(bytes, 10).toInt
     val w = u32le(bytes, 18).toInt
-    val h = u32le(bytes, 22).toInt
+    val rawH = u32le(bytes, 22).toInt // signed i32: negative = top-down
+    val topDown = rawH < 0
+    val h = if (topDown) -rawH else rawH
     require(u16le(bytes, 28) == 24, "24-bit only")
     require(u32le(bytes, 30) == 0L, "BI_RGB (uncompressed) only")
-    val stride = (w * 3 + 3) & ~3
+    require(w > 0 && h > 0, s"bad BMP dims ${w}x$rawH")
+    val strideL = (w.toLong * 3 + 3) & ~3L
+    // Bounds before allocation: malformed dims/offsets throw, never OOB-read
+    // or attempt a multi-GB allocation on a truncated file.
+    require(dataOff >= 54 && dataOff.toLong + strideL * h <= bytes.length,
+      s"BMP pixel data out of bounds (off=$dataOff stride=$strideL h=$h len=${bytes.length})")
+    val stride = strideL.toInt
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
-      val src = dataOff + (h - 1 - y) * stride // bottom-up storage
+      val src = dataOff + (if (topDown) y else h - 1 - y) * stride
       var x = 0
       while (x < w) {
         out((y * w + x) * 3) = bytes(src + x * 3 + 2)     // R

@@ -181,6 +181,15 @@ object TextAnalysis {
     * in that fixed order. Returns (id, n_emails, n_phones, n_ips,
     * n_chars_redacted, redacted_md5) — the digest stands in for the
     * scrubbed text so downstream equality checks stay row-sized. */
+  /** Overlap semantics (deterministic, engine-consistent, mirrored in the
+    * DuckDB oracle): n_emails/n_phones/n_ips each count pattern matches
+    * against the ORIGINAL text independently, while redaction applies
+    * sequentially (email, then phone, then IP) to the progressively-redacted
+    * text. For inputs where patterns overlap (e.g. "555-123-4567@x.co": the
+    * email replacement consumes the digits the phone pattern also matched),
+    * the counts can exceed the number of placeholder substitutions visible
+    * in the redacted digest — counts answer "what PII appeared", not "how
+    * many replacements were made". */
   def piiRedact(df: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)

@@ -55,6 +55,35 @@ class WavSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed WAV chunk sizes throw instead of hanging or OOB-reading") {
+    val base = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    // wrapped-negative chunk size (-8 would previously freeze pos)
+    val neg = base.clone()
+    for (j <- 0 until 4) neg(40 + j) = ((-8 >> (8 * j)) & 0xff).toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(neg) }
+    // truncated data chunk: declared size exceeds remaining bytes
+    val trunc = base.slice(0, base.length - 2)
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(trunc) }
+  }
+
+  test("BMP top-down (negative biHeight) decodes; truncated pixel data throws") {
+    val w = 3; val h = 2
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 5) % 256).toByte)
+    val bytes = Multimodal.encodeBmp24(w, h, rgb)
+    // flip to top-down: biHeight = -h, rows stored first-row-first
+    val td = bytes.clone()
+    for (j <- 0 until 4) td(22 + j) = ((-h >> (8 * j)) & 0xff).toByte
+    val stride = 12
+    for (y <- 0 until h) // swap the two stored rows back to top-down order
+      System.arraycopy(bytes, 54 + (h - 1 - y) * stride, td, 54 + y * stride, stride)
+    val (gw, gh, got) = Multimodal.decodeBmp24(td)
+    assert(gw == w && gh == h && got.toSeq == rgb.toSeq)
+    // truncated pixel data → bounds require, not OOB / giant allocation
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp24(bytes.slice(0, bytes.length - 4))
+    }
+  }
+
   test("interleaved stereo: channel-0 extraction") {
     // hand-build a 2-channel data chunk: pairs (L, R)
     val mono = Multimodal.encodeWavPcm16(Array[Short](0, 0, 0), 8000)
