@@ -25,8 +25,10 @@ object Multimodal {
       mean_byte: Double, byte_entropy: Double, histogram: Seq[Double])
 
   /** STUB decoder: derives fake (width, height, channels) from the byte
-    * stream deterministically. A real implementation would parse the
-    * image/audio container header here. */
+    * stream deterministically. REAL decoders exist for WAV PCM16 + BMP24
+    * (below) and PNG RGB/RGBA ([[graft.ops.Png]], pure java.util.zip) —
+    * this stub remains only for codecs with no JVM-only implementation
+    * path in this container (JPEG, MP3, video). */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     val b0 = if (n > 0) bytes(0) & 0xff else 0
@@ -316,6 +318,31 @@ object Multimodal {
         }
         BmpResized(id, outW, outH,
           sum.toDouble / (outW * outH * 3), max)
+      }
+    }
+  }
+
+  final case class PngInfo(media_id: Long, width: Int, height: Int,
+                           channels: Int, mean_pixel: Double, max_pixel: Int)
+
+  /** Synthesize a deterministic per-row RGBA image, encode it as a real
+    * PNG (DEFLATE, per-row filter type y % 5 so all five filter paths are
+    * load-bearing, IDAT split across two chunks), decode it with
+    * [[Png.decode]], and emit pixel stats. Gated by a closed-form oracle
+    * exactly like [[bmpRoundTrip]] — stats match only if the full
+    * container + inflate + unfilter pipeline is bit-exact. */
+  def pngRoundTrip(df: DataFrame, idCol: String, w: Int, h: Int): Dataset[PngInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val px = new Array[Byte](w * h * 4)
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 4)
+          px((y * w + x) * 4 + c) =
+            (((id * 7 + x * 3 + y * 11 + c * 5) % 256).toInt & 0xff).toByte
+        val (gw, gh, gc, got) = Png.decode(Png.encode(w, h, 4, px))
+        val s = got.map(_ & 0xff)
+        PngInfo(id, gw, gh, gc, s.map(_.toLong).sum.toDouble / s.length, s.max)
       }
     }
   }

@@ -1161,6 +1161,28 @@ object PipelineQueries {
              |  CAST(max(v) AS INTEGER) AS max_pixel
              |FROM px GROUP BY doc_id""".stripMargin)),
 
+    // REAL compressed-image decode: PNG (DEFLATE via java.util.zip — no
+    // external codec). h=5 means rows y%5 exercise ALL five scanline
+    // filter types (None/Sub/Up/Average/Paeth); RGBA exercises color
+    // type 6; the encoder splits IDAT across two chunks. Same
+    // synthesize→decode→closed-form-oracle gate as the WAV/BMP queries.
+    Q("multimodal_png_decode",
+      (s, dir) => Multimodal.pngRoundTrip(documents(s, dir), "doc_id",
+        w = 6, h = 5).toDF(),
+      Some("""WITH px AS (
+             |  SELECT doc_id,
+             |    (doc_id * 7 + gx.x * 3 + gy.y * 11 + gc.c * 5) % 256 AS v
+             |  FROM documents,
+             |    generate_series(0, 5) gx(x),
+             |    generate_series(0, 4) gy(y),
+             |    generate_series(0, 3) gc(c))
+             |SELECT doc_id AS media_id,
+             |  CAST(6 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+             |  CAST(4 AS INTEGER) AS channels,
+             |  CAST(sum(v) AS DOUBLE) / 120 AS mean_pixel,
+             |  CAST(max(v) AS INTEGER) AS max_pixel
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
     Q("multimodal_meta",
       (s, dir) => Multimodal.withMeta(
         documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
