@@ -99,22 +99,37 @@ object Readers {
       }
     }
 
+  /** First `n` lines of a (possibly multi-GB) file, read driver-side
+    * through a bounded Hadoop stream — only the bytes holding those lines
+    * are ever read, so this is O(header block), not O(file). */
+  def headLines(spark: SparkSession, path: String, n: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val br = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Iterator.continually(br.readLine()).takeWhile(_ != null).take(n).toVector
+    } finally in.close()
+  }
+
   /** YSI EXO sonde CSV (stglib/exo.py:9-137): a fixed-size header block
     * precedes the column row; column names vary in casing across KOR
-    * software versions → lowercased, then date+time columns merged. Spark
-    * has no skiprows, so the preamble is dropped by position via a
-    * monotonically-increasing file-order index over the text lines. */
+    * software versions → lowercased, then date+time columns merged.
+    *
+    * Scale shape: the preamble + column row are read DRIVER-SIDE via a
+    * bounded stream ([[headLines]] — the reference's skiprows), and the
+    * data pass is a plain splittable line scan, so a multi-GB export never
+    * has to fit in one task (the previous `wholetext` read did). Preamble
+    * lines are excluded from the data scan by exact content match —
+    * unambiguous for these formats, where metadata/header lines are never
+    * valid data rows. */
   def readExoCsv(spark: SparkSession, path: String, skipRows: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // read as text, drop the header block, re-parse the remainder as CSV
-    val lines = spark.read.option("wholetext", "true").text(path)
-      .select(explode(split(col("value"), "\r?\n")).as("line"))
-      .withColumn("idx", row_number().over(
-        Window.orderBy(monotonically_increasing_id())) - 1)
-      .filter(col("idx") >= skipRows && length(trim(col("line"))) > 0)
-      .select("line")
-    val header = lines.head().getString(0).split(",").map(_.trim.toLowerCase)
-    val data = lines.filter(col("line") =!= lit(lines.head().getString(0)))
+    val head = headLines(spark, path, skipRows + 1)
+    require(head.size == skipRows + 1, s"file shorter than its header block: $path")
+    val header = head.last.split(",").map(_.trim.toLowerCase)
+    val data = spark.read.text(path).withColumnRenamed("value", "line")
+      .filter(length(trim(col("line"))) > 0)
+      .filter(!col("line").isin(head: _*))
       .select(split(col("line"), ",").as("f"))
     val cols = header.zipWithIndex.map { case (name, i) =>
       element_at(col("f"), i + 1).as(name)
@@ -145,12 +160,13 @@ object Readers {
   def readHoboCsv(spark: SparkSession, path: String,
                   names: Seq[String] = Seq("#", "DateTime", "AbsPres_kPa", "Temp_C"),
                   skipRows: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val lines = spark.read.option("wholetext", "true").text(path)
-      .select(explode(split(col("value"), "\r?\n")).as("line"))
-      .withColumn("idx", row_number().over(
-        Window.orderBy(monotonically_increasing_id())) - 1)
-      .filter(col("idx") > skipRows && length(trim(col("line"))) > 0)
+    // same scale shape as readExoCsv: bounded driver-side head for the
+    // title/header rows, splittable line scan for the data
+    val head = headLines(spark, path, skipRows + 1)
+    require(head.size == skipRows + 1, s"file shorter than its header block: $path")
+    val lines = spark.read.text(path).withColumnRenamed("value", "line")
+      .filter(length(trim(col("line"))) > 0)
+      .filter(!col("line").isin(head: _*))
       .select(split(col("line"), ",").as("f"))
     val cols = names.zipWithIndex.map { case (name, i) =>
       element_at(col("f"), i + 1).as(name)

@@ -26,6 +26,26 @@ class ExoHoboSpec extends AnyFunSuite {
       == "2024-01-15T00:00:00Z")
   }
 
+  test("EXO: data scan is splittable — no single-task file bound (wholetext is gone)") {
+    val f = java.io.File.createTempFile("exobig", ".csv")
+    val w = new java.io.PrintWriter(f)
+    (1 to 8).foreach(i => w.println(s"KOR export metadata line $i"))
+    w.println("Date (MM/DD/YYYY),Time (HH:mm:ss),Temp °C")
+    for (i <- 0 until 500) {
+      val mm = i % 60; val hh = (i / 60) % 24
+      w.println(f"1/15/2024,$hh%d:$mm%02d:00,${20.0 + (i % 17) * 0.1}%.1f")
+    }
+    w.close()
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try {
+      val df = Readers.readExoCsv(spark, f.getAbsolutePath)
+      assert(df.rdd.getNumPartitions > 1, "text scan should split the file")
+      assert(df.count() == 500)
+      assert(df.select("time").distinct().count() == 500) // every line parsed
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("HOBO: title row skipped, kPa -> dbar, EPIC renames") {
     val f = java.io.File.createTempFile("hobo", ".csv")
     val w = new java.io.PrintWriter(f)
