@@ -7,10 +7,16 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
 /**
- * netCDF-3 "classic" writer/reader (CDF-1, big-endian;
- * https://docs.unidata.ucar.edu/netcdf-c/current/file_format_specifications.html)
- * — the reference's final export step is `to_netcdf(unlimited_dims=["time"])`
- * (stglib/rsk/csv2cdf.py:259-264). Pure JVM, no native libs.
+ * netCDF classic-family writer/reader — CDF-1 ("classic") and CDF-5
+ * ("64-bit data", PnetCDF/netcdf-c NETCDF3_64BIT_DATA), big-endian, per the
+ * public format grammar
+ * (https://docs.unidata.ucar.edu/netcdf-c/current/file_format_specifications.html):
+ * in CDF-5 every NON_NEG size field (numrecs, name lengths, list counts,
+ * dim lengths, ndims, dimids, vsize) and every OFFSET (`begin`) widens to
+ * INT64, `ABSENT` is a 4-byte zero tag + 8-byte zero count, and the int64
+ * external types exist — so variables and offsets past 2 GiB are
+ * representable, which the reference's default netCDF4 output has and
+ * CDF-1 lacks (stglib/rsk/cdf2nc.py:145-147). Pure JVM, no native libs.
  *
  * Writer shape: a long-format DataFrame becomes 1-D record variables over
  * the unlimited `time` dimension, with global + per-variable attributes —
@@ -20,9 +26,15 @@ import org.apache.spark.sql.types._
  * one file per deployment/profile partition (Sink.writeParquet(partitionBy)
  * upstream decides the split).
  *
- * Types: DoubleType→NC_DOUBLE, FloatType→NC_FLOAT, IntegerType→NC_INT,
- * LongType→NC_DOUBLE (classic has no 64-bit int; the reference's CF time
- * encoding is double-based).
+ * Types: DoubleType→NC_DOUBLE, FloatType→NC_FLOAT, IntegerType→NC_INT;
+ * LongType→NC_INT64 in CDF-5 (native 64-bit int), NC_DOUBLE in CDF-1
+ * (classic has no 64-bit int; the reference's CF time encoding is
+ * double-based).
+ *
+ * `headerPad` reserves a gap between the header and the first data byte —
+ * the classic library exposes the same knob as nc__enddef's v_align/h_minfree
+ * — and is how the spec's >2³¹ `begin` offsets are exercised without
+ * materializing gigabytes (the gap is a filesystem hole).
  */
 object Netcdf3 {
 
@@ -33,35 +45,48 @@ object Netcdf3 {
   private val NC_INT = 4
   private val NC_FLOAT = 5
   private val NC_DOUBLE = 6
+  private val NC_INT64 = 10 // CDF-5 only
 
   private def pad4(n: Int): Int = (4 - n % 4) % 4
 
-  private def writeName(o: DataOutputStream, s: String): Unit = {
+  /** NON_NEG per the grammar: INT in CDF-1/2, INT64 in CDF-5. */
+  private def writeSize(o: DataOutputStream, v: Long, v5: Boolean): Unit =
+    if (v5) o.writeLong(v) else o.writeInt(v.toInt)
+  private def sizeLen(v5: Boolean): Int = if (v5) 8 else 4
+
+  private def writeName(o: DataOutputStream, s: String, v5: Boolean): Unit = {
     val b = s.getBytes("UTF-8")
-    o.writeInt(b.length); o.write(b)
+    writeSize(o, b.length.toLong, v5); o.write(b)
     (0 until pad4(b.length)).foreach(_ => o.writeByte(0))
   }
 
-  private def writeTextAttr(o: DataOutputStream, name: String, v: String): Unit = {
-    writeName(o, name)
+  private def writeTextAttr(o: DataOutputStream, name: String, v: String,
+                            v5: Boolean): Unit = {
+    writeName(o, name, v5)
     o.writeInt(NC_CHAR)
     val b = v.getBytes("UTF-8")
-    o.writeInt(b.length); o.write(b)
+    writeSize(o, b.length.toLong, v5); o.write(b)
     (0 until pad4(b.length)).foreach(_ => o.writeByte(0))
   }
 
-  private def ncType(dt: DataType): Int = dt match {
+  private def ncType(dt: DataType, v5: Boolean): Int = dt match {
     case FloatType => NC_FLOAT
     case IntegerType => NC_INT
+    case LongType if v5 => NC_INT64
     case _ => NC_DOUBLE
   }
   private def ncSize(t: Int): Int = if (t == NC_INT || t == NC_FLOAT) 4 else 8
 
   /** Write `df`'s numeric columns as record variables along the unlimited
     * `time` dimension. `attrs` = global attributes; `varAttrs` = per-column
-    * attributes (units/long_name/...). Column order is preserved. */
+    * attributes (units/long_name/...). Column order is preserved.
+    * `version` 1 = CDF-1 classic, 5 = CDF-5 (64-bit data). */
   def write(df: DataFrame, path: String, attrs: Seq[(String, String)] = Nil,
-            varAttrs: Map[String, Seq[(String, String)]] = Map.empty): Long = {
+            varAttrs: Map[String, Seq[(String, String)]] = Map.empty,
+            version: Int = 1, headerPad: Long = 0L): Long = {
+    require(version == 1 || version == 5, s"CDF version $version unsupported (1 or 5)")
+    require(headerPad >= 0, "headerPad must be non-negative")
+    val v5 = version == 5
     val fields = df.schema.fields.toSeq
     // fail BEFORE any bytes hit disk: a non-numeric column would otherwise
     // throw mid-stream and leave a corrupt half-written file
@@ -71,54 +96,68 @@ object Netcdf3 {
       case _ => false
     })
     require(bad.isEmpty,
-      s"netCDF-3 export supports numeric columns only; cast or drop: " +
+      s"netCDF export supports numeric columns only; cast or drop: " +
         bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
-    val types = fields.map(f => ncType(f.dataType))
+    val types = fields.map(f => ncType(f.dataType, v5))
     val recSize = types.map(ncSize).sum
 
     val header = new java.io.ByteArrayOutputStream()
     val h = new DataOutputStream(header)
-    h.writeBytes("CDF"); h.writeByte(1)
-    h.writeInt(0) // numrecs patched after streaming
+    h.writeBytes("CDF"); h.writeByte(version)
+    writeSize(h, 0L, v5) // numrecs patched after streaming
     // dim_list: one record dim "time" (size 0 = unlimited)
-    h.writeInt(NC_DIMENSION); h.writeInt(1)
-    writeName(h, "time"); h.writeInt(0)
-    // global attributes
+    h.writeInt(NC_DIMENSION); writeSize(h, 1L, v5)
+    writeName(h, "time", v5); writeSize(h, 0L, v5)
+    // global attributes (ABSENT = zero tag + zero count, count NON_NEG-wide)
     if (attrs.nonEmpty) {
-      h.writeInt(NC_ATTRIBUTE); h.writeInt(attrs.length)
-      attrs.foreach { case (k, v) => writeTextAttr(h, k, v) }
-    } else { h.writeInt(0); h.writeInt(0) }
+      h.writeInt(NC_ATTRIBUTE); writeSize(h, attrs.length.toLong, v5)
+      attrs.foreach { case (k, v) => writeTextAttr(h, k, v, v5) }
+    } else { h.writeInt(0); writeSize(h, 0L, v5) }
     // var_list — begins need the final header size: compute it first
-    val varMetaSize = fields.zipWithIndex.map { case (f, _) =>
+    val sz = sizeLen(v5)
+    val varMetaSize = fields.map { f =>
       val nameB = f.name.getBytes("UTF-8").length
       val va = varAttrs.getOrElse(f.name, Nil)
-      val vaSize = if (va.isEmpty) 8 else 8 + va.map { case (k, v) =>
+      val vaSize = if (va.isEmpty) 4 + sz else 4 + sz + va.map { case (k, v) =>
         val kb = k.getBytes("UTF-8").length; val vb = v.getBytes("UTF-8").length
-        (4 + kb + pad4(kb)) + 8 + (vb + pad4(vb)) // type+nelems then raw chars
+        (sz + kb + pad4(kb)) + 4 + sz + (vb + pad4(vb)) // name, type, nelems, chars
       }.sum
-      (4 + nameB + pad4(nameB)) + 4 + 4 + vaSize + 4 + 4 + 4
+      (sz + nameB + pad4(nameB)) + // name
+        sz + sz +                  // ndims + one dimid
+        vaSize +                   // vatt_list
+        4 +                        // nc_type
+        sz +                       // vsize
+        (if (v5) 8 else 4)         // begin (OFFSET)
     }.sum
-    val headerSize = header.size() + 8 + varMetaSize
-    h.writeInt(NC_VARIABLE); h.writeInt(fields.length)
-    var begin = headerSize
+    val headerSize = header.size() + 4 + sz + varMetaSize
+    h.writeInt(NC_VARIABLE); writeSize(h, fields.length.toLong, v5)
+    var begin = headerSize.toLong + headerPad
     fields.zipWithIndex.foreach { case (f, i) =>
-      writeName(h, f.name)
-      h.writeInt(1); h.writeInt(0) // 1 dim: dimid 0 (time)
+      writeName(h, f.name, v5)
+      writeSize(h, 1L, v5); writeSize(h, 0L, v5) // 1 dim: dimid 0 (time)
       val va = varAttrs.getOrElse(f.name, Nil)
       if (va.nonEmpty) {
-        h.writeInt(NC_ATTRIBUTE); h.writeInt(va.length)
-        va.foreach { case (k, v) => writeTextAttr(h, k, v) }
-      } else { h.writeInt(0); h.writeInt(0) }
+        h.writeInt(NC_ATTRIBUTE); writeSize(h, va.length.toLong, v5)
+        va.foreach { case (k, v) => writeTextAttr(h, k, v, v5) }
+      } else { h.writeInt(0); writeSize(h, 0L, v5) }
       h.writeInt(types(i))
-      h.writeInt(ncSize(types(i))) // vsize (per-record contribution)
-      h.writeInt(begin)
+      writeSize(h, ncSize(types(i)).toLong, v5) // vsize (per-record contribution)
+      if (v5) h.writeLong(begin)
+      else {
+        require(begin <= Int.MaxValue,
+          s"variable '${f.name}' begin $begin exceeds CDF-1's 32-bit offsets — write with version = 5")
+        h.writeInt(begin.toInt)
+      }
       begin += ncSize(types(i))
     }
     require(header.size() == headerSize, s"header size ${header.size()} != computed $headerSize")
 
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    raf.setLength(0L)
+    raf.write(header.toByteArray)
+    if (headerPad > 0) raf.seek(headerSize.toLong + headerPad) // hole, not bytes
     val out = new DataOutputStream(new BufferedOutputStream(
-      new FileOutputStream(path), 1 << 20))
-    out.write(header.toByteArray)
+      new FileOutputStream(raf.getFD), 1 << 20))
     // record data: variables interleaved per record
     var nrecs = 0L
     val it = df.toLocalIterator()
@@ -130,6 +169,9 @@ object Netcdf3 {
           case NC_INT =>
             out.writeInt(if (isNull) Int.MinValue
               else row.get(i).asInstanceOf[Number].intValue())
+          case NC_INT64 =>
+            out.writeLong(if (isNull) Long.MinValue
+              else row.get(i).asInstanceOf[Number].longValue())
           case NC_FLOAT =>
             out.writeFloat(if (isNull) Float.NaN
               else row.get(i).asInstanceOf[Number].floatValue())
@@ -140,11 +182,10 @@ object Netcdf3 {
       }
       nrecs += 1
     }
-    out.close()
+    out.flush()
     // patch numrecs at offset 4
-    val raf = new java.io.RandomAccessFile(path, "rw")
     raf.seek(4)
-    raf.writeInt(nrecs.toInt)
+    if (v5) raf.writeLong(nrecs) else raf.writeInt(nrecs.toInt)
     raf.close()
     nrecs
   }
@@ -153,10 +194,16 @@ object Netcdf3 {
 
   final case class NcVar(name: String, ncType: Int, begin: Long,
                          attrs: Map[String, String])
-  final case class NcFile(numrecs: Int, dims: Seq[(String, Int)],
-                          attrs: Map[String, String], vars: Seq[NcVar],
-                          bytes: Array[Byte]) {
-    def recSize: Int = vars.map(v => ncSize(v.ncType)).sum
+  final case class NcHeader(version: Int, numrecs: Long, dims: Seq[(String, Long)],
+                            attrs: Map[String, String], vars: Seq[NcVar]) {
+    def recSize: Long = vars.map(v => ncSize(v.ncType).toLong).sum
+  }
+  final case class NcFile(header: NcHeader, bytes: Array[Byte]) {
+    def numrecs: Int = header.numrecs.toInt
+    def dims: Seq[(String, Int)] = header.dims.map { case (n, s) => (n, s.toInt) }
+    def attrs: Map[String, String] = header.attrs
+    def vars: Seq[NcVar] = header.vars
+    def recSize: Int = header.recSize.toInt
     /** Column of a 1-D record variable as doubles. */
     def column(name: String): Array[Double] = {
       val v = vars.find(_.name == name).getOrElse(
@@ -166,6 +213,7 @@ object Netcdf3 {
         val off = (v.begin + r.toLong * recSize).toInt
         v.ncType match {
           case NC_INT => bb.getInt(off).toDouble
+          case NC_INT64 => bb.getLong(off).toDouble
           case NC_FLOAT => bb.getFloat(off).toDouble
           case _ => bb.getDouble(off)
         }
@@ -173,45 +221,90 @@ object Netcdf3 {
     }
   }
 
-  def read(bytes: Array[Byte]): NcFile = {
+  /** Parse a CDF-1/CDF-5 header from its leading bytes (the buffer only
+    * needs to hold the header, not the file). */
+  def parseHeader(bytes: Array[Byte]): NcHeader = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    require(bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F' &&
-      bytes(3) == 1, "not a CDF-1 classic file")
+    require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F' &&
+      (bytes(3) == 1 || bytes(3) == 5), "not a CDF-1/CDF-5 classic-family file")
+    val version = bytes(3).toInt
+    val v5 = version == 5
     var pos = 4
-    val numrecs = bb.getInt(pos); pos += 4
+    def readSize(): Long =
+      if (v5) { val v = bb.getLong(pos); pos += 8; v }
+      else { val v = bb.getInt(pos).toLong; pos += 4; v }
+    val numrecs = readSize()
     def readName(): String = {
-      val n = bb.getInt(pos); pos += 4
+      val n = readSize().toInt
       val s = new String(bytes, pos, n, "UTF-8")
       pos += n + pad4(n); s
     }
     def readAttrs(): Map[String, String] = {
-      val tag = bb.getInt(pos); val cnt = bb.getInt(pos + 4); pos += 8
+      val tag = bb.getInt(pos); pos += 4
+      val cnt = readSize()
       require(tag == NC_ATTRIBUTE || (tag == 0 && cnt == 0), s"bad attr tag $tag")
-      (0 until cnt).map { _ =>
+      (0L until cnt).map { _ =>
         val k = readName()
         val t = bb.getInt(pos); pos += 4
-        val n = bb.getInt(pos); pos += 4
+        val n = readSize().toInt
         require(t == NC_CHAR, "only text attrs supported")
         val v = new String(bytes, pos, n, "UTF-8"); pos += n + pad4(n)
         k -> v
       }.toMap
     }
-    val dimTag = bb.getInt(pos); val ndims = bb.getInt(pos + 4); pos += 8
+    val dimTag = bb.getInt(pos); pos += 4
+    val ndims = readSize()
     require(dimTag == NC_DIMENSION || (dimTag == 0 && ndims == 0))
-    val dims = (0 until ndims).map { _ =>
-      val nm = readName(); val sz = bb.getInt(pos); pos += 4; nm -> sz }
+    val dims = (0L until ndims).map { _ =>
+      val nm = readName(); val s = readSize(); nm -> s }
     val gatts = readAttrs()
-    val varTag = bb.getInt(pos); val nvars = bb.getInt(pos + 4); pos += 8
+    val varTag = bb.getInt(pos); pos += 4
+    val nvars = readSize()
     require(varTag == NC_VARIABLE || (varTag == 0 && nvars == 0))
-    val vars = (0 until nvars).map { _ =>
+    val vars = (0L until nvars).map { _ =>
       val nm = readName()
-      val nd = bb.getInt(pos); pos += 4 + 4 * nd
+      val nd = readSize()
+      (0L until nd).foreach(_ => readSize()) // dimids (NON_NEG-wide)
       val va = readAttrs()
       val t = bb.getInt(pos); pos += 4
-      pos += 4 // vsize
-      val begin = bb.getInt(pos).toLong; pos += 4
+      readSize() // vsize
+      val begin = if (v5) { val v = bb.getLong(pos); pos += 8; v }
+                  else { val v = bb.getInt(pos).toLong; pos += 4; v }
       NcVar(nm, t, begin, va)
     }
-    NcFile(numrecs, dims, gatts, vars, bytes)
+    NcHeader(version, numrecs, dims, gatts, vars)
+  }
+
+  def read(bytes: Array[Byte]): NcFile = NcFile(parseHeader(bytes), bytes)
+
+  /** Open a file without loading its data — the header is parsed from a
+    * bounded prefix read, and [[columnAt]] seeks per record. This is how a
+    * sparse multi-GiB CDF-5 file (begin offsets past 2³¹) is read without
+    * a multi-GiB buffer. */
+  def open(path: String): NcHeader = {
+    val f = new java.io.File(path)
+    val n = math.min(f.length(), 1L << 20).toInt // headers are KBs
+    val buf = new Array[Byte](n)
+    val in = new java.io.DataInputStream(new java.io.FileInputStream(f))
+    try in.readFully(buf) finally in.close()
+    parseHeader(buf)
+  }
+
+  /** Column of a 1-D record variable, fetched by per-record seeks. */
+  def columnAt(path: String, h: NcHeader, name: String): Array[Double] = {
+    val v = h.vars.find(_.name == name).getOrElse(
+      throw new NoSuchElementException(name))
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      Array.tabulate(h.numrecs.toInt) { r =>
+        raf.seek(v.begin + r.toLong * h.recSize)
+        v.ncType match {
+          case NC_INT => raf.readInt().toDouble
+          case NC_INT64 => raf.readLong().toDouble
+          case NC_FLOAT => raf.readFloat().toDouble
+          case _ => raf.readDouble()
+        }
+      }
+    } finally raf.close()
   }
 }
