@@ -55,13 +55,52 @@ object Spread {
    * Spread.byKey pre-partitions them — the aggregate then has no exchange
    * boundary to reuse. The cache entry is small (per-doc signatures /
    * normalized vectors) and evicted LRU; spill-safe at scale via the DISK
-   * tier. Lifecycle: there is no explicit unpersist — Spark's
-   * ContextCleaner unpersists cached data asynchronously once the
-   * DataFrame becomes unreachable (reference tracking), so entries do not
-   * accumulate beyond the live query set.
+   * tier. Lifecycle: repeated runs of the same query do NOT grow the cache
+   * (CacheManager keys on the canonicalized plan, so a plan-identical
+   * re-persist reuses the existing entry rather than adding one), but a
+   * Dataset.persist is pinned by CacheManager until an explicit unpersist —
+   * ContextCleaner cannot reclaim it, because CacheManager itself keeps the
+   * InMemoryRelation (and its RDD) strongly reachable. So every shared()
+   * output is tracked and [[release]] is the query/batch-completion hook
+   * that drops a session's tracked entries deterministically.
    */
-  def shared(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  def shared(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registry.synchronized {
+      // de-dup on the canonicalized plan — the same key CacheManager uses —
+      // so re-running a query tracks (and later releases) one entry, not
+      // one per run
+      val c = p.queryExecution.analyzed.canonicalized
+      if (!registry.exists(e => (e.sparkSession eq p.sparkSession) &&
+            e.queryExecution.analyzed.canonicalized == c))
+        registry += p
+    }
+    p
+  }
+
+  // strong refs are deliberate: CacheManager already pins the cached data
+  // until unpersist, so the registry adds no reachability beyond what Spark
+  // holds — it adds the handle needed to let go.
+  private val registry = scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  /** Unpersist every [[shared]] output tracked for `spark` — the explicit
+    * query-completion hook for deterministic cache pressure (the r5 advice:
+    * persisted shared plans otherwise live for the session under a 100 TB
+    * working set). Only graft-tracked entries are dropped; user caches are
+    * untouched. */
+  def release(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val (mine, rest) = registry.synchronized {
+      val t = registry.toVector; (t.filter(_.sparkSession eq spark), t.filterNot(_.sparkSession eq spark))
+    }
+    mine.foreach { df =>
+      try df.unpersist(false) catch { case _: Throwable => () }
+    }
+    registry.synchronized { registry.clear(); registry ++= rest }
+  }
+
+  /** Tracked-entry count for `spark` (lifecycle spec hook). */
+  private[graft] def trackedCount(spark: org.apache.spark.sql.SparkSession): Int =
+    registry.synchronized(registry.count(_.sparkSession eq spark))
 
   /**
    * Blocked cross join — the scale-safe form of `a.crossJoin(broadcast(b))`.
