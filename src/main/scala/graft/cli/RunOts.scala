@@ -106,6 +106,7 @@ object RunOts {
           s"Ingested $dir (ABS aux).", "1970-01-01T00:00:00Z"), float32 = false)
       return
     }
+    var sidecarExtra: Map[String, Any] = Map.empty
     val df =
       if (lower.endsWith(".pd0") || lower.endsWith(".000")) {
         // RDI ADCP binary ensembles (stglib/rdi/rdiadcpy.py)
@@ -128,9 +129,13 @@ object RunOts {
             substring(col("timeRaw"), 7, 2), lit(":"),
             substring(col("timeRaw"), 9, 5))))
       } else if (lower.endsWith(".hdr")) {
-        // Aquadopp profiler: .hdr config + .sen system + .aN/.vN matrices
-        // (stglib/aqd/hdr2cdf.py)
-        aquadoppIngest(spark, meta, input)
+        // Aquadopp profiler: .hdr config + .sen system + .aN/.vN/.cN
+        // matrices (stglib/aqd/hdr2cdf.py, hrhdr2cdf.py). Header-derived
+        // attrs (coordinate system, TransMatrix, cell geometry) merge into
+        // the sidecar so `clean` can run the HR velocity chain.
+        val (d, hdrAttrs) = aquadoppIngest(spark, meta, input)
+        sidecarExtra = hdrAttrs
+        d
       } else if (lower.endsWith(".vhd")) {
         // Vector velocimeter: .vhd burst headers + .dat samples
         // (stglib/vec/dat2cdf.py:103-260)
@@ -179,15 +184,20 @@ object RunOts {
       if (renamed.columns.contains("time"))
         Readers.applyClockError(renamed, "time", meta)
       else renamed // burst-indexed inputs (.wad) carry no per-sample timestamps
-    Sink.writeParquet(shifted, output, Sink.insertHistory(meta,
-      s"Ingested $input.", "1970-01-01T00:00:00Z"), float32 = false)
+    Sink.writeParquet(shifted, output,
+      Sink.insertHistory(Meta(meta.attrs ++ sidecarExtra),
+        s"Ingested $input.", "1970-01-01T00:00:00Z"), float32 = false)
   }
 
   /** Aquadopp .hdr deployment: scrape the header keywords, read the .sen
-    * system file and the per-cell amplitude/velocity matrices, join on
-    * (ens[, bin]) and attach bin geometry (stglib/aqd/hdr2cdf.py). Velocity
-    * names follow the header's coordinate system. */
-  private def aquadoppIngest(spark: SparkSession, meta: Meta, input: String): DataFrame = {
+    * system file and the per-cell amplitude/velocity/correlation matrices,
+    * join on (ens[, bin]) and attach bin geometry (stglib/aqd/hdr2cdf.py;
+    * correlation files are the HR family's addition,
+    * stglib/aqd/hrhdr2cdf.py:140-198). Velocity names follow the header's
+    * coordinate system. Returns the header attrs so the sidecar carries
+    * them into `clean` (the reference merges Instmeta into ds.attrs). */
+  private def aquadoppIngest(spark: SparkSession, meta: Meta,
+                             input: String): (DataFrame, Map[String, Any]) = {
     import graft.io.Aquadopp
     val base = input.stripSuffix(".hdr")
     val hdr = Aquadopp.readHdr(readText(input))
@@ -204,17 +214,24 @@ object RunOts {
       } ++ (1 to 3).flatMap { i =>
         val v = base + s".v$i"
         if (exists(v)) Some(Aquadopp.readMatrix(spark, readText(v), vels(i - 1))) else None
+      } ++ (1 to 3).flatMap { i =>
+        val c = base + s".c$i"
+        if (exists(c)) Some(Aquadopp.readMatrix(spark, readText(c), s"cor$i")) else None
       }
     val cells = mats.reduceOption((x, y) => x.join(y, Seq("ens", "bin")))
     val joined = cells.map(_.join(sen, "ens")).getOrElse(sen)
-    // bindist = blanking + cellsize/2 + bin*cellsize (cm → m; hdr2cdf.py)
+    // bindist = blanking + cellsize/2 + bin*cellsize (hdr2cdf.py); standard
+    // headers give cell size in cm, HR headers in mm
     val csM = hdr.get("AQDCellSize").map(_.toString.toDouble / 100.0)
-    val blankM = hdr.get("AQDBlankingDistance").map(_.toString.toDouble)
-    (csM, blankM) match {
+      .orElse(hdr.get("AQDHRCellSize").map(_.toString.toDouble / 1000.0))
+    val blankM = hdr.get("AQDBlankingDistance")
+      .orElse(hdr.get("AQDHRBlankingDistance")).map(_.toString.toDouble)
+    val out = (csM, blankM) match {
       case (Some(cs), Some(bl)) if joined.columns.contains("bin") =>
         joined.withColumn("bindist", lit(bl) + lit(cs / 2) + col("bin") * cs)
       case _ => joined
     }
+    (out, hdr)
   }
 
   /** Nortek Signature deployment: multi-chunk `basefile_*.mat` → one raw
@@ -317,9 +334,104 @@ object RunOts {
     Netcdf3.write(df, output, gatts, varAttrs)
   }
 
-  /** Raw parquet → deployment clip → atmospheric correction → call_qaqc →
-    * clean parquet. */
-  def clean(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
+  /** 3×3 numeric helpers for the constant part of the velocity transform. */
+  private def inv3(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val Array(a, b, c) = m(0); val Array(d, e, f) = m(1); val Array(g, h, i) = m(2)
+    val det = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    require(math.abs(det) > 1e-12, "singular transformation matrix")
+    Array(
+      Array(e * i - f * h, c * h - b * i, b * f - c * e),
+      Array(f * g - d * i, a * i - c * g, c * d - a * f),
+      Array(d * h - e * g, b * g - a * h, a * e - b * d)).map(_.map(_ / det))
+  }
+  private def mul3(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(3, 3)((i, j) => (0 until 3).map(k => a(i)(k) * b(k)(j)).sum)
+
+  /** Aquadopp / HR-Aquadopp cdf2nc velocity chain
+    * (stglib/aqd/hrcdf2nc.py:23-118; aqdutils.py coord_transform:156-214,
+    * set_orientation down-flip:291-294, magvar_correct:372-432,
+    * fill_agc/fill_cor:1631-1699, make_bin_depth:337-369): per-row
+    * BEAM/XYZ→ENU rotation with the header's 3×3 geometry matrix, magnetic
+    * declination rotation, beam-averaged AGC/correlation with threshold
+    * fills, raw beam-variable drop, and bin_depth. Everything is
+    * column-expression arithmetic — one codegen'd projection, no shuffle. */
+  private def aqdVelocityChain(df0: DataFrame, meta: Meta): DataFrame = {
+    import graft.functions.Mat3
+    var df = df0
+    val csOpt = meta.str("AQDHRCoordinateSystem").orElse(meta.str("AQDCoordinateSystem"))
+    val tmatOpt = meta.str("AQDTransMatrix")
+      .map(_.split(",").map(_.trim.toDouble).grouped(3).map(_.toArray).toArray)
+    val down = meta.str("orientation").exists(_.equalsIgnoreCase("down"))
+    val hpr = Seq("heading", "pitch", "roll")
+    (csOpt, tmatOpt) match {
+      case (Some(cs), Some(t0)) if cs != "ENU" && hpr.forall(df.columns.contains) =>
+        val vels = graft.io.Aquadopp.velNames(cs)
+        if (vels.forall(df.columns.contains)) {
+          // orientation DOWN negates rows 2-3 of T (set_orientation)
+          val t = if (down) t0.zipWithIndex.map { case (r, i) => if (i > 0) r.map(-_) else r }
+                  else t0
+          // BEAM→ENU: R = H·P·T; XYZ→ENU: R·T_orig⁻¹ = H·P·(T·T_orig⁻¹)
+          val cMat = if (cs == "BEAM") t else mul3(t, inv3(t0))
+          val r = Mat3.mul(Mat3.mul(
+            Mat3.heading("radians(heading - 90)"),
+            Mat3.tilt("radians(pitch)", "radians(roll)")), Mat3.const(cMat))
+          val Seq(ue, ve, we) = Mat3.apply3(r, vels)
+          df = df.withColumn("u_1205", expr(ue))
+            .withColumn("v_1206", expr(ve))
+            .withColumn("w_1204", expr(we))
+            .drop(vels: _*)
+        }
+      case _ =>
+    }
+    // magnetic declination: rotate horizontal velocities + heading
+    val magvar = meta.dbl("magnetic_variation_at_site")
+      .orElse(meta.dbl("magnetic_variation")).getOrElse(0.0)
+    if (magvar != 0 && df.columns.contains("u_1205") && df.columns.contains("v_1206")) {
+      val rad = math.toRadians(magvar)
+      val (cosv, sinv) = (math.cos(rad), math.sin(rad))
+      df = df
+        .withColumn("__u2", col("u_1205") * cosv + col("v_1206") * sinv)
+        .withColumn("v_1206", -col("u_1205") * sinv + col("v_1206") * cosv)
+        .withColumn("u_1205", col("__u2")).drop("__u2")
+      if (df.columns.contains("heading"))
+        df = df.withColumn("heading", pmod(col("heading") + magvar, lit(360.0)))
+    }
+    // beam-averaged echo intensity / correlation
+    if (Seq("amp1", "amp2", "amp3").forall(df.columns.contains))
+      df = df.withColumn("AGC_1202", (col("amp1") + col("amp2") + col("amp3")) / 3)
+    if (Seq("cor1", "cor2", "cor3").forall(df.columns.contains))
+      df = df.withColumn("cor_avg", (col("cor1") + col("cor2") + col("cor3")) / 3)
+    // threshold fills over the transformed velocities
+    val uvw = Seq("u_1205", "v_1206", "w_1204").filter(df.columns.contains)
+    meta.dbl("velocity_agc_min").foreach { m =>
+      if (df.columns.contains("AGC_1202"))
+        uvw.foreach(c => df = df.withColumn(c,
+          when(col("AGC_1202") > m, col(c))))
+    }
+    meta.dbl("velocity_cor_min").foreach { m =>
+      if (df.columns.contains("cor_avg"))
+        uvw.foreach(c => df = df.withColumn(c,
+          when(col("cor_avg") > m, col(c))))
+    }
+    // drop raw beam data (hrcdf2nc.ds_drop)
+    df = df.drop("amp1", "amp2", "amp3", "cor1", "cor2", "cor3")
+    // bin_depth (make_bin_depth): atmos-corrected pressure preferred
+    val pres = Seq("P_1ac", "P_1", "pressure").find(df.columns.contains)
+    pres match {
+      case Some(p) if df.columns.contains("bindist") =>
+        df = df.withColumn("bin_depth",
+          if (down) col(p) + col("bindist") else col(p) - col("bindist"))
+      case _ =>
+    }
+    df
+  }
+
+  /** Raw parquet → deployment clip → atmospheric correction → instrument
+    * velocity chain (when header attrs are present) → call_qaqc → clean
+    * parquet. The input's attrs sidecar merges UNDER the config (config
+    * wins) — the reference re-opens raw-.cdf attrs at each cdf2nc step. */
+  def clean(spark: SparkSession, meta0: Meta, input: String, output: String): Unit = {
+    val meta = Meta((Sink.readSidecar(input): Map[String, Any]) ++ meta0.attrs)
     var df = spark.read.parquet(input)
     df = Clip.clipDs(df, meta)
     // atmos_correct: aux time series (as-of nearest within tolerance, the
@@ -345,6 +457,9 @@ object RunOts {
             df = df.withColumn("P_1ac", col("P_1") - atm)
         }
     }
+    // instrument velocity chain (Aquadopp/HR): coordinate transform,
+    // magvar, AGC/correlation fills, bin_depth — no-op without header attrs
+    if (meta.has("AQDTransMatrix")) df = aqdVelocityChain(df, meta)
     val dataVars = df.columns.filterNot(Seq("time").contains).toSeq
     df = Trims.nanToNull(df, dataVars.filter(c =>
       df.schema(c).dataType.typeName == "double"))

@@ -29,8 +29,17 @@ object Aquadopp {
     val hr = text.contains("Extended velocity range")
     val shim = if (hr) "HR" else ""
     val m = scala.collection.mutable.Map.empty[String, Any]
-    text.linesIterator.foreach { row =>
-      if (row.contains("Number of checksum errors"))
+    val it = text.linesIterator
+    it.foreach { row =>
+      if (row.contains("Transformation matrix")) {
+        // 3×3 beam-geometry matrix spans the label row + two continuation
+        // rows (aqdutils.py:873-877); stored row-major, comma-joined
+        val rows = Seq(row) ++ (1 to 2).flatMap(_ => if (it.hasNext) Some(it.next()) else None)
+        val nine = rows.flatMap(r => v(r).split("\\s+").filter(_.nonEmpty))
+        if (nine.length == 9)
+          m("AQDTransMatrix") = nine.map(_.toDouble).mkString(",")
+      }
+      else if (row.contains("Number of checksum errors"))
         m("AQDNumberOfChecksumErrors") = num(row, " ").toInt
       else if (row.contains("Profile interval"))
         m("AQDProfileInterval") = num(row, " sec").toInt

@@ -73,6 +73,44 @@ object Sink {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     }
 
+  /** Read a dataset's `_graft_attrs.json` sidecar back (the reference
+    * re-opens raw-.cdf attrs at each step). Flat string-to-string JSON as
+    * written above; empty if absent. */
+  def readSidecar(path: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(path, "_graft_attrs.json")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    val s = java.nio.file.Files.readString(p).trim
+    // tokenize "k": "v" pairs, honoring backslash escapes inside strings
+    val out = scala.collection.mutable.Map.empty[String, String]
+    var i = 0
+    def readString(): String = {
+      require(s(i) == '"'); i += 1
+      val b = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          s(i) match {
+            case 'n' => b.append('\n')
+            case 'u' => b.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
+            case c => b.append(c)
+          }
+        } else b.append(s(i))
+        i += 1
+      }
+      i += 1
+      b.toString
+    }
+    while (i < s.length) {
+      if (s(i) == '"') {
+        val k = readString()
+        while (i < s.length && s(i) != '"') i += 1
+        val v = readString()
+        out(k) = v
+      } else i += 1
+    }
+    out.toMap
+  }
+
   /** Append a provenance line (insert_history, stglib/core/utils.py:238-250);
     * timestamps injected by the caller for determinism. */
   def insertHistory(meta: Meta, text: String, timestamp: String): Meta = {

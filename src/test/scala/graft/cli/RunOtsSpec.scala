@@ -78,6 +78,88 @@ class RunOtsSpec extends AnyFunSuite {
     assert(new java.io.File(waves, "_graft_attrs.json").exists())
   }
 
+  test("HR Aquadopp lifecycle: hdr/sen/a/v/c ingest -> clean (ENU, fills) -> waves") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_hr").toFile
+    def put(name: String)(body: java.io.PrintWriter => Unit): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f); body(w); w.close(); f
+    }
+    val nEns = 520
+    // .hdr: 38-char label column; "Extended velocity range" marks HR
+    def pad(l: String, v: String) = l.padTo(38, ' ') + v
+    val hdr = put("dep.hdr") { w =>
+      w.println(pad("Profile interval", "1 sec"))
+      w.println(pad("Number of cells", "1"))
+      w.println(pad("Cell size", "250 mm"))
+      w.println(pad("Extended velocity range", "ON"))
+      w.println(pad("Blanking distance", "0.10 m"))
+      w.println(pad("Coordinate system", "BEAM"))
+      w.println(pad("Transformation matrix", "1.5774 -0.7891 -0.7891"))
+      w.println(pad("", "0.0000 -1.3662 1.3662"))
+      w.println(pad("", "0.3677 0.3677 0.3677"))
+    }
+    // .sen: heading 90 / pitch 0 / roll 0 make H and P identity, so
+    // expected ENU = T · beam in closed form; pressure carries an 8 s wave
+    put("dep.sen") { w =>
+      for (i <- 0 until nEns) {
+        val p = 10.0 + 0.4 * math.sin(2 * math.Pi * 0.125 * i)
+        val hh = i / 3600; val mm = (i / 60) % 60; val ss = i % 60
+        w.println(f"2 1 2024 $hh $mm $ss 0 0 12.5 1500 90.0 0.0 0.0 $p%.4f 20.0 0 0")
+      }
+    }
+    for ((ext, value) <- Seq("a1" -> "120", "a2" -> "130", "a3" -> "140"))
+      put(s"dep.$ext")(w => (0 until nEns).foreach(_ => w.println(value)))
+    for ((ext, value) <- Seq("v1" -> "0.1", "v2" -> "0.2", "v3" -> "0.3"))
+      put(s"dep.$ext")(w => (0 until nEns).foreach(_ => w.println(value)))
+    // correlation drops below threshold on ensembles 100-109
+    for (ext <- Seq("c1", "c2", "c3"))
+      put(s"dep.$ext")(w => (0 until nEns).foreach(i =>
+        w.println(if (i >= 100 && i < 110) "20" else "80")))
+
+    val meta = graft.core.Meta(Map(
+      "rename_pressure" -> "P_1", "rename_temperature" -> "T_28",
+      "orientation" -> "UP", "velocity_cor_min" -> 30.0,
+      "initial_instrument_height" -> 0.5, "WATER_DEPTH" -> 10.5,
+      "latitude" -> 30.0, "sample_interval" -> 1.0,
+      "wave_nsamps" -> 256, "spec_nsegs" -> 4, "wave_fcut" -> 0.3))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    val waves = new java.io.File(dir, "waves").getAbsolutePath
+    RunOts.runStep(spark, "aqd", "ingest", meta, hdr.getAbsolutePath, raw)
+
+    // header attrs (HR-prefixed) landed in the sidecar
+    val side = graft.io.Sink.readSidecar(raw)
+    assert(side("AQDHRCoordinateSystem") == "BEAM")
+    assert(side("AQDTransMatrix").startsWith("1.5774,-0.7891"))
+    assert(side("AQDHRCellSize") == "250")
+
+    RunOts.runStep(spark, "aqd", "clean", meta, raw, clean)
+    val c = spark.read.parquet(clean)
+    // raw beam variables dropped, transformed + averaged variables present
+    assert(!c.columns.exists(Set("VEL1", "VEL2", "VEL3", "amp1", "cor1")))
+    assert(Set("u_1205", "v_1206", "w_1204", "AGC_1202", "cor_avg", "bin_depth")
+      .subsetOf(c.columns.toSet))
+    val r0 = c.orderBy("ens").head()
+    // with H = P = I: u = T row1 · (0.1, 0.2, 0.3), etc.
+    assert(math.abs(r0.getAs[Double]("u_1205") - (-0.23681)) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("v_1206") - 0.13662) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("w_1204") - 0.22062) < 1e-9)
+    assert(r0.getAs[Double]("AGC_1202") == 130.0)
+    // bin 0 bindist = 0.10 + 0.125 = 0.225; up-looking: P - bindist
+    assert(math.abs(r0.getAs[Double]("bin_depth") -
+      (r0.getAs[Double]("P_1") - 0.225)) < 1e-9)
+    // low-correlation ensembles filled (10 of them), others kept
+    assert(c.filter("u_1205 IS NULL").count() == 10)
+    assert(c.filter("cor_avg <= 30 AND u_1205 IS NOT NULL").count() == 0)
+
+    RunOts.runStep(spark, "aqd", "waves", meta, clean, waves)
+    val stats = spark.read.parquet(waves)
+    assert(stats.count() == 2) // 520 samples -> 2 full 256-sample bursts
+    val row = stats.orderBy("burst").head()
+    assert(math.abs(row.getAs[Double]("wp_peak") - 8.0) < 0.5)
+    assert(row.getAs[Double]("wh_4061") > 1.0)
+  }
+
   test("native .rsk ingest and netCDF-3 export round the lifecycle") {
     val dir = java.nio.file.Files.createTempDirectory("runots_rsk").toFile
     val rsk = getClass.getResource("/fixture.rsk").getPath
