@@ -361,8 +361,16 @@ class RunOtsSpec extends AnyFunSuite {
     val stats = spark.read.parquet(waves)
     assert(stats.count() == 2)
     assert(stats.columns.contains("tpp") && stats.columns.contains("hrmsp"))
-    val r = stats.orderBy("burst").collect()(0)
-    assert(math.abs(r.getAs[Double]("tpp") - 8.0) < 1.0, s"tpp=${r.getAs[Double]("tpp")}")
+    // monochromatic golden (the PUV mirror of the diwasp recovery test):
+    // a 0.5 m surface amplitude gives m0 = a²/2, so Hrms = 2·√(2·m0) = 1.0
+    // exactly; both the pressure and the velocity estimate must recover it
+    // through depth attenuation (Kp at z=0.5 m, h=10 m), and Tpp the 8 s
+    // forcing. Tolerances cover the injected decorrelated sensor noise.
+    for (r <- stats.orderBy("burst").collect()) {
+      assert(math.abs(r.getAs[Double]("tpp") - 8.0) < 1.0, s"tpp=${r.getAs[Double]("tpp")}")
+      assert(math.abs(r.getAs[Double]("hrmsp") - 1.0) < 0.12, s"hrmsp=${r.getAs[Double]("hrmsp")}")
+      assert(math.abs(r.getAs[Double]("hrmsu") - 1.0) < 0.12, s"hrmsu=${r.getAs[Double]("hrmsu")}")
+    }
   }
 
   test("diwasp step: directional stats + optional S(f,theta) grid from config") {
