@@ -1,26 +1,40 @@
 package graft.io
 
+import graft.core.Meta
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
  * Output compliance validation (SURVEY §2.2: the reference runs the IOOS
  * compliance-checker over every written file, stglib/core/utils.py:44-70).
- * Validates the engine's CF-style contract on an output table: a time
- * coordinate exists, is non-null and strictly increasing per series; data
- * variables carry units + standard_name metadata; coordinate columns have
- * no missing values.
+ * Validates the engine's CF/ACDD-style contract on an output table:
+ *
+ *  - a time coordinate exists, is non-null and unique per series;
+ *  - coordinate columns have no missing values;
+ *  - geophysical (float/double data) variables carry units, standard_name
+ *    and coverage_content_type metadata (the IOOS checker's per-variable
+ *    ACDD rule; `Readers.withCfMetadata` stamps all three);
+ *  - declared valid_min/valid_max ranges actually hold over the data;
+ *  - when global attributes are supplied: the required identification set
+ *    (Conventions, title, institution) is present, and outputs carrying a
+ *    vertical coordinate name their datum (geopotential_datum_name /
+ *    vertical_datum / NAVD88_ref — what the reference's set_orientation
+ *    records, stglib/aqd/aqdutils.py:228-293).
  *
  * Runs as aggregations over the table (no collect of data), so it scales
- * with the output like any other query.
+ * with the output like any other query. Global-attribute rules evaluate
+ * only when `meta` is non-empty (schema-only callers stay supported).
  */
 object Compliance {
 
   final case class Violation(rule: String, detail: String)
 
+  private val VerticalNames = Set("z", "depth", "D_3", "bin_depth", "bindist")
+
   def check(df: DataFrame, timeCol: String = "time",
             coordCols: Seq[String] = Seq("time"),
-            seriesCols: Seq[String] = Nil): Seq[Violation] = {
+            seriesCols: Seq[String] = Nil,
+            meta: Meta = Meta.empty): Seq[Violation] = {
     val out = scala.collection.mutable.ArrayBuffer[Violation]()
 
     if (!df.columns.contains(timeCol))
@@ -44,14 +58,56 @@ object Compliance {
       if (nulls > 0) out += Violation("coord-no-fill", s"coordinate $c contains nulls")
     }
 
-    for (f <- df.schema.fields
-         if !coordCols.contains(f.name) &&
-           (f.dataType.typeName == "double" || f.dataType.typeName == "float")) {
+    val dataFields = df.schema.fields.filter(f =>
+      !coordCols.contains(f.name) &&
+        (f.dataType.typeName == "double" || f.dataType.typeName == "float"))
+
+    for (f <- dataFields) {
       if (!f.metadata.contains("units"))
         out += Violation("var-units", s"${f.name} missing units metadata")
       if (!f.metadata.contains("standard_name"))
         out += Violation("var-standard-name", s"${f.name} missing standard_name")
+      if (!f.metadata.contains("coverage_content_type"))
+        out += Violation("coverage-content-type",
+          s"${f.name} missing coverage_content_type")
     }
+
+    // declared valid ranges must hold over the data — one aggregation pass
+    // across all range-declaring variables
+    val ranged = dataFields.filter(f =>
+      f.metadata.contains("valid_min") || f.metadata.contains("valid_max"))
+    if (ranged.nonEmpty) {
+      val aggs = ranged.flatMap(f => Seq(
+        min(col(f.name)).as(s"__mn_${f.name}"), max(col(f.name)).as(s"__mx_${f.name}")))
+      val row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).collect()(0)
+      for (f <- ranged) {
+        val mn = row.getAs[Any](s"__mn_${f.name}")
+        val mx = row.getAs[Any](s"__mx_${f.name}")
+        def d(a: Any): Double = a.asInstanceOf[Number].doubleValue()
+        if (f.metadata.contains("valid_min") && mn != null &&
+            d(mn) < f.metadata.getDouble("valid_min"))
+          out += Violation("valid-range",
+            s"${f.name} min ${d(mn)} below valid_min ${f.metadata.getDouble("valid_min")}")
+        if (f.metadata.contains("valid_max") && mx != null &&
+            d(mx) > f.metadata.getDouble("valid_max"))
+          out += Violation("valid-range",
+            s"${f.name} max ${d(mx)} above valid_max ${f.metadata.getDouble("valid_max")}")
+      }
+    }
+
+    if (meta.attrs.nonEmpty) {
+      for (k <- Seq("Conventions", "title", "institution") if !meta.has(k))
+        out += Violation("global-attr", s"missing required global attribute $k")
+      val hasVertical = df.columns.exists(VerticalNames.contains)
+      val hasDatum = Seq("geopotential_datum_name", "vertical_datum",
+        "NAVD88_ref", "NAVD88_elevation_ref",
+        "height_above_geopotential_datum").exists(meta.has)
+      if (hasVertical && !hasDatum)
+        out += Violation("vertical-datum",
+          "output has a vertical coordinate but no datum attribute " +
+            "(geopotential_datum_name / vertical_datum / NAVD88_ref)")
+    }
+
     out.toSeq
   }
 }

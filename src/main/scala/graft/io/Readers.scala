@@ -94,6 +94,9 @@ object Readers {
           .withMetadata(d.schema(name).metadata)
           .putString("standard_name", std)
           .putString("units", units)
+          // per-variable ACDD attribute the IOOS checker expects on every
+          // geophysical variable; all EPIC-renamed vars are measurements
+          .putString("coverage_content_type", "physicalMeasurement")
           .build()
         d.withColumn(name, col(name).as(name, md))
       }

@@ -20,6 +20,42 @@ class ComplianceSpec extends AnyFunSuite {
     assert(Compliance.check(df).isEmpty)
   }
 
+  test("IOOS-style rules: datum, coverage_content_type, valid range, global attrs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    // deliberately broken: vertical coordinate without a datum attr, a
+    // variable whose data exceeds its declared valid_max, no
+    // coverage_content_type, and a global-attr set missing `institution`
+    val md = new MetadataBuilder()
+      .putString("standard_name", "sea_water_pressure")
+      .putString("units", "dbar")
+      .putDouble("valid_min", 0.0).putDouble("valid_max", 50.0).build()
+    val df = Seq(
+      ("2024-01-01 00:00:00", 10.0, 1.5),
+      ("2024-01-01 00:00:01", 80.0, 2.5)) // 80 > valid_max
+      .toDF("time", "P_1", "bin_depth")
+      .withColumn("time", col("time").cast("timestamp"))
+      .withColumn("P_1", col("P_1").as("P_1", md))
+    val broken = Meta(Map("Conventions" -> "CF-1.8", "title" -> "t"))
+    val v = Compliance.check(df, meta = broken,
+      coordCols = Seq("time", "bin_depth"))
+    assert(v.exists(_.rule == "coverage-content-type"))
+    assert(v.exists(r => r.rule == "valid-range" && r.detail.contains("valid_max")))
+    assert(v.exists(r => r.rule == "global-attr" && r.detail.contains("institution")))
+    assert(v.exists(_.rule == "vertical-datum"))
+    assert(!v.exists(r => r.rule == "valid-range" && r.detail.contains("valid_min")))
+
+    // fixing the dataset + attrs clears the new rules
+    val md2 = new MetadataBuilder().withMetadata(md)
+      .putString("coverage_content_type", "physicalMeasurement").build()
+    val good = df.filter("P_1 <= 50").withColumn("P_1", col("P_1").as("P_1", md2))
+    val fullMeta = Meta(Map("Conventions" -> "CF-1.8", "title" -> "t",
+      "institution" -> "USGS", "NAVD88_ref" -> -1.23))
+    assert(Compliance.check(good, meta = fullMeta,
+      coordCols = Seq("time", "bin_depth")).isEmpty)
+  }
+
   test("violations reported: non-monotone time, missing metadata") {
     import spark.implicits._
     val df = Seq(
