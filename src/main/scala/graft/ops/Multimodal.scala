@@ -26,9 +26,10 @@ object Multimodal {
 
   /** STUB decoder: derives fake (width, height, channels) from the byte
     * stream deterministically. REAL decoders exist for WAV PCM16 + BMP24
-    * (below) and PNG RGB/RGBA ([[graft.ops.Png]], pure java.util.zip) —
-    * this stub remains only for codecs with no JVM-only implementation
-    * path in this container (JPEG, MP3, video). */
+    * (below), PNG RGB/RGBA ([[graft.ops.Png]], pure java.util.zip), and
+    * baseline JPEG ([[decodeJpeg]], JDK ImageIO) — this stub remains only
+    * for codecs with no JVM-only implementation path in this container
+    * (MP3, video). */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     val b0 = if (n > 0) bytes(0) & 0xff else 0
@@ -318,6 +319,90 @@ object Multimodal {
         }
         BmpResized(id, outW, outH,
           sum.toDouble / (outW * outH * 3), max)
+      }
+    }
+  }
+
+  // ---- REAL JPEG decode via the JDK's ImageIO -------------------------
+  // java.desktop ships in every JVM, so baseline JPEG needs no external
+  // codec either. JPEG is LOSSY: unlike the WAV/BMP/PNG gates, pixel
+  // stats are not SQL-replayable — the gate is dims-exact recovery plus a
+  // bounded reconstruction error (a stub cannot reproduce pixels within
+  // RMS 8/255 of the synthesis rule; a real decoder trivially does).
+
+  private lazy val imageIoInit: Unit = {
+    System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false) // no temp-file churn per decode
+  }
+
+  /** Decode a JPEG (or any ImageIO-supported container) to top-down RGB
+    * bytes: (width, height, 3, rgb). Throws on undecodable input. */
+  def decodeJpeg(bytes: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    imageIoInit
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val i = (y * w + x) * 3
+        out(i) = ((p >> 16) & 0xff).toByte
+        out(i + 1) = ((p >> 8) & 0xff).toByte
+        out(i + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, 3, out)
+  }
+
+  /** Encode top-down RGB bytes as a baseline JPEG at the given quality. */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], quality: Float = 0.95f): Array[Byte] = {
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  final case class JpegInfo(media_id: Long, width: Int, height: Int,
+                            channels: Int, rms_ok: Boolean)
+
+  /** Synthesize a smooth per-row gradient image (JPEG-friendly), encode as
+    * a real JPEG, decode, and gate on exact dimension recovery + bounded
+    * reconstruction error (RMS < 8/255). The oracle names the dims and
+    * asserts rms_ok — deterministic in a fixed JVM, and impossible to
+    * satisfy without actually decoding the DCT stream. */
+  def jpegRoundTrip(df: DataFrame, idCol: String, w: Int, h: Int): Dataset[JpegInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rgb = new Array[Byte](w * h * 3)
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          rgb((y * w + x) * 3 + c) =
+            (((id % 32) * 4 + x * 8 + y * 4 + c * 3).toInt.min(255) & 0xff).toByte
+        val (gw, gh, gc, got) = decodeJpeg(encodeJpeg(w, h, rgb))
+        val rms = math.sqrt(rgb.indices.map { i =>
+          val d = (rgb(i) & 0xff) - (got(i) & 0xff); d.toDouble * d
+        }.sum / rgb.length)
+        JpegInfo(id, gw, gh, gc, rms < 8.0)
       }
     }
   }

@@ -1183,6 +1183,19 @@ object PipelineQueries {
              |  CAST(max(v) AS INTEGER) AS max_pixel
              |FROM px GROUP BY doc_id""".stripMargin)),
 
+    // REAL lossy-codec decode: baseline JPEG via the JDK's ImageIO
+    // (java.desktop — still no external dependency). Lossy, so the gate is
+    // dims-exact + bounded reconstruction error: rms_ok is TRUE only if
+    // the decoded pixels sit within RMS 8/255 of the synthesis rule,
+    // which no stub can fake and any real DCT decode satisfies.
+    Q("multimodal_jpeg_decode",
+      (s, dir) => Multimodal.jpegRoundTrip(documents(s, dir), "doc_id",
+        w = 16, h = 12).toDF(),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+             |  CAST(3 AS INTEGER) AS channels, TRUE AS rms_ok
+             |FROM documents""".stripMargin)),
+
     Q("multimodal_meta",
       (s, dir) => Multimodal.withMeta(
         documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
