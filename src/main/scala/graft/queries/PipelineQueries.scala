@@ -1183,6 +1183,17 @@ object PipelineQueries {
              |  CAST(max(v) AS INTEGER) AS max_pixel
              |FROM px GROUP BY doc_id""".stripMargin)),
 
+    // decode → feature-extract on real audio: a pure tone at bin
+    // 1 + doc_id % 20 goes through the real WAV codec and comes back out
+    // of a DFT periodogram argmax — the oracle names the bin in closed
+    // form, so the gate holds only if decoded samples are bit-faithful
+    Q("multimodal_audio_pitch",
+      (s, dir) => Multimodal.wavPitchRoundTrip(documents(s, dir), "doc_id",
+        n = 128, sampleRate = 8000).toDF(),
+      Some("""SELECT doc_id AS media_id, CAST(128 AS INTEGER) AS n_samples,
+             |  CAST(1 + doc_id % 20 AS INTEGER) AS dominant_bin
+             |FROM documents""".stripMargin)),
+
     // REAL lossy-codec decode: baseline JPEG via the JDK's ImageIO
     // (java.desktop — still no external dependency). Lossy, so the gate is
     // dims-exact + bounded reconstruction error: rms_ok is TRUE only if

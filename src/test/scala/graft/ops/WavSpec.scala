@@ -84,6 +84,25 @@ class WavSpec extends AnyFunSuite {
     }
   }
 
+  test("tone pitch recovery through the codec: DFT argmax hits the synthesis bin") {
+    // mirrors the multimodal_audio_pitch gate at unit level, without Spark
+    for (k <- Seq(1, 7, 20)) {
+      val n = 128
+      val samples = Array.tabulate(n)(i =>
+        math.round(12000.0 * math.sin(2 * math.Pi * k * i / n)).toShort)
+      val (_, _, got) = Multimodal.decodeWavPcm16(
+        Multimodal.encodeWavPcm16(samples, 8000))
+      val powers = (1 to n / 2).map { bin =>
+        val (re, im) = got.indices.foldLeft((0.0, 0.0)) { case ((r, m), i) =>
+          val ph = 2 * math.Pi * bin * i / n
+          (r + got(i) * math.cos(ph), m - got(i) * math.sin(ph))
+        }
+        bin -> (re * re + im * im)
+      }
+      assert(powers.maxBy(_._2)._1 == k, s"tone bin $k not recovered")
+    }
+  }
+
   test("interleaved stereo: channel-0 extraction") {
     // hand-build a 2-channel data chunk: pairs (L, R)
     val mono = Multimodal.encodeWavPcm16(Array[Short](0, 0, 0), 8000)
