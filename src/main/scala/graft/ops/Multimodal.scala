@@ -323,6 +323,30 @@ object Multimodal {
     }
   }
 
+  final case class WavDecimated(media_id: Long, out_rate: Int, n_out: Int,
+                                mean_amp: Double, max_amp: Int)
+
+  /** Decode → TRANSFORM on real audio: decimate the decoded stream by an
+    * integer factor (every factor-th sample — the audio resample analog of
+    * [[bmpResizeRoundTrip]]'s nearest-neighbor resize; integer indices let
+    * the oracle name every surviving sample in closed form). Stats match
+    * only if decode AND the decimation indexing are exact. */
+  def wavDecimateRoundTrip(df: DataFrame, idCol: String, nSamples: Int,
+                           sampleRate: Int, factor: Int): Dataset[WavDecimated] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val samples = Array.tabulate(nSamples)(i =>
+          (((id * 31 + i.toLong * 7) % 65536) - 32768).toShort)
+        val (sr, _, got) = decodeWavPcm16(encodeWavPcm16(samples, sampleRate))
+        val dec = got.indices.collect { case i if i % factor == 0 => got(i) }
+        WavDecimated(id, sr / factor, dec.length,
+          dec.map(_.toLong).sum.toDouble / dec.length, dec.map(_.toInt).max)
+      }
+    }
+  }
+
   final case class WavPitch(media_id: Long, n_samples: Int, dominant_bin: Int)
 
   /** Decode → FEATURE-EXTRACT on real audio: synthesize a pure tone at bin

@@ -1183,6 +1183,22 @@ object PipelineQueries {
              |  CAST(max(v) AS INTEGER) AS max_pixel
              |FROM px GROUP BY doc_id""".stripMargin)),
 
+    // decode → transform on real audio: decimate-by-4 over the decoded
+    // stream; surviving samples are named by the synthesis rule at indices
+    // 0, 4, 8, ... so the oracle is closed-form exact
+    Q("multimodal_audio_resample",
+      (s, dir) => Multimodal.wavDecimateRoundTrip(documents(s, dir), "doc_id",
+        nSamples = 64, sampleRate = 8000, factor = 4).toDF(),
+      Some("""WITH smp AS (
+             |  SELECT doc_id, ((doc_id * 31 + g.i * 4 * 7) % 65536) - 32768 AS amp
+             |  FROM documents, generate_series(0, 15) g(i))
+             |SELECT doc_id AS media_id,
+             |  CAST(2000 AS INTEGER) AS out_rate,
+             |  CAST(16 AS INTEGER) AS n_out,
+             |  CAST(sum(amp) AS DOUBLE) / 16 AS mean_amp,
+             |  CAST(max(amp) AS INTEGER) AS max_amp
+             |FROM smp GROUP BY doc_id""".stripMargin)),
+
     // decode → feature-extract on real audio: a pure tone at bin
     // 1 + doc_id % 20 goes through the real WAV codec and comes back out
     // of a DFT periodogram argmax — the oracle names the bin in closed
