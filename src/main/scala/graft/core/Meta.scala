@@ -35,6 +35,17 @@ final case class Meta(attrs: Map[String, Any]) {
   def seq(key: String): Option[Seq[Any]] = attrs.get(key).collect {
     case s: Seq[_]   => s
     case a: Array[_] => a.toSeq
+    // attrs round-tripped through the string-valued sidecar
+    // (Sink.writeParquet stringifies, readSidecar reads back): recover
+    // "List(a, b)" / "Vector(a, b)" / "[a, b]" as element strings, so
+    // has()-gated Seq consumers (Clip good_ens/good_dates) keep working
+    // on re-opened datasets instead of dying in dblSeq(...).get
+    case s: String if s.matches("""(List|Vector|ArrayBuffer|Seq)\(.*\)""") =>
+      s.substring(s.indexOf('(') + 1, s.length - 1).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+    case s: String if s.startsWith("[") && s.endsWith("]") =>
+      s.substring(1, s.length - 1).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
   }
 
   def dblSeq(key: String): Option[Seq[Double]] =

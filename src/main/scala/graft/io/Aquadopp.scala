@@ -29,14 +29,17 @@ object Aquadopp {
     val hr = text.contains("Extended velocity range")
     val shim = if (hr) "HR" else ""
     val m = scala.collection.mutable.Map.empty[String, Any]
-    val it = text.linesIterator
-    it.foreach { row =>
+    val lines = text.linesIterator.toVector
+    lines.zipWithIndex.foreach { case (row, idx) =>
       if (row.contains("Transformation matrix")) {
         // 3×3 beam-geometry matrix spans the label row + two continuation
-        // rows (aqdutils.py:873-877); stored row-major, comma-joined
-        val rows = Seq(row) ++ (1 to 2).flatMap(_ => if (it.hasNext) Some(it.next()) else None)
-        val nine = rows.flatMap(r => v(r).split("\\s+").filter(_.nonEmpty))
-        if (nine.length == 9)
+        // rows (aqdutils.py:873-877); stored row-major, comma-joined.
+        // Pure LOOKAHEAD — nothing is consumed, so a truncated/misaligned
+        // header never swallows keyword rows, and numeric continuation
+        // rows match no keyword branch below anyway.
+        val nine = (idx until math.min(idx + 3, lines.length))
+          .flatMap(i => v(lines(i)).split("\\s+").filter(_.nonEmpty))
+        if (nine.length == 9 && nine.forall(_.matches("-?\\d+(\\.\\d+)?([eE][-+]?\\d+)?")))
           m("AQDTransMatrix") = nine.map(_.toDouble).mkString(",")
       }
       else if (row.contains("Number of checksum errors"))

@@ -283,11 +283,24 @@ object Netcdf3 {
     * a multi-GiB buffer. */
   def open(path: String): NcHeader = {
     val f = new java.io.File(path)
-    val n = math.min(f.length(), 1L << 20).toInt // headers are KBs
-    val buf = new Array[Byte](n)
-    val in = new java.io.DataInputStream(new java.io.FileInputStream(f))
-    try in.readFully(buf) finally in.close()
-    parseHeader(buf)
+    // headers are KBs; start small and double on underflow so a file with
+    // an unusually large header (accumulated history attrs, many vars)
+    // still parses instead of failing on an arbitrary cap
+    var size = math.min(f.length(), 1L << 20)
+    while (true) {
+      val buf = new Array[Byte](size.toInt)
+      val in = new java.io.DataInputStream(new java.io.FileInputStream(f))
+      try in.readFully(buf) finally in.close()
+      try return parseHeader(buf)
+      catch {
+        case _ @ (_: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException)
+            if size < f.length() =>
+          size = math.min(f.length(), size * 4)
+        case e @ (_: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException) =>
+          throw new IllegalArgumentException(s"malformed netCDF header in $path", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Column of a 1-D record variable, fetched by per-record seeks. */

@@ -80,23 +80,32 @@ object Sink {
     val p = java.nio.file.Paths.get(path, "_graft_attrs.json")
     if (!java.nio.file.Files.exists(p)) return Map.empty
     val s = java.nio.file.Files.readString(p).trim
-    // tokenize "k": "v" pairs, honoring backslash escapes inside strings
+    // tokenize "k": "v" pairs, honoring backslash escapes inside strings;
+    // bounds-checked so a truncated (crash/disk-full mid-write) sidecar
+    // fails with a clear message, not a StringIndexOutOfBoundsException
+    def corrupt(): Nothing = throw new IllegalArgumentException(
+      s"corrupt attrs sidecar (truncated mid-string): $p")
     val out = scala.collection.mutable.Map.empty[String, String]
     var i = 0
     def readString(): String = {
-      require(s(i) == '"'); i += 1
+      if (i >= s.length || s(i) != '"') corrupt()
+      i += 1
       val b = new StringBuilder
-      while (s(i) != '"') {
+      while (i < s.length && s(i) != '"') {
         if (s(i) == '\\') {
           i += 1
+          if (i >= s.length) corrupt()
           s(i) match {
             case 'n' => b.append('\n')
-            case 'u' => b.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
+            case 'u' =>
+              if (i + 5 > s.length) corrupt()
+              b.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar); i += 4
             case c => b.append(c)
           }
         } else b.append(s(i))
         i += 1
       }
+      if (i >= s.length) corrupt()
       i += 1
       b.toString
     }
@@ -104,6 +113,7 @@ object Sink {
       if (s(i) == '"') {
         val k = readString()
         while (i < s.length && s(i) != '"') i += 1
+        if (i >= s.length) corrupt()
         val v = readString()
         out(k) = v
       } else i += 1

@@ -93,7 +93,10 @@ object Png {
     try {
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        require(n > 0 || !inf.needsInput(), "truncated PNG IDAT stream")
+        // n == 0 while unfinished means the stream is truncated OR demands
+        // a preset dictionary (FDICT) we never supply — both malformed
+        // here; throwing keeps the no-hang contract on untrusted input
+        require(n > 0, "truncated or dictionary-requiring PNG IDAT stream")
         got += n
       }
     } finally inf.end()

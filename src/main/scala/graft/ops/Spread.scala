@@ -88,15 +88,16 @@ object Spread {
     * persisted shared plans otherwise live for the session under a 100 TB
     * working set). Only graft-tracked entries are dropped; user caches are
     * untouched. */
-  def release(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (mine, rest) = registry.synchronized {
-      val t = registry.toVector; (t.filter(_.sparkSession eq spark), t.filterNot(_.sparkSession eq spark))
+  def release(spark: org.apache.spark.sql.SparkSession): Unit =
+    // one lock for select+remove: a shared() registration racing a release
+    // must never be dropped untracked (it would stay pinned with no handle)
+    registry.synchronized {
+      val mine = registry.filter(_.sparkSession eq spark)
+      mine.foreach { df =>
+        try df.unpersist(false) catch { case _: Throwable => () }
+      }
+      registry.filterInPlace(df => !(df.sparkSession eq spark))
     }
-    mine.foreach { df =>
-      try df.unpersist(false) catch { case _: Throwable => () }
-    }
-    registry.synchronized { registry.clear(); registry ++= rest }
-  }
 
   /** Tracked-entry count for `spark` (lifecycle spec hook). */
   private[graft] def trackedCount(spark: org.apache.spark.sql.SparkSession): Int =

@@ -24,6 +24,22 @@ class ConfigSpec extends AnyFunSuite {
     assert(m.str("Conventions").contains("CF-1.11"))
   }
 
+  test("Seq attrs survive the string-valued sidecar round trip") {
+    import graft.core.Meta
+    // Sink.writeParquet stringifies attrs ("List(0, 100)"); a later clean
+    // merges the sidecar back — Seq accessors must recover the elements so
+    // has()-gated consumers (Clip good_ens/good_dates) don't crash
+    val m = Meta(Map(
+      "good_ens" -> Seq(0, 100).toString,           // "List(0, 100)"
+      "good_dates" -> scala.collection.immutable.Vector("2024-01-01", "2024-02-01").toString,
+      "bracket" -> "[1.5, 2.5]"))
+    assert(m.dblSeq("good_ens").contains(Seq(0.0, 100.0)))
+    assert(m.strSeq("good_dates").contains(Seq("2024-01-01", "2024-02-01")))
+    assert(m.dblSeq("bracket").contains(Seq(1.5, 2.5)))
+    // plain strings are NOT misparsed as sequences
+    assert(Meta(Map("note" -> "a, b")).seq("note").isEmpty)
+  }
+
   test("YAML config parses scalars, lists, and QA/QC directives") {
     val yaml =
       """basefile: 'GB0014'
