@@ -331,7 +331,13 @@ object RunOts {
     val varAttrs = if (ordered.contains("time"))
       Map("time" -> Seq("units" -> "seconds since 1970-01-01T00:00:00Z",
         "standard_name" -> "time")) else Map.empty[String, Seq[(String, String)]]
-    Netcdf3.write(df, output, gatts, varAttrs)
+    // `netcdf_format: cdf5` lifts the classic 2 GiB limits (the reference's
+    // default engine is netCDF4 — CDF-5 is the classic-family equivalent)
+    val version = meta.str("netcdf_format").map(_.toLowerCase) match {
+      case Some("cdf5") | Some("netcdf3_64bit_data") => 5
+      case _ => 1
+    }
+    Netcdf3.write(df, output, gatts, varAttrs, version = version)
   }
 
   /** 3×3 numeric helpers for the constant part of the velocity transform. */

@@ -184,6 +184,15 @@ class RunOtsSpec extends AnyFunSuite {
     assert(read.vars.find(_.name == "time").get.attrs("standard_name") == "time")
     // time column exported as CF seconds since epoch
     assert(read.column("time").min == 1704067200.0)
+
+    // netcdf_format: cdf5 routes the same export through the 64-bit writer
+    val nc5 = new java.io.File(dir, "out5.nc").getAbsolutePath
+    RunOts.runStep(spark, "rsk", "export", meta + ("netcdf_format" -> "cdf5"),
+      raw, nc5)
+    val b5 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(nc5))
+    assert(b5(3) == 5) // CDF-5 magic
+    val r5 = graft.io.Netcdf3.read(b5)
+    assert(r5.numrecs == 6000 && r5.column("time").min == 1704067200.0)
   }
 
   test("EofE altimeter chain: .log ingest -> clean (trim) -> netCDF export") {
