@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-scale BPE merge-pair training (the public byte-pair-encoding
+ * algorithm of Sennrich et al. 2016, "Neural Machine Translation of Rare
+ * Words with Subword Units") — the tokenizer-training workload of an LLM
+ * data pipeline, run as k merge rounds over the DISTINCT-WORD frequency
+ * table (classic BPE trains on word counts, not the raw corpus, so the
+ * working set is vocabulary-sized).
+ *
+ * Scale shape: one shuffle builds (word, count); each round is one
+ * map-side-combinable pair-count aggregation over the word table plus a
+ * 1-ROW collect of the winning pair (bounded driver model state — the
+ * MLlib pattern, like the k-means trainer), and the merge itself applies
+ * per word as a left-fold over the symbol array (a HOF projection — no
+ * shuffle). Rounds are a fixed small count. At 100 TB the word table is
+ * millions of rows, still thousands of times smaller than the corpus.
+ *
+ * Determinism: the winning pair orders by (count DESC, left ASC,
+ * right ASC) — byte-lexicographic on ASCII in both engines. The greedy
+ * left-to-right merge is the reference semantics: "aaa" under pair (a,a)
+ * becomes [aa, a], which the fold reproduces exactly (a freshly merged
+ * symbol never re-merges with the following one inside the same round).
+ */
+object Bpe {
+
+  /** k learned merges: (step, left, right, pair_count). */
+  def train(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // distinct-word frequency table, symbols = characters
+    var words = df
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", split(col("w"), ""))
+      .persist()
+
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (step <- 1 to k) {
+      // adjacent symbol pairs weighted by word frequency — partial
+      // aggregation collapses each partition before the (tiny) shuffle
+      // sequence(1, size) then drop the final null-right pair: Spark's
+      // sequence(1, 0) is a DESCENDING [1, 0] for fully-merged 1-symbol
+      // words, so the off-the-end form with try_element_at is the safe one
+      val best = words
+        .select(col("cnt"), explode(expr(
+          "filter(transform(sequence(1, size(sym)), " +
+            "j -> struct(element_at(sym, j) AS l, try_element_at(sym, j + 1) AS r)), " +
+            "p -> p.r IS NOT NULL)")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) {
+        words.unpersist(false)
+        return merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")
+      }
+      val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      merges += ((step, l, r, c))
+
+      // greedy left-to-right merge as a left fold over each word's symbols
+      val lLit = lit(l); val rLit = lit(r); val m = lit(l + r)
+      val next = words.withColumn("sym",
+        aggregate(col("sym"),
+          array().cast("array<string>"),
+          (acc: Column, x: Column) =>
+            when(size(acc) > 0 &&
+                 element_at(acc, -1) === lLit && x === rLit,
+              concat(slice(acc, lit(1), size(acc) - 1), array(m)))
+              .otherwise(concat(acc, array(x))))).persist()
+      next.count() // materialize before dropping the parent cache entry
+      words.unpersist(false)
+      words = next
+    }
+    words.unpersist(false)
+    merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")
+  }
+}

@@ -1183,6 +1183,18 @@ object PipelineQueries {
              |  CAST(max(v) AS INTEGER) AS max_pixel
              |FROM px GROUP BY doc_id""".stripMargin)),
 
+    // corpus-scale BPE merge-pair training (Sennrich 2016): k merge rounds
+    // over the distinct-word frequency table; each round is one map-side-
+    // combinable pair count + a 1-row winning-pair collect (bounded model
+    // state), merge applied as a left-fold HOF. The oracle replays every
+    // round as chained CTEs with the greedy merge expressed positionally
+    // (a match position merges iff it has an even number of consecutive
+    // matches before it in its run — equivalent to the fold for L=R runs
+    // like "aaa", and vacuous for L≠R where overlaps are impossible).
+    Q("bpe_train",
+      (s, dir) => graft.ops.Bpe.train(documents(s, dir), "text", k = 6),
+      Some(bpeOracle(6))),
+
     // decode → transform on real audio: decimate-by-4 over the decoded
     // stream; surviving samples are named by the synthesis rule at indices
     // 0, 4, 8, ... so the oracle is closed-form exact
@@ -1293,4 +1305,64 @@ object PipelineQueries {
              |FROM documents, LATERAL (
              |  SELECT unnest(generate_series(0, length(text) - 1, 64)) AS off) g""".stripMargin))
   )
+
+  /** DuckDB replay of k BPE merge rounds as chained MATERIALIZED CTEs.
+    * Greedy left-to-right merge expressed positionally: position j merges
+    * iff it matches the winning pair AND has an even number of consecutive
+    * matches immediately before it within its run (run = maximal streak of
+    * matching positions). For left≠right pairs adjacent matches cannot
+    * overlap so every match merges; for left=right runs ("aaa") the parity
+    * rule reproduces the fold's [aa, a]. Words are ≤16 chars in this
+    * corpus, so the fixed generate_series bound is safe (symbol counts
+    * only shrink as merges apply). */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH words AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |w0 AS MATERIALIZED (
+        |  SELECT w, cnt,
+        |    list(substr(w, CAST(g.i AS INT), 1) ORDER BY g.i) AS sym
+        |  FROM words, generate_series(1, 16) g(i)
+        |  WHERE g.i <= length(w) GROUP BY w, cnt)""".stripMargin)
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        |p$i AS (
+        |  SELECT l, r, sum(cnt) AS c FROM (
+        |    SELECT sym[CAST(g.j AS INT)] AS l, sym[CAST(g.j AS INT) + 1] AS r, cnt
+        |    FROM w$p, generate_series(1, 16) g(j)
+        |    WHERE g.j <= len(sym) - 1)
+        |  GROUP BY l, r),
+        |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+        |e$i AS (
+        |  SELECT w, cnt, sym, CAST(g.j AS INT) AS j,
+        |    coalesce(sym[CAST(g.j AS INT)] = (SELECT l FROM b$i)
+        |      AND sym[CAST(g.j AS INT) + 1] = (SELECT r FROM b$i), FALSE) AS mt
+        |  FROM w$p, generate_series(1, 16) g(j)
+        |  WHERE g.j <= len(sym)),
+        |m$i AS (
+        |  SELECT w, cnt, sym, j, mt,
+        |    mt AND (j - 1 - coalesce(max(CASE WHEN NOT mt THEN j END)
+        |      OVER (PARTITION BY w ORDER BY j
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) % 2 = 0 AS mg
+        |  FROM e$i),
+        |s$i AS (
+        |  SELECT w, cnt, sym, j, mg,
+        |    coalesce(lag(mg) OVER (PARTITION BY w ORDER BY j), FALSE) AS skip
+        |  FROM m$i),
+        |w$i AS MATERIALIZED (
+        |  SELECT w, cnt,
+        |    list(CASE WHEN mg THEN (SELECT l FROM b$i) || (SELECT r FROM b$i)
+        |         ELSE sym[j] END ORDER BY j) FILTER (WHERE NOT skip) AS sym
+        |  FROM s$i GROUP BY w, cnt)""".stripMargin)
+    }
+    sb.append("\n" + (1 to k).map(i =>
+      s"""SELECT CAST($i AS INT) AS step, l AS merge_left, r AS merge_right,
+         |  CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL\n"))
+    sb.toString
+  }
 }
