@@ -27,8 +27,24 @@ import org.apache.spark.sql.functions._
  */
 object Bpe {
 
-  /** k learned merges: (step, left, right, pair_count). */
-  def train(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  /** k learned merges: (step, merge_left, merge_right, pair_count). */
+  def train(df: DataFrame, textCol: String, k: Int): DataFrame =
+    trainImpl(df, textCol, k)._1
+
+  /** The ENCODE side: per distinct word, its segmentation after the k
+    * learned merges — (word, tokens '|'-joined, n_tokens). At corpus scale
+    * the trained merge list is a bounded broadcastable model and encoding
+    * is a stateless projection over documents; here the distinct-word
+    * table IS the checkable unit. */
+  def segment(df: DataFrame, textCol: String, k: Int): DataFrame =
+    // the returned plan embeds the k winning pairs as literals (training
+    // collected them already), so it is a plain deterministic lineage —
+    // one word-table shuffle + k fold projections, no cache dependency
+    trainImpl(df, textCol, k)._2.select(col("w").as("word"),
+      array_join(col("sym"), "|").as("tokens"),
+      size(col("sym")).as("n_tokens"))
+
+  private def trainImpl(df: DataFrame, textCol: String, k: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -58,7 +74,7 @@ object Bpe {
         .limit(1).collect()
       if (best.isEmpty) {
         words.unpersist(false)
-        return merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")
+        return (merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count"), words)
       }
       val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((step, l, r, c))
@@ -78,6 +94,6 @@ object Bpe {
       words = next
     }
     words.unpersist(false)
-    merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count")
+    (merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count"), words)
   }
 }

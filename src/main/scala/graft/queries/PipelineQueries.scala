@@ -1195,6 +1195,17 @@ object PipelineQueries {
       (s, dir) => graft.ops.Bpe.train(documents(s, dir), "text", k = 6),
       Some(bpeOracle(6))),
 
+    // the ENCODE side of the trained tokenizer: per distinct word, its
+    // segmentation after the 6 learned merges — the oracle reuses the same
+    // replayed rounds and reads the final word table
+    Q("bpe_segment",
+      (s, dir) => graft.ops.Bpe.segment(documents(s, dir), "text", k = 6),
+      Some(bpeCtes(6) +
+        """
+          |SELECT w AS word, array_to_string(sym, '|') AS tokens,
+          |  CAST(len(sym) AS INT) AS n_tokens
+          |FROM w6""".stripMargin)),
+
     // decode → transform on real audio: decimate-by-4 over the decoded
     // stream; surviving samples are named by the synthesis rule at indices
     // 0, 4, 8, ... so the oracle is closed-form exact
@@ -1315,7 +1326,13 @@ object PipelineQueries {
     * rule reproduces the fold's [aa, a]. Words are ≤16 chars in this
     * corpus, so the fixed generate_series bound is safe (symbol counts
     * only shrink as merges apply). */
-  private def bpeOracle(k: Int): String = {
+  private def bpeOracle(k: Int): String =
+    bpeCtes(k) + "\n" + (1 to k).map(i =>
+      s"""SELECT CAST($i AS INT) AS step, l AS merge_left, r AS merge_right,
+         |  CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+
+  private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH words AS MATERIALIZED (
@@ -1359,10 +1376,6 @@ object PipelineQueries {
         |         ELSE sym[j] END ORDER BY j) FILTER (WHERE NOT skip) AS sym
         |  FROM s$i GROUP BY w, cnt)""".stripMargin)
     }
-    sb.append("\n" + (1 to k).map(i =>
-      s"""SELECT CAST($i AS INT) AS step, l AS merge_left, r AS merge_right,
-         |  CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
-      .mkString("\nUNION ALL\n"))
     sb.toString
   }
 }
