@@ -44,6 +44,21 @@ object Bpe {
       array_join(col("sym"), "|").as("tokens"),
       size(col("sym")).as("n_tokens"))
 
+  /** Corpus-scale ENCODE: per-document token counts under the trained
+    * tokenizer. The (word → n_tokens) map is vocabulary-sized — a
+    * broadcast-join model, exactly how a production tokenizer pass runs:
+    * the corpus is touched once, streaming, with no corpus-sized shuffle
+    * (the groupBy key is doc_id, partial-aggregated map-side). */
+  def docTokens(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val seg = segment(df, textCol, k).select(col("word"), col("n_tokens"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(seg), "word")
+      .groupBy("doc_id")
+      .agg(sum("n_tokens").as("n_tokens"), count(lit(1)).as("n_words"))
+  }
+
   private def trainImpl(df: DataFrame, textCol: String, k: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     import spark.implicits._

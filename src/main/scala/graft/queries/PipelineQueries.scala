@@ -1206,6 +1206,22 @@ object PipelineQueries {
           |  CAST(len(sym) AS INT) AS n_tokens
           |FROM w6""".stripMargin)),
 
+    // corpus-scale encode under the trained tokenizer: the word→n_tokens
+    // map is vocabulary-sized (broadcast model); the corpus is touched
+    // once with a map-side-combinable per-doc aggregation
+    Q("bpe_doc_tokens",
+      (s, dir) => graft.ops.Bpe.docTokens(documents(s, dir), "doc_id", "text", k = 6),
+      Some(bpeCtes(6) +
+        """,
+          |docw AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          |  FROM documents)
+          |SELECT doc_id, CAST(sum(len(w6.sym)) AS BIGINT) AS n_tokens,
+          |  CAST(count(*) AS BIGINT) AS n_words
+          |FROM docw JOIN w6 USING (w)
+          |WHERE length(docw.w) > 0
+          |GROUP BY doc_id""".stripMargin)),
+
     // decode → transform on real audio: decimate-by-4 over the decoded
     // stream; surviving samples are named by the synthesis rule at indices
     // 0, 4, 8, ... so the oracle is closed-form exact
