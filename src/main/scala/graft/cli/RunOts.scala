@@ -335,7 +335,10 @@ object RunOts {
     // default engine is netCDF4 — CDF-5 is the classic-family equivalent)
     val version = meta.str("netcdf_format").map(_.toLowerCase) match {
       case Some("cdf5") | Some("netcdf3_64bit_data") => 5
-      case _ => 1
+      case Some("cdf1") | Some("netcdf3_classic") | None => 1
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported netcdf_format '$other' — supported: cdf1/netcdf3_classic, " +
+          "cdf5/netcdf3_64bit_data (CDF-2/64-bit-offset is not implemented)")
     }
     Netcdf3.write(df, output, gatts, varAttrs, version = version)
   }

@@ -52,7 +52,7 @@ object Bpe {
   def docTokens(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val seg = segment(df, textCol, k).select(col("word"), col("n_tokens"))
     df.select(col(idCol).cast("long").as("doc_id"),
-        explode(split(lower(col(textCol)), "\\s+")).as("word"))
+        explode(split(lower(col(textCol)), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .join(broadcast(seg), "word")
       .groupBy("doc_id")
@@ -84,8 +84,10 @@ object Bpe {
     import spark.implicits._
 
     // distinct-word frequency table, symbols = characters
+    // literal single-space split — matching the DuckDB oracle and the
+    // repo's text-op convention (regex \s+ would diverge on tabs/newlines)
     var words = df
-      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("sym", split(col("w"), ""))

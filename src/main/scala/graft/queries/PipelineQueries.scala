@@ -1192,33 +1192,33 @@ object PipelineQueries {
     // matches before it in its run — equivalent to the fold for L=R runs
     // like "aaa", and vacuous for L≠R where overlaps are impossible).
     Q("bpe_train",
-      (s, dir) => graft.ops.Bpe.train(documents(s, dir), "text", k = 6),
-      Some(bpeOracle(6))),
+      (s, dir) => graft.ops.Bpe.train(documents(s, dir), "text", k = BpeK),
+      Some(bpeOracle(BpeK))),
 
     // the ENCODE side of the trained tokenizer: per distinct word, its
     // segmentation after the 6 learned merges — the oracle reuses the same
     // replayed rounds and reads the final word table
     Q("bpe_segment",
-      (s, dir) => graft.ops.Bpe.segment(documents(s, dir), "text", k = 6),
-      Some(bpeCtes(6) +
-        """
+      (s, dir) => graft.ops.Bpe.segment(documents(s, dir), "text", k = BpeK),
+      Some(bpeCtes(BpeK) +
+        s"""
           |SELECT w AS word, array_to_string(sym, '|') AS tokens,
           |  CAST(len(sym) AS INT) AS n_tokens
-          |FROM w6""".stripMargin)),
+          |FROM w$BpeK""".stripMargin)),
 
     // corpus-scale encode under the trained tokenizer: the word→n_tokens
     // map is vocabulary-sized (broadcast model); the corpus is touched
     // once with a map-side-combinable per-doc aggregation
     Q("bpe_doc_tokens",
-      (s, dir) => graft.ops.Bpe.docTokens(documents(s, dir), "doc_id", "text", k = 6),
-      Some(bpeCtes(6) +
-        """,
+      (s, dir) => graft.ops.Bpe.docTokens(documents(s, dir), "doc_id", "text", k = BpeK),
+      Some(bpeCtes(BpeK) +
+        s""",
           |docw AS (
           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
           |  FROM documents)
-          |SELECT doc_id, CAST(sum(len(w6.sym)) AS BIGINT) AS n_tokens,
+          |SELECT doc_id, CAST(sum(len(w$BpeK.sym)) AS BIGINT) AS n_tokens,
           |  CAST(count(*) AS BIGINT) AS n_words
-          |FROM docw JOIN w6 USING (w)
+          |FROM docw JOIN w$BpeK USING (w)
           |WHERE length(docw.w) > 0
           |GROUP BY doc_id""".stripMargin)),
 
@@ -1342,6 +1342,18 @@ object PipelineQueries {
     * rule reproduces the fold's [aa, a]. Words are ≤16 chars in this
     * corpus, so the fixed generate_series bound is safe (symbol counts
     * only shrink as merges apply). */
+  /** One shared merge count: the Q definitions, the CTE chain, and the
+    * final-table references (w$BpeK) must agree — interpolated everywhere
+    * so changing it cannot leave an oracle reading a stale intermediate. */
+  private val BpeK = 6
+
+  /** DuckDB-side word-length cap for the positional explodes. Guarded in
+    * w0: a longer word gains a '<CAP_EXCEEDED>' sentinel symbol, so
+    * truncation surfaces as a loud, traceable hash mismatch instead of a
+    * silent oracle-side divergence. (DuckDB evaluates error() eagerly, so
+    * an OR-guard raise is not usable.) */
+  private val BpeMaxWordLen = 32
+
   private def bpeOracle(k: Int): String =
     bpeCtes(k) + "\n" + (1 to k).map(i =>
       s"""SELECT CAST($i AS INT) AS step, l AS merge_left, r AS merge_right,
@@ -1351,14 +1363,16 @@ object PipelineQueries {
   private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH words AS MATERIALIZED (
+      s"""WITH words AS MATERIALIZED (
         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
         |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
         |  WHERE length(w) > 0 GROUP BY w),
         |w0 AS MATERIALIZED (
         |  SELECT w, cnt,
-        |    list(substr(w, CAST(g.i AS INT), 1) ORDER BY g.i) AS sym
-        |  FROM words, generate_series(1, 16) g(i)
+        |    list(substr(w, CAST(g.i AS INT), 1) ORDER BY g.i)
+        |      || CASE WHEN length(w) > $BpeMaxWordLen
+        |              THEN ['<CAP_EXCEEDED>'] ELSE [] END AS sym
+        |  FROM words, generate_series(1, $BpeMaxWordLen) g(i)
         |  WHERE g.i <= length(w) GROUP BY w, cnt)""".stripMargin)
     for (i <- 1 to k) {
       val p = i - 1
@@ -1366,7 +1380,7 @@ object PipelineQueries {
         |p$i AS (
         |  SELECT l, r, sum(cnt) AS c FROM (
         |    SELECT sym[CAST(g.j AS INT)] AS l, sym[CAST(g.j AS INT) + 1] AS r, cnt
-        |    FROM w$p, generate_series(1, 16) g(j)
+        |    FROM w$p, generate_series(1, $BpeMaxWordLen) g(j)
         |    WHERE g.j <= len(sym) - 1)
         |  GROUP BY l, r),
         |b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
@@ -1374,7 +1388,7 @@ object PipelineQueries {
         |  SELECT w, cnt, sym, CAST(g.j AS INT) AS j,
         |    coalesce(sym[CAST(g.j AS INT)] = (SELECT l FROM b$i)
         |      AND sym[CAST(g.j AS INT) + 1] = (SELECT r FROM b$i), FALSE) AS mt
-        |  FROM w$p, generate_series(1, 16) g(j)
+        |  FROM w$p, generate_series(1, $BpeMaxWordLen) g(j)
         |  WHERE g.j <= len(sym)),
         |m$i AS (
         |  SELECT w, cnt, sym, j, mt,
