@@ -443,6 +443,48 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Encode top-down RGB bytes as a GIF (ImageIO). GIF is palette-based
+    * and LOSSLESS for ≤256 distinct colors — unlike JPEG, decode is
+    * bit-exact, so the gate is a closed-form pixel-stats oracle like
+    * BMP/PNG. */
+  def encodeGif(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "gif", bos), "gif writer missing")
+    bos.toByteArray
+  }
+
+  final case class GifInfo(media_id: Long, width: Int, height: Int,
+                           mean_pixel: Double, max_pixel: Int)
+
+  /** Synthesize an 8-color image per row (palette-sized → GIF is
+    * lossless), encode as a real GIF, decode through the generic ImageIO
+    * path, emit pixel stats gated by a closed-form oracle — exact, unlike
+    * the (necessarily lossy) JPEG gate. */
+  def gifRoundTrip(df: DataFrame, idCol: String, w: Int, h: Int): Dataset[GifInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rgb = new Array[Byte](w * h * 3)
+        for (y <- 0 until h; x <- 0 until w) {
+          val k = ((id + x * 3 + y * 7) % 8).toInt
+          val i = (y * w + x) * 3
+          rgb(i) = (k * 30).toByte; rgb(i + 1) = (k * 20).toByte; rgb(i + 2) = (k * 10).toByte
+        }
+        val (gw, gh, _, got) = decodeJpeg(encodeGif(w, h, rgb)) // generic ImageIO read
+        val s = got.map(_ & 0xff)
+        GifInfo(id, gw, gh, s.map(_.toLong).sum.toDouble / s.length, s.max)
+      }
+    }
+  }
+
   final case class JpegInfo(media_id: Long, width: Int, height: Int,
                             channels: Int, rms_ok: Boolean)
 

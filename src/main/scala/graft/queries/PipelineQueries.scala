@@ -1249,6 +1249,25 @@ object PipelineQueries {
              |  CAST(1 + doc_id % 20 AS INTEGER) AS dominant_bin
              |FROM documents""".stripMargin)),
 
+    // REAL palette-codec decode: GIF via ImageIO — lossless for <=256
+    // colors, so unlike JPEG the oracle is closed-form EXACT: pixel (x,y)
+    // has palette index k = (doc_id + 3x + 7y) % 8 and channels
+    // (30k, 20k, 10k)
+    Q("multimodal_gif_decode",
+      (s, dir) => Multimodal.gifRoundTrip(documents(s, dir), "doc_id",
+        w = 10, h = 8).toDF(),
+      Some("""WITH px AS (
+             |  SELECT doc_id,
+             |    (doc_id + gx.x * 3 + gy.y * 7) % 8 AS k
+             |  FROM documents,
+             |    generate_series(0, 9) gx(x),
+             |    generate_series(0, 7) gy(y))
+             |SELECT doc_id AS media_id,
+             |  CAST(10 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+             |  CAST(sum(k * 60) AS DOUBLE) / 240 AS mean_pixel,
+             |  CAST(max(k) * 30 AS INTEGER) AS max_pixel
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
     // REAL lossy-codec decode: baseline JPEG via the JDK's ImageIO
     // (java.desktop — still no external dependency). Lossy, so the gate is
     // dims-exact + bounded reconstruction error: rms_ok is TRUE only if
