@@ -90,6 +90,28 @@ object Curation {
    * ([[Index.withRunningTotal]]) — scale-safe, no global window. The
    * chunk-range explode fans each doc out to ceil(len/seqLen)+1 rows max.
    */
+  /** Overlapping token-window chunking — the RAG ingestion primitive
+    * (window tokens per chunk, advancing by stride, final chunks may be
+    * short). Complements [[packSequences]]' non-overlapping concat-chunk:
+    * retrieval corpora chunk WITH overlap so answers spanning a boundary
+    * survive. Stateless per-document projection (explode of window
+    * starts) — streams, scales linearly, no shuffle. */
+  def chunkOverlap(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window (overlap = window - stride)")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(0, size(t) - 1, $stride)")).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        col("start").cast("int").as("start_token"),
+        least(lit(window), size(col("t")) - col("start")).cast("int").as("n_tokens"),
+        array_join(slice(col("t"), col("start") + 1, lit(window)), " ").as("chunk"))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     seqLen: Int): DataFrame = {
     val base = docs.select(col(idCol),

@@ -66,6 +66,23 @@ object CurationQueries {
               |  least(cum, (chunk_id + 1) * 512) - greatest(prev, chunk_id * 512) AS n_toks
               |FROM e""".stripMargin)),
 
+    // overlapping token-window chunking (window 32, stride 16 → 50%
+    // overlap) — the RAG ingestion shape; stateless per-doc explode
+    Q("chunk_overlap",
+      (s, dir) => Curation.chunkOverlap(documents(s, dir), "doc_id", "text",
+        window = 32, stride = 16),
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |st AS (
+             |  SELECT doc_id, t, CAST(g.s AS INT) AS start
+             |  FROM t, generate_series(0, 512, 16) g(s)
+             |  WHERE g.s < len(t))
+             |SELECT doc_id, CAST(start // 16 AS INT) AS chunk_idx,
+             |  start AS start_token,
+             |  CAST(least(32, len(t) - start) AS INT) AS n_tokens,
+             |  array_to_string(list_slice(t, start + 1, start + 32), ' ') AS chunk
+             |FROM st""".stripMargin)),
+
     // domain-mixture rebalancing: src0-src3 target 150 per-mille each, the
     // rest 25 per-mille; largest achievable total without upsampling, then
     // integer-exact deterministic hash sampling per source.
