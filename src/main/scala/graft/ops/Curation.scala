@@ -102,7 +102,9 @@ object Curation {
       "need 0 < stride <= window (overlap = window - stride)")
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        split(col(textCol), " ").as("t"))
+        // repo-standard token accounting: empty strings from repeated/
+        // leading/trailing spaces are not tokens (matches TA.tokenCount)
+        expr(s"filter(split(`$textCol`, ' '), x -> x != '')").as("t"))
       .select(col("doc_id"), col("t"),
         explode(expr(s"sequence(0, size(t) - 1, $stride)")).as("start"))
       .select(col("doc_id"),

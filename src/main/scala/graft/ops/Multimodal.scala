@@ -421,8 +421,7 @@ object Multimodal {
     (w, h, 3, out)
   }
 
-  /** Encode top-down RGB bytes as a baseline JPEG at the given quality. */
-  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], quality: Float = 0.95f): Array[Byte] = {
+  private def rgbToImage(w: Int, h: Int, rgb: Array[Byte]): java.awt.image.BufferedImage = {
     imageIoInit
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
@@ -430,6 +429,12 @@ object Multimodal {
       val i = (y * w + x) * 3
       img.setRGB(x, y, ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
     }
+    img
+  }
+
+  /** Encode top-down RGB bytes as a baseline JPEG at the given quality. */
+  def encodeJpeg(w: Int, h: Int, rgb: Array[Byte], quality: Float = 0.95f): Array[Byte] = {
+    val img = rgbToImage(w, h, rgb)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     val params = writer.getDefaultWriteParam
     params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -448,15 +453,9 @@ object Multimodal {
     * bit-exact, so the gate is a closed-form pixel-stats oracle like
     * BMP/PNG. */
   def encodeGif(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
-    imageIoInit
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    for (y <- 0 until h; x <- 0 until w) {
-      val i = (y * w + x) * 3
-      img.setRGB(x, y, ((rgb(i) & 0xff) << 16) | ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
-    }
     val bos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(img, "gif", bos), "gif writer missing")
+    require(javax.imageio.ImageIO.write(rgbToImage(w, h, rgb), "gif", bos),
+      "gif writer missing")
     bos.toByteArray
   }
 

@@ -72,11 +72,15 @@ object CurationQueries {
       (s, dir) => Curation.chunkOverlap(documents(s, dir), "doc_id", "text",
         window = 32, stride = 16),
       Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+             |  FROM documents),
              |st AS (
-             |  SELECT doc_id, t, CAST(g.s AS INT) AS start
-             |  FROM t, generate_series(0, 512, 16) g(s)
-             |  WHERE g.s < len(t))
+             |  -- starts derived from the data (select-list generate_series
+             |  -- accepts columns; the LATERAL form does not) — no silent cap
+             |  SELECT doc_id, t,
+             |    CAST(unnest(generate_series(0, CAST(len(t) AS BIGINT) - 1, 16)) AS INT) AS start
+             |  FROM t)
              |SELECT doc_id, CAST(start // 16 AS INT) AS chunk_idx,
              |  start AS start_token,
              |  CAST(least(32, len(t) - start) AS INT) AS n_tokens,

@@ -19,7 +19,7 @@ class StreamChunkSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val words = (1 to 40).map(i => s"w$i")
     val rows = Seq(
-      (1L, words.take(40).mkString(" ")), // 3 chunks at window 16 / stride 12
+      (1L, words.take(40).mkString(" ")), // starts 0/12/24/36 → 4 chunks
       (2L, words.take(5).mkString(" ")),  // single short chunk
       (3L, words.take(16).mkString(" "))) // exactly one full window + tail start?
 
