@@ -90,6 +90,24 @@ object Curation {
    * ([[Index.withRunningTotal]]) — scale-safe, no global window. The
    * chunk-range explode fans each doc out to ceil(len/seqLen)+1 rows max.
    */
+  /** Training-shard assignment + manifest — the WebDataset/TFRecord-style
+    * export planner: documents pack greedily in doc_id order into shards
+    * of ~shardTokens tokens (a document belongs to the shard containing
+    * its FIRST token, like [[packSequences]]' chunk rule), and the
+    * manifest row per shard carries counts and id bounds. The cumulative
+    * token offset comes from the ranged two-pass running total
+    * ([[Index.withRunningTotal]]) — no corpus-sized window. */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    shardTokens: Long): DataFrame = {
+    val withN = docs.select(col(idCol).cast("long").as("doc_id"),
+      expr(s"size(filter(split(`$textCol`, ' '), x -> x != ''))").cast("long").as("n"))
+    Index.withRunningTotal(withN, Seq("doc_id"), "n", "cum")
+      .withColumn("shard_id", ((col("cum") - col("n")) / shardTokens).cast("long"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+  }
+
   /** Overlapping token-window chunking — the RAG ingestion primitive
     * (window tokens per chunk, advancing by stride, final chunks may be
     * short). Complements [[packSequences]]' non-overlapping concat-chunk:

@@ -66,6 +66,24 @@ object CurationQueries {
               |  least(cum, (chunk_id + 1) * 512) - greatest(prev, chunk_id * 512) AS n_toks
               |FROM e""".stripMargin)),
 
+    // training-shard export planner: greedy doc_id-order packing into
+    // ~4096-token shards via the ranged running total; manifest per shard
+    Q("shard_manifest",
+      (s, dir) => Curation.shardManifest(documents(s, dir), "doc_id", "text", 4096L),
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, n, CAST(sum(n) OVER (ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM n)
+             |SELECT (cum - n) // 4096 AS shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS n_tokens,
+             |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM c GROUP BY 1""".stripMargin)),
+
     // overlapping token-window chunking (window 32, stride 16 → 50%
     // overlap) — the RAG ingestion shape; stateless per-doc explode
     Q("chunk_overlap",
