@@ -362,6 +362,10 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      // cos(2π·b·i/n) only takes n distinct values — one shared table per
+      // partition replaces ~8k trig calls per row with index arithmetic
+      val cosT = Array.tabulate(n)(j => math.cos(2 * math.Pi * j / n))
+      val sinT = Array.tabulate(n)(j => math.sin(2 * math.Pi * j / n))
       it.map { id =>
         val k = 1 + (id % 20).toInt
         val samples = Array.tabulate(n)(i =>
@@ -372,8 +376,8 @@ object Multimodal {
         while (bin <= n / 2) {
           var re = 0.0; var im = 0.0; var i = 0
           while (i < got.length) {
-            val ph = 2 * math.Pi * bin * i / n
-            re += got(i) * math.cos(ph); im -= got(i) * math.sin(ph)
+            val j = (bin * i) % n
+            re += got(i) * cosT(j); im -= got(i) * sinT(j)
             i += 1
           }
           val p = re * re + im * im
