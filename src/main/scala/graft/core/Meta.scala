@@ -36,15 +36,16 @@ final case class Meta(attrs: Map[String, Any]) {
     case s: Seq[_]   => s
     case a: Array[_] => a.toSeq
     // attrs round-tripped through the string-valued sidecar
-    // (Sink.writeParquet stringifies, readSidecar reads back): recover
-    // "List(a, b)" / "Vector(a, b)" / "[a, b]" as element strings, so
-    // has()-gated Seq consumers (Clip good_ens/good_dates) keep working
-    // on re-opened datasets instead of dying in dblSeq(...).get
+    // (Sink.writeParquet stringifies, readSidecar reads back): recover the
+    // exact Scala-collection toString shapes ("List(a, b)", "Vector(...)")
+    // as element strings, so has()-gated Seq consumers (Clip
+    // good_ens/good_dates) keep working on re-opened datasets instead of
+    // dying in dblSeq(...).get. Deliberately NARROW — a bracketed scalar
+    // string like "[site A, 2024]" must stay a scalar, so no "[...]" rule,
+    // and elements cannot contain ", " (true of the numeric/date seqs the
+    // pipeline stores; richer attrs belong in typed config, not toString).
     case s: String if s.matches("""(List|Vector|ArrayBuffer|Seq)\(.*\)""") =>
       s.substring(s.indexOf('(') + 1, s.length - 1).split(",").map(_.trim)
-        .filter(_.nonEmpty).toSeq
-    case s: String if s.startsWith("[") && s.endsWith("]") =>
-      s.substring(1, s.length - 1).split(",").map(_.trim)
         .filter(_.nonEmpty).toSeq
   }
 

@@ -84,14 +84,16 @@ object Compliance {
         val mn = row.getAs[Any](s"__mn_${f.name}")
         val mx = row.getAs[Any](s"__mx_${f.name}")
         def d(a: Any): Double = a.asInstanceOf[Number].doubleValue()
-        if (f.metadata.contains("valid_min") && mn != null &&
-            d(mn) < f.metadata.getDouble("valid_min"))
+        // integral JSON metadata values come back as Long, not Double
+        def mdl(k: String): Double =
+          try f.metadata.getDouble(k)
+          catch { case _: ClassCastException => f.metadata.getLong(k).toDouble }
+        if (f.metadata.contains("valid_min") && mn != null && d(mn) < mdl("valid_min"))
           out += Violation("valid-range",
-            s"${f.name} min ${d(mn)} below valid_min ${f.metadata.getDouble("valid_min")}")
-        if (f.metadata.contains("valid_max") && mx != null &&
-            d(mx) > f.metadata.getDouble("valid_max"))
+            s"${f.name} min ${d(mn)} below valid_min ${mdl("valid_min")}")
+        if (f.metadata.contains("valid_max") && mx != null && d(mx) > mdl("valid_max"))
           out += Violation("valid-range",
-            s"${f.name} max ${d(mx)} above valid_max ${f.metadata.getDouble("valid_max")}")
+            s"${f.name} max ${d(mx)} above valid_max ${mdl("valid_max")}")
       }
     }
 

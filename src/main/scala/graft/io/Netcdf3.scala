@@ -283,9 +283,13 @@ object Netcdf3 {
     * a multi-GiB buffer. */
   def open(path: String): NcHeader = {
     val f = new java.io.File(path)
-    // headers are KBs; start small and double on underflow so a file with
-    // an unusually large header (accumulated history attrs, many vars)
-    // still parses instead of failing on an arbitrary cap
+    // headers are KBs; start small and grow on underflow so a file with an
+    // unusually large header (accumulated history attrs, many vars) still
+    // parses. Growth is capped at 256 MiB — far beyond any legal header,
+    // and crucially BELOW Int.MaxValue so a corrupt multi-GiB sparse file
+    // (the CDF-5 fixtures this module writes) errors cleanly instead of
+    // wrapping size.toInt negative or buffering gigabytes to fail
+    val cap = math.min(f.length(), 256L << 20)
     var size = math.min(f.length(), 1L << 20)
     while (true) {
       val buf = new Array[Byte](size.toInt)
@@ -294,8 +298,8 @@ object Netcdf3 {
       try return parseHeader(buf)
       catch {
         case _ @ (_: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException)
-            if size < f.length() =>
-          size = math.min(f.length(), size * 4)
+            if size < cap =>
+          size = math.min(cap, size * 4)
         case e @ (_: IndexOutOfBoundsException | _: java.nio.BufferUnderflowException) =>
           throw new IllegalArgumentException(s"malformed netCDF header in $path", e)
       }

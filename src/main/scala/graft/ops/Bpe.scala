@@ -59,24 +59,16 @@ object Bpe {
       .agg(sum("n_tokens").as("n_tokens"), count(lit(1)).as("n_words"))
   }
 
-  // same bounded-LRU memo pattern as Similarity.kmeansLoop: three
-  // registered queries share one training run per (input plan, params)
-  private val MemoCap = 8
-  private val memo = new java.util.LinkedHashMap[
-    (Int, Any, String), (DataFrame, DataFrame)](MemoCap, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(Int, Any, String), (DataFrame, DataFrame)]): Boolean =
-      size > MemoCap
-  }
+  // shared bounded-LRU memo ([[BoundedMemo]], same as kmeansLoop): the
+  // three registered queries share one training run per (input plan,
+  // params); nothing to release on evict — trainLoop unpersists eagerly
+  private val memo =
+    new BoundedMemo[(Int, Any, String), (DataFrame, DataFrame)](8)(_ => ())
 
   private def trainImpl(df: DataFrame, textCol: String, k: Int): (DataFrame, DataFrame) = {
     val key = (df.sparkSession.hashCode(),
       df.queryExecution.analyzed.canonicalized, s"$textCol|$k")
-    memo.synchronized {
-      val got = memo.get(key)
-      if (got != null) got
-      else { val v = trainLoop(df, textCol, k); memo.put(key, v); v }
-    }
+    memo.getOrCompute(key, trainLoop(df, textCol, k))
   }
 
   private def trainLoop(df: DataFrame, textCol: String, k: Int): (DataFrame, DataFrame) = {

@@ -123,6 +123,10 @@ object Curation {
         // repo-standard token accounting: empty strings from repeated/
         // leading/trailing spaces are not tokens (matches TA.tokenCount)
         expr(s"filter(split(`$textCol`, ' '), x -> x != '')").as("t"))
+      // a token-less document yields no chunks (matches the oracle's empty
+      // generate_series) — and guards Spark's sequence(), which rejects
+      // stop = -1 with a positive step
+      .filter(size(col("t")) > 0)
       .select(col("doc_id"), col("t"),
         explode(expr(s"sequence(0, size(t) - 1, $stride)")).as("start"))
       .select(col("doc_id"),

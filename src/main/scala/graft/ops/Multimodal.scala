@@ -175,6 +175,9 @@ object Multimodal {
         s"malformed WAV chunk '$id' size=$sz at $pos")
       id match {
         case "fmt " =>
+          // the handler reads 16 bytes of fmt fields — an undersized chunk
+          // must throw here, not AIOOBE past the validated chunk bounds
+          require(sz >= 16, s"fmt chunk too small ($sz bytes)")
           require(u16le(bytes, pos + 8) == 1, "PCM only")
           ch = u16le(bytes, pos + 10)
           sr = u32le(bytes, pos + 12).toInt

@@ -82,10 +82,17 @@ object Png {
     }
     require(seenIhdr && seenIend, "missing IHDR or IEND")
 
-    // inflate the concatenated IDAT stream to exactly h*(1 + w*channels)
-    val rowBytes = w * channels
-    val rawLen = h.toLong * (1 + rowBytes)
-    require(rawLen <= Int.MaxValue, "image too large for a single buffer")
+    // inflate the concatenated IDAT stream to exactly h*(1 + w*channels) —
+    // ALL size arithmetic in Long (a crafted 2^30-wide header must throw,
+    // not wrap Int into a zero/negative row size), and the buffer is
+    // bounded by DEFLATE's maximum expansion (1032:1) so a tiny file
+    // declaring billion-pixel dims cannot force a multi-GB allocation
+    val rowBytesL = w.toLong * channels
+    val rawLen = h.toLong * (1L + rowBytesL)
+    require(rawLen > 0 && rawLen <= Int.MaxValue, s"image too large ($w x $h)")
+    require(rawLen <= idat.size().toLong * 1032 + (1 << 16),
+      s"declared pixel size $rawLen implausible for ${idat.size()} compressed bytes")
+    val rowBytes = rowBytesL.toInt
     val raw = new Array[Byte](rawLen.toInt)
     val inf = new Inflater()
     inf.setInput(idat.toByteArray)

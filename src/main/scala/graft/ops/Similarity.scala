@@ -148,21 +148,15 @@ object Similarity {
     * expression over centroid literals (no join, no shuffle), and the
     * update is one map-side-combinable aggregation per round. Rounds are a
     * fixed small count. */
-  /** Bounded LRU: a long-running service training over many distinct
-    * inputs must not accumulate models (the r5 ConcurrentHashMap grew
-    * without bound). Evicted entries unpersist their DataFrame so the
-    * block-manager entry goes with the memo entry. Three registered
-    * queries per trained model keeps the working set at 1; 16 is slack. */
-  private val MemoCap = 16
-  private val kmeansMemo = new java.util.LinkedHashMap[
-    (Int, Any, String), (Array[Array[Double]], DataFrame)](MemoCap, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(Int, Any, String), (Array[Array[Double]], DataFrame)]): Boolean =
-      if (size > MemoCap) {
-        try e.getValue._2.unpersist(false) catch { case _: Throwable => () }
-        true
-      } else false
-  }
+  /** Bounded LRU ([[BoundedMemo]]): a long-running service training over
+    * many distinct inputs must not accumulate models (the r5
+    * ConcurrentHashMap grew without bound). Evicted entries unpersist
+    * their DataFrame so the block-manager entry goes with the memo entry.
+    * Three registered queries per trained model keeps the working set at
+    * 1; 16 is slack. */
+  private val kmeansMemo =
+    new BoundedMemo[(Int, Any, String), (Array[Array[Double]], DataFrame)](16)(
+      v => v._2.unpersist(false))
 
   /** Memoized per (session, canonicalized input plan OBJECT, params): the
     * trainer's output feeds three registered queries (centroids,
@@ -175,19 +169,11 @@ object Similarity {
     val key = (df.sparkSession.hashCode(),
       df.queryExecution.analyzed.canonicalized,
       s"$idCol|$embCol|$k|$dims|$iters")
-    kmeansMemo.synchronized {
-      val got = kmeansMemo.get(key)
-      if (got != null) got
-      else {
-        val v = kmeansLoopImpl(df, idCol, embCol, k, dims, iters)
-        kmeansMemo.put(key, v)
-        v
-      }
-    }
+    kmeansMemo.getOrCompute(key, kmeansLoopImpl(df, idCol, embCol, k, dims, iters))
   }
 
   /** Current memo size (lifecycle spec hook). */
-  private[graft] def kmeansMemoSize: Int = kmeansMemo.synchronized(kmeansMemo.size)
+  private[graft] def kmeansMemoSize: Int = kmeansMemo.size
 
   private def kmeansLoopImpl(df: DataFrame, idCol: String, embCol: String,
                              k: Int, dims: Int, iters: Int)

@@ -35,8 +35,10 @@ class ConfigSpec extends AnyFunSuite {
       "bracket" -> "[1.5, 2.5]"))
     assert(m.dblSeq("good_ens").contains(Seq(0.0, 100.0)))
     assert(m.strSeq("good_dates").contains(Seq("2024-01-01", "2024-02-01")))
-    assert(m.dblSeq("bracket").contains(Seq(1.5, 2.5)))
-    // plain strings are NOT misparsed as sequences
+    // plain strings are NOT misparsed as sequences — including bracketed
+    // scalars like "[site A, 2024]" (only Scala-collection toString shapes
+    // are recovered)
+    assert(m.seq("bracket").isEmpty)
     assert(Meta(Map("note" -> "a, b")).seq("note").isEmpty)
   }
 
