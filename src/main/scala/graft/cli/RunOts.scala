@@ -48,14 +48,20 @@ object RunOts {
     * CSV family route to the same implementations (the reference's registry
     * pattern, stglib/core/runcmd.py:527-599). */
   def runStep(spark: SparkSession, instrument: String, step: String,
-              meta: Meta, input: String, output: String): Unit = step match {
-    case "ingest" => ingest(spark, meta, input, output, instrument)
-    case "clean"  => clean(spark, meta, input, output)
-    case "waves"  => waves(spark, meta, input, output)
-    case "diwasp" => diwasp(spark, meta, input, output)
-    case "export" => export(spark, meta, input, output)
-    case other    => throw new IllegalArgumentException(s"unknown step $other")
-  }
+              meta: Meta, input: String, output: String): Unit =
+    try step match {
+      case "ingest" => ingest(spark, meta, input, output, instrument)
+      case "clean"  => clean(spark, meta, input, output)
+      case "waves"  => waves(spark, meta, input, output)
+      case "diwasp" => diwasp(spark, meta, input, output)
+      case "export" => export(spark, meta, input, output)
+      case other    => throw new IllegalArgumentException(s"unknown step $other")
+    } finally
+      // batch-completion cache hygiene: each CLI step is an independent
+      // batch, so shared() plans persisted while building it are released
+      // deterministically (the Spread.release contract) instead of
+      // pinning executor memory for the life of the session
+      graft.ops.Spread.release(spark)
 
   private def readText(path: String): String =
     new String(java.nio.file.Files.readAllBytes(

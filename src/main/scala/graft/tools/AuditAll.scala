@@ -26,6 +26,10 @@ object AuditAll {
               if w.partitionSpec.isEmpty => bad += "GLOBAL-WINDOW-LIMIT"
           case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
             bad += "CARTESIAN"
+          case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+            // the non-equi fallback: per-task scans of the whole broadcast
+            // side — a scale smell even when the broadcast side is small
+            bad += "BNL-JOIN"
           case _ =>
         }
         if (bad.nonEmpty) { flagged += 1
