@@ -181,6 +181,25 @@ object TextAnalysis {
     * in that fixed order. Returns (id, n_emails, n_phones, n_ips,
     * n_chars_redacted, redacted_md5) — the digest stands in for the
     * scrubbed text so downstream equality checks stay row-sized. */
+  /** TF-IDF vectorization — the sklearn-TfidfVectorizer shape: every
+    * (doc, term) pair with tf, df and tf·ln(N/df). Two shuffles (term
+    * counts per doc; document frequency over the distinct pairs), corpus
+    * size as a 1-row broadcast. Scores round to 9 decimals (the repo's
+    * ln-ulp discipline) and no ranking is taken inside the op, so
+    * cross-engine last-ulp log differences cannot flip anything. */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        explode(expr(s"filter(split(`$textCol`, ' '), x -> x != '')")).as("word"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    tf.join(dfr, "word")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 9).as("tfidf"))
+  }
+
   /** Overlap semantics (deterministic, engine-consistent, mirrored in the
     * DuckDB oracle): n_emails/n_phones/n_ips each count pattern matches
     * against the ORIGINAL text independently, while redaction applies

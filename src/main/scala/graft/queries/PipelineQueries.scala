@@ -1183,6 +1183,22 @@ object PipelineQueries {
              |  CAST(max(v) AS INTEGER) AS max_pixel
              |FROM px GROUP BY doc_id""".stripMargin)),
 
+    // TF-IDF vectorization (every doc-term pair with tf/df/score; round-9
+    // ln discipline, no in-op ranking so log ulps cannot flip results)
+    Q("tfidf_vector",
+      (s, dir) => TA.tfidf(documents(s, dir), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+             |  FROM documents),
+             |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+             |  FROM toks GROUP BY 1, 2),
+             |dfr AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+             |SELECT doc_id, word, tf, df,
+             |  round(tf * ln(CAST(n AS DOUBLE) / df), 9) AS tfidf
+             |FROM tf JOIN dfr USING (word), n""".stripMargin)),
+
     // corpus-scale BPE merge-pair training (Sennrich 2016): k merge rounds
     // over the distinct-word frequency table; each round is one map-side-
     // combinable pair count + a 1-row winning-pair collect (bounded model
