@@ -27,9 +27,9 @@ object Multimodal {
   /** STUB decoder: derives fake (width, height, channels) from the byte
     * stream deterministically. REAL decoders exist for WAV PCM16 + BMP24
     * (below), PNG RGB/RGBA ([[graft.ops.Png]], pure java.util.zip), and
-    * baseline JPEG ([[decodeJpeg]], JDK ImageIO) — this stub remains only
-    * for codecs with no JVM-only implementation path in this container
-    * (MP3, video). */
+    * baseline JPEG ([[decodeJpeg]], JDK ImageIO), and DIB-frame AVI video
+    * ([[decodeAviDib]]) — this stub remains only for codecs with no
+    * JVM-only implementation path in this container (MP3). */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     val b0 = if (n > 0) bytes(0) & 0xff else 0
@@ -559,6 +559,162 @@ object Multimodal {
         WavInfo(id, sr, ch, got.length,
           got.map(_.toLong).sum.toDouble / got.length,
           got.map(_.toInt).max)
+      }
+    }
+  }
+
+  // ---- REAL video decode: AVI with uncompressed DIB frames ------------
+  // The codec-free video container (public 'AVI ' RIFF grammar, same
+  // family as WAV): LIST hdrl {avih, LIST strl {strh, strf}} + LIST movi
+  // {'00db' frames}. Frames are raw DIBs — bottom-up BGR rows padded to
+  // 4-byte boundaries, exactly the BMP pixel grammar — so a full
+  // container+frame decoder needs only byte arithmetic. This retires the
+  // "video" stub; the only stubbed codec family left is MP3.
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Decode an AVI holding uncompressed 24-bit DIB frames:
+    * (width, height, top-down RGB bytes per frame). Walks the RIFF tree
+    * with the same strict bounds discipline as [[decodeWavPcm16]]:
+    * malformed sizes throw (quarantine-able), never hang or read OOB.
+    * Compressed streams ('00dc' with biCompression != 0) are rejected. */
+  def decodeAviDib(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+      fourcc(bytes, 8) == "AVI ", "not an AVI")
+    var w = 0; var h = 0; var bits = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var pos = start
+      while (pos + 8 <= end) {
+        val id = fourcc(bytes, pos)
+        val sz = u32le(bytes, pos + 4).toInt
+        require(sz >= 0 && pos + 8 + sz.toLong <= end,
+          s"malformed AVI chunk '$id' size=$sz at $pos")
+        id match {
+          case "LIST" =>
+            require(sz >= 4, "LIST chunk too small")
+            walk(pos + 12, pos + 8 + sz) // recurse past the 4-byte list type
+          case "avih" =>
+            // MainAVIHeader: dwWidth at +32, dwHeight at +36
+            require(sz >= 40, s"avih chunk too small ($sz bytes)")
+            w = u32le(bytes, pos + 8 + 32).toInt
+            h = u32le(bytes, pos + 8 + 36).toInt
+            require(w > 0 && h > 0, s"bad AVI dims ${w}x$h")
+          case "strf" =>
+            // BITMAPINFOHEADER: biBitCount at +14, biCompression at +16
+            require(sz >= 40, s"strf chunk too small ($sz bytes)")
+            bits = u16le(bytes, pos + 8 + 14)
+            require(bits == 24 && u32le(bytes, pos + 8 + 16) == 0L,
+              "uncompressed 24-bit DIB frames only")
+          case "00db" | "00dc" =>
+            require(w > 0 && bits == 24, "avih/strf must precede movi frames")
+            val stride = (w * 3 + 3) & ~3
+            require(sz >= stride * h, s"short frame ($sz < ${stride * h})")
+            val out = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              val src = pos + 8 + (h - 1 - y) * stride // bottom-up BGR
+              var x = 0
+              while (x < w) {
+                out((y * w + x) * 3) = bytes(src + x * 3 + 2)     // R
+                out((y * w + x) * 3 + 1) = bytes(src + x * 3 + 1) // G
+                out((y * w + x) * 3 + 2) = bytes(src + x * 3)     // B
+                x += 1
+              }
+              y += 1
+            }
+            frames += out
+          case _ => // skip idx1, JUNK, strn, ...
+        }
+        pos += 8 + sz + (sz & 1)
+      }
+    }
+    walk(12, bytes.length)
+    (w, h, frames.toArray)
+  }
+
+  /** Encode top-down RGB frames as an AVI with uncompressed DIB frames
+    * ('00db'), one video stream, no index (idx1 is optional per the
+    * grammar). Inverse of [[decodeAviDib]]. */
+  def encodeAviDib(w: Int, h: Int, frames: Array[Array[Byte]],
+                   fps: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && fps > 0 && frames.forall(_.length == w * h * 3),
+      "frames must be w*h*3 RGB")
+    val stride = (w * 3 + 3) & ~3
+    val frameSz = stride * h // multiple of 4 — no odd-byte padding needed
+    val n = frames.length
+    val hdrlSz = 4 + (8 + 56) + (12 + (8 + 56) + (8 + 40)) // type+avih+strl
+    val moviSz = 4 + n * (8 + frameSz)
+    val out = new Array[Byte](12 + (8 + hdrlSz) + (8 + moviSz))
+    var p = 0
+    def put(s: String): Unit = { s.getBytes("US-ASCII").copyToArray(out, p); p += 4 }
+    def p32(v: Long): Unit = { var j = 0; while (j < 4) { out(p + j) = ((v >> (8 * j)) & 0xff).toByte; j += 1 }; p += 4 }
+    def p16(v: Int): Unit = { out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte; p += 2 }
+    put("RIFF"); p32(4L + (8 + hdrlSz) + (8 + moviSz)); put("AVI ")
+    put("LIST"); p32(hdrlSz.toLong); put("hdrl")
+    put("avih"); p32(56L)
+    p32(1000000L / fps); p32(fps.toLong * frameSz); p32(0L); p32(0L) // usec/frame, bytes/sec, padding, flags
+    p32(n.toLong); p32(0L); p32(1L); p32(frameSz.toLong)             // frames, initial, streams, bufsize
+    p32(w.toLong); p32(h.toLong); p32(0L); p32(0L); p32(0L); p32(0L) // dims + reserved[4]
+    put("LIST"); p32(4L + 64 + 48); put("strl")
+    put("strh"); p32(56L); put("vids"); put("DIB ")
+    p32(0L); p16(0); p16(0); p32(0L)              // flags, priority, language, initial
+    p32(1L); p32(fps.toLong); p32(0L); p32(n.toLong) // scale, rate, start, length
+    p32(frameSz.toLong); p32(-1L & 0xffffffffL); p32(0L) // bufsize, quality, samplesize
+    p16(0); p16(0); p16(w); p16(h)                // rcFrame
+    put("strf"); p32(40L)
+    p32(40L); p32(w.toLong); p32(h.toLong); p16(1); p16(24) // bih: size, w, h, planes, bits
+    p32(0L); p32(frameSz.toLong); p32(0L); p32(0L); p32(0L); p32(0L) // BI_RGB, sizeimage, ppm, clr
+    put("LIST"); p32(moviSz.toLong); put("movi")
+    frames.foreach { rgb =>
+      put("00db"); p32(frameSz.toLong)
+      var y = 0
+      while (y < h) {
+        val dst = p + (h - 1 - y) * stride
+        var x = 0
+        while (x < w) {
+          out(dst + x * 3) = rgb((y * w + x) * 3 + 2)     // B
+          out(dst + x * 3 + 1) = rgb((y * w + x) * 3 + 1) // G
+          out(dst + x * 3 + 2) = rgb((y * w + x) * 3)     // R
+          x += 1
+        }
+        y += 1
+      }
+      p += frameSz
+    }
+    out
+  }
+
+  final case class VideoFrame(media_id: Long, frame_idx: Int, width: Int,
+                              height: Int, mean_pixel: Double, max_pixel: Int)
+
+  /** Decode → FRAME-SAMPLE on real video: synthesize an nFrames-frame AVI
+    * per row (pixel (f,x,y,c) = (id·7 + f·13 + x·3 + y·11 + c·5) mod 256),
+    * push it through the real encode/decode, then keep every
+    * sampleStride-th frame and emit per-frame stats. The oracle names
+    * every sampled pixel in closed form, so the gate holds only if the
+    * container walk, the DIB row flip, and the BGR swap are all exact.
+    * Same synthesize→decode→closed-form-oracle pattern as the WAV/PNG
+    * gates; w is chosen so rows carry non-zero DIB padding. */
+  def aviFrameSampleRoundTrip(df: DataFrame, idCol: String, w: Int, h: Int,
+                              nFrames: Int, sampleStride: Int): Dataset[VideoFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val frames = Array.tabulate(nFrames) { f =>
+          val px = new Array[Byte](w * h * 3)
+          for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+            px((y * w + x) * 3 + c) =
+              ((id * 7 + f * 13 + x * 3 + y * 11 + c * 5) % 256).toByte
+          px
+        }
+        val (gw, gh, got) = decodeAviDib(encodeAviDib(w, h, frames, fps = 25))
+        (0 until got.length by sampleStride).iterator.map { f =>
+          val s = got(f).map(_ & 0xff)
+          VideoFrame(id, f, gw, gh, s.map(_.toLong).sum.toDouble / s.length, s.max)
+        }
       }
     }
   }

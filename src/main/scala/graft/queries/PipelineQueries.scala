@@ -1238,6 +1238,26 @@ object PipelineQueries {
           |WHERE length(docw.w) > 0
           |GROUP BY doc_id""".stripMargin)),
 
+    // REAL video decode: AVI with uncompressed DIB frames (the codec-free
+    // video container — RIFF walk + bottom-up BGR frame grammar, byte
+    // arithmetic only). Every 2nd of 4 frames is sampled; w=6 puts 2 bytes
+    // of DIB padding on every row, so the unpad/flip/swap paths are all
+    // load-bearing. This retires the video stub (MP3 is the last stub).
+    Q("multimodal_video_frames",
+      (s, dir) => Multimodal.aviFrameSampleRoundTrip(documents(s, dir), "doc_id",
+        w = 6, h = 4, nFrames = 4, sampleStride = 2).toDF(),
+      Some("""WITH px AS (
+             |  SELECT doc_id, gf.f,
+             |    (doc_id * 7 + gf.f * 13 + gx.x * 3 + gy.y * 11 + gc.c * 5) % 256 AS v
+             |  FROM documents, (VALUES (0), (2)) gf(f),
+             |    generate_series(0, 5) gx(x), generate_series(0, 3) gy(y),
+             |    generate_series(0, 2) gc(c))
+             |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(6 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+             |  CAST(sum(v) AS DOUBLE) / 72 AS mean_pixel,
+             |  CAST(max(v) AS INTEGER) AS max_pixel
+             |FROM px GROUP BY doc_id, f""".stripMargin)),
+
     // decode → transform on real audio: decimate-by-4 over the decoded
     // stream; surviving samples are named by the synthesis rule at indices
     // 0, 4, 8, ... so the oracle is closed-form exact
