@@ -299,4 +299,103 @@ object Curation {
       .orderBy(col("dsir_logratio").desc, col(idCol))
       .limit(topK)
   }
+
+  /**
+   * Maximal duplicated-span merging — the islands step over
+   * [[repeatedSpans]]: adjacent duplicated n-gram positions within a doc
+   * coalesce into the maximal token span you would actually strip
+   * (suffix-dedup emits spans, not points). Classic gaps-and-islands:
+   * island key = pos − row_number() per doc; the window is partitioned by
+   * doc id (bounded by doc length) — no global window.
+   *
+   * Returns (id, span_start, span_end, n_grams): token-inclusive bounds,
+   * span_end = last duplicated position + n − 1.
+   */
+  def mergedDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = repeatedSpans(docs, idCol, textCol, n)
+      .select(col(idCol), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    pos
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + (n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__grp")
+  }
+
+  /**
+   * Multinomial Naive Bayes quality classifier — the fastText/CCNet-style
+   * learned quality filter, with a real train/apply split: fit token-bucket
+   * class counts + doc priors on the training partition, score every
+   * held-out doc with the summed log-likelihood ratio, predict at 0.
+   *
+   * Scale shape: the model is (2 class totals × `buckets` bucket counts +
+   * 1-row priors) — bounded by construction, broadcast like the DSIR bag
+   * models; scoring is one shuffle of (doc, bucket, n) triples. The model
+   * table spans ALL buckets (unseen buckets still carry the smoothed
+   * ln(1/(T+B)) contribution), via a range-join on spark.range(buckets).
+   *
+   * Cross-engine exactness: per-bucket contributions and the prior are
+   * round-9 DECIMAL(28,9) terms summed exactly (the [[bm25]] discipline),
+   * so `pred = score > 0` cannot flip on ln() ulps.
+   *
+   * Returns (id, label, n_tokens, score, pred) for held-out docs with at
+   * least one token.
+   */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+                 labelPred: Column, trainPred: Column, buckets: Int): DataFrame = {
+    val base = Spread.byKey(docs, col(idCol))
+      .select(col(idCol), labelPred.cast("int").as("__y"), trainPred.as("__tr"),
+        col(textCol))
+    val grams = base
+      .select(col(idCol), col("__y"), col("__tr"),
+        explode(TA.tokens(col(textCol))).as("__g"))
+      .withColumn("__b",
+        expr(s"CAST(conv(substring(md5(__g), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+    val perDoc = Spread.shared(grams
+      .groupBy(col(idCol), col("__y"), col("__tr"), col("__b"))
+      .agg(count(lit(1)).as("__n")))
+    val trainCnt = perDoc.filter(col("__tr"))
+      .groupBy("__b")
+      .agg(sum(when(col("__y") === 1, col("__n")).otherwise(0L)).as("__n1"),
+        sum(when(col("__y") === 0, col("__n")).otherwise(0L)).as("__n0"))
+    val model = docs.sparkSession.range(buckets.toLong).select(col("id").as("__b"))
+      .join(trainCnt, Seq("__b"), "left")
+      .na.fill(0L, Seq("__n1", "__n0"))
+    val totals = model.agg(sum("__n1").as("__T1"), sum("__n0").as("__T0"))
+    val priors = base.filter(col("__tr"))
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__N1"),
+        sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__N0"))
+    val b = lit(buckets.toDouble)
+    val contrib = round(col("__n") * (log((col("__n1") + 1.0) / (col("__T1") + b))
+        - log((col("__n0") + 1.0) / (col("__T0") + b))), 9)
+      .cast("decimal(28,9)")
+    val prior = round(log((col("__N1") + 1.0) / (col("__N0") + 1.0)), 9)
+      .cast("decimal(28,9)")
+    perDoc.filter(!col("__tr"))
+      .join(broadcast(model), "__b")
+      .crossJoin(broadcast(totals))
+      .withColumn("__c", contrib)
+      .groupBy(col(idCol), col("__y"))
+      // sum widens to DECIMAL(38,9); re-cast before adding the prior, or
+      // Spark's decimal-add overflow rule silently drops the 9th decimal
+      .agg(sum("__n").as("n_tokens"),
+        sum(col("__c")).cast("decimal(28,9)").as("__s"))
+      .crossJoin(broadcast(priors))
+      .withColumn("__score", prior + col("__s"))
+      .select(col(idCol), col("__y").as("label"), col("n_tokens"),
+        col("__score").cast("double").as("score"),
+        (col("__score") > 0).cast("int").as("pred"))
+  }
+
+  /** Held-out confusion matrix over [[nbClassify]] — the evaluation step
+    * of the train/apply split. Output is at most 4 rows. */
+  def nbConfusion(docs: DataFrame, idCol: String, textCol: String,
+                  labelPred: Column, trainPred: Column, buckets: Int): DataFrame =
+    nbClassify(docs, idCol, textCol, labelPred, trainPred, buckets)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
 }

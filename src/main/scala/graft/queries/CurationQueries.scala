@@ -202,5 +202,84 @@ object CurationQueries {
               |  CAST(sum(c) AS DOUBLE) AS dsir_logratio
               |FROM sc GROUP BY doc_id
               |ORDER BY dsir_logratio DESC, doc_id
-              |LIMIT 200""".stripMargin)))
+              |LIMIT 200""".stripMargin)),
+
+    // maximal duplicated-span merging: adjacent duplicated trigram
+    // positions coalesce into the token spans suffix-dedup would strip
+    // (gaps-and-islands over dedup_spans; window partitioned per doc).
+    Q("dedup_span_merge",
+      (s, dir) => Curation.mergedDupSpans(documents(s, dir), "doc_id", "text", 3),
+      Some(s"""WITH $trigramCte,
+              |d AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) > 1),
+              |p AS (SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos
+              |      FROM g JOIN d USING (ngram)),
+              |i AS (SELECT doc_id, pos,
+              |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              |      FROM p)
+              |SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end,
+              |  CAST(count(*) AS BIGINT) AS n_grams
+              |FROM i GROUP BY doc_id, grp""".stripMargin)),
+
+    // Naive Bayes quality classifier, train/apply split: fit bucket-count
+    // bag models + doc priors on even doc_ids (label: lang = 'en'), score
+    // every held-out doc with the exact-decimal log-likelihood ratio.
+    Q("nb_quality_score",
+      (s, dir) => Curation.nbClassify(documents(s, dir), "doc_id", "text",
+        col("lang") === "en", col("doc_id") % 2 === 0, buckets = 256),
+      Some(s"""WITH $nbCtes
+              |SELECT doc_id, label, n_tokens, CAST(s AS DOUBLE) AS score,
+              |  CAST(s > 0 AS INT) AS pred
+              |FROM scored""".stripMargin)),
+
+    // the evaluation step of the same classifier: held-out confusion
+    // matrix (≤ 4 rows) — label vs prediction with doc/token mass.
+    Q("nb_quality_eval",
+      (s, dir) => Curation.nbConfusion(documents(s, dir), "doc_id", "text",
+        col("lang") === "en", col("doc_id") % 2 === 0, buckets = 256),
+      Some(s"""WITH $nbCtes
+              |SELECT label, CAST(s > 0 AS INT) AS pred,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+              |FROM scored GROUP BY 1, 2""".stripMargin)))
+
+  // shared NB-classifier CTE chain: hashed-unigram bucket counts on the
+  // training split (all 256 buckets, add-one smoothing), round-9 DECIMAL
+  // contributions + prior, summed exactly per held-out doc → `scored`
+  private def nbCtes: String =
+    """base AS (
+      |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y, doc_id % 2 = 0 AS tr, text
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, y, tr,
+      |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS g
+      |  FROM base),
+      |pd AS (
+      |  SELECT doc_id, y, tr,
+      |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b,
+      |    count(*) AS n
+      |  FROM tok GROUP BY 1, 2, 3, 4),
+      |cnt AS (
+      |  SELECT b, sum(CASE WHEN y = 1 THEN n ELSE 0 END) AS n1,
+      |         sum(CASE WHEN y = 0 THEN n ELSE 0 END) AS n0
+      |  FROM pd WHERE tr GROUP BY b),
+      |model AS (
+      |  SELECT gs.b, coalesce(cnt.n1, 0) AS n1, coalesce(cnt.n0, 0) AS n0
+      |  FROM generate_series(0, 255) gs(b) LEFT JOIN cnt ON gs.b = cnt.b),
+      |tot AS (SELECT sum(n1) AS T1, sum(n0) AS T0 FROM model),
+      |pri AS (
+      |  SELECT CAST(round(ln((sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1.0e0)
+      |      / (sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) + 1.0e0)), 9)
+      |    AS DECIMAL(28,9)) AS prior
+      |  FROM base WHERE tr),
+      |sc AS (
+      |  SELECT pd.doc_id, pd.y, pd.n,
+      |    CAST(round(pd.n * (ln((model.n1 + 1.0e0) / (tot.T1 + 256.0e0))
+      |      - ln((model.n0 + 1.0e0) / (tot.T0 + 256.0e0))), 9)
+      |      AS DECIMAL(28,9)) AS c
+      |  FROM pd JOIN model ON pd.b = model.b, tot
+      |  WHERE NOT pd.tr),
+      |scored AS (
+      |  SELECT doc_id, y AS label, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |    pri.prior + CAST(sum(c) AS DECIMAL(28,9)) AS s
+      |  FROM sc, pri GROUP BY doc_id, y, pri.prior)""".stripMargin
 }

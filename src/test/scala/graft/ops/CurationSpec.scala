@@ -107,4 +107,46 @@ class CurationSpec extends AnyFunSuite {
     assert(got.keySet == Set(0L, 1L))
     assert(got(0L) > got(1L) && got(1L) > 0.0)
   }
+
+  test("mergedDupSpans: adjacent duplicated positions coalesce into maximal spans") {
+    // "a b c d e" appears twice → in each doc, trigram positions 0,1,2 are
+    // all duplicated and adjacent → one maximal span covering tokens 0..4;
+    // doc 2 repeats "x y z" far apart within itself → two 1-gram islands
+    val df = docs(
+      0L -> "a b c d e",
+      1L -> "a b c d e",
+      2L -> "x y z q q q q x y z")
+    val got = Curation.mergedDupSpans(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val qSpan = (2L, 3L, 6L, 2L) // "q q q" at positions 3,4 → tokens 3..6
+    assert(got == Set((0L, 0L, 4L, 3L), (1L, 0L, 4L, 3L),
+      (2L, 0L, 2L, 1L), (2L, 7L, 9L, 1L), qSpan))
+  }
+
+  test("nbClassify: separable corpus — held-out docs score toward their class") {
+    // even ids train, odd ids held out; label = lang == 'en'
+    import spark.implicits._
+    val df = Seq(
+      (0L, "en", "good clean prose text here"),
+      (2L, "en", "clean good text prose again"),
+      (4L, "de", "schlecht kauderwelsch zeug hier"),
+      (6L, "de", "zeug kauderwelsch schlecht nochmal"),
+      (1L, "en", "good prose text"),
+      (3L, "de", "schlecht zeug kauderwelsch"),
+      (5L, "en", "clean good prose")
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.nbClassify(df, "doc_id", "text",
+        col("lang") === "en", col("doc_id") % 2 === 0, buckets = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3), r.getInt(4)))
+    assert(got.map(_._1).toSet == Set(1L, 3L, 5L)) // held-out docs only
+    got.foreach { case (_, label, score, pred) =>
+      assert(pred == (if (score > 0) 1 else 0))
+      assert(pred == label) // separable vocab → correct predictions
+    }
+    val conf = Curation.nbConfusion(df, "doc_id", "text",
+        col("lang") === "en", col("doc_id") % 2 === 0, buckets = 64)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(conf == Map((1, 1) -> 2L, (0, 0) -> 1L))
+  }
 }
