@@ -391,6 +391,54 @@ object Curation {
         (col("__score") > 0).cast("int").as("pred"))
   }
 
+  /**
+   * Per-document duplicated-token fraction + keep/drop decision — the
+   * FILTER step after span detection: docs whose merged duplicate spans
+   * ([[mergedDupSpans]]) cover more than `maxFrac` of their tokens get
+   * dropped (the "mostly boilerplate" cut every web-corpus pipeline makes).
+   * Merged spans are disjoint by construction, so covered-token mass is a
+   * plain sum; the spans side is per-doc-bounded, joined back on the doc
+   * key (shuffle equi-join, no broadcast of an unbounded side).
+   *
+   * Returns (id, n_tokens, dup_tokens, dup_frac, keep) for non-empty docs.
+   */
+  def dupSpanFraction(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, maxFrac: Double): DataFrame = {
+    val spans = mergedDupSpans(docs, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    val tot = Spread.byKey(docs, col(idCol))
+      .select(col(idCol), size(TA.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val frac = col("dup_tokens") / col("n_tokens").cast("double")
+    tot.join(spans, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .withColumn("dup_frac", round(frac, 9))
+      .withColumn("keep", (frac <= maxFrac).cast("int"))
+  }
+
+  /**
+   * Per-source corpus data card — the summary-statistics artifact every
+   * training-data release ships: doc/token/char mass, token-length
+   * moments, and language mix per source. ONE map-side-combinable
+   * aggregation over the corpus (output bounded by the source count).
+   */
+  def corpusDataCard(docs: DataFrame, idCol: String, textCol: String,
+                     srcCol: String, langCol: String): DataFrame =
+    Spread.byKey(docs, col(idCol))
+      .select(col(srcCol), col(langCol),
+        size(TA.tokens(col(textCol))).cast("long").as("__nt"),
+        length(col(textCol)).cast("long").as("__nc"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").as("n_tokens"),
+        sum("__nc").as("n_chars"),
+        round(sum("__nt") / count(lit(1)).cast("double"), 9).as("avg_tokens"),
+        min("__nt").as("min_tokens"),
+        max("__nt").as("max_tokens"),
+        sum(when(col(langCol) === "en", 1L).otherwise(0L)).as("n_en"),
+        countDistinct(col(langCol)).as("n_langs"))
+
   /** Held-out confusion matrix over [[nbClassify]] — the evaluation step
     * of the train/apply split. Output is at most 4 rows. */
   def nbConfusion(docs: DataFrame, idCol: String, textCol: String,

@@ -220,6 +220,50 @@ object CurationQueries {
               |  CAST(count(*) AS BIGINT) AS n_grams
               |FROM i GROUP BY doc_id, grp""".stripMargin)),
 
+    // the FILTER step after span merging: duplicated-token fraction per
+    // doc (merged spans are disjoint → covered mass is a plain sum) and
+    // the keep/drop decision at 50%.
+    Q("dedup_span_fraction",
+      (s, dir) => Curation.dupSpanFraction(documents(s, dir), "doc_id", "text",
+        3, maxFrac = 0.5),
+      Some(s"""WITH $trigramCte,
+              |d AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) > 1),
+              |p AS (SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos
+              |      FROM g JOIN d USING (ngram)),
+              |i AS (SELECT doc_id, pos,
+              |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              |      FROM p),
+              |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e
+              |       FROM i GROUP BY doc_id, grp),
+              |dt AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM sp GROUP BY doc_id),
+              |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+              |        FROM t WHERE len(toks) > 0)
+              |SELECT tot.doc_id, tot.n_tokens,
+              |  CAST(coalesce(dt.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+              |  round(coalesce(dt.dup_tokens, 0) / CAST(tot.n_tokens AS DOUBLE), 9) AS dup_frac,
+              |  CAST(coalesce(dt.dup_tokens, 0) / CAST(tot.n_tokens AS DOUBLE) <= 0.5e0 AS INT) AS keep
+              |FROM tot LEFT JOIN dt USING (doc_id)""".stripMargin)),
+
+    // per-source corpus data card: doc/token/char mass, token-length
+    // moments, language mix — one map-side-combinable aggregation.
+    Q("corpus_data_card",
+      (s, dir) => Curation.corpusDataCard(documents(s, dir), "doc_id", "text",
+        "source", "lang"),
+      Some("""WITH w AS (
+             |  SELECT source, lang,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      x -> length(x) > 0)) AS BIGINT) AS nt,
+             |    CAST(length(text) AS BIGINT) AS nc
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+             |  CAST(sum(nc) AS BIGINT) AS n_chars,
+             |  round(sum(nt) / CAST(count(*) AS DOUBLE), 9) AS avg_tokens,
+             |  min(nt) AS min_tokens, max(nt) AS max_tokens,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM w GROUP BY source""".stripMargin)),
+
     // Naive Bayes quality classifier, train/apply split: fit bucket-count
     // bag models + doc priors on even doc_ids (label: lang = 'en'), score
     // every held-out doc with the exact-decimal log-likelihood ratio.

@@ -124,6 +124,19 @@ class CurationSpec extends AnyFunSuite {
       (2L, 0L, 2L, 1L), (2L, 7L, 9L, 1L), qSpan))
   }
 
+  test("dupSpanFraction: covered mass from disjoint spans; keep flips past maxFrac") {
+    val df = docs(
+      0L -> "a b c d e f g h",  // fully duplicated by doc 1 → frac 1.0
+      1L -> "a b c d e f g h",
+      2L -> "a b c x u v w z")  // tokens 0..2 of 8 duplicated → frac 0.375
+    val got = Curation.dupSpanFraction(df, "doc_id", "text", 3, maxFrac = 0.5)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got(0L) == ((8L, 8L, 1.0, 0)))
+    assert(got(1L) == ((8L, 8L, 1.0, 0)))
+    assert(got(2L) == ((8L, 3L, 0.375, 1)))
+  }
+
   test("nbClassify: separable corpus — held-out docs score toward their class") {
     // even ids train, odd ids held out; label = lang == 'en'
     import spark.implicits._
