@@ -397,4 +397,47 @@ object Dedup {
     cells.join(removed, Seq(idCol), "left_anti")
       .select(col(idCol).as("vec_id"), col("cell"))
   }
+
+  /** Max gram positions per document for [[winnowFingerprints]]' packed
+    * (hash, position) encoding — 2^20 grams (≈1M tokens/doc). */
+  val WinnowPosCap: Int = 1 << 20
+
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003 —
+   * the MOSS algorithm): from each sliding window of `w` consecutive
+   * word-n-gram hashes, keep the minimum (rightmost on ties). Guarantees
+   * every match of length ≥ w+n−1 tokens shares a fingerprint while
+   * selecting only ~2/(w+1) of positions — the local, position-robust
+   * alternative to MinHash for substring-level near-dup detection.
+   *
+   * Scale shape: windows never cross documents, so everything is one
+   * partitioned window pass (ROWS frame of w, partitioned by doc) over the
+   * exploded gram relation + a distinct — no self-join, no broadcast.
+   * Ties resolve rightmost via a packed (hash·2^20 + reversed-pos) key, so
+   * both engines agree exactly; positions are capped at 2^20 grams/doc
+   * (docs past ~1M tokens should be chunked first — see chunkOverlap).
+   *
+   * Returns distinct (id, fp_pos, fp_hash).
+   */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, w: Int): DataFrame = {
+    val grams = Spread.byKey(df, col(idCol)).select(col(idCol),
+        posexplode(TextAnalysis.wordNgrams(TextAnalysis.tokens(col(textCol)), n))
+          .as(Seq("pos", "ngram")))
+      .withColumn("__h",
+        expr("CAST(conv(substring(md5(ngram), 1, 8), 16, 10) AS BIGINT)"))
+    val byDoc = Window.partitionBy(col(idCol))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val cap = lit(WinnowPosCap.toLong)
+    grams
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .withColumn("__m",
+        min(col("__h") * cap + (cap - 1 - col("pos"))).over(win))
+      .filter(col("pos") <= col("__n") - w) // full windows only
+      .select(col(idCol),
+        (cap - 1 - pmod(col("__m"), cap)).cast("long").as("fp_pos"),
+        expr(s"__m div ${WinnowPosCap}").cast("long").as("fp_hash"))
+      .distinct()
+  }
 }

@@ -260,6 +260,40 @@ object PipelineQueries {
       Some(s"""WITH $simhashPairCtes
              |SELECT id_a, id_b, hamming FROM spairs""".stripMargin)),
 
+    // winnowing fingerprint selection (MOSS): per-doc sliding window of 4
+    // trigram hashes, keep the min (rightmost tie via packed reversed-pos
+    // key) — substring-level local fingerprints, one partitioned window
+    // pass + distinct, no self-join.
+    Q("dedup_winnow",
+      (s, dir) => Dedup.winnowFingerprints(documents(s, dir), "doc_id", "text",
+        n = 3, w = 4),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+             |      i -> i - 1)) AS pos,
+             |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+             |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram
+             |  FROM t),
+             |h AS (
+             |  SELECT doc_id, pos,
+             |    CAST(('0x' || substr(md5(ngram), 1, 8)) AS BIGINT) AS hh,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM g),
+             |e AS (
+             |  SELECT doc_id, pos, n,
+             |    min(hh * 1048576 + (1048575 - pos)) OVER (
+             |      PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+             |  FROM h)
+             |SELECT DISTINCT doc_id,
+             |  CAST(1048575 - (m % 1048576) AS BIGINT) AS fp_pos,
+             |  CAST(m // 1048576 AS BIGINT) AS fp_hash
+             |FROM e WHERE pos <= n - 4""".stripMargin)),
+
     // near-dup cluster labels: simhash pairs -> connected components
     // (min-reachable-id fixpoint; oracle = recursive-CTE reachability)
     Q("dedup_components",
