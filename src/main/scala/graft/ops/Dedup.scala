@@ -440,4 +440,32 @@ object Dedup {
         expr(s"__m div ${WinnowPosCap}").cast("long").as("fp_hash"))
       .distinct()
   }
+
+  /**
+   * Candidate near-dup pairs from shared winnowing fingerprints — the
+   * MOSS match step: docs sharing ≥ `minShared` distinct fingerprint
+   * hashes are substring-overlap candidates. The join is an equi-join on
+   * the fingerprint hash (the LSH-banding shape); hot hashes (ubiquitous
+   * grams — "stop grams") are dropped first via a document-frequency cap,
+   * which bounds the per-key pair fan-out at maxDf² and is standard MOSS
+   * practice (ubiquitous code shares no signal anyway).
+   *
+   * Returns (id_a, id_b, n_shared) with id_a < id_b.
+   */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, w: Int, minShared: Int, maxDf: Int): DataFrame = {
+    val fps = Spread.shared(
+      winnowFingerprints(df, idCol, textCol, n, w)
+        .select(col(idCol), col("fp_hash")).distinct())
+    val rare = fps.groupBy("fp_hash")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf && col("__df") > 1)
+    val keyed = fps.join(rare, "fp_hash")
+    keyed.select(col("fp_hash"), col(idCol).as("id_a"))
+      .join(keyed.select(col("fp_hash"), col(idCol).as("id_b")), "fp_hash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -294,6 +294,44 @@ object PipelineQueries {
              |  CAST(m // 1048576 AS BIGINT) AS fp_hash
              |FROM e WHERE pos <= n - 4""".stripMargin)),
 
+    // the MOSS match step over those fingerprints: equi-join on the hash
+    // (LSH-banding shape) after dropping ubiquitous "stop grams" via a
+    // document-frequency cap, pairs sharing >= 2 fingerprints.
+    Q("dedup_winnow_pairs",
+      (s, dir) => Dedup.winnowPairs(documents(s, dir), "doc_id", "text",
+        n = 3, w = 4, minShared = 2, maxDf = 20),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+             |      i -> i - 1)) AS pos,
+             |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+             |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram
+             |  FROM t),
+             |h AS (
+             |  SELECT doc_id, pos,
+             |    CAST(('0x' || substr(md5(ngram), 1, 8)) AS BIGINT) AS hh,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM g),
+             |e AS (
+             |  SELECT doc_id, pos, n,
+             |    min(hh * 1048576 + (1048575 - pos)) OVER (
+             |      PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+             |  FROM h),
+             |fp AS (SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp_hash
+             |       FROM e WHERE pos <= n - 4),
+             |rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash
+             |         HAVING count(*) <= 20 AND count(*) > 1),
+             |k AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN rare USING (fp_hash))
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(count(*) AS BIGINT) AS n_shared
+             |FROM k a JOIN k b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
+
     // near-dup cluster labels: simhash pairs -> connected components
     // (min-reachable-id fixpoint; oracle = recursive-CTE reachability)
     Q("dedup_components",

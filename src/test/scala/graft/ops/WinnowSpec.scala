@@ -52,6 +52,19 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowPairs: duplicated docs pair up; unrelated docs do not") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      0L -> s"intro words here $shared trailing bits",
+      1L -> s"$shared completely different tail tokens",
+      2L -> "nothing in common with anything else at all here now").toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(df, "doc_id", "text", n = 3, w = 4,
+        minShared = 2, maxDf = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("coverage guarantee: every w-window of grams contains a fingerprint") {
     import spark.implicits._
     val text = Seq.fill(60)("w x y z q").mkString(" ") // highly repetitive
