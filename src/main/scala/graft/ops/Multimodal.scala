@@ -584,7 +584,10 @@ object Multimodal {
       fourcc(bytes, 8) == "AVI ", "not an AVI")
     var w = 0; var h = 0; var bits = 0
     val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      // untrusted input: a crafted file of nested LISTs must throw, not
+      // blow the stack (real AVI trees are ≤ 4 deep)
+      require(depth < 32, "AVI LIST nesting too deep")
       var pos = start
       while (pos + 8 <= end) {
         val id = fourcc(bytes, pos)
@@ -594,7 +597,7 @@ object Multimodal {
         id match {
           case "LIST" =>
             require(sz >= 4, "LIST chunk too small")
-            walk(pos + 12, pos + 8 + sz) // recurse past the 4-byte list type
+            walk(pos + 12, pos + 8 + sz, depth + 1) // past the 4-byte list type
           case "avih" =>
             // MainAVIHeader: dwWidth at +32, dwHeight at +36
             require(sz >= 40, s"avih chunk too small ($sz bytes)")
@@ -609,8 +612,11 @@ object Multimodal {
               "uncompressed 24-bit DIB frames only")
           case "00db" | "00dc" =>
             require(w > 0 && bits == 24, "avih/strf must precede movi frames")
-            val stride = (w * 3 + 3) & ~3
-            require(sz >= stride * h, s"short frame ($sz < ${stride * h})")
+            // long arithmetic: huge header dims must fail THIS check, not
+            // overflow Int and slip past it into a bad allocation
+            val strideL = (w.toLong * 3 + 3) & ~3L
+            require(sz >= strideL * h, s"short frame ($sz < ${strideL * h})")
+            val stride = strideL.toInt
             val out = new Array[Byte](w * h * 3)
             var y = 0
             while (y < h) {
@@ -630,7 +636,7 @@ object Multimodal {
         pos += 8 + sz + (sz & 1)
       }
     }
-    walk(12, bytes.length)
+    walk(12, bytes.length, 0)
     (w, h, frames.toArray)
   }
 

@@ -62,4 +62,26 @@ class AviSpec extends AnyFunSuite {
     comp(12 + 8 + 4 + 64 + 12 + 64 + 8 + 16) = 1 // strf data + biCompression
     intercept[IllegalArgumentException] { Multimodal.decodeAviDib(comp) }
   }
+
+  test("nested-LIST bomb throws (depth cap) instead of overflowing the stack") {
+    def p32(v: Long): Array[Byte] =
+      Array.tabulate(4)(j => ((v >> (8 * j)) & 0xff).toByte)
+    // innermost payload, wrapped in 40 nested LISTs
+    var body = Array[Byte]()
+    for (_ <- 0 until 40)
+      body = "LIST".getBytes("US-ASCII") ++ p32(4L + body.length) ++
+        "nest".getBytes("US-ASCII") ++ body
+    val bomb = "RIFF".getBytes("US-ASCII") ++ p32(4L + body.length) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+    intercept[IllegalArgumentException] { Multimodal.decodeAviDib(bomb) }
+  }
+
+  test("huge header dims fail the frame bounds check, no overflow/allocation") {
+    val base = Multimodal.encodeAviDib(4, 2, synth(4, 2, 1, 1), fps = 25)
+    val huge = base.clone()
+    // avih body starts at 32; dwWidth at +32, dwHeight at +36
+    val w = 0x40000000L
+    for (j <- 0 until 4) huge(64 + j) = ((w >> (8 * j)) & 0xff).toByte
+    intercept[IllegalArgumentException] { Multimodal.decodeAviDib(huge) }
+  }
 }
