@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Probabilistic sketches for 100 TB-scale analytics: HyperLogLog distinct
+ * counting and Count-Min frequency estimation. Unlike Spark's built-in
+ * `approx_count_distinct` (whose HLL++ registers are engine-private),
+ * these sketches are built from deterministic md5/integer arithmetic so
+ * any SQL engine reproduces them bit-identically — the estimates are
+ * exactly oracle-checkable, and a sketch built on one system can be
+ * merged/queried on another (registers are plain (bucket, value) rows).
+ *
+ * Scale shape: both sketches reduce unbounded input to bounded state
+ * (m registers / d×w counters) via map-side-combinable aggregations —
+ * the canonical "one pass, tiny state" layout for distributed cardinality
+ * and heavy-hitter work.
+ */
+object Sketches {
+
+  /** HLL precision: 2^10 registers. */
+  val HllP = 10
+  val HllM: Int = 1 << HllP
+  /** Bits left for the rho scan after the bucket index (60-bit hash). */
+  val HllRestBits = 50
+  /** Standard bias constant alpha_m for m = 1024. */
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+
+  /** 60-bit positive hash of a column's string form (15 hex chars of md5)
+    * — portable to any engine with md5 + string ops. */
+  def hash60(c: Column): Column =
+    expr(s"CAST(conv(substring(md5(CAST(${c.toString} AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+
+  /**
+   * HyperLogLog distinct-count estimate per group (Flajolet et al. 2007):
+   * bucket = low p bits, rho = LSB-scan of the remaining bits (computed as
+   * `bit_count((rest & -rest) - 1) + 1` — pure integer, no float), one
+   * max-per-register aggregation, then the harmonic estimate with the
+   * small-range linear-counting correction.
+   *
+   * Exactness discipline: the harmonic sum Σ 2^(-M_j) is accumulated as
+   * the INTEGER Σ 2^(maxRho - M_j) (empty registers contribute
+   * 2^maxRho each), so the only float ops are one division and one ln —
+   * deterministic across engines regardless of register order.
+   *
+   * Returns (group, n_true, n_empty, est_raw, est) — n_true is the exact
+   * distinct count for accuracy inspection; `est` applies the
+   * linear-counting branch below 2.5·m.
+   */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val maxRho = HllRestBits + 1 // rho when the rest bits are all zero
+    val keys = df.select(col(groupCol).as("__g"), col(keyCol).as("__k")).distinct()
+    val hashed = keys
+      .withColumn("__h", hash60(col("__k")))
+      .withColumn("__b", pmod(col("__h"), lit(HllM.toLong)))
+      .withColumn("__rest", expr(s"__h div $HllM"))
+      .withColumn("__rho",
+        when(col("__rest") === 0, lit(maxRho))
+          .otherwise(expr("bit_count((__rest & -__rest) - 1) + 1")))
+    val regs = hashed.groupBy(col("__g"), col("__b"))
+      .agg(max("__rho").as("__m"), count(lit(1)).as("__nk"))
+    // integer harmonic numerator: Σ 2^(maxRho − M_j) over occupied
+    // registers; empty registers add 2^maxRho each (exact, order-free)
+    val grouped = regs.groupBy(col("__g"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $maxRho - __m)")).as("__s"),
+        count(lit(1)).as("__v"),
+        sum("__nk").as("n_true"))
+    val scale = lit(math.pow(2.0, maxRho)) // 2^51, exact dyadic
+    val sFull = (col("__s") +
+      (lit(HllM.toLong) - col("__v")) * lit(1L << maxRho)).cast("double")
+    val estRaw = lit(HllAlpha * HllM * HllM) * scale / sFull
+    val nEmpty = lit(HllM.toLong) - col("__v")
+    val estLc = lit(HllM.toDouble) * log(lit(HllM.toDouble) / nEmpty.cast("double"))
+    grouped.select(col("__g").as(groupCol),
+      col("n_true"),
+      nEmpty.as("n_empty"),
+      round(estRaw, 9).as("est_raw"),
+      round(when(estRaw <= lit(2.5 * HllM) && nEmpty > 0, estLc)
+        .otherwise(estRaw), 9).as("est"))
+  }
+
+  /** Count-Min depth (hash functions) and width (counters per row). */
+  val CmD = 4
+  val CmW = 1024
+
+  /** 32-bit md5 token key, shared by build and probe sides. */
+  private def tokenKey(c: Column): Column =
+    expr(s"CAST(conv(substring(md5(${c.toString}), 1, 8), 16, 10) AS BIGINT)")
+
+  private def cmBucket(key: Column, a: Long, b: Long): Column =
+    pmod(pmod(lit(a) * key + lit(b), lit(Dedup.P)), lit(CmW.toLong))
+
+  /**
+   * Count-Min sketch (Cormode & Muthukrishnan 2005) over corpus tokens,
+   * probed for a fixed term list: build d×w integer counters (bounded
+   * state, map-side combinable), estimate each probe term's frequency as
+   * the minimum over its d counters, and emit the exact count alongside
+   * (the sketch guarantee est ≥ true is then oracle-visible).
+   *
+   * Returns (term, est, true_cnt) for each probe term.
+   */
+  def countMinProbe(df: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val params = Dedup.hashParams(CmD)
+    val toks = Spread.shared(
+      df.select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+        .withColumn("__k", tokenKey(col("__t"))))
+    // one counter table per hash row; union keeps it a single shuffle of
+    // (i, bucket) pairs — output bounded at d·w rows
+    val counters = params.map { case (i, a, b) =>
+      toks.groupBy(cmBucket(col("__k"), a, b).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .select(lit(i).as("__i"), col("__b"), col("__c"))
+    }.reduce(_ unionByName _)
+    val probes = terms.toDF("term")
+      .withColumn("__k", tokenKey(col("term")))
+    val probeBuckets = params.map { case (i, a, b) =>
+      probes.select(col("term"), lit(i).as("__i"),
+        cmBucket(col("__k"), a, b).as("__b"))
+    }.reduce(_ unionByName _)
+    val est = probeBuckets
+      .join(broadcast(counters), Seq("__i", "__b"), "left")
+      .na.fill(0L, Seq("__c"))
+      .groupBy("term").agg(min("__c").as("est"))
+    val truth = df.select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .groupBy("__t").agg(count(lit(1)).as("true_cnt"))
+    est.join(truth, est("term") === truth("__t"), "left")
+      .na.fill(0L, Seq("true_cnt"))
+      .select(col("term"), col("est"), col("true_cnt"))
+  }
+}

@@ -294,6 +294,76 @@ object PipelineQueries {
              |  CAST(m // 1048576 AS BIGINT) AS fp_hash
              |FROM e WHERE pos <= n - 4""".stripMargin)),
 
+    // HyperLogLog distinct-count per source (p=10), built from portable
+    // md5/integer register arithmetic — the harmonic sum is an INTEGER
+    // Σ 2^(51−M_j), so the estimate is bit-identical across engines and
+    // exactly oracle-checked (impossible with approx_count_distinct's
+    // engine-private HLL++ registers). n_true rides along for accuracy.
+    Q("sketch_hll",
+      (s, dir) => graft.ops.Sketches.hllDistinct(documents(s, dir), "source", "doc_id"),
+      Some {
+        val alpha = graft.ops.Sketches.HllAlpha *
+          graft.ops.Sketches.HllM * graft.ops.Sketches.HllM
+        val raw = s"${alpha}e0 * 2251799813685248.0e0 / CAST(s + CAST(1024 - v AS BIGINT) * CAST(2251799813685248 AS BIGINT) AS DOUBLE)"
+        s"""WITH k AS (SELECT DISTINCT source, doc_id FROM documents),
+           |h AS (
+           |  SELECT source,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           |  FROM k),
+           |r AS (
+           |  SELECT source, h % 1024 AS b,
+           |    CASE WHEN h // 1024 = 0 THEN 51
+           |         ELSE bit_count(((h // 1024) & -(h // 1024)) - 1) + 1 END AS rho
+           |  FROM h),
+           |regs AS (SELECT source, b, max(rho) AS m, count(*) AS nk
+           |         FROM r GROUP BY 1, 2),
+           |g AS (
+           |  SELECT source,
+           |    CAST(sum(CAST(1 AS BIGINT) << (51 - m)) AS BIGINT) AS s,
+           |    count(*) AS v, CAST(sum(nk) AS BIGINT) AS n_true
+           |  FROM regs GROUP BY source)
+           |SELECT source, n_true, CAST(1024 - v AS BIGINT) AS n_empty,
+           |  round($raw, 9) AS est_raw,
+           |  round(CASE WHEN $raw <= 2560.0 AND v < 1024
+           |        THEN 1024.0 * ln(1024.0 / CAST(1024 - v AS DOUBLE))
+           |        ELSE $raw END, 9) AS est
+           |FROM g""".stripMargin
+      }),
+
+    // Count-Min frequency sketch probed for a fixed term set: d=4 × w=1024
+    // integer counters (bounded, map-side combinable), est = min over the
+    // term's counters, exact count alongside — est >= true_cnt is the
+    // sketch guarantee, visible in the oracle-checked output.
+    Q("sketch_countmin",
+      (s, dir) => graft.ops.Sketches.countMinProbe(documents(s, dir), "text",
+        Seq("table", "value", "scan", "merge", "zzzneverseen")),
+      Some {
+        val hp = hpSql(graft.ops.Sketches.CmD, "i, a, b")
+        s"""WITH tok AS (
+           |  SELECT unnest(list_filter(string_split(text, ' '),
+           |    x -> length(x) > 0)) AS t
+           |  FROM documents),
+           |tk AS (SELECT t, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS k
+           |       FROM tok),
+           |cnt AS (
+           |  SELECT hp.i, ((hp.a * k + hp.b) % 2147483647) % 1024 AS b,
+           |    count(*) AS c
+           |  FROM tk, $hp
+           |  GROUP BY 1, 2),
+           |pr AS (SELECT unnest(['table', 'value', 'scan', 'merge',
+           |         'zzzneverseen']) AS term),
+           |pk AS (SELECT term, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS k
+           |       FROM pr),
+           |pb AS (SELECT term, hp.i, ((hp.a * k + hp.b) % 2147483647) % 1024 AS b
+           |       FROM pk, $hp),
+           |est AS (SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+           |        FROM pb LEFT JOIN cnt ON pb.i = cnt.i AND pb.b = cnt.b
+           |        GROUP BY term),
+           |tr AS (SELECT t, count(*) AS true_cnt FROM tk GROUP BY t)
+           |SELECT term, est, CAST(coalesce(true_cnt, 0) AS BIGINT) AS true_cnt
+           |FROM est LEFT JOIN tr ON est.term = tr.t""".stripMargin
+      }),
+
     // the MOSS match step over those fingerprints: equi-join on the hash
     // (LSH-banding shape) after dropping ubiquitous "stop grams" via a
     // document-frequency cap, pairs sharing >= 2 fingerprints.

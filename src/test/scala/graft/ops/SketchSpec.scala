@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HLL + Count-Min sketch invariants: estimation accuracy and the
+  * one-sided Count-Min guarantee. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("hllDistinct: estimate within HLL error bounds; duplicates ignored") {
+    import spark.implicits._
+    // group A: 5000 distinct keys (each twice — dedup must not inflate),
+    // group B: 12 distinct (linear-counting regime)
+    val rows = (0L until 5000L).flatMap(i => Seq(("a", i), ("a", i))) ++
+      (0L until 12L).map(i => ("b", i))
+    val df = rows.toDF("grp", "key")
+    val got = Sketches.hllDistinct(df, "grp", "key")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    assert(got("a")._1 == 5000L && got("b")._1 == 12L)
+    // p=10 → relative error ~1.04/sqrt(1024) ≈ 3.3%; allow 4 sigma
+    assert(math.abs(got("a")._2 - 5000.0) / 5000.0 < 0.13, s"est ${got("a")._2}")
+    // tiny set sits in the linear-counting branch — near-exact
+    assert(math.abs(got("b")._2 - 12.0) < 1.5, s"est ${got("b")._2}")
+  }
+
+  test("countMinProbe: est >= true for present terms; absent term stays small") {
+    import spark.implicits._
+    val df = (0 until 50).map(i =>
+      s"alpha beta beta gamma$i extra tokens here").toDF("text")
+    val got = Sketches.countMinProbe(df, "text", Seq("alpha", "beta", "nothere"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("alpha")._2 == 50L && got("beta")._2 == 100L)
+    assert(got("nothere")._2 == 0L)
+    got.values.foreach { case (est, tru) => assert(est >= tru) }
+    // with 4 independent rows of 1024 counters over ~350 tokens, the min
+    // counter should not be wildly inflated
+    assert(got("alpha")._1 <= 60L && got("beta")._1 <= 110L)
+  }
+}
