@@ -302,23 +302,31 @@ object Curation {
 
   /**
    * Maximal duplicated-span merging — the islands step over
-   * [[repeatedSpans]]: adjacent duplicated n-gram positions within a doc
-   * coalesce into the maximal token span you would actually strip
-   * (suffix-dedup emits spans, not points). Classic gaps-and-islands:
-   * island key = pos − row_number() per doc; the window is partitioned by
-   * doc id (bounded by doc length) — no global window.
+   * [[repeatedSpans]]: duplicated n-gram positions within a doc coalesce
+   * into the maximal token span you would actually strip (suffix-dedup
+   * emits spans, not points). Positions p1 < p2 belong to one island iff
+   * their token spans [p, p+n−1] touch, i.e. p2 − p1 ≤ n − 1 — NOT only
+   * strictly-adjacent positions (a gap of 2..n−1 still overlaps in token
+   * space; splitting there would double-count tokens downstream). Island
+   * ids are a running sum of gap>n−1 breaks; both windows are partitioned
+   * per doc — no global window.
    *
    * Returns (id, span_start, span_end, n_grams): token-inclusive bounds,
-   * span_end = last duplicated position + n − 1.
+   * span_end = last duplicated position + n − 1. Islands are ≥ 1 token
+   * apart by construction, so spans are disjoint.
    */
   def mergedDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pos = repeatedSpans(docs, idCol, textCol, n)
       .select(col(idCol), col("pos").cast("long").as("pos"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val ord = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     pos
-      .withColumn("__grp", col("pos") - row_number().over(w))
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(ord) > (n - 1), 1L)
+          .otherwise(0L))
+      .withColumn("__grp", sum(col("__brk")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(idCol), col("__grp"))
       .agg(min("pos").as("span_start"),
         (max("pos") + (n - 1)).as("span_end"),
@@ -425,7 +433,7 @@ object Curation {
    */
   def corpusDataCard(docs: DataFrame, idCol: String, textCol: String,
                      srcCol: String, langCol: String): DataFrame =
-    Spread.byKey(docs, col(idCol))
+    docs
       .select(col(srcCol), col(langCol),
         size(TA.tokens(col(textCol))).cast("long").as("__nt"),
         length(col(textCol)).cast("long").as("__nc"))

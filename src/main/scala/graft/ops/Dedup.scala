@@ -430,10 +430,15 @@ object Dedup {
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     val cap = lit(WinnowPosCap.toLong)
+    // a doc past the position cap must FAIL (packed keys would bleed into
+    // the neighboring hash's space and silently corrupt fingerprints);
+    // the guard is inside the packed expression so pruning can't drop it
+    val packed = expr(
+      s"IF(pos < $WinnowPosCap, __h * $WinnowPosCap + ($WinnowPosCap - 1 - pos), " +
+        "raise_error('winnowFingerprints: doc exceeds 2^20 grams - chunk it first (see chunkOverlap)'))")
     grams
       .withColumn("__n", count(lit(1)).over(byDoc))
-      .withColumn("__m",
-        min(col("__h") * cap + (cap - 1 - col("pos"))).over(win))
+      .withColumn("__m", min(packed).over(win))
       .filter(col("pos") <= col("__n") - w) // full windows only
       .select(col(idCol),
         (cap - 1 - pmod(col("__m"), cap)).cast("long").as("fp_pos"),

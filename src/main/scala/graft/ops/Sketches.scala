@@ -124,7 +124,9 @@ object Sketches {
       .join(broadcast(counters), Seq("__i", "__b"), "left")
       .na.fill(0L, Seq("__c"))
       .groupBy("term").agg(min("__c").as("est"))
-    val truth = df.select(explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+    // truth side reuses the shared token relation and pre-filters to the
+    // probe terms — a |terms|-bounded aggregate, not a corpus-wide one
+    val truth = toks.filter(col("__t").isin(terms: _*))
       .groupBy("__t").agg(count(lit(1)).as("true_cnt"))
     est.join(truth, est("term") === truth("__t"), "left")
       .na.fill(0L, Seq("true_cnt"))

@@ -210,15 +210,21 @@ object CurationQueries {
     Q("dedup_span_merge",
       (s, dir) => Curation.mergedDupSpans(documents(s, dir), "doc_id", "text", 3),
       Some(s"""WITH $trigramCte,
-              |d AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) > 1),
-              |p AS (SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos
-              |      FROM g JOIN d USING (ngram)),
+              |gm AS MATERIALIZED (SELECT doc_id, pos, ngram FROM g),
+              |d AS (SELECT ngram FROM gm GROUP BY ngram HAVING count(*) > 1),
+              |p AS (SELECT gm.doc_id, CAST(gm.pos AS BIGINT) AS pos
+              |      FROM gm JOIN d USING (ngram)),
               |i AS (SELECT doc_id, pos,
-              |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-              |      FROM p)
+              |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 2
+              |             THEN 1 ELSE 0 END AS brk
+              |      FROM p),
+              |j AS (SELECT doc_id, pos,
+              |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              |      FROM i)
               |SELECT doc_id, min(pos) AS span_start, max(pos) + 2 AS span_end,
               |  CAST(count(*) AS BIGINT) AS n_grams
-              |FROM i GROUP BY doc_id, grp""".stripMargin)),
+              |FROM j GROUP BY doc_id, grp""".stripMargin)),
 
     // the FILTER step after span merging: duplicated-token fraction per
     // doc (merged spans are disjoint → covered mass is a plain sum) and
@@ -227,14 +233,20 @@ object CurationQueries {
       (s, dir) => Curation.dupSpanFraction(documents(s, dir), "doc_id", "text",
         3, maxFrac = 0.5),
       Some(s"""WITH $trigramCte,
-              |d AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) > 1),
-              |p AS (SELECT g.doc_id, CAST(g.pos AS BIGINT) AS pos
-              |      FROM g JOIN d USING (ngram)),
+              |gm AS MATERIALIZED (SELECT doc_id, pos, ngram FROM g),
+              |d AS (SELECT ngram FROM gm GROUP BY ngram HAVING count(*) > 1),
+              |p AS (SELECT gm.doc_id, CAST(gm.pos AS BIGINT) AS pos
+              |      FROM gm JOIN d USING (ngram)),
               |i AS (SELECT doc_id, pos,
-              |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 2
+              |             THEN 1 ELSE 0 END AS brk
               |      FROM p),
+              |j AS (SELECT doc_id, pos,
+              |        sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+              |      FROM i),
               |sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 2 AS e
-              |       FROM i GROUP BY doc_id, grp),
+              |       FROM j GROUP BY doc_id, grp),
               |dt AS (SELECT doc_id, sum(e - s + 1) AS dup_tokens FROM sp GROUP BY doc_id),
               |tot AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
               |        FROM t WHERE len(toks) > 0)
@@ -290,14 +302,14 @@ object CurationQueries {
   // training split (all 256 buckets, add-one smoothing), round-9 DECIMAL
   // contributions + prior, summed exactly per held-out doc → `scored`
   private def nbCtes: String =
-    """base AS (
+    """base AS MATERIALIZED (
       |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y, doc_id % 2 = 0 AS tr, text
       |  FROM documents),
       |tok AS (
       |  SELECT doc_id, y, tr,
       |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS g
       |  FROM base),
-      |pd AS (
+      |pd AS MATERIALIZED (
       |  SELECT doc_id, y, tr,
       |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b,
       |    count(*) AS n

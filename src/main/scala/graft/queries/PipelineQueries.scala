@@ -343,7 +343,7 @@ object PipelineQueries {
            |  SELECT unnest(list_filter(string_split(text, ' '),
            |    x -> length(x) > 0)) AS t
            |  FROM documents),
-           |tk AS (SELECT t, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS k
+           |tk AS MATERIALIZED (SELECT t, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS k
            |       FROM tok),
            |cnt AS (
            |  SELECT hp.i, ((hp.a * k + hp.b) % 2147483647) % 1024 AS b,
@@ -392,11 +392,11 @@ object PipelineQueries {
              |      PARTITION BY doc_id ORDER BY pos
              |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
              |  FROM h),
-             |fp AS (SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp_hash
+             |fp AS MATERIALIZED (SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp_hash
              |       FROM e WHERE pos <= n - 4),
              |rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash
              |         HAVING count(*) <= 20 AND count(*) > 1),
-             |k AS (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN rare USING (fp_hash))
+             |k AS MATERIALIZED (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN rare USING (fp_hash))
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  CAST(count(*) AS BIGINT) AS n_shared
              |FROM k a JOIN k b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id

@@ -124,6 +124,20 @@ class CurationSpec extends AnyFunSuite {
       (2L, 0L, 2L, 1L), (2L, 7L, 9L, 1L), qSpan))
   }
 
+  test("mergedDupSpans: positions with token-overlapping gaps (2..n-1) coalesce") {
+    // "q w q" repeats at positions 0 and 2 (gap 2, position 1 not
+    // duplicated) — their token spans [0,2] and [2,4] overlap, so they
+    // must merge into ONE span; split islands would double-count token 2
+    // and dupSpanFraction would exceed 1.0
+    val df = docs(0L -> "q w q w q")
+    val spans = Curation.mergedDupSpans(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(spans == Seq((0L, 4L, 2L)))
+    val frac = Curation.dupSpanFraction(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(frac.toSeq == Seq((5L, 5L, 1.0, 0)))
+  }
+
   test("dupSpanFraction: covered mass from disjoint spans; keep flips past maxFrac") {
     val df = docs(
       0L -> "a b c d e f g h",  // fully duplicated by doc 1 → frac 1.0
