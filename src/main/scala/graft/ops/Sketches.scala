@@ -48,18 +48,38 @@ object Sketches {
    * distinct count for accuracy inspection; `est` applies the
    * linear-counting branch below 2.5·m.
    */
-  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, keyCol), groupCol)
+
+  /** Build the register table (group, __b, __m, __nk): bucket, max rho,
+    * and the exact per-register distinct-key count (__nk sums to the true
+    * distinct count for a single build; it is NOT merge-invariant —
+    * that's the whole reason the sketch exists). Registers are plain rows:
+    * shard-local builds merge with [[hllMerge]]. */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val maxRho = HllRestBits + 1 // rho when the rest bits are all zero
     val keys = df.select(col(groupCol).as("__g"), col(keyCol).as("__k")).distinct()
-    val hashed = keys
+    keys
       .withColumn("__h", hash60(col("__k")))
       .withColumn("__b", pmod(col("__h"), lit(HllM.toLong)))
       .withColumn("__rest", expr(s"__h div $HllM"))
       .withColumn("__rho",
         when(col("__rest") === 0, lit(maxRho))
           .otherwise(expr("bit_count((__rest & -__rest) - 1) + 1")))
-    val regs = hashed.groupBy(col("__g"), col("__b"))
+      .groupBy(col("__g"), col("__b"))
       .agg(max("__rho").as("__m"), count(lit(1)).as("__nk"))
+  }
+
+  /** Merge shard-local register tables: max per (group, bucket) — the
+    * estimate over merged registers equals the estimate over the union of
+    * the shards' inputs (per-register nk degrades to an upper bound). */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("__g"), col("__b"))
+      .agg(max("__m").as("__m"), sum("__nk").as("__nk"))
+
+  /** Harmonic estimate from a register table (see [[hllDistinct]]). */
+  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
+    val maxRho = HllRestBits + 1
     // integer harmonic numerator: Σ 2^(maxRho − M_j) over occupied
     // registers; empty registers add 2^maxRho each (exact, order-free)
     val grouped = regs.groupBy(col("__g"))

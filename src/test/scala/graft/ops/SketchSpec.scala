@@ -26,6 +26,23 @@ class SketchSpec extends AnyFunSuite {
     assert(math.abs(got("b")._2 - 12.0) < 1.5, s"est ${got("b")._2}")
   }
 
+  test("HLL registers merge by max: sharded builds estimate exactly like one build") {
+    import spark.implicits._
+    // two overlapping shards (0..1999 and 1000..2999) built independently,
+    // merged register-wise, must give the SAME estimate as one build over
+    // the union — the property that makes the sketch distributable
+    val whole = (0L until 3000L).map(i => ("all", i)).toDF("grp", "key")
+    val s1 = (0L until 2000L).map(i => ("all", i)).toDF("grp", "key")
+    val s2 = (1000L until 3000L).map(i => ("all", i)).toDF("grp", "key")
+    val merged = Sketches.hllMerge(
+      Sketches.hllRegisters(s1, "grp", "key"),
+      Sketches.hllRegisters(s2, "grp", "key"))
+    val a = Sketches.hllDistinct(whole, "grp", "key").head()
+    val b = Sketches.hllEstimate(merged, "grp").head()
+    assert(a.getDouble(4) == b.getDouble(4), s"${a.getDouble(4)} vs ${b.getDouble(4)}")
+    assert(a.getLong(2) == b.getLong(2)) // same occupied registers
+  }
+
   test("countMinProbe: est >= true for present terms; absent term stays small") {
     import spark.implicits._
     val df = (0 until 50).map(i =>
