@@ -51,24 +51,41 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
     hllEstimate(hllRegisters(df, groupCol, keyCol), groupCol)
 
-  /** Build the register table (group, __b, __m, __nk): bucket, max rho,
-    * and the exact per-register distinct-key count (__nk sums to the true
-    * distinct count for a single build; it is NOT merge-invariant —
-    * that's the whole reason the sketch exists). Registers are plain rows:
-    * shard-local builds merge with [[hllMerge]]. */
-  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+  /** The per-key (group, bucket, rho) projection shared by the batch and
+    * streaming register builders. */
+  private def hllProject(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val maxRho = HllRestBits + 1 // rho when the rest bits are all zero
-    val keys = df.select(col(groupCol).as("__g"), col(keyCol).as("__k")).distinct()
-    keys
+    df.select(col(groupCol).as("__g"), col(keyCol).as("__k"))
       .withColumn("__h", hash60(col("__k")))
       .withColumn("__b", pmod(col("__h"), lit(HllM.toLong)))
       .withColumn("__rest", expr(s"__h div $HllM"))
       .withColumn("__rho",
         when(col("__rest") === 0, lit(maxRho))
           .otherwise(expr("bit_count((__rest & -__rest) - 1) + 1")))
+      .select(col("__g"), col("__b"), col("__rho"))
+  }
+
+  /** Build the register table (group, __b, __m, __nk): bucket, max rho,
+    * and the exact per-register distinct-key count (__nk sums to the true
+    * distinct count for a single build; it is NOT merge-invariant —
+    * that's the whole reason the sketch exists). Registers are plain rows:
+    * shard-local builds merge with [[hllMerge]]. */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val keys = df.select(col(groupCol), col(keyCol)).distinct()
+    hllProject(keys, groupCol, keyCol)
       .groupBy(col("__g"), col("__b"))
       .agg(max("__rho").as("__m"), count(lit(1)).as("__nk"))
   }
+
+  /** Streaming register builder: the same projection + max aggregation,
+    * runnable under Structured Streaming in complete/update mode with
+    * bounded state (≤ m registers per group — duplicates collapse into
+    * max() so no distinct pass is needed; __nk is omitted because exact
+    * distinct counting is precisely what unbounded state would cost). */
+  def hllRegistersStream(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllProject(df, groupCol, keyCol)
+      .groupBy(col("__g"), col("__b"))
+      .agg(max("__rho").as("__m"))
 
   /** Merge shard-local register tables: max per (group, bucket) — the
     * estimate over merged registers equals the estimate over the union of
