@@ -128,6 +128,62 @@ object Sketches {
   private def cmBucket(key: Column, a: Long, b: Long): Column =
     pmod(pmod(lit(a) * key + lit(b), lit(Dedup.P)), lit(CmW.toLong))
 
+  /** Bloom filter geometry: 16384 bit positions packed into 63-bit words
+    * (bit 63 is never used so the per-word sum of distinct powers stays
+    * positive — DuckDB's sum() widens to HUGEINT, and a sign-bit word
+    * would disagree with Spark's two's-complement Long). */
+  val BloomBits = 16384
+  val BloomK = 5
+  private val BloomWordBits = 63
+
+  /**
+   * Bloom membership filter (Bloom 1970) over the corpus's distinct
+   * tokens, probed for a fixed term list — the third canonical sketch
+   * next to HLL (cardinality) and Count-Min (frequency). The filter is
+   * built as distinct (word, 2^bit) rows summed per word (distinct powers
+   * never carry, so the sum IS the bitwise OR — exact, order-free, and
+   * identical in any SQL engine); probing ANDs the k extracted bits.
+   *
+   * Returns (term, maybe_present, truly_present) — the no-false-negative
+   * guarantee (truly ⇒ maybe) is oracle-visible.
+   */
+  def bloomProbe(df: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val params = Dedup.hashParams(BloomK)
+    val toks = Spread.shared(
+      df.select(explode(TextAnalysis.tokens(col(textCol))).as("__t")).distinct()
+        .withColumn("__k", tokenKey(col("__t"))))
+    def bitPos(key: Column, a: Long, b: Long): Column =
+      pmod(pmod(lit(a) * key + lit(b), lit(Dedup.P)), lit(BloomBits.toLong))
+    val bits = params.map { case (_, a, b) =>
+      toks.select(bitPos(col("__k"), a, b).as("__p"))
+    }.reduce(_ unionByName _)
+      .select((col("__p") / BloomWordBits).cast("long").as("__w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p % $BloomWordBits AS INT))").as("__v"))
+      .distinct()
+    val words = bits.groupBy("__w").agg(sum("__v").as("__word")) // = bitwise OR
+    val probes = terms.toDF("term").withColumn("__k", tokenKey(col("term")))
+    val probeBits = params.map { case (i, a, b) =>
+      probes.select(col("term"), lit(i).as("__i"),
+        bitPos(col("__k"), a, b).as("__p"))
+    }.reduce(_ unionByName _)
+      .select(col("term"), col("__i"),
+        (col("__p") / BloomWordBits).cast("long").as("__w"),
+        pmod(col("__p"), lit(BloomWordBits.toLong)).cast("int").as("__b"))
+    val checked = probeBits
+      .join(broadcast(words), Seq("__w"), "left")
+      .na.fill(0L, Seq("__word"))
+      .withColumn("__set", expr("CAST(shiftright(__word, __b) & 1 AS BIGINT)"))
+      .groupBy("term").agg(min("__set").as("maybe_present"))
+    val truth = toks.filter(col("__t").isin(terms: _*))
+      .select(col("__t").as("term")).withColumn("__tp", lit(1L))
+    checked.join(truth, Seq("term"), "left")
+      .na.fill(0L, Seq("__tp"))
+      .select(col("term"), col("maybe_present").cast("int").as("maybe_present"),
+        col("__tp").cast("int").as("truly_present"))
+  }
+
   /**
    * Count-Min sketch (Cormode & Muthukrishnan 2005) over corpus tokens,
    * probed for a fixed term list: build d×w integer counters (bounded

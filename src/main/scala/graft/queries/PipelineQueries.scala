@@ -364,6 +364,46 @@ object PipelineQueries {
            |FROM est LEFT JOIN tr ON est.term = tr.t""".stripMargin
       }),
 
+    // Bloom membership filter over distinct corpus tokens (16384 bits in
+    // 63-bit words so the distinct-power sum = bitwise OR stays positive
+    // under DuckDB's HUGEINT sum), probed for the fixed term set — the
+    // no-false-negative guarantee is oracle-visible.
+    Q("sketch_bloom",
+      (s, dir) => graft.ops.Sketches.bloomProbe(documents(s, dir), "text",
+        Seq("table", "value", "scan", "merge", "zzzneverseen")),
+      Some {
+        val hp = hpSql(graft.ops.Sketches.BloomK, "i, a, b")
+        s"""WITH tok AS (
+           |  SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+           |    x -> length(x) > 0)) AS t
+           |  FROM documents),
+           |tk AS MATERIALIZED (
+           |  SELECT t, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS k
+           |  FROM tok),
+           |bits AS (
+           |  SELECT DISTINCT (((hp.a * k + hp.b) % 2147483647) % 16384) // 63 AS w,
+           |    CAST(1 AS BIGINT)
+           |      << CAST((((hp.a * k + hp.b) % 2147483647) % 16384) % 63 AS INT) AS v
+           |  FROM tk, $hp),
+           |words AS (SELECT w, CAST(sum(v) AS BIGINT) AS word FROM bits GROUP BY w),
+           |pr AS (SELECT unnest(['table', 'value', 'scan', 'merge',
+           |         'zzzneverseen']) AS term),
+           |pk AS (SELECT term, CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS k
+           |       FROM pr),
+           |pb AS (SELECT term,
+           |         ((hp.a * k + hp.b) % 2147483647) % 16384 AS p
+           |       FROM pk, $hp),
+           |chk AS (
+           |  SELECT term,
+           |    min(coalesce((words.word >> CAST(p % 63 AS INT)) & 1, 0)) AS maybe
+           |  FROM pb LEFT JOIN words ON p // 63 = words.w GROUP BY term),
+           |tr AS (SELECT t FROM tk WHERE t IN ('table', 'value', 'scan', 'merge',
+           |         'zzzneverseen'))
+           |SELECT term, CAST(maybe AS INT) AS maybe_present,
+           |  CAST(CASE WHEN tr.t IS NULL THEN 0 ELSE 1 END AS INT) AS truly_present
+           |FROM chk LEFT JOIN tr ON chk.term = tr.t""".stripMargin
+      }),
+
     // the MOSS match step over those fingerprints: equi-join on the hash
     // (LSH-banding shape) after dropping ubiquitous "stop grams" via a
     // document-frequency cap, pairs sharing >= 2 fingerprints.

@@ -43,6 +43,20 @@ class SketchSpec extends AnyFunSuite {
     assert(a.getLong(2) == b.getLong(2)) // same occupied registers
   }
 
+  test("bloomProbe: no false negatives; tiny filter load keeps absent terms out") {
+    import spark.implicits._
+    val df = (0 until 20).map(i => s"alpha beta gamma delta token$i").toDF("text")
+    val got = Sketches.bloomProbe(df, "text",
+        Seq("alpha", "delta", "token7", "missingword", "alsomissing"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // every present term MUST be reported present (no false negatives)
+    assert(got("alpha") == ((1, 1)) && got("delta") == ((1, 1)) &&
+      got("token7") == ((1, 1)))
+    // ~24 distinct tokens × 5 bits in 16384 → false-positive odds are
+    // negligible; both absent terms should read absent
+    assert(got("missingword") == ((0, 0)) && got("alsomissing") == ((0, 0)))
+  }
+
   test("countMinProbe: est >= true for present terms; absent term stays small") {
     import spark.implicits._
     val df = (0 until 50).map(i =>
