@@ -51,11 +51,17 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
     hllEstimate(hllRegisters(df, groupCol, keyCol), groupCol)
 
-  /** The per-key (group, bucket, rho) projection shared by the batch and
-    * streaming register builders. */
-  private def hllProject(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
-    val maxRho = HllRestBits + 1 // rho when the rest bits are all zero
+  /** (group, key) pre-aliasing — done BEFORE any other op so
+    * groupCol == keyCol (distinct-count keyed by the value itself) stays
+    * unambiguous. */
+  private def keyed(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
     df.select(col(groupCol).as("__g"), col(keyCol).as("__k"))
+
+  /** The per-key (group, bucket, rho) projection shared by the batch and
+    * streaming register builders; expects __g/__k columns. */
+  private def hllProject(df: DataFrame): DataFrame = {
+    val maxRho = HllRestBits + 1 // rho when the rest bits are all zero
+    df
       .withColumn("__h", hash60(col("__k")))
       .withColumn("__b", pmod(col("__h"), lit(HllM.toLong)))
       .withColumn("__rest", expr(s"__h div $HllM"))
@@ -70,32 +76,39 @@ object Sketches {
     * distinct count for a single build; it is NOT merge-invariant —
     * that's the whole reason the sketch exists). Registers are plain rows:
     * shard-local builds merge with [[hllMerge]]. */
-  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
-    val keys = df.select(col(groupCol), col(keyCol)).distinct()
-    hllProject(keys, groupCol, keyCol)
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllProject(keyed(df, groupCol, keyCol).distinct())
       .groupBy(col("__g"), col("__b"))
       .agg(max("__rho").as("__m"), count(lit(1)).as("__nk"))
-  }
 
   /** Streaming register builder: the same projection + max aggregation,
     * runnable under Structured Streaming in complete/update mode with
     * bounded state (≤ m registers per group — duplicates collapse into
     * max() so no distinct pass is needed; __nk is omitted because exact
-    * distinct counting is precisely what unbounded state would cost). */
+    * distinct counting is precisely what unbounded state would cost).
+    * [[hllEstimate]] and [[hllMerge]] both accept the nk-less shape. */
   def hllRegistersStream(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
-    hllProject(df, groupCol, keyCol)
+    hllProject(keyed(df, groupCol, keyCol))
       .groupBy(col("__g"), col("__b"))
       .agg(max("__rho").as("__m"))
 
+  /** 0-filled __nk for register tables from the streaming builder, so the
+    * whole register family composes. */
+  private def withNk(regs: DataFrame): DataFrame =
+    if (regs.columns.contains("__nk")) regs
+    else regs.withColumn("__nk", lit(0L))
+
   /** Merge shard-local register tables: max per (group, bucket) — the
     * estimate over merged registers equals the estimate over the union of
-    * the shards' inputs (per-register nk degrades to an upper bound). */
+    * the shards' inputs (per-register nk degrades to an upper bound; a
+    * streamed side contributes 0). */
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
-    a.unionByName(b).groupBy(col("__g"), col("__b"))
+    withNk(a).unionByName(withNk(b)).groupBy(col("__g"), col("__b"))
       .agg(max("__m").as("__m"), sum("__nk").as("__nk"))
 
   /** Harmonic estimate from a register table (see [[hllDistinct]]). */
-  def hllEstimate(regs: DataFrame, groupCol: String): DataFrame = {
+  def hllEstimate(regs0: DataFrame, groupCol: String): DataFrame = {
+    val regs = withNk(regs0) // accept the streaming builder's nk-less shape
     val maxRho = HllRestBits + 1
     // integer harmonic numerator: Σ 2^(maxRho − M_j) over occupied
     // registers; empty registers add 2^maxRho each (exact, order-free)
@@ -125,8 +138,10 @@ object Sketches {
   private def tokenKey(c: Column): Column =
     expr(s"CAST(conv(substring(md5(${c.toString}), 1, 8), 16, 10) AS BIGINT)")
 
-  private def cmBucket(key: Column, a: Long, b: Long): Column =
-    pmod(pmod(lit(a) * key + lit(b), lit(Dedup.P)), lit(CmW.toLong))
+  /** Shared (a·key + b) mod P mod width bucket hash for the Count-Min
+    * counters and the Bloom bit positions. */
+  private def bucketHash(key: Column, a: Long, b: Long, width: Int): Column =
+    pmod(pmod(lit(a) * key + lit(b), lit(Dedup.P)), lit(width.toLong))
 
   /** Bloom filter geometry: 16384 bit positions packed into 63-bit words
     * (bit 63 is never used so the per-word sum of distinct powers stays
@@ -154,21 +169,18 @@ object Sketches {
     val toks = Spread.shared(
       df.select(explode(TextAnalysis.tokens(col(textCol))).as("__t")).distinct()
         .withColumn("__k", tokenKey(col("__t"))))
-    def bitPos(key: Column, a: Long, b: Long): Column =
-      pmod(pmod(lit(a) * key + lit(b), lit(Dedup.P)), lit(BloomBits.toLong))
     val bits = params.map { case (_, a, b) =>
-      toks.select(bitPos(col("__k"), a, b).as("__p"))
+      toks.select(bucketHash(col("__k"), a, b, BloomBits).as("__p"))
     }.reduce(_ unionByName _)
       .select((col("__p") / BloomWordBits).cast("long").as("__w"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p % $BloomWordBits AS INT))").as("__v"))
       .distinct()
     val words = bits.groupBy("__w").agg(sum("__v").as("__word")) // = bitwise OR
     val probes = terms.toDF("term").withColumn("__k", tokenKey(col("term")))
-    val probeBits = params.map { case (i, a, b) =>
-      probes.select(col("term"), lit(i).as("__i"),
-        bitPos(col("__k"), a, b).as("__p"))
+    val probeBits = params.map { case (_, a, b) =>
+      probes.select(col("term"), bucketHash(col("__k"), a, b, BloomBits).as("__p"))
     }.reduce(_ unionByName _)
-      .select(col("term"), col("__i"),
+      .select(col("term"),
         (col("__p") / BloomWordBits).cast("long").as("__w"),
         pmod(col("__p"), lit(BloomWordBits.toLong)).cast("int").as("__b"))
     val checked = probeBits
@@ -203,7 +215,7 @@ object Sketches {
     // one counter table per hash row; union keeps it a single shuffle of
     // (i, bucket) pairs — output bounded at d·w rows
     val counters = params.map { case (i, a, b) =>
-      toks.groupBy(cmBucket(col("__k"), a, b).as("__b"))
+      toks.groupBy(bucketHash(col("__k"), a, b, CmW).as("__b"))
         .agg(count(lit(1)).as("__c"))
         .select(lit(i).as("__i"), col("__b"), col("__c"))
     }.reduce(_ unionByName _)
@@ -211,7 +223,7 @@ object Sketches {
       .withColumn("__k", tokenKey(col("term")))
     val probeBuckets = params.map { case (i, a, b) =>
       probes.select(col("term"), lit(i).as("__i"),
-        cmBucket(col("__k"), a, b).as("__b"))
+        bucketHash(col("__k"), a, b, CmW).as("__b"))
     }.reduce(_ unionByName _)
     val est = probeBuckets
       .join(broadcast(counters), Seq("__i", "__b"), "left")

@@ -42,8 +42,7 @@ class StreamHllSpec extends AnyFunSuite {
 
     val estBatch = graft.ops.Sketches.hllEstimate(batch, "grp")
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
-    val estStream = graft.ops.Sketches.hllEstimate(
-        streamed.withColumn("__nk", lit(0L)), "grp")
+    val estStream = graft.ops.Sketches.hllEstimate(streamed, "grp")
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(estBatch == estStream)
   }
