@@ -300,15 +300,21 @@ object PipelineQueries {
     // exactly oracle-checked (impossible with approx_count_distinct's
     // engine-private HLL++ registers). n_true rides along for accuracy.
     Q("sketch_hll",
-      (s, dir) => graft.ops.Sketches.hllDistinct(documents(s, dir), "source", "doc_id"),
+      (s, dir) => graft.ops.Sketches.hllDistinct(
+        documents(s, dir).select(col("source"),
+          explode(TA.tokens(col("text"))).as("tok")), "source", "tok"),
       Some {
         val alpha = graft.ops.Sketches.HllAlpha *
           graft.ops.Sketches.HllM * graft.ops.Sketches.HllM
         val raw = s"${alpha}e0 * 2251799813685248.0e0 / CAST(s + CAST(1024 - v AS BIGINT) * CAST(2251799813685248 AS BIGINT) AS DOUBLE)"
-        s"""WITH k AS (SELECT DISTINCT source, doc_id FROM documents),
+        s"""WITH tok AS (
+           |  SELECT source, unnest(list_filter(string_split(text, ' '),
+           |    x -> length(x) > 0)) AS t
+           |  FROM documents),
+           |k AS (SELECT DISTINCT source, t FROM tok),
            |h AS (
            |  SELECT source,
-           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           |    CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
            |  FROM k),
            |r AS (
            |  SELECT source, h % 1024 AS b,
