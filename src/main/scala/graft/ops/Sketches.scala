@@ -130,6 +130,131 @@ object Sketches {
         .otherwise(estRaw), 9).as("est"))
   }
 
+  /** KMV sketch size (bottom-k minimum hash values kept per group). */
+  val KmvK = 64
+  /** hash60's range: hashes are uniform in [0, 2^60). */
+  val KmvRange: Double = math.pow(2.0, 60)
+
+  /**
+   * KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et al.
+   * 2007): keep the k smallest 60-bit hashes of the group's distinct keys;
+   * est = (k−1) · R / h_(k) where R is the hash range. Unlike HLL the
+   * sketch supports set operations (union = bottom-k of the register
+   * union, and Jaccard estimation — see [[kmvJaccard]]); like the HLL here,
+   * every intermediate is integer so both engines agree bit-exactly and
+   * the estimate is oracle-checkable.
+   *
+   * Scale shape: bottom-k is computed in two bounded window passes —
+   * per (group, salt) then per group — the distributed TakeOrdered layout;
+   * no group ever sorts more than its salt-partition's k survivors.
+   */
+  def kmvRegisters(df: DataFrame, groupCol: String, keyCol: String,
+                   k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = keyed(df, groupCol, keyCol).distinct()
+      .select(col("__g"), hash60(col("__k")).as("__h")).distinct()
+    val pre = Window.partitionBy(col("__g"), pmod(col("__h"), lit(32L)))
+      .orderBy(col("__h"))
+    val fin = Window.partitionBy(col("__g")).orderBy(col("__h"))
+    hashed
+      .withColumn("__rn", row_number().over(pre)).filter(col("__rn") <= k)
+      .withColumn("__rn", row_number().over(fin)).filter(col("__rn") <= k)
+      .select(col("__g"), col("__h"))
+  }
+
+  /** Merge shard-local KMV register tables: bottom-k of the union — any
+    * hash among the k smallest of A∪B is among the k smallest of its own
+    * side, so merging sketches loses nothing vs sketching the union. */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fin = Window.partitionBy(col("__g")).orderBy(col("__h"))
+    a.unionByName(b).distinct()
+      .withColumn("__rn", row_number().over(fin)).filter(col("__rn") <= k)
+      .select(col("__g"), col("__h"))
+  }
+
+  /** Estimate from a KMV register table: exact count when the group has
+    * fewer than k distinct hashes, else (k−1)·R/h_(k). Returns
+    * (group, n_kept, kth_hash, est). */
+  def kmvEstimate(regs: DataFrame, groupCol: String, k: Int = KmvK): DataFrame =
+    regs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_kept"), max("__h").as("kth_hash"))
+      .select(col("__g").as(groupCol), col("n_kept"), col("kth_hash"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvRange) /
+            col("kth_hash").cast("double")), 9).as("est"))
+
+  /** KMV distinct-count per group with the exact count alongside. */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = KmvK): DataFrame = {
+    val nTrue = keyed(df, groupCol, keyCol).distinct()
+      .select(col("__g"), hash60(col("__k")).as("__h")).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("n_true"))
+    kmvEstimate(kmvRegisters(df, groupCol, keyCol, k), groupCol, k)
+      .join(nTrue.withColumnRenamed("__g", groupCol), groupCol)
+      .select(col(groupCol), col("n_true"), col("n_kept"), col("kth_hash"),
+        col("est"))
+  }
+
+  /**
+   * Pairwise Jaccard estimation from KMV sketches (Beyer et al. 2007):
+   * for each group pair (a < b), form the union sketch K = bottom-k of
+   * K(a) ∪ K(b) and estimate J ≈ |{h ∈ K : h ∈ K(a) ∧ h ∈ K(b)}| / |K|.
+   * The exact hash-set Jaccard rides along, so the estimator's quality is
+   * oracle-visible. Everything flows from the bounded register tables —
+   * the pair work is k-bounded per pair, never corpus-bounded.
+   *
+   * Returns (source_a, source_b, est_union, est_jaccard, true_jaccard).
+   */
+  def kmvJaccard(df: DataFrame, groupCol: String, keyCol: String,
+                 k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = Spread.shared(keyed(df, groupCol, keyCol).distinct()
+      .select(col("__g"), hash60(col("__k")).as("__h")).distinct())
+    val regs = Spread.shared(kmvRegisters(df, groupCol, keyCol, k))
+    val gs = regs.select(col("__g")).distinct()
+    val pairs = gs.select(col("__g").as("ga"))
+      .crossJoin(gs.select(col("__g").as("gb")))
+      .filter(col("ga") < col("gb"))
+    // union sketch per pair: K(a) ∪ K(b) rows tagged by side, bottom-k
+    val sideA = pairs.join(regs, col("ga") === col("__g")).select(
+      col("ga"), col("gb"), col("__h"))
+    val sideB = pairs.join(regs, col("gb") === col("__g")).select(
+      col("ga"), col("gb"), col("__h"))
+    val fin = Window.partitionBy(col("ga"), col("gb")).orderBy(col("__h"))
+    val unionK = sideA.unionByName(sideB).distinct()
+      .withColumn("__rn", row_number().over(fin)).filter(col("__rn") <= k)
+    val inA = regs.select(col("__g").as("ga"), col("__h"), lit(1).as("__ina"))
+    val inB = regs.select(col("__g").as("gb"), col("__h"), lit(1).as("__inb"))
+    val est = unionK
+      .join(inA, Seq("ga", "__h"), "left").na.fill(0, Seq("__ina"))
+      .join(inB, Seq("gb", "__h"), "left").na.fill(0, Seq("__inb"))
+      .groupBy(col("ga"), col("gb"))
+      .agg(count(lit(1)).as("__nu"), max("__h").as("__kth"),
+        sum(col("__ina") * col("__inb")).as("__nboth"))
+    // exact hash-set Jaccard per pair (the truth side)
+    val ha = hashes.select(col("__g").as("ga"), col("__h"))
+    val hb = hashes.select(col("__g").as("gb"), col("__h"))
+    val counts = hashes.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val inter = ha.join(hb, "__h").filter(col("ga") < col("gb"))
+      .groupBy(col("ga"), col("gb")).agg(count(lit(1)).as("__ni"))
+    val truth = pairs
+      .join(counts.withColumnRenamed("__g", "ga").withColumnRenamed("__n", "__na"), "ga")
+      .join(counts.withColumnRenamed("__g", "gb").withColumnRenamed("__n", "__nb"), "gb")
+      .join(inter, Seq("ga", "gb"), "left").na.fill(0L, Seq("__ni"))
+      .select(col("ga"), col("gb"),
+        (col("__ni").cast("double") /
+          (col("__na") + col("__nb") - col("__ni")).cast("double")).as("__tj"))
+    est.join(truth, Seq("ga", "gb"))
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        round(when(col("__nu") < k, col("__nu").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(KmvRange) /
+            col("__kth").cast("double")), 9).as("est_union"),
+        round(col("__nboth").cast("double") / col("__nu").cast("double"), 9)
+          .as("est_jaccard"),
+        round(col("__tj"), 9).as("true_jaccard"))
+  }
+
   /** Count-Min depth (hash functions) and width (counters per row). */
   val CmD = 4
   val CmW = 1024

@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   import Tables._
 
+  // shared distinct (source, trigram-hash) CTE chain for the KMV sketch
+  // oracles — `h` is the deduped 60-bit hash set per source
+  private def kmvTriCtes: String =
+    """t AS (
+      |  SELECT source,
+      |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT source,
+      |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+      |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS tri
+      |  FROM t),
+      |h AS MATERIALIZED (SELECT DISTINCT source,
+      |    CAST(('0x' || substr(md5(tri), 1, 15)) AS BIGINT) AS h
+      |  FROM g)""".stripMargin
+
   // shared hash-family VALUES fragment for oracles
   private def hpSql(k: Int, cols: String): String =
     Dedup.hashParams(k).map { case (i, a, b) => s"($i, $a, $b)" }
@@ -409,6 +425,77 @@ object PipelineQueries {
            |  CAST(CASE WHEN tr.t IS NULL THEN 0 ELSE 1 END AS INT) AS truly_present
            |FROM chk LEFT JOIN tr ON chk.term = tr.t""".stripMargin
       }),
+
+    // KMV bottom-k distinct sketch per source over token trigrams (k=64):
+    // keep the 64 smallest 60-bit hashes, est = 63·2^60/h_(64). Pure
+    // integer registers → bit-identical across engines; unlike HLL the
+    // sketch supports set ops (see sketch_kmv_jaccard). Trigrams (not
+    // tokens) as keys so the estimator branch engages (vocab is tiny).
+    Q("sketch_kmv",
+      (s, dir) => graft.ops.Sketches.kmvDistinct(
+        documents(s, dir).select(col("source"),
+          explode(TA.wordNgrams(TA.tokens(col("text")), 3)).as("tri")),
+        "source", "tri"),
+      Some(s"""WITH $kmvTriCtes,
+             |n AS (SELECT source, count(*) AS n_true FROM h GROUP BY 1),
+             |r AS (SELECT source, h,
+             |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             |  FROM h),
+             |e AS (SELECT source, count(*) AS n_kept, max(h) AS kth
+             |      FROM r WHERE rn <= 64 GROUP BY 1)
+             |SELECT e.source, n_true, n_kept, kth AS kth_hash,
+             |  round(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+             |    ELSE 63e0 * 1152921504606846976e0 / CAST(kth AS DOUBLE) END,
+             |    9) AS est
+             |FROM e JOIN n ON e.source = n.source""".stripMargin)),
+
+    // Pairwise Jaccard + union-cardinality estimation from the KMV
+    // sketches (Beyer et al. 2007): union sketch = bottom-k of the two
+    // register sets; J_est = |K ∩ K(a) ∩ K(b)| / |K|. Exact hash-set
+    // Jaccard rides along so estimator quality is oracle-visible. All pair
+    // work is k-bounded per pair — never corpus-bounded.
+    Q("sketch_kmv_jaccard",
+      (s, dir) => graft.ops.Sketches.kmvJaccard(
+        documents(s, dir).select(col("source"),
+          explode(TA.wordNgrams(TA.tokens(col("text")), 3)).as("tri")),
+        "source", "tri"),
+      Some(s"""WITH $kmvTriCtes,
+             |r AS (SELECT source, h,
+             |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             |  FROM h),
+             |kk AS MATERIALIZED (SELECT source, h FROM r WHERE rn <= 64),
+             |gs AS (SELECT DISTINCT source FROM kk),
+             |pr AS (SELECT a.source AS ga, b.source AS gb
+             |       FROM gs a JOIN gs b ON a.source < b.source),
+             |u AS (SELECT pr.ga, pr.gb, kk.h FROM pr JOIN kk ON kk.source = pr.ga
+             |      UNION
+             |      SELECT pr.ga, pr.gb, kk.h FROM pr JOIN kk ON kk.source = pr.gb),
+             |ur AS (SELECT ga, gb, h,
+             |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn FROM u),
+             |uk AS (SELECT ga, gb, h FROM ur WHERE rn <= 64),
+             |e AS (SELECT uk.ga, uk.gb, count(*) AS nu, max(uk.h) AS kth,
+             |      sum(CASE WHEN ka.h IS NOT NULL AND kb.h IS NOT NULL
+             |          THEN 1 ELSE 0 END) AS nboth
+             |      FROM uk LEFT JOIN kk ka ON ka.source = uk.ga AND ka.h = uk.h
+             |              LEFT JOIN kk kb ON kb.source = uk.gb AND kb.h = uk.h
+             |      GROUP BY 1, 2),
+             |cnt AS (SELECT source, count(*) AS n FROM h GROUP BY 1),
+             |i AS (SELECT a.source AS ga, b.source AS gb, count(*) AS ni
+             |      FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+             |      GROUP BY 1, 2),
+             |tj AS (SELECT pr.ga, pr.gb,
+             |       CAST(coalesce(i.ni, 0) AS DOUBLE) /
+             |         CAST(ca.n + cb.n - coalesce(i.ni, 0) AS DOUBLE) AS tj
+             |       FROM pr JOIN cnt ca ON ca.source = pr.ga
+             |               JOIN cnt cb ON cb.source = pr.gb
+             |       LEFT JOIN i ON i.ga = pr.ga AND i.gb = pr.gb)
+             |SELECT e.ga AS source_a, e.gb AS source_b,
+             |  round(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+             |    ELSE 63e0 * 1152921504606846976e0 / CAST(kth AS DOUBLE) END,
+             |    9) AS est_union,
+             |  round(CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE), 9) AS est_jaccard,
+             |  round(tj.tj, 9) AS true_jaccard
+             |FROM e JOIN tj ON tj.ga = e.ga AND tj.gb = e.gb""".stripMargin)),
 
     // the MOSS match step over those fingerprints: equi-join on the hash
     // (LSH-banding shape) after dropping ubiquitous "stop grams" via a

@@ -43,6 +43,45 @@ class SketchSpec extends AnyFunSuite {
     assert(a.getLong(2) == b.getLong(2)) // same occupied registers
   }
 
+  test("KMV: exact below k, within error bounds above; merge = one build") {
+    import spark.implicits._
+    val whole = (0L until 3000L).map(i => ("all", i)).toDF("grp", "key")
+    val small = (0L until 40L).flatMap(i => Seq(("s", i), ("s", i))).toDF("grp", "key")
+    val est = Sketches.kmvDistinct(whole, "grp", "key").head()
+    // k=64 → relative error ~1/sqrt(62) ≈ 12.7%; allow 4 sigma
+    assert(math.abs(est.getDouble(4) - 3000.0) / 3000.0 < 0.51, s"est $est")
+    // below k the sketch IS the distinct set — exact (duplicates ignored)
+    val ex = Sketches.kmvDistinct(small, "grp", "key").head()
+    assert(ex.getDouble(4) == 40.0 && ex.getLong(1) == 40L)
+    // bottom-k of merged sketches == bottom-k of the union (lossless merge)
+    val s1 = (0L until 2000L).map(i => ("all", i)).toDF("grp", "key")
+    val s2 = (1000L until 3000L).map(i => ("all", i)).toDF("grp", "key")
+    val merged = Sketches.kmvMerge(
+      Sketches.kmvRegisters(s1, "grp", "key"),
+      Sketches.kmvRegisters(s2, "grp", "key"))
+    val a = Sketches.kmvEstimate(Sketches.kmvRegisters(whole, "grp", "key"), "grp").head()
+    val b = Sketches.kmvEstimate(merged, "grp").head()
+    assert(a.getLong(2) == b.getLong(2) && a.getDouble(3) == b.getDouble(3),
+      s"$a vs $b")
+  }
+
+  test("kmvJaccard: estimate tracks truth; identical sets estimate 1") {
+    import spark.implicits._
+    // a and b share half their keys; c duplicates a exactly
+    val rows = (0L until 400L).map(i => ("a", i)) ++
+      (200L until 600L).map(i => ("b", i)) ++
+      (0L until 400L).map(i => ("c", i))
+    val got = Sketches.kmvJaccard(rows.toDF("grp", "key"), "grp", "key")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (_, estAc, trueAc) = got(("a", "c"))
+    assert(trueAc == 1.0 && estAc == 1.0) // identical sets: union sketch ⊂ both
+    val (estU, estJ, trueJ) = got(("a", "b"))
+    assert(math.abs(trueJ - 200.0 / 600.0) < 1e-9)
+    assert(math.abs(estJ - trueJ) < 0.3, s"estJ $estJ trueJ $trueJ") // k=64 noise
+    assert(math.abs(estU - 600.0) / 600.0 < 0.51, s"estU $estU")
+  }
+
   test("bloomProbe: no false negatives; tiny filter load keeps absent terms out") {
     import spark.implicits._
     val df = (0 until 20).map(i => s"alpha beta gamma delta token$i").toDF("text")
