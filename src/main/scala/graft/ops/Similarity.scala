@@ -465,4 +465,78 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("vec_id", "cell", "neighbor_id", "adc_dot", "rank")
   }
+
+  /**
+   * SQ8 scalar quantization (the FAISS ScalarQuantizer QT_8bit layout):
+   * train per-dimension [mn, mx] over the corpus, encode each component as
+   * q = round(255·(x−mn)/(mx−mn)) ∈ [0, 255] — 4× smaller than float32
+   * with no codebook training, the simplest memory-bound ANN scale path
+   * next to PQ. Encoded rows carry (e, q, __mn, __mx) so downstream ops
+   * can reconstruct without re-aggregating.
+   *
+   * Scale shape: the trained model is ONE aggregated row (2·dims doubles)
+   * broadcast into a codegen'd projection — no driver collect, no shuffle
+   * beyond the stats agg (map-side combinable min/max).
+   */
+  def sq8Encoded(df: DataFrame, idCol: String, embCol: String,
+                 dims: Int): DataFrame = {
+    val e = df.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(embCol)).as("e"))
+    val stats = e.agg(
+      array((1 to dims).map(i => min(element_at(col("e"), i))): _*).as("__mn"),
+      array((1 to dims).map(i => max(element_at(col("e"), i))): _*).as("__mx"))
+    e.crossJoin(broadcast(stats)).withColumn("q",
+      transform(col("e"), (x, i) => {
+        val mn = element_at(col("__mn"), i + 1)
+        val span = element_at(col("__mx"), i + 1) - mn
+        when(span === 0.0, lit(0))
+          .otherwise(round((x - mn) * lit(255.0) / span, 0).cast("int"))
+      }))
+  }
+
+  /** Per-vector SQ8 reconstruction quality: integer code sum (quantizer
+    * exactness made oracle-visible), mean squared error, and max absolute
+    * error of x̂ = mn + q·(mx−mn)/255 against the raw vector. */
+  def sq8ReconStats(df: DataFrame, idCol: String, embCol: String,
+                    dims: Int): DataFrame = {
+    val enc = sq8Encoded(df, idCol, embCol, dims)
+    val recon = transform(col("q"), (qv, i) => {
+      val mn = element_at(col("__mn"), i + 1)
+      mn + qv.cast("double") * (element_at(col("__mx"), i + 1) - mn) / lit(255.0)
+    })
+    val errs = zip_with(col("e"), recon, (x, r) => abs(x - r))
+    enc
+      .withColumn("__errs", errs)
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("qsum"),
+        round(aggregate(transform(col("__errs"), v => v * v), lit(0.0),
+          (acc, v) => acc + v) / lit(dims.toDouble), 9).as("mse"),
+        round(array_max(col("__errs")), 9).as("max_abs_err"))
+  }
+
+  /** IVF-SQ8 top-k: coarse k-means cells (shared with the other IVF paths
+    * via the model memo) + pure-INTEGER dot products over the 8-bit codes
+    * inside each cell — scoring touches dims bytes per candidate and is
+    * exact across engines (no float accumulation at all). Same scale
+    * contract as [[ivfTopKTrained]]: salted per-cell pair join, bounded
+    * model. Output: (vec_id, cell, neighbor_id, qdot, rank). */
+  def sq8TopK(df: DataFrame, idCol: String, embCol: String, dims: Int,
+              nCells: Int, cellIters: Int, k: Int): DataFrame = {
+    val (_, assigned) = kmeansLoop(df, idCol, embCol, nCells, dims, cellIters)
+    val codes = Spread.shared(
+      sq8Encoded(df, idCol, embCol, dims).select(col("vec_id"), col("q"))
+        .join(assigned.withColumnRenamed("id", "vec_id"), "vec_id"))
+    val a = codes.select(col("vec_id"), col("q").as("qa"), col("cell"))
+    val b = codes.select(col("vec_id").as("neighbor_id"), col("q").as("qb"),
+      col("cell").as("__cell2"))
+    val pairs = Spread.saltedJoin(a, b,
+        col("cell") === col("__cell2") && col("vec_id") =!= col("neighbor_id"),
+        col("vec_id"), Dedup.SALT)
+      .withColumn("qdot", aggregate(zip_with(col("qa"), col("qb"),
+        (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v))
+    val w = Window.partitionBy("vec_id").orderBy(col("qdot").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "cell", "neighbor_id", "qdot", "rank")
+  }
 }

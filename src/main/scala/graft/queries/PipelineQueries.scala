@@ -28,6 +28,22 @@ object PipelineQueries {
       |    CAST(('0x' || substr(md5(tri), 1, 15)) AS BIGINT) AS h
       |  FROM g)""".stripMargin
 
+  // SQ8 scalar-quantizer CTE chain (per-dim min/max model + int8 codes):
+  // `ed` raw doubles, `mml` the 1-row (mn, mx) list model, `qc` the codes.
+  // Starts with `ed` — do not also emit edCte when composing.
+  private def sq8Ctes: String =
+    s"""$edCte,
+       |mm AS (SELECT g.i, min(e[g.i]) AS mn, max(e[g.i]) AS mx
+       |       FROM ed, generate_series(1, 64) g(i) GROUP BY g.i),
+       |mml AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+       |        FROM mm),
+       |qc AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(1, 64),
+       |    i -> CASE WHEN mml.mx[i] = mml.mn[i] THEN 0
+       |         ELSE CAST(round((e[i] - mml.mn[i]) * 255.0 /
+       |           (mml.mx[i] - mml.mn[i]), 0) AS INTEGER) END) AS q
+       |  FROM ed, mml)""".stripMargin
+
   // shared hash-family VALUES fragment for oracles
   private def hpSql(k: Int, cols: String): String =
     Dedup.hashParams(k).map { case (i, a, b) => s"($i, $a, $b)" }
@@ -872,6 +888,56 @@ object PipelineQueries {
              |  SELECT vec_id, cell, neighbor_id, adc, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
              |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    // SQ8 scalar quantization (FAISS QT_8bit layout): per-dim [mn,mx]
+    // trained in one map-side-combinable agg, q = round(255·(x−mn)/span).
+    // qsum makes the codes exactly oracle-visible; mse/max_abs_err bound
+    // the reconstruction loss of the 4×-smaller representation.
+    Q("embed_sq8",
+      (s, dir) => Similarity.sq8ReconStats(embeddings(s, dir), "vec_id",
+        "embedding", dims = 64),
+      Some(s"""WITH $sq8Ctes,
+             |er AS (SELECT ed.id,
+             |    list_transform(generate_series(1, 64),
+             |      i -> abs(ed.e[i] - (mml.mn[i] +
+             |        qc.q[i] * (mml.mx[i] - mml.mn[i]) / 255.0))) AS errs,
+             |    qc.q AS q
+             |  FROM ed JOIN qc ON qc.id = ed.id, mml)
+             |SELECT id AS vec_id,
+             |  CAST(list_sum(q) AS BIGINT) AS qsum,
+             |  round(list_sum(list_transform(errs, v -> v * v)) / 64.0, 9) AS mse,
+             |  round(list_max(errs), 9) AS max_abs_err
+             |FROM er""".stripMargin)),
+
+    // IVF-SQ8 top-k: coarse cells shared with the other IVF paths, scoring
+    // = pure-INTEGER dot over the 8-bit codes — exact across engines (no
+    // float accumulation), dims bytes touched per candidate
+    Q("similarity_sq8",
+      (s, dir) => Similarity.sq8TopK(embeddings(s, dir), "vec_id",
+        "embedding", dims = 64, nCells = 8, cellIters = 3, k = 5),
+      Some(s"""WITH ${kmeansCtes(8, 64, 3)},
+             |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
+             |asgf AS (
+             |  SELECT id, cell FROM (
+             |    SELECT xdd.id, c.cent_id AS cell,
+             |      row_number() OVER (PARTITION BY xdd.id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |        - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
+             |        c.cent_id) AS rn
+             |    FROM xdd, cent3 c) WHERE rn = 1),
+             |$sq8Ctes,
+             |prs AS (
+             |  SELECT q.id AS vec_id, q.cell, d.id AS neighbor_id,
+             |    CAST(list_sum(list_transform(generate_series(1, 64),
+             |      i -> cq.q[i] * cd.q[i])) AS BIGINT) AS qdot
+             |  FROM asgf q JOIN asgf d ON q.cell = d.cell AND q.id <> d.id
+             |  JOIN qc cq ON cq.id = q.id
+             |  JOIN qc cd ON cd.id = d.id)
+             |SELECT vec_id, cell, neighbor_id, qdot,
+             |  CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT vec_id, cell, neighbor_id, qdot, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY qdot DESC, neighbor_id) AS rank
+             |  FROM prs) WHERE rank <= 5""".stripMargin)),
 
     // hard-negative mining: top-3 most-similar DIFFERENT-label neighbors
     // per vector (contrastive-batch construction), candidates scoped to
