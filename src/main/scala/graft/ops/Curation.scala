@@ -245,6 +245,46 @@ object Curation {
   }
 
   /**
+   * Inverted-index construction: per term, document frequency, collection
+   * frequency, and a doc-ordered posting list — the retrieval-side
+   * artifact next to [[bm25]] (which scores against it implicitly). The
+   * posting list is truncated to the `maxPostings` lowest doc ids (the
+   * standard impact-ordered/first-segment truncation) and serialized as
+   * "doc:tf,doc:tf,…" so the output row stays bounded regardless of how
+   * hot the term is; df/cf always cover the FULL corpus.
+   *
+   * Scale shape: one shuffle on (term, doc) for tf, one on term for the
+   * stats; the truncation runs as two bounded windows — per (term, salt)
+   * then per term — so a stop-word's posting sort never exceeds
+   * salt-partition survivors (the distributed TakeOrdered layout, same as
+   * the KMV bottom-k).
+   *
+   * Returns (term, df, cf, postings).
+   */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val td = docs
+      .select(col(idCol).as("__doc"), explode(TA.tokens(col(textCol))).as("term"))
+      .groupBy("term", "__doc").agg(count(lit(1)).as("__tf"))
+    val shared = Spread.shared(td)
+    val stats = shared.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("__tf").as("cf"))
+    val pre = Window.partitionBy(col("term"), pmod(col("__doc"), lit(32L)))
+      .orderBy(col("__doc"))
+    val fin = Window.partitionBy(col("term")).orderBy(col("__doc"))
+    val capped = shared
+      .withColumn("__rn", row_number().over(pre)).filter(col("__rn") <= maxPostings)
+      .withColumn("__rn", row_number().over(fin)).filter(col("__rn") <= maxPostings)
+    val postings = capped.groupBy("term").agg(
+      concat_ws(",", transform(
+        sort_array(collect_list(struct(col("__doc"), col("__tf")))),
+        s => concat(s.getField("__doc"), lit(":"), s.getField("__tf"))))
+        .as("postings"))
+    stats.join(postings, "term").select("term", "df", "cf", "postings")
+  }
+
+  /**
    * DSIR-style importance scoring (Xie et al., NeurIPS 2023 "Data Selection
    * via Importance Resampling"): rank raw documents by how much more likely
    * their hashed-n-gram bag is under the TARGET distribution than under the

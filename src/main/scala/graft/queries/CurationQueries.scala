@@ -135,6 +135,27 @@ object CurationQueries {
               |SELECT g.doc_id, g.pos, g.ngram, d.cnt
               |FROM g JOIN d USING (ngram)""".stripMargin)),
 
+    // Inverted-index build: per term df/cf over the full corpus + a
+    // doc-ordered posting list truncated to the 20 lowest doc ids
+    // (bounded output even for stop-words); truncation runs as two
+    // bounded windows (per (term, salt) then per term) at scale.
+    Q("corpus_inverted_index",
+      (s, dir) => Curation.invertedIndex(documents(s, dir), "doc_id", "text",
+        maxPostings = 20),
+      Some(s"""WITH $toksCte,
+             |tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+             |td AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |st AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+             |       FROM td GROUP BY 1),
+             |r AS (SELECT term, doc_id, tf,
+             |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+             |  FROM td),
+             |p AS (SELECT term,
+             |    string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+             |  FROM r WHERE rn <= 20 GROUP BY term)
+             |SELECT st.term, df, cf, postings
+             |FROM st JOIN p ON st.term = p.term""".stripMargin)),
+
     // BM25 scoring against a fixed query-term set; corpus stats are one
     // 1-row aggregate, scoring is a pure projection. Round-9 + DECIMAL sum
     // per term keeps engines bit-identical despite ln().

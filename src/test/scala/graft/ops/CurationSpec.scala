@@ -176,4 +176,23 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
     assert(conf == Map((1, 1) -> 2L, (0, 0) -> 1L))
   }
+
+  test("invertedIndex: df/cf cover full corpus, postings truncate doc-ordered") {
+    import spark.implicits._
+    // "hot" appears in all 30 docs (twice in doc 0); "rare" only in doc 7
+    val df = (0L until 30L).map { i =>
+      val extra = if (i == 0) " hot" else ""
+      val rare = if (i == 7) " rare" else ""
+      (i, s"hot filler$extra$rare")
+    }.toDF("doc_id", "text")
+    val got = Curation.invertedIndex(df, "doc_id", "text", maxPostings = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val (dfHot, cfHot, postHot) = got("hot")
+    assert(dfHot == 30L && cfHot == 31L) // stats over the FULL corpus
+    // postings truncated to the 5 lowest doc ids, tf visible for doc 0
+    assert(postHot == "0:2,1:1,2:1,3:1,4:1")
+    assert(got("rare") == ((1L, 1L, "7:1")))
+    assert(got("filler")._3.split(",").length == 5)
+  }
 }
