@@ -25,11 +25,12 @@ object Multimodal {
       mean_byte: Double, byte_entropy: Double, histogram: Seq[Double])
 
   /** STUB decoder: derives fake (width, height, channels) from the byte
-    * stream deterministically. REAL decoders exist for WAV PCM16 + BMP24
-    * (below), PNG RGB/RGBA ([[graft.ops.Png]], pure java.util.zip), and
-    * baseline JPEG ([[decodeJpeg]], JDK ImageIO), and DIB-frame AVI video
-    * ([[decodeAviDib]]) — this stub remains only for codecs with no
-    * JVM-only implementation path in this container (MP3). */
+    * stream deterministically. REAL decoders exist for WAV PCM16 + IMA
+    * ADPCM + BMP24 (below), PNG RGB/RGBA ([[graft.ops.Png]], pure
+    * java.util.zip), baseline JPEG ([[decodeJpeg]], JDK ImageIO), and
+    * DIB-frame AVI video ([[decodeAviDib]]) — this stub remains only for
+    * codecs with no JVM-only implementation path in this container
+    * (MP3). */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     val b0 = if (n > 0) bytes(0) & 0xff else 0
@@ -720,6 +721,197 @@ object Multimodal {
         (0 until got.length by sampleStride).iterator.map { f =>
           val s = got(f).map(_ & 0xff)
           VideoFrame(id, f, gw, gh, s.map(_.toLong).sum.toDouble / s.length, s.max)
+        }
+      }
+    }
+  }
+
+  // ---- REAL compressed-audio decode: IMA ADPCM WAV ---------------------
+  // The standard 4-bit ADPCM codec (public IMA/DVI spec, WAV format tag
+  // 0x0011): per-block header (predictor s16le, step index u8) + packed
+  // nibbles (low first), decoded through the 89-entry step-size state
+  // machine. A real lossy audio codec in pure JVM arithmetic — with this,
+  // the only stubbed codec family left is MP3.
+
+  private val ImaSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** The 89-entry step table as a SQL list literal (oracle replay). */
+  def imaStepsSql: String = ImaSteps.mkString("[", ", ", "]")
+
+  /** One IMA decode step: (clamped sample, next step index). */
+  private def imaStep(nib: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = ImaSteps(index)
+    var diff = step >> 3
+    if ((nib & 1) != 0) diff += step >> 2
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 4) != 0) diff += step
+    val p = if ((nib & 8) != 0) pred - diff else pred + diff
+    (math.max(-32768, math.min(32767, p)),
+      math.max(0, math.min(88, index + ImaIndexAdj(nib & 7))))
+  }
+
+  /** Samples per block for a given IMA block align: header sample + two
+    * nibbles per remaining byte. */
+  def imaSamplesPerBlock(blockAlign: Int): Int = (blockAlign - 4) * 2 + 1
+
+  /** Wrap raw IMA blocks in a WAV container (fmt tag 0x0011 with the
+    * 2-byte samples-per-block extension + fact chunk). */
+  def packAdpcmIma(blocks: Array[Array[Byte]], blockAlign: Int,
+                   sampleRate: Int): Array[Byte] = {
+    require(blocks.forall(_.length == blockAlign), "block size != blockAlign")
+    val spb = imaSamplesPerBlock(blockAlign)
+    val dataSz = blocks.length * blockAlign
+    val out = new Array[Byte](12 + 8 + 20 + 8 + 4 + 8 + dataSz)
+    def put(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, i)
+    def p32(i: Int, v: Long): Unit = for (j <- 0 until 4)
+      out(i + j) = ((v >> (8 * j)) & 0xff).toByte
+    def p16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
+    put(0, "RIFF"); p32(4, out.length - 8L); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 20L)
+    p16(20, 0x11); p16(22, 1); p32(24, sampleRate.toLong)
+    p32(28, sampleRate.toLong * blockAlign / spb) // nominal byte rate
+    p16(32, blockAlign); p16(34, 4); p16(36, 2); p16(38, spb)
+    put(40, "fact"); p32(44, 4L); p32(48, blocks.length.toLong * spb)
+    put(52, "data"); p32(56, dataSz.toLong)
+    blocks.zipWithIndex.foreach { case (b, i) =>
+      b.copyToArray(out, 60 + i * blockAlign)
+    }
+    out
+  }
+
+  /** Decode an IMA ADPCM WAV (mono, format tag 0x0011): (sampleRate,
+    * samplesPerBlock, samples). Same strict-bounds chunk walk as
+    * [[decodeWavPcm16]]: malformed sizes/indices throw (quarantine-able),
+    * never hang or read OOB. */
+  def decodeAdpcmIma(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    require(bytes.length >= 12 &&
+      new String(bytes.slice(0, 4), "US-ASCII") == "RIFF" &&
+      new String(bytes.slice(8, 12), "US-ASCII") == "WAVE", "not a WAV")
+    var pos = 12
+    var sr = 0; var blockAlign = 0; var spb = 0
+    val outBuf = scala.collection.mutable.ArrayBuffer.empty[Short]
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes.slice(pos, pos + 4), "US-ASCII")
+      val sz = u32le(bytes, pos + 4).toInt
+      require(sz >= 0 && pos + 8 + sz.toLong <= bytes.length,
+        s"malformed WAV chunk '$id' size=$sz at $pos")
+      id match {
+        case "fmt " =>
+          require(sz >= 20, s"IMA fmt chunk too small ($sz bytes)")
+          require(u16le(bytes, pos + 8) == 0x11, "IMA ADPCM (0x0011) only")
+          require(u16le(bytes, pos + 10) == 1, "mono only")
+          sr = u32le(bytes, pos + 12).toInt
+          blockAlign = u16le(bytes, pos + 20)
+          require(u16le(bytes, pos + 22) == 4, "4-bit IMA only")
+          spb = u16le(bytes, pos + 26)
+          require(blockAlign > 4 && spb == imaSamplesPerBlock(blockAlign),
+            s"inconsistent blockAlign=$blockAlign spb=$spb")
+        case "data" =>
+          require(spb > 0, "fmt chunk must precede data")
+          require(sz % blockAlign == 0,
+            s"data size $sz not a multiple of blockAlign $blockAlign")
+          var off = pos + 8
+          val end = pos + 8 + sz
+          while (off < end) {
+            var pred = ((bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)).toShort.toInt
+            var index = bytes(off + 2) & 0xff
+            require(index <= 88, s"step index $index out of range at $off")
+            outBuf += pred.toShort
+            var k = 0
+            while (k < blockAlign - 4) {
+              val byte = bytes(off + 4 + k) & 0xff
+              val (s1, i1) = imaStep(byte & 0xf, pred, index)
+              pred = s1; index = i1; outBuf += s1.toShort
+              val (s2, i2) = imaStep(byte >> 4, pred, index)
+              pred = s2; index = i2; outBuf += s2.toShort
+              k += 1
+            }
+            off += blockAlign
+          }
+        case _ => // skip fact / LIST / ...
+      }
+      pos += 8 + sz + (sz & 1)
+    }
+    (sr, spb, outBuf.toArray)
+  }
+
+  /** REAL IMA ADPCM encoder: standard quantization of the prediction
+    * residual against the current step size, with the index carried across
+    * blocks (each block header re-states the running predictor/index, as
+    * the spec requires). samples.length must be a multiple of
+    * [[imaSamplesPerBlock]]. */
+  def encodeAdpcmIma(samples: Array[Short], sampleRate: Int,
+                     blockAlign: Int): Array[Byte] = {
+    val spb = imaSamplesPerBlock(blockAlign)
+    require(samples.length % spb == 0,
+      s"sample count ${samples.length} not a multiple of spb $spb")
+    var pred = 0; var index = 0
+    val blocks = samples.grouped(spb).map { blk =>
+      pred = blk(0).toInt
+      val out = new Array[Byte](blockAlign)
+      out(0) = (pred & 0xff).toByte; out(1) = ((pred >> 8) & 0xff).toByte
+      out(2) = index.toByte; out(3) = 0
+      var k = 1
+      while (k < spb) {
+        val step = ImaSteps(index)
+        var d = blk(k).toInt - pred
+        var nib = if (d < 0) { d = -d; 8 } else 0
+        if (d >= step) { nib |= 4; d -= step }
+        if (d >= (step >> 1)) { nib |= 2; d -= step >> 1 }
+        if (d >= (step >> 2)) { nib |= 1 }
+        val (p2, i2) = imaStep(nib, pred, index) // decoder-mirror update
+        pred = p2; index = i2
+        val bytePos = 4 + (k - 1) / 2
+        if ((k - 1) % 2 == 0) out(bytePos) = (nib & 0xf).toByte
+        else out(bytePos) = (out(bytePos) | (nib << 4)).toByte
+        k += 1
+      }
+      out
+    }.toArray
+    packAdpcmIma(blocks, blockAlign, sampleRate)
+  }
+
+  final case class AdpcmSample(media_id: Long, blk: Int, idx: Int, amp: Int)
+
+  /** Synthesize deterministic IMA blocks per row (closed-form nibble
+    * stream + per-block header), DECODE them with the real parser, and
+    * emit EVERY sample. The oracle replays the step-table state machine as
+    * a recursive CTE over the same nibble rule — the decoder passes only
+    * if the container walk, low-first nibble unpacking, and all four
+    * update paths (add/sub, both clamps) are bit-exact. */
+  def adpcmRoundTrip(df: DataFrame, idCol: String, blocks: Int,
+                     blockAlign: Int, sampleRate: Int): Dataset[AdpcmSample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spb = imaSamplesPerBlock(blockAlign)
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val raw = Array.tabulate(blocks) { b =>
+          val pred0 = ((id * 131 + b * 17) % 65536 - 32768).toInt
+          val idx0 = ((id * 7 + b * 11) % 89).toInt
+          val out = new Array[Byte](blockAlign)
+          out(0) = (pred0 & 0xff).toByte; out(1) = ((pred0 >> 8) & 0xff).toByte
+          out(2) = idx0.toByte; out(3) = 0
+          for (k <- 0 until blockAlign - 4) {
+            val lo = ((id * 13 + b * 7 + (2 * k) * 5) % 16).toInt
+            val hi = ((id * 13 + b * 7 + (2 * k + 1) * 5) % 16).toInt
+            out(4 + k) = (lo | (hi << 4)).toByte
+          }
+          out
+        }
+        val (_, spbGot, samples) =
+          decodeAdpcmIma(packAdpcmIma(raw, blockAlign, sampleRate))
+        require(spbGot == spb && samples.length == blocks * spb)
+        samples.iterator.zipWithIndex.map { case (s, i) =>
+          AdpcmSample(id, i / spb, i % spb, s.toInt)
         }
       }
     }

@@ -1463,6 +1463,46 @@ object PipelineQueries {
              |  CAST(max(amp) AS INTEGER) AS max_amp
              |FROM smp GROUP BY doc_id""".stripMargin)),
 
+    // REAL compressed-audio decode: IMA ADPCM (WAV tag 0x0011). Blocks are
+    // synthesized from a closed-form nibble rule, decoded with the real
+    // container+state-machine parser, and EVERY sample is emitted; the
+    // oracle replays the 89-entry step-table state machine as a recursive
+    // CTE — container walk, low-first nibble unpack, and all four update
+    // paths (add/sub, both clamps) must be bit-exact to pass.
+    Q("multimodal_adpcm_decode",
+      (s, dir) => Multimodal.adpcmRoundTrip(documents(s, dir), "doc_id",
+        blocks = 2, blockAlign = 12, sampleRate = 8000).toDF(),
+      Some {
+        val steps = graft.ops.Multimodal.imaStepsSql
+        s"""WITH RECURSIVE stt AS (SELECT $steps AS st),
+           |blk AS (
+           |  SELECT doc_id, b.b,
+           |    CAST((doc_id * 131 + b.b * 17) % 65536 - 32768 AS INTEGER) AS pred0,
+           |    CAST((doc_id * 7 + b.b * 11) % 89 AS INTEGER) AS idx0
+           |  FROM documents, generate_series(0, 1) b(b)),
+           |dec AS (
+           |  SELECT doc_id, b, 0 AS j, pred0 AS pred, idx0 AS idx FROM blk
+           |  UNION ALL
+           |  SELECT doc_id, b, j + 1,
+           |    CAST(greatest(-32768, least(32767,
+           |      CASE WHEN n >= 8 THEN pred - diff ELSE pred + diff END)) AS INTEGER),
+           |    CAST(greatest(0, least(88, idx +
+           |      CASE WHEN n % 8 < 4 THEN -1 ELSE (n % 8 - 3) * 2 END)) AS INTEGER)
+           |  FROM (
+           |    SELECT q.*,
+           |      st // 8 + CASE WHEN n % 2 = 1 THEN st // 4 ELSE 0 END
+           |        + CASE WHEN n % 4 >= 2 THEN st // 2 ELSE 0 END
+           |        + CASE WHEN n % 8 >= 4 THEN st ELSE 0 END AS diff
+           |    FROM (
+           |      SELECT d.doc_id, d.b, d.j, d.pred, d.idx,
+           |        CAST((d.doc_id * 13 + d.b * 7 + d.j * 5) % 16 AS INTEGER) AS n,
+           |        stt.st[d.idx + 1] AS st
+           |      FROM dec d, stt) q) WHERE j < 16)
+           |SELECT doc_id AS media_id, CAST(b AS INTEGER) AS blk,
+           |  CAST(j AS INTEGER) AS idx, CAST(pred AS INTEGER) AS amp
+           |FROM dec""".stripMargin
+      }),
+
     // REAL image decode: uncompressed 24-bit BMP (bottom-up rows, 4-byte
     // padding — width 5 makes the padding path load-bearing); same
     // synthesize→decode→closed-form-oracle gate as the WAV query
