@@ -850,6 +850,8 @@ object Multimodal {
     * [[imaSamplesPerBlock]]. */
   def encodeAdpcmIma(samples: Array[Short], sampleRate: Int,
                      blockAlign: Int): Array[Byte] = {
+    require(blockAlign > 4, // header is 4 bytes; spb must be >= 2
+      s"blockAlign must exceed the 4-byte block header (got $blockAlign)")
     val spb = imaSamplesPerBlock(blockAlign)
     require(samples.length % spb == 0,
       s"sample count ${samples.length} not a multiple of spb $spb")

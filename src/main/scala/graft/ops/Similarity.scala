@@ -482,6 +482,12 @@ object Similarity {
                  dims: Int): DataFrame = {
     val e = df.select(col(idCol).cast("long").as("vec_id"),
       asDouble(col(embCol)).as("e"))
+      // fail fast on ragged inputs: the trained stats cover exactly `dims`
+      // components, so a longer array would hit element_at out of range
+      // (opaque ANSI error) during encoding instead of a clear message
+      .withColumn("e", when(size(col("e")) === dims, col("e"))
+        .otherwise(raise_error(concat(lit(s"sq8: embedding dim != $dims: "),
+          size(col("e")).cast("string")))))
     val stats = e.agg(
       array((1 to dims).map(i => min(element_at(col("e"), i))): _*).as("__mn"),
       array((1 to dims).map(i => max(element_at(col("e"), i))): _*).as("__mx"))
