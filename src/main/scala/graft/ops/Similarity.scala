@@ -545,4 +545,54 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("vec_id", "cell", "neighbor_id", "qdot", "rank")
   }
+
+  /** Two-stage ANN: IVF-PQ ADC candidate generation (kCand candidates per
+    * query, code-bytes only) followed by exact-cosine re-ranking of JUST
+    * those candidates — the canonical serving shape at billion scale
+    * (Jégou et al. 2011 §IV-C: the cheap asymmetric-distance scan bounds
+    * the expensive exact work at kCand float rows per query). The re-rank
+    * is two shuffle equi-joins on a kCand-bounded candidate set, so the
+    * full-precision vectors are touched O(kCand) per query, never O(n).
+    * Output: (vec_id, neighbor_id, adc_rank, cosine, rank). */
+  def pqRerank(df: DataFrame, idCol: String, embCol: String, dims: Int,
+               m: Int, ksub: Int, iters: Int, nCells: Int, cellIters: Int,
+               kCand: Int, k: Int): DataFrame = {
+    val cand = pqTopK(df, idCol, embCol, dims, m, ksub, iters,
+        nCells, cellIters, kCand)
+      .select(col("vec_id"), col("neighbor_id"), col("rank").as("adc_rank"))
+    val e = Spread.shared(normalized(df, idCol, embCol, "__id", "__e"))
+    val exact = cand
+      .join(e.select(col("__id").as("vec_id"), col("__e").as("__qe")), "vec_id")
+      .join(e.select(col("__id").as("neighbor_id"), col("__e").as("__de")),
+        "neighbor_id")
+      .withColumn("cosine", ndot(col("__qe"), col("__de")))
+    val w = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("vec_id", "neighbor_id", "adc_rank", "cosine", "rank")
+  }
+
+  /** ANN quality evaluation: per-query recall@k of the two-stage
+    * [[pqRerank]] pipeline against the exact top-k truth (same normalized
+    * cosine, same neighbor_id tie-break, so the comparison is
+    * apples-to-apples). The exact side is the documented O(n²) baseline —
+    * evaluation inherently pays it; at corpus scale you run this on a
+    * sampled query slice, not the full table.
+    * Output: (vec_id, n_hit, recall). */
+  def annRecall(df: DataFrame, idCol: String, embCol: String, dims: Int,
+                m: Int, ksub: Int, iters: Int, nCells: Int, cellIters: Int,
+                kCand: Int, k: Int): DataFrame = {
+    val approx = pqRerank(df, idCol, embCol, dims, m, ksub, iters,
+        nCells, cellIters, kCand, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    val truth = bruteTopK(df, idCol, embCol, k)
+      .select(col("vec_id"), col("neighbor_id"))
+    val hits = approx.join(truth, Seq("vec_id", "neighbor_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("__nh"))
+    truth.groupBy("vec_id").agg(count(lit(1)).as("__nt"))
+      .join(hits, Seq("vec_id"), "left").na.fill(0L, Seq("__nh"))
+      .select(col("vec_id"), col("__nh").cast("int").as("n_hit"),
+        round(col("__nh").cast("double") / col("__nt").cast("double"), 9)
+          .as("recall"))
+  }
 }

@@ -134,6 +134,58 @@ object PipelineQueries {
       |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
       |  FROM embeddings)""".stripMargin
 
+  /** L2-normalized embeddings (`en`): the cosine between two rows is a
+    * plain sequential dot — same normalize-then-dot order as Spark's
+    * [[graft.ops.Similarity]] `normalized`+`ndot`, so the doubles agree
+    * bitwise. */
+  private val enCte =
+    """e0n AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |en AS MATERIALIZED (SELECT vec_id,
+      |    list_transform(generate_series(1, 64), i -> emb[i] /
+      |      sqrt(list_sum(list_transform(generate_series(1, 64),
+      |        j -> emb[j] * emb[j])))) AS e
+      |  FROM e0n)""".stripMargin
+
+  /** The full raw-vector IVF-PQ ADC pipeline (coarse cells → codebooks →
+    * per-query LUTs → per-cell candidate pairs → summed ADC score) as a
+    * CTE list ending in `scored(vec_id, cell, neighbor_id, adc)` — shared
+    * by similarity_pq and the two-stage rerank/recall oracles so the three
+    * stay in lockstep. */
+  private lazy val pqScoredCtes: String =
+    s"""${kmeansCtes(8, 64, 3)},
+       |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
+       |asgf AS (
+       |  SELECT id, cell FROM (
+       |    SELECT xdd.id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY xdd.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+       |        - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
+       |        c.cent_id) AS rn
+       |    FROM xdd, cent3 c) WHERE rn = 1),
+       |${pqCtes(4, 16, 16, 2)},
+       |${(0 until 4).map(s =>
+           s"""lut_$s AS (SELECT ed.id AS q_id, c.cent_id AS code,
+              |    list_sum(list_transform(generate_series(1, 16),
+              |      i -> ed.e[${s * 16} + i] * c.cx[i])) AS part
+              |  FROM ed, cent2_$s c)""".stripMargin).mkString(",\n")},
+       |prs AS (
+       |  SELECT q.id AS vec_id, q.cell, d.id AS neighbor_id
+       |  FROM asgf q JOIN asgf d ON q.cell = d.cell AND q.id <> d.id),
+       |scored AS MATERIALIZED (
+       |  SELECT p.vec_id, p.cell, p.neighbor_id,
+       |    ((l0.part + l1.part) + l2.part) + l3.part AS adc
+       |  FROM prs p
+       |  JOIN codes_0 c0 ON c0.id = p.neighbor_id
+       |  JOIN lut_0 l0 ON l0.q_id = p.vec_id AND l0.code = c0.code
+       |  JOIN codes_1 c1 ON c1.id = p.neighbor_id
+       |  JOIN lut_1 l1 ON l1.q_id = p.vec_id AND l1.code = c1.code
+       |  JOIN codes_2 c2 ON c2.id = p.neighbor_id
+       |  JOIN lut_2 l2 ON l2.q_id = p.vec_id AND l2.code = c2.code
+       |  JOIN codes_3 c3 ON c3.id = p.neighbor_id
+       |  JOIN lut_3 l3 ON l3.q_id = p.vec_id AND l3.code = c3.code)""".stripMargin
+
   /** When `emitEd` is false the output STARTS with a comma (the caller has
     * already emitted the preceding CTE list including `ed`). */
   private def pqCtes(m: Int, dsub: Int, ksub: Int, iters: Int,
@@ -799,42 +851,78 @@ object PipelineQueries {
       (s, dir) => Similarity.pqTopK(embeddings(s, dir), "vec_id", "embedding",
         dims = 64, m = 4, ksub = 16, iters = 2, nCells = 8, cellIters = 3, k = 5)
         .withColumn("adc_dot", round(col("adc_dot"), 8)),
-      Some(s"""WITH ${kmeansCtes(8, 64, 3)},
-             |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
-             |asgf AS (
-             |  SELECT id, cell FROM (
-             |    SELECT xdd.id, c.cent_id AS cell,
-             |      row_number() OVER (PARTITION BY xdd.id ORDER BY
-             |        list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
-             |        - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
-             |        c.cent_id) AS rn
-             |    FROM xdd, cent3 c) WHERE rn = 1),
-             |${pqCtes(4, 16, 16, 2)},
-             |${(0 until 4).map(s =>
-                 s"""lut_$s AS (SELECT ed.id AS q_id, c.cent_id AS code,
-                    |    list_sum(list_transform(generate_series(1, 16),
-                    |      i -> ed.e[${s * 16} + i] * c.cx[i])) AS part
-                    |  FROM ed, cent2_$s c)""".stripMargin).mkString(",\n")},
-             |prs AS (
-             |  SELECT q.id AS vec_id, q.cell, d.id AS neighbor_id
-             |  FROM asgf q JOIN asgf d ON q.cell = d.cell AND q.id <> d.id),
-             |scored AS (
-             |  SELECT p.vec_id, p.cell, p.neighbor_id,
-             |    ((l0.part + l1.part) + l2.part) + l3.part AS adc
-             |  FROM prs p
-             |  JOIN codes_0 c0 ON c0.id = p.neighbor_id
-             |  JOIN lut_0 l0 ON l0.q_id = p.vec_id AND l0.code = c0.code
-             |  JOIN codes_1 c1 ON c1.id = p.neighbor_id
-             |  JOIN lut_1 l1 ON l1.q_id = p.vec_id AND l1.code = c1.code
-             |  JOIN codes_2 c2 ON c2.id = p.neighbor_id
-             |  JOIN lut_2 l2 ON l2.q_id = p.vec_id AND l2.code = c2.code
-             |  JOIN codes_3 c3 ON c3.id = p.neighbor_id
-             |  JOIN lut_3 l3 ON l3.q_id = p.vec_id AND l3.code = c3.code)
+      Some(s"""WITH $pqScoredCtes
              |SELECT vec_id, cell, neighbor_id, round(adc, 8) AS adc_dot,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, cell, neighbor_id, adc, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
              |  FROM scored) WHERE rank <= 5""".stripMargin)),
+
+    // Two-stage ANN: IVF-PQ ADC candidates (top-10 by code distance) exact-
+    // cosine re-ranked to top-3 — the canonical billion-scale serving shape
+    // (full-precision vectors touched O(kCand) per query, never O(n))
+    Q("similarity_pq_rerank",
+      (s, dir) => Similarity.pqRerank(embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 16, iters = 2, nCells = 8, cellIters = 3,
+        kCand = 10, k = 3)
+        .withColumn("cosine", round(col("cosine"), 8)),
+      Some(s"""WITH $pqScoredCtes,
+             |cand AS (
+             |  SELECT vec_id, neighbor_id, CAST(rank AS INTEGER) AS adc_rank FROM (
+             |    SELECT vec_id, neighbor_id, row_number() OVER
+             |      (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
+             |    FROM scored) WHERE rank <= 10),
+             |$enCte,
+             |ex AS (
+             |  SELECT c.vec_id, c.neighbor_id, c.adc_rank,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> q.e[i] * d.e[i])) AS cosine
+             |  FROM cand c JOIN en q ON q.vec_id = c.vec_id
+             |  JOIN en d ON d.vec_id = c.neighbor_id)
+             |SELECT vec_id, neighbor_id, adc_rank, round(cosine, 8) AS cosine,
+             |  CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT vec_id, neighbor_id, adc_rank, cosine, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM ex) WHERE rank <= 3""".stripMargin)),
+
+    // ANN quality evaluation: per-query recall@3 of the two-stage pipeline
+    // vs the exact top-3 truth (same cosine, same tie-break)
+    Q("ann_recall",
+      (s, dir) => Similarity.annRecall(embeddings(s, dir), "vec_id", "embedding",
+        dims = 64, m = 4, ksub = 16, iters = 2, nCells = 8, cellIters = 3,
+        kCand = 10, k = 3),
+      Some(s"""WITH $pqScoredCtes,
+             |cand AS (
+             |  SELECT vec_id, neighbor_id FROM (
+             |    SELECT vec_id, neighbor_id, row_number() OVER
+             |      (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
+             |    FROM scored) WHERE rank <= 10),
+             |$enCte,
+             |rr AS (
+             |  SELECT vec_id, neighbor_id FROM (
+             |    SELECT c.vec_id, c.neighbor_id, row_number() OVER
+             |      (PARTITION BY c.vec_id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64),
+             |          i -> q.e[i] * d.e[i])) DESC, c.neighbor_id) AS rank
+             |    FROM cand c JOIN en q ON q.vec_id = c.vec_id
+             |    JOIN en d ON d.vec_id = c.neighbor_id) WHERE rank <= 3),
+             |truth AS MATERIALIZED (
+             |  SELECT vec_id, neighbor_id FROM (
+             |    SELECT a.vec_id, b.vec_id AS neighbor_id, row_number() OVER
+             |      (PARTITION BY a.vec_id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64),
+             |          i -> a.e[i] * b.e[i])) DESC, b.vec_id) AS rank
+             |    FROM en a JOIN en b ON a.vec_id <> b.vec_id) WHERE rank <= 3),
+             |hits AS (
+             |  SELECT rr.vec_id, count(*) AS nh
+             |  FROM rr JOIN truth ON rr.vec_id = truth.vec_id
+             |    AND rr.neighbor_id = truth.neighbor_id
+             |  GROUP BY rr.vec_id)
+             |SELECT t.vec_id, CAST(coalesce(h.nh, 0) AS INTEGER) AS n_hit,
+             |  round(CAST(coalesce(h.nh, 0) AS DOUBLE) / CAST(t.nt AS DOUBLE), 9)
+             |    AS recall
+             |FROM (SELECT vec_id, count(*) AS nt FROM truth GROUP BY vec_id) t
+             |LEFT JOIN hits h ON h.vec_id = t.vec_id""".stripMargin)),
 
     // IVF-PQ with residual encoding — codebooks trained on r = x − c(cell);
     // ADC adds the exact query·centroid term to the m residual LUT lookups
