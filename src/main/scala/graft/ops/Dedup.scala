@@ -473,4 +473,65 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Chunk-index cap for [[chunkDedup]]'s packed first-occurrence key. */
+  val ChunkIdxCap: Long = 1L << 20
+
+  /**
+   * C4/RefinedWeb-style span-level exact dedup with document reassembly
+   * (C4 removes every repeated three-sentence span corpus-wide, keeping
+   * one occurrence; RefinedWeb dedups at line granularity): tokenize,
+   * cut each document into consecutive `width`-token chunks, keep only
+   * the FIRST occurrence of each distinct chunk text in corpus order
+   * ((doc_id, chunk_idx) lexicographic), and rebuild each document from
+   * its surviving chunks.
+   *
+   * Scale shape: first-occurrence selection is a map-side-combinable
+   * `min` over the packed (doc_id, chunk_idx) key grouped by the chunk's
+   * md5 digest — one shuffle on the digest, bounded state per distinct
+   * chunk, no window over duplicate sets (a viral chunk with 10⁹ copies
+   * still aggregates, it never sorts). Reassembly groups each doc's own
+   * chunks — per-doc bounded.
+   *
+   * Output: (doc_id, n_chunks, n_kept, clean_text).
+   */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 width: Int): DataFrame = {
+    val chunks = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), posexplode(expr(
+        // sequence(0, -1) DESCENDS in Spark — the empty-doc guard is required
+        s"IF(size(__toks) = 0, array(), " +
+          s"transform(sequence(0, (size(__toks) + ${width - 1}) div $width - 1), " +
+          s"c -> array_join(slice(__toks, CAST(c * $width + 1 AS INT), $width), ' ')))"))
+        .as(Seq("chunk_idx", "chunk_text")))
+    // packed corpus-order key; docs past the cap must fail loudly (the
+    // packed key would bleed into the next doc_id's space) — guard inside
+    // the expression so pruning can't drop it
+    val packed = expr(
+      s"IF(chunk_idx < $ChunkIdxCap, doc_id * $ChunkIdxCap + chunk_idx, " +
+        "raise_error('chunkDedup: doc exceeds 2^20 chunks'))")
+    val firsts = chunks
+      .withColumn("__key", packed)
+      .withColumn("__dig", md5(col("chunk_text")))
+      .groupBy("__dig").agg(min("__key").as("__first"))
+    val kept = chunks
+      .withColumn("__key", packed)
+      .join(firsts, md5(col("chunk_text")) === firsts("__dig") &&
+        col("__key") === firsts("__first"))
+    val perDoc = df.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        expr(s"CAST((size(__toks) + ${width - 1}) div $width AS INT)").as("n_chunks"))
+    perDoc.join(
+        kept.groupBy("doc_id").agg(
+          count(lit(1)).cast("int").as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(chunk_idx, chunk_text))), x -> x.chunk_text)"))
+            .as("clean_text")),
+        Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_kept")).na.fill("", Seq("clean_text"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("clean_text"))
+  }
 }

@@ -251,6 +251,41 @@ object PipelineQueries {
              |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
              |  FROM documents) WHERE rn = 1""".stripMargin)),
 
+    // C4/RefinedWeb span-level exact dedup with reassembly: every repeated
+    // 8-token chunk keeps only its first corpus-order occurrence; docs are
+    // rebuilt from surviving chunks. First-occurrence selection is a
+    // map-side-combinable min over the packed (doc_id, chunk_idx) key per
+    // chunk digest — a viral chunk aggregates, it never sorts.
+    Q("dedup_chunk_reassemble",
+      (s, dir) => Dedup.chunkDedup(documents(s, dir), "doc_id", "text", 8),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |ch AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, (len(toks) + 7) // 8),
+             |      c -> c - 1)) AS chunk_idx,
+             |    unnest(list_transform(generate_series(1, (len(toks) + 7) // 8),
+             |      c -> array_to_string(toks[(c-1)*8+1 : (c-1)*8+8], ' '))) AS chunk_text
+             |  FROM t),
+             |fi AS (
+             |  SELECT md5(chunk_text) AS dig,
+             |    min(doc_id * 1048576 + chunk_idx) AS first
+             |  FROM ch GROUP BY 1),
+             |kp AS (
+             |  SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text
+             |  FROM ch JOIN fi ON md5(ch.chunk_text) = fi.dig
+             |    AND ch.doc_id * 1048576 + ch.chunk_idx = fi.first),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+             |    string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+             |  FROM kp GROUP BY 1)
+             |SELECT t.doc_id, CAST((len(toks) + 7) // 8 AS INT) AS n_chunks,
+             |  coalesce(agg.n_kept, 0) AS n_kept,
+             |  coalesce(agg.clean_text, '') AS clean_text
+             |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin)),
+
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text",
         "source", 3, 0.8),
