@@ -918,4 +918,114 @@ object Multimodal {
       }
     }
   }
+
+  // ---- REAL compressed audio #2: G.711 mu-law (WAV format tag 7) -----
+  // The telephony codec: logarithmic 16->8-bit companding, stateless per
+  // sample (unlike ADPCM's cross-sample predictor), so the whole chain is
+  // closed-form — no recursion needed in the oracle.
+
+  private val MulawBias = 0x84 // 132
+  private val MulawClip = 32635
+
+  /** G.711 mu-law encode of one PCM16 sample to an 8-bit code (0..255):
+    * sign + 3-bit segment (MSB position of the biased magnitude) + 4-bit
+    * mantissa, ones-complemented per the spec. */
+  def encodeMulawSample(pcm: Int): Int = {
+    require(pcm >= -32768 && pcm <= 32767, s"not a PCM16 sample: $pcm")
+    var s = pcm
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > MulawClip) s = MulawClip
+    s += MulawBias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (s & mask) == 0) { exp -= 1; mask >>= 1 }
+    val mant = (s >> (exp + 3)) & 0x0f
+    (~(sign | (exp << 4) | mant)) & 0xff
+  }
+
+  /** G.711 mu-law decode of one 8-bit code back to its quantized PCM16
+    * amplitude: mag = ((mant·8 + bias) << exp) − bias, sign from bit 7. */
+  def decodeMulawSample(code: Int): Int = {
+    require(code >= 0 && code <= 255, s"not a mu-law code: $code")
+    val u = (~code) & 0xff
+    val exp = (u >> 4) & 7
+    val mant = u & 0x0f
+    val mag = (((mant << 3) + MulawBias) << exp) - MulawBias
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** Mono mu-law WAV (format tag 7, 8 bits/sample, blockAlign 1). */
+  def encodeWavMulaw(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + samples.length)
+    def put(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, i)
+    def p32(i: Int, v: Long): Unit = for (j <- 0 until 4)
+      out(i + j) = ((v >> (8 * j)) & 0xff).toByte
+    def p16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
+    put(0, "RIFF"); p32(4, 36L + samples.length); put(8, "WAVE")
+    put(12, "fmt "); p32(16, 16L); p16(20, 7); p16(22, 1)
+    p32(24, sampleRate.toLong); p32(28, sampleRate.toLong); p16(32, 1); p16(34, 8)
+    put(36, "data"); p32(40, samples.length.toLong)
+    samples.indices.foreach(i =>
+      out(44 + i) = encodeMulawSample(samples(i).toInt).toByte)
+    out
+  }
+
+  /** Decode a mono mu-law WAV with the same strict-bounds chunk walk as
+    * [[decodeWavPcm16]]: malformed sizes/indices throw (quarantine-able),
+    * never hang. Returns (sampleRate, codes 0..255, decoded amplitudes). */
+  def decodeWavMulaw(bytes: Array[Byte]): (Int, Array[Int], Array[Int]) = {
+    require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
+      fourcc(bytes, 8) == "WAVE", "not a WAV")
+    var pos = 12
+    var sr = 0; var ok = false
+    var codes: Array[Int] = null
+    while (pos + 8 <= bytes.length && (codes == null || !ok)) {
+      val id = fourcc(bytes, pos)
+      val sz = u32le(bytes, pos + 4).toInt
+      require(sz >= 0 && pos + 8 + sz.toLong <= bytes.length,
+        s"malformed WAV chunk '$id' size=$sz at $pos")
+      id match {
+        case "fmt " =>
+          require(sz >= 16, s"fmt chunk too small ($sz bytes)")
+          require(u16le(bytes, pos + 8) == 7, "mu-law (tag 7) only")
+          require(u16le(bytes, pos + 10) == 1, "mono only")
+          require(u16le(bytes, pos + 22) == 8, "8-bit mu-law only")
+          sr = u32le(bytes, pos + 12).toInt
+          ok = true
+        case "data" =>
+          require(ok, "fmt chunk must precede data (mu-law)")
+          codes = Array.tabulate(sz)(i => bytes(pos + 8 + i) & 0xff)
+        case _ =>
+      }
+      pos += 8 + sz + (sz & 1)
+    }
+    require(ok && codes != null, "missing fmt/data chunk")
+    (sr, codes, codes.map(decodeMulawSample))
+  }
+
+  final case class MulawSample(media_id: Long, idx: Int, pcm: Int, code: Int,
+                               amp: Int)
+
+  /** Registered-query harness: synthesize n PCM16 samples per id from a
+    * closed-form rule (covering both signs, the clip region, and every
+    * segment), run the REAL mu-law encode → WAV container → strict decode
+    * chain, and emit every (pcm, code, amp) triple. The oracle recomputes
+    * the companding closed-form — sign/segment/mantissa extraction and the
+    * reconstruction must all be bit-exact to pass. */
+  def mulawRoundTrip(df: DataFrame, idCol: String, n: Int,
+                     sampleRate: Int): Dataset[MulawSample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val pcm = Array.tabulate(n)(i =>
+          (((id * 37 + i.toLong * 1013) % 65536) - 32768).toShort)
+        val (srGot, codes, amps) =
+          decodeWavMulaw(encodeWavMulaw(pcm, sampleRate))
+        require(srGot == sampleRate && codes.length == n)
+        (0 until n).iterator.map(i =>
+          MulawSample(id, i, pcm(i).toInt, codes(i), amps(i)))
+      }
+    }
+  }
 }

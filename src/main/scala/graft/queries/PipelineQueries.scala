@@ -1626,6 +1626,39 @@ object PipelineQueries {
            |FROM dec""".stripMargin
       }),
 
+    // REAL compressed-audio decode #2: G.711 mu-law (WAV format tag 7) —
+    // logarithmic 16->8-bit companding, stateless per sample, so the whole
+    // encode→container→decode chain replays closed-form (sign/segment/
+    // mantissa extraction and reconstruction must be bit-exact)
+    Q("multimodal_mulaw_decode",
+      (s, dir) => Multimodal.mulawRoundTrip(documents(s, dir), "doc_id",
+        n = 32, sampleRate = 8000).toDF(),
+      Some("""WITH s0 AS (
+             |  SELECT doc_id, g.i,
+             |    CAST((doc_id * 37 + g.i * 1013) % 65536 - 32768 AS INTEGER) AS pcm
+             |  FROM documents, generate_series(0, 31) g(i)),
+             |enc AS (
+             |  SELECT doc_id, i, pcm,
+             |    CASE WHEN pcm < 0 THEN 128 ELSE 0 END AS sgn,
+             |    least(abs(pcm), 32635) + 132 AS c
+             |  FROM s0),
+             |seg AS (
+             |  SELECT doc_id, i, pcm, sgn, c,
+             |    CASE WHEN c >= 16384 THEN 7 WHEN c >= 8192 THEN 6
+             |         WHEN c >= 4096 THEN 5 WHEN c >= 2048 THEN 4
+             |         WHEN c >= 1024 THEN 3 WHEN c >= 512 THEN 2
+             |         WHEN c >= 256 THEN 1 ELSE 0 END AS exp
+             |  FROM enc),
+             |cod AS (
+             |  SELECT doc_id, i, pcm, sgn, exp,
+             |    (c // (1 << (exp + 3))) % 16 AS mant
+             |  FROM seg)
+             |SELECT doc_id AS media_id, CAST(i AS INTEGER) AS idx, pcm,
+             |  CAST(255 - (sgn + exp * 16 + mant) AS INTEGER) AS code,
+             |  CAST(CASE WHEN sgn = 128 THEN -(((mant * 8 + 132) << exp) - 132)
+             |       ELSE ((mant * 8 + 132) << exp) - 132 END AS INTEGER) AS amp
+             |FROM cod""".stripMargin)),
+
     // REAL image decode: uncompressed 24-bit BMP (bottom-up rows, 4-byte
     // padding — width 5 makes the padding path load-bearing); same
     // synthesize→decode→closed-form-oracle gate as the WAV query
