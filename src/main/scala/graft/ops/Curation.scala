@@ -181,6 +181,31 @@ object Curation {
   }
 
   /**
+   * Temperature-based mixture rebalancing (XLM-R / mT5 style: sample
+   * sources ∝ n_i^α instead of n_i, upsampling low-resource sources
+   * relative to the head). At α = 1/2 the feasible-without-repetition
+   * realization accepts each source-i document with rate
+   * r_i = √(n_min / n_i): the smallest source keeps everything and a
+   * source 100× larger keeps 10× less of itself — the classic temperature
+   * flattening. α = 1/2 is chosen deliberately: the accept test
+   * u² · n_i < 10⁶ · n_min (u the per-mille [[TA.sampleHash]]) is EXACT
+   * integer arithmetic — no pow/sqrt float divergence across engines.
+   *
+   * Per-source counts are source-bounded (broadcastable); the filter is a
+   * stateless scan. Output: the kept (id, source) rows.
+   */
+  def mixtureTemperature(docs: DataFrame, idCol: String,
+                         srcCol: String): DataFrame = {
+    val counts = docs.groupBy(srcCol).agg(count(lit(1)).as("__cnt"))
+    val nmin = counts.agg(min("__cnt").as("__nmin"))
+    val u = TA.sampleHash(col(idCol))
+    docs.join(broadcast(counts), srcCol)
+      .crossJoin(broadcast(nmin))
+      .filter(u * u * col("__cnt") < lit(1000000L) * col("__nmin"))
+      .select(idCol, srcCol)
+  }
+
+  /**
    * Repeated-span detection — the fixed-n shingle approximation of
    * suffix-array training-data dedup ("Deduplicating Training Data Makes
    * Language Models Better"): every position whose word n-gram occurs more

@@ -124,6 +124,23 @@ object CurationQueries {
              |WHERE ((d.doc_id % 2147483647) * 2654435761 + 40503) % 2147483647 % 1000 * f.cnt
              |      < f.f * t.T""".stripMargin)),
 
+    // temperature-based LANGUAGE mixture (the XLM-R/mT5 shape, α = 1/2):
+    // accept rate √(n_min/n_i) per language — low-resource languages kept
+    // whole, the English head flattened (lang is the naturally skewed
+    // column: en ≈ 3.4× fr); the α = 1/2 accept test is exact integer
+    // arithmetic (u²·n_i < 10⁶·n_min)
+    Q("mixture_temperature",
+      (s, dir) => Curation.mixtureTemperature(documents(s, dir), "doc_id",
+        "lang"),
+      Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+             |m AS (SELECT min(cnt) AS nmin FROM c),
+             |h AS (SELECT doc_id, lang,
+             |    ((doc_id % 2147483647) * 2654435761 + 40503) % 2147483647 % 1000 AS u
+             |  FROM documents)
+             |SELECT h.doc_id, h.lang
+             |FROM h JOIN c USING (lang), m
+             |WHERE h.u * h.u * c.cnt < 1000000 * m.nmin""".stripMargin)),
+
     // repeated-span detection (fixed-n shingle suffix-dedup approximation):
     // every trigram position whose trigram occurs > 1 time corpus-wide.
     Q("dedup_spans",

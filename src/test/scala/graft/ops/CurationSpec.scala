@@ -195,4 +195,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got("rare") == ((1L, 1L, "7:1")))
     assert(got("filler")._3.split(",").length == 5)
   }
+
+  test("mixtureTemperature: smallest source kept whole, rates realize sqrt(nmin/ni)") {
+    import spark.implicits._
+    // 3 domains with 160 / 40 / 10 docs: accept rates 0.25 / 0.5 / 1.0
+    val docs = ((0L until 160L).map(i => (i, "big")) ++
+      (160L until 200L).map(i => (i, "mid")) ++
+      (200L until 210L).map(i => (i, "small"))).toDF("doc_id", "src")
+    val kept = Curation.mixtureTemperature(docs, "doc_id", "src")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("small", 0) == 10) // r = 1: kept whole
+    // from-definition recomputation of the exact integer accept test
+    def u(id: Long) = ((id % 2147483647L) * 2654435761L + 40503L) % 2147483647L % 1000L
+    val n = Map("big" -> 160L, "mid" -> 40L, "small" -> 10L)
+    val expect = ((0L until 210L)).filter { id =>
+      val s = if (id < 160) "big" else if (id < 200) "mid" else "small"
+      u(id) * u(id) * n(s) < 1000000L * 10L
+    }.toSet
+    assert(kept.map(_._1).toSet == expect)
+    // realized rates are within per-mille-hash tolerance of sqrt(nmin/ni)
+    assert(math.abs(bySrc("big") / 160.0 - 0.25) < 0.08)
+    assert(math.abs(bySrc("mid") / 40.0 - 0.5) < 0.15)
+  }
 }
