@@ -1006,6 +1006,120 @@ object Multimodal {
   final case class MulawSample(media_id: Long, idx: Int, pcm: Int, code: Int,
                                amp: Int)
 
+  // ---- REAL entropy-coded audio: Rice/Shorten residual codec ---------
+  // The Shorten (Robinson 1994) / FLAC-subframe residual layout: order-2
+  // fixed polynomial predictor, zigzag residual mapping, Rice (Golomb
+  // power-of-two) coding — unary quotient + k raw bits — packed MSB-first.
+  // Unlike ADPCM/mu-law this is LOSSLESS and variable-length: every
+  // sample's position in the stream depends on every earlier residual.
+
+  /** Container: "RIC2" magic, u16le sample count, u8 k, u8 reserved, then
+    * the MSB-first bitstream (two 16-bit verbatim warmup samples, then one
+    * Rice code per remaining sample). */
+  def encodeRice(samples: Array[Short], k: Int): Array[Byte] = {
+    require(k >= 0 && k <= 30, s"rice parameter out of range: $k")
+    require(samples.length >= 2 && samples.length <= 0xffff,
+      s"need 2..65535 samples, got ${samples.length}")
+    val bits = new scala.collection.mutable.ArrayBuffer[Boolean]()
+    def putBits(v: Long, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(b => bits += ((v >> b) & 1L) == 1L)
+    putBits(samples(0) & 0xffffL, 16)
+    putBits(samples(1) & 0xffffL, 16)
+    var j = 2
+    while (j < samples.length) {
+      val e = samples(j) - 2 * samples(j - 1) + samples(j - 2)
+      val z = if (e >= 0) 2L * e else -2L * e - 1 // zigzag
+      val q = z >> k
+      (0L until q).foreach(_ => bits += false) // unary quotient: q zeros
+      bits += true                             // terminator
+      putBits(z & ((1L << k) - 1), k)          // k raw remainder bits
+      j += 1
+    }
+    val nBytes = (bits.length + 7) / 8
+    val out = new Array[Byte](8 + nBytes)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'C'; out(3) = '2'
+    out(4) = (samples.length & 0xff).toByte
+    out(5) = ((samples.length >> 8) & 0xff).toByte
+    out(6) = k.toByte; out(7) = 0
+    bits.zipWithIndex.foreach { case (b, i) =>
+      if (b) out(8 + i / 8) = (out(8 + i / 8) | (0x80 >> (i % 8))).toByte
+    }
+    out
+  }
+
+  /** Strict-bounds Rice decoder: malformed input (bad magic, truncated
+    * stream, unary run past the end, reconstruction outside PCM16) always
+    * throws — never hangs, never reads out of bounds. Returns
+    * (k, samples, per-sample bit offset, per-sample bit length); offsets
+    * are bit positions within the bitstream (bit 0 = first bit after the
+    * 8-byte header), so they expose the exact variable-length layout. */
+  def decodeRice(bytes: Array[Byte]): (Int, Array[Short], Array[Long], Array[Int]) = {
+    require(bytes.length >= 8 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'C' && bytes(3) == '2', "not a RIC2 stream")
+    val n = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+    val k = bytes(6) & 0xff
+    require(n >= 2, s"sample count too small: $n")
+    require(k <= 30, s"rice parameter out of range: $k")
+    val totalBits = (bytes.length - 8).toLong * 8
+    var pos = 0L
+    def getBit(): Int = {
+      require(pos < totalBits, s"truncated stream at bit $pos")
+      val b = (bytes(8 + (pos >> 3).toInt) >> (7 - (pos & 7).toInt)) & 1
+      pos += 1; b
+    }
+    def getBits(nb: Int): Long = {
+      var v = 0L
+      (0 until nb).foreach(_ => v = (v << 1) | getBit())
+      v
+    }
+    val samples = new Array[Short](n)
+    val offs = new Array[Long](n)
+    val lens = new Array[Int](n)
+    offs(0) = 0; lens(0) = 16; samples(0) = getBits(16).toShort
+    offs(1) = 16; lens(1) = 16; samples(1) = getBits(16).toShort
+    var j = 2
+    while (j < n) {
+      offs(j) = pos
+      var q = 0L
+      while (getBit() == 0) q += 1 // bounded: getBit throws past the end
+      val z = (q << k) | getBits(k)
+      val e = ((z >> 1) ^ -(z & 1L)).toInt // un-zigzag
+      val x = 2 * samples(j - 1) - samples(j - 2) + e
+      require(x >= -32768 && x <= 32767, s"sample $j out of PCM16 range: $x")
+      samples(j) = x.toShort
+      lens(j) = (pos - offs(j)).toInt
+      j += 1
+    }
+    (k, samples, offs, lens)
+  }
+
+  final case class RiceSample(media_id: Long, idx: Int, amp: Int,
+                              bit_off: Long, bit_len: Int)
+
+  /** Registered-query harness: synthesize n PCM16 samples per id from a
+    * closed-form rule, run the REAL Rice encode → strict bit-level decode
+    * round trip (losslessness enforced with require), and emit every
+    * sample with its bit offset and code length. The oracle recomputes the
+    * predictor/zigzag/quotient arithmetic closed-form and rebuilds the
+    * offsets as a cumulative window sum — a wrong unary run, remainder
+    * width, warmup layout, or predictor order shifts every later offset
+    * and fails the hash. */
+  def riceRoundTrip(df: DataFrame, idCol: String, n: Int,
+                    k: Int): Dataset[RiceSample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val pcm = Array.tabulate(n)(i =>
+          (((id * 31 + i.toLong * i * 3 + i) % 512) - 256).toShort)
+        val (kGot, got, offs, lens) = decodeRice(encodeRice(pcm, k))
+        require(kGot == k && got.sameElements(pcm), "rice round trip diverged")
+        (0 until n).iterator.map(i =>
+          RiceSample(id, i, got(i).toInt, offs(i), lens(i)))
+      }
+    }
+  }
+
   /** Registered-query harness: synthesize n PCM16 samples per id from a
     * closed-form rule (covering both signs, the clip region, and every
     * segment), run the REAL mu-law encode → WAV container → strict decode

@@ -1626,6 +1626,35 @@ object PipelineQueries {
            |FROM dec""".stripMargin
       }),
 
+    // REAL entropy-coded audio: Rice/Shorten residual codec (order-2 fixed
+    // predictor + zigzag + unary/k-bit Rice codes, MSB-first bitstream).
+    // The query emits every sample's BIT OFFSET and code length from the
+    // real decoder — the oracle rebuilds the variable-length layout
+    // closed-form (predictor, zigzag, quotient) with a cumulative window,
+    // so any packing/unary/warmup error shifts every later offset.
+    Q("multimodal_rice_decode",
+      (s, dir) => Multimodal.riceRoundTrip(documents(s, dir), "doc_id",
+        n = 40, k = 4).toDF(),
+      Some("""WITH s AS (
+             |  SELECT doc_id, g.i,
+             |    CAST((doc_id * 31 + g.i * g.i * 3 + g.i) % 512 - 256 AS INTEGER) AS amp
+             |  FROM documents, generate_series(0, 39) g(i)),
+             |r AS (
+             |  SELECT doc_id, i, amp,
+             |    CASE WHEN i < 2 THEN 16 ELSE
+             |      CAST((CASE WHEN e >= 0 THEN 2 * e ELSE -2 * e - 1 END) // 16 + 5 AS INTEGER)
+             |    END AS bit_len
+             |  FROM (
+             |    SELECT doc_id, i, amp,
+             |      amp - 2 * lag(amp, 1) OVER w + lag(amp, 2) OVER w AS e
+             |    FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i)))
+             |SELECT doc_id AS media_id, CAST(i AS INTEGER) AS idx, amp,
+             |  CAST(coalesce(sum(bit_len) OVER (PARTITION BY doc_id ORDER BY i
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    AS bit_off,
+             |  CAST(bit_len AS INTEGER) AS bit_len
+             |FROM r""".stripMargin)),
+
     // REAL compressed-audio decode #2: G.711 mu-law (WAV format tag 7) —
     // logarithmic 16->8-bit companding, stateless per sample, so the whole
     // encode→container→decode chain replays closed-form (sign/segment/
