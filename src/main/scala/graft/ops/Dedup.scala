@@ -474,6 +474,32 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /**
+   * LSH quality evaluation: precision/recall of the MinHash-LSH candidate
+   * pairs (estimate ≥ threshold) against the exact shingle-Jaccard truth
+   * (jaccard ≥ threshold) over the same corpus and the same char-3
+   * shingles — the eval that justifies replacing the O(n²) exact pass with
+   * the banded sketch. The truth side IS the documented all-pairs exact
+   * baseline; evaluation inherently pays it — at corpus scale this runs
+   * on a sampled slice, exactly like [[graft.ops.Similarity.annRecall]].
+   * Output: one row (n_true, n_lsh, n_hit, precision, recall).
+   */
+  def lshQuality(df: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val lsh = minhashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
+      .select("id_a", "id_b")
+    val truth = ngramJaccardPairs(df.withColumn("__all", lit(1)), idCol,
+        textCol, "__all", 3, threshold)
+      .select("id_a", "id_b")
+    val a = lsh.agg(count(lit(1)).as("n_lsh"))
+    val b = truth.agg(count(lit(1)).as("n_true"))
+    val h = lsh.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
+    b.crossJoin(a).crossJoin(h)
+      .select(col("n_true"), col("n_lsh"), col("n_hit"),
+        round(expr("n_hit / nullif(n_lsh, 0)"), 9).as("precision"),
+        round(expr("n_hit / nullif(n_true, 0)"), 9).as("recall"))
+  }
+
   /** Chunk-index cap for [[chunkDedup]]'s packed first-occurrence key. */
   val ChunkIdxCap: Long = 1L << 20
 

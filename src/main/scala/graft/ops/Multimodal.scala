@@ -954,26 +954,30 @@ object Multimodal {
     if ((u & 0x80) != 0) -mag else mag
   }
 
-  /** Mono mu-law WAV (format tag 7, 8 bits/sample, blockAlign 1). */
-  def encodeWavMulaw(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+  /** Mono 8-bit G.711 WAV (format tag 7 = mu-law, 6 = A-law; blockAlign 1). */
+  private def encodeWavG711(samples: Array[Short], sampleRate: Int, tag: Int,
+                            enc: Int => Int): Array[Byte] = {
     val out = new Array[Byte](44 + samples.length)
     def put(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, i)
     def p32(i: Int, v: Long): Unit = for (j <- 0 until 4)
       out(i + j) = ((v >> (8 * j)) & 0xff).toByte
     def p16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
     put(0, "RIFF"); p32(4, 36L + samples.length); put(8, "WAVE")
-    put(12, "fmt "); p32(16, 16L); p16(20, 7); p16(22, 1)
+    put(12, "fmt "); p32(16, 16L); p16(20, tag); p16(22, 1)
     p32(24, sampleRate.toLong); p32(28, sampleRate.toLong); p16(32, 1); p16(34, 8)
     put(36, "data"); p32(40, samples.length.toLong)
-    samples.indices.foreach(i =>
-      out(44 + i) = encodeMulawSample(samples(i).toInt).toByte)
+    samples.indices.foreach(i => out(44 + i) = enc(samples(i).toInt).toByte)
     out
   }
 
-  /** Decode a mono mu-law WAV with the same strict-bounds chunk walk as
-    * [[decodeWavPcm16]]: malformed sizes/indices throw (quarantine-able),
-    * never hang. Returns (sampleRate, codes 0..255, decoded amplitudes). */
-  def decodeWavMulaw(bytes: Array[Byte]): (Int, Array[Int], Array[Int]) = {
+  def encodeWavMulaw(samples: Array[Short], sampleRate: Int): Array[Byte] =
+    encodeWavG711(samples, sampleRate, 7, encodeMulawSample)
+
+  /** Decode a mono 8-bit G.711 WAV with the same strict-bounds chunk walk
+    * as [[decodeWavPcm16]]: malformed sizes/indices throw (quarantine-
+    * able), never hang. Returns (sampleRate, codes 0..255, amplitudes). */
+  private def decodeWavG711(bytes: Array[Byte], tag: Int, tagName: String,
+                            dec: Int => Int): (Int, Array[Int], Array[Int]) = {
     require(bytes.length >= 12 && fourcc(bytes, 0) == "RIFF" &&
       fourcc(bytes, 8) == "WAVE", "not a WAV")
     var pos = 12
@@ -987,21 +991,65 @@ object Multimodal {
       id match {
         case "fmt " =>
           require(sz >= 16, s"fmt chunk too small ($sz bytes)")
-          require(u16le(bytes, pos + 8) == 7, "mu-law (tag 7) only")
+          require(u16le(bytes, pos + 8) == tag, s"$tagName (tag $tag) only")
           require(u16le(bytes, pos + 10) == 1, "mono only")
-          require(u16le(bytes, pos + 22) == 8, "8-bit mu-law only")
+          require(u16le(bytes, pos + 22) == 8, s"8-bit $tagName only")
           sr = u32le(bytes, pos + 12).toInt
           ok = true
         case "data" =>
-          require(ok, "fmt chunk must precede data (mu-law)")
+          require(ok, s"fmt chunk must precede data ($tagName)")
           codes = Array.tabulate(sz)(i => bytes(pos + 8 + i) & 0xff)
         case _ =>
       }
       pos += 8 + sz + (sz & 1)
     }
     require(ok && codes != null, "missing fmt/data chunk")
-    (sr, codes, codes.map(decodeMulawSample))
+    (sr, codes, codes.map(dec))
   }
+
+  def decodeWavMulaw(bytes: Array[Byte]): (Int, Array[Int], Array[Int]) =
+    decodeWavG711(bytes, 7, "mu-law", decodeMulawSample)
+
+  // ---- G.711 A-law: the European companding twin ---------------------
+  // Same segment/mantissa idea as mu-law but with the even-bit 0x55 XOR
+  // toggle and no bias term (ITU-T G.711 table 1; Sun g711.c layout).
+
+  private val AlawSegEnd = Array(0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+  /** G.711 A-law encode of one PCM16 sample to an 8-bit code (0..255). */
+  def encodeAlawSample(pcm: Int): Int = {
+    require(pcm >= -32768 && pcm <= 32767, s"not a PCM16 sample: $pcm")
+    var v = pcm >> 3 // 13-bit, arithmetic shift (floor)
+    val mask = if (v >= 0) 0xD5 else { v = -v - 1; 0x55 }
+    var seg = 0
+    while (seg < 8 && v > AlawSegEnd(seg)) seg += 1
+    if (seg >= 8) 0x7f ^ mask
+    else {
+      val mant = (if (seg < 2) v >> 1 else v >> seg) & 0x0f
+      ((seg << 4) | mant) ^ mask
+    }
+  }
+
+  /** G.711 A-law decode of one 8-bit code back to its quantized PCM16
+    * amplitude (segment-midpoint reconstruction). */
+  def decodeAlawSample(code: Int): Int = {
+    require(code >= 0 && code <= 255, s"not an A-law code: $code")
+    val a = code ^ 0x55
+    val t0 = (a & 0x0f) << 4
+    val seg = (a & 0x70) >> 4
+    val t = seg match {
+      case 0 => t0 + 8
+      case 1 => t0 + 0x108
+      case s => (t0 + 0x108) << (s - 1)
+    }
+    if ((a & 0x80) != 0) t else -t
+  }
+
+  def encodeWavAlaw(samples: Array[Short], sampleRate: Int): Array[Byte] =
+    encodeWavG711(samples, sampleRate, 6, encodeAlawSample)
+
+  def decodeWavAlaw(bytes: Array[Byte]): (Int, Array[Int], Array[Int]) =
+    decodeWavG711(bytes, 6, "A-law", decodeAlawSample)
 
   final case class MulawSample(media_id: Long, idx: Int, pcm: Int, code: Int,
                                amp: Int)
@@ -1136,6 +1184,24 @@ object Multimodal {
           (((id * 37 + i.toLong * 1013) % 65536) - 32768).toShort)
         val (srGot, codes, amps) =
           decodeWavMulaw(encodeWavMulaw(pcm, sampleRate))
+        require(srGot == sampleRate && codes.length == n)
+        (0 until n).iterator.map(i =>
+          MulawSample(id, i, pcm(i).toInt, codes(i), amps(i)))
+      }
+    }
+  }
+
+  /** A-law twin of [[mulawRoundTrip]] (WAV format tag 6). */
+  def alawRoundTrip(df: DataFrame, idCol: String, n: Int,
+                    sampleRate: Int): Dataset[MulawSample] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val pcm = Array.tabulate(n)(i =>
+          (((id * 41 + i.toLong * 997) % 65536) - 32768).toShort)
+        val (srGot, codes, amps) =
+          decodeWavAlaw(encodeWavAlaw(pcm, sampleRate))
         require(srGot == sampleRate && codes.length == n)
         (0 until n).iterator.map(i =>
           MulawSample(id, i, pcm(i).toInt, codes(i), amps(i)))

@@ -134,6 +134,39 @@ object PipelineQueries {
       |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
       |  FROM embeddings)""".stripMargin
 
+  /** MinHash-LSH candidate pipeline as a CTE list ending in
+    * `est(id_a, id_b, est_jaccard)` (char-3 shingles → 16 minhashes →
+    * 2 banded keys → candidate pairs → signature-agreement estimate),
+    * shared by dedup_minhash_lsh and the lsh_quality eval; also leaves
+    * `sh(doc_id, sh)` (distinct shingles) in scope for the truth side. */
+  private lazy val minhashEstCtes: String =
+    s"""pos AS (
+       |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+       |  FROM documents),
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh FROM pos),
+       |shx AS (SELECT doc_id,
+       |    ascii(substr(sh,1,1))*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS x
+       |  FROM sh),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, hp.i, min((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647) AS minhash
+       |  FROM shx, ${hpSql(16, "i, a, b")}
+       |  GROUP BY doc_id, hp.i),
+       |bandkey AS (
+       |  SELECT doc_id, i // 8 AS band,
+       |    string_agg(minhash, ',' ORDER BY i) AS key
+       |  FROM sig GROUP BY doc_id, i // 8),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+       |  FROM bandkey a JOIN bandkey b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = id_a
+       |  JOIN sig sb ON sb.doc_id = id_b AND sb.i = sa.i
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** L2-normalized embeddings (`en`): the cosine between two rows is a
     * plain sequential dot — same normalize-then-dot order as Spark's
     * [[graft.ops.Similarity]] `normalized`+`ndot`, so the doubles agree
@@ -308,33 +341,36 @@ object PipelineQueries {
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text",
         numHashes = 16, bands = 2, estThreshold = 0.7),
-      Some(s"""WITH pos AS (
-             |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
-             |  FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh FROM pos),
-             |shx AS (SELECT doc_id,
-             |    ascii(substr(sh,1,1))*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS x
-             |  FROM sh),
-             |sig AS (
-             |  SELECT doc_id, hp.i, min((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647) AS minhash
-             |  FROM shx, ${hpSql(16, "i, a, b")}
-             |  GROUP BY doc_id, hp.i),
-             |bandkey AS (
-             |  SELECT doc_id, i // 8 AS band,
-             |    string_agg(minhash, ',' ORDER BY i) AS key
-             |  FROM sig GROUP BY doc_id, i // 8),
-             |cand AS (
-             |  SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-             |  FROM bandkey a JOIN bandkey b
-             |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-             |est AS (
-             |  SELECT id_a, id_b,
-             |    sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
-             |  FROM cand
-             |  JOIN sig sa ON sa.doc_id = id_a
-             |  JOIN sig sb ON sb.doc_id = id_b AND sb.i = sa.i
-             |  GROUP BY 1, 2)
+      Some(s"""WITH $minhashEstCtes
              |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7""".stripMargin)),
+
+    // sketch-vs-truth evaluation: precision/recall of the banded MinHash
+    // candidates (est >= 0.7) against the exact shingle-Jaccard truth at
+    // the same threshold — the one-row eval that justifies replacing the
+    // O(n²) exact pass with LSH; the truth side IS the exact baseline
+    // (at corpus scale this runs on a sampled slice, like ann_recall)
+    Q("lsh_quality",
+      (s, dir) => Dedup.lshQuality(documents(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 2, threshold = 0.7),
+      Some(s"""WITH $minhashEstCtes,
+             |lp AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.7),
+             |tsz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+             |tint AS (
+             |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |tp AS (
+             |  SELECT id_a, id_b FROM tint
+             |  JOIN tsz sa ON id_a = sa.doc_id JOIN tsz sb ON id_b = sb.doc_id
+             |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.7),
+             |hit AS (SELECT count(*) c FROM lp JOIN tp
+             |  ON lp.id_a = tp.id_a AND lp.id_b = tp.id_b)
+             |SELECT (SELECT count(*) FROM tp) AS n_true,
+             |  (SELECT count(*) FROM lp) AS n_lsh,
+             |  CAST(hit.c AS BIGINT) AS n_hit,
+             |  round(hit.c / nullif((SELECT count(*) FROM lp), 0), 9) AS precision,
+             |  round(hit.c / nullif((SELECT count(*) FROM tp), 0), 9) AS recall
+             |FROM hit""".stripMargin)),
 
     // incremental LSH: the doc_id % 5 == 0 slice plays the newly-ingested
     // batch; only pairs touching it are generated — the index side is
@@ -1687,6 +1723,46 @@ object PipelineQueries {
              |  CAST(CASE WHEN sgn = 128 THEN -(((mant * 8 + 132) << exp) - 132)
              |       ELSE ((mant * 8 + 132) << exp) - 132 END AS INTEGER) AS amp
              |FROM cod""".stripMargin)),
+
+    // REAL compressed-audio decode #3: G.711 A-law (WAV format tag 6) —
+    // the European companding twin: 0x55 even-bit toggle, no bias term.
+    // NOTE the oracle's floor(pcm/8.0): Scala's >>3 floors, DuckDB's //
+    // truncates toward zero — naive pcm//8 diverges on every negative
+    Q("multimodal_alaw_decode",
+      (s, dir) => Multimodal.alawRoundTrip(documents(s, dir), "doc_id",
+        n = 32, sampleRate = 8000).toDF(),
+      Some("""WITH s0 AS (
+             |  SELECT doc_id, g.i,
+             |    CAST((doc_id * 41 + g.i * 997) % 65536 - 32768 AS INTEGER) AS pcm
+             |  FROM documents, generate_series(0, 31) g(i)),
+             |v1 AS (SELECT doc_id, i, pcm,
+             |    CAST(floor(pcm / 8.0) AS INTEGER) AS v FROM s0),
+             |v2 AS (SELECT doc_id, i, pcm,
+             |    CASE WHEN v >= 0 THEN 213 ELSE 85 END AS mask,
+             |    CASE WHEN v >= 0 THEN v ELSE -v - 1 END AS m
+             |  FROM v1),
+             |sg AS (SELECT doc_id, i, pcm, mask, m,
+             |    CASE WHEN m <= 31 THEN 0 WHEN m <= 63 THEN 1
+             |         WHEN m <= 127 THEN 2 WHEN m <= 255 THEN 3
+             |         WHEN m <= 511 THEN 4 WHEN m <= 1023 THEN 5
+             |         WHEN m <= 2047 THEN 6 ELSE 7 END AS seg
+             |  FROM v2),
+             |cd AS (SELECT doc_id, i, pcm,
+             |    xor(seg * 16 +
+             |      (CASE WHEN seg < 2 THEN m // 2 ELSE m // (1 << seg) END) % 16,
+             |      mask) AS code
+             |  FROM sg),
+             |de AS (SELECT doc_id, i, pcm, code, xor(code, 85) AS a FROM cd),
+             |dt AS (SELECT doc_id, i, pcm, code, a,
+             |    CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+             |         WHEN (a // 16) % 8 = 1 THEN (a % 16) * 16 + 264
+             |         ELSE ((a % 16) * 16 + 264) * (1 << ((a // 16) % 8 - 1))
+             |    END AS t
+             |  FROM de)
+             |SELECT doc_id AS media_id, CAST(i AS INTEGER) AS idx, pcm,
+             |  CAST(code AS INTEGER) AS code,
+             |  CAST(CASE WHEN a >= 128 THEN t ELSE -t END AS INTEGER) AS amp
+             |FROM dt""".stripMargin)),
 
     // REAL image decode: uncompressed 24-bit BMP (bottom-up rows, 4-byte
     // padding — width 5 makes the padding path load-bearing); same

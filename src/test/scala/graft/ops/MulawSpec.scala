@@ -51,4 +51,31 @@ class MulawSpec extends AnyFunSuite {
     bad(42) = 0xff.toByte; bad(43) = 0xff.toByte
     assertThrows[IllegalArgumentException](Multimodal.decodeWavMulaw(bad))
   }
+
+  test("A-law: decode -> encode idempotent over all 256 codes; container strict") {
+    (0 to 255).foreach { code =>
+      val amp = Multimodal.decodeAlawSample(code)
+      assert(Multimodal.encodeAlawSample(amp) == code, s"code $code amp $amp")
+    }
+    // quantization error bounded by half the segment step (PCM16 units)
+    val xs = (-32768 to 32767 by 113) ++ Seq(-32768, -8, -1, 0, 1, 7, 8, 32767)
+    xs.foreach { x =>
+      val code = Multimodal.encodeAlawSample(x)
+      val amp = Multimodal.decodeAlawSample(code)
+      val seg = ((code ^ 0x55) & 0x70) >> 4
+      val stepPcm = if (seg < 2) 16 else 16 << (seg - 1)
+      assert(math.abs(amp - x) <= stepPcm / 2 + 8, s"x=$x amp=$amp seg=$seg")
+    }
+    // container: tag 6 round-trips; mu-law decoder rejects it and vice versa
+    val pcm = Array.tabulate(100)(i => ((i * 653) % 65536 - 32768).toShort)
+    val aw = Multimodal.encodeWavAlaw(pcm, 8000)
+    val (sr, codes, amps) = Multimodal.decodeWavAlaw(aw)
+    assert(sr == 8000 && codes.length == 100)
+    amps.zip(codes).foreach { case (a, c) =>
+      assert(a == Multimodal.decodeAlawSample(c))
+    }
+    assertThrows[IllegalArgumentException](Multimodal.decodeWavMulaw(aw))
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeWavAlaw(Multimodal.encodeWavMulaw(pcm, 8000)))
+  }
 }
