@@ -480,12 +480,16 @@ object Dedup {
    * (jaccard ≥ threshold) over the same corpus and the same char-3
    * shingles — the eval that justifies replacing the O(n²) exact pass with
    * the banded sketch. The truth side IS the documented all-pairs exact
-   * baseline; evaluation inherently pays it — at corpus scale this runs
-   * on a sampled slice, exactly like [[graft.ops.Similarity.annRecall]].
+   * baseline; evaluation inherently pays it — so the eval runs on the
+   * deterministic `evalSlice` of the corpus (both sides filtered
+   * identically; precision/recall are estimated on the slice), exactly
+   * like [[graft.ops.Similarity.annRecall]] runs on a query sample.
    * Output: one row (n_true, n_lsh, n_hit, precision, recall).
    */
-  def lshQuality(df: DataFrame, idCol: String, textCol: String,
-                 numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+  def lshQuality(df0: DataFrame, idCol: String, textCol: String,
+                 numHashes: Int, bands: Int, threshold: Double,
+                 evalSlice: Column): DataFrame = {
+    val df = df0.filter(evalSlice)
     val lsh = minhashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
       .select("id_a", "id_b")
     val truth = ngramJaccardPairs(df.withColumn("__all", lit(1)), idCol,

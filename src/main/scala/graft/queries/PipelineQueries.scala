@@ -139,10 +139,10 @@ object PipelineQueries {
     * 2 banded keys → candidate pairs → signature-agreement estimate),
     * shared by dedup_minhash_lsh and the lsh_quality eval; also leaves
     * `sh(doc_id, sh)` (distinct shingles) in scope for the truth side. */
-  private lazy val minhashEstCtes: String =
+  private def minhashEstCtes(src: String = "documents"): String =
     s"""pos AS (
        |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
-       |  FROM documents),
+       |  FROM $src),
        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh FROM pos),
        |shx AS (SELECT doc_id,
        |    ascii(substr(sh,1,1))*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS x
@@ -341,18 +341,21 @@ object PipelineQueries {
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text",
         numHashes = 16, bands = 2, estThreshold = 0.7),
-      Some(s"""WITH $minhashEstCtes
+      Some(s"""WITH ${minhashEstCtes()}
              |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.7""".stripMargin)),
 
     // sketch-vs-truth evaluation: precision/recall of the banded MinHash
     // candidates (est >= 0.7) against the exact shingle-Jaccard truth at
     // the same threshold — the one-row eval that justifies replacing the
-    // O(n²) exact pass with LSH; the truth side IS the exact baseline
-    // (at corpus scale this runs on a sampled slice, like ann_recall)
+    // O(n²) exact pass with LSH. Both sides run on the deterministic 10%
+    // eval slice (doc_id % 10 = 0): the truth side is the exact all-pairs
+    // baseline, and evaluation pays it only on the sample (like ann_recall)
     Q("lsh_quality",
       (s, dir) => Dedup.lshQuality(documents(s, dir), "doc_id", "text",
-        numHashes = 16, bands = 2, threshold = 0.7),
-      Some(s"""WITH $minhashEstCtes,
+        numHashes = 16, bands = 2, threshold = 0.7,
+        evalSlice = col("doc_id") % 10 === 0),
+      Some(s"""WITH docs5 AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+             |${minhashEstCtes("docs5")},
              |lp AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.7),
              |tsz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
              |tint AS (

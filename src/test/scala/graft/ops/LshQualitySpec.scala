@@ -21,7 +21,8 @@ class LshQualitySpec extends AnyFunSuite {
     val docs = (base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
       (0 until 10).map(i => (100L + i, base(i)))).toDF("doc_id", "text")
     val row = Dedup.lshQuality(docs, "doc_id", "text",
-      numHashes = 16, bands = 2, threshold = 0.7).head
+      numHashes = 16, bands = 2, threshold = 0.7,
+      evalSlice = org.apache.spark.sql.functions.lit(true)).head
     val (nTrue, nLsh, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
     assert(nHit <= math.min(nTrue, nLsh))
     assert(nTrue >= 10) // at least the planted duplicate pairs
