@@ -1208,4 +1208,173 @@ object Multimodal {
       }
     }
   }
+
+  // ---- Perceptual fingerprints over REAL decoded media -----------------
+  // The image/audio near-dup primitives a multimodal corpus pipeline runs
+  // before/alongside text MinHash: a compact per-item signature computed
+  // from decoded content, then candidate pairs by signature proximity.
+  // Both signatures below are pure integer arithmetic end-to-end, so the
+  // DuckDB oracles replay them EXACTLY (no float sign flips possible).
+
+  /** 64-bit difference hash (dHash) of decoded RGB pixels: grayscale
+    * (integer ITU-R 601 weights, (299r+587g+114b)/1000), nearest-neighbor
+    * resample to a 9x8 grid (integer source indices sx = x*w/9, sy = y*h/8
+    * — same indexing contract as [[bmpResizeRoundTrip]]), then bit
+    * (x,y) = 1 iff the right neighbor is strictly brighter. Brightness-
+    * shift invariant by construction — the property that makes it a
+    * *perceptual* near-dup key rather than an exact-byte key.
+    * Returned as two non-negative 32-bit halves (hi = bits 32..63) so both
+    * engines stay inside signed-64 arithmetic with no 1<<63 sign games. */
+  def dhash64(px: Array[Byte], gw: Int, gh: Int): (Long, Long) = {
+    val g = new Array[Int](72) // 9 wide x 8 tall grayscale
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val o = ((y * gh / 8) * gw + (x * gw / 9)) * 3
+        g(y * 9 + x) = ((px(o) & 0xff) * 299 + (px(o + 1) & 0xff) * 587 +
+          (px(o + 2) & 0xff) * 114) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      val yy = i / 8; val xx = i % 8
+      if (g(yy * 9 + xx + 1) > g(yy * 9 + xx)) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  final case class DhashRow(media_id: Long, dhash_hi: Long, dhash_lo: Long,
+                            n_bits: Int)
+
+  /** Registered-query harness: synthesize a w x h BMP per id (the
+    * [[bmpRoundTrip]] pixel rule), decode with the REAL parser, emit the
+    * dHash halves + popcount. The oracle recomposes synthesis rule,
+    * grayscale weights, resize indexing, and bit packing in closed form —
+    * any deviation in any stage flips hash bits. */
+  def dhashRoundTrip(df: DataFrame, idCol: String, w: Int,
+                     h: Int): Dataset[DhashRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rgb = new Array[Byte](w * h * 3)
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+          rgb((y * w + x) * 3 + c) =
+            (((id * 7 + x * 3 + y * 11 + c * 5) % 256).toInt & 0xff).toByte
+        val (gw, gh, px) = decodeBmp24(encodeBmp24(w, h, rgb))
+        val (hi, lo) = dhash64(px, gw, gh)
+        DhashRow(id, hi, lo,
+          java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo))
+      }
+    }
+  }
+
+  final case class SceneCut(media_id: Long, frame_idx: Int,
+                            sum_abs_diff: Long, is_cut: Boolean)
+
+  /** Shot-boundary (scene-cut) detection on REAL decoded video: decode the
+    * AVI, compute the per-adjacent-frame sum of absolute pixel differences
+    * (the classic pixel-wise cut detector), and flag frames whose change
+    * mass exceeds `threshold`. The synthesis rule advances every frame by
+    * a small constant and injects one large jump at `cutFrame`, so exactly
+    * one boundary must be flagged — but the oracle checks the full integer
+    * difference mass per frame, not just the flag. */
+  def sceneCutRoundTrip(df: DataFrame, idCol: String, w: Int, h: Int,
+                        nFrames: Int, cutFrame: Int, jump: Int,
+                        threshold: Long): Dataset[SceneCut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val frames = Array.tabulate(nFrames) { f =>
+          val off = f * 13 + (if (f >= cutFrame) jump else 0)
+          val rgb = new Array[Byte](w * h * 3)
+          for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+            rgb((y * w + x) * 3 + c) =
+              (((id * 7 + off + x * 3 + y * 11 + c * 5) % 256).toInt & 0xff).toByte
+          rgb
+        }
+        val (gw, gh, got) = decodeAviDib(encodeAviDib(w, h, frames, fps = 10))
+        require(gw == w && gh == h && got.length == nFrames,
+          "AVI round trip diverged")
+        (1 until nFrames).iterator.map { f =>
+          var s = 0L
+          var i = 0
+          while (i < w * h * 3) {
+            s += math.abs((got(f)(i) & 0xff) - (got(f - 1)(i) & 0xff))
+            i += 1
+          }
+          SceneCut(id, f, s, s > threshold)
+        }
+      }
+    }
+  }
+
+  /** Fixed-point trig table for [[audioFingerprintRoundTrip]]: angle index
+    * m = 0..N-1 maps to round(1024*cos(2*pi*m/N)) / round(1024*sin(..)).
+    * Shared with the oracle BUILDER (the SQL embeds these exact integers as
+    * a VALUES list), so both engines use the identical table by
+    * construction — no libm cos() in either engine's data path. */
+  def fingerprintTrig(n: Int): Array[(Int, Long, Long)] =
+    Array.tabulate(n) { m =>
+      val a = 2.0 * math.Pi * m / n
+      (m, math.round(1024.0 * math.cos(a)), math.round(1024.0 * math.sin(a)))
+    }
+
+  final case class AudioFp(media_id: Long, frame_idx: Int, fp: Int)
+
+  /** Haitsma-Kalker-shape audio fingerprint on REAL decoded audio, in
+    * exact fixed-point arithmetic: 32-sample frames, integer-DFT band
+    * energies E(b,f) = sum over the band's bins of re^2+im^2 (re/im are
+    * integer dot products against [[fingerprintTrig]]), and per frame f>=1
+    * bit b = 1 iff the band-energy difference increased vs the previous
+    * frame: (E(b,f)-E(b+1,f)) - (E(b,f-1)-E(b+1,f-1)) > 0. 8 bands of 2
+    * bins (1..16) give a 7-bit sub-fingerprint per frame — the streaming
+    * audio near-dup key (Haitsma & Kalker 2002), exactly replayable in SQL
+    * because no float ever enters the pipeline. */
+  def audioFingerprintRoundTrip(df: DataFrame, idCol: String, nFrames: Int,
+                                sampleRate: Int): Dataset[AudioFp] = {
+    val N = 32
+    val trig = fingerprintTrig(N)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.flatMap { id =>
+        val n = N * nFrames
+        val pcm = Array.tabulate(n)(i =>
+          (((id * 37 + i.toLong * i * 17 + i * 5) % 4096) - 2048).toShort)
+        val (srGot, _, got) = decodeWavPcm16(encodeWavPcm16(pcm, sampleRate))
+        require(srGot == sampleRate && got.sameElements(pcm),
+          "WAV round trip diverged")
+        // E(b,f): 8 bands x nFrames, bins 1..16, all integer
+        val e = Array.ofDim[Long](nFrames, 8)
+        for (f <- 0 until nFrames; k <- 1 to 16) {
+          var re = 0L; var im = 0L
+          var t = 0
+          while (t < N) {
+            val m = (k * t) % N
+            val s = got(f * N + t).toLong
+            re += s * trig(m)._2
+            im += s * trig(m)._3
+            t += 1
+          }
+          e(f)((k - 1) / 2) += re * re + im * im
+        }
+        (1 until nFrames).iterator.map { f =>
+          var fp = 0
+          for (b <- 0 until 7)
+            if ((e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1)) > 0)
+              fp |= 1 << b
+          AudioFp(id, f, fp)
+        }
+      }
+    }
+  }
 }
