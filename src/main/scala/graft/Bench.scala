@@ -25,11 +25,21 @@ object Bench {
     // codegen-compilation noise out of the measurement
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+    // a query that throws must NOT masquerade as a fast timing (r6 shipped 22
+    // analysis-broken queries as innocent 0.05 s rows): record it here and
+    // surface a "failed" list on the JSON line + stderr
+    val failed = scala.collection.mutable.SortedSet[String]()
     def runOnce(tag: String): Map[String, Double] = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench:$tag] FAILED $name: ${e.getMessage.linesIterator.next()}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       if (debug) System.err.println(f"[bench:$tag] $name%-28s $dt%7.3f s")
+      // query-completion cache hook — without it, shared() persists from all
+      // 174 queries × 2 passes stay pinned for the session (r6: 16× slowdowns)
+      graft.ops.Spread.release(spark)
       name -> dt
     }.toMap
     val r1 = runOnce("r1")
@@ -41,8 +51,9 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val sorted = results.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qjson(sorted)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qjson(sorted)},"failed":$failedJson,"sf":"$sfDir"}"""
     // full per-query map (~3 KB for 100+ queries) exceeds the output-tail
     // window the driver captures — keep it on disk + one full stdout line,
     // and END with a compact line (total + slowest 20) that fits the tail
@@ -53,7 +64,8 @@ object Bench {
     } catch { case _: Throwable => () }
     println(full)
     val top = results.toSeq.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":${qjson(top)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${qjson(top)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -27,6 +27,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // query-completion cache hook: shared() sub-plans are pinned by
+      // CacheManager until unpersist; a 174-query session without this
+      // accumulates every query's persisted intermediates (r6 leak)
+      finally graft.ops.Spread.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -32,12 +32,23 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by default;
-    * nanosAsLong reads it as raw long nanoseconds (exact — no truncation).
-    * Oracles compare via DuckDB `epoch_ns(ts)`. */
+  /** events.ts arrives either as parquet TIMESTAMP(NANOS) (older driver data —
+    * nanosAsLong reads it as raw long nanoseconds, exact) or as
+    * timestamp[us] (current driver data — Spark loads TIMESTAMP/TIMESTAMP_NTZ).
+    * Normalize both to BIGINT nanoseconds here, in ONE place, so every
+    * downstream `ts div …` and epoch-ns literal works unchanged and the DuckDB
+    * oracles keep comparing via `epoch_ns(ts)`. All entry points pin the
+    * session timeZone to UTC, so the NTZ→instant cast is the identity. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
+    val df = t(spark, dir, "events")
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case _ => df // already bigint nanos
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "orders")

@@ -37,6 +37,24 @@ class CacheLifecycleSpec extends AnyFunSuite {
       "shared() registry grew across identical re-runs")
   }
 
+  /** The r6 leak: Bench/Verify ran 174 queries × 2 passes with no release, so
+    * every shared() persist stayed pinned for the session. Both drivers now
+    * release after each query — this asserts that shape actually keeps the
+    * session flat across DIFFERENT queries (not just re-runs of one). */
+  test("bulk-driver shape: release after every query keeps the session flat") {
+    val names = Seq("dedup_minhash_lsh", "semdedup", "dsir_select", "decontam_ngram")
+    def pass(): Unit = names.foreach { n =>
+      graft.SparkEntry.queries(n)(spark, sfDir).count()
+      Spread.release(spark)
+      assert(Spread.trackedCount(spark) == 0, s"tracked entries survived release after $n")
+    }
+    pass() // warm pass: bounded kmeans-memo trains land here, outside the measure
+    val base = cachedRdds
+    pass()
+    assert(cachedRdds <= base,
+      s"pinned cache entries leaked past release: $base -> $cachedRdds")
+  }
+
   test("Spread.release unpersists this session's tracked shared entries") {
     graft.SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).count()
     assert(Spread.trackedCount(spark) > 0, "expected tracked shared() entries")
