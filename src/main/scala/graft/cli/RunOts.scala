@@ -337,16 +337,21 @@ object RunOts {
     val varAttrs = if (ordered.contains("time"))
       Map("time" -> Seq("units" -> "seconds since 1970-01-01T00:00:00Z",
         "standard_name" -> "time")) else Map.empty[String, Seq[(String, String)]]
-    // `netcdf_format: cdf5` lifts the classic 2 GiB limits (the reference's
-    // default engine is netCDF4 — CDF-5 is the classic-family equivalent)
-    val version = meta.str("netcdf_format").map(_.toLowerCase) match {
-      case Some("cdf5") | Some("netcdf3_64bit_data") => 5
-      case Some("cdf1") | Some("netcdf3_classic") | None => 1
+    // `netcdf_format: cdf5` lifts the classic 2 GiB limits;
+    // `netcdf_format: netcdf4` writes the HDF5 container (the reference's
+    // default engine, stglib/rsk/cdf2nc.py:145-147)
+    meta.str("netcdf_format").map(_.toLowerCase) match {
+      case Some("netcdf4") | Some("hdf5") =>
+        graft.io.Hdf5.write(df, output, gatts, varAttrs)
+      case Some("cdf5") | Some("netcdf3_64bit_data") =>
+        Netcdf3.write(df, output, gatts, varAttrs, version = 5)
+      case Some("cdf1") | Some("netcdf3_classic") | None =>
+        Netcdf3.write(df, output, gatts, varAttrs, version = 1)
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported netcdf_format '$other' — supported: cdf1/netcdf3_classic, " +
-          "cdf5/netcdf3_64bit_data (CDF-2/64-bit-offset is not implemented)")
+          "cdf5/netcdf3_64bit_data, netcdf4/hdf5 " +
+          "(CDF-2/64-bit-offset is not implemented)")
     }
-    Netcdf3.write(df, output, gatts, varAttrs, version = version)
   }
 
   /** 3×3 numeric helpers for the constant part of the velocity transform. */

@@ -27,6 +27,12 @@ private[graft] final class BoundedMemo[K, V](cap: Int)(onEvict: V => Unit) {
       } else false
   }
 
+  /** True iff `key` holds an already-computed value (refreshes LRU order).
+    * Used by fused trainers to find which sub-problems still need work. */
+  def contains(key: K): Boolean = map.synchronized {
+    val c = map.get(key); c != null && c.computed
+  }
+
   def getOrCompute(key: K, f: => V): V = {
     val cell = map.synchronized {
       val got = map.get(key)

@@ -491,14 +491,18 @@ object Dedup {
                  evalSlice: Column): DataFrame = {
     val df = df0.filter(evalSlice)
     val lsh = minhashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
-      .select("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), lit(1L).as("__l"))
     val truth = ngramJaccardPairs(df.withColumn("__all", lit(1)), idCol,
         textCol, "__all", 3, threshold)
-      .select("id_a", "id_b")
-    val a = lsh.agg(count(lit(1)).as("n_lsh"))
-    val b = truth.agg(count(lit(1)).as("n_true"))
-    val h = lsh.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_hit"))
-    b.crossJoin(a).crossJoin(h)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+    // ONE full-outer join + one aggregation: the naive three-branch plan
+    // (count(lsh) × count(truth) × count(lsh⋈truth)) executes each pair
+    // sub-plan twice — at eval-sample scale that doubles the dominant
+    // all-pairs truth cost for no reason
+    lsh.join(truth, Seq("id_a", "id_b"), "full_outer")
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("n_true"),
+        coalesce(sum(col("__l")), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("__l") * col("__t")), lit(0L)).as("n_hit"))
       .select(col("n_true"), col("n_lsh"), col("n_hit"),
         round(expr("n_hit / nullif(n_lsh, 0)"), 9).as("precision"),
         round(expr("n_hit / nullif(n_true, 0)"), 9).as("recall"))

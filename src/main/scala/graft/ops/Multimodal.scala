@@ -1269,6 +1269,7 @@ object Multimodal {
           rgb((y * w + x) * 3 + c) =
             (((id * 7 + x * 3 + y * 11 + c * 5) % 256).toInt & 0xff).toByte
         val (gw, gh, px) = decodeBmp24(encodeBmp24(w, h, rgb))
+        require(gw == w && gh == h, "BMP round trip diverged")
         val (hi, lo) = dhash64(px, gw, gh)
         DhashRow(id, hi, lo,
           java.lang.Long.bitCount(hi) + java.lang.Long.bitCount(lo))
@@ -1289,6 +1290,15 @@ object Multimodal {
   def sceneCutRoundTrip(df: DataFrame, idCol: String, w: Int, h: Int,
                         nFrames: Int, cutFrame: Int, jump: Int,
                         threshold: Long): Dataset[SceneCut] = {
+    require(cutFrame > 0 && cutFrame < nFrames,
+      "cutFrame must be an interior frame boundary")
+    // pixel values advance mod 256, so a frame delta d produces per-pixel
+    // abs diffs in {d, 256-d}: a jump whose total delta aliases the
+    // ordinary 13-per-frame advance (13 or 243 mod 256) would make the cut
+    // frame's diff mass indistinguishable from an ordinary frame's
+    val dCut = ((13 + jump) % 256 + 256) % 256
+    require(dCut != 13 && dCut != 256 - 13,
+      s"jump=$jump aliases the ordinary frame advance mod 256 — undetectable cut")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
@@ -1321,11 +1331,16 @@ object Multimodal {
     * m = 0..N-1 maps to round(1024*cos(2*pi*m/N)) / round(1024*sin(..)).
     * Shared with the oracle BUILDER (the SQL embeds these exact integers as
     * a VALUES list), so both engines use the identical table by
-    * construction — no libm cos() in either engine's data path. */
+    * construction — no libm cos() in either engine's data path.
+    * StrictMath (fdlibm) rather than java.lang.Math: Math.cos/sin are only
+    * 1-ulp accurate and may differ across platforms, and a value near a .5
+    * rounding tie could silently flip a table entry between JVMs;
+    * StrictMath is bit-identical everywhere. */
   def fingerprintTrig(n: Int): Array[(Int, Long, Long)] =
     Array.tabulate(n) { m =>
-      val a = 2.0 * math.Pi * m / n
-      (m, math.round(1024.0 * math.cos(a)), math.round(1024.0 * math.sin(a)))
+      val a = 2.0 * StrictMath.PI * m / n
+      (m, StrictMath.round(1024.0 * StrictMath.cos(a)),
+        StrictMath.round(1024.0 * StrictMath.sin(a)))
     }
 
   final case class AudioFp(media_id: Long, frame_idx: Int, fp: Int)

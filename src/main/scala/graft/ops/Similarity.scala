@@ -185,14 +185,7 @@ object Similarity {
     var cents: Array[Array[Double]] = x.orderBy("id").limit(k).select("x").collect()
       .map(_.getSeq[Double](0).toArray)
     require(cents.nonEmpty, "kmeans needs at least one input vector")
-    def assignExpr(cs: Array[Array[Double]]): Column = {
-      val structs = cs.zipWithIndex.map { case (c, j) =>
-        val d = lit(c.map(v => v * v).sum) -
-          lit(2.0) * ndot(col("x"), array(c.map(lit): _*))
-        struct(d.as("d"), lit(j.toLong).as("c"))
-      }
-      least(structs: _*).getField("c")
-    }
+    def assignExpr(cs: Array[Array[Double]]): Column = kmAssignExpr(cs, col("x"))
     for (_ <- 1 to iters) {
       val assigned = x.withColumn("cell", assignExpr(cents))
       val aggs = (0 until dims).map(i =>
@@ -212,6 +205,128 @@ object Similarity {
     val assignedF = x.withColumn("cell", assignExpr(cents))
       .select(col("id"), col("cell"))
     (cents, assignedF)
+  }
+
+  /** Nearest-centroid id: argmin_j (|c_j|² − 2·x·c_j), ties to the lowest
+    * id — the shared Lloyd assignment expression (sequential and fused
+    * trainers must agree bitwise, so there is exactly one copy of it). */
+  private def kmAssignExpr(cs: Array[Array[Double]], x: Column): Column = {
+    val structs = cs.zipWithIndex.map { case (c, j) =>
+      val d = lit(c.map(v => v * v).sum) -
+        lit(2.0) * ndot(x, array(c.map(lit): _*))
+      struct(d.as("d"), lit(j.toLong).as("c"))
+    }
+    least(structs: _*).getField("c")
+  }
+
+  /** One sub-problem of [[fusedKmeansSeed]]: train `k` centroids over the
+    * `dsub`-wide slice of the full vector starting at 0-based `offset`,
+    * for `iters` Lloyd iterations, and seed the result under the given
+    * [[kmeansLoop]] memo key. */
+  private final case class KProblem(key: (Int, Any, String), keyDf: DataFrame,
+                                    offset: Int, dsub: Int, k: Int, iters: Int)
+
+  /** Fused Lloyd trainer: ALL still-unmemoized sub-problems (the IVF coarse
+    * quantizer and every PQ sub-quantizer — each a k-means over a slice of
+    * the same vector table) advance together, ONE aggregation job per
+    * iteration, instead of one sequential loop per problem (m+1 loops ×
+    * (iters+1) driver jobs was the measured cold-start cost of the PQ
+    * family). Per-problem math is UNCHANGED — same first-k-by-id seeds,
+    * same micro-unit integer sums, same assignment expression — so the
+    * seeded results are bit-identical to what each [[kmeansLoop]] call
+    * would have produced, and every existing call site simply memo-hits. */
+  private def fusedKmeansSeed(df: DataFrame, idCol: String, embCol: String,
+                              problems: Seq[KProblem]): Unit = {
+    val todo = problems.filterNot(p => kmeansMemo.contains(p.key))
+    if (todo.isEmpty) return
+    val x = df.select(col(idCol).cast("long").as("id"),
+      transform(asDouble(col(embCol)),
+        v => floor(v * lit(1000000.0)).cast("long")).as("xi"))
+    // one init collect serves every problem: each seeds from the first k
+    // vectors by id, and slice/quantize commute elementwise
+    val maxK = todo.map(_.k).max
+    val initRows = x.orderBy("id").limit(maxK).select("xi").collect()
+      .map(_.getSeq[Long](0).map(_.toDouble / 1000000.0).toArray)
+    require(initRows.nonEmpty, "kmeans needs at least one input vector")
+    val cents = scala.collection.mutable.ArrayBuffer(todo.map { p =>
+      initRows.take(p.k).map(_.slice(p.offset, p.offset + p.dsub))
+    }: _*)
+    val maxD = todo.map(_.dsub).max
+    def sliceMicroDouble(p: KProblem): Column =
+      transform(slice(col("xi"), p.offset + 1, p.dsub),
+        v => v.cast("double") / lit(1000000.0))
+    for (t <- 1 to todo.map(_.iters).max) {
+      val active = todo.zipWithIndex.filter(_._1.iters >= t)
+      // one exploded row per (vector, active problem): group id, assigned
+      // cell under that problem's current centroids, and the micro-long
+      // slice to aggregate — a single shuffle on (g, cell)
+      val rows = x.select(explode(array(active.map { case (p, gi) =>
+        struct(lit(gi).as("g"),
+          kmAssignExpr(cents(gi), sliceMicroDouble(p)).as("cell"),
+          slice(col("xi"), p.offset + 1, p.dsub).as("xs"))
+      }: _*)).as("pr"))
+        .select(col("pr.g").as("g"), col("pr.cell").as("cell"), col("pr.xs").as("xs"))
+      // try_element_at: problems narrower than maxD pad with nulls (sum
+      // ignores them; their trailing sums are never read back)
+      val aggs = (0 until maxD).map(i =>
+        sum(try_element_at(col("xs"), lit(i + 1))).as(s"s$i")) :+ count(lit(1)).as("n")
+      val collected = rows.groupBy("g", "cell").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val byGroup = collected.groupBy(_.getInt(0))
+      for ((p, gi) <- active) {
+        val rowsFor = byGroup.getOrElse(gi, Array.empty).map { r =>
+          val cell = r.getLong(1)
+          val n = r.getLong(maxD + 2)
+          cell -> (0 until p.dsub).map(i =>
+            r.getLong(i + 2).toDouble / (1000000.0 * n)).toArray
+        }.toMap
+        cents(gi) = cents(gi).zipWithIndex.map { case (prev, j) =>
+          rowsFor.getOrElse(j.toLong, prev)
+        }
+      }
+    }
+    for ((p, gi) <- todo.zipWithIndex) {
+      val fin = cents(gi)
+      val assignedF = x
+        .withColumn("x", sliceMicroDouble(p))
+        .withColumn("cell", kmAssignExpr(fin, col("x")))
+        .select(col("id"), col("cell"))
+      kmeansMemo.getOrCompute(p.key, (fin, assignedF))
+    }
+  }
+
+  /** Warm the model memo for the whole IVF-PQ query family in one fused
+    * training pass: the coarse `nCells` quantizer plus all `m` PQ
+    * sub-quantizers. Constructs exactly the memo keys [[kmeansLoop]] would
+    * see from [[pqModel]] / the coarse call, so after this, the family's
+    * queries (pq codes / ADC search / rerank / recall, and any coarse-only
+    * user like SQ8 or trained-IVF with the same cell params) pay zero
+    * additional training jobs. */
+  private def warmPqIvf(df: DataFrame, idCol: String, embCol: String,
+                        dims: Int, m: Int, ksub: Int, iters: Int,
+                        nCells: Int, cellIters: Int): Unit = {
+    val sess = df.sparkSession.hashCode()
+    val coarse = KProblem((sess, df.queryExecution.analyzed.canonicalized,
+        s"$idCol|$embCol|$nCells|$dims|$cellIters"),
+      df, 0, dims, nCells, cellIters)
+    fusedKmeansSeed(df, idCol, embCol,
+      coarse +: subProblems(df, idCol, embCol, dims, m, ksub, iters))
+  }
+
+  /** The `m` PQ sub-quantizer training problems, keyed exactly as
+    * [[pqModel]]'s per-sub [[kmeansLoop]] calls would key them. */
+  private def subProblems(df: DataFrame, idCol: String, embCol: String,
+                          dims: Int, m: Int, ksub: Int,
+                          iters: Int): Seq[KProblem] = {
+    val dsub = dims / m
+    val sess = df.sparkSession.hashCode()
+    val xw = df.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("e"))
+    (0 until m).map { s =>
+      val subDf = xw.select(col("vec_id"), slice(col("e"), s * dsub + 1, dsub).as("se"))
+      KProblem((sess, subDf.queryExecution.analyzed.canonicalized,
+          s"vec_id|se|$ksub|$dsub|$iters"),
+        subDf, s * dsub, dsub, ksub, iters)
+    }
   }
 
   /** Trained centroids in long format (cent_id, dim, v) — dim is 1-based. */
@@ -296,6 +411,11 @@ object Similarity {
       s"dims ($dims) must divide evenly into m=$m subspaces — trailing " +
         "dimensions would be silently dropped otherwise")
     val dsub = dims / m
+    // fused pre-train: any sub-quantizers not already in the memo advance
+    // together, one aggregation job per iteration; the loop below then
+    // memo-hits every sub
+    fusedKmeansSeed(df, idCol, embCol,
+      subProblems(df, idCol, embCol, dims, m, ksub, iters))
     val x = df.select(col(idCol).as("vec_id"), asDouble(col(embCol)).as("e"))
     (0 until m).toArray.map { s =>
       val sub = x.select(col("vec_id"), slice(col("e"), s * dsub + 1, dsub).as("se"))
@@ -359,6 +479,7 @@ object Similarity {
   def pqTopK(df: DataFrame, idCol: String, embCol: String, dims: Int,
              m: Int, ksub: Int, iters: Int,
              nCells: Int, cellIters: Int, k: Int): DataFrame = {
+    warmPqIvf(df, idCol, embCol, dims, m, ksub, iters, nCells, cellIters)
     val model = pqModel(df, idCol, embCol, dims, m, ksub, iters)
     val dsub = dims / m
     val (_, assigned) = kmeansLoop(df, idCol, embCol, nCells, dims, cellIters)
@@ -581,12 +702,23 @@ object Similarity {
     * Output: (vec_id, n_hit, recall). */
   def annRecall(df: DataFrame, idCol: String, embCol: String, dims: Int,
                 m: Int, ksub: Int, iters: Int, nCells: Int, cellIters: Int,
-                kCand: Int, k: Int): DataFrame = {
+                kCand: Int, k: Int,
+                querySlice: Column = lit(true)): DataFrame = {
+    // querySlice (a predicate on vec_id) bounds the QUERY side: both the
+    // exact-truth and the approximate pipelines evaluate only the sampled
+    // queries while neighbors stay the full corpus — the filter sits on the
+    // window partition key, so Catalyst pushes it below the top-k windows
+    // and the pair joins into the query-side scan. At corpus scale the
+    // sample must be FIXED-size (id-range cap), not proportional: the truth
+    // side is O(|sample|·n) by construction.
     val approx = pqRerank(df, idCol, embCol, dims, m, ksub, iters,
         nCells, cellIters, kCand, k)
+      .filter(querySlice)
       .select(col("vec_id"), col("neighbor_id"))
-    val truth = bruteTopK(df, idCol, embCol, k)
-      .select(col("vec_id"), col("neighbor_id"))
+    // shared: truth feeds both the hit join and the per-query denominator
+    val truth = Spread.shared(bruteTopK(df, idCol, embCol, k)
+      .filter(querySlice)
+      .select(col("vec_id"), col("neighbor_id")))
     val hits = approx.join(truth, Seq("vec_id", "neighbor_id"))
       .groupBy("vec_id").agg(count(lit(1)).as("__nh"))
     truth.groupBy("vec_id").agg(count(lit(1)).as("__nt"))

@@ -347,14 +347,16 @@ object PipelineQueries {
     // sketch-vs-truth evaluation: precision/recall of the banded MinHash
     // candidates (est >= 0.7) against the exact shingle-Jaccard truth at
     // the same threshold — the one-row eval that justifies replacing the
-    // O(n²) exact pass with LSH. Both sides run on the deterministic 10%
-    // eval slice (doc_id % 10 = 0): the truth side is the exact all-pairs
-    // baseline, and evaluation pays it only on the sample (like ann_recall)
+    // O(n²) exact pass with LSH. Both sides run on a FIXED-SIZE
+    // deterministic sample (every 10th doc_id below 5000 → ≤500 docs at any
+    // corpus size): the truth side is the exact all-pairs baseline, so a
+    // proportional slice would still be O(n²) at 100 TB — the id-range cap
+    // makes the eval cost a constant independent of corpus growth
     Q("lsh_quality",
       (s, dir) => Dedup.lshQuality(documents(s, dir), "doc_id", "text",
         numHashes = 16, bands = 2, threshold = 0.7,
-        evalSlice = col("doc_id") % 10 === 0),
-      Some(s"""WITH docs5 AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        evalSlice = col("doc_id") % 10 === 0 && col("doc_id") < 5000),
+      Some(s"""WITH docs5 AS (SELECT * FROM documents WHERE doc_id % 10 = 0 AND doc_id < 5000),
              |${minhashEstCtes("docs5")},
              |lp AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.7),
              |tsz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
@@ -960,17 +962,23 @@ object PipelineQueries {
              |  FROM ex) WHERE rank <= 3""".stripMargin)),
 
     // ANN quality evaluation: per-query recall@3 of the two-stage pipeline
-    // vs the exact top-3 truth (same cosine, same tie-break)
+    // vs the exact top-3 truth (same cosine, same tie-break). The QUERY side
+    // is a FIXED-SIZE deterministic sample (every 4th vec_id below 2000 →
+    // ≤500 queries at any corpus size) — the truth side is O(|sample|·n) by
+    // construction, so a proportional sample would grow quadratically;
+    // neighbors stay the full corpus
     Q("ann_recall",
       (s, dir) => Similarity.annRecall(embeddings(s, dir), "vec_id", "embedding",
         dims = 64, m = 4, ksub = 16, iters = 2, nCells = 8, cellIters = 3,
-        kCand = 10, k = 3),
+        kCand = 10, k = 3,
+        querySlice = col("vec_id") % 4 === 0 && col("vec_id") < 2000),
       Some(s"""WITH $pqScoredCtes,
              |cand AS (
              |  SELECT vec_id, neighbor_id FROM (
              |    SELECT vec_id, neighbor_id, row_number() OVER
              |      (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
-             |    FROM scored) WHERE rank <= 10),
+             |    FROM scored WHERE vec_id % 4 = 0 AND vec_id < 2000)
+             |  WHERE rank <= 10),
              |$enCte,
              |rr AS (
              |  SELECT vec_id, neighbor_id FROM (
@@ -986,7 +994,8 @@ object PipelineQueries {
              |      (PARTITION BY a.vec_id ORDER BY
              |        list_sum(list_transform(generate_series(1, 64),
              |          i -> a.e[i] * b.e[i])) DESC, b.vec_id) AS rank
-             |    FROM en a JOIN en b ON a.vec_id <> b.vec_id) WHERE rank <= 3),
+             |    FROM en a JOIN en b ON a.vec_id <> b.vec_id
+             |    WHERE a.vec_id % 4 = 0 AND a.vec_id < 2000) WHERE rank <= 3),
              |hits AS (
              |  SELECT rr.vec_id, count(*) AS nh
              |  FROM rr JOIN truth ON rr.vec_id = truth.vec_id
@@ -1961,6 +1970,100 @@ object PipelineQueries {
              |  CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
              |  CAST(3 AS INTEGER) AS channels, TRUE AS rms_ok
              |FROM documents""".stripMargin)),
+
+    // perceptual near-dup key on REAL decoded pixels: 64-bit dHash
+    // (grayscale -> 9x8 nearest-neighbor grid -> right-neighbor bits). The
+    // oracle recomposes synthesis, integer ITU-R 601 grayscale, resize
+    // indexing, and bit packing in closed form — a deviation in any stage
+    // flips hash bits
+    Q("multimodal_dhash",
+      (s, dir) => Multimodal.dhashRoundTrip(documents(s, dir), "doc_id",
+        w = 5, h = 4).toDF(),
+      Some("""WITH gray AS (
+             |  SELECT doc_id, gy.y AS y, gx.x AS x,
+             |    (((doc_id * 7 + ((gx.x * 5) // 9) * 3 + ((gy.y * 4) // 8) * 11) % 256) * 299
+             |     + ((doc_id * 7 + ((gx.x * 5) // 9) * 3 + ((gy.y * 4) // 8) * 11 + 5) % 256) * 587
+             |     + ((doc_id * 7 + ((gx.x * 5) // 9) * 3 + ((gy.y * 4) // 8) * 11 + 10) % 256) * 114) // 1000 AS g
+             |  FROM documents, generate_series(0, 8) gx(x), generate_series(0, 7) gy(y)),
+             |bits AS (
+             |  SELECT a.doc_id, a.y * 8 + a.x AS i,
+             |    CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+             |  FROM gray a JOIN gray b
+             |    ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+             |  WHERE a.x < 8)
+             |SELECT doc_id AS media_id,
+             |  CAST(sum(CASE WHEN i >= 32 THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+             |  CAST(sum(CASE WHEN i < 32 THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS dhash_lo,
+             |  CAST(sum(bit) AS INTEGER) AS n_bits
+             |FROM bits GROUP BY doc_id""".stripMargin)),
+
+    // shot-boundary detection on REAL decoded video: per-adjacent-frame
+    // integer abs-diff mass over the decoded AVI frames. jump=100 shifts
+    // the cut frame's per-pixel delta to 113 mod 256 (vs the ordinary 13),
+    // and threshold=7000 sits in the gap between the exact worst-case
+    // ordinary mass (5996) and the least cut mass (8136) over all id
+    // residues — exactly one boundary flags for every document
+    Q("multimodal_scene_cut",
+      (s, dir) => Multimodal.sceneCutRoundTrip(documents(s, dir), "doc_id",
+        w = 6, h = 4, nFrames = 4, cutFrame = 2, jump = 100,
+        threshold = 7000L).toDF(),
+      Some("""WITH px AS (
+             |  SELECT doc_id, gf.f, gx.x, gy.y, gc.c,
+             |    (doc_id * 7 + gf.f * 13 + CASE WHEN gf.f >= 2 THEN 100 ELSE 0 END
+             |     + gx.x * 3 + gy.y * 11 + gc.c * 5) % 256 AS v
+             |  FROM documents, generate_series(0, 3) gf(f),
+             |    generate_series(0, 5) gx(x), generate_series(0, 3) gy(y),
+             |    generate_series(0, 2) gc(c)),
+             |d AS (
+             |  SELECT a.doc_id, b.f, sum(abs(b.v - a.v)) AS s
+             |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+             |    AND b.x = a.x AND b.y = a.y AND b.c = a.c
+             |  GROUP BY a.doc_id, b.f)
+             |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(s AS BIGINT) AS sum_abs_diff, s > 7000 AS is_cut
+             |FROM d""".stripMargin)),
+
+    // streaming audio near-dup key on REAL decoded audio: Haitsma-Kalker
+    // sub-fingerprints in pure fixed-point (integer DFT against the shared
+    // 1024-scaled trig table, band energies, sign-of-difference bits). The
+    // trig VALUES list below is generated from the SAME fingerprintTrig
+    // array the Scala side uses, so both engines share identical integers
+    // by construction
+    Q("multimodal_audio_fp",
+      (s, dir) => Multimodal.audioFingerprintRoundTrip(documents(s, dir),
+        "doc_id", nFrames = 4, sampleRate = 8000).toDF(),
+      Some(s"""WITH trig(m, tc, ts) AS (VALUES
+             |  ${Multimodal.fingerprintTrig(32).map { case (m, c, sn) =>
+                  s"($m, $c, $sn)" }.mkString(", ")}),
+             |smp AS (
+             |  SELECT doc_id, g.i AS i,
+             |    ((doc_id * 37 + g.i * g.i * 17 + g.i * 5) % 4096) - 2048 AS amp
+             |  FROM documents, generate_series(0, 127) g(i)),
+             |dft AS (
+             |  SELECT s.doc_id, s.i // 32 AS f, gk.k,
+             |    sum(s.amp * t.tc) AS re, sum(s.amp * t.ts) AS im
+             |  FROM smp s, generate_series(1, 16) gk(k), trig t
+             |  WHERE t.m = (gk.k * (s.i % 32)) % 32
+             |  GROUP BY s.doc_id, s.i // 32, gk.k),
+             |eb AS (
+             |  SELECT doc_id, f, (k - 1) // 2 AS b,
+             |    sum(re * re + im * im) AS e
+             |  FROM dft GROUP BY doc_id, f, (k - 1) // 2),
+             |bits AS (
+             |  SELECT cur.doc_id, cur.f, cur.b,
+             |    CASE WHEN (cur.e - curn.e) - (prev.e - prevn.e) > 0
+             |      THEN 1 ELSE 0 END AS bit
+             |  FROM eb cur
+             |  JOIN eb curn ON curn.doc_id = cur.doc_id AND curn.f = cur.f
+             |    AND curn.b = cur.b + 1
+             |  JOIN eb prev ON prev.doc_id = cur.doc_id AND prev.f = cur.f - 1
+             |    AND prev.b = cur.b
+             |  JOIN eb prevn ON prevn.doc_id = cur.doc_id AND prevn.f = cur.f - 1
+             |    AND prevn.b = cur.b + 1
+             |  WHERE cur.b < 7 AND cur.f >= 1)
+             |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(sum(bit * (1 << b)) AS INTEGER) AS fp
+             |FROM bits GROUP BY doc_id, f""".stripMargin)),
 
     Q("multimodal_meta",
       (s, dir) => Multimodal.withMeta(

@@ -1,0 +1,97 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HDF5 subset writer/reader (the netCDF-4 side of the export surface):
+  * byte-level grammar checks against the public HDF5 File Format
+  * Specification plus full write→read round trips — the same own-parser
+  * gate [[Netcdf3Spec]] applies to the classic family. */
+class Hdf5Spec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder().master("local[2]")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("write + read round trip with attrs, nulls and mixed types") {
+    import spark.implicits._
+    val df = Seq(
+      (0.0, 10.5f, 1, Option(5.0)),
+      (1.0, 11.5f, 2, None),
+      (2.0, 12.5f, 3, Option(7.25)))
+      .toDF("time", "P_1", "sample", "T_28")
+    val path = Files.createTempDirectory("h5").resolve("out.h5").toString
+    Hdf5.write(df, path,
+      attrs = Seq("Conventions" -> "CF-1.8", "title" -> "graft test"),
+      varAttrs = Map(
+        "P_1" -> Seq("units" -> "dbar", "long_name" -> "pressure")))
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val h5 = Hdf5.open(bytes)
+    assert(h5.attrs("Conventions") == "CF-1.8")
+    assert(h5.attrs("title") == "graft test")
+    assert(h5.datasets.map(_.name).sorted ==
+      Seq("P_1", "T_28", "sample", "time"))
+    val byName = h5.datasets.map(d => d.name -> d).toMap
+    assert(byName("time").dtype == "f64" && byName("time").n == 3)
+    assert(byName("sample").dtype == "i32")
+    assert(byName("P_1").attrs("units") == "dbar")
+    assert(byName("P_1").attrs("long_name") == "pressure")
+    // netCDF-4 dimension-scale markers on the time coordinate
+    assert(byName("time").attrs("CLASS") == "DIMENSION_SCALE")
+    assert(byName("time").attrs("NAME") == "time")
+    assert(Hdf5.column(bytes, byName("time")).toSeq == Seq(0.0, 1.0, 2.0))
+    assert(Hdf5.column(bytes, byName("P_1")).toSeq == Seq(10.5, 11.5, 12.5))
+    assert(Hdf5.column(bytes, byName("sample")).toSeq == Seq(1.0, 2.0, 3.0))
+    val t28 = Hdf5.column(bytes, byName("T_28"))
+    assert(t28(0) == 5.0 && t28(1).isNaN && t28(2) == 7.25)
+  }
+
+  test("container grammar: signature, superblock v0, LE metadata") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (1.0, 5_000_000_000L)).toDF("time", "counts")
+    val path = Files.createTempDirectory("h5").resolve("sig.h5").toString
+    Hdf5.write(df, path)
+    val b = Files.readAllBytes(Paths.get(path))
+    // \x89HDF\r\n\x1a\n — the 8-byte format signature every HDF5 tool probes
+    assert(b.slice(0, 8).toSeq ==
+      Seq(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
+    assert(b(8) == 0) // superblock version 0
+    assert(b(13) == 8 && b(14) == 8) // 8-byte offsets and lengths
+    // end-of-file address (LE u64 at 40) equals the actual file length
+    val eof = (0 until 8).map(i => (b(40 + i) & 0xffL) << (8 * i)).sum
+    assert(eof == b.length.toLong)
+    // int64 columns survive exactly (no double mantissa round trip)
+    val h5 = Hdf5.open(b)
+    val counts = h5.datasets.find(_.name == "counts").get
+    assert(counts.dtype == "i64")
+    assert(Hdf5.column(b, counts).toSeq == Seq(1.0, 5.0e9))
+  }
+
+  test("group structures parse: TREE/SNOD/HEAP with sorted links") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, 3.0)).toDF("zeta", "alpha", "mid")
+    val path = Files.createTempDirectory("h5").resolve("g.h5").toString
+    Hdf5.write(df, path)
+    val b = Files.readAllBytes(Paths.get(path))
+    val s = new String(b, "ISO-8859-1")
+    assert(s.contains("TREE") && s.contains("SNOD") && s.contains("HEAP"))
+    // symbol-node entries must be name-sorted regardless of column order
+    val h5 = Hdf5.open(b)
+    assert(h5.datasets.map(_.name) == Seq("alpha", "mid", "zeta"))
+    // but data follows the DataFrame's column order in the file
+    val byName = h5.datasets.map(d => d.name -> d).toMap
+    assert(Hdf5.column(b, byName("zeta")).toSeq == Seq(1.0))
+    assert(Hdf5.column(b, byName("alpha")).toSeq == Seq(2.0))
+  }
+
+  test("non-numeric columns fail before any bytes hit disk") {
+    import spark.implicits._
+    val df = Seq((1.0, "nope")).toDF("time", "note")
+    val dir = Files.createTempDirectory("h5")
+    val path = dir.resolve("bad.h5")
+    intercept[IllegalArgumentException] {
+      Hdf5.write(df, path.toString)
+    }
+    assert(!Files.exists(path))
+  }
+}
