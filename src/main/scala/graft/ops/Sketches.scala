@@ -149,10 +149,18 @@ object Sketches {
    * no group ever sorts more than its salt-partition's k survivors.
    */
   def kmvRegisters(df: DataFrame, groupCol: String, keyCol: String,
-                   k: Int = KmvK): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hashed = keyed(df, groupCol, keyCol).distinct()
+                   k: Int = KmvK): DataFrame =
+    kmvRegistersFrom(kmvHashes(df, groupCol, keyCol), k)
+
+  /** The distinct (__g, __h) hash relation both the registers and the
+    * exact-truth branches read — build it ONCE (and [[graft.ops.Spread.shared]]
+    * it) when a query needs both. */
+  private def kmvHashes(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    keyed(df, groupCol, keyCol).distinct()
       .select(col("__g"), hash60(col("__k")).as("__h")).distinct()
+
+  private def kmvRegistersFrom(hashed: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val pre = Window.partitionBy(col("__g"), pmod(col("__h"), lit(32L)))
       .orderBy(col("__h"))
     val fin = Window.partitionBy(col("__g")).orderBy(col("__h"))
@@ -187,10 +195,12 @@ object Sketches {
   /** KMV distinct-count per group with the exact count alongside. */
   def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
                   k: Int = KmvK): DataFrame = {
-    val nTrue = keyed(df, groupCol, keyCol).distinct()
-      .select(col("__g"), hash60(col("__k")).as("__h")).distinct()
-      .groupBy(col("__g")).agg(count(lit(1)).as("n_true"))
-    kmvEstimate(kmvRegisters(df, groupCol, keyCol, k), groupCol, k)
+    // one shared hash relation: the truth count and the register windows
+    // would otherwise EACH re-run the upstream keying (for the registered
+    // trigram queries that is the tokenize+explode scan — the dominant cost)
+    val hashes = Spread.shared(kmvHashes(df, groupCol, keyCol))
+    val nTrue = hashes.groupBy(col("__g")).agg(count(lit(1)).as("n_true"))
+    kmvEstimate(kmvRegistersFrom(hashes, k), groupCol, k)
       .join(nTrue.withColumnRenamed("__g", groupCol), groupCol)
       .select(col(groupCol), col("n_true"), col("n_kept"), col("kth_hash"),
         col("est"))
@@ -209,9 +219,8 @@ object Sketches {
   def kmvJaccard(df: DataFrame, groupCol: String, keyCol: String,
                  k: Int = KmvK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hashes = Spread.shared(keyed(df, groupCol, keyCol).distinct()
-      .select(col("__g"), hash60(col("__k")).as("__h")).distinct())
-    val regs = Spread.shared(kmvRegisters(df, groupCol, keyCol, k))
+    val hashes = Spread.shared(kmvHashes(df, groupCol, keyCol))
+    val regs = Spread.shared(kmvRegistersFrom(hashes, k))
     val gs = regs.select(col("__g")).distinct()
     val pairs = gs.select(col("__g").as("ga"))
       .crossJoin(gs.select(col("__g").as("gb")))

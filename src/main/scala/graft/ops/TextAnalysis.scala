@@ -133,9 +133,12 @@ object TextAnalysis {
     * Output: (id, n_bigrams, lm_score). */
   def charBigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String): org.apache.spark.sql.DataFrame = {
-    val bg = Spread.byKey(df, col(idCol)).select(col(idCol).as("__id"),
+    // shared: the exploded bigram relation feeds the count build, the
+    // vocab-size count AND the scoring join — one evaluation, not three
+    val bg = Spread.shared(
+      Spread.byKey(df, col(idCol)).select(col(idCol).as("__id"),
         explode(expr(s"transform(sequence(1, greatest(length($textCol) - 1, 1)), i -> substr($textCol, i, 2))")).as("bg"))
-      .filter(length(col("bg")) === 2)
+      .filter(length(col("bg")) === 2))
     val counts = Spread.shared(
       bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
         .withColumn("c1", substring(col("bg"), 1, 1)))

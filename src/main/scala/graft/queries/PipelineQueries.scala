@@ -576,9 +576,13 @@ object PipelineQueries {
     // sketch supports set ops (see sketch_kmv_jaccard). Trigrams (not
     // tokens) as keys so the estimator branch engages (vocab is tiny).
     Q("sketch_kmv",
+      // Spread BEFORE the trigram explode: the raw documents scan is one
+      // input partition locally, and the interpreted wordNgrams HOF is the
+      // dominant per-row cost — serialized it was ~6.5 s of the query
       (s, dir) => graft.ops.Sketches.kmvDistinct(
-        documents(s, dir).select(col("source"),
-          explode(TA.wordNgrams(TA.tokens(col("text")), 3)).as("tri")),
+        graft.ops.Spread.byKey(documents(s, dir), col("doc_id"))
+          .select(col("source"),
+            explode(TA.wordNgrams(TA.tokens(col("text")), 3)).as("tri")),
         "source", "tri"),
       Some(s"""WITH $kmvTriCtes,
              |n AS (SELECT source, count(*) AS n_true FROM h GROUP BY 1),
@@ -600,8 +604,9 @@ object PipelineQueries {
     // work is k-bounded per pair — never corpus-bounded.
     Q("sketch_kmv_jaccard",
       (s, dir) => graft.ops.Sketches.kmvJaccard(
-        documents(s, dir).select(col("source"),
-          explode(TA.wordNgrams(TA.tokens(col("text")), 3)).as("tri")),
+        graft.ops.Spread.byKey(documents(s, dir), col("doc_id"))
+          .select(col("source"),
+            explode(TA.wordNgrams(TA.tokens(col("text")), 3)).as("tri")),
         "source", "tri"),
       Some(s"""WITH $kmvTriCtes,
              |r AS (SELECT source, h,

@@ -1,9 +1,9 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Sketches, TextAnalysis => TA}
 
-/** Dev probe: time the sub-stages of the two bounded eval queries. */
+/** Dev probe: time the sub-stages of the KMV sketch queries. */
 object ProbeEval {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -18,30 +18,16 @@ object ProbeEval {
       val n = f
       println(f"PROBE $name ${(System.nanoTime() - t0) / 1e9}%6.2f s  $n rows")
     }
-    spark.read.parquet(s"$dir/documents.parquet").groupBy("source").count().count() // warmup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % 10 === 0 && col("doc_id") < 5000)
-    t("lsh_pairs")(Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.7).count())
-    graft.ops.Spread.release(spark)
-    t("lsh_pairs2")(Dedup.minhashLshPairs(docs, "doc_id", "text", 16, 2, 0.7).count())
-    graft.ops.Spread.release(spark)
-    t("lsh_quality_q")(graft.SparkEntry.queries("lsh_quality")(spark, dir).count())
-    graft.ops.Spread.release(spark)
-    t("ann_recall_q")(graft.SparkEntry.queries("ann_recall")(spark, dir).count())
-    graft.ops.Spread.release(spark)
-    t("truth_pairs")(Dedup.ngramJaccardPairs(docs.withColumn("__all", lit(1)),
-      "doc_id", "text", "__all", 3, 0.7).count())
-    graft.ops.Spread.release(spark)
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val slice = col("vec_id") % 4 === 0 && col("vec_id") < 2000
-    t("brute_truth")(Similarity.bruteTopK(emb, "vec_id", "embedding", 3)
-      .filter(slice).count())
-    graft.ops.Spread.release(spark)
-    t("pq_rerank")(Similarity.pqRerank(emb, "vec_id", "embedding",
-      64, 4, 16, 2, 8, 3, 10, 3).filter(slice).count())
-    graft.ops.Spread.release(spark)
-    t("pq_rerank_warm")(Similarity.pqRerank(emb, "vec_id", "embedding",
-      64, 4, 16, 2, 8, 3, 10, 3).filter(slice).count())
+    t("warmup")(docs.groupBy("source").count().count())
+    val tri = docs.select(col("source"),
+      explode(TA.wordNgrams(TA.tokens(col("text")), 3)).as("tri"))
+    t("explode")(tri.count())
+    t("explode_distinct")(tri.distinct().count())
+    t("hash60")(tri.distinct()
+      .select(col("source"), Sketches.hash60(col("tri")).as("__h")).distinct().count())
+    t("registers")(Sketches.kmvRegisters(tri, "source", "tri").count())
+    t("kmv_distinct")(Sketches.kmvDistinct(tri, "source", "tri").count())
     spark.stop()
   }
 }
