@@ -175,6 +175,18 @@ object Similarity {
   /** Current memo size (lifecycle spec hook). */
   private[graft] def kmeansMemoSize: Int = kmeansMemo.size
 
+  /** Corpus-scaled coarse-cell count: nCells = ⌈n / target⌉ (floored at
+    * `min`) keeps the average cell population — and with it every IVF-family
+    * per-cell candidate scan — BOUNDED as the corpus grows, which is what
+    * makes the within-cell pair work linear rather than quadratic in corpus
+    * size (the FAISS nlist sizing discipline). The count is a parquet
+    * metadata read, one cheap job per query construction; all family
+    * members calling with the same input get the same k, so the trained
+    * coarse model still memo-shares. At the oracle gate's sf0.01 scale the
+    * expression floors to `min`, the constant the DuckDB replay embeds. */
+  def scaledCells(df: DataFrame, target: Int = 250, min: Int = 8): Int =
+    math.max(min, math.ceil(df.count().toDouble / target).toInt)
+
   private def kmeansLoopImpl(df: DataFrame, idCol: String, embCol: String,
                              k: Int, dims: Int, iters: Int)
       : (Array[Array[Double]], DataFrame) = {

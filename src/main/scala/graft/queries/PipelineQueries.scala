@@ -879,9 +879,11 @@ object PipelineQueries {
 
     // IVF search under the TRAINED quantizer (kmeans cells, cosine re-rank)
     Q("similarity_ivf_trained",
-      (s, dir) => Similarity.ivfTopKTrained(embeddings(s, dir), "vec_id",
-        "embedding", nCentroids = 8, dims = 64, iters = 3, k = 5)
-        .withColumn("cosine", round(col("cosine"), 8)),
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.ivfTopKTrained(e, "vec_id",
+          "embedding", nCentroids = Similarity.scaledCells(e), dims = 64,
+          iters = 3, k = 5)
+        .withColumn("cosine", round(col("cosine"), 8)) },
       Some(s"""WITH ${kmeansCtes(8, 64, 3)},
              |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
              |asgf AS (
@@ -929,9 +931,11 @@ object PipelineQueries {
     // subvector·codeword inner products + m-lookup ADC scoring — the
     // billion-scale ANN layout (query never touches candidate vectors)
     Q("similarity_pq",
-      (s, dir) => Similarity.pqTopK(embeddings(s, dir), "vec_id", "embedding",
-        dims = 64, m = 4, ksub = 16, iters = 2, nCells = 8, cellIters = 3, k = 5)
-        .withColumn("adc_dot", round(col("adc_dot"), 8)),
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.pqTopK(e, "vec_id", "embedding",
+          dims = 64, m = 4, ksub = 16, iters = 2,
+          nCells = Similarity.scaledCells(e), cellIters = 3, k = 5)
+        .withColumn("adc_dot", round(col("adc_dot"), 8)) },
       Some(s"""WITH $pqScoredCtes
              |SELECT vec_id, cell, neighbor_id, round(adc, 8) AS adc_dot,
              |  CAST(rank AS INTEGER) AS rank FROM (
@@ -943,10 +947,12 @@ object PipelineQueries {
     // cosine re-ranked to top-3 — the canonical billion-scale serving shape
     // (full-precision vectors touched O(kCand) per query, never O(n))
     Q("similarity_pq_rerank",
-      (s, dir) => Similarity.pqRerank(embeddings(s, dir), "vec_id", "embedding",
-        dims = 64, m = 4, ksub = 16, iters = 2, nCells = 8, cellIters = 3,
-        kCand = 10, k = 3)
-        .withColumn("cosine", round(col("cosine"), 8)),
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.pqRerank(e, "vec_id", "embedding",
+          dims = 64, m = 4, ksub = 16, iters = 2,
+          nCells = Similarity.scaledCells(e), cellIters = 3,
+          kCand = 10, k = 3)
+        .withColumn("cosine", round(col("cosine"), 8)) },
       Some(s"""WITH $pqScoredCtes,
              |cand AS (
              |  SELECT vec_id, neighbor_id, CAST(rank AS INTEGER) AS adc_rank FROM (
@@ -973,10 +979,12 @@ object PipelineQueries {
     // construction, so a proportional sample would grow quadratically;
     // neighbors stay the full corpus
     Q("ann_recall",
-      (s, dir) => Similarity.annRecall(embeddings(s, dir), "vec_id", "embedding",
-        dims = 64, m = 4, ksub = 16, iters = 2, nCells = 8, cellIters = 3,
-        kCand = 10, k = 3,
-        querySlice = col("vec_id") % 4 === 0 && col("vec_id") < 2000),
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.annRecall(e, "vec_id", "embedding",
+          dims = 64, m = 4, ksub = 16, iters = 2,
+          nCells = Similarity.scaledCells(e), cellIters = 3,
+          kCand = 10, k = 3,
+          querySlice = col("vec_id") % 4 === 0 && col("vec_id") < 2000) },
       Some(s"""WITH $pqScoredCtes,
              |cand AS (
              |  SELECT vec_id, neighbor_id FROM (
@@ -1015,10 +1023,11 @@ object PipelineQueries {
     // IVF-PQ with residual encoding — codebooks trained on r = x − c(cell);
     // ADC adds the exact query·centroid term to the m residual LUT lookups
     Q("similarity_pq_residual",
-      (s, dir) => Similarity.pqTopKResidual(embeddings(s, dir), "vec_id",
-        "embedding", dims = 64, m = 4, ksub = 16, iters = 2,
-        nCells = 8, cellIters = 3, k = 5)
-        .withColumn("adc_dot", round(col("adc_dot"), 8)),
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.pqTopKResidual(e, "vec_id",
+          "embedding", dims = 64, m = 4, ksub = 16, iters = 2,
+          nCells = Similarity.scaledCells(e), cellIters = 3, k = 5)
+        .withColumn("adc_dot", round(col("adc_dot"), 8)) },
       Some(s"""WITH ${kmeansCtes(8, 64, 3)},
              |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
              |asgf AS (
@@ -1089,8 +1098,13 @@ object PipelineQueries {
     // = pure-INTEGER dot over the 8-bit codes — exact across engines (no
     // float accumulation), dims bytes touched per candidate
     Q("similarity_sq8",
-      (s, dir) => Similarity.sq8TopK(embeddings(s, dir), "vec_id",
-        "embedding", dims = 64, nCells = 8, cellIters = 3, k = 5),
+      // corpus-scaled nCells (floors to the oracle's 8 at gate scale):
+      // bounded cell population keeps the per-cell integer-dot scan linear
+      // in corpus size — see Similarity.scaledCells
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.sq8TopK(e, "vec_id",
+          "embedding", dims = 64, nCells = Similarity.scaledCells(e),
+          cellIters = 3, k = 5) },
       Some(s"""WITH ${kmeansCtes(8, 64, 3)},
              |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
              |asgf AS (
@@ -1119,9 +1133,11 @@ object PipelineQueries {
     // per vector (contrastive-batch construction), candidates scoped to
     // the shared k-means cells
     Q("hard_negatives",
-      (s, dir) => Similarity.hardNegatives(embeddings(s, dir), "vec_id",
-        "embedding", "label", dims = 64, nCells = 8, iters = 3, k = 3)
-        .withColumn("cosine", round(col("cosine"), 8)),
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.hardNegatives(e, "vec_id",
+          "embedding", "label", dims = 64,
+          nCells = Similarity.scaledCells(e), iters = 3, k = 3)
+        .withColumn("cosine", round(col("cosine"), 8)) },
       Some(s"""WITH ${kmeansCtes(8, 64, 3)},
              |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
              |asgf AS (
@@ -1242,9 +1258,10 @@ object PipelineQueries {
              |  FROM pairs) WHERE rank <= 5""".stripMargin)),
 
     Q("similarity_ivf",
-      (s, dir) => Similarity.ivfTopK(embeddings(s, dir), "vec_id", "embedding",
-        nCentroids = 8, k = 5)
-        .withColumn("cosine", round(col("cosine"), 8)),
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.ivfTopK(e, "vec_id", "embedding",
+          nCentroids = Similarity.scaledCells(e), k = 5)
+        .withColumn("cosine", round(col("cosine"), 8)) },
       Some("""WITH e0 AS (SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
              |  FROM embeddings),
@@ -1277,9 +1294,10 @@ object PipelineQueries {
     // multi-probe IVF: queries probe their 2 nearest cells (the standard
     // recall lever); the index side stays single-cell
     Q("similarity_ivf_probe",
-      (s, dir) => Similarity.ivfTopK(embeddings(s, dir), "vec_id", "embedding",
-        nCentroids = 8, k = 5, nprobe = 2)
-        .withColumn("cosine", round(col("cosine"), 8)),
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.ivfTopK(e, "vec_id", "embedding",
+          nCentroids = Similarity.scaledCells(e), k = 5, nprobe = 2)
+        .withColumn("cosine", round(col("cosine"), 8)) },
       Some("""WITH e0 AS (SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
              |  FROM embeddings),

@@ -70,7 +70,11 @@ object GenData {
                       l_quantity: Double, l_extendedprice: Double, l_discount: Double,
                       l_tax: Double, l_returnflag: String, l_linestatus: String,
                       l_shipdate: java.sql.Timestamp)
-  final case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String,
+  // ts as java.sql.Timestamp: the driver's regenerated events.parquet stores
+  // timestamp[us] (not bigint nanos), so the replica must exercise the same
+  // Tables.events normalization path the driver data hits
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String,
                       value: Double, props: String)
   final case class Doc(doc_id: Long, text: String, lang: String, source: String, n_chars: Long)
   final case class Emb(vec_id: Long, embedding: Array[Float], label: Int)
@@ -111,6 +115,9 @@ object GenData {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // int64 µs on disk (not INT96): the driver's events.parquet is
+      // timestamp[us] — replicate the same physical type
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -171,8 +178,12 @@ object GenData {
     }.toDF(), "lineitem")
 
     write(spark.range(0, nEv, 1, par).map { id =>
-      Ev(id, EventsEpochNs + (u(id, 61) * 30 * DayMs * 1e6).toLong,
-        nn(id, 62) % nUsers, EvTypes((nn(id, 63) % 5).toInt),
+      // micro-aligned instant (the driver's timestamp[us] parquet cannot
+      // carry sub-µs anyway); Timestamp.setNanos keeps the µs remainder
+      val ns = EventsEpochNs + (u(id, 61) * 30 * DayMs * 1e6).toLong / 1000L * 1000L
+      val t = new java.sql.Timestamp(ns / 1000000L)
+      t.setNanos((ns % 1000000000L).toInt)
+      Ev(id, t, nn(id, 62) % nUsers, EvTypes((nn(id, 63) % 5).toInt),
         r2(-50.0 * math.log(math.max(1.0 - u(id, 64), 1e-12))),
         s"""{"k": ${nn(id, 65) % 100}}""")
     }.toDF(), "events")
