@@ -27,9 +27,28 @@ import org.apache.spark.sql.functions._
  */
 object Compliance {
 
-  final case class Violation(rule: String, detail: String)
+  /** severity follows the checker's split: "required" failures vs
+    * "recommended" (ACDD advisory) warnings. */
+  final case class Violation(rule: String, detail: String,
+                             severity: String = "required")
 
   private val VerticalNames = Set("z", "depth", "D_3", "bin_depth", "bindist")
+
+  /** CF canonical-units subset for the standard_names this engine stamps
+    * (the full checker resolves the CF standard-name XML table; these are
+    * the entries the reference's outputs actually carry, with the common
+    * equivalent spellings the table's udunits parser accepts). */
+  private val CanonicalUnits: Map[String, Set[String]] = Map(
+    "sea_water_temperature" -> Set("degree_C", "degrees_C", "degC", "celsius"),
+    "sea_water_pressure" -> Set("dbar", "decibar"),
+    "sea_water_practical_salinity" -> Set("1", "PSU", "psu"),
+    "sea_water_electrical_conductivity" -> Set("S/m", "mS/cm"),
+    "sea_water_turbidity" -> Set("1", "NTU"),
+    "mass_concentration_of_oxygen_in_sea_water" -> Set("kg m-3", "mg/L"),
+    "sea_surface_wave_significant_height" -> Set("m"),
+    "sea_water_speed" -> Set("m s-1", "m/s"),
+    "direction_of_sea_water_velocity" -> Set("degree", "degrees"),
+    "time" -> Set.empty) // validated structurally via the "since" rule
 
   def check(df: DataFrame, timeCol: String = "time",
             coordCols: Seq[String] = Seq("time"),
@@ -70,6 +89,43 @@ object Compliance {
       if (!f.metadata.contains("coverage_content_type"))
         out += Violation("coverage-content-type",
           s"${f.name} missing coverage_content_type")
+      // CF §3.1: units must be consistent with the standard_name's
+      // canonical units (subset table above — the rule the full checker
+      // resolves against the CF standard-name XML)
+      if (f.metadata.contains("standard_name") && f.metadata.contains("units")) {
+        val sn = f.metadata.getString("standard_name")
+        val u = f.metadata.getString("units")
+        CanonicalUnits.get(sn).foreach { ok =>
+          if (ok.nonEmpty && !ok.contains(u))
+            out += Violation("units-canonical",
+              s"${f.name}: units '$u' not canonical for standard_name '$sn' " +
+                s"(expected one of ${ok.mkString("/")})")
+        }
+      }
+      // CF §2.5.1: _FillValue should lie OUTSIDE the declared valid range —
+      // a fill inside the range is indistinguishable from data
+      if (f.metadata.contains("_FillValue") &&
+          (f.metadata.contains("valid_min") || f.metadata.contains("valid_max"))) {
+        def mdl(k: String): Double =
+          try f.metadata.getDouble(k)
+          catch { case _: ClassCastException => f.metadata.getLong(k).toDouble }
+        val fv = mdl("_FillValue")
+        val insideMin = !f.metadata.contains("valid_min") || fv >= mdl("valid_min")
+        val insideMax = !f.metadata.contains("valid_max") || fv <= mdl("valid_max")
+        if (insideMin && insideMax)
+          out += Violation("fill-in-range",
+            s"${f.name}: _FillValue $fv lies inside [valid_min, valid_max]")
+      }
+    }
+
+    // CF §4.4: a time coordinate's units must be "<unit> since <epoch>"
+    df.schema.fields.find(_.name == timeCol).foreach { tf =>
+      if (tf.metadata.contains("units")) {
+        val u = tf.metadata.getString("units")
+        if (!u.matches("(?i)(seconds|minutes|hours|days)\\s+since\\s+.+"))
+          out += Violation("time-units",
+            s"$timeCol units '$u' is not '<unit> since <epoch>'")
+      }
     }
 
     // declared valid ranges must hold over the data — one aggregation pass
@@ -100,6 +156,18 @@ object Compliance {
     if (meta.attrs.nonEmpty) {
       for (k <- Seq("Conventions", "title", "institution") if !meta.has(k))
         out += Violation("global-attr", s"missing required global attribute $k")
+      // the Conventions string must actually name a CF version (the
+      // checker derives its rule set from it)
+      meta.str("Conventions").foreach { c =>
+        if (!c.matches(".*CF-\\d+\\.\\d+.*"))
+          out += Violation("conventions-version",
+            s"Conventions '$c' names no CF-x.y version")
+      }
+      // ACDD recommended identification/provenance set (reported by the
+      // reference's checker run as warnings; one rule here, per attribute)
+      for (k <- Seq("summary", "history", "source") if !meta.has(k))
+        out += Violation("acdd-recommended",
+          s"missing recommended global attribute $k", severity = "recommended")
       val hasVertical = df.columns.exists(VerticalNames.contains)
       val hasDatum = Seq("geopotential_datum_name", "vertical_datum",
         "NAVD88_ref", "NAVD88_elevation_ref",

@@ -46,14 +46,60 @@ class ComplianceSpec extends AnyFunSuite {
     assert(v.exists(_.rule == "vertical-datum"))
     assert(!v.exists(r => r.rule == "valid-range" && r.detail.contains("valid_min")))
 
+    // ACDD advisory tier: missing summary/history/source report at
+    // severity "recommended", never "required"
+    assert(v.filter(_.rule == "acdd-recommended")
+      .forall(_.severity == "recommended"))
+
     // fixing the dataset + attrs clears the new rules
     val md2 = new MetadataBuilder().withMetadata(md)
       .putString("coverage_content_type", "physicalMeasurement").build()
     val good = df.filter("P_1 <= 50").withColumn("P_1", col("P_1").as("P_1", md2))
     val fullMeta = Meta(Map("Conventions" -> "CF-1.8", "title" -> "t",
-      "institution" -> "USGS", "NAVD88_ref" -> -1.23))
+      "institution" -> "USGS", "NAVD88_ref" -> -1.23,
+      "summary" -> "test deployment", "history" -> "generated",
+      "source" -> "graft"))
     assert(Compliance.check(good, meta = fullMeta,
       coordCols = Seq("time", "bin_depth")).isEmpty)
+  }
+
+  test("CF units/fill/time-units/conventions rules") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    // wrong canonical units for the standard_name; _FillValue INSIDE the
+    // declared valid range; time units not "<unit> since <epoch>";
+    // Conventions string without a CF version
+    val badUnits = new MetadataBuilder()
+      .putString("standard_name", "sea_water_temperature")
+      .putString("units", "dbar")
+      .putString("coverage_content_type", "physicalMeasurement")
+      .putDouble("valid_min", -5.0).putDouble("valid_max", 45.0)
+      .putDouble("_FillValue", 0.0).build()
+    val tmd = new MetadataBuilder().putString("units", "epoch seconds").build()
+    val df = Seq(("2024-01-01 00:00:00", 21.0), ("2024-01-01 00:00:01", 21.5))
+      .toDF("time", "T_28")
+      .withColumn("time", col("time").cast("timestamp").as("time", tmd))
+      .withColumn("T_28", col("T_28").as("T_28", badUnits))
+    val v = Compliance.check(df, meta = Meta(Map(
+      "Conventions" -> "ACDD only", "title" -> "t", "institution" -> "USGS",
+      "summary" -> "s", "history" -> "h", "source" -> "g")))
+    assert(v.exists(r => r.rule == "units-canonical" && r.detail.contains("dbar")))
+    assert(v.exists(_.rule == "fill-in-range"))
+    assert(v.exists(_.rule == "time-units"))
+    assert(v.exists(_.rule == "conventions-version"))
+    // correcting all four clears them
+    val okUnits = new MetadataBuilder().withMetadata(badUnits)
+      .putString("units", "degree_C").putDouble("_FillValue", -999.0).build()
+    val okT = new MetadataBuilder()
+      .putString("units", "seconds since 1970-01-01T00:00:00Z").build()
+    val good = df
+      .withColumn("time", col("time").as("time", okT))
+      .withColumn("T_28", col("T_28").as("T_28", okUnits))
+    val v2 = Compliance.check(good, meta = Meta(Map(
+      "Conventions" -> "CF-1.8", "title" -> "t", "institution" -> "USGS",
+      "summary" -> "s", "history" -> "h", "source" -> "g")))
+    assert(v2.isEmpty)
   }
 
   test("violations reported: non-monotone time, missing metadata") {
