@@ -55,6 +55,7 @@ object RunOts {
       case "waves"  => waves(spark, meta, input, output)
       case "diwasp" => diwasp(spark, meta, input, output)
       case "export" => export(spark, meta, input, output)
+      case "turnaround" => turnaround(spark, meta, input, output, instrument)
       case other    => throw new IllegalArgumentException(s"unknown step $other")
     } finally
       // batch-completion cache hygiene: each CLI step is an independent
@@ -354,6 +355,71 @@ object RunOts {
     }
   }
 
+  /** Turnaround QA — the reference's post-recovery first-look scripts
+    * (scripts/aqdturnaround.py, exoturnaround.py, rbrturnaround.py): raw
+    * instrument file → ingest → (Aquadopp) BEAM/XYZ→ENU rotation with the
+    * DOWN-orientation flip (aqdturnaround.py:20-49) — deliberately WITHOUT
+    * deployment clipping / magvar / QA-QC, since turnaround runs before the
+    * deployment metadata is final — then two products:
+    *
+    *   `<output>_turnaround.nc`   the quick-look netCDF the reference writes
+    *                              (aqdturnaround.py:52 `to_netcdf(...)`),
+    *                              with `AQDTransMatrix` blanked like line 50;
+    *   `<output>_turnaround_qa`   a per-variable QA summary parquet carrying
+    *                              exactly the numbers the reference's plot
+    *                              pages encode as axis limits: min/mean/max
+    *                              plus the 5%/95% quantiles
+    *                              (aqdturnaround.py:78 `quantile(0.05/0.95)`
+    *                              pcolor vmax, exoturnaround.py:34 turbidity
+    *                              `quantile(0.95)` ylim) and row/null counts.
+    *
+    * The summary is ONE aggregation pass over all variables (map-side
+    * combinable min/max/count; exact `percentile` matching numpy's linear
+    * interpolation — per-deployment input is bounded, swap to
+    * percentile_approx for corpus-scale sweeps) followed by a 1-row `stack`
+    * into long form — no collect, no per-variable jobs. */
+  def turnaround(spark: SparkSession, meta: Meta, input: String,
+                 output: String, instrument: String = ""): Unit = {
+    val raw = output + "_turnaround_raw"
+    ingest(spark, meta, input, raw, instrument)
+    val side = Meta((Sink.readSidecar(raw): Map[String, Any]) ++ meta.attrs)
+    var df = spark.read.parquet(raw)
+    if (side.has("AQDTransMatrix"))
+      // turnaround names the rotated velocities U/V/W (aqdturnaround.py:46-48)
+      // and keeps the raw beam/amplitude variables for the pcolor pages
+      df = aqdCoordTransform(df, side, Seq("U", "V", "W"), dropBeams = false)
+    val tpath = output + "_turnaround"
+    Sink.writeParquet(df, tpath, Sink.insertHistory(side,
+      s"Turnaround QA for $input.", "1970-01-01T00:00:00Z"), float32 = false)
+    // blank the transform matrix attr before export (aqdturnaround.py:50)
+    export(spark, Meta(side.attrs - "AQDTransMatrix"), tpath,
+      output + "_turnaround.nc")
+    val numCols = df.schema.fields.collect {
+      case f if Set("double", "float", "integer", "long")(f.dataType.typeName) =>
+        f.name
+    }.toSeq
+    if (numCols.nonEmpty) {
+      val aggs = numCols.flatMap { c =>
+        val d = col(c).cast("double")
+        Seq(count(col(c)).as(s"${c}__n"),
+          (count(lit(1)) - count(col(c))).as(s"${c}__nulls"),
+          min(d).as(s"${c}__min"), avg(d).as(s"${c}__mean"),
+          max(d).as(s"${c}__max"),
+          expr(s"percentile(CAST(`$c` AS DOUBLE), 0.05)").as(s"${c}__q05"),
+          expr(s"percentile(CAST(`$c` AS DOUBLE), 0.95)").as(s"${c}__q95"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val qa = one.select(expr(
+        s"stack(${numCols.size}, " + numCols.map(c =>
+          s"'$c', `${c}__n`, `${c}__nulls`, `${c}__min`, `${c}__mean`, " +
+            s"`${c}__max`, `${c}__q05`, `${c}__q95`").mkString(", ") +
+          ") AS (variable, n, nulls, min, mean, max, q05, q95)"))
+      Sink.writeParquet(qa, output + "_turnaround_qa", Sink.insertHistory(side,
+        s"Turnaround QA summary for $input.", "1970-01-01T00:00:00Z"),
+        float32 = false)
+    }
+  }
+
   /** 3×3 numeric helpers for the constant part of the velocity transform. */
   private def inv3(m: Array[Array[Double]]): Array[Array[Double]] = {
     val Array(a, b, c) = m(0); val Array(d, e, f) = m(1); val Array(g, h, i) = m(2)
@@ -375,7 +441,16 @@ object RunOts {
     * declination rotation, beam-averaged AGC/correlation with threshold
     * fills, raw beam-variable drop, and bin_depth. Everything is
     * column-expression arithmetic — one codegen'd projection, no shuffle. */
-  private def aqdVelocityChain(df0: DataFrame, meta: Meta): DataFrame = {
+  /** BEAM/XYZ→ENU rotation only — the shared front of the velocity chain and
+    * the turnaround QA path (scripts/aqdturnaround.py:20-49 copies T, applies
+    * the DOWN-orientation row flip, and rotates with per-row
+    * heading/pitch/roll; it does NOT magvar-rotate, threshold-fill, or drop
+    * beam variables — those belong to `clean`). No-op when the header coords
+    * are already ENU or the needed columns are absent. One codegen'd
+    * projection per row; no shuffle. */
+  private def aqdCoordTransform(df0: DataFrame, meta: Meta,
+      outNames: Seq[String] = Seq("u_1205", "v_1206", "w_1204"),
+      dropBeams: Boolean = true): DataFrame = {
     import graft.functions.Mat3
     var df = df0
     val csOpt = meta.str("AQDHRCoordinateSystem").orElse(meta.str("AQDCoordinateSystem"))
@@ -396,13 +471,19 @@ object RunOts {
             Mat3.heading("radians(heading - 90)"),
             Mat3.tilt("radians(pitch)", "radians(roll)")), Mat3.const(cMat))
           val Seq(ue, ve, we) = Mat3.apply3(r, vels)
-          df = df.withColumn("u_1205", expr(ue))
-            .withColumn("v_1206", expr(ve))
-            .withColumn("w_1204", expr(we))
-            .drop(vels: _*)
+          df = df.withColumn(outNames(0), expr(ue))
+            .withColumn(outNames(1), expr(ve))
+            .withColumn(outNames(2), expr(we))
+          if (dropBeams) df = df.drop(vels: _*)
         }
       case _ =>
     }
+    df
+  }
+
+  private def aqdVelocityChain(df0: DataFrame, meta: Meta): DataFrame = {
+    val down = meta.str("orientation").exists(_.equalsIgnoreCase("down"))
+    var df = aqdCoordTransform(df0, meta)
     // magnetic declination: rotate horizontal velocities + heading
     val magvar = meta.dbl("magnetic_variation_at_site")
       .orElse(meta.dbl("magnetic_variation")).getOrElse(0.0)

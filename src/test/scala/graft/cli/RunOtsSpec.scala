@@ -297,6 +297,72 @@ class RunOtsSpec extends AnyFunSuite {
     assert(math.abs(pac3 - (10.13 - 10.03 - 0.01)) < 1e-9, s"P_1ac=$pac3")
   }
 
+  test("turnaround step: aqd BEAM fixture -> U/V/W + quick-look nc + QA summary") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_turn").toFile
+    def put(name: String)(body: java.io.PrintWriter => Unit): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f); body(w); w.close(); f
+    }
+    def pad(l: String, v: String) = l.padTo(38, ' ') + v
+    val nEns = 200
+    val hdr = put("dep.hdr") { w =>
+      w.println(pad("Profile interval", "1 sec"))
+      w.println(pad("Number of cells", "1"))
+      w.println(pad("Cell size", "250 mm"))
+      w.println(pad("Extended velocity range", "ON"))
+      w.println(pad("Blanking distance", "0.10 m"))
+      w.println(pad("Coordinate system", "BEAM"))
+      w.println(pad("Transformation matrix", "1.5774 -0.7891 -0.7891"))
+      w.println(pad("", "0.0000 -1.3662 1.3662"))
+      w.println(pad("", "0.3677 0.3677 0.3677"))
+    }
+    // heading 90 / pitch 0 / roll 0 -> H·P = I, so U/V/W = T · beam exactly
+    put("dep.sen") { w =>
+      for (i <- 0 until nEns) {
+        val p = 10.0 + 0.4 * math.sin(2 * math.Pi * i / nEns)
+        val mm = i / 60; val ss = i % 60
+        w.println(f"2 1 2024 0 $mm $ss 0 0 12.5 1500 90.0 0.0 0.0 $p%.4f 20.0 0 0")
+      }
+    }
+    for ((ext, value) <- Seq("a1" -> "120", "a2" -> "130", "a3" -> "140"))
+      put(s"dep.$ext")(w => (0 until nEns).foreach(_ => w.println(value)))
+    for ((ext, value) <- Seq("v1" -> "0.1", "v2" -> "0.2", "v3" -> "0.3"))
+      put(s"dep.$ext")(w => (0 until nEns).foreach(_ => w.println(value)))
+    val meta = graft.core.Meta(Map(
+      "rename_pressure" -> "P_1", "orientation" -> "UP"))
+    val out = new java.io.File(dir, "dep").getAbsolutePath
+    RunOts.runStep(spark, "aqd", "turnaround", meta, hdr.getAbsolutePath, out)
+
+    // transformed U/V/W present, beam variables KEPT (unlike clean)
+    val t = spark.read.parquet(out + "_turnaround")
+    assert(Set("U", "V", "W", "VEL1", "amp1", "P_1").subsetOf(t.columns.toSet))
+    val r0 = t.orderBy("ens").head()
+    assert(math.abs(r0.getAs[Double]("U") - (-0.23681)) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("V") - 0.13662) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("W") - 0.22062) < 1e-9)
+
+    // quick-look netCDF readable; transform-matrix attr blanked
+    val nc = graft.io.Netcdf3.read(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out + "_turnaround.nc")))
+    assert(nc.numrecs == nEns)
+    assert(nc.vars.exists(_.name == "U") && nc.vars.exists(_.name == "P_1"))
+    assert(!nc.attrs.contains("AQDTransMatrix"))
+
+    // QA summary: the plot-limit numbers, one row per numeric variable
+    val qa = spark.read.parquet(out + "_turnaround_qa")
+    val byVar = qa.collect().map(r => r.getAs[String]("variable") -> r).toMap
+    val p = byVar("P_1")
+    assert(p.getAs[Long]("n") == nEns && p.getAs[Long]("nulls") == 0)
+    assert(math.abs(p.getAs[Double]("mean") - 10.0) < 1e-2)
+    assert(p.getAs[Double]("min") >= 9.59 && p.getAs[Double]("max") <= 10.41)
+    assert(p.getAs[Double]("q05") > p.getAs[Double]("min") - 1e-9)
+    assert(p.getAs[Double]("q95") < p.getAs[Double]("max") + 1e-9)
+    assert(p.getAs[Double]("q95") > 10.3) // sine spends its tails near extremes
+    val a1 = byVar("amp1") // constant column: all five stats collapse
+    for (k <- Seq("min", "mean", "max", "q05", "q95"))
+      assert(a1.getAs[Double](k) == 120.0, s"amp1 $k")
+  }
+
   test("RDI PD0 chain: .pd0 ingest -> clean, pct-good and bottom-track present") {
     val dir = java.nio.file.Files.createTempDirectory("runots_rdi").toFile
     val pd0 = new java.io.File(dir, "deploy.pd0")
