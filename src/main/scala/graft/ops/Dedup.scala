@@ -529,10 +529,12 @@ object Dedup {
    *
    * Output: (doc_id, n_chunks, n_kept, clean_text).
    */
-  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
-                 width: Int): DataFrame = {
-    val chunks = df
-      .select(col(idCol).cast("long").as("doc_id"),
+  /** Shared segmentation for the chunk-granular curation ops: tokenize and
+    * cut each document into consecutive `width`-token chunks →
+    * (doc_id, chunk_idx, chunk_text). */
+  private def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+                          width: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), posexplode(expr(
         // sequence(0, -1) DESCENDS in Spark — the empty-doc guard is required
@@ -540,6 +542,30 @@ object Dedup {
           s"transform(sequence(0, (size(__toks) + ${width - 1}) div $width - 1), " +
           s"c -> array_join(slice(__toks, CAST(c * $width + 1 AS INT), $width), ' ')))"))
         .as(Seq("chunk_idx", "chunk_text")))
+
+  /** Shared reassembly tail: every doc (kept or fully emptied) with its
+    * surviving chunks re-joined in chunk order →
+    * (doc_id, n_chunks, n_kept, clean_text). Per-doc bounded state. */
+  private def reassembleChunks(df: DataFrame, idCol: String, textCol: String,
+                               width: Int, kept: DataFrame): DataFrame = {
+    val perDoc = df.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        expr(s"CAST((size(__toks) + ${width - 1}) div $width AS INT)").as("n_chunks"))
+    perDoc.join(
+        kept.groupBy("doc_id").agg(
+          count(lit(1)).cast("int").as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(struct(chunk_idx, chunk_text))), x -> x.chunk_text)"))
+            .as("clean_text")),
+        Seq("doc_id"), "left")
+      .na.fill(0, Seq("n_kept")).na.fill("", Seq("clean_text"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("clean_text"))
+  }
+
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 width: Int): DataFrame = {
+    val chunks = tokenChunks(df, idCol, textCol, width)
     // packed corpus-order key; docs past the cap must fail loudly (the
     // packed key would bleed into the next doc_id's space) — guard inside
     // the expression so pruning can't drop it
@@ -554,18 +580,46 @@ object Dedup {
       .withColumn("__key", packed)
       .join(firsts, md5(col("chunk_text")) === firsts("__dig") &&
         col("__key") === firsts("__first"))
-    val perDoc = df.select(col(idCol).cast("long").as("doc_id"),
-      TextAnalysis.tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"),
-        expr(s"CAST((size(__toks) + ${width - 1}) div $width AS INT)").as("n_chunks"))
-    perDoc.join(
-        kept.groupBy("doc_id").agg(
-          count(lit(1)).cast("int").as("n_kept"),
-          concat_ws(" ", expr(
-            "transform(array_sort(collect_list(struct(chunk_idx, chunk_text))), x -> x.chunk_text)"))
-            .as("clean_text")),
-        Seq("doc_id"), "left")
-      .na.fill(0, Seq("n_kept")).na.fill("", Seq("clean_text"))
-      .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("clean_text"))
+    reassembleChunks(df, idCol, textCol, width, kept)
+  }
+
+  /**
+   * Boilerplate removal by corpus document frequency (the CCNet/RefinedWeb
+   * line-wise filter: a segment that recurs across a large share of
+   * documents is a header/footer/navigation string, not content). Unlike
+   * [[chunkDedup]] — which keeps ONE occurrence of each repeated chunk —
+   * this drops EVERY occurrence of any chunk whose document frequency
+   * reaches `maxDfFrac` of the corpus, then rebuilds each document from
+   * its surviving chunks.
+   *
+   * The threshold is a FRACTION of the document count, not an absolute
+   * df: boilerplate is defined by pervasiveness, so the cut tracks corpus
+   * growth and the removal rate stays stable from sf0.01 to 100 TB. Use an
+   * exactly-representable fraction (1/32, 1/64, …) so the `df >= frac·n`
+   * boundary is bit-identical across engines.
+   *
+   * Scale shape: document frequency is `count(distinct doc_id)` grouped by
+   * the chunk digest — one shuffle, Spark's two-phase distinct aggregate,
+   * bounded state per distinct chunk. The hot set (chunks over threshold)
+   * is by definition a small relation — the removal join is an AQE
+   * broadcast-able left-anti on the digest. Reassembly groups each doc's
+   * own chunks — per-doc bounded. No windows, no corpus-sized state.
+   *
+   * Output: (doc_id, n_chunks, n_kept, clean_text).
+   */
+  def boilerplateChunks(df: DataFrame, idCol: String, textCol: String,
+                        width: Int, maxDfFrac: Double): DataFrame = {
+    val chunks = tokenChunks(df, idCol, textCol, width)
+    val nDocs = df.select(count(lit(1)).as("__nd"))
+    val hot = chunks
+      .withColumn("__dig", md5(col("chunk_text")))
+      .groupBy("__dig").agg(countDistinct(col("doc_id")).as("__df"))
+      .crossJoin(nDocs) // 1-row corpus count: broadcast by construction
+      .filter(col("__df").cast("double") >=
+        lit(maxDfFrac) * col("__nd").cast("double"))
+      .select("__dig")
+    val kept = chunks.join(hot, md5(col("chunk_text")) === hot("__dig"),
+      "left_anti")
+    reassembleChunks(df, idCol, textCol, width, kept)
   }
 }

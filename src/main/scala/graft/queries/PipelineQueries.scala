@@ -319,6 +319,46 @@ object PipelineQueries {
              |  coalesce(agg.clean_text, '') AS clean_text
              |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin)),
 
+    // CCNet/RefinedWeb boilerplate filter: drop EVERY occurrence of any
+    // 2-token chunk present in >= 1/32 of all documents (pervasiveness
+    // defines boilerplate, so the threshold is a corpus fraction — 1/32 is
+    // exactly representable, making the df >= frac*n boundary bit-identical
+    // across engines), then reassemble docs from surviving chunks. The hot
+    // set is tiny by construction → AQE broadcast anti-join.
+    Q("boilerplate_filter",
+      (s, dir) => Dedup.boilerplateChunks(documents(s, dir), "doc_id", "text",
+        width = 2, maxDfFrac = 1.0 / 32),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |nd AS (SELECT count(*) AS n FROM documents),
+             |ch AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, (len(toks) + 1) // 2),
+             |      c -> c - 1)) AS chunk_idx,
+             |    unnest(list_transform(generate_series(1, (len(toks) + 1) // 2),
+             |      c -> array_to_string(toks[(c-1)*2+1 : (c-1)*2+2], ' '))) AS chunk_text
+             |  FROM t),
+             |hot AS (
+             |  SELECT md5(chunk_text) AS dig
+             |  FROM ch, nd
+             |  GROUP BY 1, nd.n
+             |  HAVING CAST(count(DISTINCT doc_id) AS DOUBLE) >=
+             |    (1e0/32e0) * CAST(nd.n AS DOUBLE)),
+             |kp AS (
+             |  SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text
+             |  FROM ch LEFT JOIN hot ON md5(ch.chunk_text) = hot.dig
+             |  WHERE hot.dig IS NULL),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+             |    string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+             |  FROM kp GROUP BY 1)
+             |SELECT t.doc_id, CAST((len(toks) + 1) // 2 AS INT) AS n_chunks,
+             |  coalesce(agg.n_kept, 0) AS n_kept,
+             |  coalesce(agg.clean_text, '') AS clean_text
+             |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin)),
+
     Q("dedup_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text",
         "source", 3, 0.8),

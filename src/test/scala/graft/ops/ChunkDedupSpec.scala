@@ -47,4 +47,31 @@ class ChunkDedupSpec extends AnyFunSuite {
     val sr = Dedup.chunkDedup(self, "doc_id", "text", 2).head
     assert(sr.getInt(1) == 3 && sr.getInt(2) == 1 && sr.getString(3) == "m m")
   }
+
+  test("boilerplate filter drops EVERY occurrence of pervasive chunks") {
+    import spark.implicits._
+    // "hdr ftr" appears in 3 of 4 docs (df 0.75); "a b" in 1 (df 0.25).
+    // threshold 0.5 -> the header chunk vanishes everywhere, including its
+    // first occurrence (the contrast with chunkDedup, which keeps one)
+    val docs = Seq(
+      (1L, "hdr ftr a b"),
+      (2L, "hdr ftr c d"),
+      (3L, "hdr ftr hdr ftr e f"), // within-doc repeat counts ONCE toward df
+      (4L, "g h")
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateChunks(docs, "doc_id", "text", 2, 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2, 1, "a b")))
+    assert(out(2L) == ((2, 1, "c d")))
+    assert(out(3L) == ((3, 1, "e f")))
+    assert(out(4L) == ((1, 1, "g h")))
+    // threshold just above the max df keeps everything intact
+    val all = Dedup.boilerplateChunks(docs, "doc_id", "text", 2, 0.8)
+      .agg(org.apache.spark.sql.functions.sum("n_kept")).head.getLong(0)
+    assert(all == 2 + 2 + 3 + 1)
+    // boundary is >=: df exactly at frac*n removes (3/4 docs, frac 0.75)
+    val b = Dedup.boilerplateChunks(docs, "doc_id", "text", 2, 0.75).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(b(1L) == 1 && b(3L) == 1)
+  }
 }
