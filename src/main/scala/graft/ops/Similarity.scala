@@ -359,6 +359,63 @@ object Similarity {
     assigned.select(col("id").as("vec_id"), col("cell"))
   }
 
+  /**
+   * Per-cell embedding outlier detection — the quality-filter complement to
+   * SemDeDup: junk/corrupt embeddings sit far from every centroid, so flag
+   * vectors whose squared distance to their trained coarse cell's centroid
+   * exceeds mean + z·stddev WITHIN the cell (global distance thresholds
+   * would conflate cluster size with quality).
+   *
+   * Engine-portable by construction: the distance expands as
+   * |c|² − 2·x·c + |x|² over the micro-quantized vectors (the same
+   * sequential-order dot products the ANN family already matches on), is
+   * floored into micro² units (bigint), and the cell mean/variance come
+   * from EXACT decimal sums of those integers with single double divisions
+   * at the end — no order-dependent float accumulation anywhere, so the
+   * z-score boundary is bit-identical across engines.
+   *
+   * Scale shape: one groupBy(cell) over bounded per-cell state, one join
+   * of the tiny per-cell stats back to the vectors (broadcast-able), no
+   * pair work at all — strictly cheaper than any search query.
+   *
+   * Returns (vec_id, cell, d2_micro, zscore, is_outlier).
+   */
+  def cellOutliers(df: DataFrame, idCol: String, embCol: String,
+                   k: Int, dims: Int, iters: Int, z: Double): DataFrame = {
+    val (cents, assigned) = kmeansLoop(df, idCol, embCol, k, dims, iters)
+    val x = df.select(col(idCol).cast("long").as("id"),
+        transform(asDouble(col(embCol)),
+          v => floor(v * lit(1000000.0)).cast("long")).as("xi"))
+      .withColumn("x", transform(col("xi"), v => v.cast("double") / lit(1000000.0)))
+    // per-cell constants as a literal lookup array indexed by cell id —
+    // same plan footprint as the Lloyd assignment expression itself
+    val centArr = array(cents.map(c =>
+      struct(lit(c.map(v => v * v).sum).as("c2"),
+        array(c.map(lit): _*).as("c"))): _*)
+    val dd = x.join(assigned, "id")
+      .withColumn("__ct", element_at(centArr, (col("cell") + 1).cast("int")))
+      .withColumn("d2_micro",
+        floor((col("__ct.c2") - lit(2.0) * ndot(col("x"), col("__ct.c")) +
+          ndot(col("x"), col("x"))) * lit(1e9)).cast("long"))
+      .drop("__ct", "xi", "x")
+    val st = dd.groupBy("cell").agg(
+        count(lit(1)).as("__n"),
+        sum(col("d2_micro").cast("decimal(38,0)")).cast("double").as("__s1"),
+        sum(col("d2_micro").cast("decimal(19,0)") *
+          col("d2_micro").cast("decimal(19,0)")).cast("double").as("__s2"))
+      .withColumn("__mean", col("__s1") / col("__n"))
+      .withColumn("__var", col("__s2") / col("__n") - col("__mean") * col("__mean"))
+      .select("cell", "__mean", "__var")
+    dd.join(st, "cell")
+      .select(col("id").as("vec_id"), col("cell"), col("d2_micro"),
+        when(col("__var") > 0,
+          round((col("d2_micro") - col("__mean")) / sqrt(col("__var")), 8))
+          .as("zscore"),
+        when(col("__var") > 0 &&
+            col("d2_micro") > col("__mean") + lit(z) * sqrt(col("__var")), 1)
+          .otherwise(0).cast("int").as("is_outlier"))
+  }
+
   /** IVF top-k with a TRAINED coarse quantizer: cells come from
     * [[kmeansLoop]] (euclidean Lloyd assignment) instead of the first-k
     * seed; ranking inside a cell is exact cosine. Same scale contract as

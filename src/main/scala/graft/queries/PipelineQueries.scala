@@ -917,6 +917,48 @@ object PipelineQueries {
              |      c.cent_id) AS rn
              |  FROM xdd, cent3 c) WHERE rn = 1""".stripMargin)),
 
+    // per-cell distance outliers: junk embeddings sit far from every
+    // centroid — z-score the micro²-unit squared distance WITHIN the
+    // trained cell (exact decimal sums of the bigint distances, single
+    // double divisions → the 1.5σ boundary is bit-identical cross-engine)
+    Q("embedding_outliers",
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.cellOutliers(e, "vec_id", "embedding",
+          k = Similarity.scaledCells(e), dims = 64, iters = 3, z = 1.5) },
+      Some(s"""WITH ${kmeansCtes(8, 64, 3)},
+             |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
+             |asgf AS (
+             |  SELECT id, cell FROM (
+             |    SELECT xdd.id, c.cent_id AS cell,
+             |      row_number() OVER (PARTITION BY xdd.id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |        - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
+             |        c.cent_id) AS rn
+             |    FROM xdd, cent3 c) WHERE rn = 1),
+             |dd AS (
+             |  SELECT xdd.id, a.cell,
+             |    CAST(floor((
+             |      list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |      - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i]))
+             |      + list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * xdd.x[i]))
+             |    ) * 1000000000.0) AS BIGINT) AS d2_micro
+             |  FROM xdd JOIN asgf a ON a.id = xdd.id
+             |    JOIN cent3 c ON c.cent_id = a.cell),
+             |st AS (
+             |  SELECT cell, count(*) AS n,
+             |    CAST(sum(CAST(d2_micro AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             |    CAST(sum(CAST(d2_micro AS DECIMAL(19,0)) *
+             |      CAST(d2_micro AS DECIMAL(19,0))) AS DOUBLE) AS s2
+             |  FROM dd GROUP BY 1),
+             |sv AS (SELECT cell, s1 / n AS m,
+             |    s2 / n - (s1 / n) * (s1 / n) AS v FROM st)
+             |SELECT dd.id AS vec_id, dd.cell, d2_micro,
+             |  CASE WHEN v > 0 THEN
+             |    round((d2_micro - m) / sqrt(v), 8) END AS zscore,
+             |  CAST(CASE WHEN v > 0 AND d2_micro > m + 1.5 * sqrt(v)
+             |    THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
+             |FROM dd JOIN sv ON dd.cell = sv.cell""".stripMargin)),
+
     // IVF search under the TRAINED quantizer (kmeans cells, cosine re-rank)
     Q("similarity_ivf_trained",
       (s, dir) => { val e = embeddings(s, dir)

@@ -35,4 +35,32 @@ class KmeansSpec extends AnyFunSuite {
       assert(cents((c.toLong, d)) == want, s"cent $c dim $d")
     }
   }
+
+  test("cell outliers: a planted far vector is flagged, tight members are not") {
+    import spark.implicits._
+    val dims = 4
+    val rnd = new scala.util.Random(11)
+    // two tight blobs + one vector pushed far from blob A's centre
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      val noise = if (i == 38) 4.0 else 0.1 // id 38 is the planted outlier
+      (i.toLong, Array.tabulate(dims)(_ => (base + noise * rnd.nextDouble()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.cellOutliers(df, "vec_id", "embedding",
+      k = 2, dims = dims, iters = 3, z = 2.0).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 40)
+    assert(out(38L).getAs[Int]("is_outlier") == 1, "planted outlier missed")
+    // the planted vector has the largest z-score in the corpus (others may
+    // legitimately cross 2σ in a tight cell; the plant must dominate)
+    val zs = out.values.flatMap(r => Option(r.getAs[java.lang.Double]("zscore")))
+      .map(_.doubleValue)
+    assert(out(38L).getAs[Double]("zscore") == zs.max)
+    assert(out(38L).getAs[Double]("zscore") > 2.0)
+    assert(out.values.map(_.getAs[Int]("is_outlier")).sum <= 4)
+    // every vector got a finite distance and a cell from the trained set
+    assert(out.values.forall(r => r.getAs[Long]("d2_micro") >= 0 &&
+      Set(0L, 1L)(r.getAs[Long]("cell"))))
+  }
 }
