@@ -353,6 +353,52 @@ object Dedup {
     comp.select(col("__nid").as(idCol), col("__c").as("comp"))
   }
 
+  /**
+   * Integer fixed-point PageRank over an undirected (id_a, id_b) edge list
+   * — the centrality signal for duplicate-cluster representative selection:
+   * the member most linked into its near-dup cluster is the best keeper
+   * (it shares fingerprints with the most variants), a third policy next
+   * to min-id (dedup_cluster_keep) and max-quality (dedup_cluster_best).
+   *
+   * Engine-portable by construction: ranks live in micro-units
+   * (bigint, r₀ = 10⁶); each of the `iters` unrolled iterations is
+   * contrib(u) = r(u) div deg(u) (integer division) and
+   * r'(v) = 150000 + (85 · Σ_{u~v} contrib(u)) div 100 — every operation
+   * is exact integer arithmetic, so any SQL engine replays it bit-for-bit.
+   * Isolated nodes settle at the damping floor 150000.
+   *
+   * Scale shape: per iteration, one join of the rank table to the
+   * symmetrized edge list on src + one map-side-combinable sum keyed by
+   * dst — both shuffles on the high-cardinality node id, no windows, no
+   * driver-side graph. The edge list (often a whole candidate-pair
+   * pipeline) is shared once across all iterations.
+   *
+   * Input: edges (id_a, id_b) + node table; output (id, rank_micro).
+   */
+  def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
+               iters: Int = 3): DataFrame = {
+    val sym = Spread.shared(
+      edges.select(col("id_a").cast("long").as("__src"),
+          col("id_b").cast("long").as("__dst"))
+        .union(edges.select(col("id_b").cast("long").as("__src"),
+          col("id_a").cast("long").as("__dst"))))
+    val deg = sym.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    val e = sym.join(deg, "__src")
+    var r = nodes.select(col(idCol).cast("long").as("__nid"),
+      lit(1000000L).as("__r"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, col("__src") === col("__nid"))
+        .select(col("__dst"), expr("__r div __deg").as("__c"))
+        .groupBy("__dst").agg(sum("__c").as("__t"))
+      r = r.select(col("__nid"))
+        .join(contrib, col("__nid") === col("__dst"), "left")
+        .select(col("__nid"),
+          expr("CAST(150000 + (85 * coalesce(__t, 0)) div 100 AS BIGINT)")
+            .as("__r"))
+    }
+    r.select(col("__nid").as(idCol), col("__r").as("rank_micro"))
+  }
+
   /** SimHash near-dup pairs within a scope: hamming(sig_a, sig_b) <= maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    scopeCol: String, numBits: Int, maxDist: Int): DataFrame = {

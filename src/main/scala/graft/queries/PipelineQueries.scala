@@ -798,6 +798,57 @@ object PipelineQueries {
              |FROM cc JOIN documents d ON cc.id = d.doc_id
              |GROUP BY comp""".stripMargin)),
 
+    // centrality-aware representative selection: integer fixed-point
+    // PageRank (3 unrolled exact-arithmetic iterations) over the near-dup
+    // candidate graph; the highest-rank member per component is the keeper
+    // (most linked into its cluster = shares fingerprints with the most
+    // variants). Third keeper policy next to min-id and max-quality.
+    Q("dedup_cluster_central",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text", "source", 16, 2)
+        val comp = Dedup.connectedComponents(pairs, docs, "doc_id")
+        val pr = Dedup.pageRank(pairs, docs, "doc_id", iters = 3)
+        docs.select("doc_id").join(comp, "doc_id").join(pr, "doc_id")
+          .groupBy("comp")
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("rank_micro"), (-col("doc_id")).as("nid")))
+              .as("best"))
+          .select(col("comp"), (-col("best.nid")).as("doc_id"),
+            col("best.rank_micro").as("rank_micro"), col("n_members"))
+      },
+      Some(s"""WITH RECURSIVE $simhashPairCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+             |          UNION ALL SELECT id_b, id_a FROM spairs),
+             |walk(id, comp) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+             |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+             |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+             |r0 AS (SELECT doc_id AS id, CAST(1000000 AS BIGINT) AS r FROM documents),
+             |r1 AS (SELECT r0.id, CAST(150000 + (85 * coalesce(s.t, 0)) // 100 AS BIGINT) AS r
+             |  FROM r0 LEFT JOIN (
+             |    SELECT e.dst AS id, sum(r0.r // deg.d) AS t
+             |    FROM edges e JOIN r0 ON r0.id = e.src
+             |      JOIN deg ON deg.src = e.src GROUP BY 1) s ON s.id = r0.id),
+             |r2 AS (SELECT r1.id, CAST(150000 + (85 * coalesce(s.t, 0)) // 100 AS BIGINT) AS r
+             |  FROM r1 LEFT JOIN (
+             |    SELECT e.dst AS id, sum(r1.r // deg.d) AS t
+             |    FROM edges e JOIN r1 ON r1.id = e.src
+             |      JOIN deg ON deg.src = e.src GROUP BY 1) s ON s.id = r1.id),
+             |r3 AS (SELECT r2.id, CAST(150000 + (85 * coalesce(s.t, 0)) // 100 AS BIGINT) AS r
+             |  FROM r2 LEFT JOIN (
+             |    SELECT e.dst AS id, sum(r2.r // deg.d) AS t
+             |    FROM edges e JOIN r2 ON r2.id = e.src
+             |      JOIN deg ON deg.src = e.src GROUP BY 1) s ON s.id = r2.id)
+             |SELECT cc.comp,
+             |  first(r3.id ORDER BY r3.r DESC, r3.id) AS doc_id,
+             |  first(r3.r ORDER BY r3.r DESC, r3.id) AS rank_micro,
+             |  CAST(count(*) AS BIGINT) AS n_members
+             |FROM cc JOIN r3 ON cc.id = r3.id
+             |GROUP BY cc.comp""".stripMargin)),
+
     // deterministic fixed-size uniform sample: exactly k docs by hash order
     // — TakeOrderedAndProject at scale (per-partition top-k merged on the
     // driver; the full table is never sorted or shuffled)

@@ -63,4 +63,30 @@ class CcSpec extends AnyFunSuite {
     val got = Dedup.connectedComponents(edges, nodes, "id").collect()
     assert(got.forall(_.getLong(1) == 0L), "all nodes must reach label 0")
   }
+
+  test("pageRank: exact integer iteration on a path graph; hub dominates a star") {
+    import spark.implicits._
+    // path 1-2-3 plus isolated 9: hand-unrolled first iteration
+    //   contrib: 1→2: 10⁶, 3→2: 10⁶, 2→{1,3}: 500000 each
+    //   r1(1)=r1(3)=150000+425000, r1(2)=150000+1700000, r1(9)=150000
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val r1 = Dedup.pageRank(edges, nodes, "id", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L,
+      9L -> 150000L))
+    // next iteration stays exact-integer: contrib 1→2 = 575000, 3→2 =
+    // 575000, 2→1 = 2→3 = 1850000 div 2 = 925000
+    val r2 = Dedup.pageRank(edges, nodes, "id", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2(2L) == 150000L + (85L * (575000L + 575000L)) / 100L)
+    assert(r2(1L) == 150000L + (85L * 925000L) / 100L)
+    // star: hub 0 linked to 5 spokes out-ranks every spoke after 3 iters
+    val star = (1L to 5L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val snodes = (0L to 5L).toDF("id")
+    val pr = Dedup.pageRank(star, snodes, "id", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(i => pr(0L) > pr(i)), s"hub must dominate: $pr")
+    assert((1L to 5L).map(pr).distinct.size == 1, "spokes are symmetric")
+  }
 }
