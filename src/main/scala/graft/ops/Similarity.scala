@@ -416,6 +416,57 @@ object Similarity {
           .otherwise(0).cast("int").as("is_outlier"))
   }
 
+  /**
+   * Stateless application of a TRAINED coarse quantizer: project each
+   * vector to its nearest-centroid cell with the SAME micro-quantized
+   * Lloyd assignment expression the trainer uses, so assignments are
+   * bit-identical to a batch re-run. Pure projection — no state, no
+   * shuffle — which is exactly what makes it the streaming-ingest shape:
+   * apply it to a `readStream` of new vectors and append them to a
+   * cell-partitioned index (the growing-corpus ANN ingest path, the
+   * vector sibling of `Dedup.minhashLshIncremental`).
+   */
+  def assignCells(df: DataFrame, embCol: String,
+                  cents: Array[Array[Double]]): DataFrame = {
+    val x = transform(asDouble(col(embCol)),
+      v => floor(v * lit(1000000.0)).cast("long").cast("double") / lit(1000000.0))
+    df.withColumn("cell", kmAssignExpr(cents, x))
+  }
+
+  /**
+   * Stream-static IVF candidate search: assign each arriving query vector
+   * its trained cell (stateless projection), stream-static equi-join the
+   * cell-partitioned static corpus on the cell id, and score candidates by
+   * exact cosine — append-mode safe end to end (no streaming aggregation,
+   * no watermark needed; top-k selection belongs to the consumer or a
+   * per-batch sink). Cosines are identical to [[ivfTopKTrained]]'s for the
+   * same centroids, so a batch re-rank of the emitted candidates
+   * reproduces the batch search exactly.
+   *
+   * Returns (query_id, cell, neighbor_id, cosine).
+   */
+  def ivfSearchStream(stream: DataFrame, idCol: String, embCol: String,
+                      corpus: DataFrame, corpusId: String, corpusEmb: String,
+                      cents: Array[Array[Double]]): DataFrame = {
+    // cell from the RAW vector (the trainer's space); cosine from the
+    // normalized one — same split as the batch search
+    def prep(df: DataFrame, id: String, emb: String,
+             outId: String, outEmb: String, cellCol: String): DataFrame =
+      assignCells(df.select(col(id).as(outId), col(emb).as("__raw")),
+          "__raw", cents)
+        .withColumnRenamed("cell", cellCol)
+        .withColumn("__e", asDouble(col("__raw")))
+        .withColumn("__n", sqrt(ndot(col("__e"), col("__e"))))
+        .select(col(outId), col(cellCol),
+          transform(col("__e"), x => x / col("__n")).as(outEmb))
+    val q = prep(stream, idCol, embCol, "query_id", "eq", "cell")
+    val idx = prep(corpus, corpusId, corpusEmb, "neighbor_id", "en", "__cell2")
+    q.join(idx, col("cell") === col("__cell2") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", ndot(col("eq"), col("en")))
+      .select("query_id", "cell", "neighbor_id", "cosine")
+  }
+
   /** IVF top-k with a TRAINED coarse quantizer: cells come from
     * [[kmeansLoop]] (euclidean Lloyd assignment) instead of the first-k
     * seed; ranking inside a cell is exact cosine. Same scale contract as
