@@ -380,25 +380,35 @@ object Similarity {
    *
    * Returns (vec_id, cell, d2_micro, zscore, is_outlier).
    */
-  def cellOutliers(df: DataFrame, idCol: String, embCol: String,
-                   k: Int, dims: Int, iters: Int, z: Double): DataFrame = {
-    val (cents, assigned) = kmeansLoop(df, idCol, embCol, k, dims, iters)
-    val x = df.select(col(idCol).cast("long").as("id"),
-        transform(asDouble(col(embCol)),
-          v => floor(v * lit(1000000.0)).cast("long")).as("xi"))
-      .withColumn("x", transform(col("xi"), v => v.cast("double") / lit(1000000.0)))
+  /** Cell assignment + micro²-unit squared centroid distance in ONE
+    * stateless projection (no join — which also makes it directly usable
+    * on a stream): (id, cell, d2_micro). The assignment expression is the
+    * trainer's own final-pass expression, so cells are bit-identical to
+    * [[kmeansAssign]]. */
+  private def cellDistances(df: DataFrame, idCol: String, embCol: String,
+                            cents: Array[Array[Double]]): DataFrame = {
     // per-cell constants as a literal lookup array indexed by cell id —
     // same plan footprint as the Lloyd assignment expression itself
     val centArr = array(cents.map(c =>
       struct(lit(c.map(v => v * v).sum).as("c2"),
         array(c.map(lit): _*).as("c"))): _*)
-    val dd = x.join(assigned, "id")
+    df.select(col(idCol).cast("long").as("id"),
+        transform(asDouble(col(embCol)),
+          v => floor(v * lit(1000000.0)).cast("long")).as("xi"))
+      .withColumn("x", transform(col("xi"), v => v.cast("double") / lit(1000000.0)))
+      .withColumn("cell", kmAssignExpr(cents, col("x")))
       .withColumn("__ct", element_at(centArr, (col("cell") + 1).cast("int")))
       .withColumn("d2_micro",
         floor((col("__ct.c2") - lit(2.0) * ndot(col("x"), col("__ct.c")) +
           ndot(col("x"), col("x"))) * lit(1e9)).cast("long"))
-      .drop("__ct", "xi", "x")
-    val st = dd.groupBy("cell").agg(
+      .select("id", "cell", "d2_micro")
+  }
+
+  /** Per-cell distance statistics from exact decimal sums:
+    * (cell, __mean, __var). The tiny model relation the batch outlier
+    * query joins back — and the broadcast side of the STREAMING scorer. */
+  def cellStats(dd: DataFrame): DataFrame =
+    dd.groupBy("cell").agg(
         count(lit(1)).as("__n"),
         sum(col("d2_micro").cast("decimal(38,0)")).cast("double").as("__s1"),
         sum(col("d2_micro").cast("decimal(19,0)") *
@@ -406,6 +416,11 @@ object Similarity {
       .withColumn("__mean", col("__s1") / col("__n"))
       .withColumn("__var", col("__s2") / col("__n") - col("__mean") * col("__mean"))
       .select("cell", "__mean", "__var")
+
+  /** Score (id, cell, d2_micro) rows against trained per-cell stats —
+    * the shared tail of the batch query and the streaming scorer. */
+  private def scoreOutliers(dd: DataFrame, st: DataFrame,
+                            z: Double): DataFrame =
     dd.join(st, "cell")
       .select(col("id").as("vec_id"), col("cell"), col("d2_micro"),
         when(col("__var") > 0,
@@ -414,7 +429,37 @@ object Similarity {
         when(col("__var") > 0 &&
             col("d2_micro") > col("__mean") + lit(z) * sqrt(col("__var")), 1)
           .otherwise(0).cast("int").as("is_outlier"))
+
+  def cellOutliers(df: DataFrame, idCol: String, embCol: String,
+                   k: Int, dims: Int, iters: Int, z: Double): DataFrame = {
+    val (cents, _) = kmeansLoop(df, idCol, embCol, k, dims, iters)
+    val dd = cellDistances(df, idCol, embCol, cents)
+    scoreOutliers(dd, cellStats(dd), z)
   }
+
+  /**
+   * Streaming outlier scoring for arriving vectors against a TRAINED
+   * model (centroids + the per-cell distance stats a batch pass
+   * computed): cell assignment is the stateless [[assignCells]]
+   * projection, the distance is the same micro²-unit expression, and the
+   * stats join is stream-static against the tiny (cell, mean, var)
+   * relation — append-mode safe, no state, no watermark. Scores are
+   * bit-identical to [[cellOutliers]] for the same model (proven in
+   * StreamAnnIngestSpec).
+   */
+  /** Train the model the streaming scorer consumes: coarse centroids plus
+    * the per-cell distance stats over the training corpus. */
+  def outlierModel(df: DataFrame, idCol: String, embCol: String,
+                   k: Int, dims: Int, iters: Int)
+      : (Array[Array[Double]], DataFrame) = {
+    val (cents, _) = kmeansLoop(df, idCol, embCol, k, dims, iters)
+    (cents, cellStats(cellDistances(df, idCol, embCol, cents)))
+  }
+
+  def outlierScoreStream(stream: DataFrame, idCol: String, embCol: String,
+                         cents: Array[Array[Double]], stats: DataFrame,
+                         z: Double): DataFrame =
+    scoreOutliers(cellDistances(stream, idCol, embCol, cents), stats, z)
 
   /**
    * Stateless application of a TRAINED coarse quantizer: project each

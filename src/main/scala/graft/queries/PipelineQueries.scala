@@ -849,6 +849,42 @@ object PipelineQueries {
              |FROM cc JOIN r3 ON cc.id = r3.id
              |GROUP BY cc.comp""".stripMargin)),
 
+    // the dedup release report every pipeline run emits: per source, how
+    // many docs, how many near-dup clusters, and the implied removal rate
+    // if one representative per cluster survives. One groupBy over the
+    // shared component labeling (simhash pairs are source-scoped, so
+    // clusters never straddle sources) — map-side combinable counts.
+    Q("dedup_report",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val comp = Dedup.connectedComponents(
+          Dedup.simhashPairs(docs, "doc_id", "text", "source", 16, 2),
+          docs, "doc_id")
+        docs.select("doc_id", "source").join(comp, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("comp")).as("n_clusters"))
+          .select(col("source"), col("n_docs"), col("n_clusters"),
+            (col("n_docs") - col("n_clusters")).as("n_dup"),
+            round((col("n_docs") - col("n_clusters")).cast("double") * 100.0 /
+              col("n_docs").cast("double"), 9).as("dup_rate_pct"))
+      },
+      Some(s"""WITH RECURSIVE $simhashPairCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+             |          UNION ALL SELECT id_b, id_a FROM spairs),
+             |walk(id, comp) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+             |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id)
+             |SELECT d.source, count(*) AS n_docs,
+             |  count(DISTINCT cc.comp) AS n_clusters,
+             |  count(*) - count(DISTINCT cc.comp) AS n_dup,
+             |  round((count(*) - count(DISTINCT cc.comp)) * 100e0 / count(*), 9)
+             |    AS dup_rate_pct
+             |FROM documents d JOIN cc ON d.doc_id = cc.id
+             |GROUP BY d.source""".stripMargin)),
+
     // deterministic fixed-size uniform sample: exactly k docs by hash order
     // — TakeOrderedAndProject at scale (per-partition top-k merged on the
     // driver; the full table is never sorted or shuffled)
@@ -1518,6 +1554,94 @@ object PipelineQueries {
              |SELECT s.doc_id, s.source, s.lm_score
              |FROM scored s JOIN th ON s.source = th.source
              |WHERE s.lm_score >= th.t20""".stripMargin)),
+
+    // reciprocal-rank fusion of the quality stack (Cormack et al. 2009):
+    // three independent signals — char-bigram LM fluency (desc), heuristic
+    // quality (desc), 3-gram repetition (asc) — each ranked per source
+    // (windows stay partition-bounded), fused as Σ 1/(60 + rank), top-50
+    // kept per source. Rank fusion is robust to the signals' different
+    // scales — the canonical way to combine filter-stack scores without
+    // calibrating them; doc_id tie-breaks make every rank engine-exact.
+    Q("quality_rank_fusion",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val sig = TA.charBigramLmScore(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("source"),
+            round(TA.qualityScore(col("text")), 8).as("quality"),
+            round(TA.duplicateNgramFraction(TA.tokens(col("text")), 3), 8)
+              .as("dup_frac")), "doc_id")
+        import org.apache.spark.sql.expressions.Window
+        val wLm = Window.partitionBy("source")
+          .orderBy(col("lm_score").desc, col("doc_id"))
+        val wQ = Window.partitionBy("source")
+          .orderBy(col("quality").desc, col("doc_id"))
+        val wR = Window.partitionBy("source")
+          .orderBy(col("dup_frac").asc, col("doc_id"))
+        val fused = sig
+          .withColumn("r_lm", row_number().over(wLm))
+          .withColumn("r_q", row_number().over(wQ))
+          .withColumn("r_rep", row_number().over(wR))
+          .withColumn("rrf", round(
+            lit(1.0) / (lit(60.0) + col("r_lm")) +
+            lit(1.0) / (lit(60.0) + col("r_q")) +
+            lit(1.0) / (lit(60.0) + col("r_rep")), 9))
+        val wF = Window.partitionBy("source")
+          .orderBy(col("rrf").desc, col("doc_id"))
+        fused.withColumn("rank", row_number().over(wF))
+          .filter(col("rank") <= 50)
+          .select("doc_id", "source", "r_lm", "r_q", "r_rep", "rrf", "rank")
+      },
+      Some("""WITH pos AS (
+             |  SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-1, 1))) AS i
+             |  FROM documents),
+             |bg AS (SELECT doc_id, substr(text, i, 2) AS bg FROM pos
+             |  WHERE length(substr(text, i, 2)) = 2),
+             |counts AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+             |c1t AS (SELECT substr(bg, 1, 1) AS c1, CAST(sum(cnt) AS BIGINT) AS tot
+             |  FROM counts GROUP BY 1),
+             |vv AS (SELECT count(DISTINCT substr(bg, 2, 1)) AS v FROM counts),
+             |sc AS (SELECT b.doc_id,
+             |    CAST(round(ln((c.cnt + 1) / (t.tot + vv.v)), 9) AS DECIMAL(20,9)) AS lp
+             |  FROM bg b JOIN counts c USING (bg)
+             |  JOIN c1t t ON t.c1 = substr(b.bg, 1, 1), vv),
+             |lm AS (SELECT doc_id, CAST(sum(lp) AS DOUBLE)/count(*) AS lm_score
+             |  FROM sc GROUP BY doc_id),
+             |t AS (SELECT doc_id, source, text, length(text) AS nc,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |qy AS (SELECT doc_id,
+             |    round((CASE WHEN nc BETWEEN 100 AND 400 THEN 1.0
+             |          WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
+             |          ELSE 400.0 / nc END) * 0.6 +
+             |      (CASE WHEN CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks)
+             |          BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END) * 0.4, 8) AS quality
+             |  FROM t),
+             |g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+             |    list_transform(generate_series(1, len(toks) - 2),
+             |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+             |    ELSE [] END AS grams
+             |  FROM t),
+             |rp AS (SELECT doc_id, round(CASE WHEN len(grams) > 0 THEN
+             |    CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             |    ELSE 0.0 END, 8) AS dup_frac
+             |  FROM g),
+             |sig AS (SELECT d.doc_id, d.source, lm.lm_score, qy.quality, rp.dup_frac
+             |  FROM documents d JOIN lm USING (doc_id)
+             |    JOIN qy USING (doc_id) JOIN rp USING (doc_id)),
+             |rk AS (SELECT doc_id, source,
+             |    row_number() OVER (PARTITION BY source ORDER BY lm_score DESC, doc_id) AS r_lm,
+             |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS r_q,
+             |    row_number() OVER (PARTITION BY source ORDER BY dup_frac ASC, doc_id) AS r_rep
+             |  FROM sig),
+             |fz AS (SELECT doc_id, source, r_lm, r_q, r_rep,
+             |    round(1e0/(60e0 + r_lm) + 1e0/(60e0 + r_q) + 1e0/(60e0 + r_rep), 9) AS rrf
+             |  FROM rk)
+             |SELECT doc_id, source, CAST(r_lm AS INTEGER) AS r_lm,
+             |  CAST(r_q AS INTEGER) AS r_q, CAST(r_rep AS INTEGER) AS r_rep,
+             |  rrf, CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT *, row_number() OVER
+             |    (PARTITION BY source ORDER BY rrf DESC, doc_id) AS rank
+             |  FROM fz) WHERE rank <= 50""".stripMargin)),
 
     Q("text_lm_score",
       (s, dir) => TA.charBigramLmScore(documents(s, dir), "doc_id", "text"),

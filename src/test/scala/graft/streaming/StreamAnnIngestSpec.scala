@@ -78,4 +78,42 @@ class StreamAnnIngestSpec extends AnyFunSuite {
       assert(rerank == batchTopK(id), s"query $id")
     }
   }
+
+  test("streamed outlier scores are bit-identical to the batch pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dims = 4
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      val noise = if (i == 38) 4.0 else 0.1
+      (i, Array.tabulate(dims)(_ => (base + noise * rnd.nextDouble()).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val batch = graft.ops.Similarity.cellOutliers(corpus, "vec_id",
+        "embedding", k = 2, dims = dims, iters = 3, z = 2.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getAs[java.lang.Double]("zscore")),
+          r.getAs[Int]("is_outlier")))).toMap
+
+    val (cents, stats) = graft.ops.Similarity.outlierModel(corpus, "vec_id",
+      "embedding", k = 2, dims = dims, iters = 3)
+    val input = MemoryStream[(Long, Array[Float])]
+    val scored = graft.ops.Similarity.outlierScoreStream(
+      input.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      cents, stats, z = 2.0)
+    val q = scored.writeStream.outputMode("append")
+      .format("memory").queryName("outs").start()
+    input.addData(rows.take(20): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(20): _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("select * from outs").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getAs[java.lang.Double]("zscore")),
+          r.getAs[Int]("is_outlier")))).toMap
+    q.stop()
+    assert(streamed == batch) // cells, distances, z-scores, flags — all equal
+  }
 }
