@@ -135,24 +135,37 @@ object TextAnalysis {
                         textCol: String): org.apache.spark.sql.DataFrame = {
     // shared: the exploded bigram relation feeds the count build, the
     // vocab-size count AND the scoring join — one evaluation, not three
-    val bg = Spread.shared(
-      Spread.byKey(df, col(idCol)).select(col(idCol).as("__id"),
-        explode(expr(s"transform(sequence(1, greatest(length($textCol) - 1, 1)), i -> substr($textCol, i, 2))")).as("bg"))
-      .filter(length(col("bg")) === 2))
+    // explode a plain INT sequence and slice with scalar substr — both
+    // codegen'd. Deliberately NOT cached: persisting the corpus-sized
+    // bigram relation (15M deserialized rows at sf1) costs more than
+    // running this whole-stage-codegen pipeline twice (once into the
+    // counts aggregate, once into the scoring join) — cache the small
+    // derived relations (counts, per-doc result) instead.
+    val bg =
+      Spread.byKey(df, col(idCol))
+        .select(col(idCol).as("__id"), col(textCol).as("__t"),
+          explode(expr(s"sequence(1, greatest(length($textCol) - 1, 1))")).as("__i"))
+        .select(col("__id"), expr("substr(__t, __i, 2)").as("bg"))
+        .filter(length(col("bg")) === 2)
     val counts = Spread.shared(
       bg.groupBy("bg").agg(count(lit(1)).as("cnt"))
         .withColumn("c1", substring(col("bg"), 1, 1)))
     val tots = counts.groupBy("c1").agg(sum("cnt").as("tot"))
     val v = counts.select(substring(col("bg"), 2, 1)).distinct().count()
-    bg.join(broadcast(counts.select("bg", "cnt")), "bg")
-      .withColumn("c1", substring(col("bg"), 1, 1))
-      .join(broadcast(tots), "c1")
-      .withColumn("lp",
-        round(log((col("cnt") + 1).cast("double") / (col("tot") + lit(v)).cast("double")), 9)
-          .cast("decimal(20,9)"))
-      .groupBy(col("__id").as(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
+    // share the PER-DOC result, not just the inputs: the scoring join +
+    // per-doc aggregation over the full bigram mass is the dominant cost,
+    // and several consumers (text_lm_score, quality_percentile_filter,
+    // quality_rank_fusion) read the same 1-row-per-doc relation
+    Spread.shared(
+      bg.join(broadcast(counts.select("bg", "cnt")), "bg")
+        .withColumn("c1", substring(col("bg"), 1, 1))
+        .join(broadcast(tots), "c1")
+        .withColumn("lp",
+          round(log((col("cnt") + 1).cast("double") / (col("tot") + lit(v)).cast("double")), 9)
+            .cast("decimal(20,9)"))
+        .groupBy(col("__id").as(idCol))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score")))
   }
 
   /** Simple quality score in [0,1]: length in sweet spot, few repeats,

@@ -1565,11 +1565,16 @@ object PipelineQueries {
     Q("quality_rank_fusion",
       (s, dir) => {
         val docs = documents(s, dir)
+        // byKey before the interpreted HOF projection: the small parquet
+        // reads as few input splits, and qualityScore + dup_frac are
+        // per-row lambda work that must spread across cores (the KMV
+        // lesson, Sketches scaladoc)
         val sig = TA.charBigramLmScore(docs, "doc_id", "text")
-          .join(docs.select(col("doc_id"), col("source"),
-            round(TA.qualityScore(col("text")), 8).as("quality"),
-            round(TA.duplicateNgramFraction(TA.tokens(col("text")), 3), 8)
-              .as("dup_frac")), "doc_id")
+          .join(graft.ops.Spread.byKey(docs, col("doc_id"))
+            .select(col("doc_id"), col("source"),
+              round(TA.qualityScore(col("text")), 8).as("quality"),
+              round(TA.duplicateNgramFraction(TA.tokens(col("text")), 3), 8)
+                .as("dup_frac")), "doc_id")
         import org.apache.spark.sql.expressions.Window
         val wLm = Window.partitionBy("source")
           .orderBy(col("lm_score").desc, col("doc_id"))
@@ -1577,14 +1582,20 @@ object PipelineQueries {
           .orderBy(col("quality").desc, col("doc_id"))
         val wR = Window.partitionBy("source")
           .orderBy(col("dup_frac").asc, col("doc_id"))
-        val fused = sig
+        // materialization point before the final top-k window: with the
+        // filter(rank<=50) above a live 4-window tree, Spark re-executes
+        // the whole LM sub-pipeline instead of reusing its cache (measured
+        // 14 s vs 0.3 s at sf1 — tools/ProbeFusion); sharing the fused
+        // scores (1 row/doc) makes the final ranking read 50k rows, not
+        // 15M bigrams
+        val fused = graft.ops.Spread.shared(sig
           .withColumn("r_lm", row_number().over(wLm))
           .withColumn("r_q", row_number().over(wQ))
           .withColumn("r_rep", row_number().over(wR))
           .withColumn("rrf", round(
             lit(1.0) / (lit(60.0) + col("r_lm")) +
             lit(1.0) / (lit(60.0) + col("r_q")) +
-            lit(1.0) / (lit(60.0) + col("r_rep")), 9))
+            lit(1.0) / (lit(60.0) + col("r_rep")), 9)))
         val wF = Window.partitionBy("source")
           .orderBy(col("rrf").desc, col("doc_id"))
         fused.withColumn("rank", row_number().over(wF))
