@@ -885,6 +885,38 @@ object PipelineQueries {
              |FROM documents d JOIN cc ON d.doc_id = cc.id
              |GROUP BY d.source""".stripMargin)),
 
+    // write-side layout: Morton (Z-order) key over (user, time) so every
+    // output file gets a tight bounding box in BOTH dimensions — min/max
+    // stats then prune `user = u AND ts BETWEEN …` scans that a
+    // single-column sort can only prune on its leading column (the
+    // Delta/Iceberg OPTIMIZE ZORDER technique). Pure codegen'd bit math +
+    // one 1-row bounds aggregate; no shuffle to COMPUTE the key.
+    Q("zorder_layout",
+      (s, dir) => graft.ops.Layout.zorder2(events(s, dir), "event_id",
+        col("user_id"), col("ts"), bits = 16, nBuckets = 32),
+      Some("""WITH b AS (
+             |  SELECT min(user_id) AS lo1, max(user_id) AS hi1,
+             |    min(epoch_ns(ts)) AS lo2, max(epoch_ns(ts)) AS hi2
+             |  FROM events),
+             |sc AS (
+             |  SELECT event_id,
+             |    CASE WHEN b.hi1 = b.lo1 THEN 0 ELSE least(
+             |      CAST(floor(CAST(user_id - b.lo1 AS DOUBLE) * 65535e0
+             |        / CAST(b.hi1 - b.lo1 AS DOUBLE)) AS BIGINT), 65535) END AS a,
+             |    CASE WHEN b.hi2 = b.lo2 THEN 0 ELSE least(
+             |      CAST(floor(CAST(epoch_ns(ts) - b.lo2 AS DOUBLE) * 65535e0
+             |        / CAST(b.hi2 - b.lo2 AS DOUBLE)) AS BIGINT), 65535) END AS bq
+             |  FROM events, b),
+             |zz AS (
+             |  SELECT event_id,
+             |    CAST(sum((((a >> g.i) & 1) << (2 * g.i)) +
+             |             (((bq >> g.i) & 1) << (2 * g.i + 1))) AS BIGINT) AS zvalue
+             |  FROM sc, generate_series(0, 15) g(i)
+             |  GROUP BY event_id)
+             |SELECT event_id, zvalue,
+             |  CAST(zvalue >> 27 AS INTEGER) AS bucket
+             |FROM zz""".stripMargin)),
+
     // deterministic fixed-size uniform sample: exactly k docs by hash order
     // — TakeOrderedAndProject at scale (per-partition top-k merged on the
     // driver; the full table is never sorted or shuffled)
