@@ -19,80 +19,146 @@ import org.apache.spark.sql.functions._
  */
 object Align {
 
-  /** Bucketized as-of core: quantize both sides to tolerance-sized buckets,
-    * explode each right row to the adjacent bucket keys that could contain a
-    * matching left row, and equi-join on the bucket. This turns the band join
-    * into a Broadcast HASH join — a plain band predicate on a broadcast side
-    * becomes a nested-loop scan, O(|L|·|R|) comparisons regardless of how few
-    * rows actually fall inside the band. A candidate right row matches
-    * exactly one bucket key per left row, so no dedup is needed. */
-  private def bucketJoin(left: DataFrame, right: DataFrame,
-                         leftTs: String, rightTs: String, tolerance: Long,
-                         rightKeyOffsets: Seq[Int], bandPred: org.apache.spark.sql.Column)
-      : DataFrame = {
+  /** Sub-buckets per tolerance width — candidate count per left row is
+    * O(aux density · tolerance / SubBuckets + 1). */
+  private val SubBuckets = 64L
+
+  /** For every key in `leftKeys` (distinct BIGINT col `__kk`), the max of
+    * `vals.__v` over val-keys STRICTLY below the left key (Long.MinValue
+    * when none). Scale-safe: [[Index.withRunningMax]] over the BUCKET axis
+    * (bounded by time-span / bucket width, never by data size), the
+    * strictly-below semantics from shifting val keys up by one and making
+    * left keys sort after val rows on the same key. */
+  private def strictPrefixMax(leftKeys: DataFrame, vals: DataFrame): DataFrame = {
+    val tagged = vals
+      .select((col("__kk") + 1).as("__kk"), col("__v"), lit(0).as("__tag"))
+      .unionByName(leftKeys.select(col("__kk"),
+        lit(null).cast("long").as("__v"), lit(1).as("__tag")))
+    Index.withRunningMax(tagged, Seq("__kk", "__tag"), "__v", "__bound")
+      .filter(col("__tag") === 1)
+      .select(col("__kk"), col("__bound"))
+  }
+
+  /**
+   * Sub-bucketed as-of core (round-12 scale rework). The old design used
+   * tolerance-wide buckets, so EVERY aux row within the band joined every
+   * left row — candidates grow linearly with aux density (measured 7.5×
+   * bench time on 10× denser aux at sf1). With buckets of width
+   * tolerance/[[SubBuckets]], the best match for a left row is either in
+   * the row's OWN sub-bucket or is exactly the boundary row — the latest
+   * aux ts strictly before the bucket (and, for `nearest`, the earliest
+   * strictly after) — computed once per bucket via the ranged running-max
+   * index, no global window. Exactness: every pre-bucket aux row is ≤ the
+   * pre-bucket boundary ts, so if the boundary row fails the tolerance
+   * every farther row does too; ties at the boundary ts all join and the
+   * final aggregate applies the same tie-break as before.
+   *
+   * Selection is a map-side-combinable max_by/min_by aggregation over the
+   * (now O(1)-ish) candidate set — no per-left-row sort window at all.
+   *
+   * Returns (left bucket relation, candidate relation keyed by `__k`).
+   */
+  private def subBucketCandidates(left: DataFrame, right: DataFrame,
+                                  leftTs: String, rightTs: String,
+                                  tolerance: Long, withBefore: Boolean,
+                                  withAfter: Boolean)
+      : (DataFrame, DataFrame) = {
+    val w = math.max(tolerance / SubBuckets, 1L)
     val lb = Spread.byKey(left, col(leftTs))
-      .withColumn("__bucket", floor(col(leftTs) / tolerance))
-    val rb = right
-      .withColumn("__rbucket", floor(col(rightTs) / tolerance))
-      .withColumn("__bucket",
-        explode(array(rightKeyOffsets.map(o => col("__rbucket") + o): _*)))
-      .drop("__rbucket")
-    lb.join(broadcast(rb), lb("__bucket") === rb("__bucket") && bandPred, "left")
-      .drop("__bucket")
+      .withColumn("__k", expr(s"$leftTs div $w"))
+    val rb = right.withColumn("__k", expr(s"$rightTs div $w"))
+    val leftKeys = lb.select(col("__k").as("__kk")).distinct()
+    val perBucket = rb.groupBy("__k").agg(
+      max(col(rightTs)).as("__bmax"), min(col(rightTs)).as("__bmin"))
+    val own = rb.select(col("__k") +: right.columns.map(col): _*)
+    var cand = own
+    if (withBefore) {
+      // boundary BEFORE: latest aux ts in buckets strictly below k
+      val before = strictPrefixMax(leftKeys,
+          perBucket.select(col("__k").as("__kk"), col("__bmax").as("__v")))
+        .filter(col("__bound") =!= Long.MinValue)
+        .join(rb.drop("__k"), col("__bound") === col(rightTs))
+        .select(col("__kk").as("__k") +: right.columns.map(col): _*)
+      cand = cand.unionByName(before)
+    }
+    if (withAfter) {
+      // boundary AFTER: earliest aux ts in buckets strictly above k —
+      // the same strict-prefix machinery on negated keys/values
+      val after = strictPrefixMax(
+          leftKeys.select(negate(col("__kk")).as("__kk")),
+          perBucket.select(negate(col("__k")).as("__kk"),
+            negate(col("__bmin")).as("__v")))
+        .filter(col("__bound") =!= Long.MinValue)
+        .select(negate(col("__kk")).as("__kk"), negate(col("__bound")).as("__next"))
+        .join(rb.drop("__k"), col("__next") === col(rightTs))
+        .select(col("__kk").as("__k") +: right.columns.map(col): _*)
+      cand = cand.unionByName(after)
+    }
+    (lb, cand)
   }
 
   /** As-of nearest: for each left row, the single right row minimizing
     * |leftTs − rightTs| within tolerance; ties to the earlier right row.
     * Time columns must share units (we standardize on long microseconds).
-    * Precondition: left rows are distinct (the rank window partitions by
-    * the full left row; duplicated left rows would collapse to one). */
+    * Precondition: left rows are distinct (selection groups by the full
+    * left row; duplicated left rows would collapse to one). */
   def asofNearest(left: DataFrame, right: DataFrame,
                   leftTs: String, rightTs: String, tolerance: Long): DataFrame = {
-    // |r − l| ≤ tol ⇒ floor(r/tol) ∈ {floor(l/tol)−1, …, +1} → right rows
-    // carry keys {b−1, b, b+1}
-    val joined = bucketJoin(left, right, leftTs, rightTs, tolerance,
-      Seq(-1, 0, 1),
-      col(rightTs) >= col(leftTs) - tolerance &&
-      col(rightTs) <= col(leftTs) + tolerance)
-    val rightOrder = right.columns.filter(_ != rightTs).map(col).toSeq
-    val w = Window.partitionBy(left.columns.map(col): _*)
-      .orderBy(abs(col(leftTs) - col(rightTs)) +: col(rightTs) +: rightOrder: _*)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val (lb, cand) = subBucketCandidates(left, right, leftTs, rightTs,
+      tolerance, withBefore = true, withAfter = true)
+    val joined = lb.as("l").join(broadcast(cand.as("r")),
+        col("l.__k") === col("r.__k") &&
+        col(rightTs) >= col(leftTs) - tolerance &&
+        col(rightTs) <= col(leftTs) + tolerance, "left")
+      .drop("__k")
+    val ord = struct(abs(col(leftTs) - col(rightTs)) +: col(rightTs) +:
+      right.columns.filter(_ != rightTs).map(col): _*)
+    bestPerLeft(joined, left, right, min_by(_, ord))
   }
 
   /** As-of backward: most recent right row at-or-before leftTs within
     * tolerance (boundary/brange pattern, stglib/aqd/aqdutils.py:550-560). */
   def asofBackward(left: DataFrame, right: DataFrame,
                    leftTs: String, rightTs: String, tolerance: Long): DataFrame = {
-    // l−tol ≤ r ≤ l ⇒ floor(r/tol) ∈ {floor(l/tol)−1, floor(l/tol)} → right
-    // rows carry keys {b, b+1}
-    val joined = bucketJoin(left, right, leftTs, rightTs, tolerance,
-      Seq(0, 1),
-      col(rightTs) <= col(leftTs) &&
-      col(rightTs) >= col(leftTs) - tolerance)
-    val rightOrder = right.columns.filter(_ != rightTs).map(c => col(c).desc).toSeq
-    val w = Window.partitionBy(left.columns.map(col): _*)
-      .orderBy(col(rightTs).desc +: rightOrder: _*)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val (lb, cand) = subBucketCandidates(left, right, leftTs, rightTs,
+      tolerance, withBefore = true, withAfter = false)
+    val joined = lb.as("l").join(broadcast(cand.as("r")),
+        col("l.__k") === col("r.__k") &&
+        col(rightTs) <= col(leftTs) &&
+        col(rightTs) >= col(leftTs) - tolerance, "left")
+      .drop("__k")
+    val ord = struct(col(rightTs) +:
+      right.columns.filter(_ != rightTs).map(col): _*)
+    bestPerLeft(joined, left, right, max_by(_, ord))
+  }
+
+  /** Shared selection tail: one aggregate row per left row (left rows are
+    * distinct by precondition), payload = the chosen right row's columns
+    * (all null when no candidate survived the tolerance). */
+  private def bestPerLeft(joined: DataFrame, left: DataFrame, right: DataFrame,
+                          pick: org.apache.spark.sql.Column =>
+                            org.apache.spark.sql.Column): DataFrame = {
+    val payload = struct(right.columns.map(col): _*)
+    joined.groupBy(left.columns.map(col): _*)
+      .agg(pick(payload).as("__best"))
+      .select(left.columns.map(col) ++
+        right.columns.map(c => col(s"__best.$c").as(c)): _*)
   }
 
   /** As-of forward: earliest right row at-or-after leftTs within tolerance
     * (the other bracket of linear interpolation). */
   def asofForward(left: DataFrame, right: DataFrame,
                   leftTs: String, rightTs: String, tolerance: Long): DataFrame = {
-    // l ≤ r ≤ l+tol ⇒ floor(r/tol) ∈ {floor(l/tol), floor(l/tol)+1} → right
-    // rows carry keys {b−1, b}
-    val joined = bucketJoin(left, right, leftTs, rightTs, tolerance,
-      Seq(-1, 0),
-      col(rightTs) >= col(leftTs) &&
-      col(rightTs) <= col(leftTs) + tolerance)
-    val rightOrder = right.columns.filter(_ != rightTs).map(col).toSeq
-    val w = Window.partitionBy(left.columns.map(col): _*)
-      .orderBy(col(rightTs) +: rightOrder: _*)
-    joined.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val (lb, cand) = subBucketCandidates(left, right, leftTs, rightTs,
+      tolerance, withBefore = false, withAfter = true)
+    val joined = lb.as("l").join(broadcast(cand.as("r")),
+        col("l.__k") === col("r.__k") &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + tolerance, "left")
+      .drop("__k")
+    val ord = struct(col(rightTs) +:
+      right.columns.filter(_ != rightTs).map(col): _*)
+    bestPerLeft(joined, left, right, min_by(_, ord))
   }
 
   /** Linear time interpolation of a right-side series onto left timestamps —
