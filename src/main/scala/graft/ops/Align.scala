@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
  * `reindex_like(method="nearest", tolerance=...)` patterns
  * (stglib/aqd/aqdutils.py:93-118, stglib/core/utils.py:1946-1956) and
  * calendar regularization (stglib/sig/cdf2nc.py:1553-1594). Re-expressed as
- * bounded range joins + per-row rank.
+ * sub-bucketed equi-joins + a map-side-combinable best-candidate aggregate.
  *
  * Scale design: the right ("aux") side is broadcast — met/boundary series are
- * orders of magnitude smaller than measurement series. The band predicate
- * bounds the join fan-out to (tolerance / aux sample interval) candidates per
- * left row, so the rank window stays tiny. Left rows with no candidate within
- * tolerance survive with nulls (reindex semantics, not inner-join semantics).
+ * orders of magnitude smaller than measurement series. Sub-buckets of width
+ * tolerance/64 plus per-bucket boundary rows keep the candidate count per
+ * left row O(density·width + 1) — independent of how many aux rows fall in
+ * the tolerance band (see [[subBucketCandidates]]). Left rows with no
+ * candidate within tolerance survive with nulls (reindex semantics, not
+ * inner-join semantics).
  */
 object Align {
 
