@@ -54,6 +54,57 @@ object Curation {
   }
 
   /**
+   * Bloom-prefiltered decontamination — OUTPUT-identical to
+   * [[contaminationFlags]], different physical shape for the 100 TB case:
+   * the eval suite's distinct n-grams build a Bloom filter (16384 bits
+   * packed into 63-bit words, exact integer OR), which ships as a literal
+   * word array inside a pure projection that prefilters the TRAIN side's
+   * n-grams BEFORE the expensive distinct + equi-join shuffles. Bloom
+   * filters have no false negatives, so every truly-overlapping train
+   * gram survives the prefilter and the exact join that follows removes
+   * the false positives — a lossless semi-join reduction: the train-gram
+   * shuffle shrinks from corpus-sized to (true overlap + fp-rate·corpus)
+   * rows. The filter is bounded by construction (the eval suite is
+   * KBs–MBs), so collecting its 261 words to the driver is a model
+   * broadcast, not a data collect.
+   */
+  def contaminationFlagsBloom(docs: DataFrame, idCol: String, textCol: String,
+                              evalPred: Column, n: Int): DataFrame = {
+    val grams = Spread.shared(Spread.byKey(docs, col(idCol))
+      .withColumn("__eval", evalPred)
+      .select(col(idCol), col("__eval"),
+        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram")))
+    val evalGrams = Spread.shared(
+      grams.filter(col("__eval")).select("__ngram").distinct())
+    val params = Dedup.hashParams(Sketches.BloomK)
+    val nWords = (Sketches.BloomBits + 62) / 63
+    val wordRows = params.map { case (_, a, b) =>
+        evalGrams.select(Sketches.bucketHash(
+          Sketches.tokenKey(col("__ngram")), a, b, Sketches.BloomBits).as("__p"))
+      }.reduce(_ unionByName _)
+      .select((col("__p") / 63).cast("int").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 63 AS INT))").as("__v"))
+      .distinct().groupBy("__w").agg(sum("__v").as("__word"))
+      .collect()
+    val words = Array.fill(nWords)(0L)
+    wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
+    val wl = array(words.map(lit): _*)
+    // k bit probes as one codegen'd predicate over the literal word array
+    var pre = grams.filter(!col("__eval"))
+      .withColumn("__key", Sketches.tokenKey(col("__ngram")))
+    val checks = params.zipWithIndex.map { case ((_, a, b), i) =>
+      pre = pre
+        .withColumn(s"__p$i", Sketches.bucketHash(col("__key"), a, b, Sketches.BloomBits))
+        .withColumn(s"__wv$i", element_at(wl, (col(s"__p$i") / 63).cast("int") + 1))
+      expr(s"(shiftright(__wv$i, CAST(__p$i % 63 AS INT)) & 1) = 1")
+    }
+    val trainPre = pre.filter(checks.reduce(_ && _))
+      .select(col(idCol), col("__ngram")).distinct()
+    trainPre.join(evalGrams, "__ngram")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+  }
+
+  /**
    * Stateless decontamination against a FIXED eval n-gram set — the
    * ingestion-time deployment shape of [[contaminationFlags]]: benchmark
    * suites are bounded by construction (KBs–MBs of n-grams), so the eval

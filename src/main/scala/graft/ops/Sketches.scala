@@ -269,12 +269,12 @@ object Sketches {
   val CmW = 1024
 
   /** 32-bit md5 token key, shared by build and probe sides. */
-  private def tokenKey(c: Column): Column =
+  private[ops] def tokenKey(c: Column): Column =
     expr(s"CAST(conv(substring(md5(${c.toString}), 1, 8), 16, 10) AS BIGINT)")
 
   /** Shared (a·key + b) mod P mod width bucket hash for the Count-Min
     * counters and the Bloom bit positions. */
-  private def bucketHash(key: Column, a: Long, b: Long, width: Int): Column =
+  private[ops] def bucketHash(key: Column, a: Long, b: Long, width: Int): Column =
     pmod(pmod(lit(a) * key + lit(b), lit(Dedup.P)), lit(width.toLong))
 
   /** Bloom filter geometry: 16384 bit positions packed into 63-bit words

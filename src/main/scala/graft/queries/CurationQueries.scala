@@ -45,6 +45,22 @@ object CurationQueries {
               |SELECT tr.doc_id, count(*) AS n_overlap
               |FROM tr JOIN eg USING (ngram) GROUP BY 1""".stripMargin)),
 
+    // the same decontamination through a Bloom semi-join reduction: the
+    // eval suite's n-grams build a 16384-bit Bloom filter shipped as a
+    // literal word array, prefiltering train grams in a pure projection
+    // BEFORE the distinct+join shuffles (no false negatives ⇒ lossless;
+    // the exact join kills the false positives). Same oracle as
+    // decontam_ngram — the outputs must be identical.
+    Q("decontam_bloom",
+      (s, dir) => Curation.contaminationFlagsBloom(
+        documents(s, dir), "doc_id", "text", col("doc_id") % 41 === 0, 3),
+      Some(s"""WITH $trigramCte,
+              |tr AS (
+              |  SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 41 <> 0),
+              |eg AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 41 = 0)
+              |SELECT tr.doc_id, count(*) AS n_overlap
+              |FROM tr JOIN eg USING (ngram) GROUP BY 1""".stripMargin)),
+
     // concat-and-chunk sequence packing (seqLen = 512): global token
     // offsets via the ranged two-pass running total, then each doc explodes
     // to the chunks its token span touches.
