@@ -25,4 +25,20 @@ class IndexSpec extends AnyFunSuite {
       .exceptAll(viaIndex.select("key", "payload", "pos")).count()
     assert(diff == 0, s"$diff rows differ")
   }
+
+  test("withRunningMax == max over global order, nulls contribute nothing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val rows = (1 to 3000).map { i =>
+      (i.toLong, if (rnd.nextInt(10) == 0) None else Some(rnd.nextLong() % 100000L))
+    }
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = Index.withRunningMax(df, Seq("k"), "v", "rm")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var acc = Long.MinValue
+    for ((k, v) <- rows) {
+      acc = v.fold(acc)(x => math.max(acc, x))
+      assert(got(k) == acc, s"k=$k")
+    }
+  }
 }
