@@ -60,6 +60,33 @@ object Layout {
    * `repartitionByRange(col("zvalue"))`-sorted output is the caller's
    * final step — this operator computes the key, it does not shuffle.
    */
+  /**
+   * Write `df` parquet Z-ordered on two dimensions: compute the Morton key
+   * ([[zorder2]] math inline, all columns kept), range-partition into
+   * `nFiles` partitions by the key, sort within each, and write — every
+   * output file then has a tight min/max bounding box in BOTH dimensions,
+   * so footer statistics prune multi-predicate scans (the OPTIMIZE
+   * ZORDER write path; LayoutSpec verifies per-file spans on read-back).
+   * One range exchange; no global sort.
+   */
+  def writeZOrdered(df: DataFrame, dim1: Column, dim2: Column,
+                    path: String, bits: Int = 16, nFiles: Int = 8): Unit = {
+    val d1 = dim1.cast("long")
+    val d2 = dim2.cast("long")
+    val bounds = df.agg(
+      min(d1).as("__lo1"), max(d1).as("__hi1"),
+      min(d2).as("__lo2"), max(d2).as("__hi2"))
+    df.crossJoin(bounds)
+      .withColumn("__z", interleave2(
+        scaled(d1, col("__lo1"), col("__hi1"), bits),
+        scaled(d2, col("__lo2"), col("__hi2"), bits), bits))
+      .drop("__lo1", "__hi1", "__lo2", "__hi2")
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def zorder2(df: DataFrame, idCol: String, dim1: Column, dim2: Column,
               bits: Int, nBuckets: Int): DataFrame = {
     require(bits > 0 && bits <= 31, "bits must be in 1..31")

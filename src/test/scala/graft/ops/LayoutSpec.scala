@@ -57,4 +57,30 @@ class LayoutSpec extends AnyFunSuite {
       assert(r.getLong(2) <= tRange / 4 + tRange / 100, s"bucket ${r.getInt(0)} t-span")
     }
   }
+
+  test("writeZOrdered files carry tight 2-D bounding boxes on disk") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 8192L).map(i =>
+      (i, rnd.nextInt(1000000).toLong, rnd.nextInt(1000000).toLong))
+    val df = rows.toDF("id", "u", "t")
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    Layout.writeZOrdered(df, col("u"), col("t"), s"$dir/z", nFiles = 8)
+    val files = new java.io.File(s"$dir/z").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 8)
+    val uR = (rows.map(_._2).max - rows.map(_._2).min).toDouble
+    val tR = (rows.map(_._3).max - rows.map(_._3).min).toDouble
+    // per-FILE bounding-box area — footer min/max stats prune on exactly
+    // these bounds; a random write would average ~1.0 of the space
+    val areas = files.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("u"), max("u"), min("t"), max("t")).head()
+      ((d.getLong(1) - d.getLong(0)) / uR) * ((d.getLong(3) - d.getLong(2)) / tR)
+    }
+    val meanArea = areas.sum / areas.length
+    assert(meanArea < 0.5, f"mean normalized box area $meanArea%.3f")
+    // row count preserved through the layout write
+    assert(spark.read.parquet(s"$dir/z").count() == 8192)
+  }
 }
