@@ -87,6 +87,51 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /**
+   * Hilbert-curve index of an already-quantized (x, y) pair — the
+   * better-locality alternative to Morton order: consecutive curve
+   * positions are ALWAYS grid-adjacent (proven exhaustively in
+   * LayoutSpec), so range-partitioning by `d` gives files whose bounding
+   * boxes are typically ~2× tighter than Z-order's at the same file
+   * count. The standard per-level rotate-and-accumulate iteration
+   * (Hamilton's xy2d) unrolls into `bits` chained projections over NAMED
+   * intermediate columns — naming each level keeps the Catalyst tree
+   * linear in `bits` (a pure expression fold would grow exponentially,
+   * since every level references the previous x and y more than once).
+   * Appends `outCol` (the curve position); drops the intermediates.
+   */
+  def hilbert2(df: DataFrame, xCol: String, yCol: String, bits: Int,
+               outCol: String): DataFrame = {
+    require(bits > 0 && bits <= 31, "bits must be in 1..31")
+    var cur = df.withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = when((col("__hx").bitwiseAND(lit(s))) > 0, 1L).otherwise(0L)
+      val ry = when((col("__hy").bitwiseAND(lit(s))) > 0, 1L).otherwise(0L)
+      cur = cur
+        .withColumn("__rx", rx).withColumn("__ry", ry)
+        .withColumn("__hd", col("__hd") +
+          lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        // rotate the quadrant: ry=0 swaps x/y, rx=1 also flips both over
+        // the FULL grid (n−1, not s−1 — the canonical xy2d iteration)
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit((1L << bits) - 1) - col("__hy"))
+              .otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit((1L << bits) - 1) - col("__hx"))
+              .otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+        .drop("__nx", "__ny", "__rx", "__ry")
+    }
+    cur.withColumn(outCol, col("__hd")).drop("__hx", "__hy", "__hd")
+  }
+
   def zorder2(df: DataFrame, idCol: String, dim1: Column, dim2: Column,
               bits: Int, nBuckets: Int): DataFrame = {
     require(bits > 0 && bits <= 31, "bits must be in 1..31")

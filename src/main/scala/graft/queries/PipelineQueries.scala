@@ -917,6 +917,72 @@ object PipelineQueries {
              |  CAST(zvalue >> 27 AS INTEGER) AS bucket
              |FROM zz""".stripMargin)),
 
+    // Hilbert-curve layout key over the same (user, time) grid — the
+    // better-locality sibling of zorder_layout: consecutive curve
+    // positions are ALWAYS grid-adjacent (LayoutSpec proves it
+    // exhaustively), so range-partitioned files get ~2× tighter bounding
+    // boxes. The per-level rotate-and-accumulate iteration unrolls into 8
+    // chained projections (Spark) / 8 chained CTEs (oracle) of exact
+    // integer arithmetic.
+    Q("hilbert_layout",
+      (s, dir) => {
+        val ev = events(s, dir)
+        // quantize with the SAME scaled() math zorder uses (bits=8), then
+        // the Hilbert fold
+        val d1 = col("user_id").cast("long")
+        val d2 = col("ts").cast("long")
+        val bounds = ev.agg(
+          min(d1).as("__lo1"), max(d1).as("__hi1"),
+          min(d2).as("__lo2"), max(d2).as("__hi2"))
+        val sc = ev.crossJoin(bounds).select(col("event_id"),
+          when(col("__hi1") === col("__lo1"), lit(0L)).otherwise(least(
+            floor((d1 - col("__lo1")).cast("double") * lit(255.0) /
+              (col("__hi1") - col("__lo1")).cast("double")).cast("long"),
+            lit(255L))).as("gx"),
+          when(col("__hi2") === col("__lo2"), lit(0L)).otherwise(least(
+            floor((d2 - col("__lo2")).cast("double") * lit(255.0) /
+              (col("__hi2") - col("__lo2")).cast("double")).cast("long"),
+            lit(255L))).as("gy"))
+        graft.ops.Layout.hilbert2(sc, "gx", "gy", bits = 8, outCol = "hd")
+          .select(col("event_id"), col("gx"), col("gy"), col("hd"),
+            shiftright(col("hd"), 11).cast("int").as("bucket"))
+      },
+      Some {
+        val levels = (7 to 0 by -1).map { i =>
+          val s = 1L << i
+          val prev = if (i == 7) "sc" else s"l${i + 1}"
+          s"""l$i AS (SELECT event_id, gx, gy,
+             |  d + $s * $s * xor(3 * (CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END),
+             |                    (CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)) AS d,
+             |  CASE WHEN (y & $s) = 0 THEN
+             |    CASE WHEN (x & $s) > 0 THEN 255 - y ELSE y END
+             |  ELSE x END AS x,
+             |  CASE WHEN (y & $s) = 0 THEN
+             |    CASE WHEN (x & $s) > 0 THEN 255 - x ELSE x END
+             |  ELSE y END AS y
+             |FROM $prev)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH b AS (
+           |  SELECT min(user_id) AS lo1, max(user_id) AS hi1,
+           |    min(epoch_ns(ts)) AS lo2, max(epoch_ns(ts)) AS hi2
+           |  FROM events),
+           |sc AS (
+           |  SELECT event_id,
+           |    CASE WHEN b.hi1 = b.lo1 THEN 0 ELSE least(
+           |      CAST(floor(CAST(user_id - b.lo1 AS DOUBLE) * 255e0
+           |        / CAST(b.hi1 - b.lo1 AS DOUBLE)) AS BIGINT), 255) END AS gx,
+           |    CASE WHEN b.hi2 = b.lo2 THEN 0 ELSE least(
+           |      CAST(floor(CAST(epoch_ns(ts) - b.lo2 AS DOUBLE) * 255e0
+           |        / CAST(b.hi2 - b.lo2 AS DOUBLE)) AS BIGINT), 255) END AS gy
+           |  FROM events, b),
+           |sc2 AS (SELECT event_id, gx, gy, gx AS x, gy AS y,
+           |        CAST(0 AS BIGINT) AS d FROM sc),
+           |${levels.replaceFirst("FROM sc\\)", "FROM sc2)")}
+           |SELECT event_id, gx, gy, d AS hd,
+           |  CAST(d >> 11 AS INTEGER) AS bucket
+           |FROM l0""".stripMargin
+      }),
+
     // deterministic fixed-size uniform sample: exactly k docs by hash order
     // — TakeOrderedAndProject at scale (per-partition top-k merged on the
     // driver; the full table is never sorted or shuffled)

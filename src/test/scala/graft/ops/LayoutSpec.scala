@@ -83,4 +83,38 @@ class LayoutSpec extends AnyFunSuite {
     // row count preserved through the layout write
     assert(spark.read.parquet(s"$dir/z").count() == 8192)
   }
+
+  private def hilbertRef(n: Long, x0: Long, y0: Long): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbert2 matches the canonical xy2d; consecutive d are grid-adjacent") {
+    import spark.implicits._
+    val bits = 5 // full 32x32 grid, exhaustive
+    val n = 1L << bits
+    val pts = for (x <- 0L until n; y <- 0L until n) yield (x, y)
+    val got = Layout.hilbert2(pts.toDF("x", "y"), "x", "y", bits, "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((x, y) <- pts)
+      assert(got((x, y)) == hilbertRef(n, x, y), s"($x,$y)")
+    // the curve is a bijection onto 0..n^2-1 and every step moves to a
+    // 4-neighbour cell — the locality property Morton order lacks
+    val byD = got.toSeq.map { case ((x, y), d) => d -> ((x, y)) }.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until n * n))
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at ($x1,$y1)")
+    }
+  }
 }
