@@ -1752,6 +1752,97 @@ object PipelineQueries {
              |    (PARTITION BY source ORDER BY rrf DESC, doc_id) AS rank
              |  FROM fz) WHERE rank <= 50""".stripMargin)),
 
+    // the Gopher quality rules (Rae et al. 2021 §A1.1, the thresholds
+    // adapted to this corpus's scale): word-count window, mean-word-length
+    // window, fraction of words containing an alphabetic character, and
+    // minimum distinct stop-words — each rule's verdict exposed as a flag
+    // so downstream filters can compose them. Pure per-row expressions.
+    Q("gopher_rules",
+      (s, dir) => {
+        val toks = TA.tokens(col("text"))
+        documents(s, dir).select(col("doc_id"),
+            size(toks).as("n_words"),
+            round(TA.meanTokenLen(col("text")), 8).as("mean_word_len"),
+            round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+              size(toks), 8).as("alpha_word_frac"),
+            size(array_intersect(array_distinct(toks),
+              lit(TA.defaultStopwords.toArray))).as("n_stop"))
+          .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+            col("alpha_word_frac"), col("n_stop"),
+            (col("n_words") >= 20 && col("n_words") <= 1000).cast("int")
+              .as("ok_words"),
+            (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+              .cast("int").as("ok_wordlen"),
+            (col("alpha_word_frac") >= 0.8).cast("int").as("ok_alpha"),
+            (col("n_stop") >= 2).cast("int").as("ok_stop"))
+          .withColumn("keep",
+            (col("ok_words") * col("ok_wordlen") *
+             col("ok_alpha") * col("ok_stop")).cast("int"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |m AS (
+             |  SELECT doc_id,
+             |    CAST(len(toks) AS INTEGER) AS n_words,
+             |    round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks), 8)
+             |      AS mean_word_len,
+             |    round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+             |      AS DOUBLE) / len(toks), 8) AS alpha_word_frac,
+             |    CAST(len(list_intersect(list_distinct(toks),
+             |      [${TA.defaultStopwords.map("'" + _ + "'").mkString(",")}]))
+             |      AS INTEGER) AS n_stop
+             |  FROM t)
+             |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, n_stop,
+             |  CAST(n_words BETWEEN 20 AND 1000 AS INTEGER) AS ok_words,
+             |  CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS ok_wordlen,
+             |  CAST(alpha_word_frac >= 0.8 AS INTEGER) AS ok_alpha,
+             |  CAST(n_stop >= 2 AS INTEGER) AS ok_stop,
+             |  CAST((n_words BETWEEN 20 AND 1000) AND
+             |       (mean_word_len BETWEEN 3.0 AND 10.0) AND
+             |       alpha_word_frac >= 0.8 AND n_stop >= 2 AS INTEGER) AS keep
+             |FROM m""".stripMargin)),
+
+    // per-document character-entropy quality signal (the compression-ratio
+    // proxy of CCNet/Gopher pipelines, exactly computable in SQL): Shannon
+    // entropy over the char distribution, each -p·log2(p) term quantized
+    // to DECIMAL(20,9) before the sum — order-free exact addition, so both
+    // engines agree to the last bit (the LM-score pattern).
+    Q("text_entropy",
+      (s, dir) => {
+        val chars = documents(s, dir)
+          .select(col("doc_id"), length(col("text")).as("__n"),
+            explode(expr("sequence(1, greatest(length(text), 1))")).as("__i"),
+            col("text"))
+          .select(col("doc_id"), col("__n"),
+            expr("substr(text, __i, 1)").as("__ch"))
+          .filter(length(col("__ch")) === 1)
+        chars.groupBy("doc_id", "__n", "__ch")
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__term",
+            round((col("__c").cast("double") / col("__n")) *
+              log2(col("__n").cast("double") / col("__c")), 9)
+              .cast("decimal(20,9)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_distinct_chars"),
+            sum("__term").cast("double").as("entropy_bits"))
+      },
+      Some("""WITH pos AS (
+             |  SELECT doc_id, length(text) AS n, text,
+             |    unnest(generate_series(1, greatest(length(text), 1))) AS i
+             |  FROM documents),
+             |ch AS (SELECT doc_id, n, substr(text, i, 1) AS c FROM pos
+             |       WHERE length(substr(text, i, 1)) = 1),
+             |ct AS (SELECT doc_id, n, c, count(*) AS cnt FROM ch GROUP BY 1, 2, 3),
+             |tm AS (SELECT doc_id,
+             |    CAST(round((CAST(cnt AS DOUBLE) / n) *
+             |      log2(CAST(n AS DOUBLE) / cnt), 9) AS DECIMAL(20,9)) AS term
+             |  FROM ct)
+             |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_distinct_chars,
+             |  CAST(sum(term) AS DOUBLE) AS entropy_bits
+             |FROM tm GROUP BY doc_id""".stripMargin)),
+
     Q("text_lm_score",
       (s, dir) => TA.charBigramLmScore(documents(s, dir), "doc_id", "text"),
       Some("""WITH pos AS (
