@@ -146,6 +146,73 @@ object Relational {
              |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // ordered funnel analysis (view → click → purchase): each step's time
+    // is the FIRST matching event strictly after the previous step — two
+    // chained per-user aggregation passes (conditional min over ts), state
+    // bounded at three timestamps per user, shuffles keyed on the
+    // high-cardinality user id. The canonical event-analytics op.
+    Q("event_funnel",
+      (s, dir) => {
+        val ev = events(s, dir).select("user_id", "event_type", "ts")
+        val s1 = ev.groupBy("user_id")
+          .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+        val s2 = ev.join(s1, "user_id")
+          .groupBy("user_id", "t_view")
+          .agg(min(when(col("event_type") === "click" &&
+            col("ts") > col("t_view"), col("ts"))).as("t_click"))
+        val s3 = ev.join(s2, "user_id")
+          .groupBy("user_id", "t_view", "t_click")
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t_click"), col("ts"))).as("t_purchase"))
+        s3.select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0)).cast("int").as("steps_reached"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+             |s1 AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+             |  FROM e GROUP BY 1),
+             |s2 AS (SELECT e.user_id, s1.t_view,
+             |    min(CASE WHEN event_type = 'click' AND e.ts > s1.t_view
+             |        THEN e.ts END) AS t_click
+             |  FROM e JOIN s1 USING (user_id) GROUP BY 1, 2),
+             |s3 AS (SELECT e.user_id, s2.t_view, s2.t_click,
+             |    min(CASE WHEN event_type = 'purchase' AND e.ts > s2.t_click
+             |        THEN e.ts END) AS t_purchase
+             |  FROM e JOIN s2 USING (user_id) GROUP BY 1, 2, 3)
+             |SELECT user_id, t_view, t_click, t_purchase,
+             |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+             |    WHEN t_click IS NOT NULL THEN 2
+             |    WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+             |    AS steps_reached
+             |FROM s3""".stripMargin)),
+
+    // cohort retention matrix: users grouped by first-activity day, counted
+    // per (cohort_day, day_offset) from their distinct active days — two
+    // map-side-combinable aggregations on user id, the standard
+    // product-analytics retention shape.
+    Q("cohort_retention",
+      (s, dir) => {
+        val days = events(s, dir)
+          .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+          .distinct()
+        val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+        days.join(cohort, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some("""WITH d AS (
+             |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+             |  FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+             |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+             |  count(DISTINCT d.user_id) AS n_users
+             |FROM d JOIN c USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- clip_ds family (stglib/core/utils.py:73-180) -----------------
     Q("clip_deployment",
       (s, dir) => Clip.clipDeployment(events(s, dir), "ts",
