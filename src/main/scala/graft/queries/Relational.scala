@@ -213,6 +213,32 @@ object Relational {
              |FROM d JOIN c USING (user_id)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // per-user event-sequence transition counts (the Markov-chain view of
+    // a clickstream): lag over (user, time) windows — partitioned by the
+    // high-cardinality user id, never global — then one count aggregation
+    // per (from, to) pair; event_id breaks timestamp ties deterministically.
+    Q("event_transitions",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, dir).select(col("user_id"), col("event_type"),
+            col("ts"), col("event_id"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_type
+             |  FROM events)
+             |SELECT prev_type AS from_type, event_type AS to_type,
+             |  count(*) AS n
+             |FROM o WHERE prev_type IS NOT NULL
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ---- clip_ds family (stglib/core/utils.py:73-180) -----------------
     Q("clip_deployment",
       (s, dir) => Clip.clipDeployment(events(s, dir), "ts",
