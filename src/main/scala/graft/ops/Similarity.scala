@@ -447,6 +447,49 @@ object Similarity {
    * bit-identical to [[cellOutliers]] for the same model (proven in
    * StreamAnnIngestSpec).
    */
+  /**
+   * Johnson–Lindenstrauss random projection to `outDims` dimensions with a
+   * hash-derived ±1 matrix (Achlioptas 2003's database-friendly variant) —
+   * the dimensionality-reduction step that makes downstream ANN cheaper
+   * while preserving pairwise distances to within the JL bound. The
+   * projection matrix is DERIVED IN-ENGINE from md5 parity (both engines
+   * compute the identical signs — no RNG state to ship), inputs quantize
+   * to micro-units, and each output coordinate is an exact BIGINT sum of
+   * ±xi terms with one final double scale (1/outDims when outDims is a
+   * power of four ⇒ the 1/√outDims JL scale is exactly representable).
+   *
+   * Scale shape: explode to (vec, in-dim) rows, join the 16×64-row sign
+   * matrix (broadcast), one groupBy (vec, out-dim) integer sum —
+   * map-side combinable, no windows.
+   *
+   * Returns (vec_id, out_dim, v) in long format.
+   */
+  def jlProject(df: DataFrame, idCol: String, embCol: String,
+                dims: Int, outDims: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(math.sqrt(outDims.toDouble).isWhole,
+      "outDims must be a perfect square so the JL scale is exact")
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    // sign matrix from md5 parity, computed with the engine's own md5 so
+    // the oracle derives the identical matrix
+    val m = (0 until outDims).toDF("j")
+      .crossJoin((1 to dims).toDF("i"))
+      .withColumn("s", expr(
+        "CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), '_', " +
+          "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 " +
+          "THEN 1 ELSE -1 END"))
+    val x = df.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(transform(asDouble(col(embCol)),
+          v => floor(v * lit(1000000.0)).cast("long"))).as(Seq("i0", "xi")))
+      .withColumn("i", col("i0") + 1).drop("i0")
+    x.join(broadcast(m), "i")
+      .groupBy("vec_id", "j")
+      .agg(sum(col("xi") * col("s")).as("__acc"))
+      .select(col("vec_id"), col("j").as("out_dim"),
+        (col("__acc").cast("double") / 1000000.0 * lit(scale)).as("v"))
+  }
+
   /** Train the model the streaming scorer consumes: coarse centroids plus
     * the per-cell distance stats over the training corpus. */
   def outlierModel(df: DataFrame, idCol: String, embCol: String,

@@ -1102,6 +1102,27 @@ object PipelineQueries {
              |      c.cent_id) AS rn
              |  FROM xdd, cent3 c) WHERE rn = 1""".stripMargin)),
 
+    // JL random projection 64→16 dims: hash-derived ±1 matrix (identical
+    // in both engines via md5 parity), micro-unit integer sums, exact
+    // 1/√16 scale — distance-preserving compression before cheap ANN
+    Q("embed_project_jl",
+      (s, dir) => Similarity.jlProject(embeddings(s, dir), "vec_id",
+        "embedding", dims = 64, outDims = 16),
+      Some("""WITH m AS (
+             |  SELECT j, i,
+             |    CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
+             |      CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+             |    THEN 1 ELSE -1 END AS s
+             |  FROM generate_series(0, 15) g1(j), generate_series(1, 64) g2(i)),
+             |x AS (
+             |  SELECT vec_id, g.i AS i,
+             |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
+             |  FROM embeddings, generate_series(1, 64) g(i))
+             |SELECT x.vec_id, CAST(m.j AS INTEGER) AS out_dim,
+             |  CAST(sum(x.xi * m.s) AS DOUBLE) / 1000000.0 * 0.25 AS v
+             |FROM x JOIN m ON x.i = m.i
+             |GROUP BY 1, 2""".stripMargin)),
+
     // per-cell distance outliers: junk embeddings sit far from every
     // centroid — z-score the micro²-unit squared distance WITHIN the
     // trained cell (exact decimal sums of the bigint distances, single

@@ -63,4 +63,29 @@ class KmeansSpec extends AnyFunSuite {
     assert(out.values.forall(r => r.getAs[Long]("d2_micro") >= 0 &&
       Set(0L, 1L)(r.getAs[Long]("cell"))))
   }
+
+  test("JL projection preserves pairwise distances on average") {
+    import spark.implicits._
+    val dims = 64
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 30L).map(i =>
+      (i, Array.fill(dims)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = Similarity.jlProject(df, "vec_id", "embedding", dims, 16)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    assert(proj.size == 30 && proj.values.forall(_.length == 16))
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val orig = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+    val ratios = for (i <- 0L until 30L; j <- (i + 1) until 30L) yield
+      d2(proj(i).toArray, proj(j).toArray) / d2(orig(i), orig(j))
+    val mean = ratios.sum / ratios.size
+    // k=16 JL: individual ratios are noisy, the mean must hug 1
+    assert(mean > 0.7 && mean < 1.3, f"mean distance ratio $mean%.3f")
+    assert(ratios.count(r => r > 0.2 && r < 3.0) >= ratios.size * 9 / 10)
+  }
 }
