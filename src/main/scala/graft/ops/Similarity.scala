@@ -490,6 +490,51 @@ object Similarity {
         (col("__acc").cast("double") / 1000000.0 * lit(scale)).as("v"))
   }
 
+  /**
+   * Two-stage compressed search over the JL projection: candidate top-kCand
+   * by cosine in the 16-dim projected space (4× cheaper pair work than the
+   * raw 64-dim brute pass), exact full-precision cosine re-rank of the
+   * bounded candidate set — the JL sibling of [[pqRerank]]. Candidate
+   * generation inherits [[bruteTopK]]'s documented exact-baseline scale
+   * caveats; full-precision vectors are touched O(kCand) per query.
+   *
+   * Returns (vec_id, neighbor_id, cosine, rank) — cosine is the EXACT
+   * 64-dim value.
+   */
+  def jlRerank(df: DataFrame, idCol: String, embCol: String, dims: Int,
+               outDims: Int, kCand: Int, k: Int): DataFrame = {
+    // projected vectors back to array form, ordered by out_dim
+    val proj = Spread.shared(jlProject(df, idCol, embCol, dims, outDims)
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(out_dim, v))), x -> x.v)")
+        .as("p"))
+      .withColumn("__n", sqrt(ndot(col("p"), col("p"))))
+      .select(col("vec_id"), transform(col("p"), x => x / col("__n")).as("p")))
+    val a = proj.select(col("vec_id"), col("p").as("pa"))
+    val b = proj.select(col("vec_id").as("neighbor_id"), col("p").as("pb"))
+    val nPar = df.sparkSession.sparkContext.defaultParallelism
+    val cand = Spread.blockedCross(a, b, col("vec_id"), col("neighbor_id"),
+        sa = nPar, sb = 4, cond = col("vec_id") =!= col("neighbor_id"))
+      .withColumn("approx", ndot(col("pa"), col("pb")))
+      .select("vec_id", "neighbor_id", "approx")
+    val wc = Window.partitionBy("vec_id")
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val top = cand.withColumn("__r", row_number().over(wc))
+      .filter(col("__r") <= kCand).select("vec_id", "neighbor_id")
+    // exact re-rank on the bounded candidate set
+    val full = Spread.shared(normalized(df, idCol, embCol, "id", "e"))
+    val scored = top
+      .join(full.select(col("id").as("vec_id"), col("e").as("ea")), "vec_id")
+      .join(full.select(col("id").as("neighbor_id"), col("e").as("eb")),
+        "neighbor_id")
+      .withColumn("cosine", ndot(col("ea"), col("eb")))
+    val wf = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wf))
+      .filter(col("rank") <= k)
+      .select("vec_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Train the model the streaming scorer consumes: coarse centroids plus
     * the per-cell distance stats over the training corpus. */
   def outlierModel(df: DataFrame, idCol: String, embCol: String,

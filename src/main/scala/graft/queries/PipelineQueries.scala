@@ -1123,6 +1123,64 @@ object PipelineQueries {
              |FROM x JOIN m ON x.i = m.i
              |GROUP BY 1, 2""".stripMargin)),
 
+    // two-stage compressed search over the JL projection: top-20
+    // candidates by 16-dim projected cosine (4× cheaper pair work),
+    // exact 64-dim cosine re-rank to top-5 — the JL sibling of the
+    // IVF-PQ rerank pattern
+    Q("similarity_jl_rerank",
+      (s, dir) => Similarity.jlRerank(embeddings(s, dir), "vec_id",
+          "embedding", dims = 64, outDims = 16, kCand = 20, k = 5)
+        .withColumn("cosine", round(col("cosine"), 8)),
+      Some("""WITH m AS (
+             |  SELECT j, i,
+             |    CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
+             |      CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+             |    THEN 1 ELSE -1 END AS s
+             |  FROM generate_series(0, 15) g1(j), generate_series(1, 64) g2(i)),
+             |x AS (
+             |  SELECT vec_id, g.i AS i,
+             |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
+             |  FROM embeddings, generate_series(1, 64) g(i)),
+             |pj AS (
+             |  SELECT x.vec_id, m.j,
+             |    CAST(sum(x.xi * m.s) AS DOUBLE) / 1000000.0 * 0.25 AS v
+             |  FROM x JOIN m ON x.i = m.i GROUP BY 1, 2),
+             |pl AS (SELECT vec_id, list(v ORDER BY j) AS p FROM pj GROUP BY 1),
+             |pn AS (SELECT vec_id,
+             |    list_transform(generate_series(1, 16), i -> p[i] /
+             |      sqrt(list_sum(list_transform(generate_series(1, 16),
+             |        q -> p[q] * p[q])))) AS p
+             |  FROM pl),
+             |cand AS (
+             |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+             |    list_sum(list_transform(generate_series(1, 16),
+             |      i -> a.p[i] * b.p[i])) AS approx
+             |  FROM pn a JOIN pn b ON a.vec_id <> b.vec_id),
+             |top AS (
+             |  SELECT vec_id, neighbor_id FROM (
+             |    SELECT vec_id, neighbor_id, row_number() OVER
+             |      (PARTITION BY vec_id ORDER BY approx DESC, neighbor_id) AS r
+             |    FROM cand) WHERE r <= 20),
+             |e0 AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+             |  FROM embeddings),
+             |e AS (SELECT vec_id,
+             |    list_transform(generate_series(1, 64), i -> emb[i] /
+             |      sqrt(list_sum(list_transform(generate_series(1, 64),
+             |        j -> emb[j] * emb[j])))) AS e
+             |  FROM e0),
+             |sc AS (
+             |  SELECT t.vec_id, t.neighbor_id,
+             |    list_sum(list_transform(generate_series(1, 64),
+             |      i -> ea.e[i] * eb.e[i])) AS cosine
+             |  FROM top t JOIN e ea ON ea.vec_id = t.vec_id
+             |    JOIN e eb ON eb.vec_id = t.neighbor_id)
+             |SELECT vec_id, neighbor_id, round(cosine, 8) AS cosine,
+             |  CAST(rank AS INTEGER) AS rank FROM (
+             |  SELECT vec_id, neighbor_id, cosine, row_number() OVER
+             |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM sc) WHERE rank <= 5""".stripMargin)),
+
     // per-cell distance outliers: junk embeddings sit far from every
     // centroid — z-score the micro²-unit squared distance WITHIN the
     // trained cell (exact decimal sums of the bigint distances, single
