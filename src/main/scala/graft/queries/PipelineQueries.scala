@@ -1123,6 +1123,48 @@ object PipelineQueries {
              |FROM x JOIN m ON x.i = m.i
              |GROUP BY 1, 2""".stripMargin)),
 
+    // per-dimension standardization (whitening-lite before ANN/clustering):
+    // micro-unit integer sums give exact per-dim mean/variance (the
+    // Exact.avg pattern applied per dimension), then z = (x−μ)/σ as single
+    // double ops — a 64-row stats model broadcast back to the vectors
+    Q("embed_standardize",
+      (s, dir) => {
+        val x = embeddings(s, dir).select(col("vec_id"),
+            posexplode(expr(
+              "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT))"))
+              .as(Seq("i0", "xi")))
+          .withColumn("dim", (col("i0") + 1).cast("int")).drop("i0")
+        val st = x.groupBy("dim").agg(
+            count(lit(1)).as("__n"),
+            sum(col("xi").cast("decimal(38,0)")).cast("double").as("__s1"),
+            sum(col("xi").cast("decimal(19,0)") * col("xi").cast("decimal(19,0)"))
+              .cast("double").as("__s2"))
+          .select(col("dim"), (col("__s1") / col("__n")).as("__mean"),
+            (col("__s2") / col("__n") -
+              (col("__s1") / col("__n")) * (col("__s1") / col("__n"))).as("__var"))
+        x.join(broadcast(st), "dim")
+          .select(col("vec_id"), col("dim"),
+            round(when(col("__var") > 0,
+              (col("xi").cast("double") - col("__mean")) / sqrt(col("__var")))
+              .otherwise(0.0), 8).as("z"))
+      },
+      Some("""WITH x AS (
+             |  SELECT vec_id, CAST(g.i AS INTEGER) AS dim,
+             |    CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS xi
+             |  FROM embeddings, generate_series(1, 64) g(i)),
+             |st AS (
+             |  SELECT dim, count(*) AS n,
+             |    CAST(sum(CAST(xi AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+             |    CAST(sum(CAST(xi AS DECIMAL(19,0)) * CAST(xi AS DECIMAL(19,0)))
+             |      AS DOUBLE) AS s2
+             |  FROM x GROUP BY 1),
+             |sv AS (SELECT dim, s1 / n AS m,
+             |    s2 / n - (s1 / n) * (s1 / n) AS v FROM st)
+             |SELECT x.vec_id, x.dim,
+             |  round(CASE WHEN v > 0
+             |    THEN (CAST(xi AS DOUBLE) - m) / sqrt(v) ELSE 0.0 END, 8) AS z
+             |FROM x JOIN sv ON x.dim = sv.dim""".stripMargin)),
+
     // two-stage compressed search over the JL projection: top-20
     // candidates by 16-dim projected cosine (4× cheaper pair work),
     // exact 64-dim cosine re-rank to top-5 — the JL sibling of the
