@@ -1873,6 +1873,57 @@ object PipelineQueries {
              |    (PARTITION BY source ORDER BY rrf DESC, doc_id) AS rank
              |  FROM fz) WHERE rank <= 50""".stripMargin)),
 
+    // exact per-source quantile transform of a score (the rank-based
+    // normalization that makes scores comparable across sources): reduce
+    // to a (source, value) histogram first (map-side combine), cumulative
+    // count over HISTOGRAM rows (bounded by distinct values, not corpus
+    // size), then q = (cum_below + (c+1)/2 − 1) / n — the average-rank
+    // percentile, exact in integer arithmetic ×2 to avoid halves
+    Q("quantile_transform",
+      (s, dir) => {
+        val d = documents(s, dir).select(col("doc_id"), col("source"),
+          col("n_chars"))
+        val hist = d.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+        import org.apache.spark.sql.expressions.Window
+        val byVal = Window.partitionBy("source").orderBy("n_chars")
+        val all = Window.partitionBy("source")
+        val cum = hist.withColumn("cumi", sum("c").over(byVal))
+          .withColumn("n", sum("c").over(all))
+          .select(col("source"), col("n_chars"),
+            // 2·(average rank) − 1 = 2·cum_below + c − 1, kept integral
+            (lit(2) * (col("cumi") - col("c")) + col("c") - 1).as("r2"),
+            col("n"))
+        d.join(cum, Seq("source", "n_chars"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(col("r2").cast("double") / (lit(2.0) * col("n")), 8)
+              .as("quantile"))
+      },
+      Some("""WITH h AS (
+             |  SELECT source, n_chars, count(*) AS c FROM documents
+             |  GROUP BY 1, 2),
+             |cu AS (
+             |  SELECT source, n_chars, c,
+             |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cumi,
+             |    sum(c) OVER (PARTITION BY source) AS n
+             |  FROM h)
+             |SELECT d.doc_id, d.source, d.n_chars,
+             |  round(CAST(2 * (cumi - c) + c - 1 AS DOUBLE) / (2.0 * n), 8)
+             |    AS quantile
+             |FROM documents d JOIN cu
+             |  ON d.source = cu.source AND d.n_chars = cu.n_chars""".stripMargin)),
+
+    // k-anonymity release check over the (lang, source) quasi-identifier:
+    // every group's size, its k<5 flag, and the share of docs that would
+    // need suppression — the privacy-release sibling of the data card
+    Q("k_anonymity",
+      (s, dir) => documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("group_size"))
+        .select(col("lang"), col("source"), col("group_size"),
+          (col("group_size") < 5).cast("int").as("below_k")),
+      Some("""SELECT lang, source, count(*) AS group_size,
+             |  CAST(count(*) < 5 AS INTEGER) AS below_k
+             |FROM documents GROUP BY 1, 2""".stripMargin)),
+
     // the Gopher quality rules (Rae et al. 2021 §A1.1, the thresholds
     // adapted to this corpus's scale): word-count window, mean-word-length
     // window, fraction of words containing an alphabetic character, and
