@@ -239,6 +239,113 @@ object Relational {
              |FROM o WHERE prev_type IS NOT NULL
              |GROUP BY 1, 2""".stripMargin)),
 
+    // robust (median/MAD) outlier flags per event type — the Hampel-style
+    // robust alternative to mean/σ trims: exact lower-median via the
+    // histogram-cumulative pattern (windows over distinct-value rows, not
+    // data rows), MAD from a second histogram over |x − med|, flag at
+    // |x − med| > 3·1.4826·MAD. Doubles group exactly — both engines read
+    // identical bits from the same parquet.
+    Q("robust_outliers",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir).select("event_id", "event_type", "value")
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, vCol: String,
+                        outCol: String) = {
+          val hist = df.groupBy("event_type", vCol).agg(count(lit(1)).as("c"))
+          val byVal = Window.partitionBy("event_type").orderBy(vCol)
+          val all = Window.partitionBy("event_type")
+          hist.withColumn("cum", sum("c").over(byVal))
+            .withColumn("n", sum("c").over(all))
+            .groupBy("event_type")
+            .agg(min(when(lit(2) * col("cum") >= col("n"), col(vCol)))
+              .as(outCol))
+        }
+        val med = lowerMedian(ev, "value", "med")
+        val dev = ev.join(med, "event_type")
+          .withColumn("adev", abs(col("value") - col("med")))
+        val mad = lowerMedian(dev, "adev", "mad")
+        dev.join(mad, "event_type")
+          .select(col("event_id"), col("event_type"), col("value"),
+            round(col("adev"), 8).as("abs_dev"),
+            (col("adev") > lit(3.0) * lit(1.4826) * col("mad")).cast("int")
+              .as("is_outlier"))
+      },
+      Some("""WITH h AS (SELECT event_type, value, count(*) AS c FROM events
+             |  GROUP BY 1, 2),
+             |cu AS (SELECT event_type, value, c,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+             |    sum(c) OVER (PARTITION BY event_type) AS n FROM h),
+             |med AS (SELECT event_type,
+             |    min(CASE WHEN 2 * cum >= n THEN value END) AS med
+             |  FROM cu GROUP BY 1),
+             |dv AS (SELECT e.event_id, e.event_type, e.value,
+             |    abs(e.value - m.med) AS adev
+             |  FROM events e JOIN med m USING (event_type)),
+             |h2 AS (SELECT event_type, adev, count(*) AS c FROM dv GROUP BY 1, 2),
+             |cu2 AS (SELECT event_type, adev, c,
+             |    sum(c) OVER (PARTITION BY event_type ORDER BY adev) AS cum,
+             |    sum(c) OVER (PARTITION BY event_type) AS n FROM h2),
+             |mad AS (SELECT event_type,
+             |    min(CASE WHEN 2 * cum >= n THEN adev END) AS mad
+             |  FROM cu2 GROUP BY 1)
+             |SELECT dv.event_id, dv.event_type, dv.value,
+             |  round(dv.adev, 8) AS abs_dev,
+             |  CAST(dv.adev > 3.0 * 1.4826 * mad.mad AS INTEGER) AS is_outlier
+             |FROM dv JOIN mad USING (event_type)""".stripMargin)),
+
+    // per-user lag-1 autocorrelation of the value series (time-series QC:
+    // white-noise vs drifting sensors): user-partitioned position windows,
+    // every cross term quantized to DECIMAL(25,9) before the sum — exact,
+    // order-free addition, bit-identical r1 across engines
+    Q("value_autocorr",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("pos", row_number().over(w))
+        val mean = ev.groupBy("user_id").agg(
+          Exact.avg(col("value")).as("xbar"), count(lit(1)).as("n"))
+        val d = ev.join(mean, "user_id")
+          .withColumn("dev", col("value") - col("xbar"))
+        val denom = d.groupBy("user_id").agg(
+          sum(round(col("dev") * col("dev"), 9).cast("decimal(25,9)"))
+            .cast("double").as("ss"))
+        val nxt = d.select(col("user_id"), (col("pos") - 1).as("pos"),
+          col("dev").as("dev1"))
+        val num = d.join(nxt, Seq("user_id", "pos"))
+          .groupBy("user_id").agg(
+            sum(round(col("dev") * col("dev1"), 9).cast("decimal(25,9)"))
+              .cast("double").as("sc"))
+        mean.join(denom, "user_id").join(num, Seq("user_id"), "left")
+          .select(col("user_id"), col("n"),
+            round(coalesce(col("sc"), lit(0.0)) /
+              when(col("ss") > 0, col("ss")), 8).as("r1"))
+      },
+      Some(s"""WITH o AS (
+             |  SELECT user_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS pos
+             |  FROM events),
+             |m AS (SELECT user_id, ${Exact.avgSql("value")} AS xbar,
+             |    count(*) AS n FROM events GROUP BY 1),
+             |d AS (SELECT o.user_id, o.pos, o.value - m.xbar AS dev
+             |  FROM o JOIN m USING (user_id)),
+             |den AS (SELECT user_id,
+             |    CAST(sum(CAST(round(dev * dev, 9) AS DECIMAL(25,9))) AS DOUBLE)
+             |      AS ss
+             |  FROM d GROUP BY 1),
+             |nu AS (SELECT a.user_id,
+             |    CAST(sum(CAST(round(a.dev * b.dev, 9) AS DECIMAL(25,9))) AS DOUBLE)
+             |      AS sc
+             |  FROM d a JOIN d b ON a.user_id = b.user_id AND b.pos = a.pos + 1
+             |  GROUP BY 1)
+             |SELECT m.user_id, m.n,
+             |  round(coalesce(nu.sc, 0.0) /
+             |    (CASE WHEN den.ss > 0 THEN den.ss END), 8) AS r1
+             |FROM m JOIN den USING (user_id)
+             |LEFT JOIN nu USING (user_id)""".stripMargin)),
+
     // ---- clip_ds family (stglib/core/utils.py:73-180) -----------------
     Q("clip_deployment",
       (s, dir) => Clip.clipDeployment(events(s, dir), "ts",
