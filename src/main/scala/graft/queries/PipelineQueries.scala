@@ -319,6 +319,37 @@ object PipelineQueries {
              |  coalesce(agg.clean_text, '') AS clean_text
              |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin)),
 
+    // fuzzy-prefix near-dup pairs: docs in the same source whose 5-token
+    // prefixes are within edit distance 8 — the edit-distance flavor of
+    // near-dup candidate generation (template detection). Scoped to the
+    // source key via the salted join; Levenshtein is the classic DP, so
+    // Spark and DuckDB agree exactly.
+    Q("dedup_fuzzy_prefix",
+      (s, dir) => {
+        val t = graft.ops.Spread.shared(documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            concat_ws(" ", slice(TA.tokens(col("text")), 1, 5)).as("pfx")))
+        val a = t.select(col("source").as("__s"), col("doc_id").as("id_a"),
+          col("pfx").as("pfx_a"))
+        val b = t.select(col("source").as("__s2"), col("doc_id").as("id_b"),
+          col("pfx").as("pfx_b"))
+        graft.ops.Spread.saltedJoin(a, b,
+            col("__s") === col("__s2") && col("id_a") < col("id_b"),
+            col("id_a"), Dedup.SALT)
+          .withColumn("edit_dist", levenshtein(col("pfx_a"), col("pfx_b")))
+          .filter(col("edit_dist") <= 8)
+          .select("id_a", "id_b", "edit_dist")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    array_to_string((list_filter(string_split(text, ' '),
+             |      x -> length(x) > 0))[1:5], ' ') AS pfx
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
+             |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.pfx, b.pfx) <= 8""".stripMargin)),
+
     // CCNet/RefinedWeb boilerplate filter: drop EVERY occurrence of any
     // 2-token chunk present in >= 1/32 of all documents (pervasiveness
     // defines boilerplate, so the threshold is a corpus fraction — 1/32 is
