@@ -346,6 +346,68 @@ object Relational {
              |FROM m JOIN den USING (user_id)
              |LEFT JOIN nu USING (user_id)""".stripMargin)),
 
+    // A/B experiment readout (variant = user hash parity): per-variant
+    // user and converter counts from exact integer aggregation, conversion
+    // rates and the pooled two-proportion z-statistic as single fixed-order
+    // double expressions (rounded) — the canonical experimentation report,
+    // one row, computed without any approximation
+    Q("ab_test_report",
+      (s, dir) => {
+        val conv = events(s, dir)
+          .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("converted"))
+        conv.groupBy("variant")
+          .agg(count(lit(1)).as("n_users"), sum("converted").as("n_conv"))
+          .groupBy()
+          .agg(
+            sum(when(col("variant") === 0, col("n_users"))).as("n_a"),
+            sum(when(col("variant") === 0, col("n_conv"))).as("conv_a"),
+            sum(when(col("variant") === 1, col("n_users"))).as("n_b"),
+            sum(when(col("variant") === 1, col("n_conv"))).as("conv_b"))
+          .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+            round(col("conv_a").cast("double") / col("n_a"), 8).as("rate_a"),
+            round(col("conv_b").cast("double") / col("n_b"), 8).as("rate_b"),
+            // degenerate pooled rates (0 or 1) have zero variance — the
+            // z-statistic is undefined, and ANSI mode rightly refuses the
+            // division: emit null instead
+            when(col("conv_a") + col("conv_b") > 0 &&
+                 col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+              round(
+                (col("conv_b").cast("double") / col("n_b") -
+                 col("conv_a").cast("double") / col("n_a")) /
+                sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+                      (col("n_a") + col("n_b"))) *
+                     (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                      (col("n_a") + col("n_b"))) *
+                     (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 8))
+              .as("z_stat"))
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, user_id % 2 AS variant,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS converted
+             |  FROM events GROUP BY 1, 2),
+             |v AS (SELECT variant, count(*) AS n_users,
+             |    sum(converted) AS n_conv FROM c GROUP BY 1),
+             |w AS (SELECT
+             |    sum(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+             |    sum(CASE WHEN variant = 0 THEN n_conv END) AS conv_a,
+             |    sum(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+             |    sum(CASE WHEN variant = 1 THEN n_conv END) AS conv_b
+             |  FROM v)
+             |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+             |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+             |  round(CAST(conv_a AS DOUBLE) / n_a, 8) AS rate_a,
+             |  round(CAST(conv_b AS DOUBLE) / n_b, 8) AS rate_b,
+             |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+             |  THEN round(
+             |    (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) /
+             |    sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+             |         (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) *
+             |         (1.0 / n_a + 1.0 / n_b)), 8) END AS z_stat
+             |FROM w""".stripMargin)),
+
     // ---- clip_ds family (stglib/core/utils.py:73-180) -----------------
     Q("clip_deployment",
       (s, dir) => Clip.clipDeployment(events(s, dir), "ts",
