@@ -319,6 +319,91 @@ object PipelineQueries {
              |  coalesce(agg.clean_text, '') AS clean_text
              |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin)),
 
+    // the curation waterfall: the full filter stack composed end-to-end —
+    // near-dup cluster keepers → Gopher rules → boilerplate removal — with
+    // the per-stage survivor/token counts every training-data run reports.
+    // Each stage reuses the registered operators verbatim; the boilerplate
+    // document-frequency threshold re-scopes to the corpus that reaches it
+    // (as a real pipeline's would).
+    Q("curation_waterfall",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val pairs = Dedup.simhashPairs(docs, "doc_id", "text", "source", 16, 2)
+        val comp = Dedup.connectedComponents(pairs, docs, "doc_id")
+        val k1 = docs.join(
+          comp.filter(col("doc_id") === col("comp")).select("doc_id"), "doc_id")
+        val toks = TA.tokens(col("text"))
+        def gopherKeep(df: org.apache.spark.sql.DataFrame) = df.filter(
+          size(toks) >= 20 && size(toks) <= 1000 &&
+          round(TA.meanTokenLen(col("text")), 8).between(3.0, 10.0) &&
+          round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+            size(toks), 8) >= 0.8 &&
+          size(array_intersect(array_distinct(toks),
+            lit(TA.defaultStopwords.toArray))) >= 2)
+        val k2 = gopherKeep(k1)
+        val bp = Dedup.boilerplateChunks(k2, "doc_id", "text", 2, 1.0 / 32)
+        val k3 = k2.join(bp.filter(col("n_kept") > 0).select("doc_id"), "doc_id")
+        def stage(df: org.apache.spark.sql.DataFrame, i: Int, label: String) =
+          df.agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(size(toks)).cast("long"), lit(0L)).as("n_tokens"))
+            .select(lit(i).as("stage_idx"), lit(label).as("stage"),
+              col("n_docs"), col("n_tokens"))
+        stage(docs, 0, "raw")
+          .unionByName(stage(k1, 1, "dedup_keep"))
+          .unionByName(stage(k2, 2, "gopher"))
+          .unionByName(stage(k3, 3, "boilerplate"))
+      },
+      Some(s"""WITH RECURSIVE $simhashPairCtes,
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+             |          UNION ALL SELECT id_b, id_a FROM spairs),
+             |walk(id, comp) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+             |cc AS (SELECT id, min(comp) AS comp FROM walk GROUP BY id),
+             |t0 AS (SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+             |  FROM documents),
+             |k1 AS (SELECT d.doc_id, d.text FROM documents d
+             |  JOIN cc ON d.doc_id = cc.id AND cc.id = cc.comp),
+             |t1 AS (SELECT doc_id, text,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+             |  FROM k1),
+             |k2 AS (SELECT doc_id, text, tk FROM t1
+             |  WHERE len(tk) BETWEEN 20 AND 1000
+             |    AND round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             |      / len(tk), 8) BETWEEN 3.0 AND 10.0
+             |    AND round(CAST(len(list_filter(tk,
+             |      x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(tk), 8) >= 0.8
+             |    AND len(list_intersect(list_distinct(tk),
+             |      [${TA.defaultStopwords.map("'" + _ + "'").mkString(",")}])) >= 2),
+             |nd AS (SELECT count(*) AS n FROM k2),
+             |ch AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, (len(tk) + 1) // 2),
+             |      c -> array_to_string(tk[(c-1)*2+1 : (c-1)*2+2], ' '))) AS ct
+             |  FROM k2),
+             |hot AS (
+             |  SELECT md5(ct) AS dig FROM ch, nd GROUP BY 1, nd.n
+             |  HAVING CAST(count(DISTINCT doc_id) AS DOUBLE) >=
+             |    (1e0/32e0) * CAST(nd.n AS DOUBLE)),
+             |kp AS (SELECT DISTINCT ch.doc_id FROM ch
+             |  LEFT JOIN hot ON md5(ch.ct) = hot.dig WHERE hot.dig IS NULL),
+             |k3 AS (SELECT k2.doc_id, k2.tk FROM k2 JOIN kp USING (doc_id)),
+             |w AS (
+             |  SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
+             |    coalesce(sum(len(tk)), 0) AS n_tokens FROM t0
+             |  UNION ALL SELECT 1, 'dedup_keep', count(*),
+             |    coalesce(sum(len(tk)), 0) FROM t1
+             |  UNION ALL SELECT 2, 'gopher', count(*),
+             |    coalesce(sum(len(tk)), 0) FROM k2
+             |  UNION ALL SELECT 3, 'boilerplate', count(*),
+             |    coalesce(sum(len(tk)), 0) FROM k3)
+             |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+             |  CAST(n_docs AS BIGINT) AS n_docs,
+             |  CAST(n_tokens AS BIGINT) AS n_tokens
+             |FROM w""".stripMargin)),
+
     // fuzzy-prefix near-dup pairs: docs in the same source whose 5-token
     // prefixes are within edit distance 8 — the edit-distance flavor of
     // near-dup candidate generation (template detection). Scoped to the
