@@ -105,6 +105,47 @@ object Curation {
   }
 
   /**
+   * Graded decontamination — the Dolma/llm-foundry refinement of the
+   * boolean [[contaminationFlags]]: instead of "shares ≥1 eval n-gram",
+   * score every training document by the FRACTION of its distinct word
+   * n-grams that appear in the eval suite, and keep only docs below a
+   * contamination threshold. A doc quoting one popular phrase survives;
+   * a doc that *is* a benchmark item (high overlap fraction) is dropped.
+   *
+   * Same scale shape as [[contaminationFlags]] (distinct-reduced sides,
+   * one equi-join on the n-gram key), but the per-doc denominator rides
+   * along for free: the train side LEFT-joins the eval gram set and ONE
+   * aggregation yields both the total distinct-gram count and the hit
+   * count — no second pass over the corpus.
+   *
+   * The keep test is pure integer arithmetic (`n_overlap·16 < n_grams`,
+   * i.e. fraction < 1/16) so the boundary is bit-identical cross-engine;
+   * the reported fraction is round-9 display only.
+   *
+   * Returns (idCol, n_grams, n_overlap, contam_frac, keep) — one row per
+   * training doc that has at least one n-gram.
+   */
+  def contaminationFraction(docs: DataFrame, idCol: String, textCol: String,
+                            evalPred: Column, n: Int): DataFrame = {
+    val grams = Spread.shared(Spread.byKey(docs, col(idCol))
+      .withColumn("__eval", evalPred)
+      .select(col(idCol), col("__eval"),
+        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram")))
+    val trainGrams = grams.filter(!col("__eval"))
+      .select(col(idCol), col("__ngram")).distinct()
+    val evalGrams = grams.filter(col("__eval"))
+      .select("__ngram").distinct().withColumn("__hit", lit(1L))
+    trainGrams.join(evalGrams, Seq("__ngram"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_overlap"))
+      .select(col(idCol), col("n_grams"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / col("n_grams"), 9)
+          .as("contam_frac"),
+        (col("n_overlap") * 16 < col("n_grams")).cast("int").as("keep"))
+  }
+
+  /**
    * Stateless decontamination against a FIXED eval n-gram set — the
    * ingestion-time deployment shape of [[contaminationFlags]]: benchmark
    * suites are bounded by construction (KBs–MBs of n-grams), so the eval

@@ -371,4 +371,78 @@ object Sketches {
       .na.fill(0L, Seq("true_cnt"))
       .select(col("term"), col("est"), col("true_cnt"))
   }
+
+  /** Histogram-quantile bin count (power of two so the bucket formula is a
+    * shift-friendly integer division). */
+  val HistBins = 64
+
+  /**
+   * Mergeable fixed-bin histogram quantile sketch — the equi-width cousin
+   * of t-digest/GK for engines that need CROSS-ENGINE-exact estimates: all
+   * groups share one global bin grid (edges from a 1-row min/max
+   * broadcast), each group's sketch is its 64 bucket counts (a plain
+   * map-side-combinable groupBy — histograms from different partitions,
+   * groups, or engines merge by adding counts), and the quantile estimate
+   * is the classic cumulative-bin linear interpolation evaluated in EXACT
+   * integer arithmetic over fixed-point values:
+   *
+   *   bucket  = ((cents − min) · B) div span,   span = max − min + 1
+   *   target  = ⌈q·n⌉ (integer num/den),
+   *   qbucket = first bucket with cum ≥ target
+   *   est     = min + (qbucket·span) div B
+   *                 + ((target − cum_before)·span) div (B·cnt_bucket)
+   *
+   * Every quantity through `est` is a BIGINT, so DuckDB reproduces the
+   * estimate bit-for-bit; only the final cents→value division is float
+   * (identical single IEEE op on identical integers).
+   *
+   * Scale shape: one 1-row global-extent aggregate, one bucket-count
+   * shuffle (state ≤ groups×B rows), one ≤B-row-per-group window. The
+   * raw values never reach a window or a sort.
+   *
+   * Output: (groupCol, n_rows, n_bins_used, q50_est, q90_est).
+   */
+  def histQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                   bins: Int = HistBins): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = df.select(col(groupCol),
+      round(col(valueCol) * 100).cast("long").as("__c"))
+    val extent = cents.agg(min("__c").as("__min"), max("__c").as("__max"))
+      .select(col("__min"), (col("__max") - col("__min") + 1L).as("__span"))
+    val sketch = cents.crossJoin(broadcast(extent))
+      .select(col(groupCol), col("__min"), col("__span"),
+        expr(s"((__c - __min) * $bins) div __span").as("__b"))
+      .groupBy(groupCol, "__min", "__span", "__b")
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(groupCol).orderBy("__b")
+    val wAll = Window.partitionBy(groupCol)
+    val cum = sketch
+      .withColumn("__cum", sum("__cnt").over(w))
+      .withColumn("__n", sum("__cnt").over(
+        wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // the two quantile requests as exact integer fractions
+    val qs = Seq(("q50", 1L, 2L), ("q90", 9L, 10L))
+    val est = qs.map { case (label, num, den) =>
+      cum.withColumn("__target", expr(s"($num * __n + $den - 1) div $den"))
+        .filter(col("__cum") >= col("__target"))
+        .groupBy(groupCol)
+        .agg(min_by(struct(col("__b"), col("__cnt"), col("__cum"),
+          col("__min"), col("__span"), col("__target")), col("__b")).as("__s"))
+        .select(col(groupCol), lit(label).as("__q"),
+          (col("__s.__min") + expr(s"(__s.__b * __s.__span) div $bins") +
+            expr(s"((__s.__target - (__s.__cum - __s.__cnt)) * __s.__span) div (${bins}L * __s.__cnt)"))
+            .as("__est_cents"))
+    }.reduce(_ unionByName _)
+    val stats = sketch.groupBy(groupCol)
+      .agg(sum("__cnt").as("n_rows"),
+        count(lit(1)).cast("int").as("n_bins_used"))
+    stats.join(
+        est.groupBy(groupCol)
+          .agg(max(when(col("__q") === "q50", col("__est_cents"))).as("__e50"),
+            max(when(col("__q") === "q90", col("__est_cents"))).as("__e90")),
+        Seq(groupCol))
+      .select(col(groupCol), col("n_rows"), col("n_bins_used"),
+        (col("__e50").cast("double") / 100.0).as("q50_est"),
+        (col("__e90").cast("double") / 100.0).as("q90_est"))
+  }
 }

@@ -61,6 +61,28 @@ object CurationQueries {
               |SELECT tr.doc_id, count(*) AS n_overlap
               |FROM tr JOIN eg USING (ngram) GROUP BY 1""".stripMargin)),
 
+    // graded decontamination (Dolma-style): per-doc FRACTION of distinct
+    // trigrams shared with the eval slice, keep iff fraction < 1/16 — the
+    // boundary test is integer (n_overlap*16 < n_grams) so both engines
+    // agree bitwise; one left join + one aggregation carries hit count and
+    // denominator together.
+    Q("decontam_fraction",
+      (s, dir) => Curation.contaminationFraction(
+        documents(s, dir), "doc_id", "text", col("doc_id") % 41 === 0, 3),
+      Some(s"""WITH $trigramCte,
+              |tr AS (
+              |  SELECT DISTINCT doc_id, ngram FROM g WHERE doc_id % 41 <> 0),
+              |eg AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 41 = 0),
+              |j AS (
+              |  SELECT tr.doc_id,
+              |    CAST(count(*) AS BIGINT) AS n_grams,
+              |    CAST(count(eg.ngram) AS BIGINT) AS n_overlap
+              |  FROM tr LEFT JOIN eg ON tr.ngram = eg.ngram GROUP BY 1)
+              |SELECT doc_id, n_grams, n_overlap,
+              |  round(CAST(n_overlap AS DOUBLE) / n_grams, 9) AS contam_frac,
+              |  CAST(n_overlap * 16 < n_grams AS INTEGER) AS keep
+              |FROM j""".stripMargin)),
+
     // concat-and-chunk sequence packing (seqLen = 512): global token
     // offsets via the ranged two-pass running total, then each doc explodes
     // to the chunks its token span touches.

@@ -802,6 +802,48 @@ object PipelineQueries {
              |  round(tj.tj, 9) AS true_jaccard
              |FROM e JOIN tj ON tj.ga = e.ga AND tj.gb = e.gb""".stripMargin)),
 
+    // mergeable equi-width histogram quantile sketch over event values:
+    // global bin grid from a 1-row extent broadcast, per-group 64-bucket
+    // counts (map-side combinable — the mergeable state), median/p90 by
+    // cumulative-bin interpolation in EXACT integer arithmetic over
+    // fixed-point cents, so both engines produce the estimate bit-for-bit.
+    Q("sketch_hist_quantile",
+      (s, dir) => graft.ops.Sketches.histQuantile(events(s, dir), "event_type", "value"),
+      Some("""WITH c AS (
+             |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+             |  FROM events),
+             |x AS (SELECT min(c) AS mn, max(c) - min(c) + 1 AS span FROM c),
+             |sk AS (
+             |  SELECT event_type, mn, span, ((c - mn) * 64) // span AS b,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM c, x GROUP BY 1, 2, 3, 4),
+             |cu AS (
+             |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY b)
+             |      AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM sk),
+             |qs AS (SELECT * FROM (VALUES ('q50', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+             |                             ('q90', CAST(9 AS BIGINT), CAST(10 AS BIGINT)))
+             |       t(q, num, den)),
+             |sel AS (
+             |  SELECT event_type, q,
+             |    mn + (b * span) // 64
+             |       + ((target - (cum - cnt)) * span) // (64 * cnt) AS est_cents,
+             |    row_number() OVER (PARTITION BY event_type, q ORDER BY b) AS rn
+             |  FROM (SELECT cu.*, qs.q, (qs.num * cu.n + qs.den - 1) // qs.den AS target
+             |        FROM cu, qs) WHERE cum >= target),
+             |st AS (
+             |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_rows,
+             |    CAST(count(*) AS INTEGER) AS n_bins_used
+             |  FROM sk GROUP BY 1)
+             |SELECT st.event_type, st.n_rows, st.n_bins_used,
+             |  CAST(max(CASE WHEN q = 'q50' THEN est_cents END) AS DOUBLE) / 100.0
+             |    AS q50_est,
+             |  CAST(max(CASE WHEN q = 'q90' THEN est_cents END) AS DOUBLE) / 100.0
+             |    AS q90_est
+             |FROM st JOIN (SELECT * FROM sel WHERE rn = 1) s ON s.event_type = st.event_type
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // the MOSS match step over those fingerprints: equi-join on the hash
     // (LSH-banding shape) after dropping ubiquitous "stop grams" via a
     // document-frequency cap, pairs sharing >= 2 fingerprints.

@@ -408,6 +408,172 @@ object Relational {
              |         (1.0 / n_a + 1.0 / n_b)), 8) END AS z_stat
              |FROM w""".stripMargin)),
 
+    // RFM customer segmentation: per-user recency/frequency/monetary from
+    // ONE user-keyed aggregation (monetary as exact cents — no float sum),
+    // quartile thresholds per metric via the distinct-value histogram +
+    // cumulative-window pattern (bounded by distinct metric values, never
+    // a user-sized global NTILE), scores + segment label as a pure
+    // projection against the 1-row broadcast threshold table.
+    Q("rfm_segments",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir).select(col("user_id"),
+          expr("ts div 86400000000000").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val maxDay = ev.agg(max("day").as("__maxd"))
+        val perUser = ev.groupBy("user_id")
+          .agg(max("day").as("__last"), count(lit(1)).as("frequency"),
+            sum("cents").as("monetary_cents"))
+          .crossJoin(broadcast(maxDay))
+          .select(col("user_id"), (col("__maxd") - col("__last")).as("recency_days"),
+            col("frequency"), col("monetary_cents"))
+        val metrics = perUser.select(explode(array(
+            struct(lit("r").as("m"), col("recency_days").as("v")),
+            struct(lit("f").as("m"), col("frequency").as("v")),
+            struct(lit("m").as("m"), col("monetary_cents").as("v")))).as("x"))
+          .select(col("x.m").as("m"), col("x.v").as("v"))
+        val hist = metrics.groupBy("m", "v").agg(count(lit(1)).as("c"))
+        val byVal = Window.partitionBy("m").orderBy("v")
+        val all = Window.partitionBy("m")
+        val th = hist.withColumn("cum", sum("c").over(byVal))
+          .withColumn("n", sum("c").over(all))
+          .groupBy("m")
+          .agg(min(when(col("cum") >= expr("(n + 3) div 4"), col("v"))).as("t25"),
+            min(when(col("cum") >= expr("(n + 1) div 2"), col("v"))).as("t50"),
+            min(when(col("cum") >= expr("(3 * n + 3) div 4"), col("v"))).as("t75"))
+        val thRow = th.groupBy().agg(
+          max(when(col("m") === "r", col("t25"))).as("r25"),
+          max(when(col("m") === "r", col("t50"))).as("r50"),
+          max(when(col("m") === "r", col("t75"))).as("r75"),
+          max(when(col("m") === "f", col("t25"))).as("f25"),
+          max(when(col("m") === "f", col("t50"))).as("f50"),
+          max(when(col("m") === "f", col("t75"))).as("f75"),
+          max(when(col("m") === "m", col("t25"))).as("m25"),
+          max(when(col("m") === "m", col("t50"))).as("m50"),
+          max(when(col("m") === "m", col("t75"))).as("m75"))
+        val scored = perUser.crossJoin(broadcast(thRow))
+          .select(col("user_id"), col("recency_days"), col("frequency"),
+            col("monetary_cents"),
+            (lit(1) + (col("recency_days") <= col("r25")).cast("int")
+              + (col("recency_days") <= col("r50")).cast("int")
+              + (col("recency_days") <= col("r75")).cast("int")).as("r_score"),
+            (lit(1) + (col("frequency") > col("f25")).cast("int")
+              + (col("frequency") > col("f50")).cast("int")
+              + (col("frequency") > col("f75")).cast("int")).as("f_score"),
+            (lit(1) + (col("monetary_cents") > col("m25")).cast("int")
+              + (col("monetary_cents") > col("m50")).cast("int")
+              + (col("monetary_cents") > col("m75")).cast("int")).as("m_score"))
+        scored.withColumn("segment",
+          when(col("r_score") === 4 && col("f_score") === 4, "champion")
+            .when(col("r_score") >= 3 && col("f_score") >= 3, "loyal")
+            .when(col("m_score") === 4 && col("r_score") >= 2, "big_spender")
+            .when(col("r_score") === 1, "churned")
+            .when(col("r_score") === 2, "at_risk")
+            .otherwise("regular"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |mx AS (SELECT max(day) AS maxd FROM ev),
+             |pu AS (
+             |  SELECT user_id, mx.maxd - max(day) AS recency_days,
+             |    CAST(count(*) AS BIGINT) AS frequency,
+             |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+             |  FROM ev, mx GROUP BY user_id, mx.maxd),
+             |mt AS (
+             |  SELECT 'r' AS m, recency_days AS v FROM pu
+             |  UNION ALL SELECT 'f', frequency FROM pu
+             |  UNION ALL SELECT 'm', monetary_cents FROM pu),
+             |h AS (SELECT m, v, count(*) AS c FROM mt GROUP BY 1, 2),
+             |cw AS (
+             |  SELECT m, v,
+             |    CAST(sum(c) OVER (PARTITION BY m ORDER BY v) AS BIGINT) AS cum,
+             |    CAST(sum(c) OVER (PARTITION BY m) AS BIGINT) AS n
+             |  FROM h),
+             |th AS (
+             |  SELECT m,
+             |    min(CASE WHEN cum >= (n + 3) // 4 THEN v END) AS t25,
+             |    min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS t50,
+             |    min(CASE WHEN cum >= (3 * n + 3) // 4 THEN v END) AS t75
+             |  FROM cw GROUP BY 1),
+             |tr AS (SELECT
+             |    max(CASE WHEN m = 'r' THEN t25 END) AS r25,
+             |    max(CASE WHEN m = 'r' THEN t50 END) AS r50,
+             |    max(CASE WHEN m = 'r' THEN t75 END) AS r75,
+             |    max(CASE WHEN m = 'f' THEN t25 END) AS f25,
+             |    max(CASE WHEN m = 'f' THEN t50 END) AS f50,
+             |    max(CASE WHEN m = 'f' THEN t75 END) AS f75,
+             |    max(CASE WHEN m = 'm' THEN t25 END) AS m25,
+             |    max(CASE WHEN m = 'm' THEN t50 END) AS m50,
+             |    max(CASE WHEN m = 'm' THEN t75 END) AS m75
+             |  FROM th),
+             |sc AS (
+             |  SELECT user_id, recency_days, frequency, monetary_cents,
+             |    CAST(1 + CAST(recency_days <= r25 AS INTEGER)
+             |           + CAST(recency_days <= r50 AS INTEGER)
+             |           + CAST(recency_days <= r75 AS INTEGER) AS INTEGER) AS r_score,
+             |    CAST(1 + CAST(frequency > f25 AS INTEGER)
+             |           + CAST(frequency > f50 AS INTEGER)
+             |           + CAST(frequency > f75 AS INTEGER) AS INTEGER) AS f_score,
+             |    CAST(1 + CAST(monetary_cents > m25 AS INTEGER)
+             |           + CAST(monetary_cents > m50 AS INTEGER)
+             |           + CAST(monetary_cents > m75 AS INTEGER) AS INTEGER) AS m_score
+             |  FROM pu, tr)
+             |SELECT *,
+             |  CASE WHEN r_score = 4 AND f_score = 4 THEN 'champion'
+             |    WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+             |    WHEN m_score = 4 AND r_score >= 2 THEN 'big_spender'
+             |    WHEN r_score = 1 THEN 'churned'
+             |    WHEN r_score = 2 THEN 'at_risk'
+             |    ELSE 'regular' END AS segment
+             |FROM sc""".stripMargin)),
+
+    // daily trending event types: today's count vs the trailing-3-observed-
+    // days baseline per type (rows window partitioned by type), lift in
+    // exact integer millis (cnt·1000·n_prev div sum_prev), top-3 per day by
+    // (lift desc, type) — the content-trending / anomaly-surfacing shape.
+    Q("trending_topk",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = events(s, dir)
+          .groupBy(expr("ts div 86400000000000").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val wPrev = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, -1)
+        val withBase = daily
+          .withColumn("sum_prev", sum("cnt").over(wPrev))
+          .withColumn("n_prev", count(lit(1)).over(wPrev).cast("int"))
+          .filter(col("n_prev") > 0)
+          .withColumn("lift_millis",
+            expr("(cnt * 1000 * n_prev) div sum_prev"))
+        val wDay = Window.partitionBy("day")
+          .orderBy(col("lift_millis").desc, col("event_type"))
+        withBase.withColumn("rank", row_number().over(wDay).cast("int"))
+          .filter(col("rank") <= 3)
+          .select("day", "event_type", "cnt", "sum_prev", "n_prev",
+            "lift_millis", "rank")
+      },
+      Some("""WITH d AS (
+             |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |b AS (
+             |  SELECT day, event_type, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS sum_prev,
+             |    CAST(count(cnt) OVER (PARTITION BY event_type ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS INTEGER) AS n_prev
+             |  FROM d),
+             |l AS (
+             |  SELECT *, (cnt * 1000 * n_prev) // sum_prev AS lift_millis
+             |  FROM b WHERE n_prev > 0)
+             |SELECT day, event_type, cnt, sum_prev, n_prev, lift_millis,
+             |  CAST(rank AS INTEGER) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY day
+             |    ORDER BY lift_millis DESC, event_type) AS rank FROM l)
+             |WHERE rank <= 3""".stripMargin)),
+
     // ---- clip_ds family (stglib/core/utils.py:73-180) -----------------
     Q("clip_deployment",
       (s, dir) => Clip.clipDeployment(events(s, dir), "ts",
