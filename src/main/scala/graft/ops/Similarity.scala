@@ -980,4 +980,79 @@ object Similarity {
         round(col("__nh").cast("double") / col("__nt").cast("double"), 9)
           .as("recall"))
   }
+
+  /**
+   * Maximal-marginal-relevance diverse top-m retrieval (Carbonell &
+   * Goldstein 1998) — the RAG result-diversification step: per query,
+   * greedily pick m results maximizing
+   *
+   *   λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s),   λ = 1/2
+   *
+   * so near-duplicate passages don't crowd the context window.
+   *
+   * Determinism: relevance and candidate-pair cosines are rounded to 8
+   * decimals BEFORE the greedy loop, λ = 1/2 makes each score two exact
+   * halvings and one subtraction of identical doubles, and every argmax
+   * tie breaks on the candidate id — any engine replays the identical
+   * selection sequence.
+   *
+   * Scale shape: the query side is a FIXED-size sample (predicate with an
+   * id cap — candidate generation is O(|sample|·n) by construction, like
+   * [[annRecall]]'s truth side), candidates are bounded at nCand per
+   * query, so the greedy phase works on ≤ |sample|·nCand² pair rows; each
+   * of the m−1 iterations is a bounded join + max_by aggregation over a
+   * persisted selection table (no driver-side loop over data — the loop
+   * only builds the plan).
+   *
+   * Output: (vec_id, step, selected_id, rel, maxsim, mmr_score).
+   */
+  def mmrSelect(df: DataFrame, idCol: String, embCol: String,
+                queryPred: Column, nCand: Int, m: Int): DataFrame = {
+    val base = Spread.shared(normalized(df, idCol, embCol, "vec_id", "e"))
+    // candidate generation rides the blocked-cross exact top-k (the same
+    // shape annRecall's truth side uses); the query-sample filter sits on
+    // the window partition key so it pushes below the pair join
+    val cand0 = bruteTopK(df, idCol, embCol, nCand)
+      .filter(queryPred)
+      .select(col("vec_id").as("qid"), col("neighbor_id").as("cid"),
+        round(col("cosine"), 8).as("rel"))
+    val cand = Spread.shared(cand0.join(
+      base.select(col("vec_id").as("cid"), col("e").as("ce")), Seq("cid")))
+    val pairs = Spread.shared(cand.select(col("qid").as("pq"),
+        col("cid").as("a"), col("ce").as("ea"))
+      .join(cand.select(col("qid").as("pq2"), col("cid").as("b"),
+          col("ce").as("eb")),
+        col("pq") === col("pq2") && col("a") =!= col("b"))
+      .withColumn("sim", round(ndot(col("ea"), col("eb")), 8))
+      .select(col("pq"), col("a"), col("b"), col("sim")))
+    val c = cand.select("qid", "cid", "rel")
+    var all = Spread.shared(c.groupBy("qid")
+      .agg(max_by(struct(col("cid"), col("rel")),
+        struct(col("rel"), -col("cid"))).as("__s"))
+      .select(col("qid"), col("__s.cid").as("sel_id"), lit(1).as("step"),
+        col("__s.rel").as("rel"), lit(0.0).as("maxsim"),
+        (col("__s.rel") * 0.5).as("mmr_score")))
+    for (t <- 2 to m) {
+      val selIds = all.select(col("qid").as("sq"), col("sel_id"))
+      val remaining = c.join(selIds,
+          col("qid") === col("sq") && col("cid") === col("sel_id"),
+          "left_anti")
+      val scored = remaining
+        .join(selIds, col("qid") === col("sq"))
+        .join(pairs, col("qid") === col("pq") &&
+          col("cid") === col("a") && col("sel_id") === col("b"))
+        .groupBy("qid", "cid", "rel").agg(max("sim").as("maxsim"))
+        .withColumn("mmr_score", col("rel") * 0.5 - col("maxsim") * 0.5)
+      val pick = scored.groupBy("qid")
+        .agg(max_by(struct(col("cid"), col("rel"), col("maxsim"),
+            col("mmr_score")),
+          struct(col("mmr_score"), -col("cid"))).as("__s"))
+        .select(col("qid"), col("__s.cid").as("sel_id"), lit(t).as("step"),
+          col("__s.rel").as("rel"), col("__s.maxsim").as("maxsim"),
+          col("__s.mmr_score").as("mmr_score"))
+      all = Spread.shared(all.unionByName(pick))
+    }
+    all.select(col("qid").as("vec_id"), col("step"), col("sel_id").as("selected_id"),
+      col("rel"), col("maxsim"), round(col("mmr_score"), 9).as("mmr_score"))
+  }
 }

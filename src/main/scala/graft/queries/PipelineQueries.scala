@@ -1566,6 +1566,68 @@ object PipelineQueries {
              |FROM (SELECT vec_id, count(*) AS nt FROM truth GROUP BY vec_id) t
              |LEFT JOIN hits h ON h.vec_id = t.vec_id""".stripMargin)),
 
+    // maximal-marginal-relevance diverse top-5 (λ = 1/2) over the exact
+    // top-12 candidates of a fixed query sample: rel/pair cosines rounded
+    // to 8 BEFORE the greedy loop, λ = 1/2 ⇒ exact halvings, all argmax
+    // ties break on candidate id — the oracle replays the 5-step greedy
+    // selection as unrolled CTEs and both engines agree bitwise.
+    Q("mmr_select",
+      (s, dir) => Similarity.mmrSelect(embeddings(s, dir), "vec_id",
+        "embedding", col("vec_id") % 97 === 0 && col("vec_id") < 9700,
+        nCand = 12, m = 5),
+      Some {
+        val steps = (2 to 5).map { t =>
+          s"""r$t AS (
+             |  SELECT c.* FROM cand c LEFT JOIN a${t - 1} x
+             |    ON x.qid = c.qid AND x.sel_id = c.cid
+             |  WHERE x.sel_id IS NULL),
+             |m$t AS (
+             |  SELECT r.qid, r.cid, r.rel, max(p.sim) AS maxsim
+             |  FROM r$t r JOIN a${t - 1} s ON s.qid = r.qid
+             |  JOIN p ON p.qid = r.qid AND p.a = r.cid AND p.b = s.sel_id
+             |  GROUP BY 1, 2, 3),
+             |s$t AS (
+             |  SELECT qid, cid AS sel_id, $t AS step, rel, maxsim,
+             |    rel * 0.5 - maxsim * 0.5 AS ms
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+             |      ORDER BY rel * 0.5 - maxsim * 0.5 DESC, cid) AS rn
+             |    FROM m$t) WHERE rn = 1),
+             |a$t AS (SELECT * FROM a${t - 1}
+             |  UNION ALL SELECT qid, sel_id FROM s$t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $enCte,
+           |relx AS (
+           |  SELECT q.vec_id AS qid, n.vec_id AS cid,
+           |    list_sum(list_transform(generate_series(1, 64),
+           |      i -> q.e[i] * n.e[i])) AS cosine
+           |  FROM en q JOIN en n ON n.vec_id <> q.vec_id
+           |  WHERE q.vec_id % 97 = 0 AND q.vec_id < 9700),
+           |cand AS MATERIALIZED (
+           |  SELECT qid, cid, round(cosine, 8) AS rel FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY cosine DESC, cid) AS rn FROM relx)
+           |  WHERE rn <= 12),
+           |p AS MATERIALIZED (
+           |  SELECT ca.qid, ca.cid AS a, cb.cid AS b,
+           |    round(list_sum(list_transform(generate_series(1, 64),
+           |      i -> ea.e[i] * eb.e[i])), 8) AS sim
+           |  FROM cand ca JOIN cand cb ON ca.qid = cb.qid AND ca.cid <> cb.cid
+           |  JOIN en ea ON ea.vec_id = ca.cid
+           |  JOIN en eb ON eb.vec_id = cb.cid),
+           |s1 AS (
+           |  SELECT qid, cid AS sel_id, 1 AS step, rel,
+           |    0.0 AS maxsim, rel * 0.5 AS ms
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+           |      ORDER BY rel DESC, cid) AS rn FROM cand) WHERE rn = 1),
+           |a1 AS (SELECT qid, sel_id FROM s1),
+           |$steps
+           |SELECT qid AS vec_id, CAST(step AS INTEGER) AS step,
+           |  sel_id AS selected_id, rel, maxsim, round(ms, 9) AS mmr_score
+           |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+           |  UNION ALL SELECT * FROM s5)""".stripMargin
+      }),
+
     // IVF-PQ with residual encoding — codebooks trained on r = x − c(cell);
     // ADC adds the exact query·centroid term to the m residual LUT lookups
     Q("similarity_pq_residual",
