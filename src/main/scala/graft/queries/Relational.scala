@@ -574,6 +574,72 @@ object Relational {
              |    ORDER BY lift_millis DESC, event_type) AS rank FROM l)
              |WHERE rank <= 3""".stripMargin)),
 
+    // EWMA anomaly detection on daily per-type counts: the exponentially
+    // weighted baseline over the 8 prior observed days with α = 1/4,
+    // evaluated EXACTLY — decay weights 3^d·4^(7−d) are integer literals,
+    // the baseline is a ratio of integer dot products (missing lags drop
+    // out of numerator AND denominator), and the spike/drop verdicts
+    // compare integer millis. The classic ops-metrics smoothing primitive
+    // with a bit-identical cross-engine replay.
+    Q("ewma_anomaly",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wts = (0 until 8).map(d =>
+          math.pow(3, d).toLong * math.pow(4, 7 - d).toLong)
+        val daily = events(s, dir)
+          .groupBy(expr("ts div 86400000000000").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val lagged = (1 to 8).foldLeft(daily) { (d, i) =>
+          d.withColumn(s"__l$i", lag("cnt", i).over(w))
+        }
+        val num = (1 to 8).map(i =>
+          when(col(s"__l$i").isNotNull, col(s"__l$i") * wts(i - 1))
+            .otherwise(lit(0L))).reduce(_ + _)
+        val den = (1 to 8).map(i =>
+          when(col(s"__l$i").isNotNull, lit(wts(i - 1)))
+            .otherwise(lit(0L))).reduce(_ + _)
+        lagged.withColumn("__num", num).withColumn("__den", den)
+          .filter(col("__den") > 0)
+          .select(col("day"), col("event_type"), col("cnt"),
+            expr("(1000 * __num) div __den").as("ewma_millis"),
+            expr("(cnt * 1000 * __den) div __num").as("ratio_millis"))
+          .withColumn("spike", (col("ratio_millis") > 1500).cast("int"))
+          .withColumn("drop", (col("ratio_millis") < 667).cast("int"))
+      },
+      Some {
+        val wts = (0 until 8).map(d =>
+          math.pow(3, d).toLong * math.pow(4, 7 - d).toLong)
+        val lags = (1 to 8).map(i =>
+          s"lag(cnt, $i) OVER (PARTITION BY event_type ORDER BY day) AS l$i")
+          .mkString(",\n             ")
+        val num = (1 to 8).map(i =>
+          s"CASE WHEN l$i IS NOT NULL THEN l$i * ${wts(i - 1)} ELSE 0 END")
+          .mkString(" + ")
+        val den = (1 to 8).map(i =>
+          s"CASE WHEN l$i IS NOT NULL THEN ${wts(i - 1)} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH d AS (
+           |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |lg AS (
+           |  SELECT day, event_type, cnt,
+           |    $lags
+           |  FROM d),
+           |s AS (
+           |  SELECT day, event_type, cnt,
+           |    CAST($num AS BIGINT) AS num,
+           |    CAST($den AS BIGINT) AS den
+           |  FROM lg)
+           |SELECT day, event_type, cnt,
+           |  (1000 * num) // den AS ewma_millis,
+           |  (cnt * 1000 * den) // num AS ratio_millis,
+           |  CAST((cnt * 1000 * den) // num > 1500 AS INTEGER) AS spike,
+           |  CAST((cnt * 1000 * den) // num < 667 AS INTEGER) AS "drop"
+           |FROM s WHERE den > 0""".stripMargin
+      }),
+
     // ---- clip_ds family (stglib/core/utils.py:73-180) -----------------
     Q("clip_deployment",
       (s, dir) => Clip.clipDeployment(events(s, dir), "ts",
