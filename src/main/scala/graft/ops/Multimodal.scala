@@ -521,6 +521,39 @@ object Multimodal {
   final case class PngInfo(media_id: Long, width: Int, height: Int,
                            channels: Int, mean_pixel: Double, max_pixel: Int)
 
+  /** Synthesize a deterministic per-row RGBA image, round-trip it through
+    * the real QOI codec ([[Qoi.encode]]/[[Qoi.decode]]), enforce
+    * losslessness sample-by-sample in the harness, and emit pixel stats
+    * for the closed-form oracle. The pixel rule is built to make every
+    * QOI op load-bearing: `x div 3` plateaus produce RUN ops, +1 steps
+    * between plateaus produce DIFF ops, +11 row advances produce LUMA
+    * ops, the x = w−1 column repeats the row's first color so the
+    * 64-entry table serves INDEX ops, and the non-255 constant alpha
+    * forces an RGBA op on the first pixel. */
+  def qoiRoundTrip(df: DataFrame, idCol: String, w: Int, h: Int): Dataset[PngInfo] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val a = ((id * 3) % 256).toInt
+        val px = new Array[Byte](w * h * 4)
+        for (y <- 0 until h; x <- 0 until w) {
+          val xe = if (x == w - 1) 0 else x
+          for (c <- 0 until 3)
+            px((y * w + x) * 4 + c) =
+              (((id * 7 + xe / 3 + y * 11 + c * 13) % 256).toInt & 0xff).toByte
+          px((y * w + x) * 4 + 3) = (a & 0xff).toByte
+        }
+        val enc = Qoi.encode(w, h, 4, px)
+        val (gw, gh, gc, got) = Qoi.decode(enc)
+        require(gw == w && gh == h && gc == 4, "QOI round trip diverged")
+        require(java.util.Arrays.equals(got, px), "QOI not lossless")
+        val s = got.map(_ & 0xff)
+        PngInfo(id, gw, gh, gc, s.map(_.toLong).sum.toDouble / s.length, s.max)
+      }
+    }
+  }
+
   /** Synthesize a deterministic per-row RGBA image, encode it as a real
     * PNG (DEFLATE, per-row filter type y % 5 so all five filter paths are
     * load-bearing, IDAT split across two chunks), decode it with

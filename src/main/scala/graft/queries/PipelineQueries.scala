@@ -2709,6 +2709,35 @@ object PipelineQueries {
              |  CAST(max(v) AS INTEGER) AS max_pixel
              |FROM px GROUP BY doc_id""".stripMargin)),
 
+    // REAL QOI image codec round trip (the public CC0 qoiformat.org
+    // lossless format): running 64-color table, wraparound diffs, RLE.
+    // The pixel rule makes every op load-bearing (plateaus→RUN, +1
+    // steps→DIFF, +11 rows→LUMA, repeated column→INDEX, non-255
+    // alpha→RGBA); losslessness is a hard require in the harness and the
+    // stats only match the closed-form oracle if decode(encode(px)) == px.
+    Q("multimodal_qoi_decode",
+      (s, dir) => Multimodal.qoiRoundTrip(documents(s, dir), "doc_id",
+        w = 12, h = 5).toDF(),
+      Some("""WITH px AS (
+             |  SELECT doc_id,
+             |    (doc_id * 7 + (CASE WHEN gx.x = 11 THEN 0 ELSE gx.x END) // 3
+             |      + gy.y * 11 + gc.c * 13) % 256 AS v
+             |  FROM documents,
+             |    generate_series(0, 11) gx(x),
+             |    generate_series(0, 4) gy(y),
+             |    generate_series(0, 2) gc(c)
+             |  UNION ALL
+             |  SELECT doc_id, (doc_id * 3) % 256 AS v
+             |  FROM documents,
+             |    generate_series(0, 11) gx(x),
+             |    generate_series(0, 4) gy(y))
+             |SELECT doc_id AS media_id,
+             |  CAST(12 AS INTEGER) AS width, CAST(5 AS INTEGER) AS height,
+             |  CAST(4 AS INTEGER) AS channels,
+             |  CAST(sum(v) AS DOUBLE) / 240 AS mean_pixel,
+             |  CAST(max(v) AS INTEGER) AS max_pixel
+             |FROM px GROUP BY doc_id""".stripMargin)),
+
     // TF-IDF vectorization (every doc-term pair with tf/df/score; round-9
     // ln discipline, no in-op ranking so log ulps cannot flip results)
     Q("tfidf_vector",
