@@ -105,6 +105,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Broder CONTAINMENT pairs within a scope — the asymmetric companion
+    * to [[ngramJaccardPairs]]: C = |A∩B| / min(|A|,|B|), the fraction of
+    * the smaller shingle set found inside the larger. Jaccard misses
+    * quote/superset relations (a doc embedded in a 10× larger doc has
+    * J ≤ 0.1 but C = 1); containment is the right score for "document B
+    * swallows document A" dedup and boilerplate-wrapper detection.
+    *
+    * Same one-row-per-doc sorted-shingle layout and salted scoped join as
+    * the Jaccard baseline, but NO size-ratio prune exists for containment
+    * (any size pair can reach the threshold), so this is strictly the
+    * scoped exact baseline — at corpus scale candidates must come from
+    * the LSH band join first. The threshold test is integer
+    * (tDen·|A∩B| ≥ tNum·min), bit-identical cross-engine.
+    *
+    * Output: (id_a, id_b, n_a, n_b, n_shared, containment, contained_id)
+    * with id_a < id_b; contained_id names the smaller (= contained) set,
+    * ties to id_a. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       scopeCol: String, k: Int,
+                       tNum: Int, tDen: Int): DataFrame = {
+    import graft.functions.ArrayMath
+    val keys = expr(
+      s"""array_sort(array_distinct(transform(
+         |  transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
+         |            i -> substr($textCol, i, $k)),
+         |  s -> CAST(ascii(substr(s,1,1)) * 65536 + ascii(substr(s,2,1)) * 256
+         |            + ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
+    val sets = Spread.shared(Spread.byKey(df, col(idCol))
+      .select(col(scopeCol).as("__scope"), col(idCol).as("__id"),
+        keys.as("__keys")))
+    val a = sets.select(col("__scope"), col("__id").as("id_a"),
+      col("__keys").as("__ka"), size(col("__keys")).as("__na"))
+    val b = sets.select(col("__scope").as("__scope2"), col("__id").as("id_b"),
+      col("__keys").as("__kb"), size(col("__keys")).as("__nb"))
+    Spread.saltedJoin(a, b,
+        col("__scope") === col("__scope2") && col("id_a") < col("id_b"),
+        col("id_a"), SALT)
+      .withColumn("__i", ArrayMath.sortedIntersectCount(col("__ka"), col("__kb")))
+      .filter(col("__i") * tDen >= lit(tNum) * least(col("__na"), col("__nb")))
+      .select(col("id_a"), col("id_b"),
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__i").as("n_shared"),
+        round(col("__i").cast("double") /
+          least(col("__na"), col("__nb")).cast("double"), 9).as("containment"),
+        when(col("__na") <= col("__nb"), col("id_a")).otherwise(col("id_b"))
+          .as("contained_id"))
+  }
+
   /** MinHash signature rows (id, i, minhash) for a k-function family.
     * Computed as k parallel `min` aggregates over the shingle rows — partial
     * aggregation collapses each map partition to one row per doc BEFORE the

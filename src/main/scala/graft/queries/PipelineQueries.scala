@@ -494,6 +494,32 @@ object PipelineQueries {
              |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
              |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin)),
 
+    // asymmetric containment dedup (Broder): fraction of the SMALLER
+    // shingle set inside the larger — catches quote/superset pairs that
+    // Jaccard structurally misses (doc inside a 10x wrapper: J <= 0.1,
+    // C = 1). Integer threshold test 4*i >= 3*min, scoped like the
+    // Jaccard baseline.
+    Q("dedup_containment",
+      (s, dir) => Dedup.containmentPairs(documents(s, dir), "doc_id", "text",
+        "source", 3, tNum = 3, tDen = 4),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, source, text,
+             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
+             |sz AS (SELECT doc_id, CAST(count(*) AS INTEGER) n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) i
+             |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, i AS n_shared,
+             |  round(CAST(i AS DOUBLE) / least(sa.n, sb.n), 9) AS containment,
+             |  CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id
+             |FROM inter
+             |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |WHERE i * 4 >= 3 * least(sa.n, sb.n)""".stripMargin)),
+
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text",
         numHashes = 16, bands = 2, estThreshold = 0.7),
