@@ -404,7 +404,6 @@ object Sketches {
    */
   def histQuantile(df: DataFrame, groupCol: String, valueCol: String,
                    bins: Int = HistBins): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = df.select(col(groupCol),
       round(col(valueCol) * 100).cast("long").as("__c"))
     val extent = cents.agg(min("__c").as("__min"), max("__c").as("__max"))
@@ -414,6 +413,38 @@ object Sketches {
         expr(s"((__c - __min) * $bins) div __span").as("__b"))
       .groupBy(groupCol, "__min", "__span", "__b")
       .agg(count(lit(1)).as("__cnt"))
+    histEstimate(sketch, groupCol, bins)
+  }
+
+  /** Bucket-count registers against a FIXED bin grid — the streaming /
+    * incremental deployment shape of [[histQuantile]] (a stream can't
+    * derive a global extent, so edges come from historical data; values
+    * outside the grid clamp to the edge bins). A stateless projection +
+    * count aggregation: runs identically under Structured Streaming in
+    * complete mode with ≤ groups×bins rows of state, and registers from
+    * any number of engines/streams/batches merge by adding counts. */
+  def histRegisters(df: DataFrame, groupCol: String, valueCol: String,
+                    minCents: Long, span: Long,
+                    bins: Int = HistBins): DataFrame =
+    df.select(col(groupCol),
+        round(col(valueCol) * 100).cast("long").as("__c"))
+      .select(col(groupCol),
+        expr(s"least(greatest(((__c - ${minCents}L) * $bins) div ${span}L, 0L), ${bins - 1}L)")
+          .as("__b"))
+      .groupBy(groupCol, "__b").agg(count(lit(1)).as("__cnt"))
+
+  /** Quantile estimates from fixed-grid [[histRegisters]] rows. */
+  def histEstimateFixed(regs: DataFrame, groupCol: String,
+                        minCents: Long, span: Long,
+                        bins: Int = HistBins): DataFrame =
+    histEstimate(regs.withColumn("__min", lit(minCents))
+      .withColumn("__span", lit(span)), groupCol, bins)
+
+  /** Shared estimation tail: cumulative bins + exact-integer interpolation
+    * over a (groupCol, __min, __span, __b, __cnt) sketch table. */
+  private def histEstimate(sketch: DataFrame, groupCol: String,
+                           bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupCol).orderBy("__b")
     val wAll = Window.partitionBy(groupCol)
     val cum = sketch
@@ -436,11 +467,13 @@ object Sketches {
     val stats = sketch.groupBy(groupCol)
       .agg(sum("__cnt").as("n_rows"),
         count(lit(1)).cast("int").as("n_bins_used"))
-    stats.join(
-        est.groupBy(groupCol)
-          .agg(max(when(col("__q") === "q50", col("__est_cents"))).as("__e50"),
-            max(when(col("__q") === "q90", col("__est_cents"))).as("__e90")),
-        Seq(groupCol))
+    // rename the estimate side's group key: both branches derive from the
+    // same `sketch` plan and an eponymous-column self-join trips Catalyst's
+    // conflicting-reference resolution on view-backed inputs
+    val estWide = est.groupBy(col(groupCol).as("__g"))
+      .agg(max(when(col("__q") === "q50", col("__est_cents"))).as("__e50"),
+        max(when(col("__q") === "q90", col("__est_cents"))).as("__e90"))
+    stats.join(estWide, col(groupCol) === col("__g"))
       .select(col(groupCol), col("n_rows"), col("n_bins_used"),
         (col("__e50").cast("double") / 100.0).as("q50_est"),
         (col("__e90").cast("double") / 100.0).as("q90_est"))
