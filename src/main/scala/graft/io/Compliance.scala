@@ -176,6 +176,53 @@ object Compliance {
         out += Violation("vertical-datum",
           "output has a vertical coordinate but no datum attribute " +
             "(geopotential_datum_name / vertical_datum / NAVD88_ref)")
+      // ACDD geospatial sanity: declared deployment position must be a
+      // real coordinate (the checker's geospatial_lat/lon bounds rule;
+      // the reference stamps latitude/longitude on every output)
+      meta.dbl("latitude").foreach { lat =>
+        if (lat < -90.0 || lat > 90.0)
+          out += Violation("geospatial-range", s"latitude $lat outside [-90, 90]")
+      }
+      meta.dbl("longitude").foreach { lon =>
+        if (lon < -180.0 || lon > 360.0)
+          out += Violation("geospatial-range",
+            s"longitude $lon outside [-180, 360]")
+      }
+      // ACDD time coverage: recommended on every released file
+      for (k <- Seq("time_coverage_start", "time_coverage_end") if !meta.has(k))
+        out += Violation("acdd-recommended",
+          s"missing recommended global attribute $k", severity = "recommended")
+    }
+
+    // CF §4.4.1: a "since"-style time coordinate should declare its
+    // calendar (the checker warns on absence; only a known CF calendar
+    // passes)
+    df.schema.fields.find(_.name == timeCol).foreach { tf =>
+      if (tf.metadata.contains("units") &&
+          tf.metadata.getString("units").toLowerCase.contains(" since ")) {
+        if (!tf.metadata.contains("calendar"))
+          out += Violation("time-calendar",
+            s"$timeCol has epoch units but no calendar attribute",
+            severity = "recommended")
+        else {
+          val cal = tf.metadata.getString("calendar").toLowerCase
+          val known = Set("standard", "gregorian", "proleptic_gregorian",
+            "julian", "noleap", "365_day", "all_leap", "366_day", "360_day")
+          if (!known.contains(cal))
+            out += Violation("time-calendar", s"unknown calendar '$cal'")
+        }
+      }
+    }
+
+    // CF §5: a variable's `coordinates` attribute must name columns that
+    // exist in the output (dangling references break every CF reader)
+    for (f <- df.schema.fields if f.metadata.contains("coordinates")) {
+      val missing = f.metadata.getString("coordinates").split("\\s+")
+        .filter(_.nonEmpty).filterNot(df.columns.contains)
+      if (missing.nonEmpty)
+        out += Violation("coordinates-exist",
+          s"${f.name}: coordinates attribute names missing columns " +
+            missing.mkString(", "))
     }
 
     out.toSeq

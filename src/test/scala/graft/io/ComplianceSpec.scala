@@ -58,8 +58,19 @@ class ComplianceSpec extends AnyFunSuite {
     val fullMeta = Meta(Map("Conventions" -> "CF-1.8", "title" -> "t",
       "institution" -> "USGS", "NAVD88_ref" -> -1.23,
       "summary" -> "test deployment", "history" -> "generated",
-      "source" -> "graft"))
+      "source" -> "graft",
+      "time_coverage_start" -> "2024-01-01T00:00:00Z",
+      "time_coverage_end" -> "2024-01-01T00:00:01Z"))
     assert(Compliance.check(good, meta = fullMeta,
+      coordCols = Seq("time", "bin_depth")).isEmpty)
+
+    // geospatial sanity: out-of-range declared position is required-level
+    val vGeo = Compliance.check(good,
+      meta = fullMeta ++ Map("latitude" -> 95.0, "longitude" -> 400.0),
+      coordCols = Seq("time", "bin_depth"))
+    assert(vGeo.count(_.rule == "geospatial-range") == 2)
+    assert(Compliance.check(good,
+      meta = fullMeta ++ Map("latitude" -> 41.5, "longitude" -> -70.7),
       coordCols = Seq("time", "bin_depth")).isEmpty)
   }
 
@@ -92,14 +103,39 @@ class ComplianceSpec extends AnyFunSuite {
     val okUnits = new MetadataBuilder().withMetadata(badUnits)
       .putString("units", "degree_C").putDouble("_FillValue", -999.0).build()
     val okT = new MetadataBuilder()
-      .putString("units", "seconds since 1970-01-01T00:00:00Z").build()
+      .putString("units", "seconds since 1970-01-01T00:00:00Z")
+      .putString("calendar", "standard").build()
     val good = df
       .withColumn("time", col("time").as("time", okT))
       .withColumn("T_28", col("T_28").as("T_28", okUnits))
     val v2 = Compliance.check(good, meta = Meta(Map(
       "Conventions" -> "CF-1.8", "title" -> "t", "institution" -> "USGS",
-      "summary" -> "s", "history" -> "h", "source" -> "g")))
+      "summary" -> "s", "history" -> "h", "source" -> "g",
+      "time_coverage_start" -> "2024-01-01T00:00:00Z",
+      "time_coverage_end" -> "2024-01-01T00:00:01Z")))
     assert(v2.isEmpty)
+
+    // epoch units without a calendar: recommended warning; an unknown
+    // calendar name is a required failure
+    val noCal = new MetadataBuilder()
+      .putString("units", "seconds since 1970-01-01T00:00:00Z").build()
+    val vCal = Compliance.check(
+      good.withColumn("time", col("time").as("time", noCal)))
+    assert(vCal.exists(r =>
+      r.rule == "time-calendar" && r.severity == "recommended"))
+    val badCal = new MetadataBuilder().withMetadata(okT)
+      .putString("calendar", "martian").build()
+    assert(Compliance.check(
+      good.withColumn("time", col("time").as("time", badCal)))
+      .exists(r => r.rule == "time-calendar" && r.severity == "required"))
+
+    // dangling `coordinates` attribute is a required failure
+    val withCoords = new MetadataBuilder().withMetadata(okUnits)
+      .putString("coordinates", "time depth_missing").build()
+    assert(Compliance.check(
+      good.withColumn("T_28", col("T_28").as("T_28", withCoords)))
+      .exists(r => r.rule == "coordinates-exist" &&
+        r.detail.contains("depth_missing")))
   }
 
   test("violations reported: non-monotone time, missing metadata") {
