@@ -53,10 +53,20 @@ object Similarity {
     * table (a `broadcast` of all vectors dies past executor memory at
     * 100 TB). The pair set is projected to scalars before the top-k window
     * shuffles it on vec_id. */
-  def bruteTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+  def bruteTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame =
+    bruteTopKFor(df, idCol, embCol, k, lit(true))
+
+  /** [[bruteTopK]] restricted to a query-side sample — the predicate is
+    * applied to the QUERY side BEFORE the blocked cross, so the pair work
+    * is structurally O(|sample|·n) rather than relying on Catalyst pushing
+    * a filter through the cross join into a cached scan (measured: the
+    * push does not happen across the in-memory relation, and the eval
+    * queries were paying the full O(n²) despite their sample predicates). */
+  def bruteTopKFor(df: DataFrame, idCol: String, embCol: String, k: Int,
+                   queryPred: Column): DataFrame = {
     val n = df.sparkSession.sparkContext.defaultParallelism
     val base = Spread.shared(normalized(df, idCol, embCol, "vec_id", "ea"))
-    val a = base
+    val a = base.filter(queryPred)
     val b = base.select(col("vec_id").as("neighbor_id"), col("ea").as("eb"))
     val pairs = Spread.blockedCross(a, b, col("vec_id"), col("neighbor_id"),
         sa = n, sb = 4, cond = col("vec_id") =!= col("neighbor_id"))
@@ -969,8 +979,7 @@ object Similarity {
       .filter(querySlice)
       .select(col("vec_id"), col("neighbor_id"))
     // shared: truth feeds both the hit join and the per-query denominator
-    val truth = Spread.shared(bruteTopK(df, idCol, embCol, k)
-      .filter(querySlice)
+    val truth = Spread.shared(bruteTopKFor(df, idCol, embCol, k, querySlice)
       .select(col("vec_id"), col("neighbor_id")))
     val hits = approx.join(truth, Seq("vec_id", "neighbor_id"))
       .groupBy("vec_id").agg(count(lit(1)).as("__nh"))
@@ -998,11 +1007,11 @@ object Similarity {
    *
    * Scale shape: the query side is a FIXED-size sample (predicate with an
    * id cap — candidate generation is O(|sample|·n) by construction, like
-   * [[annRecall]]'s truth side), candidates are bounded at nCand per
-   * query, so the greedy phase works on ≤ |sample|·nCand² pair rows; each
-   * of the m−1 iterations is a bounded join + max_by aggregation over a
-   * persisted selection table (no driver-side loop over data — the loop
-   * only builds the plan).
+   * [[annRecall]]'s truth side) and candidates are bounded at nCand per
+   * query, so the expensive scoring is fully distributed while the greedy
+   * phase touches only ≤ |sample|·nCand² pair rows — bounded MODEL state,
+   * collected and iterated driver-side (the kmeansLoop pattern; running
+   * m dependent argmax rounds as Spark jobs is pure scheduling overhead).
    *
    * Output: (vec_id, step, selected_id, rel, maxsim, mmr_score).
    */
@@ -1012,8 +1021,7 @@ object Similarity {
     // candidate generation rides the blocked-cross exact top-k (the same
     // shape annRecall's truth side uses); the query-sample filter sits on
     // the window partition key so it pushes below the pair join
-    val cand0 = bruteTopK(df, idCol, embCol, nCand)
-      .filter(queryPred)
+    val cand0 = bruteTopKFor(df, idCol, embCol, nCand, queryPred)
       .select(col("vec_id").as("qid"), col("neighbor_id").as("cid"),
         round(col("cosine"), 8).as("rel"))
     val cand = Spread.shared(cand0.join(
@@ -1025,34 +1033,39 @@ object Similarity {
         col("pq") === col("pq2") && col("a") =!= col("b"))
       .withColumn("sim", round(ndot(col("ea"), col("eb")), 8))
       .select(col("pq"), col("a"), col("b"), col("sim")))
-    val c = cand.select("qid", "cid", "rel")
-    var all = Spread.shared(c.groupBy("qid")
-      .agg(max_by(struct(col("cid"), col("rel")),
-        struct(col("rel"), -col("cid"))).as("__s"))
-      .select(col("qid"), col("__s.cid").as("sel_id"), lit(1).as("step"),
-        col("__s.rel").as("rel"), lit(0.0).as("maxsim"),
-        (col("__s.rel") * 0.5).as("mmr_score")))
-    for (t <- 2 to m) {
-      val selIds = all.select(col("qid").as("sq"), col("sel_id"))
-      val remaining = c.join(selIds,
-          col("qid") === col("sq") && col("cid") === col("sel_id"),
-          "left_anti")
-      val scored = remaining
-        .join(selIds, col("qid") === col("sq"))
-        .join(pairs, col("qid") === col("pq") &&
-          col("cid") === col("a") && col("sel_id") === col("b"))
-        .groupBy("qid", "cid", "rel").agg(max("sim").as("maxsim"))
-        .withColumn("mmr_score", col("rel") * 0.5 - col("maxsim") * 0.5)
-      val pick = scored.groupBy("qid")
-        .agg(max_by(struct(col("cid"), col("rel"), col("maxsim"),
-            col("mmr_score")),
-          struct(col("mmr_score"), -col("cid"))).as("__s"))
-        .select(col("qid"), col("__s.cid").as("sel_id"), lit(t).as("step"),
-          col("__s.rel").as("rel"), col("__s.maxsim").as("maxsim"),
-          col("__s.mmr_score").as("mmr_score"))
-      all = Spread.shared(all.unionByName(pick))
+    // the greedy phase works on BOUNDED state (≤ |sample|·nCand candidate
+    // rows, ≤ |sample|·nCand² pair rows — a model, not data), so it runs
+    // driver-side like kmeansLoop's iteration bookkeeping: m dependent
+    // argmax rounds as Spark jobs cost ~30 tiny shuffle stages of pure
+    // scheduling overhead (measured 8 s warm at sf0.1 for 2.7k pair rows)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candRows = cand.select(col("qid"), col("cid"), col("rel")).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getDouble(2)))
+    val simMap = pairs.collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue) -> r.getDouble(3)).toMap
+    val out = candRows.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      var selected = Vector.empty[(Long, Int, Long, Double, Double, Double)]
+      var remaining = cs.map(t => (t._2, t._3)).toVector
+      for (step <- 1 to m if remaining.nonEmpty) {
+        val scored = remaining.map { case (cid, rel) =>
+          val ms =
+            if (selected.isEmpty) 0.0
+            else selected.map(s => simMap.getOrElse((q, cid, s._3),
+              sys.error(s"missing pair sim ($q, $cid, ${s._3})"))).max
+          // identical IEEE ops to the oracle: two exact halvings + one
+          // subtraction of round-8 doubles
+          (cid, rel, ms, rel * 0.5 - ms * 0.5)
+        }
+        val best = scored.minBy { case (cid, _, _, sc) => (-sc, cid) }
+        selected :+= ((q, step, best._1, best._2, best._3, best._4))
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      selected
     }
-    all.select(col("qid").as("vec_id"), col("step"), col("sel_id").as("selected_id"),
-      col("rel"), col("maxsim"), round(col("mmr_score"), 9).as("mmr_score"))
+    out.toDF("vec_id", "step", "selected_id", "rel", "maxsim", "mmr_score")
+      .withColumn("mmr_score", round(col("mmr_score"), 9))
   }
 }
