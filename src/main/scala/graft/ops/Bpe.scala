@@ -59,6 +59,36 @@ object Bpe {
       .agg(sum("n_tokens").as("n_tokens"), count(lit(1)).as("n_words"))
   }
 
+  /** Tokenizer vocabulary-coverage evaluation: train the merges on the
+    * `trainPred` slice only, then encode the HELD-OUT slice — per doc,
+    * the word count, the out-of-vocabulary word count (words never seen
+    * in training have no segmentation; a production tokenizer falls back
+    * to byte/char pieces, so their token cost is the word's char length),
+    * the resulting token count, and the OOV rate. The eval that sizes a
+    * vocabulary against a shifting corpus.
+    *
+    * Scale shape: the trained (word → n_tokens) map is vocabulary-sized
+    * (broadcast model); the held-out corpus is touched once with a
+    * map-side-combinable per-doc aggregation — [[docTokens]]' shape plus
+    * a left join instead of inner. */
+  def oovReport(df: DataFrame, idCol: String, textCol: String, k: Int,
+                trainPred: org.apache.spark.sql.Column): DataFrame = {
+    val seg = segment(df.filter(trainPred), textCol, k)
+      .select(col("word"), col("n_tokens"))
+    df.filter(!trainPred)
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(seg), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("n_tokens").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("n_tokens").cast("long"), length(col("word")).cast("long")))
+          .as("n_tokens"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_words"), 9))
+  }
+
   // shared bounded-LRU memo ([[BoundedMemo]], same as kmeansLoop): the
   // three registered queries share one training run per (input plan,
   // params); nothing to release on evict — trainLoop unpersists eagerly

@@ -2825,6 +2825,30 @@ object PipelineQueries {
           |WHERE length(docw.w) > 0
           |GROUP BY doc_id""".stripMargin)),
 
+    // tokenizer vocabulary-coverage eval: merges trained on EVEN doc_ids
+    // only, held-out ODD docs encoded against the trained vocab — unseen
+    // words fall back to char pieces (token cost = char length); per-doc
+    // OOV rate + token counts. The eval that sizes a vocabulary against a
+    // shifting corpus.
+    Q("bpe_oov",
+      (s, dir) => graft.ops.Bpe.oovReport(documents(s, dir), "doc_id",
+        "text", k = BpeK, trainPred = col("doc_id") % 2 === 0),
+      Some(bpeCtes(BpeK, "WHERE doc_id % 2 = 0") +
+        s""",
+          |docw AS (
+          |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          |  FROM documents WHERE doc_id % 2 = 1),
+          |j AS (
+          |  SELECT doc_id, docw.w, w$BpeK.sym
+          |  FROM docw LEFT JOIN w$BpeK USING (w)
+          |  WHERE length(docw.w) > 0)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |  CAST(sum(CASE WHEN sym IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          |  CAST(sum(coalesce(len(sym), length(w))) AS BIGINT) AS n_tokens,
+          |  round(CAST(sum(CASE WHEN sym IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          |    / count(*), 9) AS oov_rate
+          |FROM j GROUP BY doc_id""".stripMargin)),
+
     // REAL video decode: AVI with uncompressed DIB frames (the codec-free
     // video container — RIFF walk + bottom-up BGR frame grammar, byte
     // arithmetic only). Every 2nd of 4 frames is sampled; w=6 puts 2 bytes
@@ -3096,12 +3120,13 @@ object PipelineQueries {
          |  CAST(c AS BIGINT) AS pair_count FROM b$i""".stripMargin)
       .mkString("\nUNION ALL\n")
 
-  private def bpeCtes(k: Int): String = {
+  private def bpeCtes(k: Int, trainWhere: String = ""): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH words AS MATERIALIZED (
         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |        FROM documents $trainWhere)
         |  WHERE length(w) > 0 GROUP BY w),
         |w0 AS MATERIALIZED (
         |  SELECT w, cnt,
