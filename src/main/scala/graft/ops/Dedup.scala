@@ -423,6 +423,51 @@ object Dedup {
    *
    * Input: edges (id_a, id_b) + node table; output (id, rank_micro).
    */
+  /**
+   * Semi-supervised label propagation over the near-dup graph (the
+   * clamped-seed variant of Raghavan et al.'s LPA): seeds keep their
+   * label forever; each synchronous round, every still-unlabeled node
+   * adjacent to ≥1 labeled node takes the MAJORITY label of its labeled
+   * neighbors (ties break to the lexicographically smallest label) and
+   * records the round it was reached. The cheap transductive classifier
+   * for "label 10% of the corpus, infer the rest through near-dup
+   * structure" — language/domain/quality labels flow across duplicates.
+   *
+   * Scale shape: per round, one equi-join of edges against current labels
+   * (shuffles on the high-cardinality node id), an anti-join to restrict
+   * to the frontier, and a majority vote as a map-side-combinable count +
+   * struct-min — no windows over the graph, no driver-side adjacency.
+   * Fixed `rounds` unrolls into one declarative plan; each round's label
+   * table is shared (persisted) so round r+1 doesn't recompute r.
+   *
+   * Input: edges (id_a, id_b), node table with `seedLabel` (null =
+   * unlabeled). Output: (idCol, label, round) for every node labeled
+   * within `rounds` rounds (round 0 = seed).
+   */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame, idCol: String,
+                       seedLabel: Column, rounds: Int = 3): DataFrame = {
+    val sym = Spread.shared(
+      edges.select(col("id_a").cast("long").as("__src"),
+          col("id_b").cast("long").as("__dst"))
+        .union(edges.select(col("id_b").cast("long").as("__src"),
+          col("id_a").cast("long").as("__dst"))))
+    var cur = Spread.shared(nodes
+      .select(col(idCol).cast("long").as("__id"), seedLabel.as("label"))
+      .filter(col("label").isNotNull)
+      .withColumn("round", lit(0)))
+    for (r <- 1 to rounds) {
+      val votes = sym
+        .join(cur.select(col("__id").as("__src"), col("label")), "__src")
+        .join(cur.select(col("__id").as("__dst")), Seq("__dst"), "left_anti")
+        .groupBy(col("__dst"), col("label")).agg(count(lit(1)).as("__c"))
+      val newly = votes.groupBy("__dst")
+        .agg(min_by(col("label"), struct(-col("__c"), col("label"))).as("label"))
+        .select(col("__dst").as("__id"), col("label"), lit(r).as("round"))
+      cur = Spread.shared(cur.unionByName(newly))
+    }
+    cur.select(col("__id").as(idCol), col("label"), col("round"))
+  }
+
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
                iters: Int = 3): DataFrame = {
     val sym = Spread.shared(

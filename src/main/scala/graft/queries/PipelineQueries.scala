@@ -932,6 +932,45 @@ object PipelineQueries {
              |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
              |SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id""".stripMargin)),
 
+    // semi-supervised label propagation over the same near-dup graph:
+    // a 1-in-7 slice carries its lang as a clamped seed (the synthetic
+    // near-dup pairs connect ids of EQUAL residue mod 20, so a mod-10
+    // seed slice only ever reaches other seeds — mod 7 crosses the
+    // duplicate structure and genuinely propagates); 3 synchronous
+    // rounds spread majority labels (ties to the smallest label) across
+    // near-dup structure. The oracle unrolls every round as CTEs.
+    Q("label_propagation",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        Dedup.labelPropagation(
+          Dedup.simhashPairs(docs, "doc_id", "text", "source", 16, 2),
+          docs, "doc_id",
+          when(col("doc_id") % 7 === 0, col("lang")), rounds = 3)
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""v$r AS (
+             |  SELECT e.dst, l.label, count(*) AS c
+             |  FROM edges e JOIN l${r - 1} l ON l.id = e.src
+             |  LEFT JOIN l${r - 1} x ON x.id = e.dst
+             |  WHERE x.id IS NULL GROUP BY 1, 2),
+             |n$r AS (
+             |  SELECT dst AS id, label, $r AS round FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY dst
+             |      ORDER BY c DESC, label) AS rn FROM v$r) WHERE rn = 1),
+             |l$r AS (SELECT * FROM l${r - 1} UNION ALL SELECT * FROM n$r)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $simhashPairCtes,
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+           |          UNION ALL SELECT id_b, id_a FROM spairs),
+           |l0 AS (SELECT doc_id AS id, lang AS label, 0 AS round
+           |       FROM documents WHERE doc_id % 7 = 0),
+           |$rounds
+           |SELECT id AS doc_id, label, CAST(round AS INTEGER) AS round
+           |FROM l3""".stripMargin
+      }),
+
     // the deduplicated corpus: one representative (min doc_id) per near-dup
     // cluster + all singletons — what a training pipeline actually feeds on
     Q("dedup_cluster_keep",
