@@ -574,6 +574,56 @@ object Relational {
              |    ORDER BY lift_millis DESC, event_type) AS rank FROM l)
              |WHERE rank <= 3""".stripMargin)),
 
+    // top session paths: 3-event type sequences WITHIN 6-hour-gap
+    // sessions (gaps-and-islands session ids, then lead() triples that
+    // must stay inside one session), counted corpus-wide, top-10 by
+    // (count desc, path). Distinct paths are bounded by |event_types|³ —
+    // the final ordering runs on a model-sized table (TakeOrdered).
+    Q("session_paths",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val gapNs = 6L * 3600 * 1000000000L
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("__brk",
+            when(lag("ts", 1).over(w).isNull ||
+              col("ts") - lag("ts", 1).over(w) > gapNs, 1).otherwise(0))
+          .withColumn("__sid", sum("__brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val triples = sess
+          .withColumn("__t2", lead("event_type", 1).over(w))
+          .withColumn("__s2", lead("__sid", 1).over(w))
+          .withColumn("__t3", lead("event_type", 2).over(w))
+          .withColumn("__s3", lead("__sid", 2).over(w))
+          .filter(col("__s2") === col("__sid") && col("__s3") === col("__sid"))
+          .select(concat_ws(">", col("event_type"), col("__t2"), col("__t3"))
+            .as("path"))
+        triples.groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(10)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+             |  FROM events),
+             |m AS (
+             |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+             |    OR ts - lag(ts) OVER w > 21600000000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |g AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m),
+             |t AS (
+             |  SELECT event_type AS t1,
+             |    lead(event_type, 1) OVER w AS t2, lead(sid, 1) OVER w AS s2,
+             |    lead(event_type, 2) OVER w AS t3, lead(sid, 2) OVER w AS s3,
+             |    sid
+             |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT concat_ws('>', t1, t2, t3) AS path,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM t WHERE s2 = sid AND s3 = sid
+             |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)),
+
     // EWMA anomaly detection on daily per-type counts: the exponentially
     // weighted baseline over the 8 prior observed days with α = 1/4,
     // evaluated EXACTLY — decay weights 3^d·4^(7−d) are integer literals,
