@@ -441,6 +441,40 @@ object PipelineQueries {
              |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
              |WHERE levenshtein(a.pfx, b.pfx) <= 8""".stripMargin)),
 
+    // record linkage: blocking on (source, first token) — the textbook
+    // blocking-key equi-join — then the codegen'd native Jaro-Winkler
+    // expression (graft.functions.JaroWinkler; bit-for-bit DuckDB's
+    // jaro_winkler_similarity incl. the 0.7 boost threshold) over 40-char
+    // record prefixes, matches at >= 0.82. A skewed block (very common
+    // first token) would salt exactly like the scope joins; the blocking
+    // key space here is vocabulary-sized.
+    Q("record_linkage",
+      (s, dir) => {
+        val t = graft.ops.Spread.shared(documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            substring(col("text"), 1, 40).as("rec"),
+            split(col("text"), " ").getItem(0).as("blk")))
+        val a = t.select(col("source").as("__s"), col("blk").as("__b"),
+          col("doc_id").as("id_a"), col("rec").as("rec_a"))
+        val b = t.select(col("source").as("__s2"), col("blk").as("__b2"),
+          col("doc_id").as("id_b"), col("rec").as("rec_b"))
+        a.join(b, col("__s") === col("__s2") && col("__b") === col("__b2") &&
+            col("id_a") < col("id_b"))
+          .withColumn("jw",
+            graft.functions.JaroWinkler(col("rec_a"), col("rec_b")))
+          .filter(col("jw") >= 0.82)
+          .select(col("id_a"), col("id_b"), round(col("jw"), 9).as("jw"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, text[1:40] AS rec,
+             |    string_split(text, ' ')[1] AS blk
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  round(jaro_winkler_similarity(a.rec, b.rec), 9) AS jw
+             |FROM t a JOIN t b ON a.source = b.source AND a.blk = b.blk
+             |  AND a.doc_id < b.doc_id
+             |WHERE jaro_winkler_similarity(a.rec, b.rec) >= 0.82""".stripMargin)),
+
     // CCNet/RefinedWeb boilerplate filter: drop EVERY occurrence of any
     // 2-token chunk present in >= 1/32 of all documents (pervasiveness
     // defines boilerplate, so the threshold is a corpus fraction — 1/32 is
