@@ -125,23 +125,32 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        scopeCol: String, k: Int,
                        tNum: Int, tDen: Int): DataFrame = {
-    import graft.functions.ArrayMath
-    val keys = expr(
-      s"""array_sort(array_distinct(transform(
-         |  transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
-         |            i -> substr($textCol, i, $k)),
-         |  s -> CAST(ascii(substr(s,1,1)) * 65536 + ascii(substr(s,2,1)) * 256
-         |            + ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
     val sets = Spread.shared(Spread.byKey(df, col(idCol))
       .select(col(scopeCol).as("__scope"), col(idCol).as("__id"),
-        keys.as("__keys")))
+        shingleKeys(textCol, k).as("__keys")))
     val a = sets.select(col("__scope"), col("__id").as("id_a"),
       col("__keys").as("__ka"), size(col("__keys")).as("__na"))
     val b = sets.select(col("__scope").as("__scope2"), col("__id").as("id_b"),
       col("__keys").as("__kb"), size(col("__keys")).as("__nb"))
-    Spread.saltedJoin(a, b,
-        col("__scope") === col("__scope2") && col("id_a") < col("id_b"),
-        col("id_a"), SALT)
+    containmentTail(Spread.saltedJoin(a, b,
+      col("__scope") === col("__scope2") && col("id_a") < col("id_b"),
+      col("id_a"), SALT), tNum, tDen)
+  }
+
+  /** Sorted distinct char-k shingle keys of a text column (3-byte packed
+    * integers — the [[ngramJaccardPairs]] layout). */
+  private def shingleKeys(textCol: String, k: Int): Column = expr(
+    s"""array_sort(array_distinct(transform(
+       |  transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
+       |            i -> substr($textCol, i, $k)),
+       |  s -> CAST(ascii(substr(s,1,1)) * 65536 + ascii(substr(s,2,1)) * 256
+       |            + ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
+
+  /** Shared containment scoring tail over pair rows carrying
+    * (__ka, __kb, __na, __nb). */
+  private def containmentTail(pairs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    import graft.functions.ArrayMath
+    pairs
       .withColumn("__i", ArrayMath.sortedIntersectCount(col("__ka"), col("__kb")))
       .filter(col("__i") * tDen >= lit(tNum) * least(col("__na"), col("__nb")))
       .select(col("id_a"), col("id_b"),
@@ -151,6 +160,31 @@ object Dedup {
           least(col("__na"), col("__nb")).cast("double"), 9).as("containment"),
         when(col("__na") <= col("__nb"), col("id_a")).otherwise(col("id_b"))
           .as("contained_id"))
+  }
+
+  /**
+   * The SCALE PATH for containment dedup: [[winnowPairs]] fingerprint
+   * candidates (equi-join on rare winnow hashes — linear in corpus
+   * fingerprints, the MOSS candidate step) followed by the exact
+   * containment check on ONLY those candidate pairs. Bounded pair work at
+   * any corpus size in exchange for recall limited to pairs sharing ≥
+   * `minShared` rare fingerprints — the same candidates-then-exact
+   * contract as minhashLsh vs ngramJaccard. Output schema matches
+   * [[containmentPairs]].
+   */
+  def containmentCandidates(df: DataFrame, idCol: String, textCol: String,
+                            k: Int, tNum: Int, tDen: Int,
+                            n: Int, w: Int, minShared: Int,
+                            maxDf: Int): DataFrame = {
+    val cand = winnowPairs(df, idCol, textCol, n, w, minShared, maxDf)
+      .select("id_a", "id_b")
+    val sets = Spread.shared(Spread.byKey(df, col(idCol))
+      .select(col(idCol).as("__id"), shingleKeys(textCol, k).as("__keys")))
+    containmentTail(cand
+      .join(sets.select(col("__id").as("id_a"), col("__keys").as("__ka"),
+        size(col("__keys")).as("__na")), "id_a")
+      .join(sets.select(col("__id").as("id_b"), col("__keys").as("__kb"),
+        size(col("__keys")).as("__nb")), "id_b"), tNum, tDen)
   }
 
   /** MinHash signature rows (id, i, minhash) for a k-function family.

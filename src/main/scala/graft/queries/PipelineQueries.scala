@@ -948,6 +948,63 @@ object PipelineQueries {
              |FROM k a JOIN k b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin)),
 
+    // the SCALE PATH for containment: winnow-fingerprint candidates
+    // (equi-join on rare hashes, linear in corpus fingerprints) -> exact
+    // containment on ONLY the candidate pairs. Same candidates-then-exact
+    // contract as minhash-LSH vs the all-pairs Jaccard baseline.
+    Q("dedup_containment_lsh",
+      (s, dir) => Dedup.containmentCandidates(documents(s, dir), "doc_id",
+        "text", k = 3, tNum = 3, tDen = 4,
+        n = 3, w = 4, minShared = 2, maxDf = 20),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+             |      i -> i - 1)) AS pos,
+             |    unnest(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+             |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS ngram
+             |  FROM t),
+             |h AS (
+             |  SELECT doc_id, pos,
+             |    CAST(('0x' || substr(md5(ngram), 1, 8)) AS BIGINT) AS hh,
+             |    count(*) OVER (PARTITION BY doc_id) AS n
+             |  FROM g),
+             |e AS (
+             |  SELECT doc_id, pos, n,
+             |    min(hh * 1048576 + (1048575 - pos)) OVER (
+             |      PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+             |  FROM h),
+             |fp AS MATERIALIZED (SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp_hash
+             |       FROM e WHERE pos <= n - 4),
+             |rare AS (SELECT fp_hash FROM fp GROUP BY fp_hash
+             |         HAVING count(*) <= 20 AND count(*) > 1),
+             |kk AS MATERIALIZED (SELECT fp.doc_id, fp.fp_hash FROM fp JOIN rare USING (fp_hash)),
+             |cp AS MATERIALIZED (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM kk a JOIN kk b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 2),
+             |pos2 AS (
+             |  SELECT doc_id, text,
+             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh FROM pos2),
+             |sz AS (SELECT doc_id, CAST(count(*) AS INTEGER) n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT cp.id_a, cp.id_b, CAST(count(*) AS BIGINT) i
+             |  FROM cp JOIN sh a ON a.doc_id = cp.id_a
+             |  JOIN sh b ON b.doc_id = cp.id_b AND b.sh = a.sh
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, i AS n_shared,
+             |  round(CAST(i AS DOUBLE) / least(sa.n, sb.n), 9) AS containment,
+             |  CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id
+             |FROM inter
+             |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |WHERE i * 4 >= 3 * least(sa.n, sb.n)""".stripMargin)),
+
     // near-dup cluster labels: simhash pairs -> connected components
     // (min-reachable-id fixpoint; oracle = recursive-CTE reachability)
     Q("dedup_components",
