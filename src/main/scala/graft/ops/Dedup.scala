@@ -502,6 +502,29 @@ object Dedup {
     cur.select(col("__id").as(idCol), col("label"), col("round"))
   }
 
+  /**
+   * Triangle counting over the near-dup graph — the classic distributed
+   * graph kernel (node clustering structure; a near-dup cluster that's a
+   * clique triangles densely, a chain doesn't). Canonical-orientation
+   * algorithm: orient every edge low→high id, build wedges a<b<c by one
+   * equi-join on the middle node, close them with one equi-join on
+   * (a, c) — each triangle found exactly once, all joins on node-id
+   * keys, no windows. Per-node counts via an explode + count.
+   *
+   * Output: (idCol, n_triangles) for nodes in ≥1 triangle.
+   */
+  def triangles(edges: DataFrame, idCol: String): DataFrame = {
+    val e = Spread.shared(edges.select(
+        least(col("id_a"), col("id_b")).cast("long").as("a"),
+        greatest(col("id_a"), col("id_b")).cast("long").as("b"))
+      .distinct())
+    val tri = e
+      .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as(idCol))
+      .groupBy(idCol).agg(count(lit(1)).as("n_triangles"))
+  }
+
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
                iters: Int = 3): DataFrame = {
     val sym = Spread.shared(

@@ -1005,6 +1005,25 @@ object PipelineQueries {
              |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
              |WHERE i * 4 >= 3 * least(sa.n, sb.n)""".stripMargin)),
 
+    // triangle counting over the simhash near-dup graph (canonical
+    // low->high orientation: one wedge join on the middle node + one
+    // closing join on (a, c) — each triangle exactly once, equi-joins
+    // only). Clique-ness of near-dup clusters.
+    Q("graph_triangles",
+      (s, dir) => Dedup.triangles(
+        Dedup.simhashPairs(documents(s, dir), "doc_id", "text", "source", 16, 2),
+        "doc_id"),
+      Some(s"""WITH $simhashPairCtes,
+             |ed AS (SELECT DISTINCT least(id_a, id_b) AS a,
+             |         greatest(id_a, id_b) AS b FROM spairs),
+             |tri AS (
+             |  SELECT e1.a, e1.b, e2.b AS c
+             |  FROM ed e1 JOIN ed e2 ON e2.a = e1.b
+             |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+             |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+             |GROUP BY 1""".stripMargin)),
+
     // near-dup cluster labels: simhash pairs -> connected components
     // (min-reachable-id fixpoint; oracle = recursive-CTE reachability)
     Q("dedup_components",

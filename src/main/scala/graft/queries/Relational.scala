@@ -624,6 +624,66 @@ object Relational {
              |FROM t WHERE s2 = sid AND s3 = sid
              |GROUP BY 1 ORDER BY n DESC, path LIMIT 10""".stripMargin)),
 
+    // SCD2 dimension history from a changelog: consecutive same-state
+    // events collapse (CDC compression), each surviving change opens a
+    // versioned validity interval [valid_from, valid_to) closed by the
+    // next change — the lakehouse slowly-changing-dimension shape. Two
+    // window passes, both partitioned by the high-cardinality user id.
+    Q("scd2_history",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val changes = events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("__prev", lag("event_type", 1).over(w))
+          .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+        changes
+          .withColumn("valid_to", lead("ts", 1).over(w))
+          .withColumn("version", row_number().over(w).cast("int"))
+          .select(col("user_id"), col("event_type").as("state"),
+            col("ts").as("valid_from"), col("valid_to"), col("version"),
+            col("valid_to").isNull.cast("int").as("is_current"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type
+             |  FROM events),
+             |c AS (
+             |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id) AS prev
+             |  FROM e),
+             |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type AS state, ts AS valid_from,
+             |  lead(ts) OVER w AS valid_to,
+             |  CAST(row_number() OVER w AS INTEGER) AS version,
+             |  CAST(lead(ts) OVER w IS NULL AS INTEGER) AS is_current
+             |FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+        .stripMargin)),
+
+    // universe sampling: a 1-in-8 hash slice of USERS (not rows) — every
+    // sampled user keeps ALL their events, so joins/sessions/funnels on
+    // the sample are complete per retained entity (Quickr/BlinkDB's
+    // "universe" sample, the only sample type that survives a join on the
+    // sampled key). Portable md5 hash = same slice on any engine.
+    Q("universe_sample",
+      (s, dir) => {
+        val slice = expr(
+          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) " +
+            "AS BIGINT) % 8 = 0")
+        events(s, dir).filter(slice)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(round(col("value") * 100).cast("long")).as("spend_cents"),
+            countDistinct("event_type").as("n_types"))
+      },
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS spend_cents,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+             |FROM events
+             |WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             |    AS BIGINT) % 8 = 0
+             |GROUP BY 1""".stripMargin)),
+
     // EWMA anomaly detection on daily per-type counts: the exponentially
     // weighted baseline over the 8 prior observed days with α = 1/4,
     // evaluated EXACTLY — decay weights 3^d·4^(7−d) are integer literals,
