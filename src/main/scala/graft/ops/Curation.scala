@@ -362,6 +362,57 @@ object Curation {
   }
 
   /**
+   * BM25 top-k RETRIEVAL — the serving shape next to [[bm25]]'s fixed
+   * query scoring: a sampled query set (each query = a doc's first
+   * `qTerms` sorted distinct tokens) joins the postings relation on the
+   * term key, per-term contributions are round-9 DECIMAL-summed per
+   * (query, candidate), and each query keeps its top `k` by
+   * (score desc, doc id). This is the sparse-retrieval engine loop:
+   * candidates come only from posting intersections (no corpus scan per
+   * query), scoring work is Σ_q Σ_term |postings(term)|.
+   *
+   * Scale shape: postings/stats are shared one-pass aggregations; the
+   * serving join shuffles on the term key; the top-k window partitions
+   * on the query id. The query side is a FIXED-size sample by contract
+   * (id-cap predicate), like every eval query.
+   */
+  def bm25Retrieve(docs: DataFrame, idCol: String, textCol: String,
+                   queryPred: Column, qTerms: Int, k: Int,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withToks = Spread.shared(Spread.byKey(docs, col(idCol))
+      .select(col(idCol).cast("long").as("did"),
+        TA.tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long")))
+    val postings = Spread.shared(withToks
+      .select(col("did"), col("__dl"), explode(col("__toks")).as("term"))
+      .groupBy("term", "did", "__dl").agg(count(lit(1)).as("tf")))
+    val stats = withToks.agg(count(lit(1)).as("__N"), sum("__dl").as("__sdl"))
+    val dfT = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val queries = docs.filter(queryPred)
+      .select(col(idCol).cast("long").as("qid"),
+        explode(expr(s"slice(array_sort(array_distinct(" +
+          s"filter(split($textCol, ' '), x -> x != ''))), 1, $qTerms)"))
+          .as("term"))
+    val contrib = {
+      val idf = log((col("__N") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val avgdl = col("__sdl").cast("double") / col("__N")
+      round(idf * col("tf") * (k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / avgdl)), 9)
+        .cast("decimal(28,9)")
+    }
+    val scored = queries.join(postings, "term")
+      .filter(col("did") =!= col("qid"))
+      .join(dfT, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("__c", contrib)
+      .groupBy("qid", "did").agg(sum("__c").cast("double").as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("did"))
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * Inverted-index construction: per term, document frequency, collection
    * frequency, and a doc-ordered posting list — the retrieval-side
    * artifact next to [[bm25]] (which scores against it implicitly). The

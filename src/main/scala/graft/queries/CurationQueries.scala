@@ -211,6 +211,45 @@ object CurationQueries {
              |SELECT st.term, df, cf, postings
              |FROM st JOIN p ON st.term = p.term""".stripMargin)),
 
+    // BM25 top-k RETRIEVAL (the serving loop): sampled query docs (first
+    // 8 sorted distinct tokens each) join the postings relation on the
+    // term key, per-term contributions DECIMAL-summed, top-5 candidates
+    // per query by (score desc, doc id). Candidates come only from
+    // posting intersections — no per-query corpus scan.
+    Q("bm25_retrieve",
+      (s, dir) => Curation.bm25Retrieve(documents(s, dir), "doc_id", "text",
+        col("doc_id") % 101 === 0 && col("doc_id") < 10100,
+        qTerms = 8, k = 5),
+      Some(s"""WITH $toksCte,
+              |wt AS (SELECT doc_id AS did, toks,
+              |       CAST(len(toks) AS BIGINT) AS dl FROM t),
+              |po AS (
+              |  SELECT term, did, dl, CAST(count(*) AS BIGINT) AS tf FROM (
+              |    SELECT did, dl, unnest(toks) AS term FROM wt)
+              |  GROUP BY 1, 2, 3),
+              |st AS (SELECT CAST(count(*) AS BIGINT) AS N,
+              |       CAST(sum(dl) AS BIGINT) AS sdl FROM wt),
+              |dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+              |        FROM po GROUP BY 1),
+              |q AS (
+              |  SELECT doc_id AS qid,
+              |    unnest(list_sort(list_distinct(toks))[1:8]) AS term
+              |  FROM t WHERE doc_id % 101 = 0 AND doc_id < 10100),
+              |sc AS (
+              |  SELECT q.qid, po.did,
+              |    CAST(sum(CAST(round(
+              |      ln((N - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+              |      (tf + 1.2 * (0.25 + 0.75 * dl /
+              |        (CAST(sdl AS DOUBLE) / N))), 9)
+              |      AS DECIMAL(28,9))) AS DOUBLE) AS score
+              |  FROM q JOIN po USING (term) JOIN dfT USING (term), st
+              |  WHERE po.did <> q.qid
+              |  GROUP BY 1, 2)
+              |SELECT qid, did, score, CAST(rank AS INTEGER) AS rank
+              |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+              |    ORDER BY score DESC, did) AS rank FROM sc)
+              |WHERE rank <= 5""".stripMargin)),
+
     // BM25 scoring against a fixed query-term set; corpus stats are one
     // 1-row aggregate, scoring is a pure projection. Round-9 + DECIMAL sum
     // per term keeps engines bit-identical despite ln().
