@@ -684,6 +684,113 @@ object Relational {
              |    AS BIGINT) % 8 = 0
              |GROUP BY 1""".stripMargin)),
 
+    // last-touch attribution: each purchase credits the most recent
+    // preceding non-purchase event by the same user within a 7-day
+    // lookback — implemented as a per-user running "latest touch" carried
+    // by a window max over the packed (ts, event_id) key, so there is no
+    // event×event join at all; credit tallied per touch type.
+    Q("attribution_last_touch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lookbackNs = 7L * 86400 * 1000000000L
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ev = events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+        // pack (µs, typecode) so ONE running max carries the whole
+        // latest-touch record: µs·32 + code (ns·anything overflows BIGINT;
+        // same-µs ties — never in practice — break by code, identically
+        // on both engines)
+        val packed = when(col("event_type") =!= "purchase",
+          expr("(ts div 1000) * 32 + " +
+            "(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 " +
+            "WHEN 'add_to_cart' THEN 3 WHEN 'search' THEN 4 ELSE 5 END)"))
+        val credited = ev.withColumn("__touch", max(packed).over(w))
+          .filter(col("event_type") === "purchase" && col("__touch").isNotNull)
+          .withColumn("__touch_us", expr("__touch div 32"))
+          .filter(expr(s"ts div 1000") - col("__touch_us") <= lookbackNs / 1000)
+          .withColumn("touch_type",
+            expr("CASE __touch % 32 WHEN 1 THEN 'view' " +
+              "WHEN 2 THEN 'click' WHEN 3 THEN 'add_to_cart' " +
+              "WHEN 4 THEN 'search' ELSE 'other' END"))
+        credited.groupBy("touch_type")
+          .agg(count(lit(1)).as("n_conversions"),
+            sum(round(col("value") * 100).cast("long")).as("revenue_cents"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) AS ts, event_id, event_type, value
+             |  FROM events),
+             |p AS (
+             |  SELECT *, max(CASE WHEN event_type <> 'purchase' THEN
+             |      (ts // 1000) * 32 + (CASE event_type WHEN 'view' THEN 1
+             |        WHEN 'click' THEN 2 WHEN 'add_to_cart' THEN 3
+             |        WHEN 'search' THEN 4 ELSE 5 END) END)
+             |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+             |  FROM e),
+             |c AS (
+             |  SELECT *, touch // 32 AS touch_us,
+             |    CASE touch % 32 WHEN 1 THEN 'view'
+             |      WHEN 2 THEN 'click' WHEN 3 THEN 'add_to_cart'
+             |      WHEN 4 THEN 'search' ELSE 'other' END AS touch_type
+             |  FROM p
+             |  WHERE event_type = 'purchase' AND touch IS NOT NULL)
+             |SELECT touch_type, CAST(count(*) AS BIGINT) AS n_conversions,
+             |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |    AS revenue_cents
+             |FROM c WHERE ts // 1000 - touch_us <= 604800000000
+             |GROUP BY 1""".stripMargin)),
+
+    // per-type winsorization: clamp values into the exact [p01, p99]
+    // band computed from the distinct-value histogram pattern (cents
+    // integers; bounded window over distinct values, never data rows).
+    Q("winsorize_values",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir).select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+        val byVal = Window.partitionBy("event_type").orderBy("cents")
+        val all = Window.partitionBy("event_type")
+        val th = hist.withColumn("cum", sum("c").over(byVal))
+          .withColumn("n", sum("c").over(all))
+          .groupBy("event_type")
+          .agg(min(when(col("cum") >= expr("(n + 99) div 100"), col("cents")))
+            .as("p01_cents"),
+            min(when(col("cum") >= expr("(99 * n + 99) div 100"), col("cents")))
+              .as("p99_cents"))
+        ev.join(th, "event_type")
+          .select(col("event_id"), col("event_type"),
+            (col("cents").cast("double") / 100.0).as("value"),
+            (greatest(least(col("cents"), col("p99_cents")), col("p01_cents"))
+              .cast("double") / 100.0).as("winsorized"),
+            (col("cents") < col("p01_cents") || col("cents") > col("p99_cents"))
+              .cast("int").as("clipped"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS cents
+             |  FROM events),
+             |h AS (SELECT event_type, cents, count(*) AS c FROM ev GROUP BY 1, 2),
+             |cw AS (
+             |  SELECT event_type, cents,
+             |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY cents)
+             |      AS BIGINT) AS cum,
+             |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM h),
+             |th AS (
+             |  SELECT event_type,
+             |    min(CASE WHEN cum >= (n + 99) // 100 THEN cents END) AS p01,
+             |    min(CASE WHEN cum >= (99 * n + 99) // 100 THEN cents END) AS p99
+             |  FROM cw GROUP BY 1)
+             |SELECT event_id, ev.event_type,
+             |  CAST(cents AS DOUBLE) / 100.0 AS value,
+             |  CAST(greatest(least(cents, p99), p01) AS DOUBLE) / 100.0
+             |    AS winsorized,
+             |  CAST(cents < p01 OR cents > p99 AS INTEGER) AS clipped
+             |FROM ev JOIN th ON th.event_type = ev.event_type""".stripMargin)),
+
     // EWMA anomaly detection on daily per-type counts: the exponentially
     // weighted baseline over the 8 prior observed days with α = 1/4,
     // evaluated EXACTLY — decay weights 3^d·4^(7−d) are integer literals,
