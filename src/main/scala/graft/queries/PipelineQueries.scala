@@ -718,6 +718,74 @@ object PipelineQueries {
            |FROM g""".stripMargin
       }),
 
+    // rolling 7-day active users from MERGED per-day HLL registers — the
+    // flagship mergeability payoff: the expensive distinct-user pass runs
+    // once per day, every trailing window is a bounded register-table
+    // max-merge (≤ 7×1024 rows per day), and the exact rolling distinct
+    // rides along as the eval truth.
+    Q("rolling_wau",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+        val regs = graft.ops.Spread.shared(
+          graft.ops.Sketches.hllRegisters(ev, "day", "user_id"))
+        val days = regs.select(col("__g").as("d")).distinct()
+        val merged = days
+          .join(regs, col("__g").between(col("d") - 6, col("d")))
+          .groupBy(col("d"), col("__b")).agg(max("__m").as("__m"))
+        val est = graft.ops.Sketches.hllEstimate(
+          merged.withColumnRenamed("d", "__g"), "day")
+        val du = graft.ops.Spread.shared(ev.distinct())
+        val truth = days
+          .join(du, col("day").between(col("d") - 6, col("d")))
+          .groupBy("d").agg(countDistinct("user_id").as("true_wau"))
+        est.drop("n_true")
+          .join(truth, est("day") === truth("d"))
+          .select(col("day"), col("true_wau"), col("n_empty"),
+            col("est_raw"), col("est"))
+      },
+      Some {
+        val alpha = graft.ops.Sketches.HllAlpha *
+          graft.ops.Sketches.HllM * graft.ops.Sketches.HllM
+        val raw = s"${alpha}e0 * 2251799813685248.0e0 / CAST(s + CAST(1024 - v AS BIGINT) * CAST(2251799813685248 AS BIGINT) AS DOUBLE)"
+        s"""WITH ev AS (
+           |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id
+           |  FROM events),
+           |k AS (SELECT DISTINCT day, user_id FROM ev),
+           |h AS (
+           |  SELECT day,
+           |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+           |      AS BIGINT) AS h
+           |  FROM k),
+           |r AS (
+           |  SELECT day, h % 1024 AS b,
+           |    CASE WHEN h // 1024 = 0 THEN 51
+           |         ELSE bit_count(((h // 1024) & -(h // 1024)) - 1) + 1 END AS rho
+           |  FROM h),
+           |regs AS (SELECT day, b, max(rho) AS m FROM r GROUP BY 1, 2),
+           |days AS (SELECT DISTINCT day AS d FROM regs),
+           |merged AS (
+           |  SELECT days.d, b, max(m) AS m
+           |  FROM days JOIN regs ON regs.day BETWEEN days.d - 6 AND days.d
+           |  GROUP BY 1, 2),
+           |g AS (
+           |  SELECT d,
+           |    CAST(sum(CAST(1 AS BIGINT) << (51 - m)) AS BIGINT) AS s,
+           |    count(*) AS v
+           |  FROM merged GROUP BY d),
+           |tw AS (
+           |  SELECT days.d, count(DISTINCT k.user_id) AS true_wau
+           |  FROM days JOIN k ON k.day BETWEEN days.d - 6 AND days.d
+           |  GROUP BY 1)
+           |SELECT g.d AS day, CAST(tw.true_wau AS BIGINT) AS true_wau,
+           |  CAST(1024 - v AS BIGINT) AS n_empty,
+           |  round($raw, 9) AS est_raw,
+           |  round(CASE WHEN $raw <= 2560.0 AND v < 1024
+           |        THEN 1024.0 * ln(1024.0 / CAST(1024 - v AS DOUBLE))
+           |        ELSE $raw END, 9) AS est
+           |FROM g JOIN tw ON tw.d = g.d""".stripMargin
+      }),
+
     // Count-Min frequency sketch probed for a fixed term set: d=4 × w=1024
     // integer counters (bounded, map-side combinable), est = min over the
     // term's counters, exact count alongside — est >= true_cnt is the
