@@ -991,6 +991,42 @@ object Similarity {
   }
 
   /**
+   * Ranking-quality evaluation of the two-stage ANN path: per sampled
+   * query, MRR (reciprocal rank of the first true neighbor in the
+   * reranked list) and nDCG@k (binary relevance = membership in the
+   * exact top-k) — the standard IR serving metrics next to
+   * [[annRecall]]'s recall@k. Discount terms are round-9 quantized and
+   * DECIMAL-summed so both engines agree bitwise; IDCG is the same
+   * quantized sum over ranks 1..k.
+   */
+  def retrievalMrr(df: DataFrame, idCol: String, embCol: String, dims: Int,
+                   m: Int, ksub: Int, iters: Int, nCells: Int,
+                   cellIters: Int, kCand: Int, k: Int,
+                   querySlice: Column): DataFrame = {
+    val approx = pqRerank(df, idCol, embCol, dims, m, ksub, iters,
+        nCells, cellIters, kCand, k)
+      .filter(querySlice)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"))
+    val truth = bruteTopKFor(df, idCol, embCol, k, querySlice)
+      .select(col("vec_id"), col("neighbor_id"), lit(1).as("__hit"))
+    // the merge lambda must cast back to the accumulator's precision —
+    // decimal addition widens to (21,9) and the HOF type-checks strictly
+    val idcg = expr(s"aggregate(sequence(1, $k), CAST(0 AS DECIMAL(20,9)), " +
+      "(a, i) -> CAST(a + CAST(round(1.0 / log2(i + 1), 9) AS DECIMAL(20,9)) " +
+      "AS DECIMAL(20,9)))")
+    approx.join(truth, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy("vec_id")
+      .agg(min(when(col("__hit") === 1, col("rank"))).as("first_hit_rank"),
+        sum(when(col("__hit") === 1,
+          expr("CAST(round(1.0 / log2(rank + 1), 9) AS DECIMAL(20,9))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(20,9))"))).as("__dcg"))
+      .select(col("vec_id"), col("first_hit_rank").cast("int").as("first_hit_rank"),
+        round(coalesce(lit(1.0) / col("first_hit_rank"), lit(0.0)), 9).as("mrr"),
+        col("__dcg").cast("double").as("dcg"),
+        round(col("__dcg").cast("double") / idcg.cast("double"), 9).as("ndcg"))
+  }
+
+  /**
    * Maximal-marginal-relevance diverse top-m retrieval (Carbonell &
    * Goldstein 1998) — the RAG result-diversification step: per query,
    * greedily pick m results maximizing

@@ -1877,6 +1877,62 @@ object PipelineQueries {
            |  UNION ALL SELECT * FROM s5)""".stripMargin
       }),
 
+    // ranking-quality eval of the two-stage ANN path: MRR + nDCG@3 vs the
+    // exact top-3 truth (binary relevance), discount terms round-9
+    // DECIMAL-summed, IDCG the same quantized sum over ranks 1..3.
+    Q("retrieval_mrr",
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.retrievalMrr(e, "vec_id", "embedding",
+          dims = 64, m = 4, ksub = 16, iters = 2,
+          nCells = Similarity.scaledCells(e), cellIters = 3,
+          kCand = 10, k = 3,
+          querySlice = col("vec_id") % 4 === 0 && col("vec_id") < 2000) },
+      Some(s"""WITH $pqScoredCtes,
+             |cand AS (
+             |  SELECT vec_id, neighbor_id FROM (
+             |    SELECT vec_id, neighbor_id, row_number() OVER
+             |      (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
+             |    FROM scored WHERE vec_id % 4 = 0 AND vec_id < 2000)
+             |  WHERE rank <= 10),
+             |$enCte,
+             |rr AS (
+             |  SELECT vec_id, neighbor_id, rank FROM (
+             |    SELECT c.vec_id, c.neighbor_id, row_number() OVER
+             |      (PARTITION BY c.vec_id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64),
+             |          i -> q.e[i] * d.e[i])) DESC, c.neighbor_id) AS rank
+             |    FROM cand c JOIN en q ON q.vec_id = c.vec_id
+             |    JOIN en d ON d.vec_id = c.neighbor_id) WHERE rank <= 3),
+             |truth AS MATERIALIZED (
+             |  SELECT vec_id, neighbor_id FROM (
+             |    SELECT a.vec_id, b.vec_id AS neighbor_id, row_number() OVER
+             |      (PARTITION BY a.vec_id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64),
+             |          i -> a.e[i] * b.e[i])) DESC, b.vec_id) AS rank
+             |    FROM en a JOIN en b ON a.vec_id <> b.vec_id
+             |    WHERE a.vec_id % 4 = 0 AND a.vec_id < 2000) WHERE rank <= 3),
+             |j AS (
+             |  SELECT rr.vec_id, rr.rank,
+             |    CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM rr LEFT JOIN truth t ON t.vec_id = rr.vec_id
+             |    AND t.neighbor_id = rr.neighbor_id),
+             |idcg AS (
+             |  SELECT sum(CAST(round(1.0 / log2(i + 1), 9) AS DECIMAL(20,9)))
+             |    AS v
+             |  FROM generate_series(1, 3) g(i)),
+             |agg AS (
+             |  SELECT vec_id,
+             |    min(CASE WHEN hit = 1 THEN rank END) AS fhr,
+             |    sum(CASE WHEN hit = 1
+             |        THEN CAST(round(1.0 / log2(rank + 1), 9) AS DECIMAL(20,9))
+             |        ELSE CAST(0 AS DECIMAL(20,9)) END) AS dcg
+             |  FROM j GROUP BY 1)
+             |SELECT vec_id, CAST(fhr AS INTEGER) AS first_hit_rank,
+             |  round(coalesce(1.0 / fhr, 0.0), 9) AS mrr,
+             |  CAST(dcg AS DOUBLE) AS dcg,
+             |  round(CAST(dcg AS DOUBLE) / CAST(idcg.v AS DOUBLE), 9) AS ndcg
+             |FROM agg, idcg""".stripMargin)),
+
     // IVF-PQ with residual encoding — codebooks trained on r = x − c(cell);
     // ADC adds the exact query·centroid term to the m residual LUT lookups
     Q("similarity_pq_residual",
