@@ -608,6 +608,29 @@ object Curation {
   }
 
   /**
+   * Calibration (reliability) table for the NB quality classifier: the
+   * held-out scores bucket into unit-width log-odds bins (clamped to
+   * ±8), and each bin reports its observed positive rate next to its
+   * mean score — the diagram that tells you whether score 3 really means
+   * "95% likely positive" before you threshold it. Bin edges are integer
+   * floors of 9-decimal-exact scores, so both engines bin identically.
+   */
+  def nbCalibration(docs: DataFrame, idCol: String, textCol: String,
+                    labelPred: Column, trainPred: Column,
+                    buckets: Int): DataFrame = {
+    val scored = nbClassify(docs, idCol, textCol, labelPred, trainPred, buckets)
+    scored
+      .withColumn("bin",
+        least(greatest(floor(col("score")).cast("int"), lit(-8)), lit(8)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("label")).cast("long").as("n_pos"),
+        round(sum(col("label")).cast("double") / count(lit(1)), 9).as("pos_rate"),
+        round(sum(col("score").cast("decimal(28,9)")).cast("double") /
+          count(lit(1)), 9).as("mean_score"))
+  }
+
+  /**
    * Per-document duplicated-token fraction + keep/drop decision — the
    * FILTER step after span detection: docs whose merged duplicate spans
    * ([[mergedDupSpans]]) cover more than `maxFrac` of their tokens get

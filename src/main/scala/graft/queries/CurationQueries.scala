@@ -411,7 +411,27 @@ object CurationQueries {
               |SELECT label, CAST(s > 0 AS INT) AS pred,
               |  CAST(count(*) AS BIGINT) AS n_docs,
               |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-              |FROM scored GROUP BY 1, 2""".stripMargin)))
+              |FROM scored GROUP BY 1, 2""".stripMargin)),
+
+    // calibration (reliability) table for the NB classifier: held-out
+    // scores binned by integer log-odds floor (clamped ±8); per bin the
+    // observed positive rate vs the mean score — the reliability diagram
+    // behind any threshold choice.
+    Q("nb_calibration",
+      (s, dir) => Curation.nbCalibration(documents(s, dir), "doc_id", "text",
+        col("lang") === "en", col("doc_id") % 2 === 0, buckets = 256),
+      Some(s"""WITH $nbCtes,
+              |cb AS (
+              |  SELECT label,
+              |    least(greatest(CAST(floor(s) AS INTEGER), -8), 8) AS bin, s
+              |  FROM scored)
+              |SELECT CAST(bin AS INTEGER) AS bin,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(label) AS BIGINT) AS n_pos,
+              |  round(CAST(sum(label) AS DOUBLE) / count(*), 9) AS pos_rate,
+              |  round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9)
+              |    AS mean_score
+              |FROM cb GROUP BY 1""".stripMargin)))
 
   // shared NB-classifier CTE chain: hashed-unigram bucket counts on the
   // training split (all 256 buckets, add-one smoothing), round-9 DECIMAL
