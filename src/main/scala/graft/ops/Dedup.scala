@@ -187,6 +187,92 @@ object Dedup {
         size(col("__keys")).as("__nb")), "id_b"), tNum, tDen)
   }
 
+  /**
+   * EXACT Jaccard pairs via prefix filtering — the AllPairs candidate
+   * scheme (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search",
+   * WWW'07; prefix-filter lemma from Chaudhuri/Ganti/Kaushik SSJoin,
+   * ICDE'06). Returns the SAME result set as [[ngramJaccardPairs]] (same
+   * scope, k, threshold) WITHOUT all-pairs work — the exact companion to
+   * the approximate MinHash-LSH scale path.
+   *
+   * Shingles are totally ordered by ascending global document frequency
+   * (rarest first), realized as packed `df·2^24 + key` bigints so the
+   * order needs NO vocabulary-wide window — the pack IS the sort key. A
+   * document whose sorted set has n shingles exposes only its first
+   * p = n − ⌈t·n⌉ + 1 (its globally rarest shingles) to the candidate
+   * equi-join. Any pair with J ≥ t shares ≥ ⌈t·max(|a|,|b|)⌉ shingles,
+   * which forces a common shingle inside both prefixes (prefix-filter
+   * lemma), so no true pair is lost; ubiquitous shingles ("the", " an")
+   * never reach a prefix and so never generate candidates. Candidate
+   * volume is Σ_{rare tok} df(tok)² instead of Σ_scope |scope|² — linear
+   * at corpus scale for the heavy-tailed shingle distributions real text
+   * has.
+   *
+   * Prefix length and the size-ratio prune use rational arithmetic
+   * (t = tNum/tDen): double `ceil(0.8·n)` rounds UP for n a multiple of 5
+   * (0.8 is not a binary double), which would shorten the prefix below
+   * the safe bound and silently drop true pairs. The final threshold test
+   * is the same double compare as the baseline, so the two paths agree
+   * bit-for-bit.
+   */
+  def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+                         scopeCol: String, k: Int,
+                         tNum: Int, tDen: Int): DataFrame = {
+    import graft.functions.ArrayMath
+    val threshold = tNum.toDouble / tDen
+    // (scope, id, shingle-key) long rows — one explode of the per-doc
+    // distinct sorted key array
+    val sh = Spread.byKey(df, col(idCol))
+      .select(col(scopeCol).as("__scope"), col(idCol).as("__id"),
+        explode(shingleKeys(textCol, k)).as("__key"))
+    // global df per shingle ((id, key) rows are distinct, so count = doc
+    // frequency); the packed bigint carries the rarest-first total order
+    val freq = sh.groupBy("__key").agg(count(lit(1)).as("__df"))
+      .select(col("__key"), (col("__df") * 16777216L + col("__key")).as("__tok"))
+    // one row per doc: frequency-ordered token array (vocab-sized shuffle
+    // join on the shingle key, then one per-doc aggregation)
+    val sets = Spread.shared(
+      sh.join(freq, "__key")
+        .groupBy("__scope", "__id")
+        .agg(array_sort(collect_list(col("__tok"))).as("__toks"))
+        .withColumn("__n", size(col("__toks"))))
+    // p = n − ⌈t·n⌉ + 1, exact integer ceiling (values < 2^50 ⇒ the double
+    // floor is exact)
+    val p = (col("__n") - floor((col("__n") * tNum + (tDen - 1)) / lit(tDen))
+      + 1).cast("int")
+    val prefix = sets.select(col("__scope"), col("__id"), col("__n"),
+      explode(slice(col("__toks"), lit(1), p)).as("__tok"))
+    val pa = prefix.select(col("__scope"), col("__id").as("id_a"),
+      col("__n").as("__na"), col("__tok"))
+    val pb = prefix.select(col("__scope").as("__scope2"),
+      col("__id").as("id_b"), col("__n").as("__nb"), col("__tok").as("__tok2"))
+    // candidate generation: equi-join on (scope, prefix token); the
+    // rational size prune (J ≤ min/max) keeps a superset of the double
+    // prune, so the verify step alone decides membership
+    val cands = pa.join(pb,
+        col("__scope") === col("__scope2") && col("__tok") === col("__tok2") &&
+          col("id_a") < col("id_b") &&
+          col("__na") * tDen >= col("__nb") * tNum &&
+          col("__nb") * tDen >= col("__na") * tNum)
+      .select(col("__scope"), col("id_a"), col("id_b"))
+      .distinct()
+    // exact verification on candidates only — O(|a|+|b|) sorted merge per
+    // candidate pair (packed tokens are bijective with keys, so intersect
+    // counts are unchanged)
+    val a = sets.select(col("__scope").as("__sa"), col("__id").as("__ida"),
+      col("__toks").as("__ka"), col("__n").as("__va"))
+    val b = sets.select(col("__id").as("__idb"), col("__toks").as("__kb"),
+      col("__n").as("__vb"))
+    cands
+      .join(a, col("__scope") === col("__sa") && col("id_a") === col("__ida"))
+      .join(b, col("id_b") === col("__idb"))
+      .withColumn("__i", ArrayMath.sortedIntersectCount(col("__ka"), col("__kb")))
+      .withColumn("jaccard", col("__i").cast("double") /
+        (col("__va") + col("__vb") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash signature rows (id, i, minhash) for a k-function family.
     * Computed as k parallel `min` aggregates over the shingle rows — partial
     * aggregation collapses each map partition to one row per doc BEFORE the
@@ -523,6 +609,67 @@ object Dedup {
       .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as(idCol))
       .groupBy(idCol).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /**
+   * Bounded-round k-core peel over the near-dup graph (Seidman 1983;
+   * distributed peeling à la Montresor et al.). Round r drops every node
+   * whose degree WITHIN the current survivor set is < k; after enough
+   * rounds the survivor set is exactly the k-core (the maximal subgraph
+   * where every node has ≥ k neighbors inside it). The k-core separates
+   * densely-replicated boilerplate/template clusters (cliques survive)
+   * from incidental pairwise matches (chains and stars peel away) — the
+   * graph-shape complement to triangle counting.
+   *
+   * Semantics are the BOUNDED peel: exactly `rounds` rounds (early exit
+   * when a round removes nothing is a pure optimization — all later
+   * rounds are no-ops). The oracle unrolls the same rounds as plain
+   * chained CTEs, so both engines agree on ANY input, converged or not;
+   * KCoreSpec proves fixpoint equality against an exact referee when
+   * `rounds` covers the peel depth.
+   *
+   * Each round is one edges⋈survivors semi-join + one degree aggregation —
+   * linear shuffles on node-id keys, no windows, no collects; the edge
+   * list is checkpointed once so candidate-pair lineage doesn't re-run
+   * per round.
+   *
+   * Output: (idCol, core_deg) for survivors; core_deg = within-core degree
+   * measured in the final round.
+   */
+  def kCore(edges: DataFrame, nodes: DataFrame, idCol: String,
+            k: Int, rounds: Int = 4): DataFrame = {
+    if (nodes.isEmpty)
+      return nodes.select(col(idCol).cast("long").as(idCol),
+        lit(0L).as("core_deg"))
+    val sym = edges.select(col("id_a").cast("long").as("__src"),
+        col("id_b").cast("long").as("__dst"))
+      .union(edges.select(col("id_b").cast("long").as("__src"),
+        col("id_a").cast("long").as("__dst")))
+      .distinct()
+      .localCheckpoint()
+    var surv = nodes.select(col(idCol).cast("long").as("__id"))
+      .localCheckpoint()
+    var deg: DataFrame = null
+    var n = surv.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      deg = sym
+        .join(surv.select(col("__id").as("__src")), "__src")
+        .join(surv.select(col("__id").as("__dst")), "__dst")
+        .groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+      val next = deg.filter(col("__deg") >= k)
+        .select(col("__src").as("__id"))
+        .localCheckpoint()
+      val m = next.count()
+      converged = m == n
+      surv = next
+      n = m
+      r += 1
+    }
+    if (deg == null) surv.select(col("__id").as(idCol), lit(0L).as("core_deg"))
+    else deg.filter(col("__deg") >= k)
+      .select(col("__src").as(idCol), col("__deg").as("core_deg"))
   }
 
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,

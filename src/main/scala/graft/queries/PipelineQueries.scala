@@ -534,6 +534,31 @@ object PipelineQueries {
              |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
              |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin)),
 
+    // EXACT Jaccard via prefix filtering (AllPairs, WWW'07): identical
+    // result set to dedup_ngram_jaccard — same oracle — but candidates come
+    // from an equi-join on each doc's n − ceil(t·n) + 1 globally-RAREST
+    // shingles (rarest-first order = packed df·2^24+key bigints, no
+    // vocab-wide window). The exact scale path: ubiquitous shingles never
+    // enter a prefix, so candidate volume is Σ_rare df² not Σ_scope n².
+    Q("dedup_jaccard_prefix",
+      (s, dir) => Dedup.jaccardPrefixPairs(documents(s, dir), "doc_id", "text",
+        "source", 3, tNum = 4, tDen = 5),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
+             |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+             |FROM inter
+             |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin)),
+
     // asymmetric containment dedup (Broder): fraction of the SMALLER
     // shingle set inside the larger — catches quote/superset pairs that
     // Jaccard structurally misses (doc inside a 10x wrapper: J <= 0.1,
@@ -1117,6 +1142,37 @@ object PipelineQueries {
     // duplicate structure and genuinely propagates); 3 synchronous
     // rounds spread majority labels (ties to the smallest label) across
     // near-dup structure. The oracle unrolls every round as CTEs.
+    // k-core of the simhash near-dup graph (Seidman): peel nodes whose
+    // within-survivor degree < k until (bounded-round) fixpoint. Cliquish
+    // template/boilerplate clusters survive; chains and incidental stars
+    // peel away — the graph-shape complement to dedup_triangles. 4 peel
+    // rounds unrolled as chained CTEs in the oracle (same bounded
+    // semantics both engines; KCoreSpec proves 4 covers this graph's peel
+    // depth and fixpoint equality vs an exact referee).
+    Q("dedup_kcore",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        Dedup.kCore(
+          Dedup.simhashPairs(docs, "doc_id", "text", "source", 16, 2),
+          docs, "doc_id", k = 2, rounds = 4)
+      },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          s"""d$r AS (
+             |  SELECT e.src AS id, count(*) AS c FROM edges e
+             |  JOIN s${r - 1} a ON e.src = a.id
+             |  JOIN s${r - 1} b ON e.dst = b.id
+             |  GROUP BY 1),
+             |s$r AS (SELECT id FROM d$r WHERE c >= 2)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $simhashPairCtes,
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM spairs
+           |          UNION SELECT id_b, id_a FROM spairs),
+           |s0 AS (SELECT doc_id AS id FROM documents),
+           |$rounds
+           |SELECT id AS doc_id, c AS core_deg FROM d4 WHERE c >= 2""".stripMargin
+      }),
+
     Q("label_propagation",
       (s, dir) => {
         val docs = documents(s, dir)
