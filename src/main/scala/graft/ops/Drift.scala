@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distribution-drift detection between two slices of the same stream —
+ * the train/serve (reference window vs current window) monitoring
+ * primitive every production data pipeline ships. Reference semantics:
+ * stglib's QA/QC layer flags per-variable anomalies against configured
+ * bounds (stglib/core/qaqc.py); these operators generalize that to
+ * whole-DISTRIBUTION comparison, the shape used for ML data monitoring.
+ *
+ * Both statistics run over a FIXED-size equi-width bin grid (extent from
+ * one 1-row aggregate, broadcast) so every window is over ≤ `bins` rows
+ * per group — never over data-sized row sets; the per-(group, bin) counts
+ * are map-side-combinable conditional sums. Cross-engine exactness:
+ * 2-decimal values are binned in integer cents arithmetic; KS is integer
+ * until one final division; PSI's log terms follow the repo's
+ * round-9-then-DECIMAL(20,9) summation discipline (order-free exact
+ * addition of quantized terms).
+ */
+object Drift {
+
+  /** Fixed-point cents + integer equi-width binning over a broadcast
+    * 1-row global extent: (group, bin, cnt_a, cnt_b) rows. */
+  private def binnedCounts(df: DataFrame, groupCol: String, valueCol: String,
+                           sideA: Column, sideB: Column, bins: Int): DataFrame = {
+    val c = df.select(col(groupCol).as("__g"),
+      round(col(valueCol) * 100).cast("bigint").as("__c"),
+      sideA.cast("long").as("__a"), sideB.cast("long").as("__b"))
+    val x = c.agg(min("__c").as("__mn"),
+      (max("__c") - min("__c") + 1).as("__span"))
+    c.crossJoin(broadcast(x))
+      .withColumn("__bin", expr(s"((__c - __mn) * $bins) div __span"))
+      .groupBy("__g", "__bin")
+      .agg(sum("__a").as("__ca"), sum("__b").as("__cb"))
+  }
+
+  /**
+   * Binned two-sample Kolmogorov–Smirnov statistic per group:
+   * D = max_bin |F_a(bin) − F_b(bin)| over the shared equi-width grid.
+   * Computed as the integer maximum of |cum_a·n_b − cum_b·n_a| (exact —
+   * both engines agree bit-for-bit), divided once at the end. The binned
+   * ECDF is what scales: an exact KS needs a total order over distinct
+   * values (data-sized window); ≤ `bins` grid rows per group is O(1).
+   *
+   * Output: (groupCol, n_a, n_b, ks_num, ks).
+   */
+  def binnedKs(df: DataFrame, groupCol: String, valueCol: String,
+               sideA: Column, sideB: Column, bins: Int = 64): DataFrame = {
+    val h = binnedCounts(df, groupCol, valueCol, sideA, sideB, bins)
+    val byBin = Window.partitionBy("__g").orderBy("__bin")
+    val all = Window.partitionBy("__g")
+    h.withColumn("__cuma", sum("__ca").over(byBin))
+      .withColumn("__cumb", sum("__cb").over(byBin))
+      .withColumn("__na", sum("__ca").over(all))
+      .withColumn("__nb", sum("__cb").over(all))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("ks_num"))
+      .withColumn("ks", round(col("ks_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"), 9))
+  }
+
+  /**
+   * Population Stability Index per group over the same fixed grid:
+   * PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) with add-one (Laplace) smoothed
+   * bin probabilities p_i = (cnt_a_i + 1)/(n_a + B) — the standard guard
+   * that keeps empty bins finite AND makes the full B-bin grid matter
+   * (absent bins still contribute, so the grid is generated explicitly:
+   * distinct groups × sequence(0, B−1), a bounded cross). Industry rule
+   * of thumb: PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 drifted.
+   *
+   * Output: (groupCol, n_a, n_b, psi).
+   */
+  def psi(df: DataFrame, groupCol: String, valueCol: String,
+          sideA: Column, sideB: Column, bins: Int = 64): DataFrame = {
+    val h = binnedCounts(df, groupCol, valueCol, sideA, sideB, bins)
+    val totals = h.groupBy("__g")
+      .agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
+    val grid = totals.select(col("__g"), col("__na"), col("__nb"),
+      explode(sequence(lit(0), lit(bins - 1))).as("__bin"))
+    val full = grid.join(h, Seq("__g", "__bin"), "left")
+      .select(col("__g"), col("__na"), col("__nb"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val p = (col("__ca") + 1).cast("double") / (col("__na") + bins).cast("double")
+    val q = (col("__cb") + 1).cast("double") / (col("__nb") + bins).cast("double")
+    full
+      .withColumn("__term",
+        round((p - q) * log(p / q), 9).cast("decimal(20,9)"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        sum("__term").cast("double").as("psi"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Clip, MaskExpr, Trims}
+import graft.ops.{Clip, Drift, MaskExpr, Trims}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -292,6 +292,73 @@ object Relational {
              |  round(dv.adev, 8) AS abs_dev,
              |  CAST(dv.adev > 3.0 * 1.4826 * mad.mad AS INTEGER) AS is_outlier
              |FROM dv JOIN mad USING (event_type)""".stripMargin)),
+
+    // distribution drift, reference window (Jan 1–15) vs current window
+    // (Jan 16–30), per event type: binned two-sample KS statistic —
+    // max |F_a − F_b| over a fixed 64-bin equi-width grid (integer cents
+    // binning from a 1-row extent broadcast; D kept as the integer
+    // max |cum_a·n_b − cum_b·n_a| until ONE final division, so both
+    // engines agree bit-for-bit). Binned ECDF is the scale form: exact KS
+    // needs a data-sized total order; ≤64 grid rows per type is O(1).
+    Q("drift_ks",
+      (s, dir) => Drift.binnedKs(events(s, dir), "event_type", "value",
+        col("ts") < 1705363200000000000L, col("ts") >= 1705363200000000000L),
+      Some("""WITH c AS (
+             |  SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS c,
+             |    CASE WHEN epoch_ns(ts) < 1705363200000000000 THEN 1 ELSE 0 END AS a,
+             |    CASE WHEN epoch_ns(ts) >= 1705363200000000000 THEN 1 ELSE 0 END AS b
+             |  FROM events),
+             |x AS (SELECT min(c) AS mn, max(c) - min(c) + 1 AS span FROM c),
+             |h AS (SELECT g, ((c - mn) * 64) // span AS bin,
+             |    CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+             |  FROM c, x GROUP BY 1, 2),
+             |cu AS (SELECT g, ca, cb,
+             |    sum(ca) OVER (PARTITION BY g ORDER BY bin) AS cuma,
+             |    sum(cb) OVER (PARTITION BY g ORDER BY bin) AS cumb,
+             |    sum(ca) OVER (PARTITION BY g) AS na,
+             |    sum(cb) OVER (PARTITION BY g) AS nb
+             |  FROM h)
+             |SELECT g AS event_type,
+             |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             |  CAST(max(abs(cuma*nb - cumb*na)) AS BIGINT) AS ks_num,
+             |  round(CAST(max(abs(cuma*nb - cumb*na)) AS DOUBLE)
+             |        / CAST(max(na) * max(nb) AS DOUBLE), 9) AS ks
+             |FROM cu GROUP BY 1""".stripMargin)),
+
+    // Population Stability Index over the same reference/current split and
+    // grid: Σ (p−q)·ln(p/q) with add-one-smoothed bin probabilities (the
+    // full 64-bin grid generated explicitly — absent bins still
+    // contribute under smoothing). ln terms follow the repo's
+    // round-9-then-DECIMAL(20,9) order-free summation discipline.
+    Q("drift_psi",
+      (s, dir) => Drift.psi(events(s, dir), "event_type", "value",
+        col("ts") < 1705363200000000000L, col("ts") >= 1705363200000000000L),
+      Some("""WITH c AS (
+             |  SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS c,
+             |    CASE WHEN epoch_ns(ts) < 1705363200000000000 THEN 1 ELSE 0 END AS a,
+             |    CASE WHEN epoch_ns(ts) >= 1705363200000000000 THEN 1 ELSE 0 END AS b
+             |  FROM events),
+             |x AS (SELECT min(c) AS mn, max(c) - min(c) + 1 AS span FROM c),
+             |h AS (SELECT g, ((c - mn) * 64) // span AS bin,
+             |    CAST(sum(a) AS BIGINT) AS ca, CAST(sum(b) AS BIGINT) AS cb
+             |  FROM c, x GROUP BY 1, 2),
+             |tot AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb FROM h GROUP BY 1),
+             |grid AS (SELECT g, na, nb, unnest(generate_series(0, 63)) AS bin
+             |  FROM tot),
+             |fl AS (SELECT grid.g, grid.na, grid.nb,
+             |    coalesce(h.ca, 0) AS ca, coalesce(h.cb, 0) AS cb
+             |  FROM grid LEFT JOIN h ON grid.g = h.g AND grid.bin = h.bin),
+             |t AS (SELECT g, na, nb,
+             |    CAST(round((CAST(ca+1 AS DOUBLE)/CAST(na+64 AS DOUBLE)
+             |          - CAST(cb+1 AS DOUBLE)/CAST(nb+64 AS DOUBLE))
+             |        * ln((CAST(ca+1 AS DOUBLE)/CAST(na+64 AS DOUBLE))
+             |            / (CAST(cb+1 AS DOUBLE)/CAST(nb+64 AS DOUBLE))), 9)
+             |      AS DECIMAL(20,9)) AS term
+             |  FROM fl)
+             |SELECT g AS event_type, max(na) AS n_a, max(nb) AS n_b,
+             |  CAST(sum(term) AS DOUBLE) AS psi
+             |FROM t GROUP BY 1""".stripMargin)),
 
     // per-user lag-1 autocorrelation of the value series (time-series QC:
     // white-noise vs drifting sensors): user-partitioned position windows,

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drift statistics vs an independent from-definition referee, plus the
+  * semantic guarantees: a planted location shift must move KS/PSI far off
+  * zero while identical distributions stay near zero (PSI exactly 0.0 —
+  * every smoothed term cancels). */
+class DriftSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  private val B = 64
+
+  /** From-definition referee over (group, value, isA) rows — same cents
+    * binning, integer KS numerator, smoothed-PSI sum in plain doubles. */
+  private def referee(rows: Seq[(String, Double, Boolean)]): Map[String, (Long, Double)] = {
+    val cents = rows.map { case (g, v, a) => (g, math.round(v * 100), a) }
+    val mn = cents.map(_._2).min
+    val span = cents.map(_._2).max - mn + 1
+    cents.groupBy(_._1).map { case (g, rs) =>
+      val byBin = rs.groupBy(r => (r._2 - mn) * B / span)
+      val ca = byBin.map { case (b, xs) => b -> xs.count(_._3).toLong }
+      val cb = byBin.map { case (b, xs) => b -> xs.count(!_._3).toLong }
+      val na = ca.values.sum; val nb = cb.values.sum
+      var cuma = 0L; var cumb = 0L; var ksNum = 0L
+      for (b <- byBin.keys.toSeq.sorted) {
+        cuma += ca.getOrElse(b, 0L); cumb += cb.getOrElse(b, 0L)
+        ksNum = math.max(ksNum, math.abs(cuma * nb - cumb * na))
+      }
+      val psi = (0 until B).map { b =>
+        val p = (ca.getOrElse(b.toLong, 0L) + 1).toDouble / (na + B)
+        val q = (cb.getOrElse(b.toLong, 0L) + 1).toDouble / (nb + B)
+        math.round((p - q) * math.log(p / q) * 1e9) / 1e9
+      }.sum
+      g -> (ksNum, psi)
+    }
+  }
+
+  private def mkDf(rows: Seq[(String, Double, Boolean)]) = {
+    import spark.implicits._
+    rows.toDF("g", "value", "is_a")
+  }
+
+  test("KS numerator and PSI match the referee on random two-sided data") {
+    val rnd = new scala.util.Random(3)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 400).map { _ =>
+        val g = s"t${rnd.nextInt(3)}"
+        val a = rnd.nextBoolean()
+        // plant drift in group t0: side B shifted by +2.0
+        val v = math.round((rnd.nextDouble() * 5 +
+          (if (g == "t0" && !a) 2.0 else 0.0)) * 100) / 100.0
+        (g, v, a)
+      }
+      val want = referee(rows)
+      val df = mkDf(rows)
+      val ks = Drift.binnedKs(df, "g", "value", col("is_a"), !col("is_a"), B)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      val psi = Drift.psi(df, "g", "value", col("is_a"), !col("is_a"), B)
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+      for ((g, (ksNum, psiRef)) <- want) {
+        assert(ks(g) == ksNum, s"trial $trial group $g ks")
+        assert(math.abs(psi(g) - psiRef) < 1e-7, s"trial $trial group $g psi")
+      }
+      // the planted shift must register as real drift
+      assert(want("t0")._2 > 0.25, "planted shift should exceed the PSI alarm bar")
+    }
+  }
+
+  test("identical sides: KS numerator 0 and PSI exactly 0.0") {
+    val rows = (1 to 100).flatMap { i =>
+      val v = (i % 17) * 0.37
+      Seq(("g", math.round(v * 100) / 100.0, true),
+          ("g", math.round(v * 100) / 100.0, false))
+    }
+    val df = mkDf(rows)
+    assert(Drift.binnedKs(df, "g", "value", col("is_a"), !col("is_a"), B)
+      .head().getLong(3) == 0L)
+    assert(Drift.psi(df, "g", "value", col("is_a"), !col("is_a"), B)
+      .head().getDouble(3) == 0.0)
+  }
+}
