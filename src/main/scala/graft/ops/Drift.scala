@@ -96,4 +96,49 @@ object Drift {
       .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
         sum("__term").cast("double").as("psi"))
   }
+
+  /**
+   * Two-sided CUSUM changepoint scores (Page 1954) over per-day event
+   * counts: S⁺_t = max(0, S⁺_{t−1} + (x_t − μ)), S⁻_t mirrored — the
+   * classic sequential detector for a sustained level shift, where a
+   * single-day spike decays but a persistent change accumulates. All
+   * arithmetic is INTEGER in deviation-numerator units (counts × n_days):
+   * μ = total/n_days stays rational, so x_t − μ is carried as
+   * n_days·x_t − total — bit-identical cross-engine, no float drift in
+   * the recursion. Alarm when either side exceeds `total` (cumulative
+   * excess ≥ one mean day's volume).
+   *
+   * The day axis is bounded (one row per (group, day)), so the recursion
+   * folds per group over a collected ≤days-length array — bounded state,
+   * map-side daily counts, one shuffle on the group key. The oracle
+   * replays the recursion as a recursive CTE over row-numbered days.
+   *
+   * Output: (groupCol, day, n_events, cusum_pos, cusum_neg, alarm).
+   */
+  def cusumDaily(df: DataFrame, groupCol: String, tsNsCol: String): DataFrame = {
+    val daily = df.groupBy(col(groupCol).as("__g"),
+        expr(s"$tsNsCol div 86400000000000").as("__day"))
+      .agg(count(lit(1)).as("__cnt"))
+    daily.groupBy("__g")
+      .agg(sort_array(collect_list(struct(col("__day"), col("__cnt")))).as("__ds"),
+        sum("__cnt").as("__total"), count(lit(1)).as("__nd"))
+      .withColumn("__out", expr(
+        """aggregate(__ds,
+          |  struct(CAST(0 AS BIGINT) AS sp, CAST(0 AS BIGINT) AS sn,
+          |    CAST(array() AS ARRAY<STRUCT<day: BIGINT, cnt: BIGINT,
+          |                                 sp: BIGINT, sn: BIGINT>>) AS out),
+          |  (a, x) -> struct(
+          |    greatest(CAST(0 AS BIGINT), a.sp + (__nd * x.__cnt - __total)) AS sp,
+          |    greatest(CAST(0 AS BIGINT), a.sn - (__nd * x.__cnt - __total)) AS sn,
+          |    concat(a.out, array(struct(x.__day AS day, x.__cnt AS cnt,
+          |      greatest(CAST(0 AS BIGINT), a.sp + (__nd * x.__cnt - __total)) AS sp,
+          |      greatest(CAST(0 AS BIGINT), a.sn - (__nd * x.__cnt - __total)) AS sn))) AS out),
+          |  a -> a.out)""".stripMargin))
+      .select(col("__g"), col("__total"), explode(col("__out")).as("__r"))
+      .select(col("__g").as(groupCol), col("__r.day").as("day"),
+        col("__r.cnt").as("n_events"),
+        col("__r.sp").as("cusum_pos"), col("__r.sn").as("cusum_neg"),
+        (col("__r.sp") > col("__total") || col("__r.sn") > col("__total"))
+          .cast("int").as("alarm"))
+  }
 }

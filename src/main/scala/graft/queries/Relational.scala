@@ -360,6 +360,37 @@ object Relational {
              |  CAST(sum(term) AS DOUBLE) AS psi
              |FROM t GROUP BY 1""".stripMargin)),
 
+    // two-sided CUSUM changepoint scores over daily counts per type
+    // (Page 1954): a persistent level shift accumulates where a one-day
+    // spike decays. Integer recursion in deviation-numerator units
+    // (n_days·x_t − total, so the rational mean never becomes a float);
+    // the oracle replays it as a recursive CTE over row-numbered days.
+    Q("cusum_daily",
+      (s, dir) => Drift.cusumDaily(events(s, dir), "event_type", "ts"),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |t AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS total,
+             |    CAST(count(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+             |r AS (SELECT g, day, cnt,
+             |    row_number() OVER (PARTITION BY g ORDER BY day) AS rn FROM d),
+             |c AS (
+             |  SELECT r.g, r.day, r.cnt, r.rn,
+             |    greatest(CAST(0 AS BIGINT), t.nd*r.cnt - t.total) AS sp,
+             |    greatest(CAST(0 AS BIGINT), -(t.nd*r.cnt - t.total)) AS sn
+             |  FROM r JOIN t USING (g) WHERE r.rn = 1
+             |  UNION ALL
+             |  SELECT r.g, r.day, r.cnt, r.rn,
+             |    greatest(CAST(0 AS BIGINT), c.sp + (t.nd*r.cnt - t.total)),
+             |    greatest(CAST(0 AS BIGINT), c.sn - (t.nd*r.cnt - t.total))
+             |  FROM c JOIN r ON r.g = c.g AND r.rn = c.rn + 1
+             |  JOIN t ON t.g = r.g)
+             |SELECT c.g AS event_type, c.day, c.cnt AS n_events,
+             |  c.sp AS cusum_pos, c.sn AS cusum_neg,
+             |  CAST(c.sp > t.total OR c.sn > t.total AS INTEGER) AS alarm
+             |FROM c JOIN t ON t.g = c.g""".stripMargin)),
+
     // per-user lag-1 autocorrelation of the value series (time-series QC:
     // white-noise vs drifting sensors): user-partitioned position windows,
     // every cross term quantized to DECIMAL(25,9) before the sum — exact,

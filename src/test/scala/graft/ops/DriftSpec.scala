@@ -71,6 +71,36 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("CUSUM: planted level shift alarms, stationary series does not") {
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    // type "shift": 10 events/day for days 0..19, 30/day for days 20..29
+    // (sustained +20 over mean 15 ⇒ S+ grows 15·nd/day after the shift);
+    // type "flat": constant 12/day — S+ = S- = 0 everywhere
+    val rows =
+      (0 until 30).flatMap { d =>
+        val n = if (d < 20) 10 else 30
+        (0 until n).map(i => ("shift", d * dayNs + i))
+      } ++ (0 until 30).flatMap { d =>
+        (0 until 12).map(i => ("flat", d * dayNs + i))
+      }
+    val got = Drift.cusumDaily(rows.toDF("event_type", "ts"), "event_type", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    // referee for the shifted series: total = 20·10 + 10·30 = 500, nd = 30;
+    // dev_t = 30·x_t − 500
+    var sp = 0L; var sn = 0L
+    for (d <- 0L until 30L) {
+      val x = if (d < 20) 10L else 30L
+      sp = math.max(0L, sp + (30L * x - 500L)); sn = math.max(0L, sn - (30L * x - 500L))
+      val (gsp, gsn, _) = got(("shift", d))
+      assert(gsp == sp && gsn == sn, s"day $d")
+    }
+    assert(got(("shift", 29L))._3 == 1, "sustained shift must alarm")
+    assert((0L until 30L).forall(d => got(("flat", d)) == ((0L, 0L, 0))),
+      "stationary series must stay at zero")
+  }
+
   test("identical sides: KS numerator 0 and PSI exactly 0.0") {
     val rows = (1 to 100).flatMap { i =>
       val v = (i % 17) * 0.37
