@@ -391,6 +391,49 @@ object Relational {
              |  CAST(c.sp > t.total OR c.sn > t.total AS INTEGER) AS alarm
              |FROM c JOIN t ON t.g = c.g""".stripMargin)),
 
+    // snapshot reconciliation: added/removed/changed/unchanged diff report
+    // between two keyed snapshots (pipeline-version validation). Snapshot A
+    // = orders as of 1997-07-01; snapshot B = current orders with
+    // deterministic simulated updates (price correction on keys ≡ 0 mod 97)
+    // and deletes (keys ≡ 1 mod 1000). One full-outer join on the key;
+    // Spark classifies via a null-safe md5 row fingerprint, the oracle via
+    // direct IS DISTINCT FROM column compares — same classes.
+    Q("snapshot_diff",
+      (s, dir) => {
+        val o = orders(s, dir)
+        val snapA = o.filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+        val snapB = o.filter(col("o_orderkey") % 1000 =!= 1)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")))
+        graft.ops.Reconcile.snapshotDiff(snapA, snapB, "o_orderkey",
+          Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"))
+      },
+      Some("""WITH a AS (
+             |  SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice,
+             |    o_orderpriority
+             |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'),
+             |b AS (
+             |  SELECT o_orderkey AS k, o_custkey, o_orderstatus,
+             |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+             |         ELSE o_totalprice END AS o_totalprice,
+             |    o_orderpriority
+             |  FROM orders WHERE o_orderkey % 1000 <> 1),
+             |j AS (
+             |  SELECT coalesce(a.k, b.k) AS k,
+             |    CASE WHEN a.k IS NULL THEN 'added'
+             |         WHEN b.k IS NULL THEN 'removed'
+             |         WHEN a.o_custkey IS DISTINCT FROM b.o_custkey
+             |           OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+             |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+             |           OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+             |           THEN 'changed'
+             |         ELSE 'unchanged' END AS diff_class
+             |  FROM a FULL OUTER JOIN b ON a.k = b.k)
+             |SELECT diff_class, count(*) AS n_rows,
+             |  min(k) AS min_key, max(k) AS max_key
+             |FROM j GROUP BY 1""".stripMargin)),
+
     // per-user lag-1 autocorrelation of the value series (time-series QC:
     // white-noise vs drifting sensors): user-partitioned position windows,
     // every cross term quantized to DECIMAL(25,9) before the sum — exact,
