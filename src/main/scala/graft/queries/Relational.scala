@@ -434,6 +434,28 @@ object Relational {
              |  min(k) AS min_key, max(k) AS max_key
              |FROM j GROUP BY 1""".stripMargin)),
 
+    // event-time interval join: view → purchase within 1 hour per user —
+    // the stream-stream join shape (both sides watermarked; the SAME
+    // function streams in StreamIntervalJoinSpec, withWatermark being a
+    // batch no-op). Equi-key on user carries the shuffle; the range
+    // predicate bounds streaming state. µs arithmetic end-to-end.
+    Q("interval_join",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("event_time"))
+        graft.streaming.StreamIntervalJoin.viewToConversion(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"))
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id,
+             |  p.event_id AS purchase_id,
+             |  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000 AS lag_ms
+             |FROM events v JOIN events p ON v.user_id = p.user_id
+             |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+             |  AND epoch_us(p.ts) > epoch_us(v.ts)
+             |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin)),
+
     // per-user lag-1 autocorrelation of the value series (time-series QC:
     // white-noise vs drifting sensors): user-partitioned position windows,
     // every cross term quantized to DECIMAL(25,9) before the sum — exact,
