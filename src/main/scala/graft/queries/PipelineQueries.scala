@@ -743,6 +743,51 @@ object PipelineQueries {
            |FROM g""".stripMargin
       }),
 
+    // per-column table profile (deequ/TFDV shape): rows, nulls, exact
+    // distinct + the mergeable HLL estimate side by side, lexicographic
+    // min/max — one stack unpivot, one aggregation, register-bounded
+    // state. Integer/string columns only (engine-stable string forms).
+    Q("table_profile",
+      (s, dir) => graft.ops.Profile.tableProfile(documents(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+      Some {
+        val alpha = graft.ops.Sketches.HllAlpha *
+          graft.ops.Sketches.HllM * graft.ops.Sketches.HllM
+        val raw = s"${alpha}e0 * 2251799813685248.0e0 / CAST(s + CAST(1024 - v AS BIGINT) * CAST(2251799813685248 AS BIGINT) AS DOUBLE)"
+        s"""WITH long AS (
+           |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS val FROM documents
+           |  UNION ALL SELECT 'text', text FROM documents
+           |  UNION ALL SELECT 'lang', lang FROM documents
+           |  UNION ALL SELECT 'source', source FROM documents
+           |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+           |base AS (
+           |  SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(count(*) - count(val) AS BIGINT) AS n_null,
+           |    min(val) AS min_val, max(val) AS max_val
+           |  FROM long GROUP BY 1),
+           |k AS (SELECT DISTINCT col_name, val FROM long WHERE val IS NOT NULL),
+           |h AS (SELECT col_name,
+           |    CAST(('0x' || substr(md5(val), 1, 15)) AS BIGINT) AS h
+           |  FROM k),
+           |r AS (SELECT col_name, h % 1024 AS b,
+           |    CASE WHEN h // 1024 = 0 THEN 51
+           |         ELSE bit_count(((h // 1024) & -(h // 1024)) - 1) + 1 END AS rho
+           |  FROM h),
+           |regs AS (SELECT col_name, b, max(rho) AS m, count(*) AS nk
+           |         FROM r GROUP BY 1, 2),
+           |g AS (SELECT col_name,
+           |    CAST(sum(CAST(1 AS BIGINT) << (51 - m)) AS BIGINT) AS s,
+           |    count(*) AS v, CAST(sum(nk) AS BIGINT) AS n_true
+           |  FROM regs GROUP BY 1)
+           |SELECT base.col_name, base.n_rows, base.n_null,
+           |  coalesce(g.n_true, 0) AS n_distinct,
+           |  coalesce(round(CASE WHEN $raw <= 2560.0 AND v < 1024
+           |        THEN 1024.0 * ln(1024.0 / CAST(1024 - v AS DOUBLE))
+           |        ELSE $raw END, 9), 0.0) AS distinct_est,
+           |  base.min_val, base.max_val
+           |FROM base LEFT JOIN g USING (col_name)""".stripMargin
+      }),
+
     // rolling 7-day active users from MERGED per-day HLL registers — the
     // flagship mergeability payoff: the expensive distinct-user pass runs
     // once per day, every trailing window is a bounded register-table
