@@ -141,4 +141,50 @@ object Drift {
         (col("__r.sp") > col("__total") || col("__r.sn") > col("__total"))
           .cast("int").as("alarm"))
   }
+
+  /**
+   * Classical additive seasonal decomposition of per-day counts
+   * (STL-lite): trend = centered 7-day moving average, seasonal = mean
+   * detrended value per weekday slot, residual = the rest. The moving
+   * window is POSITIONAL over present days (both engines agree on any
+   * gap pattern) and only full 7-row windows produce a trend — edge days
+   * report count-only rows.
+   *
+   * Exactness: everything is carried ×7 in integers (trend7 = Σcnt,
+   * detrended7 = 7·cnt − trend7) and the seasonal/residual means keep
+   * integer numerators (Σdet7, counts) until a SINGLE double division —
+   * no order-dependent float accumulation anywhere. Windows span ≤7 rows
+   * and the seasonal aggregation is 7 slots per group — day-bounded
+   * state, one shuffle on the group key.
+   *
+   * Output: (groupCol, day, n_events, trend, seasonal, residual) with
+   * nulls on the 3-day edges.
+   */
+  def seasonalDecompose(df: DataFrame, groupCol: String,
+                        tsNsCol: String): DataFrame = {
+    val daily = df.groupBy(col(groupCol).as("__g"),
+        expr(s"$tsNsCol div 86400000000000").as("__day"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy("__g").orderBy("__day").rowsBetween(-3, 3)
+    val t = daily
+      .withColumn("__t7", sum("__cnt").over(w))
+      .withColumn("__nw", count(lit(1)).over(w))
+      .withColumn("__det7",
+        when(col("__nw") === 7, lit(7) * col("__cnt") - col("__t7")))
+      .withColumn("__wd", pmod(col("__day"), lit(7)))
+    val seas = t.filter(col("__det7").isNotNull)
+      .groupBy("__g", "__wd")
+      .agg(sum("__det7").as("__s7"), count(lit(1)).as("__sn"))
+    t.join(seas, Seq("__g", "__wd"), "left")
+      .select(col("__g").as(groupCol), col("__day").as("day"),
+        col("__cnt").as("n_events"),
+        when(col("__nw") === 7,
+          round(col("__t7").cast("double") / 7.0, 9)).as("trend"),
+        when(col("__det7").isNotNull,
+          round(col("__s7").cast("double") /
+            (lit(7) * col("__sn")).cast("double"), 9)).as("seasonal"),
+        when(col("__det7").isNotNull,
+          round((col("__det7") * col("__sn") - col("__s7")).cast("double") /
+            (lit(7) * col("__sn")).cast("double"), 9)).as("residual"))
+  }
 }

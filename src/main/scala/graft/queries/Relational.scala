@@ -456,6 +456,39 @@ object Relational {
              |  AND epoch_us(p.ts) > epoch_us(v.ts)
              |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin)),
 
+    // classical additive seasonal decomposition of daily counts per type
+    // (STL-lite): centered 7-day moving-average trend, per-weekday
+    // seasonal means, residual — all numerators carried ×7 in integers
+    // (det7 = 7·cnt − Σ7) down to single double divisions, so both
+    // engines agree bit-for-bit. Windows span ≤7 rows; seasonal state is
+    // 7 slots per type.
+    Q("seasonal_decompose",
+      (s, dir) => Drift.seasonalDecompose(events(s, dir), "event_type", "ts"),
+      Some("""WITH d AS (
+             |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |t AS (
+             |  SELECT g, day, cnt,
+             |    sum(cnt) OVER (PARTITION BY g ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+             |    count(*) OVER (PARTITION BY g ORDER BY day
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+             |  FROM d),
+             |t2 AS (SELECT *, CASE WHEN nw = 7 THEN 7*cnt - t7 END AS det7,
+             |    day % 7 AS wd FROM t),
+             |s AS (SELECT g, wd, CAST(sum(det7) AS BIGINT) AS s7,
+             |    CAST(count(*) AS BIGINT) AS sn
+             |  FROM t2 WHERE det7 IS NOT NULL GROUP BY 1, 2)
+             |SELECT t2.g AS event_type, t2.day, t2.cnt AS n_events,
+             |  CASE WHEN nw = 7 THEN round(CAST(t7 AS DOUBLE)/7.0, 9) END AS trend,
+             |  CASE WHEN det7 IS NOT NULL THEN
+             |    round(CAST(s7 AS DOUBLE)/CAST(7*sn AS DOUBLE), 9) END AS seasonal,
+             |  CASE WHEN det7 IS NOT NULL THEN
+             |    round(CAST(det7*sn - s7 AS DOUBLE)/CAST(7*sn AS DOUBLE), 9)
+             |    END AS residual
+             |FROM t2 LEFT JOIN s ON t2.g = s.g AND t2.wd = s.wd""".stripMargin)),
+
     // per-user lag-1 autocorrelation of the value series (time-series QC:
     // white-noise vs drifting sensors): user-partitioned position windows,
     // every cross term quantized to DECIMAL(25,9) before the sum — exact,

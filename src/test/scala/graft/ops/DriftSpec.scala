@@ -101,6 +101,35 @@ class DriftSpec extends AnyFunSuite {
       "stationary series must stay at zero")
   }
 
+  test("seasonal decomposition reconstructs counts and recovers a planted weekly pattern") {
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    // 35 days, weekday effect +0..+6 events on a base of 20
+    val rows = (0 until 35).flatMap { d =>
+      (0 until (20 + d % 7)).map(i => ("t", d * dayNs + i))
+    }
+    val got = Drift.seasonalDecompose(rows.toDF("event_type", "ts"),
+        "event_type", "ts")
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))))
+      .toMap
+    assert(got.size == 35)
+    for ((d, (cnt, tr, se, re)) <- got) {
+      if (d < 3 || d > 31) assert(tr.isEmpty && se.isEmpty && re.isEmpty, s"edge $d")
+      else {
+        val sum = tr.get.asInstanceOf[Double] + se.get.asInstanceOf[Double] +
+          re.get.asInstanceOf[Double]
+        assert(math.abs(sum - cnt) < 1e-7, s"day $d reconstruct")
+        // constant weekly pattern on a flat base: trend = mean 23, residual 0
+        assert(math.abs(tr.get.asInstanceOf[Double] - 23.0) < 1e-9, s"day $d trend")
+        assert(math.abs(re.get.asInstanceOf[Double]) < 1e-7, s"day $d residual")
+        // seasonal = weekday effect centered on the mean: (d%7) - 3
+        assert(math.abs(se.get.asInstanceOf[Double] - ((d % 7) - 3.0)) < 1e-7,
+          s"day $d seasonal")
+      }
+    }
+  }
+
   test("identical sides: KS numerator 0 and PSI exactly 0.0") {
     val rows = (1 to 100).flatMap { i =>
       val v = (i % 17) * 0.37
