@@ -40,4 +40,49 @@ object Profile {
         coalesce(col("distinct_est"), lit(0.0)).as("distinct_est"),
         col("min_val"), col("max_val"))
   }
+
+  /**
+   * Join-key skew profile — the diagnostic you run BEFORE choosing a
+   * shuffle strategy: per-key frequency percentiles, the heaviest key's
+   * share, and the implied salt factor (⌈max_freq / mean_freq⌉ — how many
+   * ways the hottest key must split before its partition looks average).
+   * This is the measurement side of [[Spread.saltedJoin]].
+   *
+   * Two aggregations: key → frequency, then frequency → key-count — the
+   * second table is bounded by the number of DISTINCT frequency values,
+   * so the percentile window never spans data-sized rows. All integer
+   * arithmetic (percentiles are lower-quantiles, share in millionths,
+   * ceil-div salt), bit-identical cross-engine.
+   *
+   * Output: one row — (key_name, n_rows, n_keys, max_freq, p50_freq,
+   * p99_freq, top1_millionths, salt_factor).
+   */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame = {
+    val freq = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val hist = freq.groupBy("__c").agg(count(lit(1)).as("__nk"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // the window runs over distinct-frequency rows (bounded); coalesce to
+    // one partition is fine at that cardinality
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    hist
+      .withColumn("__cum", sum("__nk").over(w))
+      .withColumn("__tot", sum("__nk").over(all))
+      .agg(
+        sum(col("__c") * col("__nk")).as("n_rows"),
+        sum("__nk").as("n_keys"),
+        max("__c").as("max_freq"),
+        min(when(lit(2) * col("__cum") >= col("__tot"), col("__c")))
+          .as("p50_freq"),
+        min(when(lit(100) * col("__cum") >= lit(99) * col("__tot"),
+          col("__c"))).as("p99_freq"))
+      .select(lit(keyCol).as("key_name"), col("n_rows"), col("n_keys"),
+        col("max_freq"), col("p50_freq"), col("p99_freq"),
+        expr("max_freq * 1000000 div n_rows").as("top1_millionths"),
+        expr("(max_freq * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
+  }
 }

@@ -788,6 +788,32 @@ object PipelineQueries {
            |FROM base LEFT JOIN g USING (col_name)""".stripMargin
       }),
 
+    // join-key skew profile — the measurement that justifies (or spares)
+    // Spread.saltedJoin: per-key frequency percentiles via the bounded
+    // frequency-of-frequencies histogram, heaviest-key share in integer
+    // millionths, and the implied salt factor ceil(max/mean). All integer.
+    Q("key_skew_profile",
+      (s, dir) => graft.ops.Profile.keySkewProfile(events(s, dir), "user_id"),
+      Some("""WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+             |  FROM events GROUP BY 1),
+             |h AS (SELECT c, CAST(count(*) AS BIGINT) AS nk FROM f GROUP BY 1),
+             |cu AS (SELECT c, nk,
+             |    sum(nk) OVER (ORDER BY c) AS cum, sum(nk) OVER () AS tot
+             |  FROM h)
+             |SELECT 'user_id' AS key_name,
+             |  CAST(sum(c*nk) AS BIGINT) AS n_rows,
+             |  CAST(sum(nk) AS BIGINT) AS n_keys,
+             |  CAST(max(c) AS BIGINT) AS max_freq,
+             |  CAST(min(CASE WHEN 2*cum >= tot THEN c END) AS BIGINT) AS p50_freq,
+             |  CAST(min(CASE WHEN 100*cum >= 99*tot THEN c END) AS BIGINT)
+             |    AS p99_freq,
+             |  (CAST(max(c) AS BIGINT) * 1000000) // CAST(sum(c*nk) AS BIGINT)
+             |    AS top1_millionths,
+             |  (CAST(max(c) AS BIGINT) * CAST(sum(nk) AS BIGINT)
+             |   + CAST(sum(c*nk) AS BIGINT) - 1) // CAST(sum(c*nk) AS BIGINT)
+             |    AS salt_factor
+             |FROM cu""".stripMargin)),
+
     // rolling 7-day active users from MERGED per-day HLL registers — the
     // flagship mergeability payoff: the expensive distinct-user pass runs
     // once per day, every trailing window is a bounded register-table

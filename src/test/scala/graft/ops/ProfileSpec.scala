@@ -30,4 +30,17 @@ class ProfileSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(math.abs(est("id") - 4.0) < 0.5 && est("dead") == 0.0)
   }
+
+  test("key skew profile: one hot key among uniforms drives salt_factor") {
+    import spark.implicits._
+    // 9 keys with 2 rows each + 1 key with 30 rows: n=48, keys=10,
+    // mean 4.8, max 30 → salt = ceil(30·10/48) = ceil(6.25) = 7
+    val rows = (1 to 9).flatMap(k => Seq(k.toLong, k.toLong)) ++
+      Seq.fill(30)(100L)
+    val r = Profile.keySkewProfile(rows.toDF("k"), "k").head()
+    assert(r.getLong(1) == 48L && r.getLong(2) == 10L && r.getLong(3) == 30L)
+    assert(r.getLong(4) == 2L, "p50 of frequencies")
+    assert(r.getLong(5) == 30L, "p99 lands on the hot key")
+    assert(r.getLong(7) == 7L, s"salt_factor ${r.getLong(7)}")
+  }
 }
