@@ -448,6 +448,54 @@ object Similarity {
   }
 
   /**
+   * Simplified silhouette per trained cell (Rousseeuw 1987's silhouette
+   * with centroid distances standing in for mean pairwise distances —
+   * the O(n·k) form, vs O(n²) for the classic; Hruschka et al. 2004):
+   * a = distance to the OWN trained centroid, b = distance to the nearest
+   * OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]. The per-cell mean is
+   * the clustering-quality report for the whole IVF/SemDeDup/outlier
+   * stack: cells near 0 are doing nothing, negative cells are actively
+   * misassigned.
+   *
+   * Exactness: squared distances floored to micro² bigints (the
+   * [[cellOutliers]] discipline) per centroid; sqrt is IEEE
+   * correctly-rounded on both engines, so s is deterministic; per-vector
+   * s quantized round-9 into DECIMAL(20,9) before the order-free mean
+   * sum. Scale: one stateless projection against the k-centroid literal
+   * (no joins, no pairs), one groupBy(cell).
+   *
+   * Output: (cell, n_vecs, mean_sil).
+   */
+  def cellSilhouette(df: DataFrame, idCol: String, embCol: String,
+                     k: Int, dims: Int, iters: Int): DataFrame = {
+    val (cents, _) = kmeansLoop(df, idCol, embCol, k, dims, iters)
+    val centArr = array(cents.map(c =>
+      struct(lit(c.map(v => v * v).sum).as("c2"),
+        array(c.map(lit): _*).as("c"))): _*)
+    val s = df.select(col(idCol).cast("long").as("id"),
+        transform(asDouble(col(embCol)),
+          v => floor(v * lit(1000000.0)).cast("long")).as("xi"))
+      .withColumn("x", transform(col("xi"), v => v.cast("double") / lit(1000000.0)))
+      .withColumn("cell", kmAssignExpr(cents, col("x")))
+      .withColumn("__d2s", transform(centArr, ct =>
+        floor((ct.getField("c2") - lit(2.0) * ndot(col("x"), ct.getField("c")) +
+          ndot(col("x"), col("x"))) * lit(1e9)).cast("long")))
+      .withColumn("__a2", element_at(col("__d2s"), (col("cell") + 1).cast("int")))
+      .withColumn("__b2", array_min(zip_with(col("__d2s"),
+        sequence(lit(0L), lit((k - 1).toLong)),
+        (v, i) => when(i === col("cell"), lit(Long.MaxValue)).otherwise(v))))
+      .withColumn("__s",
+        when(greatest(col("__a2"), col("__b2")) > 0,
+          (sqrt(col("__b2").cast("double")) - sqrt(col("__a2").cast("double"))) /
+            sqrt(greatest(col("__a2"), col("__b2")).cast("double")))
+          .otherwise(lit(0.0)))
+    s.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum(round(col("__s"), 9).cast("decimal(20,9)")).cast("double") /
+          count(lit(1)), 9).as("mean_sil"))
+  }
+
+  /**
    * Streaming outlier scoring for arriving vectors against a TRAINED
    * model (centroids + the per-cell distance stats a batch pass
    * computed): cell assignment is the stateless [[assignCells]]

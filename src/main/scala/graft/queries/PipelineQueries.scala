@@ -1799,6 +1799,48 @@ object PipelineQueries {
              |    THEN 1 ELSE 0 END AS INTEGER) AS is_outlier
              |FROM dd JOIN sv ON dd.cell = sv.cell""".stripMargin)),
 
+    // simplified silhouette per trained cell (centroid-distance form,
+    // O(n·k)): a = own-centroid distance, b = nearest-other, s = (b−a)/max.
+    // The clustering-quality report for the IVF/SemDeDup stack. micro²
+    // bigint distances, IEEE sqrt, round-9 decimal mean — oracle-exact.
+    Q("cluster_silhouette",
+      (s, dir) => { val e = embeddings(s, dir)
+        Similarity.cellSilhouette(e, "vec_id", "embedding",
+          k = Similarity.scaledCells(e), dims = 64, iters = 3) },
+      Some(s"""WITH ${kmeansCtes(8, 64, 3)},
+             |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
+             |asgf AS (
+             |  SELECT id, cell FROM (
+             |    SELECT xdd.id, c.cent_id AS cell,
+             |      row_number() OVER (PARTITION BY xdd.id ORDER BY
+             |        list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |        - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i])),
+             |        c.cent_id) AS rn
+             |    FROM xdd, cent3 c) WHERE rn = 1),
+             |dall AS (
+             |  SELECT xdd.id, c.cent_id,
+             |    CAST(floor((
+             |      list_sum(list_transform(generate_series(1, 64), i -> c.cx[i] * c.cx[i]))
+             |      - 2 * list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * c.cx[i]))
+             |      + list_sum(list_transform(generate_series(1, 64), i -> xdd.x[i] * xdd.x[i]))
+             |    ) * 1000000000.0) AS BIGINT) AS d2
+             |  FROM xdd, cent3 c),
+             |ab AS (
+             |  SELECT d.id, a.cell,
+             |    max(CASE WHEN d.cent_id = a.cell THEN d.d2 END) AS a2,
+             |    min(CASE WHEN d.cent_id <> a.cell THEN d.d2 END) AS b2
+             |  FROM dall d JOIN asgf a ON a.id = d.id GROUP BY 1, 2),
+             |sil AS (
+             |  SELECT cell,
+             |    CAST(round(CASE WHEN greatest(a2, b2) > 0 THEN
+             |      (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE)))
+             |        / sqrt(CAST(greatest(a2, b2) AS DOUBLE))
+             |      ELSE 0.0 END, 9) AS DECIMAL(20,9)) AS t
+             |  FROM ab)
+             |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  round(CAST(sum(t) AS DOUBLE) / count(*), 9) AS mean_sil
+             |FROM sil GROUP BY 1""".stripMargin)),
+
     // IVF search under the TRAINED quantizer (kmeans cells, cosine re-rank)
     Q("similarity_ivf_trained",
       (s, dir) => { val e = embeddings(s, dir)

@@ -88,4 +88,29 @@ class KmeansSpec extends AnyFunSuite {
     assert(mean > 0.7 && mean < 1.3, f"mean distance ratio $mean%.3f")
     assert(ratios.count(r => r > 0.2 && r < 3.0) >= ratios.size * 9 / 10)
   }
+
+  test("silhouette: separated blobs score near 1, a midpoint scores near 0") {
+    import spark.implicits._
+    val dims = 4
+    val rnd = new scala.util.Random(9)
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i.toLong, Array.tabulate(dims)(_ => (base + rnd.nextDouble()).toFloat))
+    } :+ (99L, Array.fill(dims)(5.25f)) // near-midpoint straggler
+    val df = rows.toDF("vec_id", "embedding")
+    val sil = Similarity.cellSilhouette(df, "vec_id", "embedding", 2, dims, 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(sil.values.map(_._1).sum == 41L)
+    // tight blobs far from the other centroid: mean silhouette high even
+    // with the straggler diluting one cell
+    assert(sil.values.forall(_._2 > 0.8), s"$sil")
+    // the straggler alone: recompute per-point to confirm the midpoint is
+    // the weak member (drop it -> its cell's mean rises)
+    val silClean = Similarity.cellSilhouette(
+        rows.init.toDF("vec_id", "embedding"), "vec_id", "embedding", 2, dims, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val dirty = sil.map { case (c, (_, m)) => c -> m }
+    assert(silClean.exists { case (c, m) => m > dirty(c) + 0.01 },
+      "removing the midpoint straggler must raise its cell's mean silhouette")
+  }
 }
