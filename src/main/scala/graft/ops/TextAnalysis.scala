@@ -240,4 +240,50 @@ object TextAnalysis {
       length(red).cast("long").as("n_chars_redacted"),
       md5(red).as("redacted_md5"))
   }
+
+  /**
+   * Top collocations by pointwise mutual information (Church & Hanks
+   * 1990): PMI(x, y) = ln( P(x,y) / (P(x)·P(y)) ) over adjacent word
+   * pairs — the corpus-statistics step behind phrase detection
+   * (word2vec-style phrase merging, multi-word tokenizer entries). High
+   * PMI = the pair co-occurs far above chance ("new york"); frequent but
+   * independent pairs ("of the") score near 0.
+   *
+   * Counts are exact integers; the PMI ratio is evaluated in ONE fixed
+   * expression-tree order — (c_xy·N_u·N_u) / (N_b·c_x·c_y) — then a
+   * single ln and round-9, so both engines produce identical doubles.
+   * min-count filter kills the unstable low-frequency tail. Scale: token
+   * explode → map-side-combinable counts; the unigram relation is
+   * vocabulary-bounded (join, broadcastable); top-k is orderBy+limit =
+   * TakeOrderedAndProject with a (pmi, pair) tie-break.
+   *
+   * Output: (word_x, word_y, n_xy, n_x, n_y, pmi), top `topK`.
+   */
+  def pmiCollocations(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, minCount: Int,
+                      topK: Int): org.apache.spark.sql.DataFrame = {
+    val base = Spread.shared(Spread.byKey(df, col(idCol))
+      .select(tokens(col(textCol)).as("__toks")))
+    val uni = Spread.shared(base.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw")))
+    val totals = uni.agg(sum("cw").as("__nu")).crossJoin(
+      base.agg(sum(greatest(size(col("__toks")) - 1, lit(0))).as("__nb")))
+    val bi = base.select(explode(wordNgrams(col("__toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+      .withColumn("word_x", split(col("bg"), " ").getItem(0))
+      .withColumn("word_y", split(col("bg"), " ").getItem(1))
+    bi
+      .join(uni.select(col("w").as("word_x"), col("cw").as("n_x")), "word_x")
+      .join(uni.select(col("w").as("word_y"), col("cw").as("n_y")), "word_y")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("n_xy").cast("double") * col("__nu").cast("double") *
+          col("__nu").cast("double")) /
+        (col("__nb").cast("double") * col("n_x").cast("double") *
+          col("n_y").cast("double"))), 9))
+      .orderBy(col("pmi").desc, col("word_x"), col("word_y"))
+      .limit(topK)
+      .select("word_x", "word_y", "n_xy", "n_x", "n_y", "pmi")
+  }
 }

@@ -788,6 +788,40 @@ object PipelineQueries {
            |FROM base LEFT JOIN g USING (col_name)""".stripMargin
       }),
 
+    // top collocations by PMI (Church & Hanks): adjacent word pairs
+    // co-occurring far above chance — the phrase-detection statistic.
+    // Exact integer counts; the ratio is evaluated in ONE fixed
+    // expression-tree order before a single ln + round-9, so the doubles
+    // are bit-identical. TakeOrdered top-50 with (pmi, pair) tie-break.
+    Q("pmi_collocations",
+      (s, dir) => TA.pmiCollocations(documents(s, dir), "doc_id", "text",
+        minCount = 5, topK = 50),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '),
+             |    x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+             |  FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS nu FROM uni),
+             |nbt AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT)
+             |  AS nb FROM tk),
+             |bgc AS (SELECT unnest(list_transform(
+             |    generate_series(1, len(toks) - 1),
+             |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+             |  FROM tk WHERE len(toks) >= 2),
+             |bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS n_xy
+             |  FROM bgc GROUP BY 1 HAVING count(*) >= 5),
+             |sp AS (SELECT n_xy, string_split(bg, ' ')[1] AS word_x,
+             |    string_split(bg, ' ')[2] AS word_y FROM bi)
+             |SELECT word_x, word_y, n_xy, ux.cw AS n_x, uy.cw AS n_y,
+             |  round(ln((CAST(n_xy AS DOUBLE) * CAST(nu AS DOUBLE)
+             |      * CAST(nu AS DOUBLE))
+             |    / (CAST(nb AS DOUBLE) * CAST(ux.cw AS DOUBLE)
+             |      * CAST(uy.cw AS DOUBLE))), 9) AS pmi
+             |FROM sp JOIN uni ux ON ux.w = sp.word_x
+             |JOIN uni uy ON uy.w = sp.word_y, tot, nbt
+             |ORDER BY pmi DESC, word_x, word_y LIMIT 50""".stripMargin)),
+
     // join-key skew profile — the measurement that justifies (or spares)
     // Spread.saltedJoin: per-key frequency percentiles via the bounded
     // frequency-of-frequencies histogram, heaviest-key share in integer
