@@ -77,8 +77,14 @@ object Drift {
    * Output: (groupCol, n_a, n_b, psi).
    */
   def psi(df: DataFrame, groupCol: String, valueCol: String,
-          sideA: Column, sideB: Column, bins: Int = 64): DataFrame = {
-    val h = binnedCounts(df, groupCol, valueCol, sideA, sideB, bins)
+          sideA: Column, sideB: Column, bins: Int = 64): DataFrame =
+    psiTail(binnedCounts(df, groupCol, valueCol, sideA, sideB, bins),
+      groupCol, bins)
+
+  /** Shared PSI tail over (__g, __bin, __ca, __cb) bin counts: explicit
+    * full grid (absent bins matter under smoothing), add-one smoothed
+    * probabilities, round-9 DECIMAL term sum. */
+  private def psiTail(h: DataFrame, groupCol: String, bins: Int): DataFrame = {
     val totals = h.groupBy("__g")
       .agg(sum("__ca").as("__na"), sum("__cb").as("__nb"))
     val grid = totals.select(col("__g"), col("__na"), col("__nb"),
@@ -95,6 +101,30 @@ object Drift {
       .groupBy(col("__g").as(groupCol))
       .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
         sum("__term").cast("double").as("psi"))
+  }
+
+  /**
+   * PSI from two FIXED-grid register tables ([[Sketches.histRegisters]]
+   * shape: (group, __b, __cnt)) — the deployment form of [[psi]]: the
+   * reference side is built once batch-side from training data, the
+   * current side accumulates under Structured Streaming (complete mode,
+   * ≤ groups×bins state) or merges from shards by adding counts, and the
+   * comparison is this cheap register-level fold. A group present on only
+   * one side still scores (smoothing keeps empty-side bins finite).
+   * Same add-one/full-grid/round-9 semantics as [[psi]], so scores are
+   * bit-identical wherever the two binnings agree.
+   */
+  def psiFromRegisters(ref: DataFrame, cur: DataFrame, groupCol: String,
+                       bins: Int = 64): DataFrame = {
+    val a = ref.select(col(groupCol).as("__g"), col("__b").as("__bin"),
+      col("__cnt").as("__ca"))
+    val b = cur.select(col(groupCol).as("__g"), col("__b").as("__bin"),
+      col("__cnt").as("__cb"))
+    val h = a.join(b, Seq("__g", "__bin"), "full_outer")
+      .select(col("__g"), col("__bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    psiTail(h, groupCol, bins)
   }
 
   /**

@@ -360,6 +360,50 @@ object Relational {
              |  CAST(sum(term) AS DOUBLE) AS psi
              |FROM t GROUP BY 1""".stripMargin)),
 
+    // PSI over FIXED-grid histogram registers — the deployment form of
+    // drift_psi: reference registers built once from the training window,
+    // current registers accumulate under streaming (StreamDriftSpec
+    // proves register parity) or merge from shards by adding counts; the
+    // comparison is a register-level fold. Edges clamp to the fixed grid.
+    Q("drift_psi_fixed",
+      (s, dir) => {
+        val ev = events(s, dir)
+        def regs(side: org.apache.spark.sql.Column) =
+          graft.ops.Sketches.histRegisters(
+            ev.filter(side).select(col("event_type"), col("value")),
+            "event_type", "value", minCents = 1L, span = 49002L, bins = 64)
+        Drift.psiFromRegisters(
+          regs(col("ts") < 1705363200000000000L),
+          regs(col("ts") >= 1705363200000000000L), "event_type", bins = 64)
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS c,
+             |    CASE WHEN epoch_ns(ts) < 1705363200000000000
+             |      THEN 0 ELSE 1 END AS side
+             |  FROM events),
+             |h AS (SELECT g,
+             |    least(greatest(((c - 1) * 64) // 49002, 0), 63) AS b,
+             |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM c GROUP BY 1, 2),
+             |tot AS (SELECT g, CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb FROM h GROUP BY 1),
+             |grid AS (SELECT g, na, nb, unnest(generate_series(0, 63)) AS bin
+             |  FROM tot),
+             |fl AS (SELECT grid.g, grid.na, grid.nb,
+             |    coalesce(h.ca, 0) AS ca, coalesce(h.cb, 0) AS cb
+             |  FROM grid LEFT JOIN h ON grid.g = h.g AND grid.bin = h.b),
+             |t AS (SELECT g, na, nb,
+             |    CAST(round((CAST(ca+1 AS DOUBLE)/CAST(na+64 AS DOUBLE)
+             |          - CAST(cb+1 AS DOUBLE)/CAST(nb+64 AS DOUBLE))
+             |        * ln((CAST(ca+1 AS DOUBLE)/CAST(na+64 AS DOUBLE))
+             |            / (CAST(cb+1 AS DOUBLE)/CAST(nb+64 AS DOUBLE))), 9)
+             |      AS DECIMAL(20,9)) AS term
+             |  FROM fl)
+             |SELECT g AS event_type, max(na) AS n_a, max(nb) AS n_b,
+             |  CAST(sum(term) AS DOUBLE) AS psi
+             |FROM t GROUP BY 1""".stripMargin)),
+
     // two-sided CUSUM changepoint scores over daily counts per type
     // (Page 1954): a persistent level shift accumulates where a one-day
     // spike decays. Integer recursion in deviation-numerator units
