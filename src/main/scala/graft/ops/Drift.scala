@@ -127,6 +127,34 @@ object Drift {
     psiTail(h, groupCol, bins)
   }
 
+  /** Binned KS from the same two fixed-grid register tables — with
+    * [[psiFromRegisters]] this completes the register-level monitoring
+    * pair (PSI for magnitude-of-shift, KS for worst-point ECDF gap).
+    * Integer numerator until one final division, as in [[binnedKs]]. */
+  def ksFromRegisters(ref: DataFrame, cur: DataFrame,
+                      groupCol: String): DataFrame = {
+    val a = ref.select(col(groupCol).as("__g"), col("__b").as("__bin"),
+      col("__cnt").as("__ca"))
+    val b = cur.select(col(groupCol).as("__g"), col("__b").as("__bin"),
+      col("__cnt").as("__cb"))
+    val h = a.join(b, Seq("__g", "__bin"), "full_outer")
+      .select(col("__g"), col("__bin"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val byBin = Window.partitionBy("__g").orderBy("__bin")
+    val all = Window.partitionBy("__g")
+    h.withColumn("__cuma", sum("__ca").over(byBin))
+      .withColumn("__cumb", sum("__cb").over(byBin))
+      .withColumn("__na", sum("__ca").over(all))
+      .withColumn("__nb", sum("__cb").over(all))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("ks_num"))
+      .withColumn("ks", round(col("ks_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"), 9))
+  }
+
   /**
    * Two-sided CUSUM changepoint scores (Page 1954) over per-day event
    * counts: S⁺_t = max(0, S⁺_{t−1} + (x_t − μ)), S⁻_t mirrored — the

@@ -404,6 +404,43 @@ object Relational {
              |  CAST(sum(term) AS DOUBLE) AS psi
              |FROM t GROUP BY 1""".stripMargin)),
 
+    // binned KS over the same fixed-grid registers — with drift_psi_fixed
+    // this is the register-level monitoring pair (PSI = magnitude of
+    // shift, KS = worst-point ECDF gap); integer numerator to the end.
+    Q("drift_ks_fixed",
+      (s, dir) => {
+        val ev = events(s, dir)
+        def regs(side: org.apache.spark.sql.Column) =
+          graft.ops.Sketches.histRegisters(
+            ev.filter(side).select(col("event_type"), col("value")),
+            "event_type", "value", minCents = 1L, span = 49002L, bins = 64)
+        Drift.ksFromRegisters(
+          regs(col("ts") < 1705363200000000000L),
+          regs(col("ts") >= 1705363200000000000L), "event_type")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS c,
+             |    CASE WHEN epoch_ns(ts) < 1705363200000000000
+             |      THEN 0 ELSE 1 END AS side
+             |  FROM events),
+             |h AS (SELECT g,
+             |    least(greatest(((c - 1) * 64) // 49002, 0), 63) AS b,
+             |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+             |  FROM c GROUP BY 1, 2),
+             |cu AS (SELECT g, ca, cb,
+             |    sum(ca) OVER (PARTITION BY g ORDER BY b) AS cuma,
+             |    sum(cb) OVER (PARTITION BY g ORDER BY b) AS cumb,
+             |    sum(ca) OVER (PARTITION BY g) AS na,
+             |    sum(cb) OVER (PARTITION BY g) AS nb
+             |  FROM h)
+             |SELECT g AS event_type,
+             |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+             |  CAST(max(abs(cuma*nb - cumb*na)) AS BIGINT) AS ks_num,
+             |  round(CAST(max(abs(cuma*nb - cumb*na)) AS DOUBLE)
+             |        / CAST(max(na) * max(nb) AS DOUBLE), 9) AS ks
+             |FROM cu GROUP BY 1""".stripMargin)),
+
     // two-sided CUSUM changepoint scores over daily counts per type
     // (Page 1954): a persistent level shift accumulates where a one-day
     // spike decays. Integer recursion in deviation-numerator units
@@ -923,6 +960,48 @@ object Relational {
              |WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
              |    AS BIGINT) % 8 = 0
              |GROUP BY 1""".stripMargin)),
+
+    // linear multi-touch attribution — the join-based companion to
+    // last-touch: every view in the hour before a purchase shares the
+    // purchase value equally (credit = value/n). The per-purchase window
+    // spans only that purchase's in-window candidates (bounded by hourly
+    // user activity); per-view credits are round-9 DECIMAL-summed.
+    Q("attribution_linear",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = events(s, dir)
+        val v = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+            expr("ts div 1000").as("v_us"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+            expr("ts div 1000").as("p_us"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val j = p.join(v, col("pu") === col("vu") &&
+          col("v_us") < col("p_us") &&
+          col("v_us") >= col("p_us") - 3600000000L)
+        val w = Window.partitionBy("purchase_id")
+        j.withColumn("__n", count(lit(1)).over(w))
+          .withColumn("__credit",
+            round(col("cents").cast("double") / 100.0 / col("__n"), 9)
+              .cast("decimal(20,9)"))
+          .groupBy("view_id")
+          .agg(count(lit(1)).as("n_conversions"),
+            sum("__credit").cast("double").as("credit_total"))
+      },
+      Some("""WITH v AS (SELECT user_id AS u, event_id AS view_id,
+             |    epoch_us(ts) AS vus FROM events WHERE event_type = 'view'),
+             |p AS (SELECT user_id AS u, event_id AS purchase_id,
+             |    epoch_us(ts) AS pus, CAST(round(value*100) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase'),
+             |j AS (SELECT view_id, purchase_id, cents,
+             |    count(*) OVER (PARTITION BY purchase_id) AS n
+             |  FROM p JOIN v ON p.u = v.u AND v.vus < p.pus
+             |    AND v.vus >= p.pus - 3600000000)
+             |SELECT view_id, CAST(count(*) AS BIGINT) AS n_conversions,
+             |  CAST(sum(CAST(round(CAST(cents AS DOUBLE)/100.0/n, 9)
+             |    AS DECIMAL(20,9))) AS DOUBLE) AS credit_total
+             |FROM j GROUP BY 1""".stripMargin)),
 
     // last-touch attribution: each purchase credits the most recent
     // preceding non-purchase event by the same user within a 7-day

@@ -45,7 +45,14 @@ class StreamDriftSpec extends AnyFunSuite {
     val streamedRegs = spark.sql("select * from driftregs")
     val got = graft.ops.Drift.psiFromRegisters(regs(ref), streamedRegs, "g", bins)
       .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // the KS companion over the same registers: parity too
+    val wantKs = graft.ops.Drift.ksFromRegisters(regs(ref), regs(cur), "g")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val gotKs = graft.ops.Drift.ksFromRegisters(regs(ref), streamedRegs, "g")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     sq.stop()
+    assert(gotKs == wantKs, s"ks got $gotKs want $wantKs")
+    assert(wantKs("a") > wantKs("b"), "shifted group must have the larger KS gap")
     assert(got == want, s"got $got want $want")
     // the planted shift must dominate (add-one smoothing over 64 bins
     // keeps the stable group's PSI nonzero at this sample size — the
