@@ -61,27 +61,28 @@ object Profile {
     val freq = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).as("__c"))
     val hist = freq.groupBy("__c").agg(count(lit(1)).as("__nk"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("__c")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    // the window runs over distinct-frequency rows (bounded); coalesce to
-    // one partition is fine at that cardinality
-    val all = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(1)).rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // the frequency-of-frequencies table is bounded (distinct frequency
+    // values), so the cumulative scan is a per-row FOLD over one collected
+    // sorted array — no window at all, not even a bounded one
     hist
-      .withColumn("__cum", sum("__nk").over(w))
-      .withColumn("__tot", sum("__nk").over(all))
       .agg(
+        sort_array(collect_list(struct(col("__c"), col("__nk")))).as("__h"),
         sum(col("__c") * col("__nk")).as("n_rows"),
         sum("__nk").as("n_keys"),
-        max("__c").as("max_freq"),
-        min(when(lit(2) * col("__cum") >= col("__tot"), col("__c")))
-          .as("p50_freq"),
-        min(when(lit(100) * col("__cum") >= lit(99) * col("__tot"),
-          col("__c"))).as("p99_freq"))
+        max("__c").as("max_freq"))
+      .withColumn("__fold", expr(
+        """aggregate(__h,
+          |  struct(CAST(0 AS BIGINT) AS cum, CAST(NULL AS BIGINT) AS p50,
+          |         CAST(NULL AS BIGINT) AS p99),
+          |  (a, x) -> struct(
+          |    a.cum + x.__nk,
+          |    CASE WHEN a.p50 IS NULL AND 2 * (a.cum + x.__nk) >= n_keys
+          |      THEN x.__c ELSE a.p50 END,
+          |    CASE WHEN a.p99 IS NULL AND 100 * (a.cum + x.__nk) >= 99 * n_keys
+          |      THEN x.__c ELSE a.p99 END))""".stripMargin))
       .select(lit(keyCol).as("key_name"), col("n_rows"), col("n_keys"),
-        col("max_freq"), col("p50_freq"), col("p99_freq"),
+        col("max_freq"),
+        col("__fold.p50").as("p50_freq"), col("__fold.p99").as("p99_freq"),
         expr("max_freq * 1000000 div n_rows").as("top1_millionths"),
         expr("(max_freq * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
   }

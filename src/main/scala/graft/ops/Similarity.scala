@@ -530,9 +530,11 @@ object Similarity {
       "outDims must be a perfect square so the JL scale is exact")
     val scale = 1.0 / math.sqrt(outDims.toDouble)
     // sign matrix from md5 parity, computed with the engine's own md5 so
-    // the oracle derives the identical matrix
-    val m = (0 until outDims).toDF("j")
-      .crossJoin((1 to dims).toDF("i"))
+    // the oracle derives the identical matrix; the (j, i) grid is ONE
+    // local relation (a cross of two local tables plans as a broadcast
+    // nested loop for no benefit)
+    val m = (for (j <- 0 until outDims; i <- 1 to dims) yield (j, i))
+      .toDF("j", "i")
       .withColumn("s", expr(
         "CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), '_', " +
           "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 " +

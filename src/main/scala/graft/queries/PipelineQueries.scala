@@ -860,14 +860,22 @@ object PipelineQueries {
         val regs = graft.ops.Spread.shared(
           graft.ops.Sketches.hllRegisters(ev, "day", "user_id"))
         val days = regs.select(col("__g").as("d")).distinct()
-        val merged = days
-          .join(regs, col("__g").between(col("d") - 6, col("d")))
+        // trailing-window membership as an EXPLODE (each register/user row
+        // contributes to days g..g+6) + an equi semi-join against observed
+        // days — the band join planned as a broadcast nested loop; this is
+        // a projection + hash join, 7× rows instead of days×regs probes
+        val merged = regs
+          .select(explode(expr("sequence(__g, __g + 6)")).as("d"),
+            col("__b"), col("__m"))
+          .join(days, "d")
           .groupBy(col("d"), col("__b")).agg(max("__m").as("__m"))
         val est = graft.ops.Sketches.hllEstimate(
           merged.withColumnRenamed("d", "__g"), "day")
         val du = graft.ops.Spread.shared(ev.distinct())
-        val truth = days
-          .join(du, col("day").between(col("d") - 6, col("d")))
+        val truth = du
+          .select(explode(expr("sequence(day, day + 6)")).as("d"),
+            col("user_id"))
+          .join(days, "d")
           .groupBy("d").agg(countDistinct("user_id").as("true_wau"))
         est.drop("n_true")
           .join(truth, est("day") === truth("d"))

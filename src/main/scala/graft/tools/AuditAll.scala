@@ -11,9 +11,41 @@ object AuditAll {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE wraps the physical plan in AdaptiveSparkPlanExec, whose
+      // children are hidden from foreach — with it on, every check below
+      // silently sees only the wrapper node. The static plan has the same
+      // window/join shapes the audit is looking for.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // conservatively prove a subtree produces at most one row: groupless
+    // aggregates are 1-row; joins of 1-row sides stay 1-row; unary nodes
+    // (project/filter/exchange/sort) preserve the bound. A BNL/cartesian
+    // against such a side is the legitimate scalar-attach shape (corpus
+    // totals, extents, trained 1-row models) — each task scans ONE row —
+    // and must not drown out real data×data fallbacks.
+    def oneRow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        a.groupingExpressions.isEmpty
+      case l: org.apache.spark.sql.execution.LocalTableScanExec => l.rows.size <= 1
+      // a reused exchange is a leaf wrapper — its bound is its original's
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        oneRow(r.child)
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+        oneRow(j.left) && oneRow(j.right)
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        oneRow(c.left) && oneRow(c.right)
+      case u if u.children.size == 1 => oneRow(u.children.head)
+      case _ => false
+    }
+    // Justified non-1-row BNL exemptions (each bounded by MODEL cardinality,
+    // not data size — re-justify before adding entries):
+    //   sketch_kmv_jaccard — group×group pair enumeration over the sketch
+    //   GROUP set (sources/event types); pairs = groups², groups is a
+    //   domain constant, and each probe row is a k-register struct.
+    val allowedBnl = Map(
+      "sketch_kmv_jaccard" -> "group-pair enumeration over the bounded group set")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
@@ -24,15 +56,23 @@ object AuditAll {
               if w.partitionSpec.isEmpty => bad += "GLOBAL-WINDOW"
           case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
               if w.partitionSpec.isEmpty => bad += "GLOBAL-WINDOW-LIMIT"
-          case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec
+              if !oneRow(c.left) && !oneRow(c.right) =>
             bad += "CARTESIAN"
-          case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
             // the non-equi fallback: per-task scans of the whole broadcast
-            // side — a scale smell even when the broadcast side is small
-            bad += "BNL-JOIN"
+            // side — a scale smell UNLESS that side is provably one row
+            val build = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+              case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+            }
+            if (!oneRow(build)) bad += "BNL-JOIN"
           case _ =>
         }
-        if (bad.nonEmpty) { flagged += 1
+        if (bad.nonEmpty && allowedBnl.contains(name) &&
+            bad.distinct == Seq("BNL-JOIN")) {
+          println(s"[audit] $name: BNL-JOIN (allowed: ${allowedBnl(name)})")
+        } else if (bad.nonEmpty) { flagged += 1
           println(s"[audit] $name: ${bad.distinct.mkString(",")}")
         }
       } catch {
