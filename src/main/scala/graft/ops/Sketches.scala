@@ -296,6 +296,55 @@ object Sketches {
    * Returns (term, maybe_present, truly_present) — the no-false-negative
    * guarantee (truly ⇒ maybe) is oracle-visible.
    */
+  /**
+   * EXACT audience overlap via bitmap indexes (the roaring-bitmap join
+   * shape, flat-word form): each group's member set becomes (word, bitmap)
+   * rows — word = id div 63, bitmap = OR of 2^(id mod 63) — 63-bit words keep
+   * the sign bit clear (DuckDB range-checks 1<<63) — and pairwise
+   * intersection is an equi-join on the word index + popcount of ANDed
+   * words. Unlike KMV/HLL this is exact, and unlike count-distinct joins
+   * the shuffle carries ONE row per 63 ids; the pair work is
+   * groups² × shared-words, never ids².
+   *
+   * Engine-portable OR: within (group, word) each member contributes its
+   * single-bit power once, so `sum(DISTINCT 2^bit)` IS the bitwise OR
+   * (distinct powers add carry-free). Popcounts, counts, and the Jaccard division are the only
+   * non-integer step (one division, round-9).
+   *
+   * Output: (group_a, group_b, n_a, n_b, n_common, jaccard) for
+   * group_a < group_b.
+   */
+  def bitmapOverlap(df: DataFrame, groupCol: String,
+                    keyCol: String): DataFrame = {
+    val words = Spread.shared(df
+      .select(col(groupCol).as("__g"),
+        expr(s"CAST($keyCol AS BIGINT) div 63").as("__w"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(pmod(CAST($keyCol AS BIGINT), 63) AS INT))").as("__bit"))
+      .groupBy("__g", "__w")
+      .agg(sum_distinct(col("__bit")).as("__bm")))
+    val sizes = words.groupBy("__g")
+      .agg(sum(bit_count(col("__bm")).cast("long")).as("__n"))
+    val a = words.select(col("__g").as("group_a"), col("__w"),
+      col("__bm").as("__ba"))
+    val b = words.select(col("__g").as("group_b"), col("__w").as("__w2"),
+      col("__bm").as("__bb"))
+    a.join(b, col("__w") === col("__w2") && col("group_a") < col("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(sum(bit_count(col("__ba").bitwiseAND(col("__bb"))).cast("long"))
+        .as("n_common"))
+      .join(sizes.select(col("__g").as("group_a"), col("__n").as("n_a")),
+        "group_a")
+      .join(sizes.select(col("__g").as("group_b"), col("__n").as("n_b")),
+        "group_b")
+      .filter(col("n_common") > 0)
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 9)
+          .as("jaccard"))
+  }
+
   def bloomProbe(df: DataFrame, textCol: String, terms: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -1003,6 +1003,32 @@ object Relational {
              |    AS DECIMAL(20,9))) AS DOUBLE) AS credit_total
              |FROM j GROUP BY 1""".stripMargin)),
 
+    // exact audience overlap via bitmap indexes (flat-word roaring shape):
+    // one row per 63 user ids carries the membership word (63-bit words
+    // keep the sign bit clear of DuckDB's shift range check); pairwise
+    // intersection = equi-join on word index + popcount of ANDed words.
+    // sum(DISTINCT 2^bit) IS the bitwise OR (distinct powers add
+    // carry-free). Exact counts — the audience-join primitive.
+    Q("bitmap_overlap",
+      (s, dir) => graft.ops.Sketches.bitmapOverlap(events(s, dir),
+        "event_type", "user_id"),
+      Some("""WITH w AS (
+             |  SELECT event_type AS g, user_id // 63 AS w,
+             |    CAST(sum(DISTINCT (CAST(1 AS BIGINT)
+             |      << CAST(user_id % 63 AS INTEGER))) AS BIGINT) AS bm
+             |  FROM events GROUP BY 1, 2),
+             |sz AS (SELECT g, CAST(sum(bit_count(bm)) AS BIGINT) AS n
+             |  FROM w GROUP BY 1),
+             |j AS (SELECT a.g AS ga, b.g AS gb,
+             |    CAST(sum(bit_count(a.bm & b.bm)) AS BIGINT) AS c
+             |  FROM w a JOIN w b ON a.w = b.w AND a.g < b.g GROUP BY 1, 2)
+             |SELECT ga AS group_a, gb AS group_b, sa.n AS n_a, sb.n AS n_b,
+             |  c AS n_common,
+             |  round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 9)
+             |    AS jaccard
+             |FROM j JOIN sz sa ON sa.g = ga JOIN sz sb ON sb.g = gb
+             |WHERE c > 0""".stripMargin)),
+
     // last-touch attribution: each purchase credits the most recent
     // preceding non-purchase event by the same user within a 7-day
     // lookback — implemented as a per-user running "latest touch" carried

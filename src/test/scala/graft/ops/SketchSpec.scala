@@ -109,4 +109,25 @@ class SketchSpec extends AnyFunSuite {
     // counter should not be wildly inflated
     assert(got("alpha")._1 <= 60L && got("beta")._1 <= 110L)
   }
+
+  test("bitmap overlap: exact pairwise intersections vs a set referee") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // overlapping member sets incl. ids on the 63-bit word boundary
+    val rows = (0 until 500).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(200).toLong)
+    } ++ Seq(("g0", 62L), ("g0", 63L), ("g1", 63L), ("g2", 126L))
+    val sets = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).toSet }
+    val got = Sketches.bitmapOverlap(rows.toDF("g", "uid"), "g", "uid")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (ga <- sets.keys; gb <- sets.keys if ga < gb) {
+      val inter = (sets(ga) intersect sets(gb)).size.toLong
+      if (inter > 0) {
+        val (na, nb, c) = got((ga, gb))
+        assert(na == sets(ga).size && nb == sets(gb).size && c == inter,
+          s"$ga x $gb")
+      } else assert(!got.contains((ga, gb)))
+    }
+  }
 }
