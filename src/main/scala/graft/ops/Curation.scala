@@ -631,6 +631,49 @@ object Curation {
   }
 
   /**
+   * Isotonic calibration of a binned reliability table (the PAV fit,
+   * computed by the minimax closed form: iso_i = max_{j≤i} min_{k≥i}
+   * of the weighted positive rate over bins j..k — Ayer et al. 1955;
+   * equals pool-adjacent-violators). Produces the monotone-nondecreasing
+   * probability curve every score-thresholding decision should read
+   * instead of the raw (noisy, possibly non-monotone) per-bin rates.
+   *
+   * Input: (bin, n_docs, n_pos) — a CALIBRATION TABLE, bounded by the
+   * bin clamp (17 rows here), never raw data; the three bounded
+   * self-joins below are over that model-sized relation (audit-exempt
+   * the way the KMV group enumeration is). Interval rates are single
+   * double divisions of exact integer sums; min/max over identical IEEE
+   * doubles, round-9 at the edge.
+   *
+   * Output: (bin, n_docs, n_pos, pos_rate, iso_rate), iso_rate monotone.
+   */
+  def isotonicFit(bins: DataFrame): DataFrame = {
+    val b = Spread.shared(bins.select(col("bin").cast("int").as("bin"),
+      col("n_docs").cast("long").as("n_docs"),
+      col("n_pos").cast("long").as("n_pos")))
+    val j = b.select(col("bin").as("jb"))
+    val k = b.select(col("bin").as("kb"))
+    val t = b.select(col("bin").as("tb"), col("n_docs").as("tn"),
+      col("n_pos").as("tp"))
+    // weighted rate of every bin interval [j, k]
+    val avgjk = j.join(k, col("jb") <= col("kb"))
+      .join(t, col("tb") >= col("jb") && col("tb") <= col("kb"))
+      .groupBy("jb", "kb")
+      .agg((sum("tp").cast("double") / sum("tn").cast("double")).as("__avg"))
+    // iso_i = max over j ≤ i of (min over k ≥ i of avg(j, k))
+    val i = b.select(col("bin").as("ib"))
+    val iso = avgjk
+      .join(i, col("jb") <= col("ib") && col("kb") >= col("ib"))
+      .groupBy("ib", "jb").agg(min("__avg").as("__mn"))
+      .groupBy("ib").agg(round(max("__mn"), 9).as("iso_rate"))
+    b.join(iso, col("bin") === col("ib"))
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 9)
+          .as("pos_rate"),
+        col("iso_rate"))
+  }
+
+  /**
    * Per-document duplicated-token fraction + keep/drop decision — the
    * FILTER step after span detection: docs whose merged duplicate spans
    * ([[mergedDupSpans]]) cover more than `maxFrac` of their tokens get

@@ -431,7 +431,40 @@ object CurationQueries {
               |  round(CAST(sum(label) AS DOUBLE) / count(*), 9) AS pos_rate,
               |  round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9)
               |    AS mean_score
-              |FROM cb GROUP BY 1""".stripMargin)))
+              |FROM cb GROUP BY 1""".stripMargin)),
+
+    // isotonic (PAV) fit of the calibration table via the minimax closed
+    // form iso_i = max_{j≤i} min_{k≥i} rate(j..k) — the monotone
+    // probability curve thresholds should read instead of raw bin rates.
+    // All joins are over the ≤17-row bin table (model-sized, audit-exempt
+    // like the KMV group enumeration); interval rates are single double
+    // divisions of exact integer sums.
+    Q("nb_isotonic",
+      (s, dir) => Curation.isotonicFit(
+        Curation.nbCalibration(documents(s, dir), "doc_id", "text",
+          col("lang") === "en", col("doc_id") % 2 === 0, buckets = 256)
+          .select("bin", "n_docs", "n_pos")),
+      Some(s"""WITH $nbCtes,
+              |cb AS (
+              |  SELECT least(greatest(CAST(floor(s) AS INTEGER), -8), 8) AS bin,
+              |    CAST(label AS BIGINT) AS y
+              |  FROM scored),
+              |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(y) AS BIGINT) AS n_pos FROM cb GROUP BY 1),
+              |av AS (SELECT j.bin AS jb, k.bin AS kb,
+              |    CAST(sum(t.n_pos) AS DOUBLE) / CAST(sum(t.n_docs) AS DOUBLE) AS a
+              |  FROM bins j JOIN bins k ON j.bin <= k.bin
+              |  JOIN bins t ON t.bin >= j.bin AND t.bin <= k.bin
+              |  GROUP BY 1, 2),
+              |mn AS (SELECT i.bin AS ib, av.jb, min(av.a) AS m
+              |  FROM av JOIN bins i ON av.jb <= i.bin AND av.kb >= i.bin
+              |  GROUP BY 1, 2),
+              |iso AS (SELECT ib, round(max(m), 9) AS iso_rate FROM mn GROUP BY 1)
+              |SELECT CAST(b.bin AS INTEGER) AS bin, b.n_docs, b.n_pos,
+              |  round(CAST(b.n_pos AS DOUBLE)/CAST(b.n_docs AS DOUBLE), 9)
+              |    AS pos_rate,
+              |  iso.iso_rate
+              |FROM bins b JOIN iso ON iso.ib = b.bin""".stripMargin)))
 
   // shared NB-classifier CTE chain: hashed-unigram bucket counts on the
   // training split (all 256 buckets, add-one smoothing), round-9 DECIMAL

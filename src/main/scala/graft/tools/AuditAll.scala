@@ -44,8 +44,11 @@ object AuditAll {
     //   sketch_kmv_jaccard — group×group pair enumeration over the sketch
     //   GROUP set (sources/event types); pairs = groups², groups is a
     //   domain constant, and each probe row is a k-register struct.
+    //   nb_isotonic — minimax PAV self-joins over the ≤17-row clamped
+    //   calibration-bin table (model-sized, never raw data).
     val allowedBnl = Map(
-      "sketch_kmv_jaccard" -> "group-pair enumeration over the bounded group set")
+      "sketch_kmv_jaccard" -> "group-pair enumeration over the bounded group set",
+      "nb_isotonic" -> "self-joins over the 17-bin calibration table")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
