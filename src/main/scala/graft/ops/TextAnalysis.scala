@@ -131,8 +131,29 @@ object TextAnalysis {
     * summation order.
     *
     * Output: (id, n_bigrams, lm_score). */
+  /** Bounded LRU over the per-doc LM relation (the [[Similarity]] kmeans
+    * memo pattern): three registered queries (text_lm_score,
+    * quality_percentile_filter, quality_rank_fusion) read the same
+    * 1-row-per-doc output, and bulk drivers release the Spread registry
+    * between queries — without the memo each consumer re-runs both
+    * corpus-sized bigram passes cold. The value is a localCheckpoint
+    * (bounded: one row per doc), so it survives registry release;
+    * eviction unpersists the blocks. */
+  private val lmMemo =
+    new BoundedMemo[(Int, Any, String), org.apache.spark.sql.DataFrame](4)(
+      _.unpersist(false))
+
   def charBigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
                         textCol: String): org.apache.spark.sql.DataFrame = {
+    val key = (df.sparkSession.hashCode(),
+      df.queryExecution.analyzed.canonicalized, s"$idCol|$textCol")
+    lmMemo.getOrCompute(key,
+      charBigramLmScoreImpl(df, idCol, textCol).localCheckpoint())
+  }
+
+  private def charBigramLmScoreImpl(df: org.apache.spark.sql.DataFrame,
+                                    idCol: String,
+                                    textCol: String): org.apache.spark.sql.DataFrame = {
     // shared: the exploded bigram relation feeds the count build, the
     // vocab-size count AND the scoring join — one evaluation, not three
     // explode a plain INT sequence and slice with scalar substr — both
@@ -152,20 +173,19 @@ object TextAnalysis {
         .withColumn("c1", substring(col("bg"), 1, 1)))
     val tots = counts.groupBy("c1").agg(sum("cnt").as("tot"))
     val v = counts.select(substring(col("bg"), 2, 1)).distinct().count()
-    // share the PER-DOC result, not just the inputs: the scoring join +
-    // per-doc aggregation over the full bigram mass is the dominant cost,
-    // and several consumers (text_lm_score, quality_percentile_filter,
-    // quality_rank_fusion) read the same 1-row-per-doc relation
-    Spread.shared(
-      bg.join(broadcast(counts.select("bg", "cnt")), "bg")
-        .withColumn("c1", substring(col("bg"), 1, 1))
-        .join(broadcast(tots), "c1")
-        .withColumn("lp",
-          round(log((col("cnt") + 1).cast("double") / (col("tot") + lit(v)).cast("double")), 9)
-            .cast("decimal(20,9)"))
-        .groupBy(col("__id").as(idCol))
-        .agg(count(lit(1)).as("n_bigrams"),
-          (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score")))
+    // the PER-DOC result is what's worth keeping: the scoring join +
+    // per-doc aggregation over the full bigram mass is the dominant cost.
+    // The caller memoizes this relation as a localCheckpoint (lmMemo), so
+    // no Spread.shared here — that would just double-cache it.
+    bg.join(broadcast(counts.select("bg", "cnt")), "bg")
+      .withColumn("c1", substring(col("bg"), 1, 1))
+      .join(broadcast(tots), "c1")
+      .withColumn("lp",
+        round(log((col("cnt") + 1).cast("double") / (col("tot") + lit(v)).cast("double")), 9)
+          .cast("decimal(20,9)"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("lm_score"))
   }
 
   /** Simple quality score in [0,1]: length in sweet spot, few repeats,
