@@ -788,6 +788,27 @@ object PipelineQueries {
            |FROM base LEFT JOIN g USING (col_name)""".stripMargin
       }),
 
+    // WebDataset tar-shard export PLAN (the tar bytes themselves are
+    // gated byte-level in TarShardsSpec incl. system-tar compat):
+    // offset-bucket packing off the ranged running byte total — shard =
+    // start-offset div budget, a pure function of the global prefix sum.
+    Q("webdataset_shards",
+      (s, dir) => graft.io.TarShards.buildShards(
+          documents(s, dir).select(
+            expr("lpad(CAST(doc_id AS STRING), 8, '0')").as("k"),
+            col("text").cast("binary").as("txt")),
+          "k", Seq("txt" -> "txt"), maxShardBytes = 262144L)
+        .select("shard_id", "n_samples", "n_bytes"),
+      Some("""WITH t AS (
+             |  SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS k,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS sz
+             |  FROM documents),
+             |r AS (SELECT k, sz, sum(sz) OVER (ORDER BY k) AS run FROM t)
+             |SELECT CAST((run - sz) // 262144 AS BIGINT) AS shard_id,
+             |  CAST(count(*) AS BIGINT) AS n_samples,
+             |  CAST(sum(sz) AS BIGINT) AS n_bytes
+             |FROM r GROUP BY 1""".stripMargin)),
+
     // top collocations by PMI (Church & Hanks): adjacent word pairs
     // co-occurring far above chance — the phrase-detection statistic.
     // Exact integer counts; the ratio is evaluated in ONE fixed
