@@ -71,6 +71,25 @@ class TarShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("write shards to disk, re-ingest via the binaryFile reader") {
+    import spark.implicits._
+    val rows = (0 until 40).map(i =>
+      (f"$i%06d", s"text $i".getBytes("UTF-8")))
+    val shards = TarShards.buildShards(rows.toDF("k", "txt"), "k",
+      Seq("txt" -> "txt"), maxShardBytes = 64).collect()
+    val dir = java.nio.file.Files.createTempDirectory("graftwds")
+    shards.foreach { r =>
+      java.nio.file.Files.write(
+        dir.resolve(f"shard-${r.getLong(0)}%05d.tar"), r.getAs[Array[Byte]](3))
+    }
+    val back = TarShards.readShards(spark, dir.toString)
+      .collect().map(r => r.getString(1) -> new String(r.getAs[Array[Byte]](3), "UTF-8"))
+      .toMap
+    assert(back.size == 40)
+    rows.foreach { case (k, t) => assert(back(k) == new String(t, "UTF-8")) }
+    dir.toFile.listFiles.foreach(_.delete()); dir.toFile.delete()
+  }
+
   test("system tar can read our shards (when available)") {
     val a = TarShards.tarBytes(Seq("a.txt" -> "one".getBytes,
       "b.txt" -> "two".getBytes))
