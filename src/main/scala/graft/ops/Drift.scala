@@ -155,6 +155,75 @@ object Drift {
         (col("n_a") * col("n_b")).cast("double"), 9))
   }
 
+  /** Cumulative Binomial(8, 1/8) thresholds over denominator 8^8 — the
+    * exact-integer inverse-CDF table for hash-derived bootstrap weights
+    * (mean 1, variance 7/8 — the binomial stand-in for Poisson(1)). */
+  private val BootCum: Seq[Long] = {
+    val pmf = (0 to 8).map(k =>
+      (8 to (8 - k + 1) by -1).map(_.toLong).product / (1L to k).product *
+        math.pow(7, 8 - k).toLong)
+    pmf.scanLeft(0L)(_ + _).tail
+  }
+
+  /**
+   * Bootstrap confidence interval for the per-group mean — uncertainty
+   * quantification as a DETERMINISTIC distributed operator (Kleiner et
+   * al.'s resampling shape, Poisson-bootstrap style): replicate b draws
+   * each row with weight w ~ Binomial(8, 1/8) (mean 1), derived from ONE
+   * md5 hash per (row, replicate) via exact integer inverse-CDF
+   * thresholds (denominator 8^8) — no RNG state, both engines draw the
+   * SAME resamples, so the interval itself is oracle-checkable.
+   *
+   * Replicate means are single double divisions of exact integer cent
+   * sums, quantized round-9 into DECIMALs for the order-free moment
+   * sums; SE = sample std over the B replicate means. Scale: one
+   * projection of B weight columns (the explode is by the SMALL constant
+   * B), one groupBy (group, replicate) — map-side combinable, no row
+   * ever leaves its partition twice.
+   *
+   * Output: (groupCol, n_rows, mean, se_boot, ci_lo, ci_hi) with the
+   * ±2·SE normal interval.
+   */
+  def bootstrapMeanCi(df: DataFrame, groupCol: String, idCol: String,
+                      valueCol: String, reps: Int = 32): DataFrame = {
+    val cases = BootCum.zipWithIndex.init.reverse
+      .foldLeft(lit(8): Column) { case (acc, (c, k)) =>
+        when(col("__u") < c, k).otherwise(acc)
+      }
+    val rows = df.select(col(groupCol).as("__g"),
+        col(idCol).cast("string").as("__id"),
+        round(col(valueCol) * 100).cast("long").as("__c"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+      .withColumn("__hid", concat(col("__id"), lit("_"), col("__b")))
+      .withColumn("__u", pmod(Sketches.hash60(col("__hid")), lit(16777216L)))
+      .withColumn("__w", cases.cast("long"))
+    val repMeans = rows.groupBy("__g", "__b")
+      .agg(sum(col("__w") * col("__c")).as("__s"), sum("__w").as("__n"))
+      .filter(col("__n") > 0)
+      // keep the replicate mean as a round-9 DOUBLE; quantize both it and
+      // its square separately before the decimal sums (a DECIMAL(24,9)²
+      // product needs precision 48 — engines cap/overflow differently)
+      .withColumn("__m", round(col("__s").cast("double") /
+        (lit(100.0) * col("__n").cast("double")), 9))
+    val base = df.groupBy(col(groupCol).as("__g2"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(round(col(valueCol) * 100).cast("long")).cast("double") /
+          (lit(100.0) * count(lit(1)).cast("double")), 9).as("mean"))
+    repMeans.groupBy("__g")
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__m").cast("decimal(24,9)")).cast("double").as("__sm"),
+        sum(round(col("__m") * col("__m"), 9).cast("decimal(28,9)"))
+          .cast("double").as("__sm2"))
+      .withColumn("se_boot", round(sqrt(
+        (col("__sm2") - col("__sm") * col("__sm") / col("__nb")) /
+          (col("__nb") - 1)), 9))
+      .join(base, col("__g") === col("__g2"))
+      .select(col("__g").as(groupCol), col("n_rows"), col("mean"),
+        col("se_boot"),
+        round(col("mean") - col("se_boot") * 2.0, 9).as("ci_lo"),
+        round(col("mean") + col("se_boot") * 2.0, 9).as("ci_hi"))
+  }
+
   /**
    * Two-sided CUSUM changepoint scores (Page 1954) over per-day event
    * counts: S⁺_t = max(0, S⁺_{t−1} + (x_t − μ)), S⁻_t mirrored — the

@@ -441,6 +441,49 @@ object Relational {
              |        / CAST(max(na) * max(nb) AS DOUBLE), 9) AS ks
              |FROM cu GROUP BY 1""".stripMargin)),
 
+    // bootstrap CI for the per-type mean value — DETERMINISTIC
+    // Poisson-style bootstrap: replicate weights w ~ Binomial(8, 1/8)
+    // from one md5 per (row, replicate) via exact integer inverse-CDF
+    // thresholds (denominator 8^8); both engines draw the SAME resamples
+    // so the interval itself is oracle-checked. Replicate means are
+    // single divisions of exact cent sums; moments via round-9 DECIMALs.
+    Q("bootstrap_ci",
+      (s, dir) => Drift.bootstrapMeanCi(events(s, dir), "event_type",
+        "event_id", "value", reps = 32),
+      Some("""WITH r AS (
+             |  SELECT event_type AS g, CAST(round(value*100) AS BIGINT) AS c,
+             |    CAST(event_id AS VARCHAR) || '_' || CAST(b AS VARCHAR) AS hid
+             |  FROM events, (SELECT unnest(generate_series(0, 31)) AS b)),
+             |u AS (SELECT g, c, hid,
+             |    CAST(('0x' || substr(md5(hid), 1, 15)) AS BIGINT) % 16777216 AS u
+             |  FROM r),
+             |w AS (SELECT g, c, hid,
+             |    CASE WHEN u < 5764801 THEN 0 WHEN u < 12353145 THEN 1
+             |         WHEN u < 15647317 THEN 2 WHEN u < 16588509 THEN 3
+             |         WHEN u < 16756579 THEN 4 WHEN u < 16775787 THEN 5
+             |         WHEN u < 16777159 THEN 6 WHEN u < 16777215 THEN 7
+             |         ELSE 8 END AS w
+             |  FROM u),
+             |rm AS (SELECT g, split_part(hid, '_', 2) AS b,
+             |    round(CAST(sum(w*c) AS DOUBLE)
+             |      / (100.0 * CAST(sum(w) AS DOUBLE)), 9) AS m
+             |  FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+             |st AS (SELECT g, CAST(count(*) AS BIGINT) AS nb,
+             |    CAST(sum(CAST(m AS DECIMAL(24,9))) AS DOUBLE) AS sm,
+             |    CAST(sum(CAST(round(m*m, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sm2
+             |  FROM rm GROUP BY 1),
+             |base AS (SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n_rows,
+             |    round(CAST(sum(CAST(round(value*100) AS BIGINT)) AS DOUBLE)
+             |      / (100.0 * count(*)), 9) AS mean
+             |  FROM events GROUP BY 1)
+             |SELECT base.g AS event_type, n_rows, mean,
+             |  round(sqrt((sm2 - sm*sm/nb)/(nb-1)), 9) AS se_boot,
+             |  round(mean - 2.0 * round(sqrt((sm2 - sm*sm/nb)/(nb-1)), 9), 9)
+             |    AS ci_lo,
+             |  round(mean + 2.0 * round(sqrt((sm2 - sm*sm/nb)/(nb-1)), 9), 9)
+             |    AS ci_hi
+             |FROM st JOIN base ON st.g = base.g""".stripMargin)),
+
     // two-sided CUSUM changepoint scores over daily counts per type
     // (Page 1954): a persistent level shift accumulates where a one-day
     // spike decays. Integer recursion in deviation-numerator units

@@ -130,6 +130,27 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("bootstrap CI: SE shrinks ~1/sqrt(n) and brackets the true mean") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    def mk(g: String, n: Int) = (0 until n).map(i =>
+      (g, i.toLong, math.round((50 + rnd.nextGaussian() * 10) * 100) / 100.0))
+    val df = (mk("small", 200) ++ mk("big", 3200)).toDF("g", "id", "value")
+    val got = Drift.bootstrapMeanCi(df, "g", "id", "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    for ((g, (mean, se, lo, hi)) <- got) {
+      assert(se > 0 && lo < mean && mean < hi, s"$g interval shape")
+      // sigma=10: SE ≈ 10/sqrt(n); allow generous slack for 32 replicates
+      val n = if (g == "small") 200 else 3200
+      val expect = 10.0 / math.sqrt(n.toDouble)
+      assert(se > expect / 3 && se < expect * 3, s"$g se=$se expect≈$expect")
+      assert(lo < 50.0 + 3 * expect && hi > 50.0 - 3 * expect, s"$g coverage")
+    }
+    // 16x the data → ~4x smaller SE
+    assert(got("small")._2 > 2.0 * got("big")._2, "SE must shrink with n")
+  }
+
   test("identical sides: KS numerator 0 and PSI exactly 0.0") {
     val rows = (1 to 100).flatMap { i =>
       val v = (i % 17) * 0.37
