@@ -25,7 +25,8 @@ class ScalePathSpec extends AnyFunSuite {
     "join_asof_nearest", "join_atmos", "semdedup", "similarity_pq",
     "similarity_pq_residual", "dedup_minhash_lsh", "dedup_incremental",
     "dsir_select", "token_percentiles", "decontam_ngram",
-    "dedup_jaccard_prefix",
+    "dedup_jaccard_prefix", "bitmap_overlap", "interval_join",
+    "attribution_linear", "dedup_kcore",
     "mixture_resample", "q3_shipping", "q5_region")
 
   test("forcing shuffle joins (no size-elective broadcast) preserves results") {
