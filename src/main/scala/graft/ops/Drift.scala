@@ -225,6 +225,65 @@ object Drift {
   }
 
   /**
+   * Split-conformal prediction interval (Papadopoulos et al. 2002; Lei
+   * et al. 2018) for a simple linear predictor — the
+   * distribution-free uncertainty wrapper every deployed regressor
+   * should ship: fit on the train split, take the ⌈(n+1)·level⌉-th
+   * smallest absolute residual on a CALIBRATION split as the interval
+   * half-width q, and report empirical coverage on the held-out test
+   * split (the conformal guarantee: coverage ≥ level up to 1/(n_cal+1)).
+   *
+   * Exactness: x, y are integers, so the OLS slope/intercept numerators
+   * are exact integer sums with single double divisions; residuals are
+   * round-9 quantized; the calibration quantile is element_at of ONE
+   * sorted collected array — legitimate because the calibration split
+   * must be a FIXED-SIZE sample anyway (the repo's bounded-eval rule:
+   * a proportional split would grow the exact-quantile state with the
+   * corpus). Coverage is an integer count ratio.
+   *
+   * Output: one row — (n_train, n_cal, n_test, slope, intercept, q,
+   * coverage).
+   */
+  def conformalInterval(df: DataFrame, xCol: String, yCol: String,
+                        trainPred: Column, calPred: Column,
+                        testPred: Column, levelNum: Int = 9,
+                        levelDen: Int = 10): DataFrame = {
+    val base = Spread.shared(df.select(col(xCol).cast("long").as("__x"),
+      col(yCol).cast("long").as("__y"),
+      trainPred.as("__tr"), calPred.as("__cal"), testPred.as("__te")))
+    val fit = base.filter(col("__tr"))
+      .agg(count(lit(1)).as("n_train"), sum("__x").as("__sx"),
+        sum("__y").as("__sy"), sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .withColumn("slope", round(
+        (col("n_train") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+        (col("n_train") * col("__sxx") - col("__sx") * col("__sx")).cast("double"), 9))
+      .withColumn("intercept", round(
+        (col("__sy").cast("double") - col("slope") * col("__sx").cast("double")) /
+          col("n_train").cast("double"), 9))
+      .select("n_train", "slope", "intercept")
+    val withRes = base.crossJoin(broadcast(fit))
+      .withColumn("__r", round(abs(col("__y").cast("double") -
+        (col("intercept") + col("slope") * col("__x").cast("double"))), 9))
+    val q = withRes.filter(col("__cal"))
+      .agg(sort_array(collect_list(col("__r"))).as("__rs"),
+        count(lit(1)).as("n_cal"))
+      .withColumn("q", element_at(col("__rs"),
+        expr(s"CAST((n_cal + 1) * $levelNum div $levelDen AS INT)")))
+      .select("n_cal", "q")
+    withRes.filter(col("__te")).crossJoin(broadcast(q))
+      .agg(max("n_train").as("n_train"), max("n_cal").as("n_cal"),
+        count(lit(1)).as("n_test"),
+        max("slope").as("slope"), max("intercept").as("intercept"),
+        max("q").as("q"),
+        sum((col("__r") <= col("q")).cast("long")).as("__cov"))
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        col("slope"), col("intercept"), col("q"),
+        round(col("__cov").cast("double") / col("n_test").cast("double"), 9)
+          .as("coverage"))
+  }
+
+  /**
    * Two-sided CUSUM changepoint scores (Page 1954) over per-day event
    * counts: S⁺_t = max(0, S⁺_{t−1} + (x_t − μ)), S⁻_t mirrored — the
    * classic sequential detector for a sustained level shift, where a

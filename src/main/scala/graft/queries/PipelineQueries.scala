@@ -788,6 +788,55 @@ object PipelineQueries {
            |FROM base LEFT JOIN g USING (col_name)""".stripMargin
       }),
 
+    // split-conformal prediction interval around the n_tokens → n_chars
+    // linear fit: q = ceil((n_cal+1)·0.9)-th smallest calibration
+    // |residual|, empirical coverage reported on the held-out test split
+    // (distribution-free ≥ 90% guarantee). Integer OLS sums, round-9
+    // residuals, sorted-array quantile over the FIXED-size calibration
+    // sample (bounded-eval rule).
+    Q("conformal_interval",
+      (s, dir) => graft.ops.Drift.conformalInterval(
+        documents(s, dir).withColumn("n_tokens",
+          size(TA.tokens(col("text"))).cast("long")),
+        "n_tokens", "n_chars",
+        col("doc_id") % 4 === 0,
+        col("doc_id") % 4 === 1 && col("doc_id") < 20000,
+        col("doc_id") % 4 === 2),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |      t -> length(t) > 0)) AS BIGINT) AS x,
+             |    n_chars AS y
+             |  FROM documents),
+             |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_train,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x*x) AS BIGINT) AS sxx,
+             |    CAST(sum(x*y) AS BIGINT) AS sxy
+             |  FROM d WHERE doc_id % 4 = 0),
+             |ft AS (SELECT n_train, sx, sy,
+             |    round(CAST(n_train*sxy - sx*sy AS DOUBLE)
+             |      / CAST(n_train*sxx - sx*sx AS DOUBLE), 9) AS slope
+             |  FROM tr),
+             |ft2 AS (SELECT n_train, slope,
+             |    round((CAST(sy AS DOUBLE) - slope*CAST(sx AS DOUBLE))
+             |      / CAST(n_train AS DOUBLE), 9) AS intercept
+             |  FROM ft),
+             |res AS (SELECT d.doc_id,
+             |    round(abs(CAST(y AS DOUBLE)
+             |      - (intercept + slope*CAST(x AS DOUBLE))), 9) AS r
+             |  FROM d, ft2),
+             |calq AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+             |    (list_sort(list(r)))[CAST((count(*)+1)*9//10 AS INT)] AS q
+             |  FROM res WHERE doc_id % 4 = 1 AND doc_id < 20000)
+             |SELECT ft2.n_train, calq.n_cal,
+             |  CAST(count(*) AS BIGINT) AS n_test,
+             |  ft2.slope, ft2.intercept, calq.q,
+             |  round(CAST(sum(CASE WHEN r <= q THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 9) AS coverage
+             |FROM res, ft2, calq
+             |WHERE res.doc_id % 4 = 2
+             |GROUP BY 1, 2, 4, 5, 6""".stripMargin)),
+
     // WebDataset tar-shard export PLAN (the tar bytes themselves are
     // gated byte-level in TarShardsSpec incl. system-tar compat):
     // offset-bucket packing off the ranged running byte total — shard =

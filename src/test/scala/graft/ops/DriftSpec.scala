@@ -151,6 +151,24 @@ class DriftSpec extends AnyFunSuite {
     assert(got("small")._2 > 2.0 * got("big")._2, "SE must shrink with n")
   }
 
+  test("conformal interval: ~90% coverage on linear data with noise") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val rows = (0L until 2000L).map { i =>
+      val x = 10 + rnd.nextInt(90)
+      (i, x.toLong, math.round(5.0 + 3.0 * x + rnd.nextGaussian() * 8))
+    }
+    val df = rows.toDF("id", "x", "y")
+    val r = Drift.conformalInterval(df, "x", "y",
+      col("id") % 4 === 0, col("id") % 4 === 1, col("id") % 4 === 2).head()
+    val (slope, q, cov) = (r.getDouble(3), r.getDouble(5), r.getDouble(6))
+    assert(math.abs(slope - 3.0) < 0.1, s"slope $slope")
+    // sigma=8 ⇒ q ≈ 1.64·8 ≈ 13 for the 90% |residual| quantile
+    assert(q > 8 && q < 20, s"q $q")
+    assert(cov > 0.85 && cov < 0.97, s"coverage $cov")
+    Spread.release(spark)
+  }
+
   test("identical sides: KS numerator 0 and PSI exactly 0.0") {
     val rows = (1 to 100).flatMap { i =>
       val v = (i % 17) * 0.37
