@@ -613,6 +613,29 @@ object Relational {
              |    END AS residual
              |FROM t2 LEFT JOIN s ON t2.g = s.g AND t2.wd = s.wd""".stripMargin)),
 
+    // LEFT OUTER event-time interval join — "did this impression convert
+    // at all?": same watermarked plan streams (null rows emitted on
+    // watermark closure — StreamIntervalJoinSpec), batch emits them
+    // immediately.
+    Q("interval_join_outer",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("event_time"))
+        graft.streaming.StreamIntervalJoin.viewToConversionOuter(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"))
+      },
+      Some("""SELECT v.user_id, v.event_id AS view_id,
+             |  p.event_id AS purchase_id,
+             |  (epoch_us(p.ts) - epoch_us(v.ts)) // 1000 AS lag_ms,
+             |  CAST(p.event_id IS NOT NULL AS INTEGER) AS converted
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON v.user_id = p.user_id
+             |  AND epoch_us(p.ts) > epoch_us(v.ts)
+             |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin)),
+
     // per-user lag-1 autocorrelation of the value series (time-series QC:
     // white-noise vs drifting sensors): user-partitioned position windows,
     // every cross term quantized to DECIMAL(25,9) before the sum — exact,

@@ -37,4 +37,29 @@ object StreamIntervalJoin {
         expr("(unix_micros(p_time) - unix_micros(v_time)) div 1000")
           .as("lag_ms"))
   }
+
+  /** LEFT OUTER variant — the "did this impression convert at all?" shape.
+    * Streaming semantics: a view's null row can only be emitted once the
+    * watermark proves no conversion can still arrive (v_time + maxLag <
+    * watermark), so unmatched rows trail the data by the lag bound plus
+    * the watermark delay; the batch run of the SAME plan emits them
+    * immediately. Output adds `converted` (0/1). */
+  def viewToConversionOuter(views: DataFrame, conversions: DataFrame,
+                            maxLag: String = "1 hour",
+                            watermark: String = "10 minutes"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"),
+        col("event_id").as("view_id"), col("event_time").as("v_time"))
+      .withWatermark("v_time", watermark)
+    val p = conversions.select(col("user_id").as("p_user"),
+        col("event_id").as("purchase_id"), col("event_time").as("p_time"))
+      .withWatermark("p_time", watermark)
+    v.join(p, col("v_user") === col("p_user") &&
+        col("p_time") > col("v_time") &&
+        col("p_time") <= col("v_time") + expr(s"INTERVAL $maxLag"),
+        "left_outer")
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        expr("(unix_micros(p_time) - unix_micros(v_time)) div 1000")
+          .as("lag_ms"),
+        col("purchase_id").isNotNull.cast("int").as("converted"))
+  }
 }

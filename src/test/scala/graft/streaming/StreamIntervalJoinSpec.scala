@@ -65,4 +65,46 @@ class StreamIntervalJoinSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch),
       s"streamed ${streamed.length} rows vs batch ${batch.length}")
   }
+
+  test("left-outer streamed join emits unmatched views after watermark closure") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000000L
+    // user 1 view converts in 10 min; user 2 view never converts
+    val views = Seq((1L, 10L, "view", base),
+      (2L, 20L, "view", base + 60000000L))
+    val purch = Seq((1L, 11L, "purchase", base + 600000000L))
+    val all = shape((views ++ purch).toDF("user_id", "event_id", "event_type", "us"))
+    val batch = StreamIntervalJoin.viewToConversionOuter(
+        all.filter(col("event_type") === "view"),
+        all.filter(col("event_type") === "purchase"))
+      .collect().map(_.toString).sorted
+    assert(batch.length == 2 && batch.exists(_.contains("null")))
+
+    val vIn = MemoryStream[(Long, Long, String, Long)]
+    val pIn = MemoryStream[(Long, Long, String, Long)]
+    val out = StreamIntervalJoin.viewToConversionOuter(
+      shape(vIn.toDF().toDF("user_id", "event_id", "event_type", "us")),
+      shape(pIn.toDF().toDF("user_id", "event_id", "event_type", "us")))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("ivjo").start()
+    vIn.addData(views: _*)
+    pIn.addData(purch: _*)
+    q.processAllAvailable()
+    // nothing unmatched may be emitted yet — the watermark hasn't proven
+    // user 2's view hopeless. Advance both watermarks far past
+    // v_time + 1h + 10min with sentinel users, then the null row must
+    // appear exactly once.
+    val far = base + 3L * 3600000000L
+    vIn.addData((-1L, 98L, "view", far))
+    pIn.addData((-1L, 99L, "purchase", far))
+    q.processAllAvailable()
+    q.processAllAvailable()
+    val streamed = spark.sql("select * from ivjo where user_id >= 0")
+      .collect().map(_.toString).sorted
+    q.stop()
+    assert(streamed.sameElements(batch),
+      s"streamed ${streamed.mkString(";")} vs batch ${batch.mkString(";")}")
+  }
 }
