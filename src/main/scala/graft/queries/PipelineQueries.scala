@@ -1563,6 +1563,89 @@ object PipelineQueries {
              |  CAST(zvalue >> 27 AS INTEGER) AS bucket
              |FROM zz""".stripMargin)),
 
+    // file-skipping effectiveness report: the SAME middle-eighth user
+    // slice evaluated against per-bucket min/max bounds under the z-order
+    // layout vs naive id-hash bucketing — n_scanned, rows_scanned, and
+    // read amplification (rows scanned per matching row) side by side.
+    // This is the number that justifies writeZOrdered: hash buckets all
+    // intersect the slice, z-order buckets mostly prune.
+    Q("zorder_pruning",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_id"), col("user_id"))
+        val z = graft.ops.Layout.zorder2(events(s, dir), "event_id",
+          col("user_id"), col("ts"), bits = 16, nBuckets = 32)
+        val both = ev.join(z.select("event_id", "bucket"), "event_id")
+          .withColumn("hbucket", pmod(col("event_id"), lit(32)).cast("int"))
+          .selectExpr("stack(2, 'zorder', bucket, 'hash', hbucket) AS (layout, bkt)",
+            "user_id")
+        val bounds = ev.agg(min("user_id").as("__lo"), max("user_id").as("__hi"))
+        val perBucket = both.crossJoin(broadcast(bounds))
+          .withColumn("__u1", expr("__lo + (__hi - __lo) * 3 div 8"))
+          .withColumn("__u2", expr("__lo + (__hi - __lo) * 4 div 8"))
+          .withColumn("__hit", (col("user_id") >= col("__u1") &&
+            col("user_id") <= col("__u2")).cast("long"))
+          .groupBy("layout", "bkt")
+          .agg(min("user_id").as("__mn"), max("user_id").as("__mx"),
+            count(lit(1)).as("__n"), sum("__hit").as("__m"),
+            max("__u1").as("__u1"), max("__u2").as("__u2"))
+        val scanned = col("__mx") >= col("__u1") && col("__mn") <= col("__u2")
+        perBucket.groupBy("layout")
+          .agg(count(lit(1)).as("n_buckets"),
+            sum(when(scanned, 1L).otherwise(0L)).as("n_scanned"),
+            sum("__n").as("rows_total"),
+            sum(when(scanned, col("__n")).otherwise(0L)).as("rows_scanned"),
+            sum("__m").as("rows_match"))
+          .withColumn("read_amplification",
+            round(col("rows_scanned").cast("double") /
+              greatest(col("rows_match"), lit(1L)).cast("double"), 9))
+      },
+      Some("""WITH b AS (
+             |  SELECT min(user_id) AS lo1, max(user_id) AS hi1,
+             |    min(epoch_ns(ts)) AS lo2, max(epoch_ns(ts)) AS hi2
+             |  FROM events),
+             |sc AS (
+             |  SELECT event_id,
+             |    CASE WHEN b.hi1 = b.lo1 THEN 0 ELSE least(
+             |      CAST(floor(CAST(user_id - b.lo1 AS DOUBLE) * 65535e0
+             |        / CAST(b.hi1 - b.lo1 AS DOUBLE)) AS BIGINT), 65535) END AS a,
+             |    CASE WHEN b.hi2 = b.lo2 THEN 0 ELSE least(
+             |      CAST(floor(CAST(epoch_ns(ts) - b.lo2 AS DOUBLE) * 65535e0
+             |        / CAST(b.hi2 - b.lo2 AS DOUBLE)) AS BIGINT), 65535) END AS bq
+             |  FROM events, b),
+             |zz AS (
+             |  SELECT event_id,
+             |    CAST(sum((((a >> g.i) & 1) << (2 * g.i)) +
+             |             (((bq >> g.i) & 1) << (2 * g.i + 1))) AS BIGINT) AS zvalue
+             |  FROM sc, generate_series(0, 15) g(i)
+             |  GROUP BY event_id),
+             |w AS (
+             |  SELECT 'zorder' AS layout, CAST(zvalue >> 27 AS INTEGER) AS bkt,
+             |    e.user_id
+             |  FROM events e JOIN zz USING (event_id)
+             |  UNION ALL
+             |  SELECT 'hash', CAST(e.event_id % 32 AS INTEGER), e.user_id
+             |  FROM events e),
+             |ub AS (SELECT min(user_id) AS lo, max(user_id) AS hi FROM events),
+             |pr AS (SELECT lo + (hi - lo) * 3 // 8 AS u1,
+             |    lo + (hi - lo) * 4 // 8 AS u2 FROM ub),
+             |pb AS (SELECT layout, bkt, min(user_id) AS mn, max(user_id) AS mx,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN user_id >= u1 AND user_id <= u2
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS m,
+             |    max(u1) AS u1, max(u2) AS u2
+             |  FROM w, pr GROUP BY 1, 2)
+             |SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+             |  CAST(sum(CASE WHEN mx >= u1 AND mn <= u2 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_scanned,
+             |  CAST(sum(n) AS BIGINT) AS rows_total,
+             |  CAST(sum(CASE WHEN mx >= u1 AND mn <= u2 THEN n ELSE 0 END)
+             |    AS BIGINT) AS rows_scanned,
+             |  CAST(sum(m) AS BIGINT) AS rows_match,
+             |  round(CAST(sum(CASE WHEN mx >= u1 AND mn <= u2 THEN n ELSE 0 END)
+             |      AS DOUBLE)
+             |    / CAST(greatest(sum(m), 1) AS DOUBLE), 9) AS read_amplification
+             |FROM pb GROUP BY 1""".stripMargin)),
+
     // Hilbert-curve layout key over the same (user, time) grid — the
     // better-locality sibling of zorder_layout: consecutive curve
     // positions are ALWAYS grid-adjacent (LayoutSpec proves it
