@@ -788,6 +788,70 @@ object PipelineQueries {
            |FROM base LEFT JOIN g USING (col_name)""".stripMargin
       }),
 
+    // chi-square test of independence over the lang × source contingency
+    // (the categorical companion to the numeric drift stats) + Cramér's V
+    // effect size. The FULL grid matters (absent cells have O = 0 but
+    // E > 0): langs × sources cross, left-joined counts. Each term is one
+    // fixed-order double expression ((O·N − rt·ct)² can pass 2^63, so the
+    // numerator is double by design), round-9 DECIMAL-summed.
+    Q("chi2_independence",
+      (s, dir) => {
+        val d = documents(s, dir)
+        val o = d.groupBy("lang", "source").agg(count(lit(1)).as("__o"))
+        val rt = d.groupBy("lang").agg(count(lit(1)).as("__rt"))
+        val ct = d.groupBy("source").agg(count(lit(1)).as("__ct"))
+        val n = d.agg(count(lit(1)).as("__n"))
+        val grid = rt.crossJoin(ct).crossJoin(broadcast(n))
+          .join(o, Seq("lang", "source"), "left")
+          .withColumn("__oo", coalesce(col("__o"), lit(0L)))
+        val num = col("__oo").cast("double") * col("__n").cast("double") -
+          col("__rt").cast("double") * col("__ct").cast("double")
+        val term = num * num / (col("__n").cast("double") *
+          col("__rt").cast("double") * col("__ct").cast("double"))
+        grid
+          .withColumn("__t", round(term, 9).cast("decimal(24,9)"))
+          .agg(max("__n").as("n_rows"),
+            countDistinct("lang").as("n_langs"),
+            countDistinct("source").as("n_sources"),
+            sum("__t").cast("double").as("chi2"))
+          .withColumn("dof", (col("n_langs") - 1) * (col("n_sources") - 1))
+          .withColumn("cramers_v", round(sqrt(col("chi2") /
+            (col("n_rows").cast("double") *
+              least(col("n_langs") - 1, col("n_sources") - 1).cast("double"))), 9))
+          .select(col("n_rows"), col("n_langs"), col("n_sources"), col("dof"),
+            round(col("chi2"), 6).as("chi2"), col("cramers_v"))
+      },
+      Some("""WITH o AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+             |  FROM documents GROUP BY 1, 2),
+             |rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt
+             |  FROM documents GROUP BY 1),
+             |ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ct
+             |  FROM documents GROUP BY 1),
+             |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+             |grid AS (SELECT rt.lang, ct.source, rt.rt, ct.ct, nn.n,
+             |    coalesce(o.o, 0) AS oo
+             |  FROM rt CROSS JOIN ct CROSS JOIN nn
+             |  LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source),
+             |t AS (SELECT n, lang, source,
+             |    CAST(round(
+             |      (CAST(oo AS DOUBLE)*CAST(n AS DOUBLE)
+             |        - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE))
+             |      * (CAST(oo AS DOUBLE)*CAST(n AS DOUBLE)
+             |        - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE))
+             |      / (CAST(n AS DOUBLE)*CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)),
+             |      9) AS DECIMAL(24,9)) AS t
+             |  FROM grid)
+             |SELECT max(n) AS n_rows,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof,
+             |  round(CAST(sum(t) AS DOUBLE), 6) AS chi2,
+             |  round(sqrt(CAST(sum(t) AS DOUBLE)
+             |    / (CAST(max(n) AS DOUBLE)
+             |      * CAST(least(count(DISTINCT lang) - 1,
+             |          count(DISTINCT source) - 1) AS DOUBLE))), 9) AS cramers_v
+             |FROM t""".stripMargin)),
+
     // split-conformal prediction interval around the n_tokens → n_chars
     // linear fit: q = ceil((n_cal+1)·0.9)-th smallest calibration
     // |residual|, empirical coverage reported on the held-out test split
