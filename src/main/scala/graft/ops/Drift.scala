@@ -225,6 +225,67 @@ object Drift {
   }
 
   /**
+   * Kaplan–Meier survival estimator over user lifetimes (Kaplan & Meier
+   * 1958) — the churn/retention curve: lifetime = last-active −
+   * first-active day; a user whose last activity predates the
+   * observation-window end has churned at that age, one still active on
+   * the final day is right-censored. S(t) = Π_{u≤t} (1 − d_u/n_u) over
+   * distinct ages.
+   *
+   * The age axis is day-bounded, so the whole estimator folds over ONE
+   * collected sorted array (the CUSUM pattern): at-risk counts by
+   * suffix subtraction, the product as a running sum of round-9 ln
+   * terms (order-fixed, both engines identical), exp at the edge; an
+   * n_risk = d step pins survival to exactly 0 from there on (no ln(0)
+   * anywhere).
+   *
+   * Output: (t_days, n_risk, n_churn, n_censored, survival).
+   */
+  def kaplanMeier(df: DataFrame, userCol: String, tsNsCol: String): DataFrame = {
+    val days = df.groupBy(col(userCol).as("__u"))
+      .agg(expr(s"min($tsNsCol div 86400000000000)").as("__fd"),
+        expr(s"max($tsNsCol div 86400000000000)").as("__ld"))
+    val w = days.agg(max("__ld").as("__w"), count(lit(1)).as("__nu"))
+    days.crossJoin(broadcast(w))
+      .select((col("__ld") - col("__fd")).as("__lt"),
+        (col("__ld") < col("__w")).cast("long").as("__ch"), col("__nu"))
+      .groupBy("__lt")
+      .agg(sum("__ch").as("__d"), (count(lit(1)) - sum("__ch")).as("__c"),
+        max("__nu").as("__nu"))
+      .groupBy()
+      .agg(max("__nu").as("__nu"),
+        sort_array(collect_list(struct(col("__lt"), col("__d"), col("__c"))))
+          .as("__ts"))
+      .withColumn("__out", expr(
+        """aggregate(__ts,
+          |  struct(__nu AS risk, CAST(0 AS DECIMAL(20,9)) AS lns,
+          |    false AS dead,
+          |    CAST(array() AS ARRAY<STRUCT<t: BIGINT, nr: BIGINT, d: BIGINT,
+          |      c: BIGINT, lns: DECIMAL(20,9), dead: BOOLEAN>>) AS out),
+          |  (a, x) -> struct(
+          |    a.risk - x.__d - x.__c,
+          |    CAST(a.lns + CASE WHEN x.__d < a.risk THEN
+          |      CAST(round(ln(CAST(a.risk - x.__d AS DOUBLE)
+          |        / CAST(a.risk AS DOUBLE)), 9) AS DECIMAL(20,9))
+          |      ELSE CAST(0 AS DECIMAL(20,9)) END AS DECIMAL(20,9)),
+          |    a.dead OR x.__d >= a.risk,
+          |    concat(a.out, array(struct(x.__lt AS t, a.risk AS nr,
+          |      x.__d AS d, x.__c AS c,
+          |      CAST(a.lns + CASE WHEN x.__d < a.risk THEN
+          |        CAST(round(ln(CAST(a.risk - x.__d AS DOUBLE)
+          |          / CAST(a.risk AS DOUBLE)), 9) AS DECIMAL(20,9))
+          |        ELSE CAST(0 AS DECIMAL(20,9)) END AS DECIMAL(20,9)) AS lns,
+          |      (a.dead OR x.__d >= a.risk) AS dead)))),
+          |  a -> a.out)""".stripMargin))
+      .select(explode(col("__out")).as("__r"))
+      .select(col("__r.t").as("t_days"), col("__r.nr").as("n_risk"),
+        col("__r.d").as("n_churn"), col("__r.c").as("n_censored"),
+        when(col("__r.dead"), lit(0.0))
+          .otherwise(round(exp(col("__r.lns").cast("double")), 9))
+          .as("survival"))
+  }
+
+  /**
    * Split-conformal prediction interval (Papadopoulos et al. 2002; Lei
    * et al. 2018) for a simple linear predictor — the
    * distribution-free uncertainty wrapper every deployed regressor

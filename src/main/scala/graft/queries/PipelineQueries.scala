@@ -743,6 +743,52 @@ object PipelineQueries {
            |FROM g""".stripMargin
       }),
 
+    // order-free dataset content fingerprint — the "did anything change"
+    // version stamp for pipeline caching/reproducibility: per table, the
+    // DECIMAL sum of 60-bit row hashes (null-safe 0x01-separated string
+    // form, fixed-point for doubles) + row count. Commutative sum ⇒ the
+    // same fingerprint from any partitioning/order/engine.
+    Q("dataset_fingerprint",
+      (s, dir) => {
+        def fp(df: org.apache.spark.sql.DataFrame, name: String,
+               rowStr: org.apache.spark.sql.Column) =
+          df.select(rowStr.as("__r"))
+            .withColumn("__h", graft.ops.Sketches.hash60(col("__r")))
+            .agg(lit(name).as("table_name"), count(lit(1)).as("n_rows"),
+              sum(col("__h").cast("decimal(38,0)")).as("fingerprint"))
+        val d = documents(s, dir)
+        val e = events(s, dir)
+        fp(d, "documents", concat_ws("",
+            col("doc_id").cast("string"), col("text"), col("lang"),
+            col("source"), col("n_chars").cast("string")))
+          .unionByName(fp(e, "events", concat_ws("",
+            col("event_id").cast("string"), col("user_id").cast("string"),
+            col("event_type"), col("ts").cast("string"),
+            round(col("value") * 100).cast("long").cast("string"))))
+      },
+      Some("""WITH d AS (
+             |  SELECT CAST(('0x' || substr(md5(
+             |      CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
+             |      lang || chr(1) || source || chr(1) ||
+             |      CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |  FROM documents),
+             |e AS (
+             |  SELECT CAST(('0x' || substr(md5(
+             |      CAST(event_id AS VARCHAR) || chr(1) ||
+             |      CAST(user_id AS VARCHAR) || chr(1) || event_type || chr(1) ||
+             |      CAST(epoch_ns(ts) AS VARCHAR) || chr(1) ||
+             |      CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR)),
+             |      1, 15)) AS BIGINT) AS h
+             |  FROM events)
+             |SELECT 'documents' AS table_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fingerprint
+             |FROM d
+             |UNION ALL
+             |SELECT 'events', CAST(count(*) AS BIGINT),
+             |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             |FROM e""".stripMargin)),
+
     // per-column table profile (deequ/TFDV shape): rows, nulls, exact
     // distinct + the mergeable HLL estimate side by side, lexicographic
     // min/max — one stack unpivot, one aggregation, register-bounded

@@ -636,6 +636,42 @@ object Relational {
              |  AND epoch_us(p.ts) > epoch_us(v.ts)
              |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin)),
 
+    // Kaplan-Meier churn/retention curve over user lifetimes: churned at
+    // last-active age unless still active on the window's final day
+    // (right-censored). Day-bounded fold; survival = exp of a running
+    // round-9 ln sum, pinned to exactly 0 past any n_risk = d step.
+    Q("survival_km",
+      (s, dir) => Drift.kaplanMeier(events(s, dir), "user_id", "ts"),
+      Some("""WITH d0 AS (SELECT user_id,
+             |    min(epoch_ns(ts) // 86400000000000) AS fd,
+             |    max(epoch_ns(ts) // 86400000000000) AS ld
+             |  FROM events GROUP BY 1),
+             |w AS (SELECT max(ld) AS wend, CAST(count(*) AS BIGINT) AS nu
+             |  FROM d0),
+             |u AS (SELECT ld - fd AS lt,
+             |    CASE WHEN ld < wend THEN 1 ELSE 0 END AS ch FROM d0, w),
+             |t AS (SELECT lt, CAST(sum(ch) AS BIGINT) AS d,
+             |    CAST(count(*) - sum(ch) AS BIGINT) AS c FROM u GROUP BY 1),
+             |n AS (SELECT t.lt, t.d, t.c,
+             |    w.nu - CAST(coalesce(sum(t.d + t.c) OVER (ORDER BY t.lt
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS nr
+             |  FROM t, w),
+             |s AS (SELECT lt, d, c, nr,
+             |    sum(CASE WHEN d < nr THEN
+             |        CAST(round(ln(CAST(nr - d AS DOUBLE)
+             |          / CAST(nr AS DOUBLE)), 9) AS DECIMAL(20,9))
+             |      ELSE CAST(0 AS DECIMAL(20,9)) END)
+             |      OVER (ORDER BY lt) AS lns,
+             |    max(CASE WHEN d >= nr THEN 1 ELSE 0 END)
+             |      OVER (ORDER BY lt) AS dead
+             |  FROM n)
+             |SELECT lt AS t_days, nr AS n_risk, d AS n_churn,
+             |  c AS n_censored,
+             |  CASE WHEN dead = 1 THEN 0.0
+             |    ELSE round(exp(CAST(lns AS DOUBLE)), 9) END AS survival
+             |FROM s""".stripMargin)),
+
     // per-user lag-1 autocorrelation of the value series (time-series QC:
     // white-noise vs drifting sensors): user-partitioned position windows,
     // every cross term quantized to DECIMAL(25,9) before the sum — exact,

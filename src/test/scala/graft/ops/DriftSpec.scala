@@ -169,6 +169,31 @@ class DriftSpec extends AnyFunSuite {
     Spread.release(spark)
   }
 
+  test("Kaplan-Meier matches an exact product referee incl. the all-churn tail") {
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    // users: lifetimes 0,0,2,2,5 churned (last < window end), plus two
+    // censored at the end (first=8, last=10 → lifetime 2 censored;
+    // first=10,last=10 → 0 censored); window end = day 10
+    val spans = Seq((1L, 0L, 0L), (2L, 1L, 1L), (3L, 0L, 2L), (4L, 3L, 5L),
+      (5L, 2L, 7L), (6L, 8L, 10L), (7L, 10L, 10L))
+    val rows = spans.flatMap { case (u, f, l) =>
+      Seq((u, f * dayNs), (u, l * dayNs)) }
+    val got = Drift.kaplanMeier(rows.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // referee: lifetimes churn {0,0,2,2,5}, censored {2 (u6), 0 (u7)}
+    // t=0: risk 7, churn 2, cens 1 → S = 5/7
+    // t=2: risk 4, churn 2, cens 1 → S = 5/7 · 2/4
+    // t=5: risk 1, churn 1, cens 0 → S = 0 (n_risk = d step)
+    assert(got(0L) == ((7L, 2L, 1L, math.round(5.0 / 7 * 1e9) / 1e9)) ||
+      (got(0L)._1 == 7L && got(0L)._2 == 2L && got(0L)._3 == 1L &&
+        math.abs(got(0L)._4 - 5.0 / 7) < 1e-8))
+    assert(got(2L)._1 == 4L && got(2L)._2 == 2L && got(2L)._3 == 1L &&
+      math.abs(got(2L)._4 - 5.0 / 7 * 0.5) < 1e-8)
+    assert(got(5L) == ((1L, 1L, 0L, 0.0)), "all-at-risk churn must pin S to 0")
+  }
+
   test("identical sides: KS numerator 0 and PSI exactly 0.0") {
     val rows = (1 to 100).flatMap { i =>
       val v = (i % 17) * 0.37
