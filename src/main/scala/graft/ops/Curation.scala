@@ -728,4 +728,77 @@ object Curation {
     nbClassify(docs, idCol, textCol, labelPred, trainPred, buckets)
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+
+  /**
+   * k-fold cross-validation of the NB classifier in ONE corpus pass —
+   * the leave-one-fold-out trick: per-(fold, bucket) counts are computed
+   * once, and fold f's training model is the GLOBAL counts minus fold
+   * f's own (model_f = Σ_other-folds, by subtraction — no k re-trainings,
+   * no k data passes). Every doc is scored under the model that never
+   * saw its fold; per-fold accuracy exposes the variance a single split
+   * hides.
+   *
+   * Scale: the k model relations are folds×buckets rows (bounded model
+   * state, broadcast); the corpus is touched once for gram counts and
+   * once for scoring. Same round-9 DECIMAL contribution discipline as
+   * [[nbClassify]], so the result is oracle-exact.
+   *
+   * Output: (fold, n_docs, n_correct, accuracy).
+   */
+  def nbCrossval(docs: DataFrame, idCol: String, textCol: String,
+                 labelPred: Column, folds: Int, buckets: Int): DataFrame = {
+    val base = Spread.byKey(docs, col(idCol))
+      .select(col(idCol), labelPred.cast("int").as("__y"),
+        pmod(col(idCol), lit(folds)).cast("int").as("__f"), col(textCol))
+    val grams = base
+      .select(col(idCol), col("__y"), col("__f"),
+        explode(TA.tokens(col(textCol))).as("__g"))
+      .withColumn("__b",
+        expr(s"CAST(conv(substring(md5(__g), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+    val perDoc = Spread.shared(grams
+      .groupBy(col(idCol), col("__y"), col("__f"), col("__b"))
+      .agg(count(lit(1)).as("__n")))
+    val foldCnt = perDoc.groupBy("__f", "__b")
+      .agg(sum(when(col("__y") === 1, col("__n")).otherwise(0L)).as("__f1"),
+        sum(when(col("__y") === 0, col("__n")).otherwise(0L)).as("__f0"))
+    val globalCnt = foldCnt.groupBy("__b")
+      .agg(sum("__f1").as("__g1"), sum("__f0").as("__g0"))
+    val spark = docs.sparkSession
+    val grid = spark.range(folds.toLong).select(col("id").cast("int").as("__f"))
+      .crossJoin(spark.range(buckets.toLong).select(col("id").as("__b")))
+    val model = grid
+      .join(foldCnt, Seq("__f", "__b"), "left").na.fill(0L, Seq("__f1", "__f0"))
+      .join(globalCnt, Seq("__b"), "left").na.fill(0L, Seq("__g1", "__g0"))
+      .select(col("__f"), col("__b"),
+        (col("__g1") - col("__f1")).as("__n1"),
+        (col("__g0") - col("__f0")).as("__n0"))
+    val totals = model.groupBy("__f")
+      .agg(sum("__n1").as("__T1"), sum("__n0").as("__T0"))
+    val docCnt = base.groupBy("__f")
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("__d1"),
+        sum(when(col("__y") === 0, 1L).otherwise(0L)).as("__d0"))
+    val docTot = docCnt.agg(sum("__d1").as("__t1d"), sum("__d0").as("__t0d"))
+    val priors = docCnt.crossJoin(broadcast(docTot))
+      .select(col("__f"),
+        round(log((col("__t1d") - col("__d1") + 1.0) /
+          (col("__t0d") - col("__d0") + 1.0)), 9).cast("decimal(28,9)")
+          .as("__prior"))
+    val b = lit(buckets.toDouble)
+    val contrib = round(col("__n") * (log((col("__n1") + 1.0) / (col("__T1") + b))
+        - log((col("__n0") + 1.0) / (col("__T0") + b))), 9)
+      .cast("decimal(28,9)")
+    perDoc
+      .join(broadcast(model), Seq("__f", "__b"))
+      .join(broadcast(totals), "__f")
+      .withColumn("__c", contrib)
+      .groupBy(col(idCol), col("__y"), col("__f"))
+      .agg(sum(col("__c")).cast("decimal(28,9)").as("__s"))
+      .join(broadcast(priors), "__f")
+      .withColumn("__pred", ((col("__prior") + col("__s")) > 0).cast("int"))
+      .groupBy(col("__f").as("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__pred") === col("__y")).cast("long")).as("n_correct"))
+      .withColumn("accuracy", round(col("n_correct").cast("double") /
+        col("n_docs").cast("double"), 9))
+  }
 }

@@ -433,6 +433,69 @@ object CurationQueries {
               |    AS mean_score
               |FROM cb GROUP BY 1""".stripMargin)),
 
+    // k-fold NB cross-validation in ONE corpus pass via leave-one-fold-out
+    // count subtraction: fold f's model = global bucket counts − fold f's
+    // own (no k re-trainings); per-fold held-out accuracy exposes split
+    // variance. Model state = folds×buckets rows, broadcast.
+    Q("nb_crossval",
+      (s, dir) => Curation.nbCrossval(documents(s, dir), "doc_id", "text",
+        col("lang") === "en", folds = 5, buckets = 256),
+      Some("""WITH base AS (
+             |  SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+             |    CAST(doc_id % 5 AS INT) AS f, text
+             |  FROM documents),
+             |tok AS (SELECT doc_id, y, f,
+             |    unnest(list_filter(string_split(text, ' '),
+             |      x -> length(x) > 0)) AS g
+             |  FROM base),
+             |pd AS MATERIALIZED (
+             |  SELECT doc_id, y, f,
+             |    CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM tok GROUP BY 1, 2, 3, 4),
+             |fc AS (SELECT f, b,
+             |    CAST(sum(CASE WHEN y = 1 THEN n ELSE 0 END) AS BIGINT) AS f1,
+             |    CAST(sum(CASE WHEN y = 0 THEN n ELSE 0 END) AS BIGINT) AS f0
+             |  FROM pd GROUP BY 1, 2),
+             |gc AS (SELECT b, CAST(sum(f1) AS BIGINT) AS g1,
+             |    CAST(sum(f0) AS BIGINT) AS g0 FROM fc GROUP BY 1),
+             |grid AS (SELECT gf.f, gb.b
+             |  FROM generate_series(0, 4) gf(f), generate_series(0, 255) gb(b)),
+             |model AS (SELECT grid.f, grid.b,
+             |    coalesce(gc.g1, 0) - coalesce(fc.f1, 0) AS n1,
+             |    coalesce(gc.g0, 0) - coalesce(fc.f0, 0) AS n0
+             |  FROM grid LEFT JOIN fc ON fc.f = grid.f AND fc.b = grid.b
+             |  LEFT JOIN gc ON gc.b = grid.b),
+             |tot AS (SELECT f, CAST(sum(n1) AS BIGINT) AS T1,
+             |    CAST(sum(n0) AS BIGINT) AS T0 FROM model GROUP BY 1),
+             |dc AS (SELECT f,
+             |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0
+             |  FROM base GROUP BY 1),
+             |dt AS (SELECT CAST(sum(d1) AS BIGINT) AS t1d,
+             |    CAST(sum(d0) AS BIGINT) AS t0d FROM dc),
+             |pri AS (SELECT f,
+             |    CAST(round(ln((t1d - d1 + 1.0e0) / (t0d - d0 + 1.0e0)), 9)
+             |      AS DECIMAL(28,9)) AS prior
+             |  FROM dc, dt),
+             |sc AS (SELECT pd.doc_id, pd.y, pd.f,
+             |    CAST(round(pd.n * (ln((model.n1 + 1.0e0) / (tot.T1 + 256.0e0))
+             |      - ln((model.n0 + 1.0e0) / (tot.T0 + 256.0e0))), 9)
+             |      AS DECIMAL(28,9)) AS c
+             |  FROM pd JOIN model ON model.f = pd.f AND model.b = pd.b
+             |  JOIN tot ON tot.f = pd.f),
+             |ds AS (SELECT doc_id, y, f, CAST(sum(c) AS DECIMAL(28,9)) AS s
+             |  FROM sc GROUP BY 1, 2, 3),
+             |pr2 AS (SELECT ds.y, ds.f,
+             |    CASE WHEN pri.prior + ds.s > 0 THEN 1 ELSE 0 END AS pred
+             |  FROM ds JOIN pri ON pri.f = ds.f)
+             |SELECT CAST(f AS INT) AS fold, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  round(CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 9) AS accuracy
+             |FROM pr2 GROUP BY 1""".stripMargin)),
+
     // isotonic (PAV) fit of the calibration table via the minimax closed
     // form iso_i = max_{j≤i} min_{k≥i} rate(j..k) — the monotone
     // probability curve thresholds should read instead of raw bin rates.
