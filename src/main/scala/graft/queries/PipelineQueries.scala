@@ -448,6 +448,75 @@ object PipelineQueries {
     // record prefixes, matches at >= 0.82. A skewed block (very common
     // first token) would salt exactly like the scope joins; the blocking
     // key space here is vocabulary-sized.
+    // entity resolution END-TO-END (the MDM golden-record shape): blocked
+    // Jaro-Winkler linkage pairs → connected components → per-entity
+    // SURVIVORSHIP (mode of each attribute, count-desc then value
+    // tie-break). Emits one canonical row per multi-member entity.
+    Q("entity_canonical",
+      (s, dir) => {
+        val docs = documents(s, dir)
+        val t = graft.ops.Spread.shared(docs
+          .select(col("doc_id"), col("source"),
+            substring(col("text"), 1, 40).as("rec"),
+            split(col("text"), " ").getItem(0).as("blk")))
+        val a = t.select(col("source").as("__s"), col("blk").as("__b"),
+          col("doc_id").as("id_a"), col("rec").as("rec_a"))
+        val b = t.select(col("source").as("__s2"), col("blk").as("__b2"),
+          col("doc_id").as("id_b"), col("rec").as("rec_b"))
+        val pairs = a.join(b, col("__s") === col("__s2") &&
+            col("__b") === col("__b2") && col("id_a") < col("id_b"))
+          .withColumn("jw",
+            graft.functions.JaroWinkler(col("rec_a"), col("rec_b")))
+          .filter(col("jw") >= 0.82)
+          .select("id_a", "id_b")
+        val comp = Dedup.connectedComponents(pairs, docs, "doc_id")
+        val m = graft.ops.Spread.shared(
+          comp.join(documents(s, dir).select("doc_id", "lang", "source"),
+            "doc_id"))
+        def mode(c: String, out: String) =
+          m.groupBy(col("comp"), col(c)).agg(count(lit(1)).as("__c"))
+            .groupBy("comp")
+            .agg(min_by(col(c), struct(-col("__c"), col(c))).as(out))
+        m.groupBy("comp").agg(count(lit(1)).as("n_members"))
+          .filter(col("n_members") >= 2)
+          .join(mode("lang", "canon_lang"), "comp")
+          .join(mode("source", "canon_source"), "comp")
+          .select(col("comp").as("entity_id"), col("n_members"),
+            col("canon_lang"), col("canon_source"))
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, source, text[1:40] AS rec,
+             |    string_split(text, ' ')[1] AS blk
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM t a JOIN t b ON a.source = b.source AND a.blk = b.blk
+             |    AND a.doc_id < b.doc_id
+             |  WHERE jaro_winkler_similarity(a.rec, b.rec) >= 0.82),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |walk(id, comp) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+             |cc AS (SELECT id AS doc_id, min(comp) AS comp FROM walk GROUP BY id),
+             |m AS (SELECT cc.comp, d.lang, d.source
+             |  FROM cc JOIN documents d USING (doc_id)),
+             |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members
+             |  FROM m GROUP BY 1),
+             |lc AS (SELECT comp, lang, count(*) AS c FROM m GROUP BY 1, 2),
+             |lmode AS (SELECT comp, lang FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY comp
+             |    ORDER BY c DESC, lang) AS rn FROM lc) WHERE rn = 1),
+             |sc2 AS (SELECT comp, source, count(*) AS c FROM m GROUP BY 1, 2),
+             |smode AS (SELECT comp, source FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY comp
+             |    ORDER BY c DESC, source) AS rn FROM sc2) WHERE rn = 1)
+             |SELECT sz.comp AS entity_id, sz.n_members,
+             |  lmode.lang AS canon_lang, smode.source AS canon_source
+             |FROM sz JOIN lmode USING (comp) JOIN smode USING (comp)
+             |WHERE sz.n_members >= 2""".stripMargin)),
+
     Q("record_linkage",
       (s, dir) => {
         val t = graft.ops.Spread.shared(documents(s, dir)
