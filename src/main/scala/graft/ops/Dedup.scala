@@ -696,9 +696,30 @@ object Dedup {
     r.select(col("__nid").as(idCol), col("__r").as("rank_micro"))
   }
 
+  /** Bounded LRU over the simhash pair graph (the kmeans/LM memo
+    * pattern): ~10 registered graph queries (components, cluster keepers,
+    * PageRank, label propagation, k-core, report) read the SAME pair
+    * relation, and bulk drivers release the Spread registry between
+    * queries — without the memo each re-runs signature build + the scoped
+    * pair join cold. The value is a localCheckpoint (near-dup pairs are a
+    * tiny fraction of the corpus), surviving registry release. */
+  private val simhashPairsMemo =
+    new BoundedMemo[(Int, Any, String), DataFrame](4)(_.unpersist(false))
+
   /** SimHash near-dup pairs within a scope: hamming(sig_a, sig_b) <= maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    scopeCol: String, numBits: Int, maxDist: Int): DataFrame = {
+    val key = (df.sparkSession.hashCode(),
+      df.queryExecution.analyzed.canonicalized,
+      s"$idCol|$textCol|$scopeCol|$numBits|$maxDist")
+    simhashPairsMemo.getOrCompute(key,
+      simhashPairsImpl(df, idCol, textCol, scopeCol, numBits, maxDist)
+        .localCheckpoint())
+  }
+
+  private def simhashPairsImpl(df: DataFrame, idCol: String, textCol: String,
+                               scopeCol: String, numBits: Int,
+                               maxDist: Int): DataFrame = {
     val sig = Spread.shared(simhash(df, idCol, textCol, numBits)
       .join(df.select(col(idCol), col(scopeCol)), idCol))
     val a = sig.select(col(scopeCol).as("__s"), col(idCol).as("id_a"),
