@@ -613,6 +613,60 @@ object Relational {
              |    END AS residual
              |FROM t2 LEFT JOIN s ON t2.g = s.g AND t2.wd = s.wd""".stripMargin)),
 
+    // conversion-lag quantiles: median/p90 view→purchase delay from the
+    // interval join, through the mergeable histogram-sketch machinery
+    // (lag_ms IS the cents unit, so the sketch grid is exact) — the
+    // funnel-latency metric every growth team reads.
+    Q("conversion_lag_quantiles",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"),
+          timestamp_micros(expr("ts div 1000")).as("event_time"))
+        val lags = graft.streaming.StreamIntervalJoin.viewToConversion(
+            ev.filter(col("event_type") === "view"),
+            ev.filter(col("event_type") === "purchase"))
+          .select((col("lag_ms").cast("double") / 100.0).as("value"),
+            lit("all").as("grp"))
+        graft.ops.Sketches.histQuantile(lags, "grp", "value")
+      },
+      Some("""WITH j AS (
+             |  SELECT (epoch_us(p.ts) - epoch_us(v.ts)) // 1000 AS c
+             |  FROM events v JOIN events p ON v.user_id = p.user_id
+             |  WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+             |    AND epoch_us(p.ts) > epoch_us(v.ts)
+             |    AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000),
+             |x AS (SELECT min(c) AS mn, max(c) - min(c) + 1 AS span FROM j),
+             |sk AS (
+             |  SELECT 'all' AS grp, mn, span, ((c - mn) * 64) // span AS b,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM j, x GROUP BY 1, 2, 3, 4),
+             |cu AS (
+             |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY b)
+             |      AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+             |  FROM sk),
+             |qs AS (SELECT * FROM (VALUES ('q50', CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+             |                             ('q90', CAST(9 AS BIGINT), CAST(10 AS BIGINT)))
+             |       t(q, num, den)),
+             |sel AS (
+             |  SELECT grp, q,
+             |    mn + (b * span) // 64
+             |       + ((target - (cum - cnt)) * span) // (64 * cnt) AS est_cents,
+             |    row_number() OVER (PARTITION BY grp, q ORDER BY b) AS rn
+             |  FROM (SELECT cu.*, qs.q, (qs.num * cu.n + qs.den - 1) // qs.den AS target
+             |        FROM cu, qs) WHERE cum >= target),
+             |st AS (
+             |  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_rows,
+             |    CAST(count(*) AS INTEGER) AS n_bins_used
+             |  FROM sk GROUP BY 1)
+             |SELECT st.grp, st.n_rows, st.n_bins_used,
+             |  CAST(max(CASE WHEN q = 'q50' THEN est_cents END) AS DOUBLE) / 100.0
+             |    AS q50_est,
+             |  CAST(max(CASE WHEN q = 'q90' THEN est_cents END) AS DOUBLE) / 100.0
+             |    AS q90_est
+             |FROM st JOIN (SELECT * FROM sel WHERE rn = 1) s ON s.grp = st.grp
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // LEFT OUTER event-time interval join — "did this impression convert
     // at all?": same watermarked plan streams (null rows emitted on
     // watermark closure — StreamIntervalJoinSpec), batch emits them
