@@ -3400,6 +3400,39 @@ object PipelineQueries {
     // real decoder — the oracle rebuilds the variable-length layout
     // closed-form (predictor, zigzag, quotient) with a cumulative window,
     // so any packing/unary/warmup error shifts every later offset.
+    // REAL FLAC (strict subset, RFC 9639): full container — STREAMINFO,
+    // CRC-8-protected frame headers, FIXED-order-2 subframe with exact
+    // cheapest-k Rice residuals, whole-frame CRC-16. The oracle replays
+    // predictor/zigzag/k-minimization AND the byte layout: n_bytes =
+    // 52 + (cost + 57)//8 ties the hash to every header field and pad bit.
+    Q("multimodal_flac_decode",
+      (s, dir) => graft.ops.Flac.flacRoundTrip(documents(s, dir), "doc_id",
+        n = 48, sampleRate = 8000).toDF(),
+      Some("""WITH s AS (
+             |  SELECT doc_id, g.i,
+             |    CAST((doc_id * 37 + g.i*g.i*5 + g.i) % 1024 - 512 AS INTEGER)
+             |      AS amp
+             |  FROM documents, generate_series(0, 47) g(i)),
+             |e AS (
+             |  SELECT doc_id, i,
+             |    amp - 2*lag(amp, 1) OVER w + lag(amp, 2) OVER w AS e
+             |  FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+             |z AS (
+             |  SELECT doc_id, CASE WHEN e >= 0 THEN CAST(2*e AS BIGINT)
+             |    ELSE CAST(-2*e - 1 AS BIGINT) END AS z
+             |  FROM e WHERE e IS NOT NULL),
+             |kc AS (
+             |  SELECT doc_id, k.k, CAST(sum((z >> k.k) + 1 + k.k) AS BIGINT)
+             |    AS cost
+             |  FROM z, generate_series(0, 14) k(k) GROUP BY 1, 2),
+             |best AS (SELECT doc_id, k AS rice_k, cost AS rice_cost FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY cost, k) AS rn FROM kc) WHERE rn = 1)
+             |SELECT doc_id AS media_id, 48 AS n_samples, 8000 AS sample_rate,
+             |  CAST(52 + (rice_cost + 57) // 8 AS INTEGER) AS n_bytes,
+             |  CAST(rice_k AS INTEGER) AS rice_k, rice_cost
+             |FROM best""".stripMargin)),
+
     Q("multimodal_rice_decode",
       (s, dir) => Multimodal.riceRoundTrip(documents(s, dir), "doc_id",
         n = 40, k = 4).toDF(),
