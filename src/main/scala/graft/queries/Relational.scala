@@ -1185,6 +1185,85 @@ object Relational {
              |FROM j JOIN sz sa ON sa.g = ga JOIN sz sb ON sb.g = gb
              |WHERE c > 0""".stripMargin)),
 
+    // Markov-chain attribution with removal effects (Anderl et al.) — the
+    // model-based third leg next to last-touch and linear: journeys as a
+    // first-order chain with absorbing CONV/NULL; a channel's credit is
+    // the relative drop in START→CONV absorption when journeys entering
+    // it die. Absorption via 12 FIXED-POINT INTEGER iterations in
+    // millionths (PageRank discipline) over the model-sized transition
+    // matrix; the oracle unrolls every iteration of every scenario.
+    Q("attribution_markov",
+      (s, dir) => graft.ops.Attribution.markovRemoval(events(s, dir),
+        "user_id", "event_type", "ts", "event_id", "purchase"),
+      Some {
+        def iterCtes(tag: String, removed: Option[String]): String = {
+          val v0 = s"v${tag}0 AS (SELECT from_s AS s, CAST(0 AS BIGINT) AS v FROM tot)"
+          val its = (1 to 12).map { t =>
+            val expr = s"(coalesce(cv.cnt, 0) * 1000000 + coalesce(ct.sc, 0)) // tot.tot"
+            val vExpr = removed match {
+              case Some(c) =>
+                s"CASE WHEN tot.from_s = '$c' THEN CAST(0 AS BIGINT) ELSE $expr END"
+              case None => expr
+            }
+            s"""c$tag$t AS (
+               |  SELECT tr.from_s, CAST(sum(tr.cnt * vp.v) AS BIGINT) AS sc
+               |  FROM trans tr JOIN v$tag${t - 1} vp ON vp.s = tr.to_s
+               |  GROUP BY 1),
+               |v$tag$t AS (
+               |  SELECT tot.from_s AS s, CAST($vExpr AS BIGINT) AS v
+               |  FROM tot
+               |  LEFT JOIN trans cv ON cv.from_s = tot.from_s AND cv.to_s = 'CONV'
+               |  LEFT JOIN c$tag$t ct ON ct.from_s = tot.from_s)""".stripMargin
+          }
+          (v0 +: its).mkString(",\n")
+        }
+        val chans = Seq("view", "click", "signup", "error")
+        val scen = (("base", None: Option[String]) +:
+          chans.map(c => (c, Some(c): Option[String])))
+          .map { case (tag, rm) => iterCtes(tag, rm) }.mkString(",\n")
+        val resRows = chans.map { c =>
+          s"""SELECT '$c' AS channel,
+             |  (SELECT tot FROM tot WHERE from_s = '$c') AS n_visits,
+             |  (SELECT v FROM vbase12 WHERE s = 'START') AS b,
+             |  (SELECT v FROM v${c}12 WHERE s = 'START') AS r""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH b0 AS (
+           |  SELECT user_id AS u, event_type AS t, epoch_ns(ts) AS ts,
+           |    event_id AS id
+           |  FROM events),
+           |p AS (SELECT u, t,
+           |    row_number() OVER (PARTITION BY u ORDER BY ts, id) AS pos
+           |  FROM b0),
+           |cp AS (SELECT u, min(CASE WHEN t = 'purchase' THEN pos END) AS cpos
+           |  FROM p GROUP BY 1),
+           |tch AS (SELECT p.u, p.t, p.pos, cp.cpos
+           |  FROM p JOIN cp USING (u)
+           |  WHERE coalesce(cp.cpos, 2147483647) > p.pos AND p.t <> 'purchase'),
+           |nx AS (SELECT u, t, pos, cpos,
+           |    lead(t) OVER (PARTITION BY u ORDER BY pos) AS nxt FROM tch),
+           |tr1 AS (SELECT t AS from_s,
+           |    coalesce(nxt, CASE WHEN cpos IS NOT NULL THEN 'CONV'
+           |      ELSE 'NULL' END) AS to_s FROM nx),
+           |st AS (SELECT 'START' AS from_s,
+           |    CASE WHEN t = 'purchase' THEN 'CONV' ELSE t END AS to_s
+           |  FROM p WHERE pos = 1),
+           |trans AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM (SELECT * FROM tr1 UNION ALL SELECT * FROM st)
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT from_s, CAST(sum(cnt) AS BIGINT) AS tot
+           |  FROM trans GROUP BY 1),
+           |$scen,
+           |res AS (
+           |$resRows),
+           |te AS (SELECT CAST(sum(b - r) AS DOUBLE) AS es FROM res)
+           |SELECT channel, n_visits,
+           |  round(b / 1e6, 9) AS base_conv,
+           |  round(r / 1e6, 9) AS removed_conv,
+           |  round(CAST(b - r AS DOUBLE) / b, 9) AS removal_effect,
+           |  round(CAST(b - r AS DOUBLE) / es, 9) AS attribution
+           |FROM res, te ORDER BY channel""".stripMargin
+      }),
+
     // last-touch attribution: each purchase credits the most recent
     // preceding non-purchase event by the same user within a 7-day
     // lookback — implemented as a per-user running "latest touch" carried
