@@ -764,8 +764,11 @@ object Curation {
     val globalCnt = foldCnt.groupBy("__b")
       .agg(sum("__f1").as("__g1"), sum("__f0").as("__g0"))
     val spark = docs.sparkSession
-    val grid = spark.range(folds.toLong).select(col("id").cast("int").as("__f"))
-      .crossJoin(spark.range(buckets.toLong).select(col("id").as("__b")))
+    // one local relation, not a local×local cross (which plans as a
+    // pointless broadcast nested loop — the jlProject lesson)
+    import spark.implicits._
+    val grid = (for (f <- 0 until folds; b <- 0 until buckets)
+      yield (f, b.toLong)).toDF("__f", "__b")
     val model = grid
       .join(foldCnt, Seq("__f", "__b"), "left").na.fill(0L, Seq("__f1", "__f0"))
       .join(globalCnt, Seq("__b"), "left").na.fill(0L, Seq("__g1", "__g0"))

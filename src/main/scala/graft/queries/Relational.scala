@@ -613,31 +613,38 @@ object Relational {
              |    END AS residual
              |FROM t2 LEFT JOIN s ON t2.g = s.g AND t2.wd = s.wd""".stripMargin)),
 
-    // conversion-lag quantiles: median/p90 view→purchase delay from the
-    // interval join, through the mergeable histogram-sketch machinery
-    // (lag_ms IS the cents unit, so the sketch grid is exact) — the
-    // funnel-latency metric every growth team reads.
+    // conversion-lag quantiles: median/p90 view→purchase delay PER
+    // VIEW-HOUR-OF-DAY (when do users convert fastest?), through the
+    // mergeable histogram-sketch machinery — lag_ms IS the cents unit so
+    // the sketch grid is exact; hour groups give the windows real
+    // partitions.
     Q("conversion_lag_quantiles",
       (s, dir) => {
         val ev = events(s, dir).select(col("user_id"), col("event_id"),
-          col("event_type"),
+          col("event_type"), col("ts"),
           timestamp_micros(expr("ts div 1000")).as("event_time"))
         val lags = graft.streaming.StreamIntervalJoin.viewToConversion(
-            ev.filter(col("event_type") === "view"),
+            ev.filter(col("event_type") === "view")
+              .withColumn("event_id",
+                // pack the view hour into the id's high bits so it rides
+                // through the join without widening its schema
+                col("event_id") * 32 + expr("(ts div 3600000000000) % 24")),
             ev.filter(col("event_type") === "purchase"))
           .select((col("lag_ms").cast("double") / 100.0).as("value"),
-            lit("all").as("grp"))
+            pmod(col("view_id"), lit(32)).cast("int").as("grp"))
         graft.ops.Sketches.histQuantile(lags, "grp", "value")
       },
       Some("""WITH j AS (
-             |  SELECT (epoch_us(p.ts) - epoch_us(v.ts)) // 1000 AS c
+             |  SELECT CAST((epoch_ns(v.ts) // 3600000000000) % 24 AS INTEGER)
+             |    AS grp,
+             |    (epoch_us(p.ts) - epoch_us(v.ts)) // 1000 AS c
              |  FROM events v JOIN events p ON v.user_id = p.user_id
              |  WHERE v.event_type = 'view' AND p.event_type = 'purchase'
              |    AND epoch_us(p.ts) > epoch_us(v.ts)
              |    AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000),
              |x AS (SELECT min(c) AS mn, max(c) - min(c) + 1 AS span FROM j),
              |sk AS (
-             |  SELECT 'all' AS grp, mn, span, ((c - mn) * 64) // span AS b,
+             |  SELECT grp, mn, span, ((c - mn) * 64) // span AS b,
              |    CAST(count(*) AS BIGINT) AS cnt
              |  FROM j, x GROUP BY 1, 2, 3, 4),
              |cu AS (
