@@ -872,6 +872,31 @@ object Dedup {
         round(expr("n_hit / nullif(n_true, 0)"), 9).as("recall"))
   }
 
+  /** SimHash candidate quality vs the exact Jaccard truth on the SAME
+    * bounded deterministic sample — [[lshQuality]]'s sibling for the
+    * hamming-distance sketch, completing the eval pair: every
+    * approximate near-dup path in the library ships with its measured
+    * precision/recall against exact truth. Same one-full-outer-join
+    * shape and fixed-size-sample rule (the truth side is all-pairs by
+    * construction, so the slice must be bounded, never proportional).
+    * Output: (n_true, n_sim, n_hit, precision, recall). */
+  def simhashQuality(df0: DataFrame, idCol: String, textCol: String,
+                     numBits: Int, maxDist: Int, threshold: Double,
+                     evalSlice: Column): DataFrame = {
+    val df = df0.filter(evalSlice).withColumn("__all", lit(1))
+    val sim = simhashPairs(df, idCol, textCol, "__all", numBits, maxDist)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__l"))
+    val truth = ngramJaccardPairs(df, idCol, textCol, "__all", 3, threshold)
+      .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
+    sim.join(truth, Seq("id_a", "id_b"), "full_outer")
+      .agg(coalesce(sum(col("__t")), lit(0L)).as("n_true"),
+        coalesce(sum(col("__l")), lit(0L)).as("n_sim"),
+        coalesce(sum(col("__l") * col("__t")), lit(0L)).as("n_hit"))
+      .select(col("n_true"), col("n_sim"), col("n_hit"),
+        round(expr("n_hit / nullif(n_sim, 0)"), 9).as("precision"),
+        round(expr("n_hit / nullif(n_true, 0)"), 9).as("recall"))
+  }
+
   /** Chunk-index cap for [[chunkDedup]]'s packed first-occurrence key. */
   val ChunkIdxCap: Long = 1L << 20
 

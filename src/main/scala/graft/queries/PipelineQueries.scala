@@ -693,6 +693,60 @@ object PipelineQueries {
              |  round(hit.c / nullif((SELECT count(*) FROM tp), 0), 9) AS recall
              |FROM hit""".stripMargin)),
 
+    // the simhash sibling of lsh_quality: precision/recall of the
+    // hamming<=2 sketch pairs vs the exact Jaccard>=0.8 truth on the SAME
+    // fixed-size deterministic sample — every approximate near-dup path
+    // ships with its measured quality against exact truth.
+    Q("simhash_quality",
+      (s, dir) => Dedup.simhashQuality(documents(s, dir), "doc_id", "text",
+        numBits = 16, maxDist = 2, threshold = 0.8,
+        evalSlice = col("doc_id") % 10 === 0 && col("doc_id") < 5000),
+      Some(s"""WITH d AS (SELECT * FROM documents
+             |    WHERE doc_id % 10 = 0 AND doc_id < 5000),
+             |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |  FROM d),
+             |tx AS (
+             |  SELECT doc_id,
+             |    coalesce(ascii(substr(tok,1,1)), 0)*16777216
+             |    + coalesce(ascii(substr(tok,2,1)), 0)*65536
+             |    + coalesce(ascii(substr(tok,3,1)), 0)*256
+             |    + coalesce(ascii(substr(tok,4,1)), 0) AS x
+             |  FROM toks WHERE length(tok) > 0),
+             |bits AS (
+             |  SELECT doc_id, hp.j,
+             |    sum(((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647 % 2) * 2 - 1) AS s
+             |  FROM tx, ${hpSql(16, "j, a, b")}
+             |  GROUP BY doc_id, hp.j),
+             |sig AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+             |  FROM bits GROUP BY doc_id),
+             |sp AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+             |pos AS (SELECT doc_id, text,
+             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM d),
+             |sh AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh FROM pos),
+             |tsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+             |tint AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |tp AS (
+             |  SELECT id_a, id_b FROM tint
+             |  JOIN tsz sa ON id_a = sa.doc_id JOIN tsz sb ON id_b = sb.doc_id
+             |  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8),
+             |hit AS (SELECT count(*) AS c FROM sp JOIN tp
+             |  ON sp.id_a = tp.id_a AND sp.id_b = tp.id_b)
+             |SELECT (SELECT count(*) FROM tp) AS n_true,
+             |  (SELECT count(*) FROM sp) AS n_sim,
+             |  CAST(hit.c AS BIGINT) AS n_hit,
+             |  round(hit.c / nullif((SELECT count(*) FROM sp), 0), 9) AS precision,
+             |  round(hit.c / nullif((SELECT count(*) FROM tp), 0), 9) AS recall
+             |FROM hit""".stripMargin)),
+
     // incremental LSH: the doc_id % 5 == 0 slice plays the newly-ingested
     // batch; only pairs touching it are generated — the index side is
     // never paired against itself
