@@ -225,6 +225,75 @@ object Drift {
   }
 
   /**
+   * Holt double-exponential smoothing (level + trend) over daily counts —
+   * the forecasting companion to the EWMA anomaly detector: with
+   * α = β = 1/4, l_t = (y_t + 3·(l_{t−1} + b_{t−1}))/4 and
+   * b_t = ((l_t − l_{t−1}) + 3·b_{t−1})/4, initialized l_1 = y_1,
+   * b_1 = y_2 − y_1. State is carried in MILLIONTHS with integer floor
+   * division each step (the PageRank fixed-point discipline), so both
+   * engines replay the identical integer sequence; the oracle is a
+   * recursive CTE. One-step-ahead errors ride along (the backtest every
+   * forecast needs), and `horizon` extra rows extrapolate
+   * l_T + h·b_T past the data.
+   *
+   * Day-bounded fold per group — same scale shape as [[cusumDaily]].
+   *
+   * Output: (groupCol, day, n_events, level, trend, forecast, abs_err) —
+   * forecast is the one-step-ahead prediction for THAT day (null on the
+   * first two); horizon rows carry null n_events/abs_err.
+   */
+  def holtForecast(df: DataFrame, groupCol: String, tsNsCol: String,
+                   horizon: Int = 7): DataFrame = {
+    val daily = df.groupBy(col(groupCol).as("__g"),
+        expr(s"$tsNsCol div 86400000000000").as("__day"))
+      .agg(count(lit(1)).as("__cnt"))
+    daily.groupBy("__g")
+      .agg(sort_array(collect_list(struct(col("__day"), col("__cnt"))))
+        .as("__ds"))
+      .filter(size(col("__ds")) >= 2)
+      .withColumn("__out", expr(
+        s"""aggregate(slice(__ds, 3, size(__ds) - 2),
+           |  struct(CAST(element_at(__ds, 2).__cnt * 1000000 AS BIGINT) AS l,
+           |    CAST((element_at(__ds, 2).__cnt - element_at(__ds, 1).__cnt)
+           |      * 1000000 AS BIGINT) AS b,
+           |    CAST(array(
+           |      struct(element_at(__ds, 1).__day AS day,
+           |        element_at(__ds, 1).__cnt AS cnt,
+           |        CAST(NULL AS BIGINT) AS l, CAST(NULL AS BIGINT) AS b,
+           |        CAST(NULL AS BIGINT) AS f),
+           |      struct(element_at(__ds, 2).__day AS day,
+           |        element_at(__ds, 2).__cnt AS cnt,
+           |        CAST(element_at(__ds, 2).__cnt * 1000000 AS BIGINT) AS l,
+           |        CAST((element_at(__ds, 2).__cnt - element_at(__ds, 1).__cnt)
+           |          * 1000000 AS BIGINT) AS b,
+           |        CAST(NULL AS BIGINT) AS f)) AS
+           |      ARRAY<STRUCT<day: BIGINT, cnt: BIGINT, l: BIGINT, b: BIGINT,
+           |                   f: BIGINT>>) AS out),
+           |  (a, x) -> struct(
+           |    (x.__cnt * 1000000 + 3 * (a.l + a.b)) div 4,
+           |    (((x.__cnt * 1000000 + 3 * (a.l + a.b)) div 4 - a.l) + 3 * a.b)
+           |      div 4,
+           |    concat(a.out, array(struct(x.__day AS day, x.__cnt AS cnt,
+           |      ((x.__cnt * 1000000 + 3 * (a.l + a.b)) div 4) AS l,
+           |      ((((x.__cnt * 1000000 + 3 * (a.l + a.b)) div 4 - a.l)
+           |        + 3 * a.b) div 4) AS b,
+           |      (a.l + a.b) AS f)))),
+           |  a -> concat(a.out, transform(sequence(1, $horizon),
+           |    h -> struct((element_at(a.out, size(a.out)).day + h) AS day,
+           |      CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS l,
+           |      CAST(NULL AS BIGINT) AS b, (a.l + h * a.b) AS f))))""".stripMargin))
+      .select(col("__g"), explode(col("__out")).as("__r"))
+      .select(col("__g").as(groupCol), col("__r.day").as("day"),
+        col("__r.cnt").as("n_events"),
+        round(col("__r.l").cast("double") / 1e6, 6).as("level"),
+        round(col("__r.b").cast("double") / 1e6, 6).as("trend"),
+        round(col("__r.f").cast("double") / 1e6, 6).as("forecast"),
+        when(col("__r.f").isNotNull && col("__r.cnt").isNotNull,
+          round(abs(col("__r.cnt").cast("double") -
+            col("__r.f").cast("double") / 1e6), 6)).as("abs_err"))
+  }
+
+  /**
    * Kaplan–Meier survival estimator over user lifetimes (Kaplan & Meier
    * 1958) — the churn/retention curve: lifetime = last-active −
    * first-active day; a user whose last activity predates the

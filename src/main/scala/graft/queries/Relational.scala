@@ -697,6 +697,52 @@ object Relational {
              |  AND epoch_us(p.ts) > epoch_us(v.ts)
              |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000""".stripMargin)),
 
+    // Holt double-exponential forecast (level+trend, α=β=1/4) over daily
+    // counts — the forecasting companion to ewma_anomaly: state carried
+    // in integer millionths with floor division each step (both engines
+    // replay the identical sequence), one-step-ahead backtest errors ride
+    // along, and 7 horizon rows extrapolate l+h·b past the data.
+    Q("holt_forecast",
+      (s, dir) => Drift.holtForecast(events(s, dir), "event_type", "ts"),
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT event_type AS g, epoch_ns(ts) // 86400000000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT g, day, cnt,
+             |    row_number() OVER (PARTITION BY g ORDER BY day) AS rn FROM d),
+             |n AS (SELECT g, CAST(max(rn) AS BIGINT) AS nr FROM r GROUP BY 1),
+             |h AS (
+             |  SELECT r2.g, CAST(2 AS BIGINT) AS rn,
+             |    CAST(r2.cnt * 1000000 AS BIGINT) AS l,
+             |    CAST((r2.cnt - r1.cnt) * 1000000 AS BIGINT) AS b
+             |  FROM r r2 JOIN r r1 ON r1.g = r2.g AND r1.rn = 1
+             |  WHERE r2.rn = 2
+             |  UNION ALL
+             |  SELECT r.g, r.rn,
+             |    (r.cnt * 1000000 + 3 * (h.l + h.b)) // 4,
+             |    (((r.cnt * 1000000 + 3 * (h.l + h.b)) // 4 - h.l) + 3 * h.b) // 4
+             |  FROM h JOIN r ON r.g = h.g AND r.rn = h.rn + 1),
+             |out1 AS (
+             |  SELECT r.g, r.day, r.cnt, h.l AS l, h.b AS b,
+             |    CASE WHEN r.rn >= 3 THEN hp.l + hp.b END AS f
+             |  FROM r LEFT JOIN h ON h.g = r.g AND h.rn = r.rn
+             |  LEFT JOIN h hp ON hp.g = r.g AND hp.rn = r.rn - 1),
+             |lastc AS (SELECT h.g, h.l, h.b
+             |  FROM h JOIN n ON n.g = h.g AND h.rn = n.nr),
+             |md AS (SELECT g, max(day) AS mx FROM d GROUP BY 1),
+             |hor AS (SELECT lastc.g, md.mx + gs.h AS day,
+             |    CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS l,
+             |    CAST(NULL AS BIGINT) AS b, lastc.l + gs.h * lastc.b AS f
+             |  FROM lastc JOIN md ON md.g = lastc.g, generate_series(1, 7) gs(h))
+             |SELECT g AS event_type, day, cnt AS n_events,
+             |  round(CAST(l AS DOUBLE)/1e6, 6) AS level,
+             |  round(CAST(b AS DOUBLE)/1e6, 6) AS trend,
+             |  round(CAST(f AS DOUBLE)/1e6, 6) AS forecast,
+             |  CASE WHEN f IS NOT NULL AND cnt IS NOT NULL THEN
+             |    round(abs(CAST(cnt AS DOUBLE) - CAST(f AS DOUBLE)/1e6), 6)
+             |  END AS abs_err
+             |FROM (SELECT * FROM out1 UNION ALL SELECT * FROM hor)""".stripMargin)),
+
     // Kaplan-Meier churn/retention curve over user lifetimes: churned at
     // last-active age unless still active on the window's final day
     // (right-censored). Day-bounded fold; survival = exp of a running

@@ -194,6 +194,36 @@ class DriftSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, 1L, 0L, 0.0)), "all-at-risk churn must pin S to 0")
   }
 
+  test("Holt forecast locks onto a linear trend and extrapolates it") {
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    // counts 10, 13, 16, … (slope 3) over 30 days
+    val rows = (0 until 30).flatMap { d =>
+      (0 until (10 + 3 * d)).map(i => ("t", d * dayNs + i))
+    }
+    val got = Drift.holtForecast(rows.toDF("event_type", "ts"), "event_type", "ts")
+      .collect().map(r => r.getLong(1) ->
+        ((Option(r.get(2)), Option(r.get(4)), Option(r.get(5)), Option(r.get(6)))))
+      .toMap
+    assert(got.size == 37, "30 observed + 7 horizon rows")
+    // late in the series the filter must have locked on: trend → 3,
+    // one-step forecast within 1 of the actual count
+    for (d <- 20L to 29L) {
+      val (cnt, tr, fc, err) = got(d)
+      assert(math.abs(tr.get.asInstanceOf[Double] - 3.0) < 0.3, s"day $d trend $tr")
+      assert(err.get.asInstanceOf[Double] < 1.5, s"day $d err $err")
+      assert(cnt.isDefined && fc.isDefined)
+    }
+    // horizon rows extrapolate the line: day 29+h ≈ 10 + 3·(29+h)
+    for (h <- 1L to 7L) {
+      val (cnt, _, fc, err) = got(29L + h)
+      assert(cnt.isEmpty && err.isEmpty, s"horizon $h shape")
+      val want = 10.0 + 3.0 * (29 + h)
+      assert(math.abs(fc.get.asInstanceOf[Double] - want) < 3.0,
+        s"horizon $h forecast ${fc.get} vs $want")
+    }
+  }
+
   test("identical sides: KS numerator 0 and PSI exactly 0.0") {
     val rows = (1 to 100).flatMap { i =>
       val v = (i % 17) * 0.37
