@@ -155,35 +155,7 @@ object Flac {
     w.putBits((n - 1).toLong, 16)
     val headNoCrc = { w.alignZero(); w.bytes } // header is byte-aligned here
     val w2 = new BitWriter
-    // subframe selection
-    val flat = (off until off + n).forall(i => s(i) == s(off))
-    if (flat) {
-      w2.putBits(0, 1); w2.putBits(0x00, 6); w2.putBits(0, 1) // CONSTANT
-      w2.putBits(s(off) & 0xffffL, 16)
-    } else if (n <= 2) {
-      w2.putBits(0, 1); w2.putBits(0x01, 6); w2.putBits(0, 1) // VERBATIM
-      (off until off + n).foreach(i => w2.putBits(s(i) & 0xffffL, 16))
-    } else {
-      // FIXED order 2: e_i = s_i − 2s_{i−1} + s_{i−2}
-      val z = Array.tabulate(n - 2) { j =>
-        val i = off + 2 + j
-        val e = s(i) - 2 * s(i - 1) + s(i - 2)
-        if (e >= 0) 2L * e else -2L * e - 1
-      }
-      val bestK = (0 to 14).minBy(k => riceCost(z, k))
-      if (riceCost(z, bestK) > 16L * (n - 2)) {
-        w2.putBits(0, 1); w2.putBits(0x01, 6); w2.putBits(0, 1) // VERBATIM
-        (off until off + n).foreach(i => w2.putBits(s(i) & 0xffffL, 16))
-      } else {
-        w2.putBits(0, 1); w2.putBits(0x08 | 0x02, 6); w2.putBits(0, 1) // FIXED o=2
-        w2.putBits(s(off) & 0xffffL, 16)     // warmup
-        w2.putBits(s(off + 1) & 0xffffL, 16)
-        w2.putBits(0x0, 2)  // residual method: 4-bit rice
-        w2.putBits(0x0, 4)  // partition order 0
-        w2.putBits(bestK.toLong, 4)
-        z.foreach { v => w2.putUnary(v >> bestK); w2.putBits(v & ((1L << bestK) - 1), bestK) }
-      }
-    }
+    writeSubframe(w2, Array.tabulate(n)(j => s(off + j).toInt), 16)
     w2.alignZero()
     val body = w2.bytes
     val hdr = new Array[Byte](headNoCrc.length + 1)
@@ -196,6 +168,212 @@ object Flac {
     frame(frame.length - 2) = ((c16 >> 8) & 0xff).toByte
     frame(frame.length - 1) = (c16 & 0xff).toByte
     frame
+  }
+
+  /** One subframe, bps-parametric (mono uses 16; a stereo SIDE channel
+    * needs bps+1 = 17 — the decorrelated difference spans ±65535). */
+  private def writeSubframe(w2: BitWriter, v: Array[Int], bps: Int): Unit = {
+    val n = v.length
+    val mask = (1L << bps) - 1
+    val flat = v.forall(_ == v(0))
+    if (flat) {
+      w2.putBits(0, 1); w2.putBits(0x00, 6); w2.putBits(0, 1) // CONSTANT
+      w2.putBits(v(0).toLong & mask, bps)
+    } else if (n <= 2) {
+      w2.putBits(0, 1); w2.putBits(0x01, 6); w2.putBits(0, 1) // VERBATIM
+      v.foreach(x => w2.putBits(x.toLong & mask, bps))
+    } else {
+      // FIXED order 2: e_i = v_i − 2v_{i−1} + v_{i−2}
+      val z = Array.tabulate(n - 2) { j =>
+        val e = v(j + 2) - 2 * v(j + 1) + v(j)
+        if (e >= 0) 2L * e else -2L * e - 1
+      }
+      val bestK = (0 to 14).minBy(k => riceCost(z, k))
+      if (riceCost(z, bestK) > bps.toLong * (n - 2)) {
+        w2.putBits(0, 1); w2.putBits(0x01, 6); w2.putBits(0, 1) // VERBATIM
+        v.foreach(x => w2.putBits(x.toLong & mask, bps))
+      } else {
+        w2.putBits(0, 1); w2.putBits(0x08 | 0x02, 6); w2.putBits(0, 1) // FIXED o=2
+        w2.putBits(v(0).toLong & mask, bps) // warmup
+        w2.putBits(v(1).toLong & mask, bps)
+        w2.putBits(0x0, 2)  // residual method: 4-bit rice
+        w2.putBits(0x0, 4)  // partition order 0
+        w2.putBits(bestK.toLong, 4)
+        z.foreach { x => w2.putUnary(x >> bestK); w2.putBits(x & ((1L << bestK) - 1), bestK) }
+      }
+    }
+  }
+
+  /** Read one subframe of `n` samples at `bps` bits into `out`. */
+  private def readSubframe(rb: BitReader, n: Int, bps: Int): Array[Int] = {
+    val out = new Array[Int](n)
+    require(rb.getBits(1) == 0, "subframe padding bit set")
+    val sfType = rb.getBits(6).toInt
+    require(rb.getBits(1) == 0, "wasted bits unsupported")
+    val lim = 1 << (bps - 1)
+    sfType match {
+      case 0x00 =>
+        val v = sext(rb.getBits(bps), bps)
+        java.util.Arrays.fill(out, v)
+      case 0x01 =>
+        (0 until n).foreach(i => out(i) = sext(rb.getBits(bps), bps))
+      case t if (t & 0x38) == 0x08 =>
+        val order = t & 0x07
+        require(order <= 4, "bad fixed order")
+        (0 until order).foreach(i => out(i) = sext(rb.getBits(bps), bps))
+        require(rb.getBits(2) == 0, "only 4-bit rice residuals supported")
+        require(rb.getBits(4) == 0, "only partition order 0 supported")
+        val k = rb.getBits(4).toInt
+        require(k < 15, "rice escape code unsupported")
+        var i = order
+        while (i < n) {
+          val q = rb.getUnary(1L << 22)
+          val z = (q << k) | rb.getBits(k)
+          val e = if ((z & 1) == 0) (z >> 1) else -((z + 1) >> 1)
+          val p: Long = order match {
+            case 0 => 0L
+            case 1 => out(i - 1).toLong
+            case 2 => 2L * out(i - 1) - out(i - 2)
+            case 3 => 3L * out(i - 1) - 3L * out(i - 2) + out(i - 3)
+            case _ => 4L * out(i - 1) - 6L * out(i - 2) +
+              4L * out(i - 3) - out(i - 4)
+          }
+          val v = p + e
+          require(v >= -lim && v < lim, "reconstruction outside sample range")
+          out(i) = v.toInt
+          i += 1
+        }
+      case _ => throw new IllegalArgumentException("unsupported subframe type")
+    }
+    out
+  }
+
+  /** Stereo encode with LEFT/SIDE decorrelation (channel assignment
+    * 0b1000): subframe 0 = left at 16 bits, subframe 1 = side =
+    * left − right at 17 bits — FLAC's signature inter-channel trick
+    * (correlated channels make the side nearly silent, so its residuals
+    * Rice-code tightly). */
+  def encodeStereo(left: Array[Short], right: Array[Short], sampleRate: Int,
+                   blockSize: Int = 4096): Array[Byte] = {
+    require(left.length == right.length && left.nonEmpty)
+    require(sampleRate > 0 && sampleRate < (1 << 20))
+    require(blockSize >= 16 && blockSize <= 65535)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    val si = new BitWriter
+    si.putBits(1, 1); si.putBits(0, 7); si.putBits(34, 24)
+    si.putBits(blockSize, 16); si.putBits(blockSize, 16)
+    si.putBits(0, 24); si.putBits(0, 24)
+    si.putBits(sampleRate, 20)
+    si.putBits(1, 3)  // channels - 1 = 1
+    si.putBits(15, 5)
+    si.putBits(left.length.toLong, 36)
+    (0 until 16).foreach(_ => si.putBits(0, 8))
+    out.write(si.bytes)
+    var frameNo = 0L
+    var off = 0
+    while (off < left.length) {
+      val n = math.min(blockSize, left.length - off)
+      val w = new BitWriter
+      w.putBits(0x3FFE, 14); w.putBits(0, 1); w.putBits(0, 1)
+      w.putBits(0x7, 4); w.putBits(0x0, 4)
+      w.putBits(0x8, 4) // channel assignment: left/side
+      w.putBits(0x4, 3); w.putBits(0, 1)
+      utf8Code(w, frameNo)
+      w.putBits((n - 1).toLong, 16)
+      val headNoCrc = { w.alignZero(); w.bytes }
+      val w2 = new BitWriter
+      writeSubframe(w2, Array.tabulate(n)(j => left(off + j).toInt), 16)
+      writeSubframe(w2, Array.tabulate(n)(j =>
+        left(off + j).toInt - right(off + j).toInt), 17)
+      w2.alignZero()
+      val body = w2.bytes
+      val hdr = new Array[Byte](headNoCrc.length + 1)
+      System.arraycopy(headNoCrc, 0, hdr, 0, headNoCrc.length)
+      hdr(headNoCrc.length) = crc8(headNoCrc, 0, headNoCrc.length).toByte
+      val frame = new Array[Byte](hdr.length + body.length + 2)
+      System.arraycopy(hdr, 0, frame, 0, hdr.length)
+      System.arraycopy(body, 0, frame, hdr.length, body.length)
+      val c16 = crc16(frame, 0, hdr.length + body.length)
+      frame(frame.length - 2) = ((c16 >> 8) & 0xff).toByte
+      frame(frame.length - 1) = (c16 & 0xff).toByte
+      out.write(frame)
+      off += n; frameNo += 1
+    }
+    out.toByteArray
+  }
+
+  /** Strict stereo decode → (sampleRate, left, right). */
+  def decodeStereo(bytes: Array[Byte]): (Int, Array[Short], Array[Short]) = {
+    require(bytes.length > 42 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C', "bad FLAC magic")
+    var pos = 4
+    var sampleRate = 0
+    var total = 0L
+    var last = false
+    while (!last) {
+      require(pos + 4 <= bytes.length, "truncated metadata header")
+      val b0 = bytes(pos) & 0xff
+      last = (b0 & 0x80) != 0
+      val btype = b0 & 0x7f
+      val len = ((bytes(pos + 1) & 0xff) << 16) | ((bytes(pos + 2) & 0xff) << 8) |
+        (bytes(pos + 3) & 0xff)
+      pos += 4
+      require(pos + len <= bytes.length, "truncated metadata block")
+      if (btype == 0) {
+        require(len == 34, "bad STREAMINFO length")
+        val r = new BitReader(bytes, pos)
+        r.getBits(16); r.getBits(16); r.getBits(24); r.getBits(24)
+        sampleRate = r.getBits(20).toInt
+        require(r.getBits(3) == 1, "expected stereo")
+        require(r.getBits(5) == 15, "only 16-bit supported")
+        total = r.getBits(36)
+      }
+      pos += len
+    }
+    require(sampleRate > 0 && total <= Int.MaxValue, "bad STREAMINFO")
+    val l = new Array[Short](total.toInt)
+    val rr = new Array[Short](total.toInt)
+    var got = 0
+    while (got < total) {
+      val r = new BitReader(bytes, pos)
+      require(r.getBits(14) == 0x3FFE, "lost frame sync")
+      require(r.getBits(1) == 0 && { r.getBits(1); true })
+      val bsCode = r.getBits(4).toInt
+      require(r.getBits(4) == 0, "only sample-rate-from-STREAMINFO supported")
+      require(r.getBits(4) == 0x8, "expected left/side channel assignment")
+      require(r.getBits(3) == 4 && r.getBits(1) == 0)
+      utf8Decode(r)
+      val n = bsCode match {
+        case 0x7 => r.getBits(16).toInt + 1
+        case 0x6 => r.getBits(8).toInt + 1
+        case _ => throw new IllegalArgumentException("unsupported blocksize code")
+      }
+      r.align()
+      val hdrEnd = r.pos
+      require(hdrEnd < bytes.length, "truncated header")
+      require((crc8(bytes, pos, hdrEnd) & 0xff) == (bytes(hdrEnd) & 0xff),
+        "frame header CRC-8 mismatch")
+      val rb = new BitReader(bytes, hdrEnd + 1)
+      val left = readSubframe(rb, n, 16)
+      val side = readSubframe(rb, n, 17)
+      rb.align()
+      val bodyEnd = rb.pos
+      require(bodyEnd + 2 <= bytes.length, "truncated frame footer")
+      val want = ((bytes(bodyEnd) & 0xff) << 8) | (bytes(bodyEnd + 1) & 0xff)
+      require(crc16(bytes, pos, bodyEnd) == want, "frame CRC-16 mismatch")
+      var i = 0
+      while (i < n) {
+        val ri = left(i) - side(i)
+        require(ri >= Short.MinValue && ri <= Short.MaxValue,
+          "right channel outside PCM16")
+        l(got + i) = left(i).toShort
+        rr(got + i) = ri.toShort
+        i += 1
+      }
+      got += n; pos = bodyEnd + 2
+    }
+    (sampleRate, l, rr)
   }
 
   final case class FlacDoc(media_id: Long, n_samples: Int, sample_rate: Int,
@@ -320,45 +498,9 @@ object Flac {
     require((crc8(a, start, hdrEnd) & 0xff) == (a(hdrEnd) & 0xff),
       "frame header CRC-8 mismatch")
     val rb = new BitReader(a, hdrEnd + 1)
-    require(rb.getBits(1) == 0, "subframe padding bit set")
-    val sfType = rb.getBits(6).toInt
-    require(rb.getBits(1) == 0, "wasted bits unsupported")
     require(outOff + n <= out.length, "frame overruns declared total")
-    sfType match {
-      case 0x00 =>
-        val v = sext(rb.getBits(16), 16)
-        (0 until n).foreach(i => out(outOff + i) = v.toShort)
-      case 0x01 =>
-        (0 until n).foreach(i => out(outOff + i) = sext(rb.getBits(16), 16).toShort)
-      case t if (t & 0x38) == 0x08 =>
-        val order = t & 0x07
-        require(order <= 4, "bad fixed order")
-        (0 until order).foreach(i => out(outOff + i) = sext(rb.getBits(16), 16).toShort)
-        require(rb.getBits(2) == 0, "only 4-bit rice residuals supported")
-        require(rb.getBits(4) == 0, "only partition order 0 supported")
-        val k = rb.getBits(4).toInt
-        require(k < 15, "rice escape code unsupported")
-        var i = order
-        while (i < n) {
-          val q = rb.getUnary(1L << 22)
-          val z = (q << k) | rb.getBits(k)
-          val e = if ((z & 1) == 0) (z >> 1) else -((z + 1) >> 1)
-          val p: Long = order match {
-            case 0 => 0L
-            case 1 => out(outOff + i - 1).toLong
-            case 2 => 2L * out(outOff + i - 1) - out(outOff + i - 2)
-            case 3 => 3L * out(outOff + i - 1) - 3L * out(outOff + i - 2) + out(outOff + i - 3)
-            case _ => 4L * out(outOff + i - 1) - 6L * out(outOff + i - 2) +
-              4L * out(outOff + i - 3) - out(outOff + i - 4)
-          }
-          val v = p + e
-          require(v >= Short.MinValue && v <= Short.MaxValue,
-            "reconstruction outside PCM16")
-          out(outOff + i) = v.toShort
-          i += 1
-        }
-      case _ => throw new IllegalArgumentException("unsupported subframe type")
-    }
+    val mono = readSubframe(rb, n, 16)
+    (0 until n).foreach(i => out(outOff + i) = mono(i).toShort)
     rb.align()
     val bodyEnd = rb.pos
     require(bodyEnd + 2 <= a.length, "truncated frame footer")

@@ -56,6 +56,24 @@ class FlacSpec extends AnyFunSuite {
       s"FLAC ${enc.length} bytes vs raw ${pcm.length * 2} — no compression?")
   }
 
+  test("stereo left/side round-trips losslessly, incl. anti-correlated channels") {
+    val n = 3000
+    val left = Array.tabulate(n)(i => (math.sin(i / 20.0) * 10000).toShort)
+    // highly correlated right (small offset) AND a hard case appended:
+    // perfectly anti-correlated channels blow the side up to 17 bits
+    val right = Array.tabulate(n)(i => (math.sin(i / 20.0) * 10000 - 37).toShort)
+    val enc = Flac.encodeStereo(left, right, 44100, blockSize = 512)
+    val (sr, l2, r2) = Flac.decodeStereo(enc)
+    assert(sr == 44100 && l2.sameElements(left) && r2.sameElements(right))
+    val anti = Array[Short](32767, -32768, 32767, -32768, 20000, -20000,
+      32767, -32768, 1, -1, 32767, -32768, 5, -5, 9, -9)
+    val encA = Flac.encodeStereo(anti, anti.map(v => (-v - 1).toShort), 8000)
+    val (_, la, ra) = Flac.decodeStereo(encA)
+    assert(la.sameElements(anti) && ra.sameElements(anti.map(v => (-v - 1).toShort)))
+    // correlated stereo should compress well below raw
+    assert(enc.length < n * 4 * 6 / 10, s"stereo ${enc.length} vs raw ${n * 4}")
+  }
+
   test("corruption anywhere is detected, never garbage or a hang") {
     val pcm = Array.tabulate(300)(i => ((i * 37) % 4000 - 2000).toShort)
     val enc = Flac.encode(pcm, 8000, blockSize = 128)
