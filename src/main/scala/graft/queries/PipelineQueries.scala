@@ -1091,6 +1091,82 @@ object PipelineQueries {
              |  CAST(sum(sz) AS BIGINT) AS n_bytes
              |FROM r GROUP BY 1""".stripMargin)),
 
+    // TextRank keyphrases (Mihalcea & Tarau 2004): integer PageRank over
+    // the adjacent-word co-occurrence graph (directed pair count ≥ 5,
+    // canonicalized undirected, hash word ids — no vocab-wide dense-id
+    // window), top-20 words by rank. Composes the graph machinery the
+    // dedup stack already gates; same unrolled-iteration oracle.
+    Q("keyphrase_rank",
+      (s, dir) => {
+        val toks = graft.ops.Spread.shared(
+          graft.ops.Spread.byKey(documents(s, dir), col("doc_id"))
+            .select(explode(TA.wordNgrams(TA.tokens(col("text")), 2)).as("bg"))
+            .withColumn("w1", split(col("bg"), " ").getItem(0))
+            .withColumn("w2", split(col("bg"), " ").getItem(1))
+            .filter(col("w1") =!= col("w2")))
+        val dp = toks.groupBy("w1", "w2").agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= 5)
+        val ids = dp
+          .withColumn("__h1", graft.ops.Sketches.hash60(col("w1")))
+          .withColumn("__h2", graft.ops.Sketches.hash60(col("w2")))
+        val edges = ids.select(least(col("__h1"), col("__h2")).as("id_a"),
+            greatest(col("__h1"), col("__h2")).as("id_b")).distinct()
+        val nodes = edges.select(explode(array(col("id_a"), col("id_b")))
+          .as("wid")).distinct()
+        val pr = Dedup.pageRank(edges, nodes, "wid", iters = 3)
+        val dict = ids.select(col("w1").as("word"), col("__h1").as("wid"))
+          .unionByName(ids.select(col("w2").as("word"), col("__h2").as("wid")))
+          .distinct()
+        dict.join(pr, "wid")
+          .select(col("word"), col("rank_micro"))
+          .orderBy(col("rank_micro").desc, col("word"))
+          .limit(20)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, list_filter(string_split(text, ' '),
+             |    x -> length(x) > 0) AS toks
+             |  FROM documents),
+             |bgc AS (SELECT unnest(list_transform(
+             |    generate_series(1, len(toks) - 1),
+             |    i -> toks[i] || ' ' || toks[i + 1])) AS bg
+             |  FROM tk WHERE len(toks) >= 2),
+             |dp AS (SELECT string_split(bg, ' ')[1] AS w1,
+             |    string_split(bg, ' ')[2] AS w2, count(*) AS c
+             |  FROM bgc GROUP BY 1, 2 HAVING count(*) >= 5),
+             |dp2 AS (SELECT * FROM dp WHERE w1 <> w2),
+             |ids AS (SELECT w1, w2,
+             |    CAST(('0x' || substr(md5(w1), 1, 15)) AS BIGINT) AS h1,
+             |    CAST(('0x' || substr(md5(w2), 1, 15)) AS BIGINT) AS h2
+             |  FROM dp2),
+             |ed AS (SELECT DISTINCT least(h1, h2) AS src0,
+             |    greatest(h1, h2) AS dst0 FROM ids),
+             |edges AS (SELECT src0 AS src, dst0 AS dst FROM ed
+             |          UNION ALL SELECT dst0, src0 FROM ed),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+             |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+             |r1 AS (SELECT r0.id, CAST(150000 + (85 * coalesce(s.t, 0)) // 100 AS BIGINT) AS r
+             |  FROM r0 LEFT JOIN (
+             |    SELECT e.dst AS id, sum(r0.r // deg.d) AS t
+             |    FROM edges e JOIN r0 ON r0.id = e.src
+             |      JOIN deg ON deg.src = e.src GROUP BY 1) s ON s.id = r0.id),
+             |r2 AS (SELECT r1.id, CAST(150000 + (85 * coalesce(s.t, 0)) // 100 AS BIGINT) AS r
+             |  FROM r1 LEFT JOIN (
+             |    SELECT e.dst AS id, sum(r1.r // deg.d) AS t
+             |    FROM edges e JOIN r1 ON r1.id = e.src
+             |      JOIN deg ON deg.src = e.src GROUP BY 1) s ON s.id = r1.id),
+             |r3 AS (SELECT r2.id, CAST(150000 + (85 * coalesce(s.t, 0)) // 100 AS BIGINT) AS r
+             |  FROM r2 LEFT JOIN (
+             |    SELECT e.dst AS id, sum(r2.r // deg.d) AS t
+             |    FROM edges e JOIN r2 ON r2.id = e.src
+             |      JOIN deg ON deg.src = e.src GROUP BY 1) s ON s.id = r2.id),
+             |dict AS (SELECT DISTINCT w, CAST(('0x' || substr(md5(w), 1, 15))
+             |    AS BIGINT) AS id
+             |  FROM (SELECT w1 AS w FROM dp2 UNION SELECT w2 FROM dp2))
+             |SELECT d.w AS word, r3.r AS rank_micro
+             |FROM dict d JOIN r3 ON r3.id = d.id
+             |ORDER BY r3.r DESC, d.w LIMIT 20""".stripMargin)),
+
     // top collocations by PMI (Church & Hanks): adjacent word pairs
     // co-occurring far above chance — the phrase-detection statistic.
     // Exact integer counts; the ratio is evaluated in ONE fixed
