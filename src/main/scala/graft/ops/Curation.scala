@@ -730,6 +730,45 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
 
   /**
+   * Binned ROC AUC for the held-out NB scores — the threshold-free
+   * companion to the confusion matrix/calibration table: scores bucket
+   * onto a fixed eighth-log-odds grid (clamped ±8 → 129 bins, the
+   * score-resolution sibling of the calibration bins), and the ROC
+   * trapezoid sum runs in PURE INTEGERS over the bin fold:
+   * 2·AUC·n₁·n₀ = Σ_bins (2·TP_prev + pos_b)·neg_b descending by score —
+   * equal-score pairs land in one bin, which IS the trapezoid midrank
+   * correction. One aggregation + a 129-element array fold; no
+   * data-sized ordering anywhere.
+   *
+   * Output: one row (n_pos, n_neg, auc_num2, auc).
+   */
+  def nbAuc(docs: DataFrame, idCol: String, textCol: String,
+            labelPred: Column, trainPred: Column, buckets: Int): DataFrame = {
+    val scored = nbClassify(docs, idCol, textCol, labelPred, trainPred, buckets)
+    scored
+      .withColumn("__bin",
+        least(greatest(floor(col("score") * 8).cast("long"), lit(-64L)),
+          lit(64L)))
+      .groupBy("__bin")
+      .agg(sum(col("label")).cast("long").as("__p"),
+        (count(lit(1)) - sum(col("label"))).cast("long").as("__n"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct((-col("__bin")).as("__d"),
+        col("__p"), col("__n")))).as("__bs"))
+      .withColumn("__f", expr(
+        """aggregate(__bs,
+          |  struct(CAST(0 AS BIGINT) AS tp, CAST(0 AS BIGINT) AS fp,
+          |         CAST(0 AS BIGINT) AS num),
+          |  (a, x) -> struct(a.tp + x.__p, a.fp + x.__n,
+          |    a.num + (2 * a.tp + x.__p) * x.__n))""".stripMargin))
+      .select(col("__f.tp").as("n_pos"), col("__f.fp").as("n_neg"),
+        col("__f.num").as("auc_num2"),
+        round(col("__f.num").cast("double") /
+          (lit(2.0) * col("__f.tp").cast("double") *
+            col("__f.fp").cast("double")), 9).as("auc"))
+  }
+
+  /**
    * k-fold cross-validation of the NB classifier in ONE corpus pass —
    * the leave-one-fold-out trick: per-(fold, bucket) counts are computed
    * once, and fold f's training model is the GLOBAL counts minus fold

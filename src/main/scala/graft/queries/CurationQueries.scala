@@ -433,6 +433,32 @@ object CurationQueries {
               |    AS mean_score
               |FROM cb GROUP BY 1""".stripMargin)),
 
+    // binned ROC AUC for the held-out NB scores: eighth-log-odds grid
+    // (±8 clamp → 129 bins), ROC trapezoid in PURE INTEGERS over a bin
+    // fold — 2·AUC·n1·n0 = Σ (2·TP_prev + pos)·neg descending by score;
+    // equal-score pairs share a bin, which IS the midrank correction.
+    Q("nb_auc",
+      (s, dir) => Curation.nbAuc(documents(s, dir), "doc_id", "text",
+        col("lang") === "en", col("doc_id") % 2 === 0, buckets = 256),
+      Some(s"""WITH $nbCtes,
+              |bb AS (SELECT least(greatest(CAST(floor(CAST(s AS DOUBLE) * 8)
+              |      AS BIGINT), -64), 64) AS bin,
+              |    CAST(sum(label) AS BIGINT) AS p,
+              |    CAST(count(*) - sum(label) AS BIGINT) AS n
+              |  FROM scored GROUP BY 1),
+              |cu AS (SELECT bin, p, n,
+              |    CAST(coalesce(sum(p) OVER (ORDER BY bin DESC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS BIGINT) AS tp_prev
+              |  FROM bb),
+              |ag AS (SELECT CAST(sum(p) AS BIGINT) AS np,
+              |    CAST(sum(n) AS BIGINT) AS nn,
+              |    CAST(sum((2 * tp_prev + p) * n) AS BIGINT) AS num FROM cu)
+              |SELECT np AS n_pos, nn AS n_neg, num AS auc_num2,
+              |  round(CAST(num AS DOUBLE)
+              |    / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 9) AS auc
+              |FROM ag""".stripMargin)),
+
     // k-fold NB cross-validation in ONE corpus pass via leave-one-fold-out
     // count subtraction: fold f's model = global bucket counts − fold f's
     // own (no k re-trainings); per-fold held-out accuracy exposes split

@@ -218,4 +218,27 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(bySrc("big") / 160.0 - 0.25) < 0.08)
     assert(math.abs(bySrc("mid") / 40.0 - 0.5) < 0.15)
   }
+
+  test("binned ROC AUC: separable classes score ~1, independent labels ~0.5") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // positives carry a marker token the NB trivially learns
+    val docs = (0L until 400L).map { i =>
+      val pos = i % 2 == 0
+      val words = (1 to 20).map(_ => s"w${rnd.nextInt(30)}") ++
+        (if (pos) Seq("zzmarker", "zzmarker") else Nil)
+      (i, words.mkString(" "), if (pos) "en" else "fr")
+    }.toDF("doc_id", "text", "lang")
+    // train on ids ≡ 0,1 (mod 4) — both classes; hold out the rest
+    val auc = Curation.nbAuc(docs, "doc_id", "text",
+      col("lang") === "en", col("doc_id") % 4 < 2, buckets = 256)
+      .head().getDouble(3)
+    assert(auc > 0.95, s"separable AUC $auc")
+    // a label INDEPENDENT of the text gives a chance-level AUC
+    val chance = Curation.nbAuc(docs, "doc_id", "text",
+      col("doc_id") % 3 === 0, col("doc_id") % 4 < 2, buckets = 256)
+      .head().getDouble(3)
+    assert(chance > 0.3 && chance < 0.7, s"independent-label AUC $chance")
+    Spread.release(spark)
+  }
 }
