@@ -138,11 +138,23 @@ object Dedup {
   }
 
   /** Sorted distinct char-k shingle keys of a text column (3-byte packed
-    * integers — the [[ngramJaccardPairs]] layout). */
-  private def shingleKeys(textCol: String, k: Int): Column = expr(
+    * integers — the [[ngramJaccardPairs]] layout).
+    *
+    * The packing reads exactly the first 3 chars of each shingle and
+    * assumes ascii() < 256, so it is only injective for k = 3 over
+    * single-byte text (the layout every registered query and oracle
+    * replays). Guarded rather than generalized: changing the packing
+    * would silently change every downstream score/oracle. */
+  private def shingleKeys(textCol: String, k: Int): Column = {
+    require(k == 3,
+      s"shingleKeys packs exactly 3 chars per shingle; k=$k would collide distinct shingles")
+    shingleKeys3(textCol)
+  }
+
+  private def shingleKeys3(textCol: String): Column = expr(
     s"""array_sort(array_distinct(transform(
-       |  transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
-       |            i -> substr($textCol, i, $k)),
+       |  transform(sequence(1, greatest(length($textCol) - 2, 1)),
+       |            i -> substr($textCol, i, 3)),
        |  s -> CAST(ascii(substr(s,1,1)) * 65536 + ascii(substr(s,2,1)) * 256
        |            + ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
 
@@ -466,17 +478,19 @@ object Dedup {
     * re-run the candidate-pair pipeline AND the full iteration. */
   // keyed on the canonicalized plan OBJECTS (deep case-class equality —
   // LocalRelation data included; a toString key would collide plans whose
-  // rendering hides the data)
-  private val ccMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Any, Any, String, Int), DataFrame]()
+  // rendering hides the data). Bounded LRU with unpersist-on-evict (same
+  // lifecycle as simhashPairsMemo): the values are localCheckpoint-backed,
+  // so an unbounded map would pin checkpoint blocks forever in a
+  // long-lived session with varying inputs.
+  private val ccMemo = new BoundedMemo[
+    (Int, Any, Any, String, Int), DataFrame](4)(_.unpersist(false))
 
   def connectedComponents(edges: DataFrame, nodes: DataFrame, idCol: String,
                           maxIter: Int = 25): DataFrame = {
     val key = (edges.sparkSession.hashCode(),
       edges.queryExecution.analyzed.canonicalized,
       nodes.queryExecution.analyzed.canonicalized, idCol, maxIter)
-    ccMemo.computeIfAbsent(key,
-      _ => connectedComponentsImpl(edges, nodes, idCol, maxIter))
+    ccMemo.getOrCompute(key, connectedComponentsImpl(edges, nodes, idCol, maxIter))
   }
 
   private def connectedComponentsImpl(edges: DataFrame, nodes: DataFrame,

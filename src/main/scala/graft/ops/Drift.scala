@@ -398,8 +398,9 @@ object Drift {
     val q = withRes.filter(col("__cal"))
       .agg(sort_array(collect_list(col("__r"))).as("__rs"),
         count(lit(1)).as("n_cal"))
-      .withColumn("q", element_at(col("__rs"),
-        expr(s"CAST((n_cal + 1) * $levelNum div $levelDen AS INT)")))
+      .withColumn("q", element_at(col("__rs"), least(
+        expr(s"CAST(((n_cal + 1) * $levelNum + $levelDen - 1) div $levelDen AS INT)"),
+        col("n_cal").cast("int"))))
       .select("n_cal", "q")
     withRes.filter(col("__te")).crossJoin(broadcast(q))
       .agg(max("n_train").as("n_train"), max("n_cal").as("n_cal"),

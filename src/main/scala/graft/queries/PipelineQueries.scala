@@ -868,23 +868,32 @@ object PipelineQueries {
 
     // order-free dataset content fingerprint — the "did anything change"
     // version stamp for pipeline caching/reproducibility: per table, the
-    // DECIMAL sum of 60-bit row hashes (null-safe 0x01-separated string
-    // form, fixed-point for doubles) + row count. Commutative sum ⇒ the
+    // DECIMAL sum of 60-bit row hashes (NULL-propagating 0x01-separated
+    // string form, matching SQL ||; fixed-point for doubles) + row count.
+    // A row with any NULL field hashes to NULL and drops out of the sum
+    // while still counting in n_rows -- both engines agree exactly on
+    // that. Commutative sum ⇒ the
     // same fingerprint from any partitioning/order/engine.
     Q("dataset_fingerprint",
       (s, dir) => {
         def fp(df: org.apache.spark.sql.DataFrame, name: String,
-               rowStr: org.apache.spark.sql.Column) =
+               fields: Seq[org.apache.spark.sql.Column]) = {
+          // concat (unlike concat_ws) returns NULL when any arg is NULL --
+          // the exact semantics of the oracle's chained `||`: a row with a
+          // NULL field drops out of the sum but still counts in n_rows.
+          val rowStr = concat(fields.flatMap(c =>
+            Seq(lit("\u0001"), c)).drop(1): _*)
           df.select(rowStr.as("__r"))
             .withColumn("__h", graft.ops.Sketches.hash60(col("__r")))
             .agg(lit(name).as("table_name"), count(lit(1)).as("n_rows"),
               sum(col("__h").cast("decimal(38,0)")).as("fingerprint"))
+        }
         val d = documents(s, dir)
         val e = events(s, dir)
-        fp(d, "documents", concat_ws("",
+        fp(d, "documents", Seq(
             col("doc_id").cast("string"), col("text"), col("lang"),
             col("source"), col("n_chars").cast("string")))
-          .unionByName(fp(e, "events", concat_ws("",
+          .unionByName(fp(e, "events", Seq(
             col("event_id").cast("string"), col("user_id").cast("string"),
             col("event_type"), col("ts").cast("string"),
             round(col("value") * 100).cast("long").cast("string"))))
@@ -1059,7 +1068,9 @@ object PipelineQueries {
              |      - (intercept + slope*CAST(x AS DOUBLE))), 9) AS r
              |  FROM d, ft2),
              |calq AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
-             |    (list_sort(list(r)))[CAST((count(*)+1)*9//10 AS INT)] AS q
+             |    (list_sort(list(r)))[least(
+             |      CAST(((count(*)+1)*9 + 9)//10 AS INT),
+             |      CAST(count(*) AS INT))] AS q
              |  FROM res WHERE doc_id % 4 = 1 AND doc_id < 20000)
              |SELECT ft2.n_train, calq.n_cal,
              |  CAST(count(*) AS BIGINT) AS n_test,
