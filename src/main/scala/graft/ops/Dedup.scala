@@ -200,6 +200,62 @@ object Dedup {
   }
 
   /**
+   * The SCALE PATH for edit-distance prefix dedup (the
+   * `dedup_fuzzy_prefix` quadratic scoped cross): TOKEN-COMBO blocking +
+   * banded-Levenshtein verify on candidates only.
+   *
+   * Candidate generation: each doc's `nTokens`-token prefix contributes
+   * its C(n,2) unordered pairs of distinct tokens as block keys; two docs
+   * become a candidate iff they share a (scope, token-pair) block. The DP
+   * (thresholded `levenshtein(_, _, maxDist)`, early abort) then runs on
+   * candidates only, after the |len(a)−len(b)| ≤ maxDist band and a
+   * distinct() that collapses multi-combo duplicates BEFORE any DP.
+   *
+   * Contract (same candidates-then-exact shape as [[minhashLshPairs]] vs
+   * [[ngramJaccardPairs]]): recall is limited to pairs sharing ≥ 2 of
+   * their ≤ nTokens distinct prefix tokens. A pair can in principle sit
+   * within maxDist while every token differs (maxDist spread one edit per
+   * token), so the blocking is not information-theoretically complete —
+   * but near-dup template prefixes share whole tokens in practice
+   * (ScalePathSpec proves result-set equality with the quadratic form on
+   * the test corpora). Work scales with Σ_block |block|² where blocks are
+   * token-PAIR cooccurrences — output-sensitive (a big block IS a real
+   * template cluster whose pairs are true output), not corpus-quadratic
+   * like the baseline's Σ_scope |scope|².
+   */
+  def fuzzyPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+                       scopeCol: String, nTokens: Int, maxDist: Int): DataFrame = {
+    val toks = graft.ops.TextAnalysis.tokens(col(textCol))
+    val t = Spread.shared(Spread.byKey(df, col(idCol)).select(
+      col(scopeCol).as("__scope"), col(idCol).as("__id"),
+      concat_ws(" ", slice(toks, 1, nTokens)).as("__pfx"),
+      array_sort(array_distinct(slice(toks, 1, nTokens))).as("__tk")))
+    // all C(n,2) token combos, rarest-free equi-join keys; the size >= 2
+    // guard matters because sequence(1, 0) DESCENDS in Spark
+    val combos = t.select(col("__scope"), col("__id"), col("__pfx"),
+      explode(expr("""CASE WHEN size(__tk) >= 2 THEN
+        flatten(transform(sequence(1, size(__tk) - 1),
+          i -> transform(sequence(i + 1, size(__tk)),
+            j -> concat(element_at(__tk, i), chr(1), element_at(__tk, j)))))
+        ELSE array() END""")).as("__bk"))
+    val a = combos.select(col("__scope").as("__s"), col("__bk").as("__k"),
+      col("__id").as("id_a"), col("__pfx").as("pfx_a"))
+    val b = combos.select(col("__scope").as("__s2"), col("__bk").as("__k2"),
+      col("__id").as("id_b"), col("__pfx").as("pfx_b"))
+    // DP BEFORE distinct: the thresholded early-abort DP is cheaper per
+    // candidate than shuffling every candidate row into the dedupe, so the
+    // distinct only carries true survivors (output-sized), not the full
+    // candidate stream; duplicate combos re-run a deterministic DP, which
+    // is pure CPU inside the scan stage
+    a.join(b, col("__s") === col("__s2") && col("__k") === col("__k2") &&
+        col("id_a") < col("id_b") &&
+        abs(length(col("pfx_a")) - length(col("pfx_b"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("pfx_a"), col("pfx_b"), maxDist))
+      .filter(col("edit_dist") =!= -1)
+      .select("id_a", "id_b", "edit_dist").distinct()
+  }
+
+  /**
    * EXACT Jaccard pairs via prefix filtering — the AllPairs candidate
    * scheme (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity Search",
    * WWW'07; prefix-filter lemma from Chaudhuri/Ganti/Kaushik SSJoin,

@@ -441,6 +441,38 @@ object PipelineQueries {
              |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
              |WHERE levenshtein(a.pfx, b.pfx) <= 8""".stripMargin)),
 
+    // THE SCALE PATH for dedup_fuzzy_prefix: token-combo blocking (each
+    // doc's C(5,2) distinct-prefix-token pairs as equi-join keys, scoped
+    // to source) + the banded-Levenshtein verify on candidates only —
+    // work scales with token-pair cooccurrence (output-sensitive), not
+    // corpus². Identical result set to the quadratic form on the test
+    // corpora (ScalePathSpec); recall contract = pairs sharing >= 2
+    // prefix tokens (Dedup.fuzzyPrefixPairs scaladoc).
+    Q("dedup_fuzzy_blocked",
+      (s, dir) => Dedup.fuzzyPrefixPairs(documents(s, dir), "doc_id", "text",
+        "source", 5, 8),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    array_to_string((list_filter(string_split(text, ' '),
+             |      x -> length(x) > 0))[1:5], ' ') AS pfx,
+             |    list_sort(list_distinct((list_filter(string_split(text, ' '),
+             |      x -> length(x) > 0))[1:5])) AS tk
+             |  FROM documents),
+             |ch AS (
+             |  SELECT doc_id, source, pfx, tk[c.i] || chr(1) || tk[c.j] AS bk
+             |  FROM t, (VALUES (1,2),(1,3),(1,4),(1,5),(2,3),(2,4),(2,5),
+             |                  (3,4),(3,5),(4,5)) c(i, j)
+             |  WHERE c.j <= len(tk)),
+             |p AS (
+             |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+             |    a.pfx AS pa, b.pfx AS pb
+             |  FROM ch a JOIN ch b
+             |    ON a.source = b.source AND a.bk = b.bk AND a.doc_id < b.doc_id
+             |  WHERE abs(length(a.pfx) - length(b.pfx)) <= 8)
+             |SELECT ia AS id_a, ib AS id_b,
+             |  CAST(levenshtein(pa, pb) AS INTEGER) AS edit_dist
+             |FROM p WHERE levenshtein(pa, pb) <= 8""".stripMargin)),
+
     // record linkage: blocking on (source, first token) — the textbook
     // blocking-key equi-join — then the codegen'd native Jaro-Winkler
     // expression (graft.functions.JaroWinkler; bit-for-bit DuckDB's

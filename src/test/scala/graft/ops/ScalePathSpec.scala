@@ -27,7 +27,7 @@ class ScalePathSpec extends AnyFunSuite {
     "dsir_select", "token_percentiles", "decontam_ngram",
     "dedup_jaccard_prefix", "bitmap_overlap", "interval_join",
     "attribution_linear", "dedup_kcore",
-    "mixture_resample", "q3_shipping", "q5_region")
+    "mixture_resample", "q3_shipping", "q5_region", "dedup_fuzzy_blocked")
 
   test("forcing shuffle joins (no size-elective broadcast) preserves results") {
     for (name <- joinHeavy) {
@@ -44,6 +44,18 @@ class ScalePathSpec extends AnyFunSuite {
         assert(got.sameElements(want), s"$name diverges without broadcasts")
         assert(got.nonEmpty, s"$name empty")
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    }
+  }
+
+  test("dedup_fuzzy_blocked returns the quadratic baseline's exact result set") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val brute = graft.SparkEntry.queries("dedup_fuzzy_prefix")(spark, dir)
+        .collect().map(_.toString).sorted
+      val blocked = graft.SparkEntry.queries("dedup_fuzzy_blocked")(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(blocked.sameElements(brute),
+        s"$dir: blocked ${blocked.length} vs brute ${brute.length}")
+      Spread.release(spark)
     }
   }
 }
