@@ -179,6 +179,12 @@ object RunOts {
         graft.io.Seagauge.readTid(spark, text)
           .withColumn("time", to_timestamp(col("time"), "MM/dd/yyyy HH:mm:ss"))
           .withColumnRenamed("p_dbar", "P_1").withColumnRenamed("temp_c", "T_28")
+      } else if (lower.endsWith(".nc") || lower.endsWith(".cdf") ||
+                 lower.endsWith(".h5")) {
+        // re-open a netCDF product of either family — netCDF-4/HDF5
+        // (incl. chunked/DEFLATE) or classic CDF-1/CDF-5 — the reference's
+        // xr.load_dataset round trip (stglib/core/utils.py:862-877)
+        Readers.readNetcdf(spark, input)
       } else if (input.toLowerCase.endsWith(".wb")) {
         val text = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(input)), "US-ASCII")
@@ -543,6 +549,8 @@ object RunOts {
       case Some(f) if df.columns.contains("P_1") =>
         val met0 = if (f.toLowerCase.endsWith(".csv"))
           spark.read.option("header", "true").option("inferSchema", "true").csv(f)
+        else if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc"))
+          Readers.readNetcdf(spark, f) // the reference's atmpres.cdf shape
         else spark.read.parquet(f)
         val offset = meta.dbl("atmpres_offset").getOrElse(0.0)
         val tolUs = (meta.dbl("atmpres_tolerance_sec").getOrElse(5.0) * 1e6).toLong

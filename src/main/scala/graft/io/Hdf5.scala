@@ -329,6 +329,226 @@ object Hdf5 {
     } finally raf.close()
   }
 
+  /** Chunked + DEFLATE variant of [[write]] — the layout netCDF-4 tools
+    * emit when compression is requested (and the read-side counterpart to
+    * the chunked/deflate support in [[open]]/[[column]]): per column, a
+    * v3 class-2 chunked layout message + a v1 filter-pipeline message
+    * (deflate, client data = [level]) + a single-leaf v1 chunk B-tree
+    * over zlib-compressed chunks.
+    *
+    * Chunk count is bounded (≤ 48 per dataset) so one leaf node always
+    * suffices; compressed chunks are buffered in driver memory before the
+    * single sequential file write — fine for the bounded clean-product
+    * sink this exporter serves (the raw 100 TB path is parquet).
+    */
+  def writeChunked(df: DataFrame, path: String,
+                   attrs: Seq[(String, String)] = Nil,
+                   varAttrs: Map[String, Seq[(String, String)]] = Map.empty,
+                   deflateLevel: Int = 4, chunkElems0: Int = 0): Long = {
+    val fields = df.schema.fields.toSeq
+    require(fields.nonEmpty, "HDF5 export needs at least one column")
+    val types = fields.map(f => f.name -> h5Type(f.dataType))
+    val n = df.count()
+    val chunkElems = if (chunkElems0 > 0) chunkElems0
+      else math.max(4096L, (n + 47) / 48).toInt
+
+    // --- stream rows once; per column, deflate full chunks as they close
+    final class ChunkAcc(t: H5Type, fieldIdx: Int) {
+      val chunks = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      private val buf = ByteBuffer.allocate(chunkElems * t.size)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      private def close(): Unit = if (buf.position() > 0) {
+        // edge chunk: pad with fill to the full chunk size (HDF5 stores
+        // whole chunks; readers clip via the dataspace dims)
+        while (buf.remaining() >= t.size) put(null)
+        val d = new java.util.zip.Deflater(deflateLevel)
+        d.setInput(buf.array(), 0, buf.position()); d.finish()
+        val out = new java.io.ByteArrayOutputStream(buf.position() / 2 + 64)
+        val tmp = new Array[Byte](65536)
+        while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+        d.end()
+        chunks += out.toByteArray
+        buf.clear()
+      }
+      private def put(row: org.apache.spark.sql.Row): Unit = {
+        val isNull = row == null || row.isNullAt(fieldIdx)
+        t match {
+          case F64 => buf.putDouble(if (isNull) Double.NaN else (row.get(fieldIdx) match {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case x: Number => x.doubleValue()
+          }))
+          case I32 => buf.putInt(if (isNull) Int.MinValue else
+            row.get(fieldIdx).asInstanceOf[Number].intValue())
+          case I64 => buf.putLong(if (isNull) Long.MinValue else row.getLong(fieldIdx))
+        }
+      }
+      def add(row: org.apache.spark.sql.Row): Unit = {
+        put(row)
+        if (buf.remaining() < t.size) close()
+      }
+      def finish(): Unit = close()
+    }
+    val accs = types.zipWithIndex.map { case ((_, t), i) => new ChunkAcc(t, i) }
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      var i = 0
+      while (i < accs.length) { accs(i).add(row); i += 1 }
+    }
+    accs.foreach(_.finish())
+
+    // --- local heap --------------------------------------------------------
+    val heapData = new Buf
+    heapData.u64(0)
+    val nameOff = fields.map { f =>
+      val off = heapData.pos
+      heapData.bytes(f.name.getBytes("US-ASCII")).u8(0).pad(8)
+      f.name -> off.toLong
+    }.toMap
+    val heapSegSize = heapData.pos.toLong
+
+    def pipelineBody(): Array[Byte] = {
+      val b = new Buf
+      b.u8(1).u8(1) // version 1, one filter
+      b.u16(0).u32(0) // reserved
+      b.u16(1).u16(0) // deflate, name length 0
+      b.u16(0).u16(1) // flags (mandatory), 1 client value
+      b.u32(deflateLevel.toLong)
+      b.u32(0) // pad client data to even count
+      b.result()
+    }
+    def dsHeader(name: String, t: H5Type, btreeAddr: Long): Array[Byte] = {
+      val extra = varAttrs.getOrElse(name, Nil) ++
+        (if (name == "time")
+           Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time")
+         else Nil)
+      val msgs = Seq(
+        Msg(0x0001, vectorSpaceBody(n)),
+        Msg(0x0003, datatypeBody(t)),
+        Msg(0x0005, { val b = new Buf; b.u8(2).u8(1).u8(2).u8(0); b.result() }),
+        Msg(0x000b, pipelineBody()),
+        Msg(0x0008, { val b = new Buf
+          b.u8(3).u8(2) // version 3, chunked
+          b.u8(2) // dimensionality rank+1
+          b.u64(btreeAddr)
+          b.u32(chunkElems.toLong).u32(t.size.toLong)
+          b.result() })
+      ) ++ extra.map { case (k, v) => Msg(0x000c, attrBody(k, v)) }
+      objectHeader(msgs)
+    }
+    // chunk B-tree (node type 1, level 0, single leaf): entries used keys
+    // interleaved with child pointers, one trailing upper-bound key
+    def chunkTree(chunks: Seq[Array[Byte]], addrs: Seq[Long], t: H5Type): Array[Byte] = {
+      val b = new Buf
+      b.bytes("TREE".getBytes("US-ASCII"))
+      b.u8(1).u8(0) // node type 1 (raw data chunk), level 0
+      b.u16(chunks.length)
+      b.u64(Undef).u64(Undef)
+      for (i <- chunks.indices) {
+        b.u32(chunks(i).length.toLong).u32(0) // size, filter mask
+        b.u64(i.toLong * chunkElems).u64(0) // offsets (elem, byte-within)
+        b.u64(addrs(i))
+      }
+      b.u32(0).u32(0).u64(n).u64(t.size.toLong) // upper-bound key
+      b.result()
+    }
+
+    // --- address assignment ------------------------------------------------
+    val btreeSize = 24 + (2 * LeafK + 1) * 8 + 2 * LeafK * 8
+    val snodSize = 8 + 2 * LeafK * 40
+    val heapHdrSize = 32
+    var at = 96L
+    val rootHeader0 = objectHeader(Seq(
+      Msg(0x0011, { val b = new Buf; b.u64(0).u64(0); b.result() })) ++
+      attrs.map { case (k, v) => Msg(0x000c, attrBody(k, v)) })
+    val rootAddr = at; at += rootHeader0.length
+    val btreeAddr = at; at += btreeSize
+    val snodAddr = at; at += snodSize
+    val heapHdrAddr = at; at += heapHdrSize
+    val heapSegAddr = at; at += heapSegSize
+    val dsHdrSizes = types.map { case (nm, t) => nm -> dsHeader(nm, t, 0L).length }.toMap
+    val dsHdrAddr = types.map { case (nm, _) =>
+      val a = at; at += dsHdrSizes(nm); nm -> a
+    }.toMap
+    val dsTreeAddr = types.zipWithIndex.map { case ((nm, _), i) =>
+      val a = at
+      at += 24 + (accs(i).chunks.length + 1) * 24 + accs(i).chunks.length * 8
+      nm -> a
+    }.toMap
+    val chunkAddrs = types.zipWithIndex.map { case ((nm, _), i) =>
+      nm -> accs(i).chunks.map { c => val a = at; at += c.length; a }.toSeq
+    }.toMap
+    val eof = at
+
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      raf.setLength(0)
+      val sb = new Buf
+      sb.bytes(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
+      sb.u8(0).u8(0).u8(0).u8(0)
+      sb.u8(0)
+      sb.u8(8).u8(8).u8(0)
+      sb.u16(LeafK).u16(InternalK)
+      sb.u32(0)
+      sb.u64(0).u64(Undef).u64(eof).u64(Undef)
+      sb.u64(0).u64(rootAddr)
+      sb.u32(1).u32(0)
+      sb.u64(btreeAddr).u64(heapHdrAddr)
+      require(sb.pos == 96, s"superblock layout drifted: ${sb.pos}")
+      raf.write(sb.result())
+
+      val rootHeader = objectHeader(Seq(
+        Msg(0x0011, { val b = new Buf; b.u64(btreeAddr).u64(heapHdrAddr); b.result() })) ++
+        attrs.map { case (k, v) => Msg(0x000c, attrBody(k, v)) })
+      raf.seek(rootAddr); raf.write(rootHeader)
+
+      val bt = new Buf
+      bt.bytes("TREE".getBytes("US-ASCII"))
+      bt.u8(0).u8(0)
+      bt.u16(1)
+      bt.u64(Undef).u64(Undef)
+      bt.u64(0)
+      bt.u64(snodAddr)
+      bt.u64(nameOff(types.map(_._1).max))
+      while (bt.pos < btreeSize) bt.u8(0)
+      raf.seek(btreeAddr); raf.write(bt.result())
+
+      val sn = new Buf
+      sn.bytes("SNOD".getBytes("US-ASCII"))
+      sn.u8(1).u8(0)
+      sn.u16(types.length)
+      for (nm <- types.map(_._1).sorted) {
+        sn.u64(nameOff(nm)).u64(dsHdrAddr(nm))
+        sn.u32(0).u32(0)
+        sn.u64(0).u64(0)
+      }
+      while (sn.pos < snodSize) sn.u8(0)
+      raf.seek(snodAddr); raf.write(sn.result())
+
+      val hp = new Buf
+      hp.bytes("HEAP".getBytes("US-ASCII"))
+      hp.u8(0).u8(0).u8(0).u8(0)
+      hp.u64(heapSegSize)
+      hp.u64(1)
+      hp.u64(heapSegAddr)
+      raf.seek(heapHdrAddr); raf.write(hp.result())
+      raf.seek(heapSegAddr); raf.write(heapData.result())
+
+      for (((nm, t), i) <- types.zipWithIndex) {
+        val h = dsHeader(nm, t, dsTreeAddr(nm))
+        require(h.length == dsHdrSizes(nm), s"$nm header drifted")
+        raf.seek(dsHdrAddr(nm)); raf.write(h)
+        raf.seek(dsTreeAddr(nm))
+        raf.write(chunkTree(accs(i).chunks.toSeq, chunkAddrs(nm), t))
+        for ((c, a) <- accs(i).chunks.zip(chunkAddrs(nm))) {
+          raf.seek(a); raf.write(c)
+        }
+      }
+      eof
+    } finally raf.close()
+  }
+
   /** Buffered column writer: accumulates little-endian values, flushing
     * 64 KiB extents at the column's own file offset. */
   private final class ColumnWriter(raf: RandomAccessFile, start: Long,
@@ -363,8 +583,22 @@ object Hdf5 {
 
   // ---- reader ----------------------------------------------------------
 
+  /** One entry in a dataset's filter pipeline (id 1 = deflate, 2 =
+    * shuffle, 3 = fletcher32), with its client data values. */
+  final case class H5Filter(id: Int, clientData: Seq[Long])
+
+  /** One raw chunk of a chunked-layout dataset: logical element offsets
+    * (per dimension, excluding the trailing element-size "dimension"),
+    * on-disk address/size and the per-chunk filter exclusion mask. */
+  final case class H5Chunk(offsets: Seq[Long], addr: Long, size: Long,
+                           filterMask: Long)
+
   final case class H5Dataset(name: String, dtype: String, n: Long,
-                             dataAddr: Long, attrs: Map[String, String])
+                             dataAddr: Long, attrs: Map[String, String],
+                             dims: Seq[Long] = Nil,
+                             chunkDims: Seq[Long] = Nil,
+                             chunks: Seq[H5Chunk] = Nil,
+                             filters: Seq[H5Filter] = Nil)
   final case class H5File(attrs: Map[String, String], datasets: Seq[H5Dataset])
 
   private final class Rd(val b: Array[Byte]) {
@@ -372,14 +606,25 @@ object Hdf5 {
     def u16(at: Int): Int = u8(at) | (u8(at + 1) << 8)
     def u32(at: Int): Long = (0 until 4).map(i => u8(at + i).toLong << (8 * i)).sum
     def u64(at: Int): Long = (0 until 8).map(i => u8(at + i).toLong << (8 * i)).sum
+    def uN(at: Int, n: Int): Long = (0 until n).map(i => u8(at + i).toLong << (8 * i)).sum
     def ascii(at: Int, n: Int) = new String(b, at, n, "US-ASCII")
     def cstr(at: Int): String = {
       var e = at; while (b(e) != 0) e += 1; ascii(at, e - at)
     }
   }
 
-  /** Parse the subset this writer emits (v0 superblock, v1 headers, one
-    * SNOD leaf, contiguous layout). Structural deviations throw. */
+  /** Open an HDF5 file: this writer's own earliest-libver subset AND the
+    * structures netCDF-4/h5netcdf actually emit (superblock v0, v1 object
+    * headers WITH continuation blocks, v2 "OHDR" headers with compact Link
+    * messages and OCHK continuations, v1/v2/v3 attributes over
+    * string/integer/float/vlen-string datatypes with GCOL lookup,
+    * contiguous/compact/chunked v3 layouts, v1 chunk B-trees, and
+    * deflate/shuffle/fletcher32 filter pipelines). Nested groups flatten
+    * with a `group/` name prefix. Structures beyond this (fractal-heap
+    * dense links, v4 layouts, superblock v2+) throw with a clear message
+    * rather than misparse. Reference default engine:
+    * stglib/rsk/cdf2nc.py:145-147 (xarray NETCDF4), re-opened everywhere
+    * via xr.load_dataset (stglib/core/utils.py:862-877). */
   def open(bytes: Array[Byte]): H5File = {
     val r = new Rd(bytes)
     require(r.ascii(1, 3) == "HDF" && r.u8(0) == 0x89, "not an HDF5 file")
@@ -387,92 +632,376 @@ object Hdf5 {
     require(r.u8(13) == 8 && r.u8(14) == 8, "expected 8-byte offsets/lengths")
     val rootOH = r.u64(56 + 8)
 
-    final case class Parsed(msgs: Seq[(Int, Int)]) // (type, body offset)
-    def parseHeader(at: Long): Seq[(Int, Int, Int)] = {
-      require(r.u8(at.toInt) == 1, s"object header version at $at")
-      val nMsgs = r.u16(at.toInt + 2)
-      var o = at.toInt + 16
-      (0 until nMsgs).map { _ =>
-        val typ = r.u16(o); val sz = r.u16(o + 2)
-        val rec = (typ, o + 8, sz)
-        o += 8 + sz
-        rec
+    // -- object headers: v1 (version byte 1) or v2 ("OHDR") --------------
+    // returns (type, bodyOffset, size) across all continuation blocks
+    def parseHeader(at0: Long): Seq[(Int, Int, Int)] = {
+      val at = at0.toInt
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int)]()
+      if (r.ascii(at, 4) == "OHDR") {
+        val flags = r.u8(at + 5)
+        var o = at + 6
+        if ((flags & 0x20) != 0) o += 16 // access/mod/change/birth times
+        if ((flags & 0x10) != 0) o += 4  // max-compact / min-dense
+        val szb = 1 << (flags & 0x3)
+        val size = r.uN(o, szb); o += szb
+        val blocks = scala.collection.mutable.Queue[(Int, Int)]((o, o + size.toInt))
+        while (blocks.nonEmpty) {
+          val (s0, e0) = blocks.dequeue()
+          var p = s0
+          while (p + 4 <= e0) {
+            val typ = r.u8(p); val sz = r.u16(p + 1); p += 4
+            if ((flags & 0x04) != 0) p += 2 // creation order
+            if (typ == 0x10) {
+              val caddr = r.u64(p).toInt; val clen = r.u64(p + 8).toInt
+              require(r.ascii(caddr, 4) == "OCHK", "continuation signature")
+              blocks.enqueue((caddr + 4, caddr + clen - 4)) // strip sig+checksum
+            } else out += ((typ, p, sz))
+            p += sz
+          }
+        }
+      } else {
+        require(r.u8(at) == 1, s"object header version at $at0")
+        val nMsgs = r.u16(at + 2)
+        var remaining = nMsgs
+        val blocks = scala.collection.mutable.Queue[(Int, Int)](
+          (at + 16, at + 16 + r.u32(at + 8).toInt))
+        while (remaining > 0 && blocks.nonEmpty) {
+          val (s0, e0) = blocks.dequeue()
+          var o = s0
+          while (remaining > 0 && o + 8 <= e0) {
+            val typ = r.u16(o); val sz = r.u16(o + 2)
+            if (typ == 0x0010) {
+              // v1 continuation blocks are raw message runs (no signature)
+              val caddr = r.u64(o + 8).toInt; val clen = r.u64(o + 16).toInt
+              blocks.enqueue((caddr, caddr + clen))
+            } else out += ((typ, o + 8, sz))
+            o += 8 + sz
+            remaining -= 1
+          }
+        }
       }
+      out.toSeq.filterNot(_._1 == 0x0010)
     }
+
+    // -- global heap (vlen string attribute values) -----------------------
+    def gcolString(addr: Long, index: Int, size: Int): String = {
+      val a = addr.toInt
+      require(r.ascii(a, 4) == "GCOL", "global heap signature")
+      var o = a + 16
+      val end = a + r.u64(a + 8).toInt
+      while (o < end) {
+        val idx = r.u16(o); val sz = r.u64(o + 8).toInt
+        if (idx == index) return r.ascii(o + 16, size)
+        if (idx == 0) return "" // free space marker: not found
+        o += 16 + ((sz + 7) / 8) * 8
+      }
+      ""
+    }
+
+    // -- attribute decode (v1 padded / v2 / v3 unpadded) ------------------
     def parseAttr(at: Int): (String, String) = {
-      require(r.u8(at) == 1, "attribute message version")
+      val ver = r.u8(at)
+      require(ver >= 1 && ver <= 3, s"attribute message version $ver")
       val nameSz = r.u16(at + 2); val dtSz = r.u16(at + 4); val dsSz = r.u16(at + 6)
       def pad8(x: Int) = x + (8 - x % 8) % 8
-      val nameAt = at + 8
+      val nameAt = at + (if (ver == 3) 9 else 8) // v3: +1 name-encoding byte
       val name = r.cstr(nameAt)
-      val dtAt = nameAt + pad8(nameSz)
-      require((r.u8(dtAt) & 0x0f) == 3, "attribute datatype is not a string")
-      val strLen = r.u32(dtAt + 4).toInt
-      val dataAt = dtAt + pad8(dtSz) + pad8(dsSz)
-      val raw = r.ascii(dataAt, strLen)
-      (name, raw.takeWhile(_ != 0.toChar))
+      val (dtAt, dsAt) =
+        if (ver == 1) (nameAt + pad8(nameSz), nameAt + pad8(nameSz) + pad8(dtSz))
+        else (nameAt + nameSz, nameAt + nameSz + dtSz)
+      val dataAt = if (ver == 1) dsAt + pad8(dsSz) else dsAt + dsSz
+      // element count from the attribute's dataspace (rank 0 -> 1)
+      val dsVer = r.u8(dsAt); val rank = r.u8(dsAt + 1)
+      val dimsAt = if (dsVer == 2) dsAt + 4 else dsAt + 8
+      val count = (0 until rank).map(i => r.u64(dimsAt + 8 * i)).product max 1L
+      val cls = r.u8(dtAt) & 0x0f
+      val tSz = r.u32(dtAt + 4).toInt
+      val value = cls match {
+        case 3 => r.ascii(dataAt, tSz).takeWhile(_ != 0.toChar)
+        case 0 =>
+          val signed = (r.u8(dtAt + 1) & 0x08) != 0
+          (0L until count).map { i =>
+            val raw = r.uN(dataAt + i.toInt * tSz, tSz)
+            val v = if (signed && tSz < 8) {
+              val shift = 64 - 8 * tSz; (raw << shift) >> shift
+            } else raw
+            v.toString
+          }.mkString(", ")
+        case 1 =>
+          (0L until count).map { i =>
+            val v = if (tSz == 4)
+              java.lang.Float.intBitsToFloat(r.u32(dataAt + i.toInt * 4).toInt).toDouble
+            else java.lang.Double.longBitsToDouble(r.u64(dataAt + i.toInt * 8))
+            if (v == v.floor && math.abs(v) < 1e15) v.toLong.toString else v.toString
+          }.mkString(", ")
+        case 9 if (r.u8(dtAt + 1) & 0x0f) == 1 =>
+          // vlen string: each element (size u32, gcol addr u64, gcol idx u32)
+          (0L until count).map { i =>
+            val e = dataAt + i.toInt * 16
+            gcolString(r.u64(e + 4), r.u32(e + 12).toInt, r.u32(e).toInt)
+          }.mkString(", ")
+        case other => s"<datatype class $other>"
+      }
+      (name, value)
+    }
+
+    // -- v1 chunk B-tree walk (node type 1) -------------------------------
+    def walkChunkTree(addr: Long, nDims: Int): Seq[H5Chunk] = {
+      if (addr == Undef || addr == -1L) return Nil
+      val a = addr.toInt
+      require(r.ascii(a, 4) == "TREE", "chunk B-tree signature")
+      require(r.u8(a + 4) == 1, "B-tree node type != chunked-data")
+      val level = r.u8(a + 5); val used = r.u16(a + 6)
+      val keySz = 8 + 8 * nDims // size u32 + mask u32 + offsets u64*ndims
+      var o = a + 24
+      val out = scala.collection.mutable.ArrayBuffer[H5Chunk]()
+      for (_ <- 0 until used) {
+        val size = r.u32(o); val mask = r.u32(o + 4)
+        val offs = (0 until nDims).map(i => r.u64(o + 8 + 8 * i))
+        val child = r.u64(o + keySz)
+        if (level == 0)
+          out += H5Chunk(offs.dropRight(1), child, size, mask)
+        else out ++= walkChunkTree(child, nDims)
+        o += keySz + 8
+      }
+      out.toSeq
+    }
+
+    // -- links out of a group header --------------------------------------
+    def groupLinks(msgs: Seq[(Int, Int, Int)]): Seq[(String, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+      // old-style: symbol table -> TREE (any depth) -> SNOD leaves
+      msgs.find(_._1 == 0x0011).foreach { case (_, o, _) =>
+        val btreeAddr = r.u64(o); val heapHdrAddr = r.u64(o + 8)
+        val heapSegAddr = r.u64(heapHdrAddr.toInt + 24)
+        def walkGroupTree(at: Long): Seq[Long] = {
+          val a = at.toInt
+          require(r.ascii(a, 4) == "TREE", "group B-tree signature")
+          val level = r.u8(a + 5); val used = r.u16(a + 6)
+          val children = (0 until used).map(i => r.u64(a + 24 + 8 + i * 16))
+          if (level == 0) children else children.flatMap(walkGroupTree)
+        }
+        for (sa <- walkGroupTree(btreeAddr)) {
+          require(r.ascii(sa.toInt, 4) == "SNOD", "symbol node signature")
+          val nSyms = r.u16(sa.toInt + 6)
+          for (i <- 0 until nSyms) {
+            val e = sa.toInt + 8 + i * 40
+            out += ((r.cstr((heapSegAddr + r.u64(e)).toInt), r.u64(e + 8)))
+          }
+        }
+      }
+      // new-style compact links (netCDF-4's shape when few links): Link
+      // messages in the header; dense (fractal heap) storage unsupported
+      msgs.find(_._1 == 0x0002).foreach { case (_, o, _) =>
+        val fl = r.u8(o + 1)
+        var p = o + 2
+        if ((fl & 0x01) != 0) p += 8 // max creation index
+        val fheap = r.u64(p)
+        require(fheap == Undef,
+          "dense (fractal-heap) group links unsupported; write with libver='earliest'")
+      }
+      for ((typ, o, _) <- msgs if typ == 0x0006) {
+        require(r.u8(o) == 1, "link message version")
+        val fl = r.u8(o + 1)
+        var p = o + 2
+        val hasType = (fl & 0x08) != 0
+        val linkType = if (hasType) r.u8(p) else 0
+        if (hasType) p += 1
+        if ((fl & 0x04) != 0) p += 8 // creation order
+        if ((fl & 0x10) != 0) p += 1 // charset
+        val lszB = 1 << (fl & 0x3)
+        val lsz = r.uN(p, lszB).toInt; p += lszB
+        val nm = r.ascii(p, lsz); p += lsz
+        if (linkType == 0) out += ((nm, r.u64(p))) // hard links only
+      }
+      out.toSeq
+    }
+
+    def isGroup(msgs: Seq[(Int, Int, Int)]): Boolean =
+      msgs.exists(m => m._1 == 0x0011 || m._1 == 0x0002 || m._1 == 0x0006 ||
+        m._1 == 0x000a) && !msgs.exists(_._1 == 0x0008)
+
+    def parseDataset(name: String, msgs: Seq[(Int, Int, Int)]): H5Dataset = {
+      var n = -1L; var dataAddr = -1L; var dtype = "unknown"
+      var dims: Seq[Long] = Nil; var chunkDims: Seq[Long] = Nil
+      var chunks: Seq[H5Chunk] = Nil; var filters: Seq[H5Filter] = Nil
+      val attrs = scala.collection.mutable.Map[String, String]()
+      for ((typ, o, sz) <- msgs) typ match {
+        case 0x0001 =>
+          val ver = r.u8(o); val rank = r.u8(o + 1)
+          val dimsAt = if (ver == 2) o + 4 else o + 8
+          dims = (0 until rank).map(i => r.u64(dimsAt + 8 * i))
+          n = if (dims.isEmpty) 1L else dims.product
+        case 0x0003 =>
+          val cls = r.u8(o) & 0x0f
+          val tSz = r.u32(o + 4).toInt
+          val signed = (r.u8(o + 1) & 0x08) != 0
+          dtype = (cls, tSz) match {
+            case (0, 1) => if (signed) "i8" else "u8"
+            case (0, 2) => if (signed) "i16" else "u16"
+            case (0, 4) => if (signed) "i32" else "u32"
+            case (0, 8) => "i64"
+            case (1, 4) => "f32"
+            case (1, 8) => "f64"
+            case (3, w) => s"s$w"
+            case other => s"class$other"
+          }
+        case 0x0008 =>
+          val ver = r.u8(o)
+          require(ver == 3, s"data layout version $ver unsupported")
+          r.u8(o + 1) match {
+            case 0 => // compact: size u16, data inline
+              dataAddr = o + 4L
+            case 1 =>
+              dataAddr = r.u64(o + 2)
+            case 2 =>
+              val nd = r.u8(o + 2)
+              val baddr = r.u64(o + 3)
+              chunkDims = (0 until nd - 1).map(i => r.u32(o + 11 + 4 * i))
+              chunks = walkChunkTree(baddr, nd)
+            case cls => throw new IllegalArgumentException(s"layout class $cls")
+          }
+        case 0x000b =>
+          val ver = r.u8(o); val nf = r.u8(o + 1)
+          var p = if (ver == 1) o + 8 else o + 2
+          filters = (0 until nf).map { _ =>
+            val id = r.u16(p)
+            val nameLen =
+              if (ver == 1 || id >= 256) { val v = r.u16(p + 2); p += 2; v } else 0
+            val flags = r.u16(p + 2); val nclient = r.u16(p + 4)
+            p += 6
+            if (nameLen > 0) p += (if (ver == 1) ((nameLen + 7) / 8) * 8 else nameLen)
+            val client = (0 until nclient).map(i => r.u32(p + 4 * i))
+            p += 4 * nclient
+            if (ver == 1 && nclient % 2 == 1) p += 4
+            H5Filter(id, client)
+          }
+        case 0x000c =>
+          val (k, v) = parseAttr(o); attrs(k) = v
+        case _ => ()
+      }
+      H5Dataset(name, dtype, n, dataAddr, attrs.toMap, dims, chunkDims,
+        chunks, filters)
     }
 
     val rootMsgs = parseHeader(rootOH)
     val rootAttrs = rootMsgs.collect { case (0x000c, o, _) => parseAttr(o) }.toMap
-    val (btreeAddr, heapHdrAddr) = rootMsgs.find(_._1 == 0x0011) match {
-      case Some((_, o, _)) => (r.u64(o), r.u64(o + 8))
-      case None => throw new IllegalArgumentException("root has no symbol table")
-    }
-    val heapSegAddr = r.u64(heapHdrAddr.toInt + 24)
-
-    require(r.ascii(btreeAddr.toInt, 4) == "TREE", "group B-tree signature")
-    require(r.u8(btreeAddr.toInt + 5) == 0, "multi-level group B-tree unsupported")
-    val nChildren = r.u16(btreeAddr.toInt + 6)
-    val snodAddrs = (0 until nChildren).map(i =>
-      r.u64(btreeAddr.toInt + 24 + 8 + i * 16))
-
-    val datasets = snodAddrs.flatMap { sa =>
-      require(r.ascii(sa.toInt, 4) == "SNOD", "symbol node signature")
-      val nSyms = r.u16(sa.toInt + 6)
-      (0 until nSyms).map { i =>
-        val e = sa.toInt + 8 + i * 40
-        val name = r.cstr((heapSegAddr + r.u64(e)).toInt)
-        val oh = r.u64(e + 8)
-        val msgs = parseHeader(oh)
-        var n = -1L; var dataAddr = -1L; var dtype = "unknown"
-        val attrs = scala.collection.mutable.Map[String, String]()
-        for ((typ, o, _) <- msgs) typ match {
-          case 0x0001 =>
-            require(r.u8(o + 1) == 1, "rank != 1")
-            n = r.u64(o + 8)
-          case 0x0003 =>
-            val cls = r.u8(o) & 0x0f
-            val sz = r.u32(o + 4).toInt
-            dtype = (cls, sz) match {
-              case (0, 4) => "i32"
-              case (0, 8) => "i64"
-              case (1, 8) => "f64"
-              case other => s"class$other"
-            }
-          case 0x0008 =>
-            require(r.u8(o) == 3 && r.u8(o + 1) == 1, "layout not v3 contiguous")
-            dataAddr = r.u64(o + 2)
-          case 0x000c =>
-            val (k, v) = parseAttr(o); attrs(k) = v
-          case _ => ()
-        }
-        H5Dataset(name, dtype, n, dataAddr, attrs.toMap)
+    val datasets = scala.collection.mutable.ArrayBuffer[H5Dataset]()
+    def walk(prefix: String, msgs: Seq[(Int, Int, Int)]): Unit =
+      for ((nm, addr) <- groupLinks(msgs)) {
+        val child = parseHeader(addr)
+        if (isGroup(child)) walk(prefix + nm + "/", child)
+        else datasets += parseDataset(prefix + nm, child)
       }
-    }
-    H5File(rootAttrs, datasets)
+    walk("", rootMsgs)
+    H5File(rootAttrs, datasets.toSeq)
   }
 
-  /** Decode a dataset's contiguous extent as doubles. */
+  private def elemSize(dtype: String): Int = dtype match {
+    case "i8" | "u8" => 1
+    case "i16" | "u16" => 2
+    case "i32" | "u32" | "f32" => 4
+    case "i64" | "f64" => 8
+    case s if s.startsWith("s") => s.drop(1).toInt
+    case other => throw new IllegalArgumentException(s"dtype $other")
+  }
+
+  private def decodeOne(bb: ByteBuffer, dtype: String): Double = dtype match {
+    case "f64" => bb.getDouble()
+    case "f32" => bb.getFloat().toDouble
+    case "i64" => bb.getLong().toDouble
+    case "i32" => bb.getInt().toDouble
+    case "u32" => (bb.getInt().toLong & 0xffffffffL).toDouble
+    case "i16" => bb.getShort().toDouble
+    case "u16" => (bb.getShort() & 0xffff).toDouble
+    case "i8" => bb.get().toDouble
+    case "u8" => (bb.get() & 0xff).toDouble
+    case other => throw new IllegalArgumentException(s"dtype $other")
+  }
+
+  /** Undo a chunk's filter pipeline (applied in reverse write order):
+    * fletcher32 strips its trailing checksum, shuffle de-interleaves the
+    * byte planes, deflate inflates. */
+  private def defilter(raw: Array[Byte], filters: Seq[H5Filter],
+                       mask: Long, esz: Int): Array[Byte] = {
+    var data = raw
+    for (((f, i)) <- filters.zipWithIndex.reverse) {
+      if ((mask & (1L << i)) == 0) f.id match {
+        case 1 =>
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(data)
+          val out = new java.io.ByteArrayOutputStream(data.length * 4)
+          val buf = new Array[Byte](65536)
+          while (!inf.finished()) {
+            val k = inf.inflate(buf)
+            if (k == 0 && inf.needsInput()) throw new IllegalArgumentException(
+              "truncated deflate chunk")
+            out.write(buf, 0, k)
+          }
+          inf.end()
+          data = out.toByteArray
+        case 2 =>
+          val sz = f.clientData.headOption.map(_.toInt).getOrElse(esz)
+          val n = data.length / sz
+          val out = new Array[Byte](data.length)
+          var j = 0
+          while (j < sz) {
+            var i2 = 0
+            while (i2 < n) { out(i2 * sz + j) = data(j * n + i2); i2 += 1 }
+            j += 1
+          }
+          // trailing bytes (length not divisible by element size) copy as-is
+          System.arraycopy(data, n * sz, out, n * sz, data.length - n * sz)
+          data = out
+        case 3 =>
+          data = java.util.Arrays.copyOf(data, data.length - 4)
+        case other => throw new IllegalArgumentException(
+          s"filter $other unsupported (deflate/shuffle/fletcher32 only)")
+      }
+    }
+    data
+  }
+
+  /** Decode a dataset (contiguous, compact, or chunked+filtered) as a
+    * row-major double array of all `n` elements. */
   def column(bytes: Array[Byte], ds: H5Dataset): Array[Double] = {
-    val bb = ByteBuffer.wrap(bytes, ds.dataAddr.toInt,
-      (ds.n * (if (ds.dtype == "i32") 4 else 8)).toInt)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    ds.dtype match {
-      case "f64" => Array.fill(ds.n.toInt)(bb.getDouble())
-      case "i32" => Array.fill(ds.n.toInt)(bb.getInt().toDouble)
-      case "i64" => Array.fill(ds.n.toInt)(bb.getLong().toDouble)
-      case other => throw new IllegalArgumentException(s"dtype $other")
+    val esz = elemSize(ds.dtype)
+    if (ds.chunks.isEmpty) {
+      require(ds.dataAddr >= 0, s"${ds.name}: no data address")
+      val bb = ByteBuffer.wrap(bytes, ds.dataAddr.toInt, (ds.n * esz).toInt)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      Array.fill(ds.n.toInt)(decodeOne(bb, ds.dtype))
+    } else {
+      val dims = if (ds.dims.nonEmpty) ds.dims else Seq(ds.n)
+      val out = new Array[Double](ds.n.toInt)
+      // row-major strides of the logical array
+      val strides = dims.scanRight(1L)(_ * _).drop(1)
+      for (c <- ds.chunks) {
+        val raw = java.util.Arrays.copyOfRange(bytes, c.addr.toInt,
+          (c.addr + c.size).toInt)
+        val data = defilter(raw, ds.filters, c.filterMask, esz)
+        val bb = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
+        val cd = if (ds.chunkDims.nonEmpty) ds.chunkDims else Seq(ds.n)
+        val total = cd.product
+        var i = 0L
+        while (i < total) {
+          // position of element i inside the chunk grid, then global
+          var rem = i; var pos = 0L; var inRange = true
+          var d = 0
+          while (d < cd.length) {
+            val sub = cd.drop(d + 1).product
+            val coord = c.offsets(d) + rem / sub
+            rem = rem % sub
+            if (coord >= dims(d)) inRange = false
+            pos += coord * strides(d)
+            d += 1
+          }
+          val v = decodeOne(bb, ds.dtype)
+          if (inRange) out(pos.toInt) = v
+          i += 1
+        }
+      }
+      out
     }
   }
 }

@@ -196,4 +196,106 @@ object Readers {
           col(timeCol) - expr(s"INTERVAL ${sec.toLong} SECOND"))
       case _ => df
     }
+
+  /** CF "units since epoch" time decode: returns microseconds since the
+    * Unix epoch for one raw coordinate value, or None if the units string
+    * is not a recognized `<unit> since <timestamp>` form. */
+  private[io] def cfEpochMicros(units: String, v: Double): Option[Long] = {
+    val m = "(?i)(seconds|minutes|hours|days|milliseconds)\\s+since\\s+(.+)".r
+    units.trim match {
+      case m(unit, epoch0) =>
+        val epoch = epoch0.trim.replace("T", " ")
+        val base =
+          try {
+            val fmts = Seq("yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss",
+              "yyyy-MM-dd HH:mm", "yyyy-MM-dd")
+            val cleaned = epoch.stripSuffix("Z").stripSuffix(" UTC")
+            fmts.view.flatMap { f =>
+              try Some(java.time.LocalDateTime.parse(cleaned,
+                java.time.format.DateTimeFormatter.ofPattern(f)))
+              catch {
+                case _: Exception =>
+                  try Some(java.time.LocalDate.parse(cleaned,
+                    java.time.format.DateTimeFormatter.ofPattern(f)).atStartOfDay())
+                  catch { case _: Exception => None }
+              }
+            }.headOption
+          } catch { case _: Exception => None }
+        base.map { b =>
+          val perUnit = unit.toLowerCase match {
+            case "seconds" => 1e6
+            case "minutes" => 6e7
+            case "hours" => 3.6e9
+            case "days" => 8.64e10
+            case "milliseconds" => 1e3
+          }
+          b.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+            b.getNano / 1000L + math.round(v * perUnit)
+        }
+      case _ => None
+    }
+  }
+
+  /** Open a netCDF file of EITHER family — netCDF-4/HDF5 ([[Hdf5.open]],
+    * incl. chunked/DEFLATE layouts) or classic CDF-1/CDF-5
+    * ([[Netcdf3]]) — as a DataFrame: every 1-D numeric variable over the
+    * time dimension becomes a double column; the `time` coordinate is
+    * decoded from its CF `units = "<unit> since <epoch>"` attribute into
+    * a timestamp column (raw values kept as `time_raw` when decode
+    * applies). This is the re-open path for the reference's .nc/.cdf
+    * products (xr.load_dataset, stglib/core/utils.py:862-877): runots
+    * ingest and the --atmpres aux input accept real netCDF without a
+    * conversion step. */
+  def readNetcdf(spark: SparkSession, path: String): DataFrame = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (cols, attrsOf): (Seq[(String, Array[Double])], String => Map[String, String]) =
+      if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H') {
+        val h5 = Hdf5.open(bytes)
+        val numeric = h5.datasets.filter(d =>
+          d.dims.length <= 1 && "iuf".contains(d.dtype.head))
+        val nMax = numeric.map(_.n).maxOption.getOrElse(0L)
+        val keep = numeric.filter(_.n == nMax)
+        (keep.map(d => d.name -> Hdf5.column(bytes, d)),
+         (nm: String) => h5.datasets.find(_.name == nm).map(_.attrs).getOrElse(Map.empty))
+      } else {
+        val nc = Netcdf3.read(bytes)
+        val recVars = nc.vars.filter(v => nc.header.dims.nonEmpty)
+        (recVars.map(v => v.name -> nc.column(v.name)),
+         (nm: String) => nc.vars.find(_.name == nm).map(_.attrs).getOrElse(Map.empty))
+      }
+    require(cols.nonEmpty, s"$path: no 1-D numeric variables")
+    val n = cols.head._2.length
+    val names = cols.map(_._1)
+    val rows = (0 until n).map { i =>
+      org.apache.spark.sql.Row.fromSeq(cols.map(_._2(i)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(names.map(nm =>
+      org.apache.spark.sql.types.StructField(nm,
+        org.apache.spark.sql.types.DoubleType)))
+    var df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 65536)), schema)
+    // CF time decode
+    names.find(_ == "time").foreach { tn =>
+      val units = attrsOf(tn).getOrElse("units", "")
+      if (cfEpochMicros(units, 0.0).isDefined) {
+        val m = "(?i)(seconds|minutes|hours|days|milliseconds)\\s+since\\s+(.+)".r
+        val (scale, epochUs) = units.trim match {
+          case m(unit, _) =>
+            val perUnit = unit.toLowerCase match {
+              case "seconds" => 1e6
+              case "minutes" => 6e7
+              case "hours" => 3.6e9
+              case "days" => 8.64e10
+              case "milliseconds" => 1e3
+            }
+            (perUnit, cfEpochMicros(units, 0.0).get)
+        }
+        df = df.withColumnRenamed("time", "time_raw")
+          .withColumn("time", expr(
+            s"timestamp_micros(CAST(round(time_raw * $scale) AS BIGINT) + ${epochUs}L)"))
+      }
+    }
+    df
+  }
+
 }

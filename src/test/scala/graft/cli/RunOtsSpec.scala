@@ -501,4 +501,36 @@ class RunOtsSpec extends AnyFunSuite {
     assert(df.columns.toSet == Set("P_1", "temperature"))
     assert(df.orderBy("P_1").collect()(0).getDouble(df.columns.indexOf("P_1")) == 10.1)
   }
+
+  test("ingest accepts netCDF input of both families (nc4 chunked + reference cdf)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ncin").toFile
+    // a chunked+DEFLATE netCDF-4 product written by the library itself
+    val nc = new java.io.File(dir, "prod.nc").getAbsolutePath
+    graft.io.Hdf5.writeChunked(
+      Seq((0.0, 9.9), (1.0, 10.1), (2.0, 10.0)).toDF("time", "P_1"),
+      nc, varAttrs = Map("time" -> Seq("units" -> "seconds since 2021-06-01")))
+    val meta = graft.core.Meta(Map.empty[String, Any])
+    val out = new java.io.File(dir, "raw").getAbsolutePath
+    RunOts.runStep(spark, "rsk", "ingest", meta, nc, out)
+    val got = spark.read.parquet(out).orderBy("time_raw").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[java.sql.Timestamp]("time").toInstant ==
+      java.time.Instant.parse("2021-06-01T00:00:00Z"))
+    assert(got(2).getAs[Double]("P_1") == 10.0)
+
+    // and a REAL netcdf-c file from the reference examples, when present
+    val ref = "/root/reference/examples/gndcrmet.nc"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(ref))) {
+      val out2 = new java.io.File(dir, "met").getAbsolutePath
+      RunOts.runStep(spark, "rsk", "ingest", meta, ref, out2)
+      val met = spark.read.parquet(out2)
+      assert(met.count() == 17660)
+      assert(met.columns.contains("BP") && met.columns.contains("time"))
+      val first = met.orderBy("time_raw").head()
+      assert(first.getAs[java.sql.Timestamp]("time").toInstant ==
+        java.time.Instant.parse("2016-08-01T06:00:00Z"))
+    }
+  }
+
 }

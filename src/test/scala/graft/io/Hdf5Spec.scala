@@ -84,6 +84,83 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Hdf5.column(b, byName("alpha")).toSeq == Seq(2.0))
   }
 
+  test("chunked + DEFLATE round trip across chunk boundaries, nulls, edge chunk") {
+    import spark.implicits._
+    // 20 rows, chunkElems = 7 -> 3 chunks, last one partial (edge clip)
+    val df = (0 until 20).map(i =>
+      (i.toDouble, if (i % 5 == 4) None else Option(i * 1.5), i.toLong * 3))
+      .toDF("time", "P_1", "counts")
+    val path = Files.createTempDirectory("h5").resolve("chunked.h5").toString
+    Hdf5.writeChunked(df, path,
+      attrs = Seq("title" -> "chunked test"),
+      varAttrs = Map("P_1" -> Seq("units" -> "dbar")),
+      deflateLevel = 6, chunkElems0 = 7)
+    val b = Files.readAllBytes(Paths.get(path))
+    val h5 = Hdf5.open(b)
+    assert(h5.attrs("title") == "chunked test")
+    val byName = h5.datasets.map(d => d.name -> d).toMap
+    val p1 = byName("P_1")
+    assert(p1.chunks.length == 3 && p1.chunkDims == Seq(7L))
+    assert(p1.filters.map(_.id) == Seq(1)) // deflate
+    assert(p1.attrs("units") == "dbar")
+    val col = Hdf5.column(b, p1)
+    assert(col.length == 20)
+    for (i <- 0 until 20)
+      if (i % 5 == 4) assert(col(i).isNaN) else assert(col(i) == i * 1.5)
+    assert(Hdf5.column(b, byName("time")).toSeq == (0 until 20).map(_.toDouble))
+    assert(Hdf5.column(b, byName("counts")).toSeq == (0 until 20).map(_ * 3.0))
+    // compression actually happened: each stored chunk is smaller than raw
+    assert(p1.chunks.forall(_.size < 7 * 8))
+    // grammar: a node-type-1 chunk B-tree exists
+    val s2 = new String(b, "ISO-8859-1")
+    val treeAt = s2.indexOf("TREE", s2.indexOf("TREE") + 1) // first is the group tree
+    assert(treeAt > 0 && b(treeAt + 4) == 1)
+  }
+
+  test("reader opens real netcdf-c output (reference examples, contiguous v2 headers)") {
+    val ref = "/root/reference/examples/gndcrmet.nc"
+    assume(Files.exists(Paths.get(ref)), "reference example not present")
+    val b = Files.readAllBytes(Paths.get(ref))
+    val h5 = Hdf5.open(b)
+    // written by netcdf-c 4.5.0 / hdf5 1.10.1 (root _NCProperties)
+    assert(h5.attrs("_NCProperties").contains("netcdflibversion"))
+    val byName = h5.datasets.map(d => d.name -> d).toMap
+    val time = byName("time")
+    assert(time.dtype == "i64" && time.n == 17660)
+    assert(time.attrs("units") == "minutes since 2016-08-01 06:00:00")
+    assert(time.attrs("CLASS") == "DIMENSION_SCALE")
+    val t = Hdf5.column(b, time)
+    assert(t(0) == 0.0 && t(1) == 15.0) // 15-minute met cadence
+    val bp = Hdf5.column(b, byName("BP"))
+    val mean = bp.filter(v => !v.isNaN).sum / bp.count(v => !v.isNaN)
+    assert(mean > 9.5 && mean < 10.8, s"BP mean $mean dbar") // ~1 atm
+  }
+
+  test("readNetcdf DataFrame re-open: CF time decode + atmpres aux shape") {
+    val ref = "/root/reference/examples/atmpres.cdf"
+    assume(Files.exists(Paths.get(ref)), "reference example not present")
+    val df = Readers.readNetcdf(spark, ref)
+    assert(df.columns.contains("time") && df.columns.contains("atmpres"))
+    val row = df.orderBy("time_raw").head()
+    // first sample: 3541 minutes after 2016-08-01T06:00
+    assert(row.getAs[java.sql.Timestamp]("time").toInstant ==
+      java.time.Instant.parse("2016-08-01T06:00:00Z").plusSeconds(3541 * 60))
+    assert(df.count() == 7497)
+  }
+
+  test("readNetcdf opens this writer's chunked output too") {
+    import spark.implicits._
+    val df = Seq((0.0, 9.9), (60.0, 10.1)).toDF("time", "P_1")
+    val path = Files.createTempDirectory("h5").resolve("rt.nc").toString
+    Hdf5.writeChunked(df, path,
+      varAttrs = Map("time" -> Seq("units" -> "seconds since 2020-01-01")))
+    val got = Readers.readNetcdf(spark, path).orderBy("time_raw").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[java.sql.Timestamp]("time").toInstant ==
+      java.time.Instant.parse("2020-01-01T00:00:00Z"))
+    assert(got(1).getAs[Double]("P_1") == 10.1)
+  }
+
   test("non-numeric columns fail before any bytes hit disk") {
     import spark.implicits._
     val df = Seq((1.0, "nope")).toDF("time", "note")
