@@ -11,8 +11,8 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * content; palette/gray/16-bit/Adam7 inputs throw a clear
   * IllegalArgumentException so a pipeline can quarantine them.
   *
-  * Closes the round-5 "compressed media codecs are stubs" gap
-  * (Multimodal.scala decodeStub) for PNG: DEFLATE is in the JVM, so the
+  * Closes the round-5 "compressed media codecs are stubs" gap for PNG
+  * (the stub dispatcher is now fully retired): DEFLATE is in the JVM, so the
   * full container+compression+filter pipeline is implementable without
   * any external dependency. Mirrors the reference's use of off-the-shelf
   * image decode in its multimodal tooling — re-expressed as plain JVM

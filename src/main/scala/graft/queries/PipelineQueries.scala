@@ -4044,75 +4044,148 @@ object PipelineQueries {
              |  CAST(sum(bit * (1 << b)) AS INTEGER) AS fp
              |FROM bits GROUP BY doc_id, f""".stripMargin)),
 
+    // REAL media pipeline over mixed-format blobs (kind = doc_id % 3:
+    // BMP24 / WAV PCM16 / DIB AVI, built by the real encoders, parsed by
+    // the real decoders via Multimodal.decodeMedia): typed metadata,
+    // decoded-plane features, nearest-neighbor resize, frame sampling.
+    // Geometry/pixels are closed-form in (doc_id, n_chars), so every
+    // oracle replays the decoded planes exactly.
     Q("multimodal_meta",
       (s, dir) => Multimodal.withMeta(
-        documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
-        "doc_id", "blob").toDF(),
-      Some("""SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
-             |  CAST(64 + (ascii(substr(text, 1, 1)) % 8) * 32 AS INTEGER) AS width,
-             |  CAST(64 + (length(text) % 7) * 32 AS INTEGER) AS height, 3 AS channels
+        Multimodal.withSyntheticBlobs(documents(s, dir), "doc_id", "n_chars"),
+        "media_id", "blob").toDF(),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(CASE doc_id % 3
+             |    WHEN 0 THEN 54 + ((3*(4 + doc_id % 5) + 3) // 4 * 4)
+             |                     * (3 + n_chars % 4)
+             |    WHEN 1 THEN 44 + 2*(24 + doc_id % 16)
+             |    ELSE 224 + (1 + doc_id % 4) *
+             |      (8 + ((3*(4 + doc_id % 3) + 3) // 4 * 4) * (2 + n_chars % 3))
+             |  END AS BIGINT) AS n_bytes,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 5
+             |    WHEN 1 THEN 24 + doc_id % 16
+             |    ELSE 4 + doc_id % 3 END AS INTEGER) AS width,
+             |  CAST(CASE doc_id % 3 WHEN 0 THEN 3 + n_chars % 4
+             |    WHEN 1 THEN 1 ELSE 2 + n_chars % 3 END AS INTEGER) AS height,
+             |  CAST(CASE doc_id % 3 WHEN 1 THEN 1 ELSE 3 END AS INTEGER)
+             |    AS channels
              |FROM documents""".stripMargin)),
 
-    // documents are pure ASCII, so UTF-8 blob bytes == ascii codes and the
-    // 16-bin histogram / mean / entropy are SQL-expressible exactly
+    // features over the DECODED first plane (RGB raster / PCM16 bytes):
+    // 16-bin histogram entropy + mean, replayed byte-for-byte in SQL
     Q("multimodal_features",
       (s, dir) => Multimodal.extractFeatures(
-        documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
-        "doc_id", "blob").toDF()
+        Multimodal.withSyntheticBlobs(documents(s, dir), "doc_id", "n_chars"),
+        "media_id", "blob").toDF()
         .select(col("media_id"), col("width"), col("height"),
           round(col("mean_byte"), 8).as("mean_byte"),
           round(col("byte_entropy"), 8).as("byte_entropy")),
-      Some("""WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n
-             |  FROM documents),
-             |bytes AS (
-             |  SELECT media_id, n, ascii(substr(text, CAST(i AS INT), 1)) AS byte
-             |  FROM (SELECT media_id, n, text,
-             |          unnest(generate_series(1, length(text))) AS i FROM b)),
-             |bins AS (SELECT media_id, n, byte // 16 AS bin, count(*) AS c
-             |  FROM bytes GROUP BY 1, 2, 3),
-             |agg AS (
-             |  SELECT media_id,
+      Some("""WITH geo AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 5
+             |      ELSE 4 + doc_id % 3 END AS w,
+             |    CASE doc_id % 3 WHEN 0 THEN 3 + n_chars % 4
+             |      ELSE 2 + n_chars % 3 END AS h
+             |  FROM documents WHERE doc_id % 3 != 1),
+             |ib AS (
+             |  SELECT doc_id,
+             |    (doc_id*7 + gx.x*3 + gy.y*11 + gc.c*5) % 256 AS byte
+             |  FROM geo, generate_series(0, 8) gx(x),
+             |    generate_series(0, 6) gy(y), generate_series(0, 2) gc(c)
+             |  WHERE gx.x < w AND gy.y < h),
+             |ws AS (
+             |  SELECT doc_id,
+             |    ((doc_id*31 + gi.i*17) % 4096 - 2048 + 65536) % 65536 AS u
+             |  FROM documents, generate_series(0, 39) gi(i)
+             |  WHERE doc_id % 3 = 1 AND gi.i < 24 + doc_id % 16),
+             |ab AS (SELECT doc_id, u % 256 AS byte FROM ws
+             |  UNION ALL SELECT doc_id, u // 256 FROM ws),
+             |allb AS (SELECT doc_id, byte FROM ib
+             |  UNION ALL SELECT doc_id, byte FROM ab),
+             |stats AS (
+             |  SELECT doc_id, CAST(sum(byte) AS DOUBLE) / count(*) AS mb,
+             |    count(*) AS n
+             |  FROM allb GROUP BY doc_id),
+             |bins AS (SELECT doc_id, byte // 16 AS bin, count(*) AS c
+             |  FROM allb GROUP BY 1, 2),
+             |ent AS (
+             |  SELECT bins.doc_id,
              |    -sum((CAST(c AS DOUBLE)/n * ln(CAST(c AS DOUBLE)/n)) / ln(2))
-             |      AS entropy
-             |  FROM bins GROUP BY media_id),
-             |mb AS (SELECT media_id, CAST(sum(byte) AS DOUBLE)
-             |         / any_value(n) AS mean_byte
-             |       FROM bytes GROUP BY media_id)
-             |SELECT b.media_id,
-             |  CAST(64 + (ascii(substr(text, 1, 1)) % 8) * 32 AS INTEGER) AS width,
-             |  CAST(64 + (n % 7) * 32 AS INTEGER) AS height,
-             |  round(mb.mean_byte, 8) AS mean_byte,
-             |  round(agg.entropy, 8) AS byte_entropy
-             |FROM b JOIN mb USING (media_id) JOIN agg USING (media_id)""".stripMargin)),
+             |      AS e
+             |  FROM bins JOIN stats ON stats.doc_id = bins.doc_id
+             |  GROUP BY bins.doc_id)
+             |SELECT d.doc_id AS media_id,
+             |  CAST(CASE d.doc_id % 3 WHEN 0 THEN 4 + d.doc_id % 5
+             |    WHEN 1 THEN 24 + d.doc_id % 16
+             |    ELSE 4 + d.doc_id % 3 END AS INTEGER) AS width,
+             |  CAST(CASE d.doc_id % 3 WHEN 0 THEN 3 + d.n_chars % 4
+             |    WHEN 1 THEN 1 ELSE 2 + d.n_chars % 3 END AS INTEGER) AS height,
+             |  round(stats.mb, 8) AS mean_byte,
+             |  round(ent.e, 8) AS byte_entropy
+             |FROM documents d
+             |JOIN stats ON stats.doc_id = d.doc_id
+             |JOIN ent ON ent.doc_id = d.doc_id""".stripMargin)),
 
-    // stubbed nearest-neighbor resize: blob-as-pixel-grid per decodeStub;
-    // checksum (sum of sampled bytes) is oracle-checkable since the docs
-    // are pure ASCII
+    // REAL nearest-neighbor 4x4 thumbnail over the decoded raster
+    // (channel 0), image kinds only — audio has no raster to resize
     Q("multimodal_resize",
-      (s, dir) => Multimodal.resizeStub(
-        documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
-        "doc_id", "blob", outW = 8, outH = 8).toDF()
+      (s, dir) => Multimodal.resizeMedia(
+        Multimodal.withSyntheticBlobs(
+          documents(s, dir).filter(col("doc_id") % 3 =!= 1),
+          "doc_id", "n_chars"),
+        "media_id", "blob", outW = 4, outH = 4).toDF()
         .select("media_id", "out_w", "out_h", "checksum"),
-      Some("""WITH b AS (SELECT doc_id AS media_id, text, length(text) AS n,
-             |    64 + (ascii(substr(text, 1, 1)) % 8) * 32 AS w,
-             |    64 + (length(text) % 7) * 32 AS h
-             |  FROM documents)
-             |SELECT media_id, 8 AS out_w, 8 AS out_h,
-             |  CAST(list_sum(list_transform(generate_series(0, 63), k ->
-             |    ascii(substr(text,
-             |      CAST((((k // 8) * h // 8) * w + ((k % 8) * w // 8)) % n AS INT) + 1,
-             |      1)))) AS BIGINT) AS checksum
-             |FROM b""".stripMargin)),
+      Some("""WITH geo AS (
+             |  SELECT doc_id,
+             |    CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 5
+             |      ELSE 4 + doc_id % 3 END AS w,
+             |    CASE doc_id % 3 WHEN 0 THEN 3 + n_chars % 4
+             |      ELSE 2 + n_chars % 3 END AS h
+             |  FROM documents WHERE doc_id % 3 != 1)
+             |SELECT doc_id AS media_id, 4 AS out_w, 4 AS out_h,
+             |  CAST(list_sum(list_transform(generate_series(0, 15), k ->
+             |    (doc_id*7 + ((k % 4) * w // 4) * 3 + ((k // 4) * h // 4) * 11)
+             |      % 256)) AS BIGINT) AS checksum
+             |FROM geo""".stripMargin)),
 
+    // REAL frame sampling: AVI frames from the decoder, one frame per
+    // still image, 16-sample blocks for audio; per-frame byte checksums
     Q("multimodal_frames",
       (s, dir) => Multimodal.sampleFrames(
-        documents(s, dir).withColumn("blob", encode(col("text"), "UTF-8")),
-        "doc_id", "blob", strideBytes = 64).toDF(),
-      Some("""SELECT doc_id AS media_id, CAST(g.off // 64 AS INT) AS frame_idx,
-             |  CAST(g.off AS BIGINT) AS offset,
-             |  ascii(substr(text, CAST(g.off AS INT) + 1, 1)) AS probe
-             |FROM documents, LATERAL (
-             |  SELECT unnest(generate_series(0, length(text) - 1, 64)) AS off) g""".stripMargin))
+        Multimodal.withSyntheticBlobs(documents(s, dir), "doc_id", "n_chars"),
+        "media_id", "blob", audioFrameSamples = 16).toDF(),
+      Some("""WITH geo AS (
+             |  SELECT doc_id, n_chars,
+             |    CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 5
+             |      ELSE 4 + doc_id % 3 END AS w,
+             |    CASE doc_id % 3 WHEN 0 THEN 3 + n_chars % 4
+             |      ELSE 2 + n_chars % 3 END AS h,
+             |    CASE doc_id % 3 WHEN 0 THEN 1
+             |      ELSE 1 + doc_id % 4 END AS nf
+             |  FROM documents WHERE doc_id % 3 != 1),
+             |ipx AS (
+             |  SELECT g.doc_id, gf.f, g.w, g.h,
+             |    (g.doc_id*7 + gf.f*29 + gx.x*3 + gy.y*11 + gc.c*5) % 256 AS v
+             |  FROM geo g, generate_series(0, 3) gf(f),
+             |    generate_series(0, 8) gx(x), generate_series(0, 6) gy(y),
+             |    generate_series(0, 2) gc(c)
+             |  WHERE gf.f < g.nf AND gx.x < g.w AND gy.y < g.h),
+             |img AS (
+             |  SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |    CAST(any_value(w) * any_value(h) * 3 AS BIGINT) AS n_bytes,
+             |    CAST(sum(v) AS BIGINT) AS checksum
+             |  FROM ipx GROUP BY doc_id, f),
+             |ws AS (
+             |  SELECT doc_id, gi.i // 16 AS f,
+             |    ((doc_id*31 + gi.i*17) % 4096 - 2048 + 65536) % 65536 AS u
+             |  FROM documents, generate_series(0, 39) gi(i)
+             |  WHERE doc_id % 3 = 1 AND gi.i < 24 + doc_id % 16),
+             |aud AS (
+             |  SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+             |    CAST(2 * count(*) AS BIGINT) AS n_bytes,
+             |    CAST(sum(u % 256 + u // 256) AS BIGINT) AS checksum
+             |  FROM ws GROUP BY doc_id, f)
+             |SELECT * FROM img UNION ALL SELECT * FROM aud""".stripMargin))
   )
 
   /** DuckDB replay of k BPE merge rounds as chained MATERIALIZED CTEs.
