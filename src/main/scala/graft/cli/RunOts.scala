@@ -51,7 +51,7 @@ object RunOts {
               meta: Meta, input: String, output: String): Unit =
     try step match {
       case "ingest" => ingest(spark, meta, input, output, instrument)
-      case "clean"  => clean(spark, meta, input, output)
+      case "clean"  => clean(spark, meta, input, output, instrument)
       case "waves"  => waves(spark, meta, input, output)
       case "diwasp" => diwasp(spark, meta, input, output)
       case "export" => export(spark, meta, input, output)
@@ -537,7 +537,168 @@ object RunOts {
     * velocity chain (when header attrs are present) → call_qaqc → clean
     * parquet. The input's attrs sidecar merges UNDER the config (config
     * wins) — the reference re-opens raw-.cdf attrs at each cdf2nc step. */
-  def clean(spark: SparkSession, meta0: Meta, input: String, output: String): Unit = {
+  /** Magnetic-declination rotation of a horizontal velocity pair (+
+    * heading wrap), the shared magvar_correct step
+    * (stglib/aqd/aqdutils.py:372-432). */
+  private def magvarRotate(df0: DataFrame, meta: Meta, uCol: String,
+                           vCol: String, hdgCol: Option[String]): DataFrame = {
+    var df = df0
+    val magvar = meta.dbl("magnetic_variation_at_site")
+      .orElse(meta.dbl("magnetic_variation")).getOrElse(0.0)
+    if (magvar != 0 && df.columns.contains(uCol) && df.columns.contains(vCol)) {
+      val rad = math.toRadians(magvar)
+      val (cosv, sinv) = (math.cos(rad), math.sin(rad))
+      df = df
+        .withColumn("__u2", col(uCol) * cosv + col(vCol) * sinv)
+        .withColumn(vCol, -col(uCol) * sinv + col(vCol) * cosv)
+        .withColumn(uCol, col("__u2")).drop("__u2")
+      hdgCol.filter(df.columns.contains).foreach { h =>
+        df = df.withColumn(h, pmod(col(h) + magvar, lit(360.0)))
+      }
+    }
+    df
+  }
+
+  /** find_ast_qual_min (stglib/sig/cdf2nc.py:1808-1830): the value at
+    * sorted index ⌊2n/3⌋, then the mean of strictly-greater values × sf,
+    * rounded — two 1-row aggregates over the deployment (the reference
+    * np.sorts the full array in memory; this keeps it as bounded aggs). */
+  private def astQualMin(df: DataFrame, sf: Double): Double = {
+    val vals = df.select(col("ast_quality").cast("double").as("q"))
+      .filter(col("q").isNotNull)
+    val n = vals.count()
+    if (n == 0) return Double.NegativeInfinity
+    import org.apache.spark.sql.expressions.Window
+    val v13 = vals.withColumn("__rn",
+        row_number().over(Window.orderBy(col("q"))))
+      .filter(col("__rn") === (n * 2 / 3 + 1).toInt)
+      .head().getDouble(0)
+    val mean13 = vals.filter(col("q") > v13).agg(avg("q")).head().getDouble(0)
+    math.round(mean13 * sf).toDouble
+  }
+
+  /** Signature clean ordering (stglib/sig/cdf2nc.py:17-518), reusing the
+    * shared trim/transform operators: ENU aliases U/V/W1/W2 → magvar →
+    * beam-averaged amp/cor + threshold fills (trim_vel/filter_vel analog)
+    * → bin_depth → altimeter-quality dB scaling → heading modulus →
+    * trim_ast (brangeAST screened by the find_ast_qual_min threshold,
+    * untrimmed copy kept). The per-var qaqc trim loop and drop_vars run in
+    * the common clean tail (Qaqc.applyAll), as in the reference. */
+  private[cli] def sigChain(df0: DataFrame, meta: Meta): DataFrame = {
+    var df = df0
+    for ((from, to) <- Seq("VelEast" -> "U", "VelNorth" -> "V",
+                           "VelUp1" -> "W1", "VelUp2" -> "W2"))
+      if (df.columns.contains(from)) df = df.withColumn(to, col(from))
+    df = magvarRotate(df, meta, "U", "V",
+      Seq("Hdg_1215", "Heading", "heading").find(df.columns.contains))
+    val ampBeams = (1 to 4).map(i => s"AmpBeam$i").filter(df.columns.contains)
+    if (ampBeams.nonEmpty)
+      df = df.withColumn("amp_avg",
+        ampBeams.map(col).reduce(_ + _) / ampBeams.length)
+    val corBeams = (1 to 4).map(i => s"CorBeam$i").filter(df.columns.contains)
+    if (corBeams.nonEmpty)
+      df = df.withColumn("cor_avg",
+        corBeams.map(col).reduce(_ + _) / corBeams.length)
+    val vels = Seq("U", "V", "W1", "W2").filter(df.columns.contains)
+    meta.dbl("velocity_cor_min").foreach { m =>
+      if (df.columns.contains("cor_avg"))
+        vels.foreach(c => df = df.withColumn(c, when(col("cor_avg") > m, col(c))))
+    }
+    meta.dbl("velocity_agc_min").foreach { m =>
+      if (df.columns.contains("amp_avg"))
+        vels.foreach(c => df = df.withColumn(c, when(col("amp_avg") > m, col(c))))
+    }
+    // bin_depth for profile groups (make_bin_depth)
+    val down = meta.str("orientation").exists(_.equalsIgnoreCase("down"))
+    val pres = Seq("P_1ac", "P_1", "Pressure", "pressure").find(df.columns.contains)
+    pres.filter(_ => df.columns.contains("bindist")).foreach { p =>
+      df = df.withColumn("bin_depth",
+        if (down) col(p) + col("bindist") else col(p) - col("bindist"))
+    }
+    // altimeter quality units to dB (cdf2nc.py:119-123) — the quality
+    // variable may already carry its renamed name (ds_rename_sig runs as
+    // config renames at ingest here)
+    for (v <- Seq("AltimeterQualityLE", "AltimeterQualityAST", "ast_quality")
+         if df.columns.contains(v))
+      df = df.withColumn(v, col(v) / 100)
+    // negative headings wrap via modulus (cdf2nc.py:133)
+    for (h <- Seq("Hdg_1215", "Heading").filter(df.columns.contains))
+      df = df.withColumn(h, pmod(col(h), lit(360.0)))
+    // trim_ast: screen brangeAST by AST quality (cdf2nc.py:139-142,
+    // 1833-1860) — untrimmed copy kept, threshold from find_ast_qual_min
+    val qualCol = Seq("ast_quality", "AltimeterQualityAST")
+      .find(df.columns.contains)
+    val brangeCol = Seq("brangeAST", "AltimeterDistanceAST")
+      .find(df.columns.contains)
+    if (meta.str("trim_ast").exists(_.equalsIgnoreCase("true")) &&
+        qualCol.nonEmpty && brangeCol.nonEmpty) {
+      val (q, br) = (qualCol.get, brangeCol.get)
+      val qmin = astQualMin(df.select(col(q).as("ast_quality")),
+        meta.dbl("ast_qual_sf").getOrElse(0.85))
+      df = df.withColumn(s"${br}_untrimmed", col(br))
+        .withColumn(br, when(!(col(q) < qmin), col(br)))
+    }
+    df
+  }
+
+  /** Vector clean ordering (stglib/vec/cdf2nc.py:14-124 + 628-737):
+    * BEAM/XYZ→ENU coordinate transform off the VEC header attrs → magvar
+    * → analog-input counts→volts scaling → per-beam SNR/correlation
+    * velocity fills → turbidity→SSC. The per-var qaqc trim loop runs in
+    * the common clean tail, matching the reference's trim ordering. */
+  private[cli] def vecChain(df0: DataFrame, meta: Meta): DataFrame = {
+    var df = df0
+    // Vector .dat columns are vel1/vel2/vel3; the transform speaks the
+    // Aquadopp naming per coordinate system
+    val cs = meta.str("VECCoordinateSystem").getOrElse("ENU")
+    if (cs == "BEAM")
+      for ((from, to) <- Seq("vel1" -> "VEL1", "vel2" -> "VEL2", "vel3" -> "VEL3"))
+        if (df.columns.contains(from)) df = df.withColumnRenamed(from, to)
+    if (cs == "XYZ")
+      for ((from, to) <- Seq("vel1" -> "X", "vel2" -> "Y", "vel3" -> "Z"))
+        if (df.columns.contains(from)) df = df.withColumnRenamed(from, to)
+    if (cs == "ENU")
+      for ((from, to) <- Seq("vel1" -> "u_1205", "vel2" -> "v_1206",
+                             "vel3" -> "w_1204"))
+        if (df.columns.contains(from)) df = df.withColumnRenamed(from, to)
+    meta.str("VECTransMatrix").foreach { tm =>
+      df = aqdCoordTransform(df,
+        Meta(meta.attrs ++ Map("AQDCoordinateSystem" -> cs,
+          "AQDTransMatrix" -> tm)))
+    }
+    df = magvarRotate(df, meta, "u_1205", "v_1206",
+      Seq("heading", "Heading").find(df.columns.contains))
+    // scale_analoginput (vec/cdf2nc.py:429-438): counts -> volts
+    for (v <- Seq("AnalogInput1", "AnalogInput2") if df.columns.contains(v))
+      df = df.withColumn(v, col(v) * 5 / 65535)
+    // fill_snr / fill_cor (vec/cdf2nc.py:628-672): velocity masked where
+    // ANY beam's snr/cor falls at/below the threshold
+    val uvw = Seq("u_1205", "v_1206", "w_1204").filter(df.columns.contains)
+    def beamFill(prefix: String, thr: Double): Unit = {
+      val beams = (1 to 3).map(i => s"$prefix$i").filter(df.columns.contains)
+      if (beams.nonEmpty) {
+        val ok = beams.map(b => col(b) > thr).reduce(_ && _)
+        uvw.foreach(c => df = df.withColumn(c, when(ok, col(c))))
+      }
+    }
+    meta.dbl("snr_threshold").foreach(beamFill("snr", _))
+    meta.dbl("cor_threshold").foreach(beamFill("cor", _))
+    // turbidity_to_ssc (core/utils.py:2006-2040): polyval of the
+    // calibration coefficients (highest order first)
+    for (v <- Seq("AnalogInput1", "AnalogInput2", "Turb")
+         if df.columns.contains(v))
+      meta.dblSeq(s"${v}_ssc_calibration").foreach { coef =>
+        val poly = coef.zipWithIndex.map { case (c, i) =>
+          val pw = coef.length - 1 - i
+          if (pw == 0) lit(c) else lit(c) * pow(col(v), pw)
+        }.reduce(_ + _)
+        df = df.withColumn("ssc", poly)
+      }
+    df
+  }
+
+  def clean(spark: SparkSession, meta0: Meta, input: String, output: String,
+            instrument: String = ""): Unit = {
     val meta = Meta((Sink.readSidecar(input): Map[String, Any]) ++ meta0.attrs)
     var df = spark.read.parquet(input)
     df = Clip.clipDs(df, meta)
@@ -566,9 +727,14 @@ object RunOts {
             df = df.withColumn("P_1ac", col("P_1") - atm)
         }
     }
-    // instrument velocity chain (Aquadopp/HR): coordinate transform,
-    // magvar, AGC/correlation fills, bin_depth — no-op without header attrs
-    if (meta.has("AQDTransMatrix")) df = aqdVelocityChain(df, meta)
+    // instrument-specific clean chain (the reference's per-instrument
+    // cdf2nc orderings), selected by instrument; Aquadopp/HR keys on the
+    // header attrs as before
+    instrument match {
+      case "sig" => df = sigChain(df, meta)
+      case "vec" => df = vecChain(df, meta)
+      case _ => if (meta.has("AQDTransMatrix")) df = aqdVelocityChain(df, meta)
+    }
     val dataVars = df.columns.filterNot(Seq("time").contains).toSeq
     df = Trims.nanToNull(df, dataVars.filter(c =>
       df.schema(c).dataType.typeName == "double"))

@@ -54,10 +54,12 @@ object Vector {
   final case class DatRow(burst: Long, ensemble: Long,
                           vel1: Double, vel2: Double, vel3: Double,
                           amp1: Double, amp2: Double, amp3: Double,
+                          snr1: Double, snr2: Double, snr3: Double,
                           cor1: Double, cor2: Double, cor3: Double,
                           pressure: Double)
 
-  /** load_dat sample rows (dat2cdf.py:184-207); time assignment happens in
+  /** load_dat sample rows (dat2cdf.py:184-207: burst, ensemble, vel×3,
+    * amp×3, SNR×3, corr×3, pressure); time assignment happens in
     * [[withBurstTime]]. */
   def readDat(spark: SparkSession, text: String): DataFrame = {
     import spark.implicits._
@@ -66,6 +68,7 @@ object Vector {
       DatRow(c(0).toLong, c(1).toLong,
         c(2).toDouble, c(3).toDouble, c(4).toDouble,
         c(5).toDouble, c(6).toDouble, c(7).toDouble,
+        c(8).toDouble, c(9).toDouble, c(10).toDouble,
         c(11).toDouble, c(12).toDouble, c(13).toDouble,
         c(14).toDouble)
     }.toSeq

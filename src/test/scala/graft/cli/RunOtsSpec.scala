@@ -533,4 +533,112 @@ class RunOtsSpec extends AnyFunSuite {
     }
   }
 
+
+  test("Signature lifecycle: .mat ingest -> sig clean chain (magvar, cor fills, AST trim)") {
+    import graft.io.Mat5Fixture._
+    val dir = java.nio.file.Files.createTempDirectory("runots_sig").toFile
+    val nt = 30
+    val d0 = java.time.LocalDate.of(2024, 2, 1).toEpochDay + 719163L + 366L
+    val times = (0 until nt).map(i => d0 + i / 86400.0)
+    def const(v: Double) = Seq.fill(nt)(v)
+    val cor = (0 until nt).map(i => if (i >= 5 && i < 10) 20.0 else 80.0)
+    val astq = (0 until nt).map(i => 4000.0 + 200.0 * i) // centi-dB: 40-98 dB
+    val data = matrixStruct("Data", Seq(
+      "Burst_Time" -> matrixNum("", nt, 1, times: _*),
+      "Burst_Pressure" -> matrixNum("", nt, 1,
+        (0 until nt).map(i => 10.0 + 0.01 * i): _*),
+      "Burst_VelEast" -> matrixNum("", nt, 1, const(0.1): _*),
+      "Burst_VelNorth" -> matrixNum("", nt, 1, const(0.2): _*),
+      "Burst_VelUp1" -> matrixNum("", nt, 1, const(0.05): _*),
+      "Burst_VelUp2" -> matrixNum("", nt, 1, const(0.06): _*),
+      "Burst_CorBeam1" -> matrixNum("", nt, 1, cor: _*),
+      "Burst_CorBeam2" -> matrixNum("", nt, 1, cor: _*),
+      "Burst_CorBeam3" -> matrixNum("", nt, 1, cor: _*),
+      "Burst_AmpBeam1" -> matrixNum("", nt, 1, const(120.0): _*),
+      "Burst_AmpBeam2" -> matrixNum("", nt, 1, const(122.0): _*),
+      "Burst_AmpBeam3" -> matrixNum("", nt, 1, const(124.0): _*),
+      "Burst_Heading" -> matrixNum("", nt, 1, const(-10.0): _*),
+      "Burst_AltimeterQualityAST" -> matrixNum("", nt, 1, astq: _*),
+      "Burst_AltimeterDistanceAST" -> matrixNum("", nt, 1, const(10.5): _*)))
+    val cfg = matrixStruct("Config", Seq(
+      "Plan_BurstEnabled" -> matrixChars("", "True"),
+      "Burst_HighResolution" -> matrixChars("", "False")))
+    val mat = new java.io.File(dir, "dep_1.mat")
+    java.nio.file.Files.write(mat.toPath, matFile(data, cfg))
+
+    val meta = graft.core.Meta(Map(
+      "rename_AltimeterQualityAST" -> "ast_quality",
+      "rename_AltimeterDistanceAST" -> "brangeAST",
+      "magnetic_variation_at_site" -> 90.0,
+      "velocity_cor_min" -> 30.0,
+      "trim_ast" -> "true", "ast_qual_sf" -> 0.85,
+      "orientation" -> "UP"))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "sig", "ingest", meta, mat.getAbsolutePath, raw)
+    RunOts.runStep(spark, "sig", "clean", meta, raw, clean)
+    val c = spark.read.parquet(clean).orderBy("time")
+    assert(c.count() == nt)
+    val rows = c.collect()
+    def d(r: org.apache.spark.sql.Row, n: String): Double =
+      r.getAs[Double](c.columns.indexOf(n))
+    // magvar 90: U' = V = 0.2, V' = -U = -0.1 (on unfilled rows)
+    val kept = rows(0)
+    assert(math.abs(d(kept, "U") - 0.2) < 1e-12)
+    assert(math.abs(d(kept, "V") + 0.1) < 1e-12)
+    // heading -10 + 90 = 80 (magvar), wraps positive via modulus
+    assert(math.abs(d(kept, "Heading") - 80.0) < 1e-12)
+    // cor_avg <= 30 on 5 samples -> velocity filled there
+    assert(c.filter("U IS NULL").count() == 5)
+    assert(c.filter("cor_avg <= 30 AND U IS NOT NULL").count() == 0)
+    assert(math.abs(d(kept, "amp_avg") - 122.0) < 1e-12)
+    // AST quality scaled to dB; threshold = round(0.85 * mean(top third))
+    // = round(0.85 * 90) = 77 dB -> brangeAST trimmed where quality < 77
+    assert(math.abs(d(kept, "ast_quality") - 40.0) < 1e-12)
+    assert(c.filter("brangeAST IS NULL").count() == 19)
+    assert(c.filter("brangeAST_untrimmed IS NULL").count() == 0)
+  }
+
+  test("Vector lifecycle: .vhd/.dat ingest -> vec clean chain (ENU, magvar, snr/cor fills)") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_vec").toFile
+    def put(name: String)(body: java.io.PrintWriter => Unit): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f); body(w); w.close(); f
+    }
+    val vhd = put("dep.vhd") { w =>
+      w.println(" 2  1 2024  0  0  0  1 16 0.1 0.1 0.1 10 10 10 0.1 0.1 0.1 0.1 0.25 0.2 0.2 0.2 0.2 0.30")
+      w.println(" 2  1 2024  0  1  0  2 16 0.1 0.1 0.1 10 10 10 0.1 0.1 0.1 0.1 0.25 0.2 0.2 0.2 0.2 0.30")
+    }
+    put("dep.dat") { w =>
+      for (b <- 1 to 2; e <- 1 to 16) {
+        // snr dips at/below threshold on burst 1 ensembles 3-6; cor low on
+        // burst 2 ensembles 1-2
+        val snr = if (b == 1 && e >= 3 && e <= 6) 4.0 else 20.0
+        val corv = if (b == 2 && e <= 2) 40.0 else 95.0
+        w.println(f"$b $e 0.10 0.20 0.05 120 121 122 $snr%.1f 20.0 20.0 $corv%.1f 95.0 95.0 10.25 0 0 61")
+      }
+    }
+    val meta = graft.core.Meta(Map(
+      "VECSamplingRate" -> 8.0, "VECCoordinateSystem" -> "ENU",
+      "magnetic_variation_at_site" -> 90.0,
+      "snr_threshold" -> 5.0, "cor_threshold" -> 50.0,
+      "orientation" -> "UP"))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "vec", "ingest", meta, vhd.getAbsolutePath, raw)
+    RunOts.runStep(spark, "vec", "clean", meta, raw, clean)
+    val c = spark.read.parquet(clean)
+    assert(c.count() == 32)
+    // ENU naming + magvar 90: u' = v = 0.2, v' = -u = -0.1
+    val kept = c.filter("u_1205 IS NOT NULL").orderBy("burst", "ensemble").head()
+    def d(n: String): Double = kept.getAs[Double](c.columns.indexOf(n))
+    assert(math.abs(d("u_1205") - 0.2) < 1e-12)
+    assert(math.abs(d("v_1206") + 0.1) < 1e-12)
+    assert(math.abs(d("w_1204") - 0.05) < 1e-12)
+    // snr fill (4 rows) + cor fill (2 rows) -> 6 filled velocities
+    assert(c.filter("u_1205 IS NULL").count() == 6)
+    assert(c.filter("snr1 <= 5 AND u_1205 IS NOT NULL").count() == 0)
+    assert(c.filter("cor1 <= 50 AND u_1205 IS NOT NULL").count() == 0)
+  }
+
 }
