@@ -334,11 +334,14 @@ object RunOts {
     }).map(_.name).toSeq
     val ordered = (if (numeric.contains("time")) Seq("time") else Nil) ++
       numeric.filterNot(_ == "time")
-    val df = df0.select(ordered.map { c =>
+    val df1 = df0.select(ordered.map { c =>
       if (df0.schema(c).dataType.typeName == "timestamp")
         (col(c).cast("double")).as(c) // CF seconds-since-epoch
       else col(c)
     }: _*)
+    // netCDF products are time-ordered (the reference writes sorted
+    // datasets); parquet partition order is not deterministic
+    val df = if (ordered.contains("time")) df1.orderBy("time") else df1
     val gatts = meta.attrs.toSeq.sortBy(_._1)
       .map { case (k, v) => k -> v.toString }
     val varAttrs = if (ordered.contains("time"))
@@ -349,7 +352,14 @@ object RunOts {
     // default engine, stglib/rsk/cdf2nc.py:145-147)
     meta.str("netcdf_format").map(_.toLowerCase) match {
       case Some("netcdf4") | Some("hdf5") =>
-        graft.io.Hdf5.write(df, output, gatts, varAttrs)
+        // `netcdf_compression: <level>` selects the chunked+DEFLATE layout
+        // (the reference's zlib encoding, stglib encodes with complevel)
+        meta.int("netcdf_compression") match {
+          case Some(lvl) if lvl > 0 =>
+            graft.io.Hdf5.writeChunked(df, output, gatts, varAttrs,
+              deflateLevel = lvl)
+          case _ => graft.io.Hdf5.write(df, output, gatts, varAttrs)
+        }
       case Some("cdf5") | Some("netcdf3_64bit_data") =>
         Netcdf3.write(df, output, gatts, varAttrs, version = 5)
       case Some("cdf1") | Some("netcdf3_classic") | None =>

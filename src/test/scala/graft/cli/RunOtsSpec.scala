@@ -641,4 +641,26 @@ class RunOtsSpec extends AnyFunSuite {
     assert(c.filter("cor1 <= 50 AND u_1205 IS NOT NULL").count() == 0)
   }
 
+
+  test("export step: netcdf_compression selects the chunked+DEFLATE nc4 layout") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ncz").toFile
+    val inp = new java.io.File(dir, "clean").getAbsolutePath
+    (0 until 200).map(i => (i.toDouble, 10.0 + 0.5 * math.sin(i / 7.0)))
+      .toDF("time", "P_1").write.parquet(inp)
+    val out = new java.io.File(dir, "out.nc").getAbsolutePath
+    val meta = graft.core.Meta(Map(
+      "netcdf_format" -> "netcdf4", "netcdf_compression" -> 4))
+    RunOts.runStep(spark, "rsk", "export", meta, inp, out)
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out))
+    val h5 = graft.io.Hdf5.open(b)
+    val p1 = h5.datasets.find(_.name == "P_1").get
+    assert(p1.chunks.nonEmpty && p1.filters.map(_.id) == Seq(1))
+    val got = graft.io.Hdf5.column(b, p1)
+    assert(got.length == 200 && math.abs(got(7) - (10.0 + 0.5 * math.sin(1.0))) < 1e-12)
+    // and it re-opens through the DataFrame path
+    val back = graft.io.Readers.readNetcdf(spark, out)
+    assert(back.count() == 200)
+  }
+
 }
