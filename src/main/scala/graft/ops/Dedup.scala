@@ -341,6 +341,54 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT repeated-substring spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": remove text spans
+    * repeated verbatim anywhere in the corpus). Window-hash formulation
+    * of the suffix-array algorithm: a token span of length >= k repeats
+    * verbatim iff every length-k window inside it repeats, so the union
+    * of repeated k-windows, interval-merged per doc, IS the exact
+    * repeated-span set at k-token boundary resolution — no suffix array
+    * needed, and every stage is a linear shuffle.
+    *
+    * Scale shape: (corpus token count) window rows; occurrence counts are
+    * one map-side-combinable groupBy on the window hash; the count join is
+    * a key-equi shuffle; the interval merge windows per doc (bounded by
+    * doc length). At 100 TB this is the standard substitute for the
+    * monolithic suffix array — same output, corpus-partitionable.
+    *
+    * Output: (doc_id, span_start, span_end, n_tokens) per maximal
+    * repeated span, token positions 0-based inclusive. */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, "window length must be >= 2 tokens")
+    val toks = graft.ops.TextAnalysis.tokens(col(textCol))
+    val base = Spread.byKey(df, col(idCol))
+      .select(col(idCol).cast("long").as("__id"), toks.as("__tk"))
+    val wins = base.select(col("__id"),
+        posexplode(expr(s"""CASE WHEN size(__tk) >= $k THEN
+          transform(sequence(1, size(__tk) - ${k - 1}),
+                    i -> concat_ws(' ', slice(__tk, i, $k)))
+          ELSE array('') END""")).as(Seq("__pos", "__w")))
+      .filter(col("__w") =!= "")
+      .select(col("__id"), col("__pos"), md5(col("__w")).as("__h"))
+    val repeated = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__h")
+    val rep = wins.join(repeated, "__h")
+    // interval merge: window starts pos, prev overlap/touch iff
+    // pos <= prev + k, so a gap > k opens a new island
+    val w = Window.partitionBy("__id").orderBy("__pos")
+    rep.withColumn("__prev", lag("__pos", 1).over(w))
+      .withColumn("__new",
+        (col("__prev").isNull || col("__pos") - col("__prev") > k).cast("int"))
+      .withColumn("__isl", sum("__new").over(w))
+      .groupBy(col("__id"), col("__isl"))
+      .agg(min("__pos").as("__s"), max("__pos").as("__e"))
+      .select(col("__id").as("doc_id"),
+        col("__s").cast("long").as("span_start"),
+        (col("__e") + (k - 1)).cast("long").as("span_end"),
+        (col("__e") + k - col("__s")).cast("long").as("n_tokens"))
+  }
+
   /** MinHash signature rows (id, i, minhash) for a k-function family.
     * Computed as k parallel `min` aggregates over the shingle rows — partial
     * aggregation collapses each map partition to one row per doc BEFORE the

@@ -441,6 +441,42 @@ object PipelineQueries {
              |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
              |WHERE levenshtein(a.pfx, b.pfx) <= 8""".stripMargin)),
 
+    // EXACT repeated-substring spans (Lee et al. 2021 exact-substring
+    // dedup): maximal >= 3-token spans occurring verbatim more than once
+    // in the corpus — window-hash + interval-merge formulation of the
+    // suffix-array algorithm (every stage a linear shuffle; see
+    // Dedup.substringSpans scaladoc).
+    Q("dedup_substring_spans",
+      (s, dir) => Dedup.substringSpans(documents(s, dir), "doc_id", "text", 3),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, g.i - 1 AS pos,
+             |    md5(array_to_string(tk[g.i:g.i+2], ' ')) AS h
+             |  FROM t, generate_series(1, 256) g(i)
+             |  WHERE g.i <= len(tk) - 2),
+             |capchk AS (
+             |  SELECT count(*) AS nover FROM t WHERE len(tk) > 258),
+             |c AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+             |r AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (h)),
+             |m AS (SELECT doc_id, pos,
+             |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+             |        IS NULL
+             |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM r),
+             |i AS (SELECT doc_id, pos,
+             |    sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+             |  FROM m)
+             |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             |  CAST(max(pos) + 2 AS BIGINT) AS span_end,
+             |  CAST(max(pos) + 3 - min(pos) AS BIGINT) AS n_tokens
+             |FROM i
+             |WHERE (SELECT nover FROM capchk) = 0
+             |GROUP BY doc_id, isl""".stripMargin)),
+
     // THE SCALE PATH for dedup_fuzzy_prefix: token-combo blocking (each
     // doc's C(5,2) distinct-prefix-token pairs as equi-join keys, scoped
     // to source) + the banded-Levenshtein verify on candidates only —
