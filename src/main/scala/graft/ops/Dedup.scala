@@ -389,6 +389,32 @@ object Dedup {
         (col("__e") + k - col("__s")).cast("long").as("n_tokens"))
   }
 
+  /** Strict exact-substring CLEANING: drop every token covered by a
+    * repeated span ([[substringSpans]]) and reassemble the remaining
+    * tokens in order — the filtering variant of Lee et al. dedup (remove
+    * all occurrences; deterministic, no global keep-one election). Output:
+    * (doc_id, n_tokens_orig, n_tokens_kept, clean_text). Docs with no
+    * repeated span pass through verbatim. */
+  def substringClean(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    val spans = substringSpans(df, idCol, textCol, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = graft.ops.TextAnalysis.tokens(col(textCol))
+    Spread.byKey(df, col(idCol))
+      .select(col(idCol).cast("long").as("doc_id"), toks.as("__tk"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("__tk")).cast("long").as("n_tokens_orig"),
+        expr("""filter(transform(__tk, (t, i) -> CASE WHEN __spans IS NULL
+            OR NOT exists(__spans,
+              sp -> i >= sp.span_start AND i <= sp.span_end)
+          THEN t END), t -> t IS NOT NULL)""").as("__kept"))
+      .select(col("doc_id"), col("n_tokens_orig"),
+        size(col("__kept")).cast("long").as("n_tokens_kept"),
+        concat_ws(" ", col("__kept")).as("clean_text"))
+  }
+
   /** MinHash signature rows (id, i, minhash) for a k-function family.
     * Computed as k parallel `min` aggregates over the shingle rows — partial
     * aggregation collapses each map partition to one row per doc BEFORE the

@@ -477,6 +477,41 @@ object PipelineQueries {
              |WHERE (SELECT nover FROM capchk) = 0
              |GROUP BY doc_id, isl""".stripMargin)),
 
+    // strict exact-substring CLEANING: every token covered by a repeated
+    // span dropped, remaining tokens reassembled in order (the filtering
+    // variant of Lee et al. dedup — all occurrences removed,
+    // deterministic). Oracle rebuilds the cleaned text per doc.
+    Q("dedup_substring_clean",
+      (s, dir) => Dedup.substringClean(documents(s, dir), "doc_id", "text", 3),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS tk
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, g.i - 1 AS pos,
+             |    md5(array_to_string(tk[g.i:g.i+2], ' ')) AS h
+             |  FROM t, generate_series(1, 256) g(i)
+             |  WHERE g.i <= len(tk) - 2),
+             |c AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+             |r AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (h)),
+             |cov AS (
+             |  SELECT DISTINCT r.doc_id, r.pos + g.o AS cpos
+             |  FROM r, generate_series(0, 2) g(o)),
+             |kept AS (
+             |  SELECT t.doc_id, tok.i - 1 AS pos, tk[tok.i] AS tokn
+             |  FROM t, generate_series(1, 256) tok(i)
+             |  WHERE tok.i <= len(tk)
+             |    AND NOT EXISTS (SELECT 1 FROM cov
+             |      WHERE cov.doc_id = t.doc_id AND cov.cpos = tok.i - 1))
+             |SELECT t.doc_id,
+             |  CAST(len(tk) AS BIGINT) AS n_tokens_orig,
+             |  CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept,
+             |  coalesce(k.txt, '') AS clean_text
+             |FROM t LEFT JOIN (
+             |  SELECT doc_id, count(*) AS n,
+             |    string_agg(tokn, ' ' ORDER BY pos) AS txt
+             |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin)),
+
     // THE SCALE PATH for dedup_fuzzy_prefix: token-combo blocking (each
     // doc's C(5,2) distinct-prefix-token pairs as equi-join keys, scoped
     // to source) + the banded-Levenshtein verify on candidates only —
