@@ -161,6 +161,54 @@ class Hdf5Spec extends AnyFunSuite {
     assert(got(1).getAs[Double]("P_1") == 10.1)
   }
 
+  test("netCDF-4 dimension wiring matches netcdf-c byte shapes (H5DS attrs + GCOL)") {
+    import spark.implicits._
+    val df = Seq((0.0, 9.9, 1), (60.0, 10.1, 2)).toDF("time", "P_1", "n")
+    val path = Files.createTempDirectory("h5").resolve("wired.nc").toString
+    Hdf5.write(df, path)
+    val b = Files.readAllBytes(Paths.get(path))
+    val s = new String(b, "ISO-8859-1")
+    // the three wiring attributes and the global heap are present
+    for (sig <- Seq("REFERENCE_LIST", "DIMENSION_LIST", "_Netcdf4Dimid", "GCOL"))
+      assert(s.contains(sig), s"missing $sig")
+    // REFERENCE_LIST datatype is the 116-byte compound {objref@0, i32@8}
+    // exactly as netcdf-c writes it (verified against gndcrmet.nc):
+    // version-1 class-6 header, 2 members, declared size 16
+    val rlName = s.indexOf("REFERENCE_LIST")
+    // attr body layout: ver(1) res(1) nameSz(2) dtSz(2) dsSz(2) name...
+    val rlDtSz = (b(rlName - 4) & 0xff) | ((b(rlName - 3) & 0xff) << 8)
+    assert(rlDtSz == 116, s"REFERENCE_LIST datatype size $rlDtSz")
+    // DIMENSION_LIST datatype is the 16-byte vlen-of-objref
+    val dlName = s.indexOf("DIMENSION_LIST")
+    val dlDtSz = (b(dlName - 4) & 0xff) | ((b(dlName - 3) & 0xff) << 8)
+    assert(dlDtSz == 16, s"DIMENSION_LIST datatype size $dlDtSz")
+    // GCOL: walk it — two object entries (P_1, n), each an 8-byte ref to
+    // the SAME address (time's object header), then the terminator
+    val g = s.indexOf("GCOL")
+    def u16(i: Int) = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u64(i: Int) = (0 until 8).map(j => (b(i + j) & 0xffL) << (8 * j)).sum
+    assert(u16(g + 16) == 1 && u16(g + 40) == 2, "heap object indexes")
+    val ref1 = u64(g + 32); val ref2 = u64(g + 56)
+    assert(ref1 == ref2, "both data vars reference one coordinate")
+    // the referenced address parses as the time dataset's header
+    val h5 = Hdf5.open(b)
+    assert(h5.datasets.map(_.name).toSet == Set("time", "P_1", "n"))
+    // round trip unaffected by the extra attributes
+    val byName = h5.datasets.map(d => d.name -> d).toMap
+    assert(Hdf5.column(b, byName("P_1")).toSeq == Seq(9.9, 10.1))
+    assert(byName("time").attrs("CLASS") == "DIMENSION_SCALE")
+    assert(byName("time").attrs("_Netcdf4Dimid") == "0")
+    // chunked writer carries identical wiring
+    val path2 = Files.createTempDirectory("h5").resolve("wired2.nc").toString
+    Hdf5.writeChunked(df, path2)
+    val b2 = Files.readAllBytes(Paths.get(path2))
+    val s2 = new String(b2, "ISO-8859-1")
+    for (sig <- Seq("REFERENCE_LIST", "DIMENSION_LIST", "GCOL"))
+      assert(s2.contains(sig), s"chunked missing $sig")
+    assert(Hdf5.column(b2,
+      Hdf5.open(b2).datasets.find(_.name == "P_1").get).toSeq == Seq(9.9, 10.1))
+  }
+
   test("non-numeric columns fail before any bytes hit disk") {
     import spark.implicits._
     val df = Seq((1.0, "nope")).toDF("time", "note")
