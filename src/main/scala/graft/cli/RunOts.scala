@@ -571,20 +571,29 @@ object RunOts {
 
   /** find_ast_qual_min (stglib/sig/cdf2nc.py:1808-1830): the value at
     * sorted index ⌊2n/3⌋, then the mean of strictly-greater values × sf,
-    * rounded — two 1-row aggregates over the deployment (the reference
-    * np.sorts the full array in memory; this keeps it as bounded aggs). */
+    * rounded. The order statistic comes from a cumulative count over the
+    * DISTINCT quality values (a quantized sensor metric — the distinct
+    * set is bounded, so the ordering window never sees data-sized input),
+    * not a global row sort. Degenerate inputs (empty, or no value above
+    * the 2/3 quantile — e.g. constant quality) return -∞, which trims
+    * nothing, matching the reference's NaN-comparison no-op. */
   private def astQualMin(df: DataFrame, sf: Double): Double = {
     val vals = df.select(col("ast_quality").cast("double").as("q"))
       .filter(col("q").isNotNull)
     val n = vals.count()
     if (n == 0) return Double.NegativeInfinity
     import org.apache.spark.sql.expressions.Window
-    val v13 = vals.withColumn("__rn",
-        row_number().over(Window.orderBy(col("q"))))
-      .filter(col("__rn") === (n * 2 / 3 + 1).toInt)
-      .head().getDouble(0)
-    val mean13 = vals.filter(col("q") > v13).agg(avg("q")).head().getDouble(0)
-    math.round(mean13 * sf).toDouble
+    val cnts = vals.groupBy("q").agg(count(lit(1)).as("__c"))
+    // smallest q whose cumulative count exceeds the 0-based index 2n/3
+    val v13 = cnts
+      .withColumn("__cum", sum("__c").over(
+        Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__cum") > n * 2 / 3)
+      .agg(min("q")).head().getDouble(0)
+    val m = vals.filter(col("q") > v13)
+      .agg(sum("q"), count(lit(1))).head()
+    if (m.isNullAt(0) || m.getLong(1) == 0L) Double.NegativeInfinity
+    else math.round(m.getDouble(0) / m.getLong(1) * sf).toDouble
   }
 
   /** Signature clean ordering (stglib/sig/cdf2nc.py:17-518), reusing the

@@ -273,67 +273,36 @@ object Hdf5 {
     b.result()
   }
 
-  // ---- public writer ---------------------------------------------------
-
-  /** Write `df`'s numeric columns as 1-D contiguous HDF5 datasets in the
-    * root group. `attrs` become root-group string attributes; `varAttrs`
-    * per-dataset string attributes. Returns bytes written. */
-  def write(df: DataFrame, path: String, attrs: Seq[(String, String)] = Nil,
-            varAttrs: Map[String, Seq[(String, String)]] = Map.empty): Long = {
-    val fields = df.schema.fields.toSeq
-    require(fields.nonEmpty, "HDF5 export needs at least one column")
-    val types = fields.map(f => f.name -> h5Type(f.dataType))
-    val n = df.count()
-
-    // --- local heap: offset 0 holds the null name, then link names ------
+  /** Shared file scaffolding for both writers: local heap + link names,
+    * root/group structures, sequential address layout, netCDF-4 dimension
+    * wiring, and the common write-out — each writer supplies only its
+    * layout/filter messages and its data section, so a container fix
+    * lands in both export layouts at once. */
+  private final class Container(types: Seq[(String, H5Type)],
+                                attrs: Seq[(String, String)],
+                                varAttrs: Map[String, Seq[(String, String)]],
+                                n: Long) {
     val heapData = new Buf
     heapData.u64(0) // the empty string slot readers expect at offset 0
-    val nameOff = fields.map { f =>
+    val nameOff: Map[String, Long] = types.map { case (nm, _) =>
       val off = heapData.pos
-      heapData.bytes(f.name.getBytes("US-ASCII")).u8(0).pad(8)
-      f.name -> off.toLong
+      heapData.bytes(nm.getBytes("US-ASCII")).u8(0).pad(8)
+      nm -> off.toLong
     }.toMap
-    val heapSegSize = heapData.pos.toLong
+    val heapSegSize: Long = heapData.pos.toLong
+    val dataVars: Seq[String] = types.map(_._1).filter(_ != "time")
+    val wired: Boolean = types.exists(_._1 == "time") && dataVars.nonEmpty
 
-    // netCDF-4 dimension wiring applies when a time coordinate exists
-    // alongside data variables
-    val dataVars = types.map(_._1).filter(_ != "time")
-    val wired = types.exists(_._1 == "time") && dataVars.nonEmpty
-
-    // --- per-dataset object headers (addresses patched in second pass) --
-    def dsHeader(name: String, t: H5Type, dataAddr: Long,
-                 dimAttrs: Seq[Array[Byte]]): Array[Byte] = {
-      val extra = varAttrs.getOrElse(name, Nil) ++
-        (if (name == "time")
-           Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time")
-         else Nil)
-      val msgs = Seq(
-        Msg(0x0001, vectorSpaceBody(n)),
-        Msg(0x0003, datatypeBody(t)),
-        Msg(0x0005, { val b = new Buf; b.u8(2).u8(1).u8(2).u8(0); b.result() }),
-        Msg(0x0008, { val b = new Buf
-          b.u8(3).u8(1) // version 3, contiguous
-          b.u64(dataAddr).u64(n * t.size); b.result() })
-      ) ++ extra.map { case (k, v) => Msg(0x000c, attrBody(k, v)) } ++
-        dimAttrs.map(Msg(0x000c, _))
-      objectHeader(msgs)
-    }
-    // placeholder wiring attrs (addresses 0, correct shapes/sizes)
-    def dimAttrsFor(name: String, gcolAddr: Long, refAddrs: Seq[Long]): Seq[Array[Byte]] =
-      if (!wired) Nil
-      else if (name == "time") Seq(dimidAttr, referenceListAttr(refAddrs))
-      else Seq(dimensionListAttr(gcolAddr, dataVars.indexOf(name) + 1))
-
-    // --- fixed-size group structures ------------------------------------
     val btreeSize = 24 + (2 * LeafK + 1) * 8 + 2 * LeafK * 8
     val snodSize = 8 + 2 * LeafK * 40
     val heapHdrSize = 32
 
-    // --- address assignment (sequential layout) -------------------------
-    var at = 96L // superblock + root symbol-table entry
-    val rootHeader0 = objectHeader(Seq(
+    private val rootHeader0 = objectHeader(Seq(
       Msg(0x0011, { val b = new Buf; b.u64(0).u64(0); b.result() })) ++
       attrs.map { case (k, v) => Msg(0x000c, attrBody(k, v)) })
+
+    // sequential address cursor; writers keep allocating from `at`
+    var at: Long = 96L // superblock + root symbol-table entry
     val rootAddr = at; at += rootHeader0.length
     val btreeAddr = at; at += btreeSize
     val snodAddr = at; at += snodSize
@@ -341,24 +310,36 @@ object Hdf5 {
     val heapSegAddr = at; at += heapSegSize
     val gcolAddr = at
     if (wired) at += 16L + dataVars.length * 24L + 16L
-    // dataset headers have fixed size given message shapes — measure with a
-    // placeholder address, then assign
-    val dsHdrSizes = types.map { case (nm, t) =>
-      nm -> dsHeader(nm, t, 0L,
-        dimAttrsFor(nm, 0L, dataVars.map(_ => 0L))).length
-    }
-    val dsHdrAddr = types.map { case (nm, _) =>
-      val a = at; at += dsHdrSizes.find(_._1 == nm).get._2; nm -> a
-    }.toMap
-    val dataAddr = types.map { case (nm, t) =>
-      val a = at; at += n * t.size; nm -> a
-    }.toMap
-    val eof = at
 
-    val raf = new RandomAccessFile(path, "rw")
-    try {
+    /** Dataset object header: shared dataspace/datatype/fill + the
+      * writer's layout-specific messages + attrs + wiring attrs. Message
+      * shapes are fixed-width in all addresses, so a placeholder build
+      * measures the exact final size. */
+    def dsHeader(name: String, t: H5Type, layoutMsgs: Seq[Msg],
+                 dimAttrs: Seq[Array[Byte]]): Array[Byte] = {
+      val extra = varAttrs.getOrElse(name, Nil) ++
+        (if (name == "time")
+           Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time")
+         else Nil)
+      objectHeader(Seq(
+        Msg(0x0001, vectorSpaceBody(n)),
+        Msg(0x0003, datatypeBody(t)),
+        Msg(0x0005, { val b = new Buf; b.u8(2).u8(1).u8(2).u8(0); b.result() })) ++
+        layoutMsgs ++
+        extra.map { case (k, v) => Msg(0x000c, attrBody(k, v)) } ++
+        dimAttrs.map(Msg(0x000c, _)))
+    }
+
+    def dimAttrsFor(name: String, refAddrs: Seq[Long]): Seq[Array[Byte]] =
+      if (!wired) Nil
+      else if (name == "time") Seq(dimidAttr, referenceListAttr(refAddrs))
+      else Seq(dimensionListAttr(gcolAddr, dataVars.indexOf(name) + 1))
+
+    /** Superblock, root header, group B-tree/SNOD, local heap, and (when
+      * wired) the DIMENSION_LIST global heap. */
+    def writeCommon(raf: RandomAccessFile, eof: Long,
+                    dsHdrAddr: Map[String, Long]): Unit = {
       raf.setLength(0)
-      // --- superblock v0 ------------------------------------------------
       val sb = new Buf
       sb.bytes(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
       sb.u8(0).u8(0).u8(0).u8(0) // sb/freespace/symtable versions + reserved
@@ -367,21 +348,18 @@ object Hdf5 {
       sb.u16(LeafK).u16(InternalK)
       sb.u32(0) // file consistency flags
       sb.u64(0).u64(Undef).u64(eof).u64(Undef)
-      // root group symbol table entry
-      sb.u64(0).u64(rootAddr)
+      sb.u64(0).u64(rootAddr) // root group symbol table entry
       sb.u32(1).u32(0) // cache type 1 (group), reserved
       sb.u64(btreeAddr).u64(heapHdrAddr) // scratch: cached btree + heap
-      require(sb.pos == 96, s"superblock layout drifted: ${sb.pos}")
+      require(sb.pos == 96, s"superblock layout drifted: " + sb.pos)
       raf.write(sb.result())
 
-      // --- root object header -------------------------------------------
       val rootHeader = objectHeader(Seq(
         Msg(0x0011, { val b = new Buf; b.u64(btreeAddr).u64(heapHdrAddr); b.result() })) ++
         attrs.map { case (k, v) => Msg(0x000c, attrBody(k, v)) })
       require(rootHeader.length == rootHeader0.length, "root header drifted")
       raf.seek(rootAddr); raf.write(rootHeader)
 
-      // --- group B-tree (single leaf) -----------------------------------
       val bt = new Buf
       bt.bytes("TREE".getBytes("US-ASCII"))
       bt.u8(0).u8(0) // node type 0 (group), level 0
@@ -393,7 +371,6 @@ object Hdf5 {
       while (bt.pos < btreeSize) bt.u8(0)
       raf.seek(btreeAddr); raf.write(bt.result())
 
-      // --- symbol node (entries sorted by link name) --------------------
       val sn = new Buf
       sn.bytes("SNOD".getBytes("US-ASCII"))
       sn.u8(1).u8(0) // version, reserved
@@ -406,7 +383,6 @@ object Hdf5 {
       while (sn.pos < snodSize) sn.u8(0)
       raf.seek(snodAddr); raf.write(sn.result())
 
-      // --- local heap ---------------------------------------------------
       val hp = new Buf
       hp.bytes("HEAP".getBytes("US-ASCII"))
       hp.u8(0).u8(0).u8(0).u8(0) // version, reserved
@@ -417,16 +393,51 @@ object Hdf5 {
       raf.seek(heapHdrAddr); raf.write(hp.result())
       raf.seek(heapSegAddr); raf.write(heapData.result())
 
-      // --- global heap: DIMENSION_LIST refs to the time header ----------
       if (wired) {
         raf.seek(gcolAddr)
         raf.write(gcolBytes(dataVars.map(_ => dsHdrAddr("time"))))
       }
+    }
+  }
+
+  // ---- public writer ---------------------------------------------------
+
+  /** Write `df`'s numeric columns as 1-D contiguous HDF5 datasets in the
+    * root group. `attrs` become root-group string attributes; `varAttrs`
+    * per-dataset string attributes. Returns bytes written. */
+  def write(df: DataFrame, path: String, attrs: Seq[(String, String)] = Nil,
+            varAttrs: Map[String, Seq[(String, String)]] = Map.empty): Long = {
+    val fields = df.schema.fields.toSeq
+    require(fields.nonEmpty, "HDF5 export needs at least one column")
+    val types = fields.map(f => f.name -> h5Type(f.dataType))
+    val n = df.count()
+
+    val c = new Container(types, attrs, varAttrs, n)
+    def hdr(nm: String, t: H5Type, dAddr: Long, refAddrs: Seq[Long]): Array[Byte] =
+      c.dsHeader(nm, t, Seq(Msg(0x0008, { val b = new Buf
+        b.u8(3).u8(1) // version 3, contiguous
+        b.u64(dAddr).u64(n * t.size); b.result() })),
+        c.dimAttrsFor(nm, refAddrs))
+    // dataset headers have fixed size given message shapes — measure with
+    // placeholder addresses, then assign
+    val dsHdrSizes = types.map { case (nm, t) =>
+      nm -> hdr(nm, t, 0L, c.dataVars.map(_ => 0L)).length
+    }
+    val dsHdrAddr = types.map { case (nm, _) =>
+      val a = c.at; c.at += dsHdrSizes.find(_._1 == nm).get._2; nm -> a
+    }.toMap
+    val dataAddr = types.map { case (nm, t) =>
+      val a = c.at; c.at += n * t.size; nm -> a
+    }.toMap
+    val eof = c.at
+
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      c.writeCommon(raf, eof, dsHdrAddr)
 
       // --- dataset object headers ---------------------------------------
       for ((nm, t) <- types) {
-        val h = dsHeader(nm, t, dataAddr(nm),
-          dimAttrsFor(nm, gcolAddr, dataVars.map(dsHdrAddr)))
+        val h = hdr(nm, t, dataAddr(nm), c.dataVars.map(dsHdrAddr))
         require(h.length == dsHdrSizes.find(_._1 == nm).get._2, s"$nm header drifted")
         raf.seek(dsHdrAddr(nm)); raf.write(h)
       }
@@ -466,8 +477,17 @@ object Hdf5 {
     require(fields.nonEmpty, "HDF5 export needs at least one column")
     val types = fields.map(f => f.name -> h5Type(f.dataType))
     val n = df.count()
+    // bounded clean-product sink: a single-leaf chunk B-tree holds a
+    // bounded entry count, and chunk buffers must fit an Int byte count
+    require(n <= Int.MaxValue.toLong * 48,
+      s"writeChunked is the bounded product sink, got $n rows (use parquet)")
     val chunkElems = if (chunkElems0 > 0) chunkElems0
       else math.max(4096L, (n + 47) / 48).toInt
+    require(chunkElems.toLong * 8 <= Int.MaxValue,
+      s"chunkElems $chunkElems overflows the chunk buffer")
+    val nChunks = (n + chunkElems - 1) / math.max(chunkElems, 1)
+    require(nChunks <= 64,
+      s"$nChunks chunks exceed the single-leaf B-tree bound (64); raise chunkElems")
 
     // --- stream rows once; per column, deflate full chunks as they close
     final class ChunkAcc(t: H5Type, fieldIdx: Int) {
@@ -515,15 +535,7 @@ object Hdf5 {
     }
     accs.foreach(_.finish())
 
-    // --- local heap --------------------------------------------------------
-    val heapData = new Buf
-    heapData.u64(0)
-    val nameOff = fields.map { f =>
-      val off = heapData.pos
-      heapData.bytes(f.name.getBytes("US-ASCII")).u8(0).pad(8)
-      f.name -> off.toLong
-    }.toMap
-    val heapSegSize = heapData.pos.toLong
+    val c = new Container(types, attrs, varAttrs, n)
 
     def pipelineBody(): Array[Byte] = {
       val b = new Buf
@@ -535,33 +547,16 @@ object Hdf5 {
       b.u32(0) // pad client data to even count
       b.result()
     }
-    val dataVars = types.map(_._1).filter(_ != "time")
-    val wired = types.exists(_._1 == "time") && dataVars.nonEmpty
-    def dsHeader(name: String, t: H5Type, btreeAddr: Long,
-                 dimAttrs: Seq[Array[Byte]]): Array[Byte] = {
-      val extra = varAttrs.getOrElse(name, Nil) ++
-        (if (name == "time")
-           Seq("CLASS" -> "DIMENSION_SCALE", "NAME" -> "time")
-         else Nil)
-      val msgs = Seq(
-        Msg(0x0001, vectorSpaceBody(n)),
-        Msg(0x0003, datatypeBody(t)),
-        Msg(0x0005, { val b = new Buf; b.u8(2).u8(1).u8(2).u8(0); b.result() }),
+    def hdr(nm: String, t: H5Type, btreeAddr: Long, refAddrs: Seq[Long]): Array[Byte] =
+      c.dsHeader(nm, t, Seq(
         Msg(0x000b, pipelineBody()),
         Msg(0x0008, { val b = new Buf
           b.u8(3).u8(2) // version 3, chunked
           b.u8(2) // dimensionality rank+1
           b.u64(btreeAddr)
           b.u32(chunkElems.toLong).u32(t.size.toLong)
-          b.result() })
-      ) ++ extra.map { case (k, v) => Msg(0x000c, attrBody(k, v)) } ++
-        dimAttrs.map(Msg(0x000c, _))
-      objectHeader(msgs)
-    }
-    def dimAttrsFor(name: String, gcolAddr: Long, refAddrs: Seq[Long]): Seq[Array[Byte]] =
-      if (!wired) Nil
-      else if (name == "time") Seq(dimidAttr, referenceListAttr(refAddrs))
-      else Seq(dimensionListAttr(gcolAddr, dataVars.indexOf(name) + 1))
+          b.result() })),
+        c.dimAttrsFor(nm, refAddrs))
     // chunk B-tree (node type 1, level 0, single leaf): entries used keys
     // interleaved with child pointers, one trailing upper-bound key
     def chunkTree(chunks: Seq[Array[Byte]], addrs: Seq[Long], t: H5Type): Array[Byte] = {
@@ -580,98 +575,27 @@ object Hdf5 {
     }
 
     // --- address assignment ------------------------------------------------
-    val btreeSize = 24 + (2 * LeafK + 1) * 8 + 2 * LeafK * 8
-    val snodSize = 8 + 2 * LeafK * 40
-    val heapHdrSize = 32
-    var at = 96L
-    val rootHeader0 = objectHeader(Seq(
-      Msg(0x0011, { val b = new Buf; b.u64(0).u64(0); b.result() })) ++
-      attrs.map { case (k, v) => Msg(0x000c, attrBody(k, v)) })
-    val rootAddr = at; at += rootHeader0.length
-    val btreeAddr = at; at += btreeSize
-    val snodAddr = at; at += snodSize
-    val heapHdrAddr = at; at += heapHdrSize
-    val heapSegAddr = at; at += heapSegSize
-    val gcolAddr = at
-    if (wired) at += 16L + dataVars.length * 24L + 16L
     val dsHdrSizes = types.map { case (nm, t) =>
-      nm -> dsHeader(nm, t, 0L,
-        dimAttrsFor(nm, 0L, dataVars.map(_ => 0L))).length
+      nm -> hdr(nm, t, 0L, c.dataVars.map(_ => 0L)).length
     }.toMap
     val dsHdrAddr = types.map { case (nm, _) =>
-      val a = at; at += dsHdrSizes(nm); nm -> a
+      val a = c.at; c.at += dsHdrSizes(nm); nm -> a
     }.toMap
     val dsTreeAddr = types.zipWithIndex.map { case ((nm, _), i) =>
-      val a = at
-      at += 24 + (accs(i).chunks.length + 1) * 24 + accs(i).chunks.length * 8
+      val a = c.at
+      c.at += 24 + (accs(i).chunks.length + 1) * 24 + accs(i).chunks.length * 8
       nm -> a
     }.toMap
     val chunkAddrs = types.zipWithIndex.map { case ((nm, _), i) =>
-      nm -> accs(i).chunks.map { c => val a = at; at += c.length; a }.toSeq
+      nm -> accs(i).chunks.map { ch => val a = c.at; c.at += ch.length; a }.toSeq
     }.toMap
-    val eof = at
+    val eof = c.at
 
     val raf = new RandomAccessFile(path, "rw")
     try {
-      raf.setLength(0)
-      val sb = new Buf
-      sb.bytes(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
-      sb.u8(0).u8(0).u8(0).u8(0)
-      sb.u8(0)
-      sb.u8(8).u8(8).u8(0)
-      sb.u16(LeafK).u16(InternalK)
-      sb.u32(0)
-      sb.u64(0).u64(Undef).u64(eof).u64(Undef)
-      sb.u64(0).u64(rootAddr)
-      sb.u32(1).u32(0)
-      sb.u64(btreeAddr).u64(heapHdrAddr)
-      require(sb.pos == 96, s"superblock layout drifted: ${sb.pos}")
-      raf.write(sb.result())
-
-      val rootHeader = objectHeader(Seq(
-        Msg(0x0011, { val b = new Buf; b.u64(btreeAddr).u64(heapHdrAddr); b.result() })) ++
-        attrs.map { case (k, v) => Msg(0x000c, attrBody(k, v)) })
-      raf.seek(rootAddr); raf.write(rootHeader)
-
-      val bt = new Buf
-      bt.bytes("TREE".getBytes("US-ASCII"))
-      bt.u8(0).u8(0)
-      bt.u16(1)
-      bt.u64(Undef).u64(Undef)
-      bt.u64(0)
-      bt.u64(snodAddr)
-      bt.u64(nameOff(types.map(_._1).max))
-      while (bt.pos < btreeSize) bt.u8(0)
-      raf.seek(btreeAddr); raf.write(bt.result())
-
-      val sn = new Buf
-      sn.bytes("SNOD".getBytes("US-ASCII"))
-      sn.u8(1).u8(0)
-      sn.u16(types.length)
-      for (nm <- types.map(_._1).sorted) {
-        sn.u64(nameOff(nm)).u64(dsHdrAddr(nm))
-        sn.u32(0).u32(0)
-        sn.u64(0).u64(0)
-      }
-      while (sn.pos < snodSize) sn.u8(0)
-      raf.seek(snodAddr); raf.write(sn.result())
-
-      val hp = new Buf
-      hp.bytes("HEAP".getBytes("US-ASCII"))
-      hp.u8(0).u8(0).u8(0).u8(0)
-      hp.u64(heapSegSize)
-      hp.u64(1)
-      hp.u64(heapSegAddr)
-      raf.seek(heapHdrAddr); raf.write(hp.result())
-      raf.seek(heapSegAddr); raf.write(heapData.result())
-
-      if (wired) {
-        raf.seek(gcolAddr)
-        raf.write(gcolBytes(dataVars.map(_ => dsHdrAddr("time"))))
-      }
+      c.writeCommon(raf, eof, dsHdrAddr)
       for (((nm, t), i) <- types.zipWithIndex) {
-        val h = dsHeader(nm, t, dsTreeAddr(nm),
-          dimAttrsFor(nm, gcolAddr, dataVars.map(dsHdrAddr)))
+        val h = hdr(nm, t, dsTreeAddr(nm), c.dataVars.map(dsHdrAddr))
         require(h.length == dsHdrSizes(nm), s"$nm header drifted")
         raf.seek(dsHdrAddr(nm)); raf.write(h)
         raf.seek(dsTreeAddr(nm))

@@ -193,10 +193,24 @@ object Netcdf3 {
   // ---- minimal reader (raw-.cdf re-open + writer validation) ----------
 
   final case class NcVar(name: String, ncType: Int, begin: Long,
-                         attrs: Map[String, String])
+                         attrs: Map[String, String],
+                         dimids: Seq[Int] = Nil)
   final case class NcHeader(version: Int, numrecs: Long, dims: Seq[(String, Long)],
                             attrs: Map[String, String], vars: Seq[NcVar]) {
-    def recSize: Long = vars.map(v => ncSize(v.ncType).toLong).sum
+    /** Index of the unlimited (record) dimension, if any (size 0 in the
+      * header per the classic spec). */
+    def unlimitedDim: Option[Int] = dims.indexWhere(_._2 == 0L) match {
+      case -1 => None
+      case i => Some(i)
+    }
+    /** A variable is a record variable iff its FIRST dimension is the
+      * unlimited one (classic-format rule). */
+    def isRecord(v: NcVar): Boolean =
+      unlimitedDim.exists(u => v.dimids.headOption.contains(u))
+    /** Bytes per record = sum over RECORD variables only (fixed-size
+      * variables live before the record section and do not stride). */
+    def recSize: Long =
+      vars.filter(isRecord).map(v => ncSize(v.ncType).toLong).sum
   }
   final case class NcFile(header: NcHeader, bytes: Array[Byte]) {
     def numrecs: Int = header.numrecs.toInt
@@ -208,6 +222,8 @@ object Netcdf3 {
     def column(name: String): Array[Double] = {
       val v = vars.find(_.name == name).getOrElse(
         throw new NoSuchElementException(name))
+      require(header.isRecord(v) && v.dimids.length == 1,
+        s"$name is not a 1-D record variable (dims ${v.dimids})")
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
       Array.tabulate(numrecs) { r =>
         val off = (v.begin + r.toLong * recSize).toInt
@@ -264,13 +280,13 @@ object Netcdf3 {
     val vars = (0L until nvars).map { _ =>
       val nm = readName()
       val nd = readSize()
-      (0L until nd).foreach(_ => readSize()) // dimids (NON_NEG-wide)
+      val dimids = (0L until nd).map(_ => readSize().toInt) // NON_NEG-wide
       val va = readAttrs()
       val t = bb.getInt(pos); pos += 4
       readSize() // vsize
       val begin = if (v5) { val v = bb.getLong(pos); pos += 8; v }
                   else { val v = bb.getInt(pos).toLong; pos += 4; v }
-      NcVar(nm, t, begin, va)
+      NcVar(nm, t, begin, va, dimids)
     }
     NcHeader(version, numrecs, dims, gatts, vars)
   }

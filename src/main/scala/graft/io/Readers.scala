@@ -197,10 +197,11 @@ object Readers {
       case _ => df
     }
 
-  /** CF "units since epoch" time decode: returns microseconds since the
-    * Unix epoch for one raw coordinate value, or None if the units string
-    * is not a recognized `<unit> since <timestamp>` form. */
-  private[io] def cfEpochMicros(units: String, v: Double): Option[Long] = {
+  /** CF "units since epoch" time decode: returns (epoch in microseconds,
+    * microseconds per unit), or None if the units string is not a
+    * recognized `<unit> since <timestamp>` form — the single source for
+    * both the unit table and the epoch parse. */
+  private[io] def cfTimeBase(units: String): Option[(Long, Double)] = {
     val m = "(?i)(seconds|minutes|hours|days|milliseconds)\\s+since\\s+(.+)".r
     units.trim match {
       case m(unit, epoch0) =>
@@ -229,12 +230,16 @@ object Readers {
             case "days" => 8.64e10
             case "milliseconds" => 1e3
           }
-          b.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
-            b.getNano / 1000L + math.round(v * perUnit)
+          (b.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+            b.getNano / 1000L, perUnit)
         }
       case _ => None
     }
   }
+
+  /** Microseconds since the Unix epoch for one raw CF coordinate value. */
+  private[io] def cfEpochMicros(units: String, v: Double): Option[Long] =
+    cfTimeBase(units).map { case (e, per) => e + math.round(v * per) }
 
   /** Open a netCDF file of EITHER family — netCDF-4/HDF5 ([[Hdf5.open]],
     * incl. chunked/DEFLATE layouts) or classic CDF-1/CDF-5
@@ -259,7 +264,10 @@ object Readers {
          (nm: String) => h5.datasets.find(_.name == nm).map(_.attrs).getOrElse(Map.empty))
       } else {
         val nc = Netcdf3.read(bytes)
-        val recVars = nc.vars.filter(v => nc.header.dims.nonEmpty)
+        // 1-D RECORD variables only: fixed-size variables live before the
+        // record section and do not stride with records
+        val recVars = nc.vars.filter(v =>
+          nc.header.isRecord(v) && v.dimids.length == 1)
         (recVars.map(v => v.name -> nc.column(v.name)),
          (nm: String) => nc.vars.find(_.name == nm).map(_.attrs).getOrElse(Map.empty))
       }
@@ -276,23 +284,11 @@ object Readers {
       spark.sparkContext.parallelize(rows, math.max(1, n / 65536)), schema)
     // CF time decode
     names.find(_ == "time").foreach { tn =>
-      val units = attrsOf(tn).getOrElse("units", "")
-      if (cfEpochMicros(units, 0.0).isDefined) {
-        val m = "(?i)(seconds|minutes|hours|days|milliseconds)\\s+since\\s+(.+)".r
-        val (scale, epochUs) = units.trim match {
-          case m(unit, _) =>
-            val perUnit = unit.toLowerCase match {
-              case "seconds" => 1e6
-              case "minutes" => 6e7
-              case "hours" => 3.6e9
-              case "days" => 8.64e10
-              case "milliseconds" => 1e3
-            }
-            (perUnit, cfEpochMicros(units, 0.0).get)
-        }
-        df = df.withColumnRenamed("time", "time_raw")
-          .withColumn("time", expr(
-            s"timestamp_micros(CAST(round(time_raw * $scale) AS BIGINT) + ${epochUs}L)"))
+      cfTimeBase(attrsOf(tn).getOrElse("units", "")).foreach {
+        case (epochUs, scale) =>
+          df = df.withColumnRenamed("time", "time_raw")
+            .withColumn("time", expr(
+              s"timestamp_micros(CAST(round(time_raw * $scale) AS BIGINT) + ${epochUs}L)"))
       }
     }
     df

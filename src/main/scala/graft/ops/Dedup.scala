@@ -213,7 +213,11 @@ object Dedup {
    *
    * Contract (same candidates-then-exact shape as [[minhashLshPairs]] vs
    * [[ngramJaccardPairs]]): recall is limited to pairs sharing ≥ 2 of
-   * their ≤ nTokens distinct prefix tokens. A pair can in principle sit
+   * their ≤ nTokens distinct prefix tokens — plus single-distinct-token
+   * prefixes ("x x x x x" template separators), which emit a degenerate
+   * self-pair key so identical/near-identical one-token prefixes still
+   * block together (a 1-distinct-token vs multi-token pair remains the
+   * documented miss). A pair can in principle sit
    * within maxDist while every token differs (maxDist spread one edit per
    * token), so the blocking is not information-theoretically complete —
    * but near-dup template prefixes share whole tokens in practice
@@ -237,6 +241,8 @@ object Dedup {
         flatten(transform(sequence(1, size(__tk) - 1),
           i -> transform(sequence(i + 1, size(__tk)),
             j -> concat(element_at(__tk, i), chr(1), element_at(__tk, j)))))
+        WHEN size(__tk) = 1 THEN
+        array(concat(element_at(__tk, 1), chr(1), element_at(__tk, 1)))
         ELSE array() END""")).as("__bk"))
     val a = combos.select(col("__scope").as("__s"), col("__bk").as("__k"),
       col("__id").as("id_a"), col("__pfx").as("pfx_a"))

@@ -458,7 +458,7 @@ object PipelineQueries {
              |  FROM t, generate_series(1, 256) g(i)
              |  WHERE g.i <= len(tk) - 2),
              |capchk AS (
-             |  SELECT count(*) AS nover FROM t WHERE len(tk) > 258),
+             |  SELECT count(*) AS nover FROM t WHERE len(tk) > 256),
              |c AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
              |r AS (SELECT w.doc_id, w.pos FROM w JOIN c USING (h)),
              |m AS (SELECT doc_id, pos,
@@ -502,7 +502,9 @@ object PipelineQueries {
              |  FROM t, generate_series(1, 256) tok(i)
              |  WHERE tok.i <= len(tk)
              |    AND NOT EXISTS (SELECT 1 FROM cov
-             |      WHERE cov.doc_id = t.doc_id AND cov.cpos = tok.i - 1))
+             |      WHERE cov.doc_id = t.doc_id AND cov.cpos = tok.i - 1)),
+             |capchk AS (
+             |  SELECT count(*) AS nover FROM t WHERE len(tk) > 256)
              |SELECT t.doc_id,
              |  CAST(len(tk) AS BIGINT) AS n_tokens_orig,
              |  CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept,
@@ -510,7 +512,8 @@ object PipelineQueries {
              |FROM t LEFT JOIN (
              |  SELECT doc_id, count(*) AS n,
              |    string_agg(tokn, ' ' ORDER BY pos) AS txt
-             |  FROM kept GROUP BY doc_id) k USING (doc_id)""".stripMargin)),
+             |  FROM kept GROUP BY doc_id) k USING (doc_id)
+             |WHERE (SELECT nover FROM capchk) = 0""".stripMargin)),
 
     // THE SCALE PATH for dedup_fuzzy_prefix: token-combo blocking (each
     // doc's C(5,2) distinct-prefix-token pairs as equi-join keys, scoped
@@ -532,8 +535,9 @@ object PipelineQueries {
              |ch AS (
              |  SELECT doc_id, source, pfx, tk[c.i] || chr(1) || tk[c.j] AS bk
              |  FROM t, (VALUES (1,2),(1,3),(1,4),(1,5),(2,3),(2,4),(2,5),
-             |                  (3,4),(3,5),(4,5)) c(i, j)
-             |  WHERE c.j <= len(tk)),
+             |                  (3,4),(3,5),(4,5),(1,1)) c(i, j)
+             |  WHERE (c.i < c.j AND c.j <= len(tk))
+             |     OR (c.i = 1 AND c.j = 1 AND len(tk) = 1)),
              |p AS (
              |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
              |    a.pfx AS pa, b.pfx AS pb
