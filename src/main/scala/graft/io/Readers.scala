@@ -250,7 +250,11 @@ object Readers {
     * applies). This is the re-open path for the reference's .nc/.cdf
     * products (xr.load_dataset, stglib/core/utils.py:862-877): runots
     * ingest and the --atmpres aux input accept real netCDF without a
-    * conversion step. */
+    * conversion step.
+    *
+    * Bounded by design: single netCDF product files are decoded in
+    * driver memory before parallelize (the same single-file bound as the
+    * export side's toLocalIterator); the raw 100 TB path is parquet. */
   def readNetcdf(spark: SparkSession, path: String): DataFrame = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val (cols, attrsOf): (Seq[(String, Array[Double])], String => Map[String, String]) =

@@ -209,6 +209,21 @@ class Hdf5Spec extends AnyFunSuite {
       Hdf5.open(b2).datasets.find(_.name == "P_1").get).toSeq == Seq(9.9, 10.1))
   }
 
+  test("cfTimeBase: CF unit table and epoch forms") {
+    def us(u: String, v: Double): Option[Long] = Readers.cfEpochMicros(u, v)
+    val e0 = java.time.Instant.parse("2016-08-01T06:00:00Z")
+      .getEpochSecond * 1000000L
+    assert(us("minutes since 2016-08-01 06:00:00", 15.0).contains(e0 + 15 * 60000000L))
+    assert(us("minutes since 2016-08-01T06:00:00", 1.0).contains(e0 + 60000000L)) // T separator
+    assert(us("seconds since 2016-08-01 06:00:00Z", 2.5).contains(e0 + 2500000L))
+    assert(us("HOURS since 2016-08-01 06:00", 1.0).contains(e0 + 3600000000L)) // case + no seconds
+    assert(us("days since 2016-08-01", 1.0).contains(
+      java.time.Instant.parse("2016-08-02T00:00:00Z").getEpochSecond * 1000000L))
+    assert(us("milliseconds since 2016-08-01 06:00:00", 1500.0).contains(e0 + 1500000L))
+    assert(us("dbar", 1.0).isEmpty) // a pressure unit is not a time base
+    assert(us("since forever", 1.0).isEmpty)
+  }
+
   test("non-numeric columns fail before any bytes hit disk") {
     import spark.implicits._
     val df = Seq((1.0, "nope")).toDF("time", "note")
