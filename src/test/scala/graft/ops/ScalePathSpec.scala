@@ -27,7 +27,8 @@ class ScalePathSpec extends AnyFunSuite {
     "dsir_select", "token_percentiles", "decontam_ngram",
     "dedup_jaccard_prefix", "bitmap_overlap", "interval_join",
     "attribution_linear", "dedup_kcore",
-    "mixture_resample", "q3_shipping", "q5_region", "dedup_fuzzy_blocked")
+    "mixture_resample", "q3_shipping", "q5_region", "dedup_fuzzy_blocked",
+    "dedup_substring_spans", "dedup_substring_clean")
 
   test("forcing shuffle joins (no size-elective broadcast) preserves results") {
     for (name <- joinHeavy) {
