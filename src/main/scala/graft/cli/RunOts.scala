@@ -821,6 +821,13 @@ object RunOts {
       for (v <- Seq("wp_peak", "wh_4061", "wp_4060"))
         stats = stats.withColumn(v, when(col("wh_4061") < m, col(v)))
     }
+    // trim_wp_ratio (stglib/core/utils.py:809-828): fill both period vars
+    // where wp_peak:wp_4060 >= ratio
+    meta.dbl("wp_ratio").filter(_ => hasWaveVars).foreach { r =>
+      val c = col("wp_peak") / col("wp_4060") < r
+      stats = stats.withColumn("wp_peak", when(c, col("wp_peak")))
+        .withColumn("wp_4060", when(c, col("wp_4060")))
+    }
     Sink.writeParquet(stats, output, Sink.insertHistory(meta,
       "Wave statistics computed.", "1970-01-01T00:00:00Z"), float32 = false)
   }
