@@ -668,7 +668,11 @@ object Hdf5 {
     def uN(at: Int, n: Int): Long = (0 until n).map(i => u8(at + i).toLong << (8 * i)).sum
     def ascii(at: Int, n: Int) = new String(b, at, n, "US-ASCII")
     def cstr(at: Int): String = {
-      var e = at; while (b(e) != 0) e += 1; ascii(at, e - at)
+      // untrusted input: a missing NUL must throw cleanly, not scan OOB
+      var e = at
+      while (e < b.length && b(e) != 0) e += 1
+      require(e < b.length, s"unterminated string at $at")
+      ascii(at, e - at)
     }
   }
 
@@ -805,8 +809,11 @@ object Hdf5 {
     }
 
     // -- v1 chunk B-tree walk (node type 1) -------------------------------
-    def walkChunkTree(addr: Long, nDims: Int): Seq[H5Chunk] = {
+    def walkChunkTree(addr: Long, nDims: Int, depth: Int): Seq[H5Chunk] = {
       if (addr == Undef || addr == -1L) return Nil
+      // untrusted input: a crafted tree with address cycles must throw,
+      // not recurse forever (real chunk trees are a few levels deep)
+      require(depth < 32, "chunk B-tree too deep")
       val a = addr.toInt
       require(r.ascii(a, 4) == "TREE", "chunk B-tree signature")
       require(r.u8(a + 4) == 1, "B-tree node type != chunked-data")
@@ -820,7 +827,7 @@ object Hdf5 {
         val child = r.u64(o + keySz)
         if (level == 0)
           out += H5Chunk(offs.dropRight(1), child, size, mask)
-        else out ++= walkChunkTree(child, nDims)
+        else out ++= walkChunkTree(child, nDims, depth + 1)
         o += keySz + 8
       }
       out.toSeq
@@ -833,14 +840,16 @@ object Hdf5 {
       msgs.find(_._1 == 0x0011).foreach { case (_, o, _) =>
         val btreeAddr = r.u64(o); val heapHdrAddr = r.u64(o + 8)
         val heapSegAddr = r.u64(heapHdrAddr.toInt + 24)
-        def walkGroupTree(at: Long): Seq[Long] = {
+        def walkGroupTree(at: Long, depth: Int): Seq[Long] = {
+          require(depth < 32, "group B-tree too deep")
           val a = at.toInt
           require(r.ascii(a, 4) == "TREE", "group B-tree signature")
           val level = r.u8(a + 5); val used = r.u16(a + 6)
           val children = (0 until used).map(i => r.u64(a + 24 + 8 + i * 16))
-          if (level == 0) children else children.flatMap(walkGroupTree)
+          if (level == 0) children
+          else children.flatMap(c => walkGroupTree(c, depth + 1))
         }
-        for (sa <- walkGroupTree(btreeAddr)) {
+        for (sa <- walkGroupTree(btreeAddr, 0)) {
           require(r.ascii(sa.toInt, 4) == "SNOD", "symbol node signature")
           val nSyms = r.u16(sa.toInt + 6)
           for (i <- 0 until nSyms) {
@@ -917,7 +926,7 @@ object Hdf5 {
               val nd = r.u8(o + 2)
               val baddr = r.u64(o + 3)
               chunkDims = (0 until nd - 1).map(i => r.u32(o + 11 + 4 * i))
-              chunks = walkChunkTree(baddr, nd)
+              chunks = walkChunkTree(baddr, nd, 0)
             case cls => throw new IllegalArgumentException(s"layout class $cls")
           }
         case 0x000b =>
@@ -946,13 +955,15 @@ object Hdf5 {
     val rootMsgs = parseHeader(rootOH)
     val rootAttrs = rootMsgs.collect { case (0x000c, o, _) => parseAttr(o) }.toMap
     val datasets = scala.collection.mutable.ArrayBuffer[H5Dataset]()
-    def walk(prefix: String, msgs: Seq[(Int, Int, Int)]): Unit =
+    def walk(prefix: String, msgs: Seq[(Int, Int, Int)], depth: Int): Unit = {
+      require(depth < 32, "group nesting too deep")
       for ((nm, addr) <- groupLinks(msgs)) {
         val child = parseHeader(addr)
-        if (isGroup(child)) walk(prefix + nm + "/", child)
+        if (isGroup(child)) walk(prefix + nm + "/", child, depth + 1)
         else datasets += parseDataset(prefix + nm, child)
       }
-    walk("", rootMsgs)
+    }
+    walk("", rootMsgs, 0)
     H5File(rootAttrs, datasets.toSeq)
   }
 
