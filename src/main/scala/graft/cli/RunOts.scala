@@ -191,7 +191,54 @@ object RunOts {
         graft.io.Seagauge.readWb(spark, text)
           .withColumn("time", expr("timestamp_seconds(startTime)"))
           .withColumnRenamed("p_dbar", "P_1")
-      } else Readers.readInstrumentCsv(spark, input, meta)
+      } else if (instrument == "lisst") {
+        // LISST-200X: scalar engineering vars to `output`, long-format
+        // (time, ring, vc) with the broadcast ring-size dim table to
+        // `output`_vc (stglib/lisst.py:92-165 + get_ringsizes)
+        val text = readText(input)
+        val scal = Readers.applyClockError(
+          applyRenames(graft.io.Lisst.readScalars(spark, text), meta),
+          "time", meta)
+        Sink.writeParquet(scal, output, Sink.insertHistory(meta,
+          s"Ingested $input (LISST scalars).", "1970-01-01T00:00:00Z"),
+          float32 = false)
+        Sink.writeParquet(
+          graft.io.Lisst.readVolumeConcentration(spark, text), output + "_vc",
+          Sink.insertHistory(meta, s"Ingested $input (LISST vc rings).",
+            "1970-01-01T00:00:00Z"), float32 = false)
+        return
+      } else instrument match {
+        // instrument-keyed CSV dialects (the reference's per-instrument
+        // csv2cdf entry points, stglib/core/runcmd.py:527-599); anything
+        // unmatched falls to the generic EPIC-rename CSV framework
+        case "exo" => Readers.readExoCsv(spark, input,
+          skipRows = meta.int("skiprows").getOrElse(8))
+        case "hobo" => Readers.readHoboCsv(spark, input,
+          skipRows = meta.int("skiprows").getOrElse(1))
+        case "tcm" => graft.io.Dialects.readTcm(spark, readText(input),
+          skipRows = meta.int("skiprows").getOrElse(1))
+        case "marotte" => graft.io.Dialects.readMarotte(spark, readText(input))
+        case "eco" =>
+          // counts column position differs per ECO product (PAR vs NTU)
+          val idx = meta.int("eco_counts_col").getOrElse(
+            if (meta.str("INST_TYPE").exists(_.toUpperCase.contains("PAR"))) 2
+            else 3)
+          graft.io.Dialects.readEco(spark, readText(input), idx)
+        case "troll" => graft.io.Dialects.readAquatroll(spark, readText(input),
+          skipRows = meta.int("skiprows").getOrElse(69))
+        case "mc" => graft.io.Dialects.readMicrocat(spark, readText(input))
+        case "tb" => graft.io.Dialects.readTruBlue(spark, readText(input))
+        case "glx" => graft.io.Dialects.readGeolux(spark, readText(input))
+        case "met" =>
+          // Campbell TOA5 files announce themselves on line 1; Mayfly logs
+          // carry a fixed preamble
+          val text = readText(input)
+          if (text.startsWith("\"TOA5\"") || text.startsWith("TOA5"))
+            graft.io.Dialects.readCampbell(spark, text)
+          else graft.io.Dialects.readMayfly(spark, text,
+            skipRows = meta.int("skiprows").getOrElse(7))
+        case _ => Readers.readInstrumentCsv(spark, input, meta)
+      }
     val renamed = applyRenames(df, meta)
     val shifted =
       if (renamed.columns.contains("time"))

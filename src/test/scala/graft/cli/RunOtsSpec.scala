@@ -663,4 +663,50 @@ class RunOtsSpec extends AnyFunSuite {
     assert(back.count() == 200)
   }
 
+
+  test("instrument-keyed CSV dialect ingest: exo, tcm, lisst routed to their readers") {
+    val dir = java.nio.file.Files.createTempDirectory("dialects").toFile
+    def put(name: String, body: String): java.io.File = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f); w.print(body); w.close(); f
+    }
+    val meta = graft.core.Meta(Map.empty[String, Any])
+
+    // exo: header block + casing + date/time merge via readExoCsv
+    val exo = put("exo.csv",
+      (1 to 8).map(i => s"KOR export metadata line $i").mkString("\n") +
+      "\nDate (MM/DD/YYYY),Time (HH:mm:ss),Temp \u00b0C,SpCond \u00b5S/cm\n" +
+      "1/15/2024,0:00:00,21.31,48012.2\n1/15/2024,0:15:00,21.35,48013.8\n")
+    val exoOut = new java.io.File(dir, "exo_raw").getAbsolutePath
+    RunOts.runStep(spark, "exo", "ingest", meta, exo.getAbsolutePath, exoOut)
+    val e = spark.read.parquet(exoOut)
+    assert(e.count() == 2 && e.columns.exists(_.startsWith("temp")))
+
+    // tcm (Lowell): DateTime/Speed/Bearing/Vel-N/Vel-E via readTcm
+    val tcm = put("tcm_CR.txt",
+      "ISO 8601 Time,Speed (cm/s),Bearing (degrees),Velocity-N (cm/s),Velocity-E (cm/s)\n" +
+      "2024-03-01T00:00:00.000,12.5,184.0,-12.4,1.1\n" +
+      "2024-03-01T00:00:01.000,12.9,185.0,-12.8,1.2\n")
+    val tcmOut = new java.io.File(dir, "tcm_raw").getAbsolutePath
+    RunOts.runStep(spark, "tcm", "ingest", meta, tcm.getAbsolutePath, tcmOut)
+    val t = spark.read.parquet(tcmOut)
+    assert(t.count() == 2 && t.columns.contains("time"))
+
+    // lisst: 36 vc columns + scalars -> two outputs, vc joined to rings
+    val vcs = (1 to 36).map(i => (10 + i).toString).mkString(",")
+    val scal = "95.1,11.9,0.1,1.2,3.5,18.2,2024,3,1,0,0,5," +
+      "0.2,150.0,310.0,45.0,0.01,0.02,0.98,1,100,5.0,0.3,94.0,0.25"
+    val lisst = put("lisst.csv", s"$vcs,$scal\n$vcs,$scal\n")
+    val lisstOut = new java.io.File(dir, "lisst_raw").getAbsolutePath
+    RunOts.runStep(spark, "lisst", "ingest", meta, lisst.getAbsolutePath, lisstOut)
+    val ls = spark.read.parquet(lisstOut)
+    assert(ls.count() == 2 && ls.columns.contains("Depth"))
+    val lv = spark.read.parquet(lisstOut + "_vc")
+    assert(lv.count() == 72) // 2 samples x 36 rings
+    assert(lv.columns.toSet.contains("RSmedian"))
+    val ring1 = lv.filter("ring = 1").head()
+    assert(ring1.getAs[Double]("vc") == 11.0)
+    assert(ring1.getAs[Double]("RSlower") == 1.00)
+  }
+
 }
