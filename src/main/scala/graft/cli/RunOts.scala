@@ -68,6 +68,17 @@ object RunOts {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "US-ASCII")
 
+  /** Step input: the canonical parquet intermediates, or a netCDF
+    * product of either family (the reference re-opens .cdf/.nc at every
+    * cdf2nc/nc2waves step; users with existing archives skip the
+    * conversion). */
+  private def readStepInput(spark: SparkSession, input: String): DataFrame = {
+    val l = input.toLowerCase
+    if (l.endsWith(".nc") || l.endsWith(".cdf") || l.endsWith(".h5"))
+      Readers.readNetcdf(spark, input)
+    else spark.read.parquet(input)
+  }
+
   private def readBytes(path: String): Array[Byte] =
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
 
@@ -374,7 +385,7 @@ object RunOts {
     * `to_netcdf(unlimited_dims=["time"])` sink). Numeric columns become
     * record variables; metadata attrs travel as global attributes. */
   def export(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
-    val df0 = spark.read.parquet(input)
+    val df0 = readStepInput(spark, input)
     val numeric = df0.schema.fields.filter(f => f.dataType.typeName match {
       case "double" | "float" | "integer" | "long" | "timestamp" => true
       case _ => false
@@ -765,8 +776,16 @@ object RunOts {
 
   def clean(spark: SparkSession, meta0: Meta, input: String, output: String,
             instrument: String = ""): Unit = {
-    val meta = Meta((Sink.readSidecar(input): Map[String, Any]) ++ meta0.attrs)
-    var df = spark.read.parquet(input)
+    // attrs precedence: config > parquet sidecar > the netCDF file's own
+    // global attrs (the reference's raw-.cdf attr re-read at cdf2nc)
+    val l0 = input.toLowerCase
+    val fileAttrs: Map[String, Any] =
+      if (l0.endsWith(".nc") || l0.endsWith(".cdf") || l0.endsWith(".h5"))
+        Readers.netcdfGlobalAttrs(input)
+      else Map.empty
+    val meta = Meta(fileAttrs ++
+      (Sink.readSidecar(input): Map[String, Any]) ++ meta0.attrs)
+    var df = readStepInput(spark, input)
     df = Clip.clipDs(df, meta)
     // atmos_correct: aux time series (as-of nearest within tolerance, the
     // reference's met["atmpres"].reindex_like(method="nearest",
@@ -820,7 +839,7 @@ object RunOts {
     * Returns (bursts, presVar, nsamps, fs, z). */
   private def waveInput(spark: SparkSession, meta: Meta, input: String)
       : (DataFrame, String, Int, Double, Double) = {
-    val df = spark.read.parquet(input)
+    val df = readStepInput(spark, input)
     val presVar =
       if (df.columns.contains("P_1ac")) "P_1ac"
       else if (df.columns.contains("P_1")) "P_1"

@@ -298,4 +298,15 @@ object Readers {
     df
   }
 
+
+  /** Global attributes of a netCDF file of either family — the re-read
+    * of raw-.cdf attrs the reference does at each cdf2nc step
+    * (stglib/core/utils.py check_update_attrs). */
+  def netcdfGlobalAttrs(path: String): Map[String, String] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H')
+      Hdf5.open(bytes).attrs
+    else Netcdf3.read(bytes).attrs
+  }
+
 }

@@ -709,4 +709,33 @@ class RunOtsSpec extends AnyFunSuite {
     assert(ring1.getAs[Double]("RSlower") == 1.00)
   }
 
+
+  test("clean/waves accept netCDF inputs directly (raw-.cdf attr re-read)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nc_clean").toFile
+    // a chunked nc4 "raw product" carrying clip attrs as global attrs:
+    // 2200 one-second samples with an 8 s wave + out-of-range spikes
+    val rows = (0 until 2200).map { i =>
+      val spike = if (i % 500 == 499) 80.0 else 0.0
+      (i.toDouble, 10.0 + 0.4 * math.sin(2 * math.Pi * 0.125 * i) + spike)
+    }
+    val nc = new java.io.File(dir, "raw.nc").getAbsolutePath
+    graft.io.Hdf5.writeChunked(rows.toDF("time", "P_1"), nc,
+      attrs = Seq("P_1_max" -> "50.0"),
+      varAttrs = Map("time" -> Seq("units" -> "seconds since 2024-02-01")))
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    val waves = new java.io.File(dir, "waves").getAbsolutePath
+    // P_1_max comes from the FILE's global attrs, not the config
+    val meta = graft.core.Meta(Map(
+      "sample_interval" -> 1.0, "initial_instrument_height" -> 0.5,
+      "wave_nsamps" -> 512, "spec_nsegs" -> 4, "wave_fcut" -> 0.3))
+    RunOts.runStep(spark, "rsk", "clean", meta, nc, clean)
+    val c = spark.read.parquet(clean)
+    assert(c.count() == 2200)
+    assert(c.filter("P_1 IS NULL").count() == 4, "file-attr trim applied")
+    RunOts.runStep(spark, "rsk", "waves", meta, clean, waves)
+    val stats = spark.read.parquet(waves).orderBy("burst").head()
+    assert(math.abs(stats.getAs[Double]("wp_peak") - 8.0) < 0.5)
+  }
+
 }
