@@ -798,7 +798,14 @@ object RunOts {
         else if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc"))
           Readers.readNetcdf(spark, f) // the reference's atmpres.cdf shape
         else spark.read.parquet(f)
-        val offset = meta.dbl("atmpres_offset").getOrElse(0.0)
+        // the reference applies the atmpres VARIABLE's own `offset` attr
+        // (utils.py:1390); config atmpres_offset overrides when present
+        val fileOffset =
+          if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc"))
+            Readers.netcdfVarAttrs(f, "atmpres").get("offset")
+              .flatMap(v => scala.util.Try(v.toDouble).toOption)
+          else None
+        val offset = meta.dbl("atmpres_offset").orElse(fileOffset).getOrElse(0.0)
         val tolUs = (meta.dbl("atmpres_tolerance_sec").getOrElse(5.0) * 1e6).toLong
         val l = df.withColumn("__tus", unix_micros(col("time")))
         val r = met0.select(unix_micros(col("time").cast("timestamp")).as("__rus"),

@@ -309,4 +309,17 @@ object Readers {
     else Netcdf3.read(bytes).attrs
   }
 
+  /** One variable's attributes from a netCDF file of either family
+    * (e.g. the atmpres `offset` the reference applies in atmos_correct,
+    * stglib/core/utils.py:1386-1399). Empty map if the variable is
+    * absent. */
+  def netcdfVarAttrs(path: String, varName: String): Map[String, String] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H')
+      Hdf5.open(bytes).datasets.find(_.name == varName)
+        .map(_.attrs).getOrElse(Map.empty)
+    else Netcdf3.read(bytes).vars.find(_.name == varName)
+      .map(_.attrs).getOrElse(Map.empty)
+  }
+
 }

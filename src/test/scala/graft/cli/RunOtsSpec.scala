@@ -738,4 +738,33 @@ class RunOtsSpec extends AnyFunSuite {
     assert(math.abs(stats.getAs[Double]("wp_peak") - 8.0) < 0.5)
   }
 
+
+  test("REAL atmpres.cdf aux: clean applies the file's atmpres offset attr") {
+    import spark.implicits._
+    val ref = "/root/reference/examples/atmpres.cdf"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(ref)))
+    // measurement series inside the met file's range (first sample 3541
+    // minutes after 2016-08-01T06:00, 15-min cadence): one P_1 sample on
+    // each of 20 met timestamps
+    val t0 = java.time.Instant.parse("2016-08-01T06:00:00Z")
+      .getEpochSecond * 1000000L
+    val rows = (0 until 20).map { i =>
+      val us = t0 + (3541L + 15 * i) * 60000000L
+      (new java.sql.Timestamp(us / 1000), 12.0 + 0.01 * i)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("atm").toFile
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    rows.toDF("time", "P_1").write.parquet(raw)
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    val meta = graft.core.Meta(Map("atmpres_file" -> ref))
+    RunOts.runStep(spark, "rsk", "clean", meta, raw, clean)
+    val c = spark.read.parquet(clean)
+    assert(c.count() == 20)
+    val r0 = c.orderBy("time").head()
+    // atmpres[0] = 10.18, file offset attr = -10.15:
+    // P_1ac = 12.0 - 10.18 - (-10.15) = 11.97
+    assert(math.abs(r0.getAs[Double]("P_1ac") - (12.0 - 10.18 + 10.15)) < 1e-6,
+      s"P_1ac ${r0.getAs[Double]("P_1ac")}")
+  }
+
 }
