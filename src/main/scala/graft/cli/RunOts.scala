@@ -72,11 +72,24 @@ object RunOts {
     * product of either family (the reference re-opens .cdf/.nc at every
     * cdf2nc/nc2waves step; users with existing archives skip the
     * conversion). */
-  private def readStepInput(spark: SparkSession, input: String): DataFrame = {
+  private def isNetcdfPath(input: String): Boolean = {
     val l = input.toLowerCase
-    if (l.endsWith(".nc") || l.endsWith(".cdf") || l.endsWith(".h5"))
-      Readers.readNetcdf(spark, input)
+    l.endsWith(".nc") || l.endsWith(".cdf") || l.endsWith(".h5")
+  }
+
+  private def readStepInput(spark: SparkSession, input: String): DataFrame =
+    if (isNetcdfPath(input)) Readers.readNetcdf(spark, input)
     else spark.read.parquet(input)
+
+  /** Effective step metadata — config > parquet sidecar > the netCDF
+    * file's own global attrs (the reference re-reads ds.attrs from the
+    * file at EVERY cdf2nc/nc2waves step, stglib/core/utils.py:862-877),
+    * so a .nc product carrying sample_interval/wave params drives
+    * waves/diwasp/export without re-stating them in config. */
+  private def stepMeta(meta0: Meta, input: String): Meta = {
+    val fileAttrs: Map[String, Any] =
+      if (isNetcdfPath(input)) Readers.netcdfGlobalAttrs(input) else Map.empty
+    Meta(fileAttrs ++ (Sink.readSidecar(input): Map[String, Any]) ++ meta0.attrs)
   }
 
   private def readBytes(path: String): Array[Byte] =
@@ -214,7 +227,10 @@ object RunOts {
           s"Ingested $input (LISST scalars).", "1970-01-01T00:00:00Z"),
           float32 = false)
         Sink.writeParquet(
-          graft.io.Lisst.readVolumeConcentration(spark, text), output + "_vc",
+          Readers.applyClockError(applyRenames(
+            graft.io.Lisst.readVolumeConcentration(spark, text), meta),
+            "time", meta),
+          output + "_vc",
           Sink.insertHistory(meta, s"Ingested $input (LISST vc rings).",
             "1970-01-01T00:00:00Z"), float32 = false)
         return
@@ -384,7 +400,8 @@ object RunOts {
   /** Final export: processed parquet → netCDF-3 classic (the reference's
     * `to_netcdf(unlimited_dims=["time"])` sink). Numeric columns become
     * record variables; metadata attrs travel as global attributes. */
-  def export(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
+  def export(spark: SparkSession, meta0: Meta, input: String, output: String): Unit = {
+    val meta = stepMeta(meta0, input)
     val df0 = readStepInput(spark, input)
     val numeric = df0.schema.fields.filter(f => f.dataType.typeName match {
       case "double" | "float" | "integer" | "long" | "timestamp" => true
@@ -463,11 +480,13 @@ object RunOts {
       // and keeps the raw beam/amplitude variables for the pcolor pages
       df = aqdCoordTransform(df, side, Seq("U", "V", "W"), dropBeams = false)
     val tpath = output + "_turnaround"
-    Sink.writeParquet(df, tpath, Sink.insertHistory(side,
+    // blank the transform matrix attr in the quick-look PRODUCT's attrs
+    // (aqdturnaround.py:50) — export re-reads the sidecar, so the removal
+    // must happen where the attrs live, not just in the passed config
+    val sideOut = Meta(side.attrs - "AQDTransMatrix")
+    Sink.writeParquet(df, tpath, Sink.insertHistory(sideOut,
       s"Turnaround QA for $input.", "1970-01-01T00:00:00Z"), float32 = false)
-    // blank the transform matrix attr before export (aqdturnaround.py:50)
-    export(spark, Meta(side.attrs - "AQDTransMatrix"), tpath,
-      output + "_turnaround.nc")
+    export(spark, sideOut, tpath, output + "_turnaround.nc")
     val numCols = df.schema.fields.collect {
       case f if Set("double", "float", "integer", "long")(f.dataType.typeName) =>
         f.name
@@ -776,15 +795,7 @@ object RunOts {
 
   def clean(spark: SparkSession, meta0: Meta, input: String, output: String,
             instrument: String = ""): Unit = {
-    // attrs precedence: config > parquet sidecar > the netCDF file's own
-    // global attrs (the reference's raw-.cdf attr re-read at cdf2nc)
-    val l0 = input.toLowerCase
-    val fileAttrs: Map[String, Any] =
-      if (l0.endsWith(".nc") || l0.endsWith(".cdf") || l0.endsWith(".h5"))
-        Readers.netcdfGlobalAttrs(input)
-      else Map.empty
-    val meta = Meta(fileAttrs ++
-      (Sink.readSidecar(input): Map[String, Any]) ++ meta0.attrs)
+    val meta = stepMeta(meta0, input)
     var df = readStepInput(spark, input)
     df = Clip.clipDs(df, meta)
     // atmos_correct: aux time series (as-of nearest within tolerance, the
@@ -795,13 +806,15 @@ object RunOts {
       case Some(f) if df.columns.contains("P_1") =>
         val met0 = if (f.toLowerCase.endsWith(".csv"))
           spark.read.option("header", "true").option("inferSchema", "true").csv(f)
-        else if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc"))
+        else if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc") ||
+                 f.toLowerCase.endsWith(".h5"))
           Readers.readNetcdf(spark, f) // the reference's atmpres.cdf shape
         else spark.read.parquet(f)
         // the reference applies the atmpres VARIABLE's own `offset` attr
         // (utils.py:1390); config atmpres_offset overrides when present
         val fileOffset =
-          if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc"))
+          if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc") ||
+              f.toLowerCase.endsWith(".h5"))
             Readers.netcdfVarAttrs(f, "atmpres").get("offset")
               .flatMap(v => scala.util.Try(v.toDouble).toOption)
           else None
@@ -862,7 +875,8 @@ object RunOts {
     (bursts, presVar, nsamps, fs, z)
   }
 
-  def waves(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
+  def waves(spark: SparkSession, meta0: Meta, input: String, output: String): Unit = {
+    val meta = stepMeta(meta0, input)
     val (bursts, presVar, nsamps, fs, z) = waveInput(spark, meta, input)
     val puvVars = meta.str("wave_vars").contains("puv") &&
       Seq("u", "v").forall(bursts.columns.contains)
@@ -913,7 +927,8 @@ object RunOts {
     * configured (the reference's `dspec` variable). Estimator, direction
     * resolution, nfft, and frequency limits all come from metadata, like
     * the reference's make_diwasp_inputs. */
-  def diwasp(spark: SparkSession, meta: Meta, input: String, output: String): Unit = {
+  def diwasp(spark: SparkSession, meta0: Meta, input: String, output: String): Unit = {
+    val meta = stepMeta(meta0, input)
     val (bursts, presVar, nsamps, fs, z) = waveInput(spark, meta, input)
     require(Seq("u", "v").forall(bursts.columns.contains),
       "diwasp step needs u/v velocity columns (PUV-capable input)")

@@ -708,8 +708,13 @@ object Hdf5 {
         val szb = 1 << (flags & 0x3)
         val size = r.uN(o, szb); o += szb
         val blocks = scala.collection.mutable.Queue[(Int, Int)]((o, o + size.toInt))
+        // untrusted input: a crafted OCHK cycle must throw, not loop —
+        // track visited block starts and bound the block count
+        val seen = scala.collection.mutable.Set[Int]()
         while (blocks.nonEmpty) {
           val (s0, e0) = blocks.dequeue()
+          require(seen.add(s0), "continuation-block cycle")
+          require(seen.size <= 1024, "too many continuation blocks")
           var p = s0
           while (p + 4 <= e0) {
             val typ = r.u8(p); val sz = r.u16(p + 1); p += 4
@@ -728,8 +733,10 @@ object Hdf5 {
         var remaining = nMsgs
         val blocks = scala.collection.mutable.Queue[(Int, Int)](
           (at + 16, at + 16 + r.u32(at + 8).toInt))
+        val seen = scala.collection.mutable.Set[Int]()
         while (remaining > 0 && blocks.nonEmpty) {
           val (s0, e0) = blocks.dequeue()
+          require(seen.add(s0), "continuation-block cycle")
           var o = s0
           while (remaining > 0 && o + 8 <= e0) {
             val typ = r.u16(o); val sz = r.u16(o + 2)
@@ -777,6 +784,9 @@ object Hdf5 {
       val dsVer = r.u8(dsAt); val rank = r.u8(dsAt + 1)
       val dimsAt = if (dsVer == 2) dsAt + 4 else dsAt + 8
       val count = (0 until rank).map(i => r.u64(dimsAt + 8 * i)).product max 1L
+      // untrusted input: attribute values are small metadata — a crafted
+      // dataspace with a huge element count must throw, not spin decoding
+      require(count <= (1L << 20), s"implausible attribute element count $count")
       val cls = r.u8(dtAt) & 0x0f
       val tSz = r.u32(dtAt + 4).toInt
       val value = cls match {

@@ -258,7 +258,7 @@ object Readers {
   def readNetcdf(spark: SparkSession, path: String): DataFrame = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val (cols, attrsOf): (Seq[(String, Array[Double])], String => Map[String, String]) =
-      if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H') {
+      if (isHdf5(bytes)) {
         val h5 = Hdf5.open(bytes)
         val numeric = h5.datasets.filter(d =>
           d.dims.length <= 1 && "iuf".contains(d.dtype.head))
@@ -299,27 +299,34 @@ object Readers {
   }
 
 
+  private[io] def isHdf5(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H'
+
+  /** One parse of a netCDF file's METADATA (either family): global attrs
+    * + per-variable attrs. Product files are bounded, so re-opening for
+    * data later (readNetcdf) is one extra bounded read, not a scale
+    * concern — but metadata consumers share this single parse. */
+  def netcdfMeta(path: String): (Map[String, String], Map[String, Map[String, String]]) = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    if (isHdf5(bytes)) {
+      val h5 = Hdf5.open(bytes)
+      (h5.attrs, h5.datasets.map(d => d.name -> d.attrs).toMap)
+    } else {
+      val nc = Netcdf3.read(bytes)
+      (nc.attrs, nc.vars.map(v => v.name -> v.attrs).toMap)
+    }
+  }
+
   /** Global attributes of a netCDF file of either family — the re-read
     * of raw-.cdf attrs the reference does at each cdf2nc step
     * (stglib/core/utils.py check_update_attrs). */
-  def netcdfGlobalAttrs(path: String): Map[String, String] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H')
-      Hdf5.open(bytes).attrs
-    else Netcdf3.read(bytes).attrs
-  }
+  def netcdfGlobalAttrs(path: String): Map[String, String] = netcdfMeta(path)._1
 
   /** One variable's attributes from a netCDF file of either family
     * (e.g. the atmpres `offset` the reference applies in atmos_correct,
     * stglib/core/utils.py:1386-1399). Empty map if the variable is
     * absent. */
-  def netcdfVarAttrs(path: String, varName: String): Map[String, String] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'H')
-      Hdf5.open(bytes).datasets.find(_.name == varName)
-        .map(_.attrs).getOrElse(Map.empty)
-    else Netcdf3.read(bytes).vars.find(_.name == varName)
-      .map(_.attrs).getOrElse(Map.empty)
-  }
+  def netcdfVarAttrs(path: String, varName: String): Map[String, String] =
+    netcdfMeta(path)._2.getOrElse(varName, Map.empty)
 
 }

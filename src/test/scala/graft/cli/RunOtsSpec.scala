@@ -720,19 +720,23 @@ class RunOtsSpec extends AnyFunSuite {
       (i.toDouble, 10.0 + 0.4 * math.sin(2 * math.Pi * 0.125 * i) + spike)
     }
     val nc = new java.io.File(dir, "raw.nc").getAbsolutePath
+    // every processing parameter rides IN the file's global attrs — the
+    // reference's ds.attrs re-read at each step; config stays empty
     graft.io.Hdf5.writeChunked(rows.toDF("time", "P_1"), nc,
-      attrs = Seq("P_1_max" -> "50.0"),
+      attrs = Seq("P_1_max" -> "50.0", "sample_interval" -> "1.0",
+        "initial_instrument_height" -> "0.5", "wave_nsamps" -> "512",
+        "spec_nsegs" -> "4", "wave_fcut" -> "0.3"),
       varAttrs = Map("time" -> Seq("units" -> "seconds since 2024-02-01")))
     val clean = new java.io.File(dir, "clean").getAbsolutePath
     val waves = new java.io.File(dir, "waves").getAbsolutePath
-    // P_1_max comes from the FILE's global attrs, not the config
-    val meta = graft.core.Meta(Map(
-      "sample_interval" -> 1.0, "initial_instrument_height" -> 0.5,
-      "wave_nsamps" -> 512, "spec_nsegs" -> 4, "wave_fcut" -> 0.3))
+    val meta = graft.core.Meta(Map.empty[String, Any])
     RunOts.runStep(spark, "rsk", "clean", meta, nc, clean)
     val c = spark.read.parquet(clean)
     assert(c.count() == 2200)
     assert(c.filter("P_1 IS NULL").count() == 4, "file-attr trim applied")
+    // waves ALSO needs the file-attr chain: the clean parquet's sidecar
+    // carries the merged attrs forward (insertHistory writes them), so
+    // the waves step sees sample_interval/wave_nsamps with no config
     RunOts.runStep(spark, "rsk", "waves", meta, clean, waves)
     val stats = spark.read.parquet(waves).orderBy("burst").head()
     assert(math.abs(stats.getAs[Double]("wp_peak") - 8.0) < 0.5)
