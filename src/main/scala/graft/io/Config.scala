@@ -27,10 +27,24 @@ object Config {
     Meta(kvs)
   }
 
-  def readGlobalAttsFile(path: String): Meta = {
-    val src = scala.io.Source.fromFile(path)
-    try readGlobalAtts(src.getLines()) finally src.close()
+  /** Read a text config explicitly as UTF-8 with a Latin-1 fallback —
+    * real deployment files carry degree signs and are edited on varied
+    * platforms; the JVM default charset (ASCII under a C locale) must
+    * not decide whether a config parses. */
+  private def readTextFile(path: String): String = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    } catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
   }
+
+  def readGlobalAttsFile(path: String): Meta =
+    readGlobalAtts(readTextFile(path).linesIterator)
 
   private def coerce(v: String): Any =
     try v.toDouble
@@ -44,10 +58,7 @@ object Config {
     if (m == null) Meta.empty else Meta(m.asScala.toMap.map { case (k, v) => k -> fromJava(v) })
   }
 
-  def readYamlFile(path: String): Meta = {
-    val src = scala.io.Source.fromFile(path)
-    try readYaml(src.mkString) finally src.close()
-  }
+  def readYamlFile(path: String): Meta = readYaml(readTextFile(path))
 
   private def fromJava(v: Any): Any = v match {
     case l: java.util.List[_] => l.asScala.toSeq.map(fromJava)
