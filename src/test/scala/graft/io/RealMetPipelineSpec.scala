@@ -58,4 +58,38 @@ class RealMetPipelineSpec extends AnyFunSuite {
       i += 1
     }
   }
+
+  test("Align.asofNearest reproduces the reference's atmpres.cdf values exactly") {
+    val atmPath = "/root/reference/examples/atmpres.cdf"
+    assume(new java.io.File(ncPath).isFile && new java.io.File(atmPath).isFile)
+    import spark.implicits._
+    // met series (time minutes, BP dbar) from the real gndcrmet.nc
+    val metB = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(ncPath))
+    val met5 = Hdf5.open(metB)
+    val metT = Hdf5.column(metB, met5.datasets.find(_.name == "time").get)
+    val metBp = Hdf5.column(metB, met5.datasets.find(_.name == "BP").get)
+    // the reference's atmpres.cdf: BP reindexed nearest onto the Aquadopp
+    // time base (scripts/aqd_make_press_ac.ipynb cell 2)
+    val atmB = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(atmPath))
+    val atm5 = Hdf5.open(atmB)
+    val atmT = Hdf5.column(atmB, atm5.datasets.find(_.name == "time").get)
+    val atmV = Hdf5.column(atmB, atm5.datasets.find(_.name == "atmpres").get)
+
+    val left = atmT.zipWithIndex.map { case (t, i) => (i.toLong, t.toLong) }
+      .toSeq.toDF("idx", "lmin")
+    val right = metT.zip(metBp).map { case (t, v) => (t.toLong, v) }
+      .toSeq.toDF("rmin", "bp")
+    val joined = graft.ops.Align.asofNearest(left, right, "lmin", "rmin",
+        tolerance = 100000L)
+      .orderBy("idx").collect()
+    assert(joined.length == atmT.length)
+    for (r <- joined) {
+      val i = r.getAs[Long]("idx").toInt
+      val got = r.getAs[Double]("bp")
+      assert(java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(atmV(i)),
+        s"atmpres[$i] at minute ${atmT(i)}: $got vs ${atmV(i)}")
+    }
+  }
+
 }
