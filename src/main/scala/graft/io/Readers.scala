@@ -257,14 +257,22 @@ object Readers {
     * export side's toLocalIterator); the raw 100 TB path is parquet. */
   def readNetcdf(spark: SparkSession, path: String): DataFrame = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val (cols, attrsOf): (Seq[(String, Array[Double])], String => Map[String, String]) =
+    // (1-D series columns, 2-D profile columns as (nBins, row-major data),
+    // attr lookup)
+    val (cols, profs, attrsOf): (Seq[(String, Array[Double])],
+        Seq[(String, Int, Array[Double])], String => Map[String, String]) =
       if (isHdf5(bytes)) {
         val h5 = Hdf5.open(bytes)
-        val numeric = h5.datasets.filter(d =>
-          d.dims.length <= 1 && "iuf".contains(d.dtype.head))
-        val nMax = numeric.map(_.n).maxOption.getOrElse(0L)
-        val keep = numeric.filter(_.n == nMax)
+        val numeric = h5.datasets.filter(d => "iuf".contains(d.dtype.head))
+        val oneD = numeric.filter(_.dims.length <= 1)
+        val nMax = oneD.map(_.n).maxOption.getOrElse(0L)
+        val keep = oneD.filter(_.n == nMax)
+        // (time × bin) profile variables long-format alongside the series
+        // (the Aquadopp/Signature clean-product shape)
+        val twoD = numeric.filter(d =>
+          d.dims.length == 2 && d.dims.head == nMax)
         (keep.map(d => d.name -> Hdf5.column(bytes, d)),
+         twoD.map(d => (d.name, d.dims(1).toInt, Hdf5.column(bytes, d))),
          (nm: String) => h5.datasets.find(_.name == nm).map(_.attrs).getOrElse(Map.empty))
       } else {
         val nc = Netcdf3.read(bytes)
@@ -272,20 +280,34 @@ object Readers {
         // record section and do not stride with records
         val recVars = nc.vars.filter(v =>
           nc.header.isRecord(v) && v.dimids.length == 1)
-        (recVars.map(v => v.name -> nc.column(v.name)),
+        (recVars.map(v => v.name -> nc.column(v.name)), Nil,
          (nm: String) => nc.vars.find(_.name == nm).map(_.attrs).getOrElse(Map.empty))
       }
     require(cols.nonEmpty, s"$path: no 1-D numeric variables")
     val n = cols.head._2.length
-    val names = cols.map(_._1)
-    val rows = (0 until n).map { i =>
-      org.apache.spark.sql.Row.fromSeq(cols.map(_._2(i)))
+    val nBins = profs.map(_._2).distinct match {
+      case Seq() => 0
+      case Seq(b) => b
+      case many => throw new IllegalArgumentException(
+        s"$path: profile variables disagree on bin count: $many")
     }
+    val names = cols.map(_._1) ++
+      (if (nBins > 0) Seq("bin") else Nil) ++ profs.map(_._1)
+    // long format: one row per (time) — or per (time, bin) when profile
+    // variables exist, with the per-time series values repeated per bin
+    val rows =
+      if (nBins == 0)
+        (0 until n).map(i => org.apache.spark.sql.Row.fromSeq(cols.map(_._2(i))))
+      else
+        for (i <- 0 until n; b <- 0 until nBins) yield
+          org.apache.spark.sql.Row.fromSeq(cols.map(_._2(i)) ++
+            Seq(b.toDouble) ++ profs.map(_._3(i * nBins + b)))
     val schema = org.apache.spark.sql.types.StructType(names.map(nm =>
       org.apache.spark.sql.types.StructField(nm,
         org.apache.spark.sql.types.DoubleType)))
     var df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, math.max(1, n / 65536)), schema)
+      spark.sparkContext.parallelize(rows, math.max(1, rows.length / 65536)),
+      schema)
     // CF time decode
     names.find(_ == "time").foreach { tn =>
       cfTimeBase(attrsOf(tn).getOrElse("units", "")).foreach {

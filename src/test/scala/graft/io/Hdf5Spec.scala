@@ -224,6 +224,36 @@ class Hdf5Spec extends AnyFunSuite {
     assert(us("since forever", 1.0).isEmpty)
   }
 
+  test("readNetcdf long-formats (time x bin) profile variables") {
+    // an independently-assembled fixture (Hdf5Fixture, spec-derived):
+    // time[4] + one scalar series + a rank-2 profile var vel[4 x 3]
+    val t = Array(0.0, 60.0, 120.0, 180.0)
+    val p1 = Array(10.0, 10.1, 10.2, 10.3)
+    val vel = Array.tabulate(12)(i => (i / 3) * 1.0 + (i % 3) * 0.01)
+    val bytes = Hdf5Fixture.file(Seq(
+      Hdf5Fixture.Var("time", Seq(4), t,
+        attrs = Seq("units" -> "seconds since 2024-06-01")),
+      Hdf5Fixture.Var("P_1", Seq(4), p1),
+      Hdf5Fixture.Var("vel", Seq(4, 3), vel)))
+    // the plain reader sees the rank-2 dataspace and row-major data
+    val h5 = Hdf5.open(bytes)
+    val v = h5.datasets.find(_.name == "vel").get
+    assert(v.dims == Seq(4L, 3L))
+    assert(Hdf5.column(bytes, v).toSeq == vel.toSeq)
+    // the DataFrame re-open long-formats: 4 x 3 rows with bin + repeated
+    // per-time series values and the CF-decoded timestamp
+    val tmp = Files.createTempDirectory("h5").resolve("prof.nc")
+    Files.write(tmp, bytes)
+    val df = Readers.readNetcdf(spark, tmp.toString)
+    assert(df.count() == 12)
+    assert(df.columns.toSet == Set("time_raw", "time", "P_1", "bin", "vel"))
+    val r = df.filter("time_raw = 60.0 AND bin = 2").head()
+    assert(r.getAs[Double]("vel") == 1.02)
+    assert(r.getAs[Double]("P_1") == 10.1)
+    assert(r.getAs[java.sql.Timestamp]("time").toInstant ==
+      java.time.Instant.parse("2024-06-01T00:01:00Z"))
+  }
+
   test("non-numeric columns fail before any bytes hit disk") {
     import spark.implicits._
     val df = Seq((1.0, "nope")).toDF("time", "note")
