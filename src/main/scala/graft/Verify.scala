@@ -21,9 +21,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Queries whose full (small) result we also print to stdout — the
+    // dataset_fingerprint pair is cross-engine instrumentation: if the
+    // driver's DuckDB compare flags a hash mismatch, these printed rows
+    // pinpoint the diverging table/field without access to its parquet.
+    val printRows = Set("dataset_fingerprint", "dataset_fingerprint_fields")
     SparkEntry.queries.filter(kv => filter(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (printRows(name))
+          spark.read.parquet(s"$outDir/$name").collect()
+            .foreach(r => println(s"[verify:$name] $r"))
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

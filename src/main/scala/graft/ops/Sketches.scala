@@ -32,6 +32,12 @@ object Sketches {
   def hash60(c: Column): Column =
     expr(s"CAST(conv(substring(md5(CAST(${c.toString} AS STRING)), 1, 15), 16, 10) AS BIGINT)")
 
+  /** Same 60-bit hash built from Column functions (no SQL-string round-trip)
+    * — safe for composite inputs (CASE WHEN, concat, …) whose `toString`
+    * isn't guaranteed to re-parse as SQL. */
+  def hash60c(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   /**
    * HyperLogLog distinct-count estimate per group (Flajolet et al. 2007):
    * bucket = low p bits, rho = LSB-scan of the remaining bits (computed as

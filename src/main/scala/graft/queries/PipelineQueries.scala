@@ -975,49 +975,36 @@ object PipelineQueries {
 
     // order-free dataset content fingerprint — the "did anything change"
     // version stamp for pipeline caching/reproducibility: per table, the
-    // DECIMAL sum of 60-bit row hashes (NULL-propagating 0x01-separated
-    // string form, matching SQL ||; fixed-point for doubles) + row count.
-    // A row with any NULL field hashes to NULL and drops out of the sum
-    // while still counting in n_rows -- both engines agree exactly on
-    // that. Commutative sum ⇒ the
-    // same fingerprint from any partitioning/order/engine.
+    // DECIMAL sum of 60-bit row hashes + row count. Every field is
+    // canonicalized to an engine-exact string BEFORE hashing (r9, after a
+    // driver-parquet-only hash mismatch that never reproduced locally):
+    //  * NULL -> chr(2)||'NULL' coalesce sentinel on BOTH sides, so no
+    //    engine concat/NULL rule is load-bearing and every row contributes
+    //    to the sum (previously NULL rows dropped out of the sum);
+    //  * the double `value` -> floor(value*100 + 0.5) rendered as integer
+    //    text: *, + and floor are IEEE-754-exact operations, so both
+    //    engines agree to the bit — unlike round() or double->DECIMAL
+    //    casts, whose half-way/shortest-repr rules are engine-specific;
+    //    NaN, +-Inf and |v| >= 9e16 (BIGINT overflow: DuckDB errors where
+    //    Spark clamps) get literal sentinels on both sides.
+    // Commutative DECIMAL sum => same fingerprint from any
+    // partitioning/order/engine. Verify prints this query's rows (and the
+    // per-field breakdown below) so a driver-side mismatch pinpoints the
+    // diverging table+field. Canonicalizers live in Fp (QueryDef.scala).
     Q("dataset_fingerprint",
       (s, dir) => {
-        def fp(df: org.apache.spark.sql.DataFrame, name: String,
-               fields: Seq[org.apache.spark.sql.Column]) = {
-          // concat (unlike concat_ws) returns NULL when any arg is NULL --
-          // the exact semantics of the oracle's chained `||`: a row with a
-          // NULL field drops out of the sum but still counts in n_rows.
-          val rowStr = concat(fields.flatMap(c =>
-            Seq(lit("\u0001"), c)).drop(1): _*)
-          df.select(rowStr.as("__r"))
-            .withColumn("__h", graft.ops.Sketches.hash60(col("__r")))
-            .agg(lit(name).as("table_name"), count(lit(1)).as("n_rows"),
-              sum(col("__h").cast("decimal(38,0)")).as("fingerprint"))
-        }
         val d = documents(s, dir)
         val e = events(s, dir)
-        fp(d, "documents", Seq(
-            col("doc_id").cast("string"), col("text"), col("lang"),
-            col("source"), col("n_chars").cast("string")))
-          .unionByName(fp(e, "events", Seq(
-            col("event_id").cast("string"), col("user_id").cast("string"),
-            col("event_type"), col("ts").cast("string"),
-            round(col("value") * 100).cast("long").cast("string"))))
+        Fp.tableFp(d, "documents", Fp.docFields)
+          .unionByName(Fp.tableFp(e, "events", Fp.eventFields))
       },
-      Some("""WITH d AS (
+      Some(s"""WITH d AS (
              |  SELECT CAST(('0x' || substr(md5(
-             |      CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) ||
-             |      lang || chr(1) || source || chr(1) ||
-             |      CAST(n_chars AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+             |      ${Fp.docFieldsSql.map(_._2).mkString(" || chr(1) ||\n      ")}), 1, 15)) AS BIGINT) AS h
              |  FROM documents),
              |e AS (
              |  SELECT CAST(('0x' || substr(md5(
-             |      CAST(event_id AS VARCHAR) || chr(1) ||
-             |      CAST(user_id AS VARCHAR) || chr(1) || event_type || chr(1) ||
-             |      CAST(epoch_ns(ts) AS VARCHAR) || chr(1) ||
-             |      CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR)),
-             |      1, 15)) AS BIGINT) AS h
+             |      ${Fp.eventFieldsSql.map(_._2).mkString(" || chr(1) ||\n      ")}), 1, 15)) AS BIGINT) AS h
              |  FROM events)
              |SELECT 'documents' AS table_name,
              |  CAST(count(*) AS BIGINT) AS n_rows,
@@ -1027,6 +1014,29 @@ object PipelineQueries {
              |SELECT 'events', CAST(count(*) AS BIGINT),
              |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
              |FROM e""".stripMargin)),
+
+    // per-field fingerprint breakdown — instrumentation for the row above:
+    // one row per (table, field) with the field's own canonical hash sum.
+    // If dataset_fingerprint ever diverges cross-engine again, this
+    // query's result (also printed by Verify) names the exact table+field
+    // that disagrees instead of one opaque 2-row hash.
+    Q("dataset_fingerprint_fields",
+      (s, dir) => {
+        val d = documents(s, dir)
+        val e = events(s, dir)
+        Fp.fieldFp(d, "documents", Fp.docFields)
+          .unionByName(Fp.fieldFp(e, "events", Fp.eventFields))
+      },
+      Some {
+        def branch(table: String, f: (String, String)): String =
+          s"""SELECT '$table' AS table_name, '${f._1}' AS field_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(CAST(('0x' || substr(md5(${f._2}), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fingerprint
+             |FROM $table""".stripMargin
+        (Fp.docFieldsSql.map(branch("documents", _)) ++
+          Fp.eventFieldsSql.map(branch("events", _)))
+          .mkString("\nUNION ALL\n")
+      }),
 
     // per-column table profile (deequ/TFDV shape): rows, nulls, exact
     // distinct + the mergeable HLL estimate side by side, lexicographic

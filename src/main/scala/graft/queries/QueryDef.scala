@@ -60,3 +60,93 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }
+
+/**
+ * Engine-exact field canonicalization for the dataset_fingerprint queries.
+ * Every field becomes a string that Spark and DuckDB agree on to the byte:
+ *  - NULL (any type) -> a chr(2)||"NULL" sentinel via coalesce/CASE on
+ *    both sides, so no engine concat/NULL rule is load-bearing;
+ *  - integers/strings -> their plain cast (identical text both engines);
+ *  - doubles -> floor(v*100 + 0.5) as integer text. `*`, `+` and floor
+ *    are IEEE-754-exact, so both engines compute the identical integer —
+ *    unlike round() (Spark rounds the shortest decimal repr, DuckDB the
+ *    binary value) or double->DECIMAL casts (engine-specific half-way
+ *    rules). NaN / +-Inf / |v| >= 9e16 (BIGINT overflow: DuckDB raises
+ *    where Spark clamps) get literal sentinels on both sides.
+ */
+object Fp {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import graft.ops.Sketches.hash60c
+
+  private val NullS = "NULL"
+  private val NullSql = "chr(2) || 'NULL'"
+
+  def canon(c: Column): Column = coalesce(c.cast("string"), lit(NullS))
+  def canonSql(x: String): String = s"coalesce(CAST($x AS VARCHAR), $NullSql)"
+
+  /** Double -> engine-exact integer text (see object doc). */
+  def canonValue(c: Column): Column =
+    when(c.isNull, lit(NullS))
+      .when(isnan(c), lit("NaN"))
+      .when(c === lit(Double.PositiveInfinity), lit("Inf"))
+      .when(c === lit(Double.NegativeInfinity), lit("-Inf"))
+      .when(abs(c) >= lit(9e16), lit("BIG"))
+      .otherwise(floor(c * lit(100d) + lit(0.5)).cast("string"))
+  def canonValueSql(x: String): String =
+    s"""CASE WHEN $x IS NULL THEN $NullSql
+       |        WHEN isnan($x) THEN 'NaN'
+       |        WHEN isinf($x) AND $x > 0 THEN 'Inf'
+       |        WHEN isinf($x) THEN '-Inf'
+       |        WHEN abs($x) >= 9e16 THEN 'BIG'
+       |        ELSE CAST(CAST(floor($x * 100 + 0.5) AS BIGINT) AS VARCHAR) END""".stripMargin
+
+  /** (field label, canonical Column) per table — keep in lockstep with
+    * the *Sql twins below (same labels, same order). */
+  def docFields: Seq[(String, Column)] = Seq(
+    "doc_id" -> canon(col("doc_id")), "text" -> canon(col("text")),
+    "lang" -> canon(col("lang")), "source" -> canon(col("source")),
+    "n_chars" -> canon(col("n_chars")))
+  def eventFields: Seq[(String, Column)] = Seq(
+    "event_id" -> canon(col("event_id")),
+    "user_id" -> canon(col("user_id")),
+    "event_type" -> canon(col("event_type")),
+    "ts" -> canon(col("ts")),
+    "value" -> canonValue(col("value")))
+  def docFieldsSql: Seq[(String, String)] = Seq(
+    "doc_id" -> canonSql("doc_id"), "text" -> canonSql("text"),
+    "lang" -> canonSql("lang"), "source" -> canonSql("source"),
+    "n_chars" -> canonSql("n_chars"))
+  def eventFieldsSql: Seq[(String, String)] = Seq(
+    "event_id" -> canonSql("event_id"),
+    "user_id" -> canonSql("user_id"),
+    "event_type" -> canonSql("event_type"),
+    "ts" -> canonSql("epoch_ns(ts)"),
+    "value" -> canonValueSql("value"))
+
+  /** (table_name, n_rows, fingerprint): commutative DECIMAL sum of 60-bit
+    * row hashes — one map-side-combinable aggregation, order/partitioning
+    * free. */
+  def tableFp(df: DataFrame, name: String,
+              fields: Seq[(String, Column)]): DataFrame = {
+    val rowStr = concat(fields.map(_._2)
+      .flatMap(c => Seq(lit(""), c)).drop(1): _*)
+    df.select(rowStr.as("__r"))
+      .agg(lit(name).as("table_name"), count(lit(1)).as("n_rows"),
+        sum(hash60c(col("__r")).cast("decimal(38,0)")).as("fingerprint"))
+  }
+
+  /** One row per field: (table_name, field_name, n_rows, fingerprint) —
+    * single aggregation pass per table, then a stack unpivot (no
+    * re-aggregation per field). */
+  def fieldFp(df: DataFrame, table: String,
+              fields: Seq[(String, Column)]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: fields.map { case (n, c) =>
+      sum(hash60c(c).cast("decimal(38,0)")).as(s"fp_$n") }
+    df.agg(aggs.head, aggs.tail: _*).selectExpr(
+      s"'$table' AS table_name",
+      "n_rows",
+      s"stack(${fields.size}, " + fields.map { case (n, _) =>
+        s"'$n', fp_$n" }.mkString(", ") + ") AS (field_name, fingerprint)")
+  }
+}
