@@ -1008,11 +1008,11 @@ object PipelineQueries {
              |  FROM events)
              |SELECT 'documents' AS table_name,
              |  CAST(count(*) AS BIGINT) AS n_rows,
-             |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fingerprint
+             |  ${Fp.modFpSql("sum(CAST(h AS DECIMAL(38,0)))")} AS fingerprint
              |FROM d
              |UNION ALL
              |SELECT 'events', CAST(count(*) AS BIGINT),
-             |  CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0))
+             |  ${Fp.modFpSql("sum(CAST(h AS DECIMAL(38,0)))")}
              |FROM e""".stripMargin)),
 
     // per-field fingerprint breakdown — instrumentation for the row above:
@@ -1031,7 +1031,7 @@ object PipelineQueries {
         def branch(table: String, f: (String, String)): String =
           s"""SELECT '$table' AS table_name, '${f._1}' AS field_name,
              |  CAST(count(*) AS BIGINT) AS n_rows,
-             |  CAST(sum(CAST(CAST(('0x' || substr(md5(${f._2}), 1, 15)) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS fingerprint
+             |  ${Fp.modFpSql("sum(CAST(CAST(('0x' || substr(md5(" + f._2 + "), 1, 15)) AS BIGINT) AS DECIMAL(38,0)))")} AS fingerprint
              |FROM $table""".stripMargin
         (Fp.docFieldsSql.map(branch("documents", _)) ++
           Fp.eventFieldsSql.map(branch("events", _)))

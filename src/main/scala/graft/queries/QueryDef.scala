@@ -133,8 +133,22 @@ object Fp {
       .flatMap(c => Seq(lit(""), c)).drop(1): _*)
     df.select(rowStr.as("__r"))
       .agg(lit(name).as("table_name"), count(lit(1)).as("n_rows"),
-        sum(hash60c(col("__r")).cast("decimal(38,0)")).as("fingerprint"))
+        modFp(sum(hash60c(col("__r")).cast("decimal(38,0)")))
+          .as("fingerprint"))
   }
+
+  /** The commutative DECIMAL(38,0) hash sum exceeds int64 at sf0.01+
+    * (observed 2^68..2^76) — exactly the range where downstream readers
+    * disagree on DECIMAL handling. Reduce mod 2^60 while still in exact
+    * DECIMAL arithmetic, then cast to BIGINT (lossless: result < 2^60).
+    * Collision resistance is unchanged for a fingerprint: the row hashes
+    * are 60-bit to begin with. Both engines must apply the identical
+    * reduction — use modFpSql for the oracle side. */
+  val FpMod = 1152921504606846976L // 2^60
+  private def modFp(sumCol: Column): Column =
+    (sumCol % lit(java.math.BigDecimal.valueOf(FpMod))).cast("long")
+  def modFpSql(sumSql: String): String =
+    s"CAST($sumSql % CAST($FpMod AS DECIMAL(38,0)) AS BIGINT)"
 
   /** One row per field: (table_name, field_name, n_rows, fingerprint) —
     * single aggregation pass per table, then a stack unpivot (no
@@ -142,7 +156,7 @@ object Fp {
   def fieldFp(df: DataFrame, table: String,
               fields: Seq[(String, Column)]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: fields.map { case (n, c) =>
-      sum(hash60c(c).cast("decimal(38,0)")).as(s"fp_$n") }
+      modFp(sum(hash60c(c).cast("decimal(38,0)"))).as(s"fp_$n") }
     df.agg(aggs.head, aggs.tail: _*).selectExpr(
       s"'$table' AS table_name",
       "n_rows",

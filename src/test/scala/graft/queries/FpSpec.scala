@@ -62,7 +62,8 @@ class FpSpec extends AnyFunSuite {
     val fields = Seq("id" -> Fp.canon(col("id")), "s" -> Fp.canon(col("s")))
     def fp(seq: Seq[(Long, String)], parts: Int) =
       Fp.tableFp(seq.toDF("id", "s").repartition(parts), "t", fields)
-        .collect()(0).getDecimal(2)
+        .collect()(0).getLong(2)
     assert(fp(rows, 1) == fp(rows.reverse, 7))
+    assert(fp(rows, 1) >= 0L && fp(rows, 1) < Fp.FpMod)
   }
 }
