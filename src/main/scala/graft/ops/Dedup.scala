@@ -200,6 +200,68 @@ object Dedup {
   }
 
   /**
+   * EXACT containment pairs via prefix filtering — the overlap-join
+   * extension of the AllPairs scheme ([[jaccardPrefixPairs]]; prefix
+   * lemma from Chaudhuri/Ganti/Kaushik SSJoin, ICDE'06). Returns the
+   * SAME result set as [[containmentPairs]] (same scope, k, threshold)
+   * without the all-pairs scoped cross.
+   *
+   * For a pair with |A| ≤ |B|, C = |A∩B|/|A| ≥ t forces
+   * |A∩B| ≥ ⌈t·|A|⌉, so by pigeonhole B must contain one of the first
+   * p = |A| − ⌈t·|A|⌉ + 1 shingles of A in the global rarest-first
+   * order — the candidate join is prefix(smaller) ⋈ ALL shingles of the
+   * larger on (scope, shingle). Containment has no size-ratio prune
+   * (any size pair can pass), which is exactly why the larger side must
+   * expose its full set; the prefix side still only exposes its rarest
+   * ~(1−t) fraction, so ubiquitous shingles pair rare-prefix docs with
+   * their df_all, not corpus². Rarest-first order via the same packed
+   * `df·2^24 + key` bigints (no vocab-wide window); prefix length in
+   * rational arithmetic (t = tNum/tDen) so the bound never rounds
+   * unsafely. Verify = sorted-merge intersect on candidates only —
+   * bit-identical scoring to the quadratic referee via
+   * [[containmentTail]].
+   */
+  def containmentPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+                             scopeCol: String, k: Int,
+                             tNum: Int, tDen: Int): DataFrame = {
+    val sh = Spread.byKey(df, col(idCol))
+      .select(col(scopeCol).as("__scope"), col(idCol).as("__id"),
+        explode(shingleKeys(textCol, k)).as("__key"))
+    val freq = sh.groupBy("__key").agg(count(lit(1)).as("__df"))
+      .select(col("__key"), (col("__df") * 16777216L + col("__key")).as("__tok"))
+    val sets = Spread.shared(
+      sh.join(freq, "__key")
+        .groupBy("__scope", "__id")
+        .agg(array_sort(collect_list(col("__tok"))).as("__toks"))
+        .withColumn("__n", size(col("__toks"))))
+    // p = n − ⌈t·n⌉ + 1, exact integer ceiling
+    val p = (col("__n") - floor((col("__n") * tNum + (tDen - 1)) / lit(tDen))
+      + 1).cast("int")
+    val prefixSmall = sets.select(col("__scope"), col("__id").as("__ids"),
+      col("__n").as("__ns"), explode(slice(col("__toks"), lit(1), p)).as("__tok"))
+    val fullLarge = sets.select(col("__scope").as("__scope2"),
+      col("__id").as("__idl"), col("__n").as("__nl"),
+      explode(col("__toks")).as("__tok2"))
+    // smaller-or-tied side probes with its prefix; ties generate both
+    // orders and collapse under least/greatest + distinct
+    val cands = prefixSmall.join(fullLarge,
+        col("__scope") === col("__scope2") && col("__tok") === col("__tok2") &&
+          (col("__ns") < col("__nl") ||
+            (col("__ns") === col("__nl") && col("__ids") =!= col("__idl"))))
+      .select(col("__scope"),
+        least(col("__ids"), col("__idl")).as("id_a"),
+        greatest(col("__ids"), col("__idl")).as("id_b"))
+      .distinct()
+    val a = sets.select(col("__scope").as("__sa"), col("__id").as("__ida"),
+      col("__toks").as("__ka"), col("__n").as("__na"))
+    val b = sets.select(col("__id").as("__idb"), col("__toks").as("__kb"),
+      col("__n").as("__nb"))
+    containmentTail(cands
+      .join(a, col("__scope") === col("__sa") && col("id_a") === col("__ida"))
+      .join(b, col("id_b") === col("__idb")), tNum, tDen)
+  }
+
+  /**
    * The SCALE PATH for edit-distance prefix dedup (the
    * `dedup_fuzzy_prefix` quadratic scoped cross): TOKEN-COMBO blocking +
    * banded-Levenshtein verify on candidates only.

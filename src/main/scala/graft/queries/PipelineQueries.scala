@@ -404,43 +404,6 @@ object PipelineQueries {
              |  CAST(n_tokens AS BIGINT) AS n_tokens
              |FROM w""".stripMargin)),
 
-    // fuzzy-prefix near-dup pairs: docs in the same source whose 5-token
-    // prefixes are within edit distance 8 — the edit-distance flavor of
-    // near-dup candidate generation (template detection). Scoped to the
-    // source key via the salted join; Levenshtein is the classic DP, so
-    // Spark and DuckDB agree exactly.
-    Q("dedup_fuzzy_prefix",
-      (s, dir) => {
-        val t = graft.ops.Spread.shared(documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            concat_ws(" ", slice(TA.tokens(col("text")), 1, 5)).as("pfx")))
-        val a = t.select(col("source").as("__s"), col("doc_id").as("id_a"),
-          col("pfx").as("pfx_a"))
-        val b = t.select(col("source").as("__s2"), col("doc_id").as("id_b"),
-          col("pfx").as("pfx_b"))
-        // lev(a,b) >= |len(a)-len(b)|, so the length band prunes pairs
-        // BEFORE any DP runs (values unchanged, provably); the surviving
-        // pairs use the THRESHOLDED levenshtein — a banded O(k·min(m,n))
-        // DP with early abort (returns -1 past the threshold) instead of
-        // the full O(m·n) table. 9.7 s -> ~2 s at sf0.1.
-        graft.ops.Spread.saltedJoin(a, b,
-            col("__s") === col("__s2") && col("id_a") < col("id_b") &&
-              abs(length(col("pfx_a")) - length(col("pfx_b"))) <= 8,
-            col("id_a"), Dedup.SALT)
-          .withColumn("edit_dist", levenshtein(col("pfx_a"), col("pfx_b"), 8))
-          .filter(col("edit_dist") =!= -1)
-          .select("id_a", "id_b", "edit_dist")
-      },
-      Some("""WITH t AS (
-             |  SELECT doc_id, source,
-             |    array_to_string((list_filter(string_split(text, ' '),
-             |      x -> length(x) > 0))[1:5], ' ') AS pfx
-             |  FROM documents)
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
-             |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-             |WHERE levenshtein(a.pfx, b.pfx) <= 8""".stripMargin)),
-
     // EXACT repeated-substring spans (Lee et al. 2021 exact-substring
     // dedup): maximal >= 3-token spans occurring verbatim more than once
     // in the corpus — window-hash + interval-merge formulation of the
@@ -691,25 +654,6 @@ object PipelineQueries {
              |  coalesce(agg.clean_text, '') AS clean_text
              |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""".stripMargin)),
 
-    Q("dedup_ngram_jaccard",
-      (s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text",
-        "source", 3, 0.8),
-      Some("""WITH pos AS (
-             |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
-             |  FROM documents),
-             |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
-             |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
-             |inter AS (
-             |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
-             |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
-             |    AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2)
-             |SELECT id_a, id_b,
-             |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
-             |FROM inter
-             |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
-             |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin)),
-
     // EXACT Jaccard via prefix filtering (AllPairs, WWW'07): identical
     // result set to dedup_ngram_jaccard — same oracle — but candidates come
     // from an equi-join on each doc's n − ceil(t·n) + 1 globally-RAREST
@@ -735,14 +679,16 @@ object PipelineQueries {
              |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
              |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin)),
 
-    // asymmetric containment dedup (Broder): fraction of the SMALLER
-    // shingle set inside the larger — catches quote/superset pairs that
-    // Jaccard structurally misses (doc inside a 10x wrapper: J <= 0.1,
-    // C = 1). Integer threshold test 4*i >= 3*min, scoped like the
-    // Jaccard baseline.
-    Q("dedup_containment",
-      (s, dir) => Dedup.containmentPairs(documents(s, dir), "doc_id", "text",
-        "source", 3, tNum = 3, tDen = 4),
+    // EXACT asymmetric containment (Broder) via prefix filtering — the
+    // overlap-join extension of AllPairs: the smaller set probes with its
+    // n − ⌈t·n⌉ + 1 globally-RAREST shingles, the larger side indexes its
+    // full set (no size-ratio prune exists for containment), verify =
+    // sorted-merge intersect on candidates only. Same result set as the
+    // quadratic scoped cross (Registry.referees "dedup_containment";
+    // equality proven in ScalePathSpec), same oracle.
+    Q("dedup_containment_prefix",
+      (s, dir) => Dedup.containmentPrefixPairs(documents(s, dir), "doc_id",
+        "text", "source", 3, tNum = 3, tDen = 4),
       Some("""WITH pos AS (
              |  SELECT doc_id, source, text,
              |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
@@ -4349,4 +4295,89 @@ object PipelineQueries {
     }
     sb.toString
   }
+
+  /** Quadratic REFEREE baselines — deliberately NOT in `qs`/the driver
+    * registry: each is the O(corpus²)-candidate formulation whose result
+    * set defines correctness for a registered scale path
+    * (`baseline_of` in the note). They exist so ScalePathSpec can prove
+    * the blocked/prefix-filtered production plans return the identical
+    * pairs; registering them would ship plans that die at 100× data.
+    * Oracles retained so tools/oracle_check.py can still audit them
+    * ad hoc. */
+  val referees: Seq[Q] = Seq(
+    // near-dup by 5-token-prefix edit distance, all pairs per source.
+    Q("dedup_fuzzy_prefix",
+      (s, dir) => {
+        val t = graft.ops.Spread.shared(documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            concat_ws(" ", slice(TA.tokens(col("text")), 1, 5)).as("pfx")))
+        val a = t.select(col("source").as("__s"), col("doc_id").as("id_a"),
+          col("pfx").as("pfx_a"))
+        val b = t.select(col("source").as("__s2"), col("doc_id").as("id_b"),
+          col("pfx").as("pfx_b"))
+        // lev(a,b) >= |len(a)-len(b)| prunes before any DP runs; the
+        // survivors use the THRESHOLDED banded levenshtein (-1 past k).
+        graft.ops.Spread.saltedJoin(a, b,
+            col("__s") === col("__s2") && col("id_a") < col("id_b") &&
+              abs(length(col("pfx_a")) - length(col("pfx_b"))) <= 8,
+            col("id_a"), Dedup.SALT)
+          .withColumn("edit_dist", levenshtein(col("pfx_a"), col("pfx_b"), 8))
+          .filter(col("edit_dist") =!= -1)
+          .select("id_a", "id_b", "edit_dist")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    array_to_string((list_filter(string_split(text, ' '),
+             |      x -> length(x) > 0))[1:5], ' ') AS pfx
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
+             |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.pfx, b.pfx) <= 8""".stripMargin),
+      note = "baseline_of:dedup_fuzzy_blocked"),
+
+    // all-pairs char-3-gram Jaccard per source.
+    Q("dedup_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text",
+        "source", 3, 0.8),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
+             |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+             |FROM inter
+             |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.8""".stripMargin),
+      note = "baseline_of:dedup_jaccard_prefix"),
+
+    // asymmetric containment (Broder): fraction of the SMALLER shingle
+    // set inside the larger, all pairs per source.
+    Q("dedup_containment",
+      (s, dir) => Dedup.containmentPairs(documents(s, dir), "doc_id", "text",
+        "source", 3, tNum = 3, tDen = 4),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, source, text,
+             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
+             |sz AS (SELECT doc_id, CAST(count(*) AS INTEGER) n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) i
+             |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, i AS n_shared,
+             |  round(CAST(i AS DOUBLE) / least(sa.n, sb.n), 9) AS containment,
+             |  CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id
+             |FROM inter
+             |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |WHERE i * 4 >= 3 * least(sa.n, sb.n)""".stripMargin),
+      note = "baseline_of:dedup_containment_prefix"))
 }

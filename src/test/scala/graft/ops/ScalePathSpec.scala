@@ -48,15 +48,34 @@ class ScalePathSpec extends AnyFunSuite {
     }
   }
 
-  test("dedup_fuzzy_blocked returns the quadratic baseline's exact result set") {
-    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val brute = graft.SparkEntry.queries("dedup_fuzzy_prefix")(spark, dir)
+  /** The quadratic referee baselines live OUTSIDE the driver registry
+    * (Registry.referees) — these proofs are the only place they run.
+    * Each scale path must return the identical result set to its
+    * O(corpus²) referee on the test corpora. */
+  private def refereeMatchesScalePath(referee: String, scalePath: String,
+                                      dirs: Seq[String]): Unit =
+    for (dir <- dirs) {
+      val brute = graft.queries.Registry.refereeQueries(referee)(spark, dir)
         .collect().map(_.toString).sorted
-      val blocked = graft.SparkEntry.queries("dedup_fuzzy_blocked")(spark, dir)
+      val fast = graft.SparkEntry.queries(scalePath)(spark, dir)
         .collect().map(_.toString).sorted
-      assert(blocked.sameElements(brute),
-        s"$dir: blocked ${blocked.length} vs brute ${brute.length}")
+      assert(fast.sameElements(brute),
+        s"$dir: $scalePath ${fast.length} vs $referee ${brute.length}")
       Spread.release(spark)
     }
+
+  test("dedup_fuzzy_blocked returns the quadratic baseline's exact result set") {
+    refereeMatchesScalePath("dedup_fuzzy_prefix", "dedup_fuzzy_blocked",
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+  }
+
+  test("dedup_jaccard_prefix returns the all-pairs baseline's exact result set") {
+    refereeMatchesScalePath("dedup_ngram_jaccard", "dedup_jaccard_prefix",
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+  }
+
+  test("dedup_containment_prefix returns the all-pairs baseline's exact result set") {
+    refereeMatchesScalePath("dedup_containment", "dedup_containment_prefix",
+      Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
   }
 }
