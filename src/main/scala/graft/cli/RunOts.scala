@@ -437,12 +437,13 @@ object RunOts {
         }
       case Some("cdf5") | Some("netcdf3_64bit_data") =>
         Netcdf3.write(df, output, gatts, varAttrs, version = 5)
+      case Some("cdf2") | Some("netcdf3_64bit_offset") =>
+        Netcdf3.write(df, output, gatts, varAttrs, version = 2)
       case Some("cdf1") | Some("netcdf3_classic") | None =>
         Netcdf3.write(df, output, gatts, varAttrs, version = 1)
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported netcdf_format '$other' — supported: cdf1/netcdf3_classic, " +
-          "cdf5/netcdf3_64bit_data, netcdf4/hdf5 " +
-          "(CDF-2/64-bit-offset is not implemented)")
+          "cdf2/netcdf3_64bit_offset, cdf5/netcdf3_64bit_data, netcdf4/hdf5")
     }
   }
 

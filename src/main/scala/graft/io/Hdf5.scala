@@ -657,7 +657,8 @@ object Hdf5 {
                              dims: Seq[Long] = Nil,
                              chunkDims: Seq[Long] = Nil,
                              chunks: Seq[H5Chunk] = Nil,
-                             filters: Seq[H5Filter] = Nil)
+                             filters: Seq[H5Filter] = Nil,
+                             fill: Option[Double] = None)
   final case class H5File(attrs: Map[String, String], datasets: Seq[H5Dataset])
 
   private final class Rd(val b: Array[Byte]) {
@@ -903,8 +904,27 @@ object Hdf5 {
       var n = -1L; var dataAddr = -1L; var dtype = "unknown"
       var dims: Seq[Long] = Nil; var chunkDims: Seq[Long] = Nil
       var chunks: Seq[H5Chunk] = Nil; var filters: Seq[H5Filter] = Nil
+      var fillAt = -1; var fillSz = 0
       val attrs = scala.collection.mutable.Map[String, String]()
       for ((typ, o, sz) <- msgs) typ match {
+        case 0x0005 =>
+          // fill value message: v1 always carries size+data; v2 only when
+          // `defined`; v3 only when flags bit 5. Datatype may parse after
+          // this message, so record the span and decode below.
+          val ver = r.u8(o)
+          if (ver <= 2) {
+            val defined = r.u8(o + 3)
+            if (ver == 1 || defined == 1) {
+              val s = r.u32(o + 4).toInt
+              if (s > 0) { fillAt = o + 8; fillSz = s }
+            }
+          } else {
+            val flags = r.u8(o + 1)
+            if ((flags & 0x20) != 0) {
+              val s = r.u32(o + 2).toInt
+              if (s > 0) { fillAt = o + 6; fillSz = s }
+            }
+          }
         case 0x0001 =>
           val ver = r.u8(o); val rank = r.u8(o + 1)
           val dimsAt = if (ver == 2) o + 4 else o + 8
@@ -958,8 +978,19 @@ object Hdf5 {
           val (k, v) = parseAttr(o); attrs(k) = v
         case _ => ()
       }
+      // the header fill-value message wins; a numeric _FillValue attr is
+      // the fallback (netCDF-4 writes both; older tools only the attr)
+      val fill: Option[Double] =
+        (if (fillAt >= 0 && dtype != "unknown" && fillSz == elemSize(dtype))
+           Some(decodeOne(ByteBuffer.wrap(r.b, fillAt, fillSz)
+             .order(ByteOrder.LITTLE_ENDIAN), dtype))
+         else None)
+          .orElse(attrs.get("_FillValue")
+            .flatMap(_.split("\\s+").headOption)
+            .flatMap(s => try Some(s.toDouble)
+                          catch { case _: NumberFormatException => None }))
       H5Dataset(name, dtype, n, dataAddr, attrs.toMap, dims, chunkDims,
-        chunks, filters)
+        chunks, filters, fill)
     }
 
     val rootMsgs = parseHeader(rootOH)
@@ -1053,7 +1084,9 @@ object Hdf5 {
       Array.fill(ds.n.toInt)(decodeOne(bb, ds.dtype))
     } else {
       val dims = if (ds.dims.nonEmpty) ds.dims else Seq(ds.n)
-      val out = new Array[Double](ds.n.toInt)
+      // unallocated chunks read as the dataset's fill value (the HDF5
+      // library contract) — zero only when no fill is declared anywhere
+      val out = Array.fill(ds.n.toInt)(ds.fill.getOrElse(0.0))
       // row-major strides of the logical array
       val strides = dims.scanRight(1L)(_ * _).drop(1)
       for (c <- ds.chunks) {

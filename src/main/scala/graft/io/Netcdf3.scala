@@ -7,16 +7,20 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
 /**
- * netCDF classic-family writer/reader — CDF-1 ("classic") and CDF-5
- * ("64-bit data", PnetCDF/netcdf-c NETCDF3_64BIT_DATA), big-endian, per the
- * public format grammar
+ * netCDF classic-family writer/reader — CDF-1 ("classic"), CDF-2
+ * ("64-bit offset", NETCDF3_64BIT_OFFSET) and CDF-5 ("64-bit data",
+ * PnetCDF/netcdf-c NETCDF3_64BIT_DATA), big-endian, per the public format
+ * grammar
  * (https://docs.unidata.ucar.edu/netcdf-c/current/file_format_specifications.html):
- * in CDF-5 every NON_NEG size field (numrecs, name lengths, list counts,
- * dim lengths, ndims, dimids, vsize) and every OFFSET (`begin`) widens to
- * INT64, `ABSENT` is a 4-byte zero tag + 8-byte zero count, and the int64
- * external types exist — so variables and offsets past 2 GiB are
- * representable, which the reference's default netCDF4 output has and
- * CDF-1 lacks (stglib/rsk/cdf2nc.py:145-147). Pure JVM, no native libs.
+ * in CDF-2 ONLY the `begin` OFFSET widens to INT64 (NON_NEG stays 32-bit)
+ * — the variant older netcdf-c wrote for >2 GiB archives; in CDF-5 every
+ * NON_NEG size field (numrecs, name lengths, list counts, dim lengths,
+ * ndims, dimids, vsize) and every OFFSET widens to INT64, `ABSENT` is a
+ * 4-byte zero tag + 8-byte zero count, and the int64 external types
+ * exist — so variables and offsets past 2 GiB are representable, which
+ * the reference's default netCDF4 output has and CDF-1 lacks
+ * (stglib/rsk/cdf2nc.py:145-147; xarray opens all classic variants
+ * transparently, stglib/core/utils.py:862-877). Pure JVM, no native libs.
  *
  * Writer shape: a long-format DataFrame becomes 1-D record variables over
  * the unlimited `time` dimension, with global + per-variable attributes —
@@ -41,11 +45,18 @@ object Netcdf3 {
   private val NC_DIMENSION = 0x0a
   private val NC_VARIABLE = 0x0b
   private val NC_ATTRIBUTE = 0x0c
+  private val NC_BYTE = 1
   private val NC_CHAR = 2
+  private val NC_SHORT = 3
   private val NC_INT = 4
   private val NC_FLOAT = 5
   private val NC_DOUBLE = 6
-  private val NC_INT64 = 10 // CDF-5 only
+  // CDF-5 external types
+  private val NC_UBYTE = 7
+  private val NC_USHORT = 8
+  private val NC_UINT = 9
+  private val NC_INT64 = 10
+  private val NC_UINT64 = 11
 
   private def pad4(n: Int): Int = (4 - n % 4) % 4
 
@@ -75,7 +86,17 @@ object Netcdf3 {
     case LongType if v5 => NC_INT64
     case _ => NC_DOUBLE
   }
-  private def ncSize(t: Int): Int = if (t == NC_INT || t == NC_FLOAT) 4 else 8
+  /** EXACT external size per type (the classic grammar's xtype table).
+    * A wrong width here corrupts the record stride for EVERY column of a
+    * file with non-float variables, so unknown type codes throw instead
+    * of defaulting. */
+  private def ncSize(t: Int): Int = t match {
+    case NC_BYTE | NC_CHAR | NC_UBYTE => 1
+    case NC_SHORT | NC_USHORT => 2
+    case NC_INT | NC_FLOAT | NC_UINT => 4
+    case NC_DOUBLE | NC_INT64 | NC_UINT64 => 8
+    case other => throw new IllegalArgumentException(s"unknown nc_type $other")
+  }
 
   /** Write `df`'s numeric columns as record variables along the unlimited
     * `time` dimension. `attrs` = global attributes; `varAttrs` = per-column
@@ -84,9 +105,14 @@ object Netcdf3 {
   def write(df: DataFrame, path: String, attrs: Seq[(String, String)] = Nil,
             varAttrs: Map[String, Seq[(String, String)]] = Map.empty,
             version: Int = 1, headerPad: Long = 0L): Long = {
-    require(version == 1 || version == 5, s"CDF version $version unsupported (1 or 5)")
+    require(version == 1 || version == 2 || version == 5,
+      s"CDF version $version unsupported (1, 2 or 5)")
     require(headerPad >= 0, "headerPad must be non-negative")
     val v5 = version == 5
+    // CDF-2 ("64-bit offset", magic CDF\x02): ONLY the `begin` OFFSET
+    // widens to INT64; every NON_NEG stays 32-bit (the grammar's one
+    // difference from CDF-1)
+    val off64 = version >= 2
     val fields = df.schema.fields.toSeq
     // fail BEFORE any bytes hit disk: a non-numeric column would otherwise
     // throw mid-stream and leave a corrupt half-written file
@@ -127,7 +153,7 @@ object Netcdf3 {
         vaSize +                   // vatt_list
         4 +                        // nc_type
         sz +                       // vsize
-        (if (v5) 8 else 4)         // begin (OFFSET)
+        (if (off64) 8 else 4)      // begin (OFFSET)
     }.sum
     val headerSize = header.size() + 4 + sz + varMetaSize
     h.writeInt(NC_VARIABLE); writeSize(h, fields.length.toLong, v5)
@@ -142,10 +168,10 @@ object Netcdf3 {
       } else { h.writeInt(0); writeSize(h, 0L, v5) }
       h.writeInt(types(i))
       writeSize(h, ncSize(types(i)).toLong, v5) // vsize (per-record contribution)
-      if (v5) h.writeLong(begin)
+      if (off64) h.writeLong(begin)
       else {
         require(begin <= Int.MaxValue,
-          s"variable '${f.name}' begin $begin exceeds CDF-1's 32-bit offsets — write with version = 5")
+          s"variable '${f.name}' begin $begin exceeds CDF-1's 32-bit offsets — write with version = 2 or 5")
         h.writeInt(begin.toInt)
       }
       begin += ncSize(types(i))
@@ -207,10 +233,21 @@ object Netcdf3 {
       * unlimited one (classic-format rule). */
     def isRecord(v: NcVar): Boolean =
       unlimitedDim.exists(u => v.dimids.headOption.contains(u))
+    /** Elements per record = product of the non-record dimension sizes
+      * (1 for a plain 1-D series). */
+    def recElems(v: NcVar): Long =
+      v.dimids.drop(1).map(d => dims(d)._2).product
+    /** Per-record bytes of one record variable: elems × external size,
+      * rounded up to a 4-byte boundary per the classic spec — EXCEPT
+      * when the file has exactly ONE record variable, which packs
+      * unpadded (the spec's special case for byte/short/char series). */
+    def recBytes(v: NcVar): Long = {
+      val raw = recElems(v) * ncSize(v.ncType)
+      if (vars.count(isRecord) == 1) raw else (raw + 3) / 4 * 4
+    }
     /** Bytes per record = sum over RECORD variables only (fixed-size
       * variables live before the record section and do not stride). */
-    def recSize: Long =
-      vars.filter(isRecord).map(v => ncSize(v.ncType).toLong).sum
+    def recSize: Long = vars.filter(isRecord).map(recBytes).sum
   }
   final case class NcFile(header: NcHeader, bytes: Array[Byte]) {
     def numrecs: Int = header.numrecs.toInt
@@ -227,24 +264,41 @@ object Netcdf3 {
       val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
       Array.tabulate(numrecs) { r =>
         val off = (v.begin + r.toLong * recSize).toInt
-        v.ncType match {
-          case NC_INT => bb.getInt(off).toDouble
-          case NC_INT64 => bb.getLong(off).toDouble
-          case NC_FLOAT => bb.getFloat(off).toDouble
-          case _ => bb.getDouble(off)
-        }
+        decodeAt(bb, off, v)
       }
     }
   }
 
-  /** Parse a CDF-1/CDF-5 header from its leading bytes (the buffer only
-    * needs to hold the header, not the file). */
+  /** One element of `v` at absolute byte offset `off` as a double —
+    * every numeric external type at its EXACT width; NC_CHAR (text)
+    * throws rather than reinterpreting bytes as numbers. */
+  private def decodeAt(bb: ByteBuffer, off: Int, v: NcVar): Double =
+    v.ncType match {
+      case NC_BYTE => bb.get(off).toDouble
+      case NC_UBYTE => (bb.get(off) & 0xff).toDouble
+      case NC_SHORT => bb.getShort(off).toDouble
+      case NC_USHORT => (bb.getShort(off) & 0xffff).toDouble
+      case NC_INT => bb.getInt(off).toDouble
+      case NC_UINT => (bb.getInt(off) & 0xffffffffL).toDouble
+      case NC_INT64 | NC_UINT64 => bb.getLong(off).toDouble
+      case NC_FLOAT => bb.getFloat(off).toDouble
+      case NC_DOUBLE => bb.getDouble(off)
+      case NC_CHAR => throw new IllegalArgumentException(
+        s"${v.name} is an NC_CHAR (text) variable — not numeric")
+      case other => throw new IllegalArgumentException(
+        s"${v.name}: unknown nc_type $other")
+    }
+
+  /** Parse a CDF-1/CDF-2/CDF-5 header from its leading bytes (the buffer
+    * only needs to hold the header, not the file). */
   def parseHeader(bytes: Array[Byte]): NcHeader = {
     val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     require(bytes.length >= 8 && bytes(0) == 'C' && bytes(1) == 'D' && bytes(2) == 'F' &&
-      (bytes(3) == 1 || bytes(3) == 5), "not a CDF-1/CDF-5 classic-family file")
+      (bytes(3) == 1 || bytes(3) == 2 || bytes(3) == 5),
+      "not a CDF-1/CDF-2/CDF-5 classic-family file")
     val version = bytes(3).toInt
     val v5 = version == 5
+    val off64 = version >= 2
     var pos = 4
     def readSize(): Long =
       if (v5) { val v = bb.getLong(pos); pos += 8; v }
@@ -263,8 +317,31 @@ object Netcdf3 {
         val k = readName()
         val t = bb.getInt(pos); pos += 4
         val n = readSize().toInt
-        require(t == NC_CHAR, "only text attrs supported")
-        val v = new String(bytes, pos, n, "UTF-8"); pos += n + pad4(n)
+        // text attrs decode verbatim; numeric attrs (the _FillValue /
+        // scale_factor shapes real netcdf-c files carry) render as their
+        // space-joined values so every consumer keeps the Map[String,
+        // String] surface
+        val v = if (t == NC_CHAR) {
+          val s = new String(bytes, pos, n, "UTF-8"); pos += n + pad4(n); s
+        } else {
+          val es = ncSize(t)
+          val vals = (0 until n).map { i =>
+            val off = pos + i * es
+            t match {
+              case NC_FLOAT => bb.getFloat(off).toDouble.toString
+              case NC_DOUBLE => bb.getDouble(off).toString
+              case NC_BYTE => bb.get(off).toString
+              case NC_UBYTE => (bb.get(off) & 0xff).toString
+              case NC_SHORT => bb.getShort(off).toString
+              case NC_USHORT => (bb.getShort(off) & 0xffff).toString
+              case NC_INT => bb.getInt(off).toString
+              case NC_UINT => (bb.getInt(off) & 0xffffffffL).toString
+              case _ => bb.getLong(off).toString
+            }
+          }
+          pos += n * es + pad4(n * es)
+          vals.mkString(" ")
+        }
         k -> v
       }.toMap
     }
@@ -284,7 +361,7 @@ object Netcdf3 {
       val va = readAttrs()
       val t = bb.getInt(pos); pos += 4
       readSize() // vsize
-      val begin = if (v5) { val v = bb.getLong(pos); pos += 8; v }
+      val begin = if (off64) { val v = bb.getLong(pos); pos += 8; v }
                   else { val v = bb.getInt(pos).toLong; pos += 4; v }
       NcVar(nm, t, begin, va, dimids)
     }
@@ -329,14 +406,12 @@ object Netcdf3 {
       throw new NoSuchElementException(name))
     val raf = new java.io.RandomAccessFile(path, "r")
     try {
+      val elemSize = ncSize(v.ncType)
+      val buf = new Array[Byte](elemSize)
       Array.tabulate(h.numrecs.toInt) { r =>
         raf.seek(v.begin + r.toLong * h.recSize)
-        v.ncType match {
-          case NC_INT => raf.readInt().toDouble
-          case NC_INT64 => raf.readLong().toDouble
-          case NC_FLOAT => raf.readFloat().toDouble
-          case _ => raf.readDouble()
-        }
+        raf.readFully(buf)
+        decodeAt(ByteBuffer.wrap(buf).order(ByteOrder.BIG_ENDIAN), 0, v)
       }
     } finally raf.close()
   }

@@ -203,14 +203,34 @@ object Readers {
     * both the unit table and the epoch parse. */
   private[io] def cfTimeBase(units: String): Option[(Long, Double)] = {
     val m = "(?i)(seconds|minutes|hours|days|milliseconds)\\s+since\\s+(.+)".r
+    // a trailing UTC offset (CF: "seconds since 1992-10-8 15:15:42.5 -6:00";
+    // also -0600 / +05:30 / -8 forms) is only an offset when it FOLLOWS a
+    // time-of-day — a bare date's "-01" day must not match
+    val offRe = "(?s)(.*\\d:\\d{2}.*?)\\s+([+-]\\d{1,2}(?::?\\d{2})?)$".r
     units.trim match {
       case m(unit, epoch0) =>
         val epoch = epoch0.trim.replace("T", " ")
+        val stripped = epoch.stripSuffix("Z").stripSuffix(" UTC").trim
+        val (noOff, offMicros) = stripped match {
+          case offRe(base, off) =>
+            val sign = if (off.startsWith("-")) -1L else 1L
+            val digits = off.drop(1).replace(":", "")
+            val (hh, mm) =
+              if (digits.length <= 2) (digits.toInt, 0)
+              else (digits.dropRight(2).toInt, digits.takeRight(2).toInt)
+            (base.trim, sign * (hh * 3600L + mm * 60L) * 1000000L)
+          case _ => (stripped, 0L)
+        }
+        // normalize fractional seconds to exactly 6 digits so one .SSSSSS
+        // pattern covers ".5" through ".123456789"
+        val cleaned = "\\.(\\d+)$".r.replaceAllIn(noOff,
+          mm => "." + (mm.group(1) + "000000").take(6))
         val base =
           try {
             val fmts = Seq("yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss",
-              "yyyy-MM-dd HH:mm", "yyyy-MM-dd")
-            val cleaned = epoch.stripSuffix("Z").stripSuffix(" UTC")
+              "yyyy-MM-dd HH:mm", "yyyy-MM-dd",
+              "yyyy-M-d H:m:s.SSSSSS", "yyyy-M-d H:m:s",
+              "yyyy-M-d H:m", "yyyy-M-d")
             fmts.view.flatMap { f =>
               try Some(java.time.LocalDateTime.parse(cleaned,
                 java.time.format.DateTimeFormatter.ofPattern(f)))
@@ -230,8 +250,9 @@ object Readers {
             case "days" => 8.64e10
             case "milliseconds" => 1e3
           }
+          // a timestamp carrying offset O denotes the instant local − O
           (b.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
-            b.getNano / 1000L, perUnit)
+            b.getNano / 1000L - offMicros, perUnit)
         }
       case _ => None
     }

@@ -25,9 +25,16 @@ import org.apache.spark.sql.functions._
  *
  * ONE plan serves batch and streaming (`withWatermark` is a no-op on
  * static inputs): the parity spec runs literally this function both ways.
- * Matched rows only (the inner-join form): a left row with no candidate
- * in tolerance produces nothing, where the batch operator's left join
- * yields a null payload — the one documented semantic difference.
+ * Two documented semantic differences from the batch operator:
+ *  - matched rows only (the inner-join form): a left row with no
+ *    candidate in tolerance produces nothing, where the batch
+ *    operator's left join yields a null payload;
+ *  - DUPLICATE left rows collapse: the final per-left-row `groupBy`
+ *    keys on ALL left columns, so two byte-identical left rows (same
+ *    timestamp and payload) emit ONE output row, where the batch join
+ *    emits one row each. Left feeds carrying true duplicates must
+ *    disambiguate upstream (a sequence/arrival id column added before
+ *    the join makes each row a distinct group and restores 1:1).
  */
 object StreamAsof {
 

@@ -23,7 +23,19 @@ object Hdf5Fixture {
   }
 
   final case class Var(name: String, dims: Seq[Long], data: Array[Double],
-                       attrs: Seq[(String, String)] = Nil)
+                       attrs: Seq[(String, String)] = Nil,
+                       fill: Option[Double] = None)
+
+  /** v2 fill-value message with a DEFINED f64 value (the shape the
+    * production writer never emits — this is precisely what the fixture
+    * exists to cover). */
+  private def fillMsg(v: Double): Array[Byte] = {
+    val b = new B
+    b.u8(2).u8(1).u8(2).u8(1) // version 2, alloc, fill time, defined = 1
+    b.u32(8)
+    b.u64(java.lang.Double.doubleToLongBits(v))
+    b.result
+  }
 
   private def msg(typ: Int, body: Array[Byte]): Array[Byte] = {
     val padded = body ++ new Array[Byte]((8 - body.length % 8) % 8)
@@ -88,6 +100,7 @@ object Hdf5Fixture {
       Seq(msg(0x01, space(v.dims)), msg(0x03, f64Type),
         msg(0x08, { val b = new B
           b.u8(3).u8(1).u64(dataAddr).u64(v.data.length.toLong * 8); b.result })) ++
+      v.fill.map(f => msg(0x05, fillMsg(f))).toSeq ++
       v.attrs.map { case (k, x) => msg(0x0c, strAttr(k, x)) })
     val hdrSizes = vars.map(v => v.name -> dsHdr(v, 0L).length).toMap
     val hdrAddr = vars.map { v => val a = at; at += hdrSizes(v.name); v.name -> a }.toMap

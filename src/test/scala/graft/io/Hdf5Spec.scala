@@ -222,6 +222,50 @@ class Hdf5Spec extends AnyFunSuite {
     assert(us("milliseconds since 2016-08-01 06:00:00", 1500.0).contains(e0 + 1500000L))
     assert(us("dbar", 1.0).isEmpty) // a pressure unit is not a time base
     assert(us("since forever", 1.0).isEmpty)
+    // trailing UTC offsets (CF canonical example is "-6:00"): the instant
+    // is local − offset
+    assert(us("seconds since 2016-08-01 06:00:00 -6:00", 0.0).contains(
+      e0 + 6 * 3600000000L))
+    assert(us("seconds since 2016-08-01 06:00:00 +05:30", 0.0).contains(
+      e0 - (5 * 3600L + 30 * 60L) * 1000000L))
+    assert(us("seconds since 2016-08-01 06:00:00 -0800", 0.0).contains(
+      e0 + 8 * 3600000000L))
+    assert(us("seconds since 2016-08-01 06:00:00 -8", 0.0).contains(
+      e0 + 8 * 3600000000L))
+    // a bare date's day component must NOT parse as an offset
+    assert(us("days since 2016-08-01", 0.0).contains(
+      java.time.Instant.parse("2016-08-01T00:00:00Z").getEpochSecond * 1000000L))
+    // CF spec's own canonical form: single-digit date parts + .5 fraction
+    assert(us("seconds since 1992-10-8 15:15:42.5 -6:00", 0.0).contains(
+      java.time.Instant.parse("1992-10-08T21:15:42.500Z").getEpochSecond
+        * 1000000L + 500000L))
+  }
+
+  test("fill value: header message parses, unallocated chunks read as fill") {
+    // 0x0005 fill-value message (v2, defined) from an independent fixture
+    val bytes = Hdf5Fixture.file(Seq(
+      Hdf5Fixture.Var("P_1", Seq(3), Array(1.0, 2.0, 3.0),
+        fill = Some(-999.25))))
+    val ds = Hdf5.open(bytes).datasets.find(_.name == "P_1").get
+    assert(ds.fill.contains(-999.25))
+    assert(Hdf5.column(bytes, ds).toSeq == Seq(1.0, 2.0, 3.0))
+    // _FillValue attribute fallback when no header message exists
+    val bytes2 = Hdf5Fixture.file(Seq(
+      Hdf5Fixture.Var("T_28", Seq(2), Array(5.0, 6.0),
+        attrs = Seq("_FillValue" -> "-9999"))))
+    val ds2 = Hdf5.open(bytes2).datasets.find(_.name == "T_28").get
+    assert(ds2.fill.contains(-9999.0))
+    // chunked read: a dataset whose second chunk was never allocated
+    // (libhdf5 writes only dirtied chunks) must read fill, not zeros —
+    // chunk bytes: 2 f64 LE values at offset 0 of this standalone buffer
+    val chunkBytes = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(7.5).putDouble(8.5).array()
+    val sparse = Hdf5.H5Dataset("u", "f64", 4, -1L, Map.empty,
+      dims = Seq(4L), chunkDims = Seq(2L),
+      chunks = Seq(Hdf5.H5Chunk(Seq(0L), 0L, 16L, 0L)),
+      fill = Some(-7.0))
+    assert(Hdf5.column(chunkBytes, sparse).toSeq == Seq(7.5, 8.5, -7.0, -7.0))
   }
 
   test("readNetcdf long-formats (time x bin) profile variables") {

@@ -86,8 +86,126 @@ class Netcdf3Spec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       Netcdf3.write(df, dir.resolve("bad.nc").toString, version = 1, headerPad = pad)
     }
-    assert(e.getMessage.contains("version = 5"))
+    assert(e.getMessage.contains("version = 2 or 5"))
     Files.deleteIfExists(Paths.get(path))
+  }
+
+  test("CDF-2: 64-bit begin offsets, 32-bit sizes — round trip past 2^31") {
+    import spark.implicits._
+    val df = Seq((0.0, 1.5f, 7), (1.0, 2.5f, 8), (2.0, 3.5f, 9))
+      .toDF("time", "P_1", "sample")
+    val dir = Files.createTempDirectory("nc2")
+    val path = dir.resolve("off64.nc").toString
+    val pad = 3_000_000_000L
+    Netcdf3.write(df, path,
+      attrs = Seq("Conventions" -> "CF-1.8"),
+      varAttrs = Map("P_1" -> Seq("units" -> "dbar")),
+      version = 2, headerPad = pad)
+    val head = new Array[Byte](4)
+    val in = new java.io.FileInputStream(path)
+    in.read(head); in.close()
+    assert(head(0) == 'C' && head(1) == 'D' && head(2) == 'F' && head(3) == 2)
+    val h = Netcdf3.open(path)
+    assert(h.version == 2 && h.numrecs == 3)
+    assert(h.attrs("Conventions") == "CF-1.8")
+    assert(h.vars.forall(_.begin > Int.MaxValue.toLong)) // the point of CDF-2
+    assert(Netcdf3.columnAt(path, h, "time").toSeq == Seq(0.0, 1.0, 2.0))
+    assert(Netcdf3.columnAt(path, h, "P_1").toSeq == Seq(1.5, 2.5, 3.5))
+    assert(Netcdf3.columnAt(path, h, "sample").toSeq == Seq(7.0, 8.0, 9.0))
+    // small CDF-2 reads through the in-memory path too
+    val small = dir.resolve("small.nc").toString
+    Netcdf3.write(df, small, version = 2)
+    val nc = Netcdf3.read(Files.readAllBytes(Paths.get(small)))
+    assert(nc.header.version == 2)
+    assert(nc.column("P_1").toSeq == Seq(1.5, 2.5, 3.5))
+    Files.deleteIfExists(Paths.get(path))
+  }
+
+  /** Hand-encoded per the public classic grammar (NOT via our writer) so
+    * the reader's stride arithmetic is checked against an independent
+    * byte layout: short/byte/char external sizes (2/1/1), per-variable
+    * record-slab padding to 4 bytes, and a numeric NC_SHORT _FillValue
+    * attribute. */
+  test("classic fixture: exact short/byte widths, slab padding, numeric attrs") {
+    def enc(begin0: Int, withData: Boolean): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bo)
+      def name(s: String): Unit = {
+        val b = s.getBytes("UTF-8"); o.writeInt(b.length); o.write(b)
+        (0 until (4 - b.length % 4) % 4).foreach(_ => o.writeByte(0))
+      }
+      o.writeBytes("CDF"); o.writeByte(1)
+      o.writeInt(2) // numrecs
+      o.writeInt(0x0a); o.writeInt(1); name("time"); o.writeInt(0) // unlimited
+      o.writeInt(0); o.writeInt(0)  // no global attrs
+      o.writeInt(0x0b); o.writeInt(5)
+      var begin = begin0
+      def v(nm: String, t: Int, vsize: Int, fill: Option[Short]): Unit = {
+        name(nm); o.writeInt(1); o.writeInt(0) // 1 dim: time
+        fill match {
+          case Some(f) =>
+            o.writeInt(0x0c); o.writeInt(1)
+            name("_FillValue"); o.writeInt(3); o.writeInt(1)
+            o.writeShort(f); o.writeShort(0) // one NC_SHORT value + pad
+          case None => o.writeInt(0); o.writeInt(0)
+        }
+        o.writeInt(t); o.writeInt(vsize); o.writeInt(begin); begin += vsize
+      }
+      v("s", 3, 4, Some(-999)) // NC_SHORT: 2 bytes + 2 pad
+      v("b", 1, 4, None)       // NC_BYTE: 1 byte + 3 pad
+      v("c", 2, 4, None)       // NC_CHAR: 1 byte + 3 pad
+      v("i", 4, 4, None)       // NC_INT: 4 bytes
+      v("d", 6, 8, None)       // NC_DOUBLE: 8 bytes
+      if (withData) {
+        for (r <- 0 until 2) {
+          o.writeShort(if (r == 0) 100 else -999); o.writeShort(0)
+          o.writeByte(if (r == 0) -5 else 3); o.write(Array[Byte](0, 0, 0))
+          o.writeByte('x'); o.write(Array[Byte](0, 0, 0))
+          o.writeInt(7 + r)
+          o.writeDouble(1.5 + r)
+        }
+      }
+      bo.toByteArray
+    }
+    val headerLen = enc(0, withData = false).length
+    val nc = Netcdf3.read(enc(headerLen, withData = true))
+    assert(nc.recSize == 24) // 4 + 4 + 4 + 4 + 8, each slab 4-padded
+    assert(nc.vars.find(_.name == "s").get.attrs("_FillValue") == "-999")
+    assert(nc.column("s").toSeq == Seq(100.0, -999.0))
+    assert(nc.column("b").toSeq == Seq(-5.0, 3.0))
+    assert(nc.column("i").toSeq == Seq(7.0, 8.0))
+    assert(nc.column("d").toSeq == Seq(1.5, 2.5))
+    val e = intercept[IllegalArgumentException] { nc.column("c") }
+    assert(e.getMessage.contains("NC_CHAR"))
+  }
+
+  /** The grammar's special case: exactly ONE record variable of a
+    * 1/2-byte type packs its records with NO inter-record padding. */
+  test("classic fixture: single short record variable packs unpadded") {
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo)
+    def name(s: String): Unit = {
+      val b = s.getBytes("UTF-8"); o.writeInt(b.length); o.write(b)
+      (0 until (4 - b.length % 4) % 4).foreach(_ => o.writeByte(0))
+    }
+    def header(begin: Int): Unit = {
+      bo.reset()
+      o.writeBytes("CDF"); o.writeByte(1)
+      o.writeInt(3)
+      o.writeInt(0x0a); o.writeInt(1); name("time"); o.writeInt(0)
+      o.writeInt(0); o.writeInt(0)
+      o.writeInt(0x0b); o.writeInt(1)
+      name("s"); o.writeInt(1); o.writeInt(0)
+      o.writeInt(0); o.writeInt(0)
+      o.writeInt(3); o.writeInt(2); o.writeInt(begin) // vsize 2: unpadded
+    }
+    header(0)
+    val hl = bo.toByteArray.length
+    header(hl)
+    Seq[Short](1, 2, 3).foreach(o.writeShort(_))
+    val nc = Netcdf3.read(bo.toByteArray)
+    assert(nc.recSize == 2) // the special case: stride 2, not 4
+    assert(nc.column("s").toSeq == Seq(1.0, 2.0, 3.0))
   }
 
   test("header layout: known magic and classic tags at fixed offsets") {
