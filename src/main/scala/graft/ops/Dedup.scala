@@ -263,64 +263,115 @@ object Dedup {
 
   /**
    * The SCALE PATH for edit-distance prefix dedup (the
-   * `dedup_fuzzy_prefix` quadratic scoped cross): TOKEN-COMBO blocking +
-   * banded-Levenshtein verify on candidates only.
+   * `dedup_fuzzy_prefix` quadratic scoped cross): PassJoin segment
+   * blocking (Li/Deng/Feng, "PASS-JOIN: A Partition-based Method for
+   * Similarity Joins", VLDB'11) + banded-Levenshtein verify on
+   * candidates only. EXACT — returns the identical result set to the
+   * quadratic baseline at every corpus (pigeonhole, not heuristic
+   * recall; ScalePathSpec proves equality).
    *
-   * Candidate generation: each doc's `nTokens`-token prefix contributes
-   * its C(n,2) unordered pairs of distinct tokens as block keys; two docs
-   * become a candidate iff they share a (scope, token-pair) block. The DP
-   * (thresholded `levenshtein(_, _, maxDist)`, early abort) then runs on
-   * candidates only, after the |len(a)−len(b)| ≤ maxDist band and a
-   * distinct() that collapses multi-combo duplicates BEFORE any DP.
+   * Candidate generation, τ = maxDist, k = τ+1 segments:
+   *  - every prefix of length ≥ k is evenly partitioned into its k
+   *    segments (first `l mod k` segments one char longer) and INDEXES
+   *    each as (scope, l, segIdx, segText);
+   *  - every prefix of length l ≥ k PROBES, for each possible
+   *    shorter-side length L ∈ [max(k, l−τ), l] and segment i, its own
+   *    substrings of the segment's length at starts within the
+   *    MULTI-MATCH-AWARE window
+   *    [pᵢ + max(−(i−1), Δ−(k−i)), pᵢ + min(i−1, Δ+(k−i))] (Δ = l−L,
+   *    paper's Lemma: pick i = the first untouched segment, then ≤ i−1
+   *    edits precede it and ≤ k−i follow, bounding the alignment shift
+   *    from both ends — single positions at i = 1 and i = k). If
+   *    lev ≤ τ, one of the shorter side's k segments survives untouched
+   *    (k > τ), so the longer side contains it inside the window — no
+   *    true pair is missed;
+   *  - prefixes of length ≤ τ are reachable from ANY string of length
+   *    ≤ 2τ (delete everything), so the degenerate class l ≤ 2τ joins a
+   *    per-scope length-band block (shorter side ≤ τ) — a bounded
+   *    template-separator class, not corpus².
    *
-   * Contract (same candidates-then-exact shape as [[minhashLshPairs]] vs
-   * [[ngramJaccardPairs]]): recall is limited to pairs sharing ≥ 2 of
-   * their ≤ nTokens distinct prefix tokens — plus single-distinct-token
-   * prefixes ("x x x x x" template separators), which emit a degenerate
-   * self-pair key so identical/near-identical one-token prefixes still
-   * block together (a 1-distinct-token vs multi-token pair remains the
-   * documented miss). A pair can in principle sit
-   * within maxDist while every token differs (maxDist spread one edit per
-   * token), so the blocking is not information-theoretically complete —
-   * but near-dup template prefixes share whole tokens in practice
-   * (ScalePathSpec proves result-set equality with the quadratic form on
-   * the test corpora). Work scales with Σ_block |block|² where blocks are
-   * token-PAIR cooccurrences — output-sensitive (a big block IS a real
-   * template cluster whose pairs are true output), not corpus-quadratic
-   * like the baseline's Σ_scope |scope|².
+   * Probe volume is ≤ (τ+1)²·(2τ+1) keys per doc — a constant, so
+   * candidate generation is LINEAR in corpus size; candidate pairs are
+   * output-sensitive (a segment match at aligned positions is strong
+   * evidence). The DP (thresholded `levenshtein(_, _, maxDist)`, early
+   * abort) runs on distinct candidates only, after the
+   * |len(a)−len(b)| ≤ maxDist band.
    */
   def fuzzyPrefixPairs(df: DataFrame, idCol: String, textCol: String,
                        scopeCol: String, nTokens: Int, maxDist: Int): DataFrame = {
+    val tau = maxDist
+    val k = tau + 1
     val toks = graft.ops.TextAnalysis.tokens(col(textCol))
     val t = Spread.shared(Spread.byKey(df, col(idCol)).select(
       col(scopeCol).as("__scope"), col(idCol).as("__id"),
-      concat_ws(" ", slice(toks, 1, nTokens)).as("__pfx"),
-      array_sort(array_distinct(slice(toks, 1, nTokens))).as("__tk")))
-    // all C(n,2) token combos, rarest-free equi-join keys; the size >= 2
-    // guard matters because sequence(1, 0) DESCENDS in Spark
-    val combos = t.select(col("__scope"), col("__id"), col("__pfx"),
-      explode(expr("""CASE WHEN size(__tk) >= 2 THEN
-        flatten(transform(sequence(1, size(__tk) - 1),
-          i -> transform(sequence(i + 1, size(__tk)),
-            j -> concat(element_at(__tk, i), chr(1), element_at(__tk, j)))))
-        WHEN size(__tk) = 1 THEN
-        array(concat(element_at(__tk, 1), chr(1), element_at(__tk, 1)))
-        ELSE array() END""")).as("__bk"))
-    val a = combos.select(col("__scope").as("__s"), col("__bk").as("__k"),
-      col("__id").as("id_a"), col("__pfx").as("pfx_a"))
-    val b = combos.select(col("__scope").as("__s2"), col("__bk").as("__k2"),
-      col("__id").as("id_b"), col("__pfx").as("pfx_b"))
-    // DP BEFORE distinct: the thresholded early-abort DP is cheaper per
-    // candidate than shuffling every candidate row into the dedupe, so the
-    // distinct only carries true survivors (output-sized), not the full
-    // candidate stream; duplicate combos re-run a deterministic DP, which
-    // is pure CPU inside the scan stage
-    a.join(b, col("__s") === col("__s2") && col("__k") === col("__k2") &&
-        col("id_a") < col("id_b") &&
-        abs(length(col("pfx_a")) - length(col("pfx_b"))) <= maxDist)
+      concat_ws(" ", slice(toks, 1, nTokens)).as("__pfx"))
+      .withColumn("__l", length(col("__pfx"))))
+    // segment i of a length-L string: start p_i, length s_i (1-based,
+    // first L mod k segments are one longer) — shared by index and probe
+    def segLen(lCol: String, i: String) = s"(($lCol) div $k + IF(($i) <= ($lCol) % $k, 1, 0))"
+    def segStart(lCol: String, i: String) = s"((($i) - 1) * (($lCol) div $k) + least(($i) - 1, ($lCol) % $k) + 1)"
+    // segments/probes join on a 64-bit hash of the substring, not the
+    // string itself: narrower shuffle keys, and a collision only adds a
+    // candidate the DP verify discards — exactness is unaffected
+    val index = t.filter(col("__l") >= k).select(
+      col("__scope").as("__sx"), col("__id").as("__idx"),
+      col("__l").as("__lx"),
+      explode(expr(s"""transform(sequence(1, $k), i ->
+        struct(i AS si,
+               xxhash64(substring(__pfx, ${segStart("__l", "i")}, ${segLen("__l", "i")})) AS seg))"""))
+        .as("__kx"))
+    val probe = t.filter(col("__l") >= k).select(
+      col("__scope").as("__sp"), col("__id").as("__idp"),
+      col("__l").as("__lp"),
+      explode(expr(s"""flatten(transform(sequence(greatest($k, __l - $tau), __l), L ->
+        flatten(transform(sequence(1, $k), i ->
+          CASE WHEN least(__l - ${segLen("L", "i")} + 1,
+                          ${segStart("L", "i")} + least(i - 1, (__l - L) + ($k - i)))
+                    >= greatest(1,
+                          ${segStart("L", "i")} + greatest(-(i - 1), (__l - L) - ($k - i)))
+          THEN transform(
+            sequence(
+              greatest(1,
+                ${segStart("L", "i")} + greatest(-(i - 1), (__l - L) - ($k - i))),
+              least(__l - ${segLen("L", "i")} + 1,
+                ${segStart("L", "i")} + least(i - 1, (__l - L) + ($k - i)))),
+            q -> struct(L AS tl, i AS si,
+                        xxhash64(substring(__pfx, q, ${segLen("L", "i")})) AS seg))
+          ELSE CAST(array() AS ARRAY<STRUCT<tl INT, si INT, seg BIGINT>>) END))))"""))
+        .as("__kp"))
+    val segCands = probe.join(index,
+        col("__sp") === col("__sx") &&
+          col("__kp.tl") === col("__lx") &&
+          col("__kp.si") === col("__kx.si") &&
+          col("__kp.seg") === col("__kx.seg") &&
+          (col("__lx") < col("__lp") ||
+            (col("__lx") === col("__lp") && col("__idx") =!= col("__idp"))))
+      .select(col("__sp").as("__s"),
+        least(col("__idx"), col("__idp")).as("id_a"),
+        greatest(col("__idx"), col("__idp")).as("id_b"))
+    // degenerate short class: shorter side <= tau pairs with anything of
+    // length <= 2*tau in scope (bounded band, not corpus²)
+    val shortA = t.filter(col("__l") <= tau).select(
+      col("__scope").as("__sa"), col("__id").as("__ida"))
+    val shortB = t.filter(col("__l") <= 2 * tau).select(
+      col("__scope").as("__sb"), col("__id").as("__idb"))
+    val shortCands = shortA.join(shortB,
+        col("__sa") === col("__sb") && col("__ida") =!= col("__idb"))
+      .select(col("__sa").as("__s"),
+        least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"))
+    val cands = segCands.unionByName(shortCands).distinct()
+    // verify: length band + thresholded early-abort DP on candidates only
+    val pa = t.select(col("__scope").as("__s1"), col("__id").as("id_a"),
+      col("__pfx").as("pfx_a"))
+    val pb = t.select(col("__id").as("id_b"), col("__pfx").as("pfx_b"))
+    cands
+      .join(pa, col("__s") === col("__s1") && cands("id_a") === pa("id_a"))
+      .join(pb, cands("id_b") === pb("id_b"))
+      .filter(abs(length(col("pfx_a")) - length(col("pfx_b"))) <= maxDist)
       .withColumn("edit_dist", levenshtein(col("pfx_a"), col("pfx_b"), maxDist))
       .filter(col("edit_dist") =!= -1)
-      .select("id_a", "id_b", "edit_dist").distinct()
+      .select(cands("id_a"), cands("id_b"), col("edit_dist"))
   }
 
   /**

@@ -478,38 +478,26 @@ object PipelineQueries {
              |  FROM kept GROUP BY doc_id) k USING (doc_id)
              |WHERE (SELECT nover FROM capchk) = 0""".stripMargin)),
 
-    // THE SCALE PATH for dedup_fuzzy_prefix: token-combo blocking (each
-    // doc's C(5,2) distinct-prefix-token pairs as equi-join keys, scoped
-    // to source) + the banded-Levenshtein verify on candidates only —
-    // work scales with token-pair cooccurrence (output-sensitive), not
-    // corpus². Identical result set to the quadratic form on the test
-    // corpora (ScalePathSpec); recall contract = pairs sharing >= 2
-    // prefix tokens (Dedup.fuzzyPrefixPairs scaladoc).
+    // THE SCALE PATH for dedup_fuzzy_prefix: PassJoin segment blocking
+    // (VLDB'11 pigeonhole — one of the shorter side's tau+1 segments
+    // survives any <= tau edits, so the longer side contains it at a
+    // position-filtered offset) + the banded-Levenshtein verify on
+    // candidates only. EXACT: identical result set to the quadratic form
+    // at every corpus (ScalePathSpec proves it; no recall contract), so
+    // the oracle is simply the quadratic SQL. Probe volume is a constant
+    // per doc — candidate generation is linear in corpus size.
     Q("dedup_fuzzy_blocked",
       (s, dir) => Dedup.fuzzyPrefixPairs(documents(s, dir), "doc_id", "text",
         "source", 5, 8),
       Some("""WITH t AS (
              |  SELECT doc_id, source,
              |    array_to_string((list_filter(string_split(text, ' '),
-             |      x -> length(x) > 0))[1:5], ' ') AS pfx,
-             |    list_sort(list_distinct((list_filter(string_split(text, ' '),
-             |      x -> length(x) > 0))[1:5])) AS tk
-             |  FROM documents),
-             |ch AS (
-             |  SELECT doc_id, source, pfx, tk[c.i] || chr(1) || tk[c.j] AS bk
-             |  FROM t, (VALUES (1,2),(1,3),(1,4),(1,5),(2,3),(2,4),(2,5),
-             |                  (3,4),(3,5),(4,5),(1,1)) c(i, j)
-             |  WHERE (c.i < c.j AND c.j <= len(tk))
-             |     OR (c.i = 1 AND c.j = 1 AND len(tk) = 1)),
-             |p AS (
-             |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
-             |    a.pfx AS pa, b.pfx AS pb
-             |  FROM ch a JOIN ch b
-             |    ON a.source = b.source AND a.bk = b.bk AND a.doc_id < b.doc_id
-             |  WHERE abs(length(a.pfx) - length(b.pfx)) <= 8)
-             |SELECT ia AS id_a, ib AS id_b,
-             |  CAST(levenshtein(pa, pb) AS INTEGER) AS edit_dist
-             |FROM p WHERE levenshtein(pa, pb) <= 8""".stripMargin)),
+             |      x -> length(x) > 0))[1:5], ' ') AS pfx
+             |  FROM documents)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
+             |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+             |WHERE levenshtein(a.pfx, b.pfx) <= 8""".stripMargin)),
 
     // record linkage: blocking on (source, first token) — the textbook
     // blocking-key equi-join — then the codegen'd native Jaro-Winkler
