@@ -575,6 +575,169 @@ object RunOts {
     df
   }
 
+  /** EXO rename half of the clean ordering (stglib/exo.py:175-253
+    * cdf_to_nc; ds_rename_vars exo.py:256-312): conductivity unit
+    * conversions BEFORE the EPIC renames, then the drop list. Runs
+    * BEFORE the common atmos step in clean() because P_1 only exists
+    * after `press_dbar` renames. */
+  private[cli] def exoRename(df0: DataFrame): DataFrame = {
+    var df = df0
+    // mS/cm -> S/m, µS/cm -> S/m (exo.py:257-271), pre-rename like the
+    // reference
+    for (c <- Seq("cond_ms_per_cm", "spcond_ms_per_cm")
+         if df.columns.contains(c))
+      df = df.withColumn(c, col(c) / 10)
+    for (c <- Seq("cond_µs_per_cm", "spcond_µs_per_cm")
+         if df.columns.contains(c))
+      df = df.withColumn(c, col(c) / 10000)
+    val renames = Seq(
+      "press_dbar" -> "P_1", "battery_v" -> "Bat_106",
+      "fdom_rfu" -> "fDOMRFU", "fdom_qsu" -> "fDOMQSU",
+      "chlorophyll_rfu" -> "CHLrfu",
+      "chlorophyll_µg_per_l" -> "Fch_906",
+      "chlorophyll_ug_per_l" -> "Fch_906",
+      "bga-pe_rfu" -> "TALPErfu", "bga_pe_rfu" -> "TALPErfu",
+      "bga-pe_µg_per_l" -> "TALPE", "bga_pe_ug_per_l" -> "TALPE",
+      "tal_pe_rfu" -> "TALPErfu", "tal_pe_ug_per_l" -> "TALPE",
+      "tal_pe_µg_per_l" -> "TALPE",
+      "temp_°c" -> "T_28", "temp_∞c" -> "T_28",
+      "cond_ms_per_cm" -> "C_51", "cond_µs_per_cm" -> "C_51",
+      "spcond_ms_per_cm" -> "SpC_48", "spcond_µs_per_cm" -> "SpC_48",
+      "sal_psu" -> "S_41", "odo_%_sat" -> "OST_62", "odo_mg_per_l" -> "DO",
+      "turbidity_ntu" -> "Turb", "turbidity_fnu" -> "Turb_FNU",
+      "ph" -> "pH_159")
+    for ((from, to) <- renames
+         if df.columns.contains(from) && !df.columns.contains(to))
+      df = df.withColumnRenamed(from, to)
+    // exo.py:191-214 drop list + the final Depth_m drop (exo.py:241-243)
+    df.drop("press_psi_a", "pressure_psi_a", "site_name", "fault_code",
+      "time_(fract._sec)", "tds_mg_per_l", "tss_mg_per_l",
+      "wiper_position_volt", "cable_pwr_v", "nlf_cond_µs_per_cm",
+      "nlf_cond_ms_per_cm", "vertical_position_m", "ph_mv", "file_name",
+      "user_id", "odo_%_cb", "depth_m")
+  }
+
+  /** EXO post-atmos half: turbidity -> suspended-sediment concentration
+    * (utils.turbidity_to_ssc, stglib/core/utils.py:2006-2041 — np.polyval
+    * of `Turb_ssc_calibration`, highest order first). The per-var qaqc
+    * trims run in the common clean tail like every family. */
+  private[cli] def exoChain(df0: DataFrame, meta: Meta): DataFrame = {
+    var df = df0
+    for (v <- Seq("Turb", "Turb_FNU") if df.columns.contains(v))
+      meta.dblSeq(s"${v}_ssc_calibration").foreach { coef =>
+        val poly = coef.zipWithIndex.map { case (c, i) =>
+          val pw = coef.length - 1 - i
+          if (pw == 0) lit(c) else lit(c) * pow(col(v), pw)
+        }.reduce(_ + _)
+        df = df.withColumn("ssc", poly)
+      }
+    df
+  }
+
+  /** Imagenex rotary-sonar clean ordering (stglib/son/cdf2nc.py:7-100):
+    * EPIC renames → sonar height off the brange aux series (nearest
+    * reindex + NaN interpolation + initial-height offset,
+    * cdf2nc.py:18-44) → per-point slant/horizontal range
+    * (cdf2nc.py:49-70) → magnetic-variation heading correction
+    * (magvar_correct:137-151) → compass theta (correct_theta:154-171).
+    * Every step is conditional on its inputs, matching the per-family
+    * chain style. */
+  private[cli] def sonChain(spark: SparkSession, df0: DataFrame,
+                            meta: Meta): DataFrame = {
+    var df = df0
+    for ((from, to) <- Seq("Pitch" -> "Ptch_1216", "Roll" -> "Roll_1217",
+                           "Heading" -> "Hdg_1215",
+                           "headAngleDeg" -> "HeadAngle",
+                           "headPosition" -> "HeadPosition")
+         if df.columns.contains(from) && !df.columns.contains(to))
+      df = df.withColumnRenamed(from, to)
+    // sonar height: brange series reindexed nearest onto sonar times with
+    // NaN gaps filled by linear time interpolation (the reference's
+    // reindex(method="nearest") + interpolate_na(dim="time")), minus the
+    // initial-instrument-height difference
+    (meta.str("brange_file"), meta.str("height_var")) match {
+      case (Some(f), Some(hv)) =>
+        val aux = Readers.readNetcdf(spark, f)
+        val instrInit = Readers.netcdfGlobalAttrs(f)
+          .get("initial_instrument_height")
+          .flatMap(v => scala.util.Try(v.toDouble).toOption)
+          .orElse(meta.dbl("brange_initial_instrument_height"))
+          .getOrElse(0.0)
+        val sonInit = meta.dbl("initial_instrument_height").getOrElse(0.0)
+        val tolUs =
+          (meta.dbl("brange_tolerance_sec").getOrElse(3600.0) * 1e6).toLong
+        val l = df.withColumn("__tus", unix_micros(col("time")))
+        val rGood = aux
+          .select(unix_micros(col("time").cast("timestamp")).as("__rus"),
+            col(hv).cast("double").as("__hv"))
+          .filter(col("__hv").isNotNull && !isnan(col("__hv")))
+        val near = graft.ops.Align.asofNearest(l, rGood, "__tus", "__rus", tolUs)
+        df = graft.ops.Align.interpLinear(near, rGood, "__tus", "__rus",
+            "__hv2", tolUs, "__hvi")
+          .withColumn("sonar_hgt",
+            coalesce(col("__hv"), col("__hvi")) - (instrInit - sonInit))
+          .drop("__tus", "__rus", "__hv", "__hvi")
+      case _ =>
+    }
+    // per-point slant range (SONRange/SONNDataPoints attrs): (i+1)·step,
+    // masked at/below the bed return, then the horizontal projection
+    (meta.int("SONNDataPoints"), meta.dbl("SONRange")) match {
+      case (Some(np), Some(rng)) if df.columns.contains("sonar_hgt") =>
+        val step = rng / np
+        df = df
+          .withColumn("SlantRange", expr(
+            s"transform(sequence(1, $np), i -> " +
+              s"CASE WHEN i * ${step}d > sonar_hgt THEN i * ${step}d END)"))
+          .withColumn("HorizontalRange", expr(
+            "transform(SlantRange, s -> sqrt(s * s - sonar_hgt * sonar_hgt))"))
+      case _ =>
+    }
+    // magvar heading correction: rounded to 0.1, wrapped to [0, 360)
+    val magvar = meta.dbl("magnetic_variation_at_site")
+      .orElse(meta.dbl("magnetic_variation")).getOrElse(0.0)
+    if (magvar != 0 && df.columns.contains("Hdg_1215"))
+      df = df.withColumn("Hdg_1215",
+        pmod(round(col("Hdg_1215") + magvar, 1), lit(360.0)))
+    df = sonTheta(df)
+    df
+  }
+
+  /** Compass-convention rotation angle (son/cdf2nc.py:154-171): reverse
+    * the math-convention head angle, point north via the heading offset,
+    * wrap, radians. */
+  private def sonTheta(df: DataFrame): DataFrame =
+    if (Seq("HeadAngle", "Hdg_1215").forall(df.columns.contains))
+      df.withColumn("theta",
+        radians(pmod(-col("HeadAngle") + 90 + (lit(360.0) - col("Hdg_1215")),
+          lit(360.0))))
+    else df
+
+  /** The sonar averaged product (son/cdf2nc.py:104-134): arithmetic mean
+    * over the sweep dimension per time step, EXCEPT angles — headings,
+    * pitch and roll vector-average (atan2 of mean unit vectors,
+    * vector_avg_angles:188-209), head/sonar angles recompute from the
+    * averaged positions (0.3·(pos − 600)), and theta recomputes from the
+    * averaged quantities. */
+  private[cli] def sonAvg(df: DataFrame, meta: Meta): DataFrame = {
+    val angleVars = Seq("Hdg_1215", "GyroHeading", "Ptch_1216", "Roll_1217")
+      .filter(df.columns.contains)
+    val numeric = df.columns.filter(c =>
+      c != "time" && c != "sweep" && !angleVars.contains(c) && c != "theta" &&
+        (df.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case _ => false
+        })).toSeq
+    val aggs =
+      numeric.map(c => avg(col(c)).as(c)) ++
+      angleVars.map(c => pmod(degrees(atan2(
+        avg(sin(radians(col(c)))), avg(cos(radians(col(c)))))), lit(360.0)).as(c))
+    var out = df.groupBy(col("time")).agg(aggs.head, aggs.tail: _*)
+    for (pos <- Seq("HeadPosition" -> "HeadAngle", "SonarPosition" -> "SonarAngle"))
+      if (out.columns.contains(pos._1))
+        out = out.withColumn(pos._2, (col(pos._1) - 600) * 0.3)
+    sonTheta(out)
+  }
+
   private def aqdVelocityChain(df0: DataFrame, meta: Meta): DataFrame = {
     val down = meta.str("orientation").exists(_.equalsIgnoreCase("down"))
     var df = aqdCoordTransform(df0, meta)
