@@ -2,7 +2,7 @@ package graft.cli
 
 import graft.core.Meta
 import graft.io.{Config, Netcdf3, Readers, Rsk, Sink}
-import graft.ops.{Clip, Qaqc, Spectra, Trims, Burst}
+import graft.ops.{Burst, Clip, ProfileTrims, Qaqc, Spectra, Trims}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -617,13 +617,14 @@ object RunOts {
       "user_id", "odo_%_cb", "depth_m")
   }
 
-  /** EXO post-atmos half: turbidity -> suspended-sediment concentration
+  /** EXO post-qaqc half: turbidity -> suspended-sediment concentration
     * (utils.turbidity_to_ssc, stglib/core/utils.py:2006-2041 — np.polyval
-    * of `Turb_ssc_calibration`, highest order first). The per-var qaqc
-    * trims run in the common clean tail like every family. */
+    * of `Turb_ssc_calibration`, highest order first). The reference's exo
+    * cdf_to_nc calls turbidity_to_ssc for "Turb" ONLY (exo.py:221), after
+    * call_qaqc — so this runs after the common clean qaqc tail. */
   private[cli] def exoChain(df0: DataFrame, meta: Meta): DataFrame = {
     var df = df0
-    for (v <- Seq("Turb", "Turb_FNU") if df.columns.contains(v))
+    for (v <- Seq("Turb") if df.columns.contains(v))
       meta.dblSeq(s"${v}_ssc_calibration").foreach { coef =>
         val poly = coef.zipWithIndex.map { case (c, i) =>
           val pw = coef.length - 1 - i
@@ -664,16 +665,26 @@ object RunOts {
           .orElse(meta.dbl("brange_initial_instrument_height"))
           .getOrElse(0.0)
         val sonInit = meta.dbl("initial_instrument_height").getOrElse(0.0)
-        val tolUs =
-          (meta.dbl("brange_tolerance_sec").getOrElse(3600.0) * 1e6).toLong
         val l = df.withColumn("__tus", unix_micros(col("time")))
         val rGood = aux
           .select(unix_micros(col("time").cast("timestamp")).as("__rus"),
             col(hv).cast("double").as("__hv"))
           .filter(col("__hv").isNotNull && !isnan(col("__hv")))
+        // the reference's reindex(method="nearest") is UNBOUNDED — absent
+        // an explicit brange_tolerance_sec, derive a tolerance spanning
+        // both series (one tiny agg over two ts columns; the aux series is
+        // small) so every sonar time finds its nearest brange sample
+        val tolUs = meta.dbl("brange_tolerance_sec").map(s => (s * 1e6).toLong)
+          .getOrElse {
+            val lr = l.agg(min(col("__tus")), max(col("__tus"))).head()
+            val rr = rGood.agg(min(col("__rus")), max(col("__rus"))).head()
+            if (lr.isNullAt(0) || rr.isNullAt(0)) 1L
+            else math.max(lr.getLong(1), rr.getLong(1)) -
+              math.min(lr.getLong(0), rr.getLong(0)) + 1L
+          }
         val near = graft.ops.Align.asofNearest(l, rGood, "__tus", "__rus", tolUs)
         df = graft.ops.Align.interpLinear(near, rGood, "__tus", "__rus",
-            "__hv2", tolUs, "__hvi")
+            "__hv", tolUs, "__hvi")
           .withColumn("sonar_hgt",
             coalesce(col("__hv"), col("__hvi")) - (instrInit - sonInit))
           .drop("__tus", "__rus", "__hv", "__hvi")
@@ -719,19 +730,42 @@ object RunOts {
     * averaged positions (0.3·(pos − 600)), and theta recomputes from the
     * averaged quantities. */
   private[cli] def sonAvg(df: DataFrame, meta: Meta): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, NumericType}
     val angleVars = Seq("Hdg_1215", "GyroHeading", "Ptch_1216", "Roll_1217")
       .filter(df.columns.contains)
     val numeric = df.columns.filter(c =>
       c != "time" && c != "sweep" && !angleVars.contains(c) && c != "theta" &&
         (df.schema(c).dataType match {
-          case _: org.apache.spark.sql.types.NumericType => true
+          case _: NumericType => true
           case _ => false
         })).toSeq
+    // points-dimension vars (SlantRange, HorizontalRange, image intensity)
+    // average elementwise over the sweep like every scalar — xarray's
+    // ds.mean(dim="sweep") is per-element and NaN-skipping. The sweep
+    // count per time step is bounded (one sector scan), so the per-group
+    // collect_list state is bounded too.
+    val arrayVars = df.columns.filter(c =>
+      c != "time" && (df.schema(c).dataType match {
+        case ArrayType(et, _) => et.isInstanceOf[NumericType]
+        case _ => false
+      })).toSeq
     val aggs =
       numeric.map(c => avg(col(c)).as(c)) ++
       angleVars.map(c => pmod(degrees(atan2(
-        avg(sin(radians(col(c)))), avg(cos(radians(col(c)))))), lit(360.0)).as(c))
+        avg(sin(radians(col(c)))), avg(cos(radians(col(c)))))), lit(360.0)).as(c)) ++
+      arrayVars.map(c => collect_list(col(c)).as(s"__ls_$c"))
     var out = df.groupBy(col("time")).agg(aggs.head, aggs.tail: _*)
+    for (c <- arrayVars)
+      out = out.withColumn(c, expr(
+        s"""transform(sequence(0, size(`__ls_$c`[0]) - 1), j ->
+           |  CASE WHEN aggregate(`__ls_$c`, 0, (n, l) ->
+           |         n + IF(l[j] IS NULL OR isnan(CAST(l[j] AS DOUBLE)), 0, 1)) > 0
+           |  THEN aggregate(`__ls_$c`, CAST(0 AS DOUBLE), (s, l) ->
+           |         s + IF(l[j] IS NULL OR isnan(CAST(l[j] AS DOUBLE)),
+           |                CAST(0 AS DOUBLE), CAST(l[j] AS DOUBLE)))
+           |     / aggregate(`__ls_$c`, 0, (n, l) ->
+           |         n + IF(l[j] IS NULL OR isnan(CAST(l[j] AS DOUBLE)), 0, 1))
+           |  END)""".stripMargin)).drop(s"__ls_$c")
     for (pos <- Seq("HeadPosition" -> "HeadAngle", "SonarPosition" -> "SonarAngle"))
       if (out.columns.contains(pos._1))
         out = out.withColumn(pos._2, (col(pos._1) - 600) * 0.3)
@@ -781,6 +815,50 @@ object RunOts {
           if (down) col(p) + col("bindist") else col(p) - col("bindist"))
       case _ =>
     }
+    aqdTrimVel(df, meta)
+  }
+
+  /** trim_vel (stglib/aqd/aqdutils.py:435-545): the config-driven
+    * `trim_method` bin trimming for UP-looking profilers — "water level"
+    * (bins above the pressure surface), "water level sl" (side-lobe
+    * cutoff P·cos(beam_angle) − bin_size·surf_bins) or "bin range"
+    * (good_bins index slice) — followed by the trailing all-null-bin
+    * drop. beam_angle defaults to the reference's Aquadopp 25°
+    * (aqdutils.py:1020); bin_size derives from the header cell-size
+    * attrs exactly as bindist did at ingest. DOWN-looking brange-based
+    * trimming (aqdutils.py:547-620) is not wired. */
+  private[cli] def aqdTrimVel(df0: DataFrame, meta: Meta): DataFrame = {
+    val up = meta.str("orientation").exists(_.equalsIgnoreCase("UP"))
+    val method = meta.str("trim_method").map(_.toLowerCase)
+      .filter(m => m.nonEmpty && m != "none")
+    if (!up || method.isEmpty || !df0.columns.contains("bindist")) return df0
+    var df = df0
+    val vars = Seq("u_1205", "v_1206", "w_1204", "AGC_1202")
+      .filter(df.columns.contains)
+    val pres = Seq("Pressure_ac", "P_1ac", "Pressure", "P_1")
+      .find(df.columns.contains)
+    (method.get, pres) match {
+      case ("water level", Some(p)) if vars.nonEmpty =>
+        df = ProfileTrims.trimWaterLevel(df, vars, "bindist", p)
+      case ("water level sl", Some(p)) if vars.nonEmpty =>
+        val beam = meta.dbl("beam_angle")
+          .orElse(meta.dbl("AQDBeamAngle")).getOrElse(25.0)
+        val binSize = meta.dbl("bin_size")
+          .orElse(meta.dbl("AQDCellSize").map(_ / 100.0))
+          .orElse(meta.dbl("AQDHRCellSize").map(_ / 1000.0)).getOrElse(0.0)
+        val surf = meta.int("trim_surf_bins").getOrElse(0)
+        df = ProfileTrims.trimSidelobes(df, vars, "bindist", p, beam,
+          binSize, surf)
+      case ("bin range", _) if df.columns.contains("bin") =>
+        meta.dblSeq("good_bins") match {
+          case Some(gb) if gb.length == 2 =>
+            df = df.filter(col("bin") >= gb(0).toInt && col("bin") < gb(1).toInt)
+          case _ => return df0
+        }
+      case _ => return df0
+    }
+    if (vars.nonEmpty)
+      df = ProfileTrims.dropTrailingNullBins(df, vars.head, "bindist")
     df
   }
 
@@ -961,7 +1039,16 @@ object RunOts {
             instrument: String = ""): Unit = {
     val meta = stepMeta(meta0, input)
     var df = readStepInput(spark, input)
-    df = Clip.clipDs(df, meta)
+    // the sonar family clips AFTER qaqc (son/cdf2nc.py:85 runs clip_ds
+    // following call_qaqc); every other family clips first (e.g.
+    // exo.py:186, aqd) — neighbor-sensitive trims see the same rows as
+    // the reference either way
+    val clipAfterQaqc = instrument == "son"
+    if (!clipAfterQaqc) df = Clip.clipDs(df, meta)
+    // EXO renames (+ conductivity unit scaling + drop list) run BEFORE the
+    // common atmos step: P_1 only exists after `press_dbar` renames
+    // (exo.py:189 ds_rename_vars precedes utils.atmos_correct at :218)
+    if (instrument == "exo") df = exoRename(df)
     // atmos_correct: aux time series (as-of nearest within tolerance, the
     // reference's met["atmpres"].reindex_like(method="nearest",
     // tolerance="5s") − offset; stglib/aqd/aqdutils.py:93-118). Scalar
@@ -1002,14 +1089,30 @@ object RunOts {
     instrument match {
       case "sig" => df = sigChain(df, meta)
       case "vec" => df = vecChain(df, meta)
+      case "son" => df = sonChain(spark, df, meta)
       case _ => if (meta.has("AQDTransMatrix")) df = aqdVelocityChain(df, meta)
     }
     val dataVars = df.columns.filterNot(Seq("time").contains).toSeq
     df = Trims.nanToNull(df, dataVars.filter(c =>
       df.schema(c).dataType.typeName == "double"))
     df = Qaqc.applyAll(df, meta, dataVars, order = Seq("time"), part = Nil)
+    if (clipAfterQaqc) df = Clip.clipDs(df, meta)
+    // EXO turbidity->SSC runs after call_qaqc in the reference
+    // (exo.py:219-221), i.e. after the common qaqc tail here
+    if (instrument == "exo") df = exoChain(df, meta)
     Sink.writeParquet(df, output, Sink.insertHistory(meta,
       "Clipped, corrected, QA/QC applied.", "1970-01-01T00:00:00Z"), float32 = false)
+    // the sonar family writes TWO products (son/cdf2nc.py:96-134): the
+    // full sweep-resolved file above and a sweep-averaged sibling
+    if (instrument == "son") {
+      val avgOut =
+        if (output.endsWith(".parquet"))
+          output.stripSuffix(".parquet") + "-a.parquet"
+        else output + "-a"
+      Sink.writeParquet(sonAvg(df, meta), avgOut, Sink.insertHistory(meta,
+        "Sweep-averaged sonar product.", "1970-01-01T00:00:00Z"),
+        float32 = false)
+    }
   }
 
   /** Clean parquet → burst reshape → wave statistics → stat trims.

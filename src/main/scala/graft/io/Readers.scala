@@ -129,7 +129,11 @@ object Readers {
   def readExoCsv(spark: SparkSession, path: String, skipRows: Int = 8): DataFrame = {
     val head = headLines(spark, path, skipRows + 1)
     require(head.size == skipRows + 1, s"file shorter than its header block: $path")
-    val header = head.last.split(",").map(_.trim.toLowerCase)
+    // the reference lowercases then replaces " "->"_" and "/"->"_per_"
+    // (stglib/exo.py:51,93-94) — the EPIC rename map is keyed by these
+    // normalized names (temp_°c, spcond_µs_per_cm, odo_%_sat, ...)
+    val header = head.last.split(",")
+      .map(_.trim.toLowerCase.replace(" ", "_").replace("/", "_per_"))
     val data = spark.read.text(path).withColumnRenamed("value", "line")
       .filter(length(trim(col("line"))) > 0)
       .filter(!col("line").isin(head: _*))

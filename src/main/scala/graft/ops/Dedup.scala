@@ -158,6 +158,20 @@ object Dedup {
        |  s -> CAST(ascii(substr(s,1,1)) * 65536 + ascii(substr(s,2,1)) * 256
        |            + ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
 
+  /** Rarest-first total order over shingle keys as ONE packed bigint:
+    * `min(df, 2^26−1)·2^37 + key`. Injective for every key
+    * [[shingleKeys3]] can emit — ascii() yields Unicode codepoints
+    * ≤ 0x10FFFF, so key ≤ 0x10FFFF·65793 < 2^37 and the low 37 bits
+    * never carry into the df field (the old `df·2^24` pack collided
+    * distinct (df, key) pairs for non-Latin-1 text, silently changing
+    * sorted-merge intersect counts vs the raw-key referee). Clamping df
+    * at 2^26−1 only affects the ORDER among shingles that ubiquitous
+    * (they sort by key instead of df) — the prefix-filter lemma holds
+    * for ANY consistent total order, so exactness is unaffected; max
+    * tok = (2^26−1)·2^37 + 2^37−1 < 2^63 stays a valid signed long. */
+  private def packDfKey(df: Column, key: Column): Column =
+    least(df, lit((1L << 26) - 1)) * lit(1L << 37) + key
+
   /** Shared containment scoring tail over pair rows carrying
     * (__ka, __kb, __na, __nb). */
   private def containmentTail(pairs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
@@ -215,7 +229,7 @@ object Dedup {
    * expose its full set; the prefix side still only exposes its rarest
    * ~(1−t) fraction, so ubiquitous shingles pair rare-prefix docs with
    * their df_all, not corpus². Rarest-first order via the same packed
-   * `df·2^24 + key` bigints (no vocab-wide window); prefix length in
+   * [[packDfKey]] bigints (no vocab-wide window); prefix length in
    * rational arithmetic (t = tNum/tDen) so the bound never rounds
    * unsafely. Verify = sorted-merge intersect on candidates only —
    * bit-identical scoring to the quadratic referee via
@@ -228,7 +242,7 @@ object Dedup {
       .select(col(scopeCol).as("__scope"), col(idCol).as("__id"),
         explode(shingleKeys(textCol, k)).as("__key"))
     val freq = sh.groupBy("__key").agg(count(lit(1)).as("__df"))
-      .select(col("__key"), (col("__df") * 16777216L + col("__key")).as("__tok"))
+      .select(col("__key"), packDfKey(col("__df"), col("__key")).as("__tok"))
     val sets = Spread.shared(
       sh.join(freq, "__key")
         .groupBy("__scope", "__id")
@@ -287,8 +301,10 @@ object Dedup {
    *    true pair is missed;
    *  - prefixes of length ≤ τ are reachable from ANY string of length
    *    ≤ 2τ (delete everything), so the degenerate class l ≤ 2τ joins a
-   *    per-scope length-band block (shorter side ≤ τ) — a bounded
-   *    template-separator class, not corpus².
+   *    per-scope length-band block (shorter side ≤ τ). This block is
+   *    quadratic WITHIN the class; a broadcast assert_true guard fails
+   *    the job if any scope holds > 100 000 such near-empty prefixes
+   *    rather than silently running |class|² work (see inline note).
    *
    * Probe volume is ≤ (τ+1)²·(2τ+1) keys per doc — a constant, so
    * candidate generation is LINEAR in corpus size; candidate pairs are
@@ -350,13 +366,36 @@ object Dedup {
         least(col("__idx"), col("__idp")).as("id_a"),
         greatest(col("__idx"), col("__idp")).as("id_b"))
     // degenerate short class: shorter side <= tau pairs with anything of
-    // length <= 2*tau in scope (bounded band, not corpus²)
+    // length <= 2*tau in scope. This is the ONE intra-class quadratic left
+    // in the method — for template-separator corpora the class is tiny,
+    // but an adversarial corpus of millions of near-empty texts would blow
+    // it up, so the per-scope class size is guarded: a 1-row aggregate is
+    // broadcast onto the short-class join and the job FAILS LOUDLY (via
+    // raise_error at broadcast build, i.e. BEFORE the join stage launches)
+    // instead of silently running |class|² work. The guard value is a
+    // typed 0 that the downstream FILTER references, so column pruning
+    // cannot optimize the check away (a bare assert_true column dropped
+    // right after the join gets pruned — measured: the quadratic join ran).
+    // Callers with legitimately short corpora should filter near-empty
+    // texts upstream or raise nTokens.
+    val maxShortClass = 100000L
+    val guard = t.filter(col("__l") <= 2 * tau)
+      .groupBy("__scope").agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max(col("__c")), lit(0L)).as("__mc"))
+      .select(when(col("__mc") <= maxShortClass, lit(0L))
+        .otherwise(raise_error(concat(lit("fuzzyPrefixPairs: "), col("__mc"),
+          lit(s" docs with prefix length <= ${2 * tau} in one scope exceeds" +
+            s" the $maxShortClass degenerate-class bound — the short-class" +
+            " join is quadratic within the class; filter near-empty texts" +
+            " or raise nTokens"))).cast("long")).as("__g"))
     val shortA = t.filter(col("__l") <= tau).select(
       col("__scope").as("__sa"), col("__id").as("__ida"))
     val shortB = t.filter(col("__l") <= 2 * tau).select(
       col("__scope").as("__sb"), col("__id").as("__idb"))
     val shortCands = shortA.join(shortB,
         col("__sa") === col("__sb") && col("__ida") =!= col("__idb"))
+      .crossJoin(broadcast(guard))
+      .filter(col("__g") === 0L).drop("__g")
       .select(col("__sa").as("__s"),
         least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"))
@@ -383,7 +422,7 @@ object Dedup {
    * the approximate MinHash-LSH scale path.
    *
    * Shingles are totally ordered by ascending global document frequency
-   * (rarest first), realized as packed `df·2^24 + key` bigints so the
+   * (rarest first), realized as packed [[packDfKey]] bigints so the
    * order needs NO vocabulary-wide window — the pack IS the sort key. A
    * document whose sorted set has n shingles exposes only its first
    * p = n − ⌈t·n⌉ + 1 (its globally rarest shingles) to the candidate
@@ -415,7 +454,7 @@ object Dedup {
     // global df per shingle ((id, key) rows are distinct, so count = doc
     // frequency); the packed bigint carries the rarest-first total order
     val freq = sh.groupBy("__key").agg(count(lit(1)).as("__df"))
-      .select(col("__key"), (col("__df") * 16777216L + col("__key")).as("__tok"))
+      .select(col("__key"), packDfKey(col("__df"), col("__key")).as("__tok"))
     // one row per doc: frequency-ordered token array (vocab-sized shuffle
     // join on the shingle key, then one per-doc aggregation)
     val sets = Spread.shared(

@@ -79,7 +79,7 @@ object Fp {
   import org.apache.spark.sql.functions._
   import graft.ops.Sketches.hash60c
 
-  private val NullS = "NULL"
+  private val NullS = "\u0002NULL"
   private val NullSql = "chr(2) || 'NULL'"
 
   def canon(c: Column): Column = coalesce(c.cast("string"), lit(NullS))
@@ -130,7 +130,7 @@ object Fp {
   def tableFp(df: DataFrame, name: String,
               fields: Seq[(String, Column)]): DataFrame = {
     val rowStr = concat(fields.map(_._2)
-      .flatMap(c => Seq(lit(""), c)).drop(1): _*)
+      .flatMap(c => Seq(lit("\u0001"), c)).drop(1): _*)
     df.select(rowStr.as("__r"))
       .agg(lit(name).as("table_name"), count(lit(1)).as("n_rows"),
         modFp(sum(hash60c(col("__r")).cast("decimal(38,0)")))

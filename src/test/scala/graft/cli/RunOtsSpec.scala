@@ -743,6 +743,114 @@ class RunOtsSpec extends AnyFunSuite {
   }
 
 
+  test("EXO lifecycle: KOR csv ingest -> clean (rename, scale, atmos, qaqc, ssc)") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_exo").toFile
+    val csv = new java.io.File(dir, "exo.csv")
+    val w = new java.io.PrintWriter(csv, "UTF-8")
+    (1 to 8).foreach(i => w.println(s"KOR export metadata line $i"))
+    w.println("Date (MM/DD/YYYY),Time (HH:mm:ss),Temp °C," +
+      "SpCond µS/cm,Turbidity NTU,Press dbar,Sal psu,ODO % sat," +
+      "pH mV,TDS mg/L,Depth m")
+    val turb = Seq(10.0, 20.0, 100.0, 30.0, 40.0, 50.0) // 100 trips Turb_max
+    for (i <- 0 until 6)
+      w.println(f"1/15/2024,${i / 4}%d:${(i % 4) * 15}%02d:00," +
+        f"${21.31 + 0.01 * i}%.2f,48012.2,${turb(i)}%.1f,12.0,30.1,95.0," +
+        "250.0,100.0,5.0")
+    w.close()
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    val meta = graft.core.Meta(Map[String, Any](
+      "Deployment_date" -> "2024-01-15 00:00",
+      "Recovery_date" -> "2024-01-16 00:00",
+      "atmpres" -> 10.0,
+      "Turb_max" -> 60.0,
+      "Turb_ssc_calibration" -> Seq(2.0, 1.0)))
+    RunOts.runStep(spark, "exo", "ingest", meta, csv.getAbsolutePath, raw)
+    // raw keeps the normalized instrument names (renames happen at clean)
+    val r = spark.read.parquet(raw)
+    assert(r.count() == 6 && r.columns.contains("turbidity_ntu"))
+    RunOts.runStep(spark, "exo", "clean", meta, raw, clean)
+    val c = spark.read.parquet(clean)
+    assert(c.count() == 6)
+    // EPIC renames (exo.py ds_rename_vars) + unit scaling
+    for (v <- Seq("T_28", "SpC_48", "Turb", "P_1", "S_41", "OST_62"))
+      assert(c.columns.contains(v), s"missing $v in ${c.columns.mkString(",")}")
+    // drop list (exo.py:191-214): ph_mv, tds, depth gone
+    for (v <- Seq("ph_mv", "tds_mg_per_l", "depth_m"))
+      assert(!c.columns.contains(v), s"$v should be dropped")
+    val rows = c.orderBy("time").collect()
+    // µS/cm -> S/m BEFORE the rename (exo.py:257-271)
+    assert(math.abs(rows(0).getAs[Double]("SpC_48") - 4.80122) < 1e-9)
+    // scalar atmos offset applies AFTER the rename created P_1
+    assert(math.abs(rows(0).getAs[Double]("P_1ac") - 2.0) < 1e-9)
+    // Turb_max qaqc trim nulled the spike; ssc = polyval AFTER qaqc
+    // (exo.py:219-221 call_qaqc then turbidity_to_ssc), coeffs [2, 1]
+    assert(rows(2).isNullAt(rows(2).fieldIndex("Turb")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("ssc")))
+    assert(math.abs(rows(1).getAs[Double]("ssc") - (2.0 * 20.0 + 1.0)) < 1e-9)
+  }
+
+  test("SON lifecycle: clean (renames, unbounded brange nearest, ranges, " +
+       "magvar, theta) + sweep-averaged product") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("runots_son").toFile
+    // brange aux .nc: ONE sample 2h before the sonar series — farther than
+    // the old 3600 s default tolerance, so only the reference's unbounded
+    // reindex(method="nearest") semantics finds it
+    val brangeNc = new java.io.File(dir, "brange.nc").getAbsolutePath
+    graft.io.Netcdf3.write(
+      Seq((0.0, 3.5)).toDF("time", "brange"), brangeNc,
+      attrs = Seq("initial_instrument_height" -> "1.5"),
+      varAttrs = Map("time" -> Seq("units" -> "seconds since 2024-03-01")))
+    // sonar raw: 4 time steps x 3 sweeps starting 2024-03-01T02:00
+    val t0 = java.time.Instant.parse("2024-03-01T02:00:00Z")
+    val rows = for (i <- 0 until 4; s <- 0 until 3) yield (
+      new java.sql.Timestamp(t0.plusSeconds(60L * i).toEpochMilli),
+      s, 600 + 10 * s, 0.3 * (10 * s), 10.0 + 10 * s, 1.0, 2.0)
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    rows.toDF("time", "sweep", "headPosition", "headAngleDeg",
+      "Heading", "Pitch", "Roll").write.parquet(raw)
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    val meta = graft.core.Meta(Map[String, Any](
+      "brange_file" -> brangeNc, "height_var" -> "brange",
+      "initial_instrument_height" -> 1.0,
+      "SONNDataPoints" -> 5, "SONRange" -> 5.0,
+      "magnetic_variation_at_site" -> -15.0))
+    RunOts.runStep(spark, "son", "clean", meta, raw, clean)
+    val c = spark.read.parquet(clean)
+    assert(c.count() == 12)
+    val r0 = c.orderBy("time", "sweep").head()
+    // sonar_hgt = brange - (instr_init 1.5 - sonar_init 1.0) = 3.5 - 0.5
+    assert(math.abs(r0.getAs[Double]("sonar_hgt") - 3.0) < 1e-9,
+      "unbounded nearest must reach the 2h-away brange sample")
+    // SlantRange (step 1 m, 5 points) masked at/below the bed return
+    val sl = r0.getAs[scala.collection.Seq[java.lang.Double]]("SlantRange")
+    assert(sl.take(3).forall(_ == null) && sl(3) == 4.0 && sl(4) == 5.0)
+    val hr = r0.getAs[scala.collection.Seq[java.lang.Double]]("HorizontalRange")
+    assert(math.abs(hr(3) - math.sqrt(16 - 9)) < 1e-9)
+    // magvar: Hdg = pmod(round(10 - 15, 1), 360) = 355 for sweep 0
+    assert(math.abs(r0.getAs[Double]("Hdg_1215") - 355.0) < 1e-9)
+    // theta = radians((-HeadAngle + 90 + (360 - Hdg)) mod 360)
+    val thetaWant = math.toRadians((-0.0 + 90 + (360 - 355.0)) % 360)
+    assert(math.abs(r0.getAs[Double]("theta") - thetaWant) < 1e-9)
+    // sweep-averaged sibling product (son/cdf2nc.py:104-134)
+    val a = spark.read.parquet(clean + "-a")
+    assert(a.count() == 4)
+    val a0 = a.orderBy("time").head()
+    // HeadAngle recomputed from the AVERAGED HeadPosition: 0.3*(610-600)
+    assert(math.abs(a0.getAs[Double]("HeadAngle") - 3.0) < 1e-9)
+    // headings vector-average: mean dir of {355, 5, 15} degrees
+    val want = math.toDegrees(math.atan2(
+      (math.sin(math.toRadians(355.0)) + math.sin(math.toRadians(5.0)) +
+        math.sin(math.toRadians(15.0))) / 3,
+      (math.cos(math.toRadians(355.0)) + math.cos(math.toRadians(5.0)) +
+        math.cos(math.toRadians(15.0))) / 3))
+    assert(math.abs(a0.getAs[Double]("Hdg_1215") - want) < 1e-9)
+    // arrays averaged elementwise over the sweep (identical here)
+    val asl = a0.getAs[scala.collection.Seq[java.lang.Double]]("SlantRange")
+    assert(asl.take(3).forall(_ == null) && asl(3) == 4.0 && asl(4) == 5.0)
+  }
+
   test("REAL atmpres.cdf aux: clean applies the file's atmpres offset attr") {
     import spark.implicits._
     val ref = "/root/reference/examples/atmpres.cdf"

@@ -67,6 +67,25 @@ class FuzzyPassJoinSpec extends AnyFunSuite {
     assert(run(docs, 8) == want)
   }
 
+  test("adversarial near-empty corpus trips the short-class guard, not n²") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 100_001 near-empty texts in ONE scope: the degenerate l <= 2τ class
+    // would join quadratically (10^10 pairs) — the broadcast guard must
+    // fail the job loudly before that work runs
+    val df = spark.range(100001L)
+      .select(col("id").as("doc_id"), lit("s").as("source"),
+        concat(lit("a"), (col("id") % 10).cast("string")).as("text"))
+    val e = intercept[Exception] {
+      Dedup.fuzzyPrefixPairs(df, "doc_id", "text", "source", 5, 4).count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("degenerate-class bound")),
+      s"wrong failure: ${e.getMessage}")
+    Spread.release(spark)
+  }
+
   test("equals the quadratic baseline on random corpora (mutation near-dups)") {
     val rnd = new scala.util.Random(11)
     val alphabet = "abcde "

@@ -57,6 +57,34 @@ class PrefixFilterSpec extends AnyFunSuite {
     Spread.release(spark)
   }
 
+  test("non-Latin-1 text: packed rarest-first order stays injective") {
+    import spark.implicits._
+    // codepoints far above 255 (Greek + CJK) make shingle keys exceed 2^24;
+    // the old df*2^24+key pack collided distinct (df, key) pairs here and
+    // silently changed intersect counts vs the raw-key referees
+    val rnd = new scala.util.Random(11)
+    val alphabet = "αβγδεζηθικλμνξο世界文字データ "
+    def randText(len: Int): String =
+      (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val base = (0 until 25).map(i => (i.toLong, s"s${i % 2}", randText(30 + rnd.nextInt(30))))
+    val dups = base.filter(_._1 % 3 == 0).map { case (id, src, t) =>
+      val arr = t.toCharArray
+      arr(rnd.nextInt(arr.length)) = alphabet(rnd.nextInt(alphabet.length))
+      (id + 1000L, src, new String(arr))
+    }
+    val df = (base ++ dups).toDF("doc_id", "source", "text")
+    val wantJ = pairsOf(Dedup.ngramJaccardPairs(df, "doc_id", "text", "source", 3, 0.8))
+    val gotJ = pairsOf(Dedup.jaccardPrefixPairs(df, "doc_id", "text", "source", 3, 4, 5))
+    assert(gotJ == wantJ && wantJ.nonEmpty, s"jaccard: prefix=${gotJ.size} baseline=${wantJ.size}")
+    def cPairs(d: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      d.select("id_a", "id_b", "n_shared").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wantC = cPairs(Dedup.containmentPairs(df, "doc_id", "text", "source", 3, 4, 5))
+    val gotC = cPairs(Dedup.containmentPrefixPairs(df, "doc_id", "text", "source", 3, 4, 5))
+    assert(gotC == wantC && wantC.nonEmpty, s"containment: prefix=${gotC.size} baseline=${wantC.size}")
+    Spread.release(spark)
+  }
+
   test("identical docs across different scopes never pair") {
     import spark.implicits._
     val df = Seq((1L, "s0", "hello world hello"), (2L, "s1", "hello world hello"))

@@ -30,7 +30,7 @@ class FpSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     val expect = Seq(
       // floor on the BINARY double: 0.145*100 = 14.499999999999998
-      "14", "-14", "12346", "100", "1650", "-1650", "0", "0", "NULL",
+      "14", "-14", "12346", "100", "1650", "-1650", "0", "0", "\u0002NULL",
       "NaN", "Inf", "-Inf", "BIG", "BIG")
     assert(got.toSeq == expect)
     assert(got.forall(_ != null))

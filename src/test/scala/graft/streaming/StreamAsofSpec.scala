@@ -91,4 +91,44 @@ class StreamAsofSpec extends AnyFunSuite {
         s"stream ${got.length} rows vs batch ${batch.length}")
     } finally q.stop()
   }
+
+  test("byte-identical duplicate left rows stay 1:1 with batch output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // measurement feed carrying TRUE duplicates: row (7, t, 10.0) twice
+    val lRows = Seq(
+      (7L, base, 10.0), (7L, base, 10.0),
+      (8L, base + 30000000L, 11.0))
+    val rRows = Seq((1000L, base + 5000000L, 101.3))
+    val lDf = shapeL(lRows.toDF("mid", "lus", "p"))
+    val rDf = shapeR(rRows.toDF("aid", "rus", "atm"))
+    val batch = StreamAsof.asofNearest(lDf, rDf, "ltime", "rtime",
+      toleranceSec = 60).collect().map(_.toString).sorted
+    assert(batch.length == 3, s"batch must keep the duplicate: ${batch.length}")
+
+    val lIn = MemoryStream[(Long, Long, Double)]
+    val rIn = MemoryStream[(Long, Long, Double)]
+    val out = StreamAsof.asofNearest(
+      shapeL(lIn.toDF().toDF("mid", "lus", "p")),
+      shapeR(rIn.toDF().toDF("aid", "rus", "atm")),
+      "ltime", "rtime", toleranceSec = 60)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_dup").start()
+    try {
+      lIn.addData(lRows: _*)
+      rIn.addData(rRows: _*)
+      q.processAllAvailable()
+      val flush = base + 100000L * 1000000L
+      lIn.addData((99999L, flush, 0.0))
+      rIn.addData((99999L, flush, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_dup")
+        .filter(col("mid") =!= 99999L)
+        .collect().map(_.toString).sorted
+      assert(got.sameElements(batch),
+        s"stream ${got.length} rows vs batch ${batch.length}")
+    } finally q.stop()
+  }
 }
