@@ -23,7 +23,10 @@ object Bench {
     // deterministic (sorted) execution order so per-query timings are
     // comparable across rounds; best-of-2 per query filters scheduler /
     // codegen-compilation noise out of the measurement
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     // a query that throws must NOT masquerade as a fast timing (r6 shipped 22
     // analysis-broken queries as innocent 0.05 s rows): record it here and

@@ -121,6 +121,9 @@ object RunOts {
     if (lower.endsWith(".mat") && instrument == "iq") {
       iqIngest(spark, meta, input, output); return
     }
+    if (instrument == "son" && new java.io.File(input).isDirectory) {
+      sonDirIngest(spark, meta, input, output); return
+    }
     if (instrument == "abss" &&
         (lower.endsWith(".mat") || new java.io.File(input).isDirectory)) {
       // AQUAscat: one .mat per burst in a deployment dir (stglib/abss.py)
@@ -635,6 +638,79 @@ object RunOts {
     df
   }
 
+  /** Imagenex sweep-set deployment ingest (stglib/son/raw2cdf.py:139-213
+    * file81R_to_cdf): a directory of `mmddHHMM<sw>.81R` files where the
+    * 2-char sweep tag lives at name[6:8] and files sharing name[:-6] form
+    * one sweep SET (e.g. 031400AE/AF/AG/AH). Trailing files that do not
+    * complete a set are trimmed (the reference's len(files) % n_sweeps
+    * cut). Output is long format (time, sweep, scan, attitude fields,
+    * sonar_image) with the SET's time coordinate taken from its first
+    * sweep's first ping — the (time, sweep, scan/points) cube the son
+    * clean chain and sweep average consume.
+    *
+    * Scale shape: the file LIST and set metadata are driver-side (one
+    * name per file); the echo-payload decode runs distributed over a
+    * binaryFile scan, one task per file group. */
+  private def sonDirIngest(spark: SparkSession, meta: Meta, input: String,
+                           output: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Option(new java.io.File(input).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .map(_.getName).filter(_.toLowerCase.endsWith(".81r")).sorted
+    require(all.nonEmpty, s"$input: no .81R files")
+    val nSweeps = all.map(n => n.slice(6, 8)).distinct.length
+    val extra = all.length % nSweeps
+    val files =
+      if (extra > 0) {
+        System.err.println(s"[runots] trimmed $extra incomplete-sweep file(s)")
+        all.dropRight(extra)
+      } else all
+    val keep = files.toSet
+    import spark.implicits._
+    val decoded = spark.read.format("binaryFile").load(input)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .filter(r => keep.contains(new java.io.File(r._1).getName))
+      .flatMap { case (path, content) =>
+        val name = new java.io.File(path).getName
+        val md = if (name.length >= 12)
+          name.slice(name.length - 12, name.length - 8) else "0101"
+        graft.io.Son81R.decode(content).zipWithIndex.map { case (p, i) =>
+          (name.dropRight(6), name, i + 1, p.timeRaw, md, p.headPosition,
+           p.headAngleDeg, p.stepDirection, p.profileRange, p.sonarPosition,
+           p.sonarAngleDeg, p.pitch, p.roll, p.heading, p.gyroHeading,
+           p.intensities)
+        }
+      }
+      .toDF("__set", "__fname", "scan", "timeRaw", "__md", "HeadPosition",
+        "HeadAngle", "StepDirection", "ProfileRange", "SonarPosition",
+        "SonarAngle", "Pitch", "Roll", "Heading", "GyroHeading", "sonar_image")
+    // per-ping wall time (header YYYYHHMMSS.f + filename mmdd, as the
+    // single-file path), then the set-level coordinate: first sweep's
+    // first ping (min over (fname, scan))
+    val t = decoded.withColumn("__t", to_timestamp(concat(
+      substring(col("timeRaw"), 1, 4), lit("-"),
+      substring(col("__md"), 1, 2), lit("-"), substring(col("__md"), 3, 2),
+      lit(" "), substring(col("timeRaw"), 5, 2), lit(":"),
+      substring(col("timeRaw"), 7, 2), lit(":"), substring(col("timeRaw"), 9, 5))))
+    // sweep index = rank of the file within its set (sets hold nSweeps
+    // files × bounded pings — the window partition is tiny by construction)
+    val w = Window.partitionBy(col("__set")).orderBy(col("__fname"))
+    val withSweep = t.withColumn("sweep", dense_rank().over(w))
+    val setTime = t.groupBy(col("__set"))
+      .agg(min(struct(col("__fname"), col("scan"), col("__t"))).as("__first"))
+      .select(col("__set").as("__set2"), col("__first.__t").as("time"))
+    val out = withSweep.join(broadcast(setTime), col("__set") === col("__set2"))
+      .drop("__set", "__set2", "__fname", "timeRaw", "__md", "__t")
+    val cols = "time" +: out.columns.filter(_ != "time").toSeq
+    Sink.writeParquet(
+      Readers.applyClockError(applyRenames(out.select(cols.map(col): _*), meta),
+        "time", meta),
+      output, Sink.insertHistory(meta,
+        s"Ingested $input (${files.length} .81R sweep files, " +
+          s"$nSweeps sweeps/set).", "1970-01-01T00:00:00Z"), float32 = false)
+  }
+
   /** Imagenex rotary-sonar clean ordering (stglib/son/cdf2nc.py:7-100):
     * EPIC renames → sonar height off the brange aux series (nearest
     * reindex + NaN interpolation + initial-height offset,
@@ -649,7 +725,16 @@ object RunOts {
     for ((from, to) <- Seq("Pitch" -> "Ptch_1216", "Roll" -> "Roll_1217",
                            "Heading" -> "Hdg_1215",
                            "headAngleDeg" -> "HeadAngle",
-                           "headPosition" -> "HeadPosition")
+                           "headPosition" -> "HeadPosition",
+                           // single-file .81R ingest keeps the decoder's
+                           // field names; map them to the EPIC set too
+                           "pitch" -> "Ptch_1216", "roll" -> "Roll_1217",
+                           "heading" -> "Hdg_1215",
+                           "gyroHeading" -> "GyroHeading",
+                           "sonarPosition" -> "SonarPosition",
+                           "sonarAngleDeg" -> "SonarAngle",
+                           "profileRange" -> "ProfileRange",
+                           "intensities" -> "sonar_image")
          if df.columns.contains(from) && !df.columns.contains(to))
       df = df.withColumnRenamed(from, to)
     // sonar height: brange series reindexed nearest onto sonar times with
@@ -729,12 +814,24 @@ object RunOts {
     * vector_avg_angles:188-209), head/sonar angles recompute from the
     * averaged positions (0.3·(pos − 600)), and theta recomputes from the
     * averaged quantities. */
-  private[cli] def sonAvg(df: DataFrame, meta: Meta): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, NumericType}
+  private[cli] def sonAvg(df0: DataFrame, meta: Meta): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, BinaryType, NumericType}
+    // the sweep-averaged image: binary echo columns become unsigned-byte
+    // double arrays so they ride the elementwise array mean below (the
+    // reference's ds.mean averages sonar_image like every other var)
+    var df = df0
+    for (c <- df0.columns if df0.schema(c).dataType == BinaryType)
+      df = df.withColumn(c, expr(
+        s"transform(sequence(1, octet_length(`$c`)), i -> " +
+          s"CAST(conv(hex(substring(`$c`, i, 1)), 16, 10) AS DOUBLE))"))
     val angleVars = Seq("Hdg_1215", "GyroHeading", "Ptch_1216", "Roll_1217")
       .filter(df.columns.contains)
+    // ds.mean(dim="sweep") collapses ONLY the sweep dimension — time and
+    // the within-sweep scan index both survive as coordinates
+    val keys = "time" +: (if (df.columns.contains("scan")) Seq("scan") else Nil)
     val numeric = df.columns.filter(c =>
-      c != "time" && c != "sweep" && !angleVars.contains(c) && c != "theta" &&
+      !keys.contains(c) && c != "sweep" && !angleVars.contains(c) &&
+        c != "theta" &&
         (df.schema(c).dataType match {
           case _: NumericType => true
           case _ => false
@@ -754,7 +851,7 @@ object RunOts {
       angleVars.map(c => pmod(degrees(atan2(
         avg(sin(radians(col(c)))), avg(cos(radians(col(c)))))), lit(360.0)).as(c)) ++
       arrayVars.map(c => collect_list(col(c)).as(s"__ls_$c"))
-    var out = df.groupBy(col("time")).agg(aggs.head, aggs.tail: _*)
+    var out = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     for (c <- arrayVars)
       out = out.withColumn(c, expr(
         s"""transform(sequence(0, size(`__ls_$c`[0]) - 1), j ->

@@ -24,7 +24,9 @@ object Son81R {
 
   final case class PingRow(
       ping: Long, timeRaw: String, headPosition: Int, headAngleDeg: Double,
-      stepDirection: Int, intensities: Array[Byte])
+      stepDirection: Int, profileRange: Int, sonarPosition: Int,
+      sonarAngleDeg: Double, pitch: Double, roll: Double, heading: Double,
+      gyroHeading: Double, intensities: Array[Byte])
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def f32(b: Array[Byte], i: Int): Float =
@@ -79,12 +81,24 @@ object Son81R {
       val headPosition = (63 & u8(rh, 6)) * 128 + (127 & u8(rh, 5))
       val headAngle = (headPosition - 600) * sw.stepSizeDeg
       val stepDirection = (u8(rh, 6) & 64) >> 6
+      // manual's 14-bit split-byte fields (sonutils.py:139-176): value =
+      // HB<<8 | LB with HB = (hi & 0x7E) >> 1, LB = (hi & 1) << 7 | lo & 0x7F
+      def pk(lo: Int, hi: Int): Int = {
+        val hb = (u8(rh, hi) & 0x7e) >> 1
+        (hb << 8) | ((u8(rh, hi) & 0x01) << 7) | (u8(rh, lo) & 0x7f)
+      }
+      val sonarPosition = pk(12, 13)
+      // pitch carries a sign term keyed on the hi byte's LSB (sonutils:160)
+      val pitch = (pk(14, 15) - 16384 * (u8(rh, 15) & 1)) * 360.0 / 16384
       // reference keeps all bytes from the data offset to totalBytes-1
       // (raw2cdf.py: image = imagedata[:, offset:-1]), independent of
       // the switch command's NDataPoints
       val dataOff = swOff + ph.switchBytes + ph.returnHeaderBytes
       PingRow(ph.pingNumber, ph.timeRaw, headPosition, headAngle,
-        stepDirection,
+        stepDirection, pk(8, 9), sonarPosition,
+        0.3 * (sonarPosition - 600), pitch,
+        pk(16, 17) * 360.0 / 16384, pk(18, 19) * 360.0 / 16384,
+        pk(21, 22) * 360.0 / 16384,
         java.util.Arrays.copyOfRange(rec, dataOff, math.max(dataOff, total - 1)))
     }
   }

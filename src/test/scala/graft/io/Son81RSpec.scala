@@ -31,6 +31,16 @@ class Son81RSpec extends AnyFunSuite {
     val rh = sw + 40
     rec(rh + 5) = (headPos % 128).toByte
     rec(rh + 6) = ((headPos / 128) | (stepDir << 6)).toByte
+    // manual's 14-bit split-byte fields: ProfileRange 450, SonarPosition
+    // 650 (angle 15°), Pitch 512 (11.25°), Roll 1024 (22.5°),
+    // Heading 2048 (45°), GyroHeading 4096 (90°)
+    def put14(lo: Int, hi: Int, v: Int): Unit = {
+      val hb = v >> 8; val lb = v & 0xff
+      rec(rh + hi) = ((hb << 1) | (lb >> 7)).toByte
+      rec(rh + lo) = (lb & 0x7f).toByte
+    }
+    put14(8, 9, 450); put14(12, 13, 650); put14(14, 15, 512)
+    put14(16, 17, 1024); put14(18, 19, 2048); put14(21, 22, 4096)
     // echo data ramp
     val d0 = rh + 32
     for (i <- 0 until nData) rec(d0 + i) = (i % 256).toByte
@@ -46,6 +56,13 @@ class Son81RSpec extends AnyFunSuite {
     assert(r0.ping == 1 && r0.headPosition == 700)
     assert(math.abs(r0.headAngleDeg - (700 - 600) * 3.0) < 1e-9)
     assert(r0.stepDirection == 0 && rows(1).stepDirection == 1)
+    // return-header attitude fields (sonutils.py:139-176)
+    assert(r0.profileRange == 450 && r0.sonarPosition == 650)
+    assert(math.abs(r0.sonarAngleDeg - 15.0) < 1e-9)
+    assert(math.abs(r0.pitch - 512 * 360.0 / 16384) < 1e-9)
+    assert(math.abs(r0.roll - 1024 * 360.0 / 16384) < 1e-9)
+    assert(math.abs(r0.heading - 45.0) < 1e-9)
+    assert(math.abs(r0.gyroHeading - 90.0) < 1e-9)
     // reference keeps offset:-1 — all bytes to totalBytes-1, not NDataPoints
     assert(r0.intensities.length == total - (2048 + 40 + 32) - 1)
     assert((r0.intensities(5) & 0xff) == 5)
@@ -72,5 +89,60 @@ class Son81RSpec extends AnyFunSuite {
     assert(df.count() == 1)
     val t = df.collect()(0).getTimestamp(df.columns.indexOf("time"))
     assert(t.toInstant.toString == "2024-03-15T12:30:15.500Z")
+  }
+
+  test("RunOts son directory ingest: sweep sets, trim, set-level time") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val total = 2048 + 40 + 32 + 100
+    val dir = java.nio.file.Files.createTempDirectory("son_dir").toFile
+    // two complete 2-sweep sets (names: mmddHH + sweep tag; set key =
+    // name[:-6], sweep tag at [6:8]) + ONE trailing file that cannot
+    // complete a set -> trimmed like the reference's len % n_sweeps cut
+    def put(name: String, timeRaw: String): Unit = {
+      val rec = ping(1, 700, 0, 50, total) ++ ping(2, 705, 0, 50, total)
+      timeRaw.getBytes.copyToArray(rec, 14)
+      timeRaw.getBytes.copyToArray(rec, total + 14)
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath, rec)
+    }
+    put("031400AE.81R", "2024000010.00")
+    put("031400AF.81R", "2024000110.00")
+    put("031402AE.81R", "2024020010.00")
+    put("031402AF.81R", "2024020110.00")
+    put("031404AE.81R", "2024040010.00") // incomplete set -> trimmed
+    val out = new java.io.File(dir, "raw").getAbsolutePath
+    graft.cli.RunOts.runStep(spark, "son", "ingest",
+      graft.core.Meta(Map.empty[String, Any]), dir.getAbsolutePath, out)
+    val df = spark.read.parquet(out)
+    assert(df.count() == 8, s"4 kept files x 2 pings, got ${df.count()}")
+    for (c <- Seq("time", "sweep", "scan", "HeadPosition", "HeadAngle",
+                  "Pitch", "Roll", "Heading", "GyroHeading", "SonarPosition",
+                  "SonarAngle", "ProfileRange", "sonar_image"))
+      assert(df.columns.contains(c), s"missing $c")
+    val rows = df.select("time", "sweep", "scan").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getInt(1), r.getInt(2)))
+    // set time = FIRST sweep's first ping, shared by both sweeps of the set
+    assert(rows.count(_._1 == "2024-03-14T00:00:10Z") == 4)
+    assert(rows.count(_._1 == "2024-03-14T02:00:10Z") == 4)
+    assert(rows.map(_._2).toSet == Set(1, 2))
+    assert(!rows.exists(_._1.startsWith("2024-03-14T04")), "trimmed set leaked")
+
+    // full chain: clean renames + theta + the sweep-averaged sibling with
+    // the image averaged elementwise (identical sweeps -> ramp unchanged)
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    graft.cli.RunOts.runStep(spark, "son", "clean",
+      graft.core.Meta(Map[String, Any]("magnetic_variation" -> 10.0)), out, clean)
+    val c = spark.read.parquet(clean)
+    assert(c.count() == 8 && c.columns.contains("Hdg_1215") &&
+      c.columns.contains("theta"))
+    val a = spark.read.parquet(clean + "-a")
+    // mean over sweep keeps (time, scan): 2 sets x 2 scans
+    assert(a.count() == 4, s"avg rows ${a.count()}")
+    val a0 = a.orderBy("time", "scan").head()
+    // heading 45 + magvar 10 = 55, vector-avg of identical sweeps = 55
+    assert(math.abs(a0.getAs[Double]("Hdg_1215") - 55.0) < 1e-9)
+    val img = a0.getAs[scala.collection.Seq[Double]]("sonar_image")
+    assert(img.length == 99 && img(5) == 5.0 && img(60) == 0.0)
   }
 }
