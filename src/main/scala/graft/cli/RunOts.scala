@@ -425,10 +425,20 @@ object RunOts {
     val varAttrs = if (ordered.contains("time"))
       Map("time" -> Seq("units" -> "seconds since 1970-01-01T00:00:00Z",
         "standard_name" -> "time")) else Map.empty[String, Seq[(String, String)]]
+    // `netcdf_append: true` extends an EXISTING classic archive in place
+    // (O(new records) — Netcdf3.append patches numrecs); the columns must
+    // match the archive's variables, which append validates loudly
+    val fmt = meta.str("netcdf_format").map(_.toLowerCase)
+    if (meta.bool("netcdf_append").contains(true) &&
+        new java.io.File(output).isFile &&
+        !fmt.exists(f => f == "netcdf4" || f == "hdf5")) {
+      Netcdf3.append(df, output)
+      return
+    }
     // `netcdf_format: cdf5` lifts the classic 2 GiB limits;
     // `netcdf_format: netcdf4` writes the HDF5 container (the reference's
     // default engine, stglib/rsk/cdf2nc.py:145-147)
-    meta.str("netcdf_format").map(_.toLowerCase) match {
+    fmt match {
       case Some("netcdf4") | Some("hdf5") =>
         // `netcdf_compression: <level>` selects the chunked+DEFLATE layout
         // (the reference's zlib encoding, stglib encodes with complevel)
@@ -915,48 +925,93 @@ object RunOts {
     aqdTrimVel(df, meta)
   }
 
-  /** trim_vel (stglib/aqd/aqdutils.py:435-545): the config-driven
-    * `trim_method` bin trimming for UP-looking profilers — "water level"
-    * (bins above the pressure surface), "water level sl" (side-lobe
-    * cutoff P·cos(beam_angle) − bin_size·surf_bins) or "bin range"
-    * (good_bins index slice) — followed by the trailing all-null-bin
-    * drop. beam_angle defaults to the reference's Aquadopp 25°
-    * (aqdutils.py:1020); bin_size derives from the header cell-size
-    * attrs exactly as bindist did at ingest. DOWN-looking brange-based
-    * trimming (aqdutils.py:547-620) is not wired. */
+  /** trim_vel (stglib/aqd/aqdutils.py:435-620): the config-driven
+    * `trim_method` bin trimming, followed by the trailing all-null-bin
+    * drop. UP-looking: "water level" (bins above the pressure surface),
+    * "water level sl" (side-lobe cutoff P·cos(beam_angle) −
+    * bin_size·surf_bins). DOWN-looking: "brange" / "brange sl" (boundary
+    * distance from a brange column or a brange_file reindexed nearest
+    * within the file's own time step, aqdutils.py:573-585) and
+    * "inst_ht" / "inst_ht sl" (initial instrument height). "bin range"
+    * (good_bins index slice) applies either way. beam_angle defaults to
+    * the reference's Aquadopp 25° (aqdutils.py:1020); bin_size derives
+    * from the header cell-size attrs exactly as bindist did at ingest. */
   private[cli] def aqdTrimVel(df0: DataFrame, meta: Meta): DataFrame = {
-    val up = meta.str("orientation").exists(_.equalsIgnoreCase("UP"))
+    import org.apache.spark.sql.Column
+    val orient = meta.str("orientation").map(_.toUpperCase).getOrElse("")
     val method = meta.str("trim_method").map(_.toLowerCase)
       .filter(m => m.nonEmpty && m != "none")
-    if (!up || method.isEmpty || !df0.columns.contains("bindist")) return df0
+    if (method.isEmpty || !df0.columns.contains("bindist") ||
+        (orient != "UP" && orient != "DOWN")) return df0
     var df = df0
     val vars = Seq("u_1205", "v_1206", "w_1204", "AGC_1202")
       .filter(df.columns.contains)
-    val pres = Seq("Pressure_ac", "P_1ac", "Pressure", "P_1")
-      .find(df.columns.contains)
-    (method.get, pres) match {
-      case ("water level", Some(p)) if vars.nonEmpty =>
-        df = ProfileTrims.trimWaterLevel(df, vars, "bindist", p)
-      case ("water level sl", Some(p)) if vars.nonEmpty =>
-        val beam = meta.dbl("beam_angle")
-          .orElse(meta.dbl("AQDBeamAngle")).getOrElse(25.0)
-        val binSize = meta.dbl("bin_size")
-          .orElse(meta.dbl("AQDCellSize").map(_ / 100.0))
-          .orElse(meta.dbl("AQDHRCellSize").map(_ / 1000.0)).getOrElse(0.0)
-        val surf = meta.int("trim_surf_bins").getOrElse(0)
-        df = ProfileTrims.trimSidelobes(df, vars, "bindist", p, beam,
-          binSize, surf)
-      case ("bin range", _) if df.columns.contains("bin") =>
-        meta.dblSeq("good_bins") match {
-          case Some(gb) if gb.length == 2 =>
-            df = df.filter(col("bin") >= gb(0).toInt && col("bin") < gb(1).toInt)
-          case _ => return df0
-        }
-      case _ => return df0
+    if (vars.isEmpty) return df0
+    val beam = meta.dbl("beam_angle")
+      .orElse(meta.dbl("AQDBeamAngle")).getOrElse(25.0)
+    val binSize = meta.dbl("bin_size")
+      .orElse(meta.dbl("AQDCellSize").map(_ / 100.0))
+      .orElse(meta.dbl("AQDHRCellSize").map(_ / 1000.0)).getOrElse(0.0)
+    val cosBeam = math.cos(math.toRadians(beam))
+    def maskBelow(cut: Column): Unit =
+      vars.foreach(v => df = df.withColumn(v,
+        when(col("bindist") < cut, col(v))))
+    def binRange(): Boolean = meta.dblSeq("good_bins") match {
+      case Some(gb) if gb.length == 2 && df.columns.contains("bin") =>
+        df = df.filter(col("bin") >= gb(0).toInt && col("bin") < gb(1).toInt)
+        true
+      case _ => false
     }
-    if (vars.nonEmpty)
-      df = ProfileTrims.dropTrailingNullBins(df, vars.head, "bindist")
-    df
+    // DOWN boundary distance: in-dataset brange column, else brange_file
+    // reindexed nearest with tolerance = the aux series' own step
+    def boundary(): Option[Column] =
+      if (df.columns.contains("brange")) Some(col("brange"))
+      else meta.str("brange_file").map { fpath =>
+        val aux = Readers.readNetcdf(df.sparkSession, fpath)
+          .select(unix_micros(col("time").cast("timestamp")).as("__rus"),
+            col("brange").cast("double").as("__R"))
+        val head2 = aux.orderBy("__rus").limit(2).collect()
+        val tol = if (head2.length == 2) head2(1).getLong(0) - head2(0).getLong(0)
+                  else 1L
+        df = graft.ops.Align.asofNearest(
+            df.withColumn("__tus", unix_micros(col("time"))), aux,
+            "__tus", "__rus", tol)
+          .drop("__tus", "__rus")
+        col("__R")
+      }
+    val applied = (orient, method.get) match {
+      case (_, "bin range") => binRange()
+      case ("UP", m @ ("water level" | "water level sl")) =>
+        Seq("Pressure_ac", "P_1ac", "Pressure", "P_1")
+          .find(df.columns.contains) match {
+          case Some(p) if m == "water level" => maskBelow(col(p)); true
+          case Some(p) =>
+            maskBelow(col(p) * cosBeam -
+              binSize * meta.int("trim_surf_bins").getOrElse(0)); true
+          case None => false
+        }
+      case ("DOWN", m @ ("brange" | "brange sl")) =>
+        boundary() match {
+          case Some(r) =>
+            if (m == "brange") maskBelow(r)
+            else maskBelow(r * cosBeam -
+              binSize * meta.int("trim_bottom_bins").getOrElse(0))
+            df = df.drop("__R")
+            true
+          case None => false
+        }
+      case ("DOWN", m @ ("inst_ht" | "inst_ht sl")) =>
+        meta.dbl("initial_instrument_height") match {
+          case Some(h) if m == "inst_ht" => maskBelow(lit(h)); true
+          case Some(h) =>
+            maskBelow(lit(h * cosBeam -
+              binSize * meta.int("trim_bottom_bins").getOrElse(0))); true
+          case None => false
+        }
+      case _ => false
+    }
+    if (!applied) return df0
+    ProfileTrims.dropTrailingNullBins(df, vars.head, "bindist")
   }
 
   /** Raw parquet → deployment clip → atmospheric correction → instrument

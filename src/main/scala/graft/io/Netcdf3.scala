@@ -188,30 +188,108 @@ object Netcdf3 {
     var nrecs = 0L
     val it = df.toLocalIterator()
     while (it.hasNext) {
-      val row = it.next()
-      fields.zipWithIndex.foreach { case (f, i) =>
-        val isNull = row.isNullAt(i)
-        types(i) match {
-          case NC_INT =>
-            out.writeInt(if (isNull) Int.MinValue
-              else row.get(i).asInstanceOf[Number].intValue())
-          case NC_INT64 =>
-            out.writeLong(if (isNull) Long.MinValue
-              else row.get(i).asInstanceOf[Number].longValue())
-          case NC_FLOAT =>
-            out.writeFloat(if (isNull) Float.NaN
-              else row.get(i).asInstanceOf[Number].floatValue())
-          case _ =>
-            out.writeDouble(if (isNull) Double.NaN
-              else row.get(i).asInstanceOf[Number].doubleValue())
-        }
-      }
+      writeRecord(out, it.next(), types)
       nrecs += 1
     }
     out.flush()
     // patch numrecs at offset 4
     raf.seek(4)
     if (v5) raf.writeLong(nrecs) else raf.writeInt(nrecs.toInt)
+    raf.close()
+    nrecs
+  }
+
+  /** One record, variables interleaved in header order (the record-data
+    * layout both [[write]] and [[append]] stream). */
+  private def writeRecord(out: DataOutputStream, row: org.apache.spark.sql.Row,
+                          types: Seq[Int]): Unit =
+    types.zipWithIndex.foreach { case (t, i) =>
+      val isNull = row.isNullAt(i)
+      t match {
+        case NC_INT =>
+          out.writeInt(if (isNull) Int.MinValue
+            else row.get(i).asInstanceOf[Number].intValue())
+        case NC_INT64 =>
+          out.writeLong(if (isNull) Long.MinValue
+            else row.get(i).asInstanceOf[Number].longValue())
+        case NC_FLOAT =>
+          out.writeFloat(if (isNull) Float.NaN
+            else row.get(i).asInstanceOf[Number].floatValue())
+        case _ =>
+          out.writeDouble(if (isNull) Double.NaN
+            else row.get(i).asInstanceOf[Number].doubleValue())
+      }
+    }
+
+  /** Append records to an existing classic file IN PLACE — extend the
+    * unlimited `time` dimension by streaming new records at the end of
+    * the record section and patching `numrecs`, O(new records) I/O
+    * regardless of archive size (the reference's xarray workflow
+    * re-writes the whole file; a growing deployment archive wants the
+    * spec's native append). Works on all three classic variants
+    * (CDF-1/2/5). Only the header PREFIX is read (grown geometrically if
+    * an attribute-heavy header overruns the first guess), never the
+    * record data.
+    *
+    * `df`'s columns must match the file's record variables in order and
+    * external type. Restricted to this writer's layout: every variable a
+    * 1-D record variable of a 4/8-byte type (so per-record contributions
+    * never need the classic spec's 4-byte padding). Returns the new
+    * total record count. */
+  def append(df: DataFrame, path: String): Long = {
+    val f = new java.io.File(path)
+    val fileLen = f.length()
+    require(fileLen > 8, s"$path: not a classic netCDF file")
+    var prefLen = math.min(fileLen, 1L << 16).toInt
+    var hdr: NcHeader = null
+    while (hdr == null) {
+      val pref = new Array[Byte](prefLen)
+      val in = new java.io.RandomAccessFile(f, "r")
+      try in.readFully(pref) finally in.close()
+      try hdr = parseHeader(pref)
+      catch {
+        case e @ (_: IndexOutOfBoundsException |
+                  _: java.nio.BufferUnderflowException) =>
+          if (prefLen >= fileLen) throw e
+          prefLen = math.min(fileLen, prefLen.toLong * 4).toInt
+      }
+    }
+    val recVars = hdr.vars.filter(hdr.isRecord)
+    require(recVars.length == hdr.vars.length &&
+        recVars.forall(v => v.dimids.length == 1 && ncSize(v.ncType) >= 4),
+      "append supports files of 1-D record variables with 4/8-byte types" +
+        " (this writer's layout)")
+    val fields = df.schema.fields.toSeq
+    require(fields.map(_.name) == recVars.map(_.name),
+      s"columns must match the file's variables in order:" +
+        s" ${recVars.map(_.name).mkString(",")}")
+    val v5 = hdr.version == 5
+    fields.zip(recVars).foreach { case (fl, v) =>
+      require(ncType(fl.dataType, v5) == v.ncType,
+        s"${fl.name}: ${fl.dataType.simpleString} does not stream as the" +
+          s" file's nc_type ${v.ncType}")
+    }
+    val types = recVars.map(_.ncType)
+    val start = recVars.map(_.begin).min
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.seek(start + hdr.numrecs * hdr.recSize)
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(raf.getFD), 1 << 20))
+    var nrecs = hdr.numrecs
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      writeRecord(out, it.next(), types)
+      nrecs += 1
+    }
+    out.flush()
+    raf.seek(4)
+    if (v5) raf.writeLong(nrecs)
+    else {
+      require(nrecs <= Int.MaxValue,
+        s"$nrecs records exceed CDF-${hdr.version}'s 32-bit numrecs —" +
+          " re-write with version = 5")
+      raf.writeInt(nrecs.toInt)
+    }
     raf.close()
     nrecs
   }

@@ -25,6 +25,54 @@ object Qaqc {
     def d(key: String): Option[Double] = meta.dbl(s"${v}_$key")
     def i(key: String): Option[Int] = meta.int(s"${v}_$key")
 
+    // FILTERS first, in the reference's call_qaqc order (qaqc.py:19-20):
+    // apply_butter_filt then apply_med_filt, both keeping a
+    // `{var}_unfiltered` copy of the pre-filter values
+    def keepUnfiltered(): Unit =
+      if (!df.columns.contains(s"${v}_unfiltered"))
+        df = df.withColumn(s"${v}_unfiltered", col(v))
+    // {var}_lowpass/highpass/bandpass_filt hold PERIODS in seconds
+    // (filter.py:131-147: cutfreq = 1/attr); ford = 4; sr from
+    // sample_rate or 1/sample_interval, missing -> loud error like the
+    // reference's ValueError. Whole-series shape only (the clean CLI's
+    // 1-D series); per-group feeds route through Spectra.filtfiltPerGroup
+    // directly.
+    val butterSos: Option[Array[graft.kernels.Butterworth.Sos]] = {
+      import graft.kernels.Butterworth
+      def sr: Double = meta.dbl("sample_rate")
+        .orElse(meta.dbl("sample_interval").map(1.0 / _))
+        .getOrElse(throw new IllegalArgumentException(
+          s"sample_rate or sample_interval missing in attrs:" +
+            s" cannot apply a Butterworth filter to $v"))
+      d("lowpass_filt").map(p => Butterworth.lowpass(4, 1.0 / p, sr))
+        .orElse(d("highpass_filt").map(p => Butterworth.highpass(4, 1.0 / p, sr)))
+        .orElse(meta.dblSeq(s"${v}_bandpass_filt").map { ps =>
+          require(ps.length == 2, s"${v}_bandpass_filt needs [lo, hi] periods")
+          Butterworth.bandpass(4, 1.0 / ps(0), 1.0 / ps(1), sr)
+        })
+    }
+    butterSos.foreach { sos =>
+      require(part.isEmpty,
+        s"config-keyed Butterworth filtering is wired for whole-series" +
+          s" inputs; use Spectra.filtfiltPerGroup for grouped data")
+      keepUnfiltered()
+      val filt = Spectra.filtfiltWholeSeries(df, order, v, sos).toDF()
+        .select(col("sample").as("__pos"), col("value_filt").as("__vf"))
+      df = Index.withGlobalPosition(df, order, "__pos")
+        .join(filt, Seq("__pos"), "left")
+        .withColumn(v, col("__vf"))
+        .drop("__pos", "__vf")
+    }
+    // {var}_med_filt: N-point median SMOOTHER (zero-padded edges, the
+    // scipy.signal.medfilt contract rollingMedian(zeroPad=true) replays);
+    // even kernels raise, like the reference (filter.py:226-229)
+    i("med_filt").foreach { k =>
+      require(k % 2 == 1,
+        s"${v}_med_filt kernel $k is not an odd whole number")
+      keepUnfiltered()
+      df = df.withColumn(v, Trims.rollingMedian(v, k, order, part))
+    }
+
     // medians first (filter.apply_med_filt analog folded into trim_med_diff)
     d("med_diff").foreach { thr =>
       val k = i("med_diff_kernel").getOrElse(5)

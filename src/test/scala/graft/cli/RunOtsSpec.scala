@@ -663,6 +663,28 @@ class RunOtsSpec extends AnyFunSuite {
     assert(back.count() == 200)
   }
 
+  test("export step: netcdf_append extends an existing classic archive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ncapp").toFile
+    def part(lo: Int, hi: Int): String = {
+      val p = new java.io.File(dir, s"clean_$lo").getAbsolutePath
+      (lo until hi).map(i => (i.toDouble, 10.0 + i)).toDF("time", "P_1")
+        .write.parquet(p)
+      p
+    }
+    val out = new java.io.File(dir, "archive.cdf").getAbsolutePath
+    val m0 = graft.core.Meta(Map[String, Any]("netcdf_format" -> "cdf2"))
+    RunOts.runStep(spark, "rsk", "export", m0, part(0, 100), out)
+    // second slice appends in place instead of re-writing
+    RunOts.runStep(spark, "rsk", "export",
+      m0 + ("netcdf_append" -> true), part(100, 150), out)
+    val nc = graft.io.Netcdf3.read(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)))
+    assert(nc.numrecs == 150)
+    assert(nc.column("time").toSeq == (0 until 150).map(_.toDouble))
+    assert(nc.column("P_1")(149) == 159.0)
+  }
+
 
   test("instrument-keyed CSV dialect ingest: exo, tcm, lisst routed to their readers") {
     val dir = java.nio.file.Files.createTempDirectory("dialects").toFile
@@ -849,6 +871,39 @@ class RunOtsSpec extends AnyFunSuite {
     // arrays averaged elementwise over the sweep (identical here)
     val asl = a0.getAs[scala.collection.Seq[java.lang.Double]]("SlantRange")
     assert(asl.take(3).forall(_ == null) && asl(3) == 4.0 && asl(4) == 5.0)
+  }
+
+  test("aqdTrimVel: DOWN-looking brange / inst_ht methods and bin range") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{max => smax}
+    // 2 ensembles x 3 bins; boundary return at 1.2 m
+    val df = (for (t <- 0 until 2; b <- 0 until 3) yield (
+      new java.sql.Timestamp(1700000000000L + t * 1000L),
+      b, 0.5 + 0.5 * b, 1.0, 1.2))
+      .toDF("time", "bin", "bindist", "u_1205", "brange")
+    // brange: bins at/below the boundary (bindist >= 1.2) masked, and the
+    // all-null trailing bin dropped outright (aqdutils.py:562-566 + 588)
+    val r1 = RunOts.aqdTrimVel(df, graft.core.Meta(Map[String, Any](
+      "orientation" -> "down", "trim_method" -> "brange")))
+    assert(r1.count() == 4 && r1.filter("bindist = 1.5").count() == 0)
+    assert(r1.filter("u_1205 IS NULL").count() == 0)
+    // inst_ht 0.9: only the 0.5 m bin survives (aqdutils.py:591-599)
+    val r2 = RunOts.aqdTrimVel(df, graft.core.Meta(Map[String, Any](
+      "orientation" -> "DOWN", "trim_method" -> "inst_ht",
+      "initial_instrument_height" -> 0.9)))
+    assert(r2.count() == 2)
+    assert(r2.agg(smax($"bindist")).head().getDouble(0) == 0.5)
+    // brange sl: cutoff 1.2·cos(25°) − 0.5·1 ≈ 0.588 -> only bin 0 again
+    val r3 = RunOts.aqdTrimVel(df, graft.core.Meta(Map[String, Any](
+      "orientation" -> "DOWN", "trim_method" -> "brange sl",
+      "bin_size" -> 0.5, "trim_bottom_bins" -> 1)))
+    assert(r3.count() == 2)
+    assert(r3.agg(smax($"bindist")).head().getDouble(0) == 0.5)
+    // bin range slices by index, both orientations (aqdutils.py:625-631)
+    val r4 = RunOts.aqdTrimVel(df, graft.core.Meta(Map[String, Any](
+      "orientation" -> "UP", "trim_method" -> "bin range",
+      "good_bins" -> Seq(0.0, 2.0))))
+    assert(r4.count() == 4 && r4.agg(smax($"bin")).head().getInt(0) == 1)
   }
 
   test("REAL atmpres.cdf aux: clean applies the file's atmpres offset attr") {

@@ -84,6 +84,71 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Hdf5.column(b, byName("alpha")).toSeq == Seq(2.0))
   }
 
+  test("nested groups read: group/var flattening over hand-built v1 grammar") {
+    // netCDF-4 archives occasionally nest groups; xarray only opens one
+    // group at a time, Hdf5.open flattens the whole tree with `g/` name
+    // prefixes. The writer emits flat files only, so the nested fixture is
+    // built by hand per the public format spec (v1 object headers,
+    // old-style symbol tables) — root -> group "g" -> dataset "x".
+    val b = new Array[Byte](1024)
+    def u16(at: Int, v: Int): Unit = { b(at) = v.toByte; b(at + 1) = (v >> 8).toByte }
+    def u32(at: Int, v: Long): Unit = (0 until 4).foreach(i => b(at + i) = (v >> (8 * i)).toByte)
+    def u64(at: Int, v: Long): Unit = (0 until 8).foreach(i => b(at + i) = (v >> (8 * i)).toByte)
+    def ascii(at: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(b, at)
+    // superblock v0: signature, versions, 8-byte offsets/lengths, root
+    // symbol-table entry at 56 (object header address at 64)
+    b(0) = 0x89.toByte; ascii(1, "HDF"); b(4) = '\r'; b(5) = '\n'; b(6) = 0x1a; b(7) = '\n'
+    b(13) = 8; b(14) = 8
+    u64(32, b.length.toLong) // eof
+    u64(64, 96L)             // root object header
+    // v1 object header template: ver, nMsgs, refcount, size, then one
+    // 8-byte-aligned (type, size, flags) symbol-table message
+    def groupHeader(at: Int, btree: Long, heap: Long): Unit = {
+      b(at) = 1; u16(at + 2, 1); u32(at + 4, 1); u32(at + 8, 24)
+      u16(at + 16, 0x0011); u16(at + 18, 16)
+      u64(at + 24, btree); u64(at + 32, heap)
+    }
+    // v1 group B-tree with one SNOD leaf
+    def tree(at: Int, snod: Long): Unit = {
+      ascii(at, "TREE"); b(at + 4) = 0; b(at + 5) = 0; u16(at + 6, 1)
+      u64(at + 8, -1L); u64(at + 16, -1L) // left/right siblings undefined
+      u64(at + 24, 0L)   // key 0
+      u64(at + 32, snod) // child 0
+    }
+    // symbol node with one entry: heap name offset 0 -> header addr
+    def snod(at: Int, header: Long): Unit = {
+      ascii(at, "SNOD"); b(at + 4) = 1; u16(at + 6, 1)
+      u64(at + 8, 0L); u64(at + 16, header)
+    }
+    // local heap: reader needs only the data-segment address at +24
+    def heap(at: Int, dataSeg: Long): Unit = {
+      ascii(at, "HEAP"); u64(at + 8, 8L); u64(at + 16, 8L); u64(at + 24, dataSeg)
+    }
+    groupHeader(96, 136L, 232L); tree(136, 184L); snod(184, 272L); heap(232, 264L)
+    ascii(264, "g")
+    groupHeader(272, 312L, 408L); tree(312, 360L); snod(360, 448L); heap(408, 440L)
+    ascii(440, "x")
+    // dataset "x": v1 header with dataspace (rank 1, n=3), f64 datatype,
+    // v3 contiguous layout -> 3 doubles at 560
+    b(448) = 1; u16(448 + 2, 3); u32(448 + 4, 1); u32(448 + 8, 72)
+    u16(464, 0x0001); u16(466, 16)     // dataspace
+    b(472) = 1; b(473) = 1             // v1, rank 1
+    u64(480, 3L)
+    u16(488, 0x0003); u16(490, 16)     // datatype: class 1 (float), size 8
+    b(496) = 0x11; u32(500, 8L)
+    u16(512, 0x0008); u16(514, 16)     // layout v3 class 1 (contiguous)
+    b(520) = 3; b(521) = 1; u64(522, 560L)
+    java.nio.ByteBuffer.wrap(b, 560, 24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(1.5).putDouble(2.5).putDouble(3.5)
+
+    val h5 = Hdf5.open(b)
+    assert(h5.datasets.map(_.name) == Seq("g/x"),
+      s"got ${h5.datasets.map(_.name)}")
+    val ds = h5.datasets.head
+    assert(ds.dtype == "f64" && ds.n == 3)
+    assert(Hdf5.column(b, ds).toSeq == Seq(1.5, 2.5, 3.5))
+  }
+
   test("chunked + DEFLATE round trip across chunk boundaries, nulls, edge chunk") {
     import spark.implicits._
     // 20 rows, chunkElems = 7 -> 3 chunks, last one partial (edge clip)

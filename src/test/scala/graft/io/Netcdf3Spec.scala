@@ -208,6 +208,43 @@ class Netcdf3Spec extends AnyFunSuite {
     assert(nc.column("s").toSeq == Seq(1.0, 2.0, 3.0))
   }
 
+  test("append extends the unlimited dimension in place (CDF-1, 2 and 5)") {
+    import spark.implicits._
+    for (version <- Seq(1, 2, 5)) {
+      val df1 = Seq((0.0, 10.5f, 7), (1.0, 11.5f, 8))
+        .toDF("time", "P_1", "sample")
+      val df2 = Seq((2.0, Option(12.5f), 9), (3.0, Option.empty[Float], 10),
+        (4.0, Option(14.5f), 11))
+        .toDF("time", "P_1", "sample")
+      val path = Files.createTempDirectory("nc3app")
+        .resolve(s"v$version.nc").toString
+      assert(Netcdf3.write(df1, path,
+        attrs = Seq("title" -> "append test"), version = version) == 2)
+      val before = Files.size(Paths.get(path))
+      assert(Netcdf3.append(df2, path) == 5)
+      // O(new records): exactly 3 records' bytes were added
+      assert(Files.size(Paths.get(path)) == before + 3 * (8 + 4 + 4),
+        s"v$version grew by ${Files.size(Paths.get(path)) - before}")
+      val nc = Netcdf3.read(Files.readAllBytes(Paths.get(path)))
+      assert(nc.numrecs == 5 && nc.attrs("title") == "append test")
+      assert(nc.column("time").toSeq == Seq(0.0, 1.0, 2.0, 3.0, 4.0))
+      assert(nc.column("sample").toSeq == Seq(7.0, 8.0, 9.0, 10.0, 11.0))
+      val p1 = nc.column("P_1")
+      assert(p1.take(3).toSeq == Seq(10.5, 11.5, 12.5) && p1(4) == 14.5)
+      assert(p1(3).isNaN) // appended null streams as the NaN fill
+      // appending a mismatched schema must fail loudly, file untouched
+      val badCols = intercept[IllegalArgumentException] {
+        Netcdf3.append(Seq((5.0, 1)).toDF("time", "sample"), path)
+      }
+      assert(badCols.getMessage.contains("match the file's variables"))
+      val badType = intercept[IllegalArgumentException] {
+        Netcdf3.append(Seq((5.0, 1.0, 1)).toDF("time", "P_1", "sample"), path)
+      }
+      assert(badType.getMessage.contains("nc_type"))
+      assert(Netcdf3.read(Files.readAllBytes(Paths.get(path))).numrecs == 5)
+    }
+  }
+
   test("header layout: known magic and classic tags at fixed offsets") {
     import spark.implicits._
     val df = Seq((0.0, 1.0)).toDF("time", "v")
