@@ -808,6 +808,59 @@ object RunOts {
     df
   }
 
+  /** filter_vel (stglib/core/filter.py:232-280): `vel_filter_method` +
+    * `vel_filter_cut` (period(s) in seconds) Butterworth over the velocity
+    * set, each var keeping a `{var}_unfiltered` copy. Profile data (a
+    * `bin` column) filters per bin; series data filters whole-series via
+    * the distributed overlap-save. Missing sample rate skips silently,
+    * like the reference's un-elsed `if "sample_rate" in ds.attrs`. */
+  private[cli] def velFilter(df0: DataFrame, meta: Meta,
+                             vels: Seq[String]): DataFrame = {
+    import graft.kernels.Butterworth
+    val method = meta.str("vel_filter_method").map(_.toLowerCase)
+    val srOpt = meta.dbl("sample_rate")
+      .orElse(meta.dbl("sample_interval").map(1.0 / _))
+    if (method.isEmpty || !meta.has("vel_filter_cut") || srOpt.isEmpty)
+      return df0
+    val sr = srOpt.get
+    val sos = method.get match {
+      case "lowpass" =>
+        Butterworth.lowpass(4, 1.0 / meta.dbl("vel_filter_cut").get, sr)
+      case "highpass" =>
+        Butterworth.highpass(4, 1.0 / meta.dbl("vel_filter_cut").get, sr)
+      case "bandpass" =>
+        val ps = meta.dblSeq("vel_filter_cut").getOrElse(
+          throw new IllegalArgumentException(
+            "vel_filter_cut must be [lo, hi] periods for bandpass"))
+        Butterworth.bandpass(4, 1.0 / ps(0), 1.0 / ps(1), sr)
+      case other =>
+        throw new IllegalArgumentException(s"vel_filter_method $other")
+    }
+    var df = df0
+    for (v <- vels if df.columns.contains(v)) {
+      df = df.withColumn(s"${v}_unfiltered", col(v))
+      if (df.columns.contains("bin")) {
+        val withT = df.withColumn("__tus", unix_micros(col("time")))
+        val filt = graft.ops.Spectra.filtfiltPerGroup(withT, "bin", "__tus",
+            v, sos).toDF()
+          .select(col("series").as("__b"), col("sample").as("__t2"),
+            col("value_filt").as("__vf"))
+        df = withT.join(filt,
+            col("bin") === col("__b") && col("__tus") === col("__t2"), "left")
+          .withColumn(v, col("__vf"))
+          .drop("__b", "__t2", "__vf", "__tus")
+      } else {
+        val filt = graft.ops.Spectra.filtfiltWholeSeries(df, Seq("time"),
+            v, sos).toDF()
+          .select(col("sample").as("__pos"), col("value_filt").as("__vf"))
+        df = graft.ops.Index.withGlobalPosition(df, Seq("time"), "__pos")
+          .join(filt, Seq("__pos"), "left")
+          .withColumn(v, col("__vf")).drop("__pos", "__vf")
+      }
+    }
+    df
+  }
+
   /** Compass-convention rotation angle (son/cdf2nc.py:154-171): reverse
     * the math-convention head angle, point north via the heading offset,
     * wrap, radians. */
@@ -936,7 +989,9 @@ object RunOts {
     * (good_bins index slice) applies either way. beam_angle defaults to
     * the reference's Aquadopp 25° (aqdutils.py:1020); bin_size derives
     * from the header cell-size attrs exactly as bindist did at ingest. */
-  private[cli] def aqdTrimVel(df0: DataFrame, meta: Meta): DataFrame = {
+  private[cli] def aqdTrimVel(df0: DataFrame, meta: Meta,
+      vars0: Seq[String] = Seq("u_1205", "v_1206", "w_1204", "AGC_1202"))
+      : DataFrame = {
     import org.apache.spark.sql.Column
     val orient = meta.str("orientation").map(_.toUpperCase).getOrElse("")
     val method = meta.str("trim_method").map(_.toLowerCase)
@@ -944,8 +999,7 @@ object RunOts {
     if (method.isEmpty || !df0.columns.contains("bindist") ||
         (orient != "UP" && orient != "DOWN")) return df0
     var df = df0
-    val vars = Seq("u_1205", "v_1206", "w_1204", "AGC_1202")
-      .filter(df.columns.contains)
+    val vars = vars0.filter(df.columns.contains)
     if (vars.isEmpty) return df0
     val beam = meta.dbl("beam_angle")
       .orElse(meta.dbl("AQDBeamAngle")).getOrElse(25.0)
@@ -1079,8 +1133,11 @@ object RunOts {
     for ((from, to) <- Seq("VelEast" -> "U", "VelNorth" -> "V",
                            "VelUp1" -> "W1", "VelUp2" -> "W2"))
       if (df.columns.contains(from)) df = df.withColumn(to, col(from))
+    // sig/cdf2nc.py:69-71 ordering: filter_vel -> magvar_correct -> trim_vel
+    df = velFilter(df, meta, Seq("U", "V", "W1", "W2"))
     df = magvarRotate(df, meta, "U", "V",
       Seq("Hdg_1215", "Heading", "heading").find(df.columns.contains))
+    df = aqdTrimVel(df, meta, Seq("U", "V", "W1", "W2"))
     val ampBeams = (1 to 4).map(i => s"AmpBeam$i").filter(df.columns.contains)
     if (ampBeams.nonEmpty)
       df = df.withColumn("amp_avg",
@@ -1244,6 +1301,7 @@ object RunOts {
       case "son" => df = sonChain(spark, df, meta)
       case _ => if (meta.has("AQDTransMatrix")) df = aqdVelocityChain(df, meta)
     }
+    df = waterLevelVars(df, meta)
     val dataVars = df.columns.filterNot(Seq("time").contains).toSeq
     df = Trims.nanToNull(df, dataVars.filter(c =>
       df.schema(c).dataType.typeName == "double"))
@@ -1264,6 +1322,67 @@ object RunOts {
       Sink.writeParquet(sonAvg(df, meta), avgOut, Sink.insertHistory(meta,
         "Sweep-averaged sonar product.", "1970-01-01T00:00:00Z"),
         float32 = false)
+    }
+  }
+
+  /** `filtered_wl: true` (rsk/cdf2nc.py:47-52, hobo.py:456-457,
+    * sg/cdf2nc.py:61): water level relative to NAVD88 —
+    * pres2dep(P)·+·z (z = NAVD88_ref/height_above_geopotential_datum +
+    * initial_instrument_height, utils.py:1650-1712) — then the FIXED
+    * 4th-order 6-min-cutoff lowpass (create_filtered_water_level_var,
+    * utils.py:1716-1760). The intermediate water_level is dropped like
+    * the reference; the filtered product is skipped (with the
+    * reference's message) when the series carries NaNs. pres2dep uses
+    * the S/T columns (or average_salinity) when available and falls back
+    * to the raw pressure otherwise (utils.py:1926-1985 branch order). */
+  private[cli] def waterLevelVars(df0: DataFrame, meta: Meta): DataFrame = {
+    if (!meta.str("filtered_wl").exists(_.equalsIgnoreCase("true"))) return df0
+    var df = df0
+    val pvar = Seq("P_1ac", "Pressure_ac", "Pressure", "P_1")
+      .find(df.columns.contains)
+    val hagd = meta.dbl("NAVD88_ref")
+      .orElse(meta.dbl("height_above_geopotential_datum"))
+    (pvar, hagd) match {
+      case (Some(p), Some(h)) =>
+        val z = h + meta.dbl("initial_instrument_height").getOrElse(0.0)
+        val svar = meta.str("water_level_salinity_var").getOrElse("S_41")
+        val wtvar0 = meta.str("water_level_temperature_var").getOrElse("T_28")
+        val sCol =
+          if (df.columns.contains(svar)) Some(col(svar))
+          else meta.dbl("average_salinity").map(lit(_))
+        val tCol =
+          if (df.columns.contains(wtvar0)) Some(col(wtvar0))
+          else if (df.columns.contains("Tx_1211")) Some(col("Tx_1211"))
+          else None
+        val dep = (sCol, tCol) match {
+          case (Some(s), Some(t)) => graft.functions.Physics.pres2dep(
+            col(p), s, t, meta.dbl("latitude").getOrElse(0.0))
+          case _ => col(p)
+        }
+        df = df.withColumn("water_level", dep + lit(z))
+        val hasNan = df.filter(col("water_level").isNull ||
+          isnan(col("water_level"))).limit(1).count() > 0
+        if (hasNan)
+          System.err.println(
+            "[runots] Cannot create filtered_water_level because" +
+              " water_level contains NaNs")
+        else {
+          val sr = meta.dbl("sample_rate")
+            .orElse(meta.dbl("sample_interval").map(1.0 / _))
+            .getOrElse(throw new IllegalArgumentException(
+              "Cannot create filtered_water_level without sample_rate or" +
+                " sample_interval in global attributes"))
+          val sos = graft.kernels.Butterworth.lowpass(4, 1.0 / 360.0, sr)
+          val filt = graft.ops.Spectra.filtfiltWholeSeries(df, Seq("time"),
+              "water_level", sos).toDF()
+            .select(col("sample").as("__pos"), col("value_filt").as("__wlf"))
+          df = graft.ops.Index.withGlobalPosition(df, Seq("time"), "__pos")
+            .join(filt, Seq("__pos"), "left")
+            .withColumn("water_level_filt", col("__wlf"))
+            .drop("__pos", "__wlf")
+        }
+        df.drop("water_level")
+      case _ => df0
     }
   }
 

@@ -906,6 +906,69 @@ class RunOtsSpec extends AnyFunSuite {
     assert(r4.count() == 4 && r4.agg(smax($"bin")).head().getInt(0) == 1)
   }
 
+  test("clean: filtered_wl creates the 6-min lowpass NAVD88 water level") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fwl").toFile
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val t0 = java.time.Instant.parse("2024-05-01T00:00:00Z")
+    (0 until 600).map(i => (
+      new java.sql.Timestamp(t0.plusSeconds(i).toEpochMilli),
+      11.0, 30.0, 20.0))
+      .toDF("time", "P_1", "S_41", "T_28").write.parquet(raw)
+    val meta = graft.core.Meta(Map[String, Any](
+      "filtered_wl" -> "true", "NAVD88_ref" -> -1.25,
+      "initial_instrument_height" -> 0.25, "atmpres" -> 10.0,
+      "sample_interval" -> 1.0, "latitude" -> 30.0))
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "rsk", "clean", meta, raw, clean)
+    val c = spark.read.parquet(clean)
+    // intermediate water_level dropped, filtered product kept (rsk/cdf2nc)
+    assert(!c.columns.contains("water_level"))
+    assert(c.columns.contains("water_level_filt"))
+    // constant series: the lowpass passes pres2dep(P_1ac) + z unchanged
+    val dep = Seq((1.0, 30.0, 20.0)).toDF("p", "s", "t")
+      .select(graft.functions.Physics.pres2dep(
+        org.apache.spark.sql.functions.col("p"),
+        org.apache.spark.sql.functions.col("s"),
+        org.apache.spark.sql.functions.col("t"), 30.0).as("d"))
+      .head().getDouble(0)
+    val want = dep + (-1.25 + 0.25)
+    val got = c.collect().map(_.getAs[Double]("water_level_filt"))
+    assert(got.length == 600)
+    assert(got.forall(v => math.abs(v - want) < 1e-9),
+      s"water_level_filt ${got.take(3).mkString(",")} vs $want")
+  }
+
+  test("velFilter: per-bin Butterworth with unfiltered copies (sig filter_vel)") {
+    import spark.implicits._
+    def raw(i: Int): Double =
+      math.sin(2 * math.Pi * 0.01 * i) + 0.5 * math.sin(2 * math.Pi * 0.4 * i)
+    // 2 bins x 256 samples at 1 Hz — each bin must filter independently
+    val rows = for (b <- 0 until 2; i <- 0 until 256) yield (
+      new java.sql.Timestamp(1700000000000L + i * 1000L), b,
+      raw(i) + b) // bin 1 offset by +1 so cross-bin mixing would show
+    val df = rows.toDF("time", "bin", "U")
+    val meta = graft.core.Meta(Map[String, Any](
+      "vel_filter_method" -> "lowpass", "vel_filter_cut" -> 10.0,
+      "sample_interval" -> 1.0))
+    val out = RunOts.velFilter(df, meta, Seq("U"))
+    val sos = graft.kernels.Butterworth.lowpass(4, 0.1, 1.0)
+    for (b <- 0 until 2) {
+      val got = out.filter(s"bin = $b").orderBy("time").collect()
+      val want = graft.kernels.Butterworth.filtfilt(sos,
+        (0 until 256).map(i => raw(i) + b).toArray)
+      assert(got.length == 256)
+      for (i <- 0 until 256) {
+        assert(math.abs(got(i).getAs[Double]("U") - want(i)) < 1e-9,
+          s"bin $b row $i")
+        assert(got(i).getAs[Double]("U_unfiltered") == raw(i) + b)
+      }
+    }
+    // no config -> untouched (the reference's silent skip)
+    assert(RunOts.velFilter(df, graft.core.Meta(Map.empty[String, Any]),
+      Seq("U")).columns.sameElements(df.columns))
+  }
+
   test("REAL atmpres.cdf aux: clean applies the file's atmpres offset attr") {
     import spark.implicits._
     val ref = "/root/reference/examples/atmpres.cdf"
