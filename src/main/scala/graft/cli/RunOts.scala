@@ -818,21 +818,27 @@ object RunOts {
                              vels: Seq[String]): DataFrame = {
     import graft.kernels.Butterworth
     val method = meta.str("vel_filter_method").map(_.toLowerCase)
-    val srOpt = meta.dbl("sample_rate")
+    if (method.isEmpty || !meta.has("vel_filter_cut")) return df0
+    // configured filtering with no sample rate is a loud error, like the
+    // reference's ValueError (filter.py:275-278)
+    val sr = meta.dbl("sample_rate")
       .orElse(meta.dbl("sample_interval").map(1.0 / _))
-    if (method.isEmpty || !meta.has("vel_filter_cut") || srOpt.isEmpty)
-      return df0
-    val sr = srOpt.get
+      .getOrElse(throw new IllegalArgumentException(
+        "sample_rate or sample_interval do not exist in global attributes," +
+          " cannot apply vel_filter_method"))
+    val ford = meta.int("filter_order").getOrElse(4)
     val sos = method.get match {
       case "lowpass" =>
-        Butterworth.lowpass(4, 1.0 / meta.dbl("vel_filter_cut").get, sr)
+        Butterworth.lowpass(ford, 1.0 / meta.dbl("vel_filter_cut").get, sr)
       case "highpass" =>
-        Butterworth.highpass(4, 1.0 / meta.dbl("vel_filter_cut").get, sr)
+        Butterworth.highpass(ford, 1.0 / meta.dbl("vel_filter_cut").get, sr)
       case "bandpass" =>
+        // [long, short] periods -> increasing cut frequencies; bandpass()
+        // rejects a reversed band loudly
         val ps = meta.dblSeq("vel_filter_cut").getOrElse(
           throw new IllegalArgumentException(
-            "vel_filter_cut must be [lo, hi] periods for bandpass"))
-        Butterworth.bandpass(4, 1.0 / ps(0), 1.0 / ps(1), sr)
+            "vel_filter_cut must be [long, short] periods for bandpass"))
+        Butterworth.bandpass(ford, 1.0 / ps(0), 1.0 / ps(1), sr)
       case other =>
         throw new IllegalArgumentException(s"vel_filter_method $other")
     }
@@ -849,14 +855,8 @@ object RunOts {
             col("bin") === col("__b") && col("__tus") === col("__t2"), "left")
           .withColumn(v, col("__vf"))
           .drop("__b", "__t2", "__vf", "__tus")
-      } else {
-        val filt = graft.ops.Spectra.filtfiltWholeSeries(df, Seq("time"),
-            v, sos).toDF()
-          .select(col("sample").as("__pos"), col("value_filt").as("__vf"))
-        df = graft.ops.Index.withGlobalPosition(df, Seq("time"), "__pos")
-          .join(filt, Seq("__pos"), "left")
-          .withColumn(v, col("__vf")).drop("__pos", "__vf")
-      }
+      } else
+        df = graft.ops.Spectra.filterColumnWholeSeries(df, Seq("time"), v, sos)
     }
     df
   }
@@ -884,9 +884,13 @@ object RunOts {
     // reference's ds.mean averages sonar_image like every other var)
     var df = df0
     for (c <- df0.columns if df0.schema(c).dataType == BinaryType)
+      // sequence(1, 0) DESCENDS — an empty image (INC pings) must become
+      // an empty array, not two phantom nulls
       df = df.withColumn(c, expr(
-        s"transform(sequence(1, octet_length(`$c`)), i -> " +
-          s"CAST(conv(hex(substring(`$c`, i, 1)), 16, 10) AS DOUBLE))"))
+        s"CASE WHEN octet_length(`$c`) > 0 THEN " +
+          s"transform(sequence(1, octet_length(`$c`)), i -> " +
+          s"CAST(conv(hex(substring(`$c`, i, 1)), 16, 10) AS DOUBLE)) " +
+          s"ELSE CAST(array() AS ARRAY<DOUBLE>) END"))
     val angleVars = Seq("Hdg_1215", "GyroHeading", "Ptch_1216", "Roll_1217")
       .filter(df.columns.contains)
     // ds.mean(dim="sweep") collapses ONLY the sweep dimension — time and
@@ -915,17 +919,31 @@ object RunOts {
         avg(sin(radians(col(c)))), avg(cos(radians(col(c)))))), lit(360.0)).as(c)) ++
       arrayVars.map(c => collect_list(col(c)).as(s"__ls_$c"))
     var out = df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    for (c <- arrayVars)
-      out = out.withColumn(c, expr(
-        s"""transform(sequence(0, size(`__ls_$c`[0]) - 1), j ->
-           |  CASE WHEN aggregate(`__ls_$c`, 0, (n, l) ->
-           |         n + IF(l[j] IS NULL OR isnan(CAST(l[j] AS DOUBLE)), 0, 1)) > 0
-           |  THEN aggregate(`__ls_$c`, CAST(0 AS DOUBLE), (s, l) ->
-           |         s + IF(l[j] IS NULL OR isnan(CAST(l[j] AS DOUBLE)),
-           |                CAST(0 AS DOUBLE), CAST(l[j] AS DOUBLE)))
-           |     / aggregate(`__ls_$c`, 0, (n, l) ->
-           |         n + IF(l[j] IS NULL OR isnan(CAST(l[j] AS DOUBLE)), 0, 1))
-           |  END)""".stripMargin)).drop(s"__ls_$c")
+    for (c <- arrayVars) {
+      // output length = the LONGEST collected array (collect_list order is
+      // nondeterministic after the shuffle, so sizing by element 0 would
+      // truncate run-to-run when sweeps disagree); `get` is 0-based and
+      // null on out-of-bounds — no ANSI index error for the short arrays
+      out = out
+        .withColumn(s"__mx_$c", expr(
+          s"aggregate(`__ls_$c`, 0, (m, l) -> greatest(m, size(l)))"))
+        .withColumn(c, expr(
+          s"""CASE WHEN `__mx_$c` > 0 THEN
+             |transform(sequence(0, `__mx_$c` - 1), j ->
+             |  CASE WHEN aggregate(`__ls_$c`, 0, (n, l) ->
+             |         n + IF(get(l, j) IS NULL
+             |                OR isnan(CAST(get(l, j) AS DOUBLE)), 0, 1)) > 0
+             |  THEN aggregate(`__ls_$c`, CAST(0 AS DOUBLE), (s, l) ->
+             |         s + IF(get(l, j) IS NULL
+             |                OR isnan(CAST(get(l, j) AS DOUBLE)),
+             |                CAST(0 AS DOUBLE), CAST(get(l, j) AS DOUBLE)))
+             |     / aggregate(`__ls_$c`, 0, (n, l) ->
+             |         n + IF(get(l, j) IS NULL
+             |                OR isnan(CAST(get(l, j) AS DOUBLE)), 0, 1))
+             |  END)
+             |ELSE CAST(array() AS ARRAY<DOUBLE>) END""".stripMargin))
+        .drop(s"__ls_$c", s"__mx_$c")
+    }
     for (pos <- Seq("HeadPosition" -> "HeadAngle", "SonarPosition" -> "SonarAngle"))
       if (out.columns.contains(pos._1))
         out = out.withColumn(pos._2, (col(pos._1) - 600) * 0.3)
@@ -1003,9 +1021,15 @@ object RunOts {
     if (vars.isEmpty) return df0
     val beam = meta.dbl("beam_angle")
       .orElse(meta.dbl("AQDBeamAngle")).getOrElse(25.0)
-    val binSize = meta.dbl("bin_size")
+    // the reference reads ds.attrs["bin_size"] unconditionally in the
+    // side-lobe cutoffs (aqdutils.py:502,586) — a missing value there is a
+    // KeyError, not a silent 0 that keeps contaminated bins
+    def binSize: Double = meta.dbl("bin_size")
       .orElse(meta.dbl("AQDCellSize").map(_ / 100.0))
-      .orElse(meta.dbl("AQDHRCellSize").map(_ / 1000.0)).getOrElse(0.0)
+      .orElse(meta.dbl("AQDHRCellSize").map(_ / 1000.0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"trim_method '${method.get}' needs bin_size (or AQDCellSize /" +
+          " AQDHRCellSize) in attrs"))
     val cosBeam = math.cos(math.toRadians(beam))
     def maskBelow(cut: Column): Unit =
       vars.foreach(v => df = df.withColumn(v,
@@ -1301,7 +1325,7 @@ object RunOts {
       case "son" => df = sonChain(spark, df, meta)
       case _ => if (meta.has("AQDTransMatrix")) df = aqdVelocityChain(df, meta)
     }
-    df = waterLevelVars(df, meta)
+    df = waterLevelVars(df, meta, instrument)
     val dataVars = df.columns.filterNot(Seq("time").contains).toSeq
     df = Trims.nanToNull(df, dataVars.filter(c =>
       df.schema(c).dataType.typeName == "double"))
@@ -1325,23 +1349,32 @@ object RunOts {
     }
   }
 
-  /** `filtered_wl: true` (rsk/cdf2nc.py:47-52, hobo.py:456-457,
-    * sg/cdf2nc.py:61): water level relative to NAVD88 —
-    * pres2dep(P)·+·z (z = NAVD88_ref/height_above_geopotential_datum +
-    * initial_instrument_height, utils.py:1650-1712) — then the FIXED
-    * 4th-order 6-min-cutoff lowpass (create_filtered_water_level_var,
-    * utils.py:1716-1760). The intermediate water_level is dropped like
-    * the reference; the filtered product is skipped (with the
-    * reference's message) when the series carries NaNs. pres2dep uses
-    * the S/T columns (or average_salinity) when available and falls back
-    * to the raw pressure otherwise (utils.py:1926-1985 branch order). */
-  private[cli] def waterLevelVars(df0: DataFrame, meta: Meta): DataFrame = {
-    if (!meta.str("filtered_wl").exists(_.equalsIgnoreCase("true"))) return df0
+  /** NAVD88 water-level products. The families differ
+    * (create_water_level_var, utils.py:1650-1712;
+    * create_filtered_water_level_var, utils.py:1716-1760):
+    *  - rsk (rsk/cdf2nc.py:47-52) gates EVERYTHING on `filtered_wl: true`
+    *    and drops the intermediate water_level after filtering;
+    *  - hobo/sg (hobo.py:456-457, sg/cdf2nc.py:61) create water_level
+    *    UNGATED whenever the NAVD88 datum is configured, keep it in the
+    *    product, and add the filtered var only when `filtered_wl: true`.
+    * water_level = pres2dep(P) + z (z = NAVD88_ref /
+    * height_above_geopotential_datum + initial_instrument_height);
+    * water_level_filt = the FIXED 4th-order 6-min-cutoff lowpass, skipped
+    * (with the reference's message) when the series carries NaNs.
+    * pres2dep uses the S/T columns (or average_salinity) when available
+    * and falls back to the raw pressure otherwise (utils.py:1926-1985
+    * branch order). */
+  private[cli] def waterLevelVars(df0: DataFrame, meta: Meta,
+                                  instrument: String): DataFrame = {
+    val filtWl = meta.str("filtered_wl").exists(_.equalsIgnoreCase("true"))
+    val rskStyle = instrument == "rsk"
+    if (rskStyle && !filtWl) return df0
     var df = df0
     val pvar = Seq("P_1ac", "Pressure_ac", "Pressure", "P_1")
       .find(df.columns.contains)
     val hagd = meta.dbl("NAVD88_ref")
-      .orElse(meta.dbl("height_above_geopotential_datum"))
+      .orElse(meta.dbl("height_above_geopotential_datum")
+        .filter(_ => meta.str("geopotential_datum_name").contains("NAVD88")))
     (pvar, hagd) match {
       case (Some(p), Some(h)) =>
         val z = h + meta.dbl("initial_instrument_height").getOrElse(0.0)
@@ -1360,28 +1393,26 @@ object RunOts {
           case _ => col(p)
         }
         df = df.withColumn("water_level", dep + lit(z))
-        val hasNan = df.filter(col("water_level").isNull ||
-          isnan(col("water_level"))).limit(1).count() > 0
-        if (hasNan)
-          System.err.println(
-            "[runots] Cannot create filtered_water_level because" +
-              " water_level contains NaNs")
-        else {
-          val sr = meta.dbl("sample_rate")
-            .orElse(meta.dbl("sample_interval").map(1.0 / _))
-            .getOrElse(throw new IllegalArgumentException(
-              "Cannot create filtered_water_level without sample_rate or" +
-                " sample_interval in global attributes"))
-          val sos = graft.kernels.Butterworth.lowpass(4, 1.0 / 360.0, sr)
-          val filt = graft.ops.Spectra.filtfiltWholeSeries(df, Seq("time"),
-              "water_level", sos).toDF()
-            .select(col("sample").as("__pos"), col("value_filt").as("__wlf"))
-          df = graft.ops.Index.withGlobalPosition(df, Seq("time"), "__pos")
-            .join(filt, Seq("__pos"), "left")
-            .withColumn("water_level_filt", col("__wlf"))
-            .drop("__pos", "__wlf")
+        if (filtWl) {
+          val hasNan = df.filter(col("water_level").isNull ||
+            isnan(col("water_level"))).limit(1).count() > 0
+          if (hasNan)
+            System.err.println(
+              "[runots] Cannot create filtered_water_level because" +
+                " water_level contains NaNs")
+          else {
+            val sr = meta.dbl("sample_rate")
+              .orElse(meta.dbl("sample_interval").map(1.0 / _))
+              .getOrElse(throw new IllegalArgumentException(
+                "Cannot create filtered_water_level without sample_rate or" +
+                  " sample_interval in global attributes"))
+            val sos = graft.kernels.Butterworth.lowpass(4, 1.0 / 360.0, sr)
+            df = graft.ops.Spectra.filterColumnWholeSeries(
+                df.withColumn("water_level_filt", col("water_level")),
+                Seq("time"), "water_level_filt", sos)
+          }
         }
-        df.drop("water_level")
+        if (rskStyle) df.drop("water_level") else df
       case _ => df0
     }
   }

@@ -83,6 +83,11 @@ object Butterworth {
     * n zeros at z=+1 and n at z=−1 after the bilinear transform. */
   def bandpass(n: Int, flo: Double, fhi: Double, fs: Double): Array[Sos] = {
     require(n % 2 == 0, "even order only")
+    // scipy's butter raises for non-increasing Wn; without this a reversed
+    // band gives negative bandwidth -> poles outside the unit circle and a
+    // silently diverging filtfilt
+    require(flo > 0 && flo < fhi && fhi < fs / 2,
+      s"bandpass requires 0 < flo < fhi < fs/2, got flo=$flo fhi=$fhi fs=$fs")
     val fs2 = 2.0 * fs
     val wlo = fs2 * math.tan(math.Pi * flo / fs)
     val whi = fs2 * math.tan(math.Pi * fhi / fs)

@@ -32,23 +32,29 @@ object Qaqc {
       if (!df.columns.contains(s"${v}_unfiltered"))
         df = df.withColumn(s"${v}_unfiltered", col(v))
     // {var}_lowpass/highpass/bandpass_filt hold PERIODS in seconds
-    // (filter.py:131-147: cutfreq = 1/attr); ford = 4; sr from
+    // (filter.py:131-147: cutfreq = 1/attr); order from the
+    // `filter_order` attr, default 4 (filter.py:45-48); sr from
     // sample_rate or 1/sample_interval, missing -> loud error like the
     // reference's ValueError. Whole-series shape only (the clean CLI's
     // 1-D series); per-group feeds route through Spectra.filtfiltPerGroup
     // directly.
     val butterSos: Option[Array[graft.kernels.Butterworth.Sos]] = {
       import graft.kernels.Butterworth
+      val ford = meta.int("filter_order").getOrElse(4)
       def sr: Double = meta.dbl("sample_rate")
         .orElse(meta.dbl("sample_interval").map(1.0 / _))
         .getOrElse(throw new IllegalArgumentException(
           s"sample_rate or sample_interval missing in attrs:" +
             s" cannot apply a Butterworth filter to $v"))
-      d("lowpass_filt").map(p => Butterworth.lowpass(4, 1.0 / p, sr))
-        .orElse(d("highpass_filt").map(p => Butterworth.highpass(4, 1.0 / p, sr)))
+      d("lowpass_filt").map(p => Butterworth.lowpass(ford, 1.0 / p, sr))
+        .orElse(d("highpass_filt").map(p => Butterworth.highpass(ford, 1.0 / p, sr)))
         .orElse(meta.dblSeq(s"${v}_bandpass_filt").map { ps =>
-          require(ps.length == 2, s"${v}_bandpass_filt needs [lo, hi] periods")
-          Butterworth.bandpass(4, 1.0 / ps(0), 1.0 / ps(1), sr)
+          // the reference's [attr0, attr1] are the LONG and SHORT periods:
+          // cutfreq_lo = 1/attr0 < cutfreq_hi = 1/attr1 (filter.py:141-146);
+          // bandpass() rejects a reversed band loudly
+          require(ps.length == 2,
+            s"${v}_bandpass_filt needs [long, short] periods")
+          Butterworth.bandpass(ford, 1.0 / ps(0), 1.0 / ps(1), sr)
         })
     }
     butterSos.foreach { sos =>
@@ -56,12 +62,7 @@ object Qaqc {
         s"config-keyed Butterworth filtering is wired for whole-series" +
           s" inputs; use Spectra.filtfiltPerGroup for grouped data")
       keepUnfiltered()
-      val filt = Spectra.filtfiltWholeSeries(df, order, v, sos).toDF()
-        .select(col("sample").as("__pos"), col("value_filt").as("__vf"))
-      df = Index.withGlobalPosition(df, order, "__pos")
-        .join(filt, Seq("__pos"), "left")
-        .withColumn(v, col("__vf"))
-        .drop("__pos", "__vf")
+      df = Spectra.filterColumnWholeSeries(df, order, v, sos)
     }
     // {var}_med_filt: N-point median SMOOTHER (zero-padded edges, the
     // scipy.signal.medfilt contract rollingMedian(zeroPad=true) replays);

@@ -291,6 +291,21 @@ object Spectra {
     }
   }
 
+  /** Replace `valueCol` with its whole-series zero-phase filtered values
+    * IN PLACE on the full frame — the shared join-back over
+    * [[filtfiltWholeSeries]] every config-keyed filter (qaqc butter
+    * filters, filter_vel, filtered water level) rides. */
+  def filterColumnWholeSeries(df: DataFrame, orderCols: Seq[String],
+                              valueCol: String,
+                              sos: Array[Butterworth.Sos]): DataFrame = {
+    val filt = filtfiltWholeSeries(df, orderCols, valueCol, sos).toDF()
+      .select(col("sample").as("__pos"), col("value_filt").as("__vf"))
+    Index.withGlobalPosition(df, orderCols, "__pos")
+      .join(filt, Seq("__pos"), "left")
+      .withColumn(valueCol, col("__vf"))
+      .drop("__pos", "__vf")
+  }
+
   /** Zero-phase Butterworth filtering per series/burst/bin group
     * (apply_butter_filt, stglib/core/filter.py:60-153). */
   def filtfiltPerGroup(df: DataFrame, groupCol: String, sampleCol: String,

@@ -58,9 +58,15 @@ private[streaming] case class ArrivalId()
  *    candidate in tolerance produces nothing, where the batch
  *    operator's left join yields a null payload.
  * Duplicate left rows stay 1:1 with batch output: a per-row arrival id
- * attached inside the operator (before the join) makes each left row its
- * own aggregation group, and is dropped from the output — byte-identical
- * left rows emit one row EACH, like the batch join.
+ * (partition·2³³ + position) PLUS the batch timestamp — both attached
+ * inside the operator before the join and dropped from the output — make
+ * each left row its own aggregation group, so byte-identical left rows
+ * emit one row EACH, like the batch join. The arrival id alone is not
+ * enough: per-partition counters restart every microbatch, so identical
+ * rows arriving in DIFFERENT batches could collide on (id, row); the
+ * batch timestamp (Spark's `current_timestamp()`, evaluated per
+ * microbatch and retry-stable) separates them while staying constant —
+ * and therefore harmless — in a single batch run.
  */
 object StreamAsof {
 
@@ -78,6 +84,7 @@ object StreamAsof {
     val l = left.withWatermark(leftTs, watermark)
       .withColumn("__seq",
         org.apache.spark.sql.GraftColumnBridge.column(ArrivalId()))
+      .withColumn("__bts", current_timestamp())
       .withColumn("__lb", expr(s"floor(unix_micros($leftTs) / ${bUs}L)"))
     val r = right.withWatermark(rightTs, watermark)
       .withColumn("__rb", explode(expr(
@@ -96,7 +103,7 @@ object StreamAsof {
         col(rightTs) +: right.columns.filter(_ != rightTs).map(col): _*)
     val payload = struct(right.columns.map(col): _*)
     joined
-      .groupBy(col("__seq") +: left.columns.map(col): _*)
+      .groupBy(col("__seq") +: col("__bts") +: left.columns.map(col): _*)
       .agg(min_by(payload, ord).as("__best"))
       .select(left.columns.map(col) ++
         right.columns.map(c => col(s"__best.$c").as(c)): _*)

@@ -117,8 +117,14 @@ class StreamAsofSpec extends AnyFunSuite {
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("asof_dup").start()
     try {
-      lIn.addData(lRows: _*)
+      // the two byte-identical rows arrive in DIFFERENT microbatches (the
+      // per-partition arrival counter restarts each batch — only the
+      // batch-timestamp key component keeps them apart), the third in the
+      // second batch
+      lIn.addData(lRows.head)
       rIn.addData(rRows: _*)
+      q.processAllAvailable()
+      lIn.addData(lRows.tail: _*)
       q.processAllAvailable()
       val flush = base + 100000L * 1000000L
       lIn.addData((99999L, flush, 0.0))
