@@ -56,6 +56,7 @@ object RunOts {
       case "diwasp" => diwasp(spark, meta, input, output)
       case "export" => export(spark, meta, input, output)
       case "turnaround" => turnaround(spark, meta, input, output, instrument)
+      case "nc2xy" => sonXy(spark, meta, input, output)
       case other    => throw new IllegalArgumentException(s"unknown step $other")
     } finally
       // batch-completion cache hygiene: each CLI step is an independent
@@ -861,6 +862,65 @@ object RunOts {
     df
   }
 
+  /** `runots son nc2xy` (stglib/son/nc2xy.py:9-123): polar→cartesian
+    * sonar images off the sweep-averaged clean product. Per time step the
+    * (θ per scan, HorizontalRange, scan × points image) fan regrids onto
+    * the square [-SONRange, SONRange] grid at `dxy` spacing with compass
+    * orientation — one bounded kernel call per time step, distributed
+    * like every per-group kernel (the reference loops time steps on the
+    * driver). Output: one row per (time, x) carrying the y-axis image
+    * row, NaN outside the fan. */
+  private def sonXy(spark: SparkSession, meta0: Meta, input: String,
+                    output: String): Unit = {
+    import spark.implicits._
+    val meta = stepMeta(meta0, input)
+    val df = readStepInput(spark, input)
+    val totalRange = meta.dbl("SONRange").getOrElse(
+      throw new IllegalArgumentException("nc2xy needs the SONRange attr"))
+    val dxy = meta.dbl("dxy").getOrElse(
+      throw new IllegalArgumentException("nc2xy needs the dxy attr"))
+    for (c <- Seq("scan", "theta", "HorizontalRange", "sonar_image"))
+      require(df.columns.contains(c), s"nc2xy input needs column $c")
+    val rows = df.select(
+        unix_micros(col("time")).as("_1"), col("scan").cast("long").as("_2"),
+        col("theta").cast("double").as("_3"),
+        expr("transform(HorizontalRange, v -> coalesce(CAST(v AS DOUBLE)," +
+          " CAST('NaN' AS DOUBLE)))").as("_4"),
+        expr("transform(sonar_image, v -> coalesce(CAST(v AS DOUBLE)," +
+          " CAST('NaN' AS DOUBLE)))").as("_5"))
+      .as[(Long, Long, Double, Seq[Double], Seq[Double])]
+    val n = spark.sparkContext.defaultParallelism
+    val out = rows.repartition(n, col("_1"), lit(0))
+      .sortWithinPartitions("_1", "_2")
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[Seq[(Long, Long, Double, Seq[Double], Seq[Double])]] {
+          def hasNext: Boolean = b.hasNext
+          def next() = {
+            val k = b.head._1
+            val buf = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Double, Seq[Double], Seq[Double])]
+            while (b.hasNext && b.head._1 == k) buf += b.next()
+            buf.toSeq
+          }
+        }.flatMap { scans =>
+          val t = scans.head._1
+          val thetaDeg = scans.map(s => math.toDegrees(s._3)).toArray
+          val horzRng = scans.head._4.toArray
+          val image = scans.map(_._5.toArray).toArray
+          val (axis, img) = graft.kernels.SonarRegrid.regrid(
+            thetaDeg, horzRng, image, totalRange, dxy)
+          axis.indices.map(i => (t, axis(i), img(i).toSeq))
+        }
+      }
+      .toDF("timeUs", "x", "sonar_image")
+      .withColumn("time", expr("timestamp_micros(timeUs)"))
+      .select("time", "x", "sonar_image")
+    Sink.writeParquet(out, output, Sink.insertHistory(meta,
+      "Sonar image regridded to x/y.", "1970-01-01T00:00:00Z"),
+      float32 = false)
+  }
+
   /** Compass-convention rotation angle (son/cdf2nc.py:154-171): reverse
     * the math-convention head angle, point north via the heading offset,
     * wrap, radians. */
@@ -1367,6 +1427,7 @@ object RunOts {
   private[cli] def waterLevelVars(df0: DataFrame, meta: Meta,
                                   instrument: String): DataFrame = {
     val filtWl = meta.str("filtered_wl").exists(_.equalsIgnoreCase("true"))
+    if (instrument == "glx") return glxFilteredWaterLevel(df0, meta, filtWl)
     val rskStyle = instrument == "rsk"
     if (rskStyle && !filtWl) return df0
     var df = df0
@@ -1415,6 +1476,54 @@ object RunOts {
         if (rskStyle) df.drop("water_level") else df
       case _ => df0
     }
+  }
+
+  /** Geolux radar variant (glx.py:333-373 create_filtered_water_level):
+    * water_level comes FROM the instrument; to filter past data gaps,
+    * nulls are temporarily filled by the nearest valid sample within
+    * `wlfilt_tolerance` (default 60 s), the fixed 6-min lowpass runs over
+    * the filled series, and the result is re-nulled wherever the raw
+    * water level was null. Gaps larger than the tolerance leave the
+    * filtered variable all-null (the reference's documented fallback).
+    * Sample rate falls back to the median of the first ten time deltas
+    * (glx.py:101-107). */
+  private[cli] def glxFilteredWaterLevel(df0: DataFrame, meta: Meta,
+                                         filtWl: Boolean): DataFrame = {
+    if (!filtWl || !df0.columns.contains("water_level")) return df0
+    val tolSec = meta.str("wlfilt_tolerance")
+      .map(_.replaceAll("[^0-9.]", ""))
+      .filter(_.nonEmpty).map(_.toDouble).getOrElse(60.0)
+    val l = df0.withColumn("__tus", unix_micros(col("time")))
+    val good = df0
+      .filter(col("water_level").isNotNull && !isnan(col("water_level")))
+      .select(unix_micros(col("time")).as("__rus"),
+        col("water_level").as("__wlg"))
+    val filled = graft.ops.Align.asofNearest(l, good, "__tus", "__rus",
+        (tolSec * 1e6).toLong)
+      .withColumn("water_level_filt", col("__wlg"))
+      .drop("__tus", "__rus", "__wlg")
+    val stillNull = filled.filter(col("water_level_filt").isNull ||
+      isnan(col("water_level_filt"))).limit(1).count() > 0
+    if (stillNull) {
+      System.err.println("[runots] Gaps in valid water level exceed" +
+        s" tolerance ($tolSec s) and filtered water level will be null")
+      return filled.withColumn("water_level_filt", lit(null).cast("double"))
+    }
+    val sr = meta.dbl("sample_rate")
+      .orElse(meta.dbl("sample_interval").map(1.0 / _))
+      .getOrElse {
+        val ts = df0.orderBy("time").limit(10)
+          .select(unix_micros(col("time"))).collect().map(_.getLong(0))
+        require(ts.length >= 2, "cannot infer sample_rate from < 2 samples")
+        val diffs = ts.sliding(2).map(p => p(1) - p(0)).toArray.sorted
+        1e6 / diffs(diffs.length / 2)
+      }
+    val sos = graft.kernels.Butterworth.lowpass(4, 1.0 / 360.0, sr)
+    graft.ops.Spectra.filterColumnWholeSeries(filled, Seq("time"),
+        "water_level_filt", sos)
+      .withColumn("water_level_filt",
+        when(col("water_level").isNull || isnan(col("water_level")),
+          lit(null).cast("double")).otherwise(col("water_level_filt")))
   }
 
   /** Clean parquet → burst reshape → wave statistics → stat trims.

@@ -939,6 +939,71 @@ class RunOtsSpec extends AnyFunSuite {
       s"water_level_filt ${got.take(3).mkString(",")} vs $want")
   }
 
+  test("son nc2xy step: per-time polar fan regrids onto the x/y grid") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sonxy").toFile
+    val avg = new java.io.File(dir, "avg").getAbsolutePath
+    val t0 = new java.sql.Timestamp(
+      java.time.Instant.parse("2024-03-14T00:00:10Z").toEpochMilli)
+    // 2 time steps x 4 compass scan lines, 2 range samples each
+    val thetas = Seq(0.0, 90.0, 180.0, 270.0).map(math.toRadians)
+    val rows = for (t <- 0 until 2; s <- 0 until 4) yield (
+      new java.sql.Timestamp(t0.getTime + t * 60000L), s, thetas(s),
+      Seq(1.0, 2.0), Seq(10.0 + s + 100 * t, 20.0 + s + 100 * t))
+    rows.toDF("time", "scan", "theta", "HorizontalRange", "sonar_image")
+      .write.parquet(avg)
+    val out = new java.io.File(dir, "xy").getAbsolutePath
+    val meta = graft.core.Meta(Map[String, Any]("SONRange" -> 2.0, "dxy" -> 1.0))
+    RunOts.runStep(spark, "son", "nc2xy", meta, avg, out)
+    val xy = spark.read.parquet(out)
+    // axis [-2,-1,0,1,2] per time step
+    assert(xy.count() == 2 * 5)
+    // referee: the kernel on the same fan
+    val (axis, want) = graft.kernels.SonarRegrid.regrid(
+      thetas.map(math.toDegrees).toArray, Array(1.0, 2.0),
+      (0 until 4).map(s => Array(10.0 + s, 20.0 + s)).toArray, 2.0, 1.0)
+    val got = xy.filter(org.apache.spark.sql.functions.col("time") === t0)
+      .orderBy("x").collect()
+    assert(got.map(_.getAs[Double]("x")).toSeq == axis.toSeq)
+    for (i <- axis.indices) {
+      val row = got(i).getAs[scala.collection.Seq[Double]]("sonar_image")
+      for (j <- axis.indices)
+        assert(java.lang.Double.compare(row(j), want(i)(j)) == 0 ||
+          (row(j).isNaN && want(i)(j).isNaN), s"cell ($i,$j)")
+    }
+  }
+
+  test("glx clean: filtered water level gap-fills within tolerance, re-nulls") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("glxwl").toFile
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    // constant 2.0 m level with two null gaps (30 s < the 60 s tolerance)
+    (0 until 600).map(i => (
+      new java.sql.Timestamp(t0.plusSeconds(i).toEpochMilli),
+      if (i >= 100 && i < 130 || i >= 400 && i < 430) None else Some(2.0)))
+      .toDF("time", "water_level").write.parquet(raw)
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    val meta = graft.core.Meta(Map[String, Any](
+      "filtered_wl" -> "true", "sample_interval" -> 1.0))
+    RunOts.runStep(spark, "glx", "clean", meta, raw, clean)
+    val c = spark.read.parquet(clean).orderBy("time").collect()
+    assert(c.length == 600)
+    // constant filled series -> lowpass passes 2.0; raw kept alongside
+    for ((r, i) <- c.zipWithIndex) {
+      val inGap = (i >= 100 && i < 130) || (i >= 400 && i < 430)
+      if (inGap) {
+        assert(r.isNullAt(r.fieldIndex("water_level")))
+        assert(r.isNullAt(r.fieldIndex("water_level_filt")),
+          s"row $i: filtered value must be re-nulled inside the gap")
+      } else {
+        assert(r.getAs[Double]("water_level") == 2.0)
+        assert(math.abs(r.getAs[Double]("water_level_filt") - 2.0) < 1e-9,
+          s"row $i")
+      }
+    }
+  }
+
   test("velFilter: per-bin Butterworth with unfiltered copies (sig filter_vel)") {
     import spark.implicits._
     def raw(i: Int): Double =
