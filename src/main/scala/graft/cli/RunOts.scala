@@ -47,8 +47,19 @@ object RunOts {
   /** Dispatch table — (instrument, step) → pipeline. Instruments sharing the
     * CSV family route to the same implementations (the reference's registry
     * pattern, stglib/core/runcmd.py:527-599). */
-  def runStep(spark: SparkSession, instrument: String, step: String,
-              meta: Meta, input: String, output: String): Unit =
+  def runStep(spark: SparkSession, instrument: String, step0: String,
+              meta: Meta, input: String, output: String): Unit = {
+    // the reference's own step names dispatch verbatim (runcmd.py registry:
+    // csv2cdf/mat2cdf/hdr2cdf/raw2cdf/dat2cdf/wad2cdf/log2cdf/tid2cdf/
+    // wb2cdf/asc2cdf -> ingest; cdf2nc -> clean; nc2waves -> waves;
+    // nc2diwasp -> diwasp) so a stglib user types the same commands
+    val step = step0 match {
+      case s if s.endsWith("2cdf") => "ingest"
+      case "cdf2nc" => "clean"
+      case "nc2waves" => "waves"
+      case "nc2diwasp" => "diwasp"
+      case other => other
+    }
     try step match {
       case "ingest" => ingest(spark, meta, input, output, instrument)
       case "clean"  => clean(spark, meta, input, output, instrument)
@@ -64,6 +75,7 @@ object RunOts {
       // deterministically (the Spread.release contract) instead of
       // pinning executor memory for the life of the session
       graft.ops.Spread.release(spark)
+  }
 
   private def readText(path: String): String =
     new String(java.nio.file.Files.readAllBytes(

@@ -939,6 +939,30 @@ class RunOtsSpec extends AnyFunSuite {
       s"water_level_filt ${got.take(3).mkString(",")} vs $want")
   }
 
+  test("reference step names dispatch verbatim (csv2cdf/cdf2nc/nc2waves)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stepalias").toFile
+    val csv = new java.io.File(dir, "logger.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("time,Pressure")
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    for (i <- 0 until 1100)
+      w.println(s"${t0.plusSeconds(i)},${10.0 + 0.4 * math.sin(2 * math.Pi * 0.125 * i)}")
+    w.close()
+    val meta = graft.core.Meta(Map[String, Any](
+      "sample_interval" -> 1.0, "initial_instrument_height" -> 0.5,
+      "wave_nsamps" -> 512, "spec_nsegs" -> 4))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    val waves = new java.io.File(dir, "waves").getAbsolutePath
+    // the stglib user's exact step names
+    RunOts.runStep(spark, "rsk", "csv2cdf", meta, csv.getAbsolutePath, raw)
+    RunOts.runStep(spark, "rsk", "cdf2nc", meta, raw, clean)
+    RunOts.runStep(spark, "rsk", "nc2waves", meta, clean, waves)
+    assert(spark.read.parquet(clean).count() == 1100)
+    assert(spark.read.parquet(waves).count() == 2) // two full 512 bursts
+  }
+
   test("son nc2xy step: per-time polar fan regrids onto the x/y grid") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("sonxy").toFile
