@@ -690,7 +690,12 @@ object RunOts {
       } else all
     val keep = files.toSet
     import spark.implicits._
-    val decoded = spark.read.format("binaryFile").load(input)
+    val decoded = spark.read.format("binaryFile")
+      // push the suffix filter into the file listing — without it, any
+      // other file in the deployment dir (notes, prior outputs) would be
+      // loaded into memory before the name filter below discards it
+      .option("pathGlobFilter", "*.81[Rr]")
+      .load(input)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .filter(r => keep.contains(new java.io.File(r._1).getName))
