@@ -53,12 +53,14 @@ object RunOts {
     // csv2cdf/mat2cdf/hdr2cdf/raw2cdf/dat2cdf/wad2cdf/log2cdf/tid2cdf/
     // wb2cdf/asc2cdf -> ingest; cdf2nc -> clean; nc2waves -> waves;
     // nc2diwasp -> diwasp) so a stglib user types the same commands
+    val ingestSteps = Set("csv2cdf", "mat2cdf", "hdr2cdf", "raw2cdf",
+      "dat2cdf", "wad2cdf", "log2cdf", "tid2cdf", "wb2cdf", "asc2cdf")
     val step = step0 match {
-      case s if s.endsWith("2cdf") => "ingest"
+      case s if ingestSteps(s) => "ingest"
       case "cdf2nc" => "clean"
       case "nc2waves" => "waves"
       case "nc2diwasp" => "diwasp"
-      case other => other
+      case other => other // unknown names still error in the match below
     }
     try step match {
       case "ingest" => ingest(spark, meta, input, output, instrument)
@@ -828,10 +830,12 @@ object RunOts {
 
   /** filter_vel (stglib/core/filter.py:232-280): `vel_filter_method` +
     * `vel_filter_cut` (period(s) in seconds) Butterworth over the velocity
-    * set, each var keeping a `{var}_unfiltered` copy. Profile data (a
-    * `bin` column) filters per bin; series data filters whole-series via
-    * the distributed overlap-save. Missing sample rate skips silently,
-    * like the reference's un-elsed `if "sample_rate" in ds.attrs`. */
+    * set, each var keeping a `{var}_unfiltered` copy. Burst data (a
+    * `sample` column) filters along the sample axis per time step
+    * (filter.py:58-66); profile data (a `bin` column) filters per bin;
+    * series data filters whole-series via the distributed overlap-save.
+    * Configured filtering with no sample rate raises, like the
+    * reference's ValueError (filter.py:275-278). */
   private[cli] def velFilter(df0: DataFrame, meta: Meta,
                              vels: Seq[String]): DataFrame = {
     import graft.kernels.Butterworth
@@ -861,9 +865,28 @@ object RunOts {
         throw new IllegalArgumentException(s"vel_filter_method $other")
     }
     var df = df0
+    val hasSample = df.columns.contains("sample")
+    val hasBin = df.columns.contains("bin")
+    require(!(hasSample && hasBin),
+      "velFilter supports series, per-bin profile, or burst layouts —" +
+        " route burst PROFILES through Spectra.filtfiltPerGroup directly")
     for (v <- vels if df.columns.contains(v)) {
       df = df.withColumn(s"${v}_unfiltered", col(v))
-      if (df.columns.contains("bin")) {
+      if (hasSample) {
+        // burst layout: filter along the sample axis per time step; the
+        // (time, sample) join keys are unique by construction, unlike a
+        // time-only key when timestamps repeat within a burst
+        val withT = df.withColumn("__tus", unix_micros(col("time")))
+        val filt = graft.ops.Spectra.filtfiltPerGroup(withT, "__tus",
+            "sample", v, sos).toDF()
+          .select(col("series").as("__t2"), col("sample").as("__s2"),
+            col("value_filt").as("__vf"))
+        df = withT.join(filt,
+            col("__tus") === col("__t2") && col("sample") === col("__s2"),
+            "left")
+          .withColumn(v, col("__vf"))
+          .drop("__t2", "__s2", "__vf", "__tus")
+      } else if (hasBin) {
         val withT = df.withColumn("__tus", unix_micros(col("time")))
         val filt = graft.ops.Spectra.filtfiltPerGroup(withT, "bin", "__tus",
             v, sos).toDF()
@@ -1411,6 +1434,9 @@ object RunOts {
     // EXO turbidity->SSC runs after call_qaqc in the reference
     // (exo.py:219-221), i.e. after the common qaqc tail here
     if (instrument == "exo") df = exoChain(df, meta)
+    // glx filtered water level runs AFTER the water_level trims
+    // (glx.py:114-128 ordering)
+    if (instrument == "glx") df = glxFilteredWaterLevel(df, meta)
     Sink.writeParquet(df, output, Sink.insertHistory(meta,
       "Clipped, corrected, QA/QC applied.", "1970-01-01T00:00:00Z"), float32 = false)
     // the sonar family writes TWO products (son/cdf2nc.py:96-134): the
@@ -1444,72 +1470,128 @@ object RunOts {
   private[cli] def waterLevelVars(df0: DataFrame, meta: Meta,
                                   instrument: String): DataFrame = {
     val filtWl = meta.str("filtered_wl").exists(_.equalsIgnoreCase("true"))
-    if (instrument == "glx") return glxFilteredWaterLevel(df0, meta, filtWl)
+    // only the rsk / hobo / Seagauge families create the NAVD88 water
+    // level (rsk/cdf2nc.py:47-52, hobo.py:456-457, sg/cdf2nc.py:61);
+    // aqd/sig use their own vertical dims, exo/vec/son never create it,
+    // and glx gets its radar variant after qaqc
+    if (!Set("rsk", "hobo", "sg", "sgtid", "sgwvs").contains(instrument))
+      return df0
     val rskStyle = instrument == "rsk"
     if (rskStyle && !filtWl) return df0
-    var df = df0
-    val pvar = Seq("P_1ac", "Pressure_ac", "Pressure", "P_1")
-      .find(df.columns.contains)
     val hagd = meta.dbl("NAVD88_ref")
       .orElse(meta.dbl("height_above_geopotential_datum")
         .filter(_ => meta.str("geopotential_datum_name").contains("NAVD88")))
-    (pvar, hagd) match {
-      case (Some(p), Some(h)) =>
-        val z = h + meta.dbl("initial_instrument_height").getOrElse(0.0)
-        val svar = meta.str("water_level_salinity_var").getOrElse("S_41")
-        val wtvar0 = meta.str("water_level_temperature_var").getOrElse("T_28")
-        val sCol =
-          if (df.columns.contains(svar)) Some(col(svar))
-          else meta.dbl("average_salinity").map(lit(_))
-        val tCol =
-          if (df.columns.contains(wtvar0)) Some(col(wtvar0))
-          else if (df.columns.contains("Tx_1211")) Some(col("Tx_1211"))
-          else None
-        val dep = (sCol, tCol) match {
-          case (Some(s), Some(t)) => graft.functions.Physics.pres2dep(
-            col(p), s, t, meta.dbl("latitude").getOrElse(0.0))
-          case _ => col(p)
-        }
-        df = df.withColumn("water_level", dep + lit(z))
-        if (filtWl) {
-          val hasNan = df.filter(col("water_level").isNull ||
-            isnan(col("water_level"))).limit(1).count() > 0
-          if (hasNan)
-            System.err.println(
-              "[runots] Cannot create filtered_water_level because" +
-                " water_level contains NaNs")
-          else {
-            val sr = meta.dbl("sample_rate")
-              .orElse(meta.dbl("sample_interval").map(1.0 / _))
-              .getOrElse(throw new IllegalArgumentException(
-                "Cannot create filtered_water_level without sample_rate or" +
-                  " sample_interval in global attributes"))
-            val sos = graft.kernels.Butterworth.lowpass(4, 1.0 / 360.0, sr)
-            df = graft.ops.Spectra.filterColumnWholeSeries(
-                df.withColumn("water_level_filt", col("water_level")),
-                Seq("time"), "water_level_filt", sos)
-          }
-        }
-        if (rskStyle) df.drop("water_level") else df
-      case _ => df0
+    // the reference always passes var="P_1ac" and SKIPS with a message
+    // when it is absent (utils.py:1650, 1703-1707) — an uncorrected P_1
+    // would bake ~10 dbar of atmosphere into the water level
+    if (!df0.columns.contains("P_1ac") || hagd.isEmpty) {
+      System.err.println("[runots] Cannot create water_level variable" +
+        " without P_1ac and height_above_geopotential_datum relative to" +
+        " NAVD88 in global attributes file.")
+      return df0
+    }
+    val p = "P_1ac"
+    val h = hagd.get
+    // one materialization serves the NaN probe AND the final write
+    var df = if (filtWl) df0.localCheckpoint() else df0
+    val z = h + meta.dbl("initial_instrument_height").getOrElse(0.0)
+    val svar = meta.str("water_level_salinity_var").getOrElse("S_41")
+    val wtvar0 = meta.str("water_level_temperature_var").getOrElse("T_28")
+    // pres2dep branch order (utils.py:1935-1978): BOTH S and T columns,
+    // else average_salinity + (T column or Tx_1211), else dep stays the
+    // raw pressure — the reference never pairs an S COLUMN with Tx_1211
+    val sT: Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
+      if (df.columns.contains(svar) && df.columns.contains(wtvar0))
+        Some((col(svar), col(wtvar0)))
+      else meta.dbl("average_salinity").flatMap { s =>
+        if (df.columns.contains(wtvar0)) Some((lit(s), col(wtvar0)))
+        else if (df.columns.contains("Tx_1211")) Some((lit(s), col("Tx_1211")))
+        else None
+      }
+    val dep = sT match {
+      case Some((s, t)) => graft.functions.Physics.pres2dep(
+        col(p), s, t, meta.dbl("latitude").getOrElse(0.0))
+      case None => col(p)
+    }
+    df = df.withColumn("water_level", dep + lit(z))
+    if (filtWl) {
+      val hasNan = df.filter(col("water_level").isNull ||
+        isnan(col("water_level"))).limit(1).count() > 0
+      if (hasNan)
+        System.err.println(
+          "[runots] Cannot create filtered_water_level because" +
+            " water_level contains NaNs")
+      else {
+        val sr = meta.dbl("sample_rate")
+          .orElse(meta.dbl("sample_interval").map(1.0 / _))
+          .getOrElse(throw new IllegalArgumentException(
+            "Cannot create filtered_water_level without sample_rate or" +
+              " sample_interval in global attributes"))
+        val sos = graft.kernels.Butterworth.lowpass(4, 1.0 / 360.0, sr)
+        df = graft.ops.Spectra.filterColumnWholeSeries(
+            df.withColumn("water_level_filt", col("water_level")),
+            Seq("time"), "water_level_filt", sos)
+      }
+    }
+    if (rskStyle) df.drop("water_level") else df
+  }
+
+  /** Pandas-offset duration string ("60 s", "2 min", "1 h") → seconds. */
+  private def parseOffsetSeconds(s: String): Double = {
+    val m = "([0-9.]+)\\s*([a-zA-Z]*)".r.findFirstMatchIn(s.trim)
+      .getOrElse(throw new IllegalArgumentException(s"bad duration: $s"))
+    val v = m.group(1).toDouble
+    m.group(2).toLowerCase match {
+      case "" | "s" | "sec" | "secs" | "second" | "seconds" => v
+      case "ms" => v / 1000
+      case "min" | "t" | "minute" | "minutes" => v * 60
+      case "h" | "hr" | "hour" | "hours" => v * 3600
+      case other => throw new IllegalArgumentException(
+        s"unsupported duration unit '$other' in '$s'")
     }
   }
 
-  /** Geolux radar variant (glx.py:333-373 create_filtered_water_level):
-    * water_level comes FROM the instrument; to filter past data gaps,
-    * nulls are temporarily filled by the nearest valid sample within
-    * `wlfilt_tolerance` (default 60 s), the fixed 6-min lowpass runs over
-    * the filled series, and the result is re-nulled wherever the raw
-    * water level was null. Gaps larger than the tolerance leave the
-    * filtered variable all-null (the reference's documented fallback).
+  /** Geolux radar variant, run AFTER qaqc like the reference ordering
+    * (glx.py:114-128: water_level trims → fill_time_gaps →
+    * create_filtered_water_level). fill_time_gaps (glx.py:311-330) drops
+    * duplicate times and reindexes EXACTLY onto the regular grid from the
+    * first sample at 1/sample_rate, so outages that are missing ROWS
+    * become null rows and count against the tolerance. Then
+    * (glx.py:333-373): nulls are temporarily filled by the nearest valid
+    * sample within `wlfilt_tolerance` (a pandas offset string, default
+    * "60 s"), the fixed 6-min lowpass runs over the filled series, and
+    * the result is re-nulled wherever the gap-filled water level was
+    * null. Gaps past the tolerance leave the filtered variable all-null.
     * Sample rate falls back to the median of the first ten time deltas
     * (glx.py:101-107). */
-  private[cli] def glxFilteredWaterLevel(df0: DataFrame, meta: Meta,
-                                         filtWl: Boolean): DataFrame = {
-    if (!filtWl || !df0.columns.contains("water_level")) return df0
-    val tolSec = meta.str("wlfilt_tolerance")
-      .map(_.replaceAll("[^0-9.]", ""))
-      .filter(_.nonEmpty).map(_.toDouble).getOrElse(60.0)
+  private[cli] def glxFilteredWaterLevel(df00: DataFrame, meta: Meta): DataFrame = {
+    val filtWl = meta.str("filtered_wl").exists(_.equalsIgnoreCase("true"))
+    if (!filtWl || !df00.columns.contains("water_level")) return df00
+    val spark = df00.sparkSession
+    val tolSec = parseOffsetSeconds(
+      meta.str("wlfilt_tolerance").getOrElse("60 s"))
+    // one materialization serves the sample-rate probe, the grid bounds,
+    // the still-null probe and the final write
+    val dd = df00.dropDuplicates("time").localCheckpoint()
+    val sr = meta.dbl("sample_rate")
+      .orElse(meta.dbl("sample_interval").map(1.0 / _))
+      .getOrElse {
+        val ts = dd.orderBy("time").limit(10)
+          .select(unix_micros(col("time"))).collect().map(_.getLong(0))
+        require(ts.length >= 2, "cannot infer sample_rate from < 2 samples")
+        val diffs = ts.sliding(2).map(p => p(1) - p(0)).toArray.sorted
+        1e6 / diffs(diffs.length / 2)
+      }
+    val stepUs = math.max(math.round(1e6 / sr), 1L)
+    val mm = dd.agg(min(unix_micros(col("time"))).as("a"),
+      max(unix_micros(col("time"))).as("b")).head()
+    if (mm.isNullAt(0)) return df00
+    val grid = graft.ops.Align.calendarGrid(spark, mm.getLong(0),
+      mm.getLong(1) + 1, stepUs, "__gus")
+    val df0 = grid.join(
+        dd.withColumn("__gus", unix_micros(col("time"))).drop("time"),
+        Seq("__gus"), "left")
+      .withColumn("time", expr("timestamp_micros(__gus)")).drop("__gus")
     val l = df0.withColumn("__tus", unix_micros(col("time")))
     val good = df0
       .filter(col("water_level").isNotNull && !isnan(col("water_level")))
@@ -1519,6 +1601,7 @@ object RunOts {
         (tolSec * 1e6).toLong)
       .withColumn("water_level_filt", col("__wlg"))
       .drop("__tus", "__rus", "__wlg")
+      .localCheckpoint()
     val stillNull = filled.filter(col("water_level_filt").isNull ||
       isnan(col("water_level_filt"))).limit(1).count() > 0
     if (stillNull) {
@@ -1526,15 +1609,6 @@ object RunOts {
         s" tolerance ($tolSec s) and filtered water level will be null")
       return filled.withColumn("water_level_filt", lit(null).cast("double"))
     }
-    val sr = meta.dbl("sample_rate")
-      .orElse(meta.dbl("sample_interval").map(1.0 / _))
-      .getOrElse {
-        val ts = df0.orderBy("time").limit(10)
-          .select(unix_micros(col("time"))).collect().map(_.getLong(0))
-        require(ts.length >= 2, "cannot infer sample_rate from < 2 samples")
-        val diffs = ts.sliding(2).map(p => p(1) - p(0)).toArray.sorted
-        1e6 / diffs(diffs.length / 2)
-      }
     val sos = graft.kernels.Butterworth.lowpass(4, 1.0 / 360.0, sr)
     graft.ops.Spectra.filterColumnWholeSeries(filled, Seq("time"),
         "water_level_filt", sos)

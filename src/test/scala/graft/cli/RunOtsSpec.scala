@@ -1028,6 +1028,63 @@ class RunOtsSpec extends AnyFunSuite {
     }
   }
 
+  test("glx clean: missing ROWS reindex onto the grid and count against tolerance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("glxgap").toFile
+    val t0 = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    def write(name: String, skip: Int => Boolean): String = {
+      val p = new java.io.File(dir, name).getAbsolutePath
+      (0 until 600).filterNot(skip).map(i => (
+        new java.sql.Timestamp(t0.plusSeconds(i).toEpochMilli), 2.0))
+        .toDF("time", "water_level").write.parquet(p)
+      p
+    }
+    val meta = graft.core.Meta(Map[String, Any](
+      "filtered_wl" -> "true", "sample_interval" -> 1.0))
+    // 10 s of MISSING rows (< 60 s tolerance): the grid restores them as
+    // null rows, the fill bridges them, output re-nulls them
+    val raw1 = write("raw1", i => i >= 300 && i < 310)
+    val c1p = new java.io.File(dir, "clean1").getAbsolutePath
+    RunOts.runStep(spark, "glx", "cdf2nc", meta, raw1, c1p)
+    val c1 = spark.read.parquet(c1p).orderBy("time").collect()
+    assert(c1.length == 600, s"grid must restore the missing rows: ${c1.length}")
+    assert(c1(305).isNullAt(c1(305).fieldIndex("water_level_filt")))
+    assert(math.abs(c1(299).getAs[Double]("water_level_filt") - 2.0) < 1e-9)
+    // 150 s of missing rows: nearest-fill reaches 60 s in from EACH gap
+    // edge, so the middle 30 s stay unfillable -> filtered all-null
+    val raw2 = write("raw2", i => i >= 300 && i < 450)
+    val c2p = new java.io.File(dir, "clean2").getAbsolutePath
+    RunOts.runStep(spark, "glx", "cdf2nc", meta, raw2, c2p)
+    val c2 = spark.read.parquet(c2p).collect()
+    assert(c2.length == 600)
+    assert(c2.forall(_.isNullAt(c2.head.fieldIndex("water_level_filt"))),
+      "gap past tolerance must null the whole filtered series")
+  }
+
+  test("waterLevelVars: only P_1ac qualifies, and only rsk/hobo/sg families") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-05-01T00:00:00Z")
+    val df = (0 until 20).map(i => (
+      new java.sql.Timestamp(t0.plusSeconds(i).toEpochMilli), 11.0))
+      .toDF("time", "P_1")
+    val meta = graft.core.Meta(Map[String, Any](
+      "filtered_wl" -> "true", "NAVD88_ref" -> -1.25,
+      "sample_interval" -> 1.0))
+    // no P_1ac (no atmos correction) -> the reference skips creation
+    val out = RunOts.waterLevelVars(df, meta, "rsk")
+    assert(!out.columns.contains("water_level_filt") &&
+      !out.columns.contains("water_level"))
+    // a family that never creates the product is untouched even with P_1ac
+    val withAc = df.withColumn("P_1ac",
+      org.apache.spark.sql.functions.col("P_1") - 10.0)
+    assert(RunOts.waterLevelVars(withAc, meta, "exo").columns
+      .sameElements(withAc.columns))
+    // hobo keeps BOTH vars (ungated create, filtered added)
+    val hobo = RunOts.waterLevelVars(withAc, meta, "hobo")
+    assert(hobo.columns.contains("water_level") &&
+      hobo.columns.contains("water_level_filt"))
+  }
+
   test("velFilter: per-bin Butterworth with unfiltered copies (sig filter_vel)") {
     import spark.implicits._
     def raw(i: Int): Double =
