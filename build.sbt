@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked runMain's stdout through unprefixed: Bench/Verify print
+// one machine-readable JSON line, and sbt's default logger would wrap it
+// as "[info] {...}" — which is why every BENCH_r*.json so far has
+// `parsed: null` (the driver greps for a bare JSON line).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
