@@ -695,6 +695,65 @@ object PipelineQueries {
              |JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
              |WHERE i * 4 >= 3 * least(sa.n, sb.n)""".stripMargin)),
 
+    // The LINEAR-OUTPUT form of containment dedup. The pair LIST above is
+    // inherently quadratic in duplicate-cluster size — 3-char shingle sets
+    // of template-heavy corpora saturate, and the sf0.01 → sf1-scratch
+    // result grows 3 175 → 32.4 M pairs for 100× docs — so at corpus scale
+    // the useful product is ONE row per CONTAINED doc: its best witness.
+    // For a fixed contained doc the containment denominator min(n_a, n_b)
+    // is its OWN set size, so argmax over the INTEGER shared count is
+    // argmax over containment (no double compares); witness tie-break =
+    // min id via max(struct(i, -witness)). The aggregate sits directly on
+    // the prefix-filter pair stream and is map-side combinable: the
+    // post-verify shuffle carries one partial row per (partition,
+    // contained doc), never the pair list.
+    Q("dedup_containment_mark",
+      (s, dir) => {
+        val pairs = Dedup.containmentPrefixPairs(documents(s, dir), "doc_id",
+          "text", "source", 3, tNum = 3, tDen = 4)
+        pairs
+          .withColumn("__w", when(col("contained_id") === col("id_a"),
+            col("id_b")).otherwise(col("id_a")))
+          .groupBy(col("contained_id"))
+          .agg(
+            max(struct(col("n_shared").as("i"), (-col("__w")).as("nw")))
+              .as("__m"),
+            min(least(col("n_a"), col("n_b"))).as("n_shingles"))
+          .select(col("contained_id"), col("n_shingles"),
+            col("__m.i").as("n_shared"),
+            round(col("__m.i").cast("double")
+              / col("n_shingles").cast("double"), 9).as("best_containment"),
+            (-col("__m.nw")).as("witness_id"))
+      },
+      Some("""WITH pos AS (
+             |  SELECT doc_id, source, text,
+             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
+             |sz AS (SELECT doc_id, CAST(count(*) AS INTEGER) n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) i
+             |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, i,
+             |    CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id
+             |  FROM inter
+             |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |  WHERE i * 4 >= 3 * least(sa.n, sb.n)),
+             |w AS (
+             |  SELECT contained_id,
+             |    CASE WHEN contained_id = id_a THEN id_b ELSE id_a END AS witness,
+             |    least(n_a, n_b) AS n, i,
+             |    max(i) OVER (PARTITION BY contained_id) AS mi
+             |  FROM pairs)
+             |SELECT contained_id, CAST(min(n) AS INTEGER) AS n_shingles,
+             |  max(i) AS n_shared,
+             |  round(CAST(max(i) AS DOUBLE) / min(n), 9) AS best_containment,
+             |  min(CASE WHEN i = mi THEN witness END) AS witness_id
+             |FROM w GROUP BY 1""".stripMargin)),
+
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text",
         numHashes = 16, bands = 2, estThreshold = 0.7),

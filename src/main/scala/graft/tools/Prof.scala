@@ -18,6 +18,11 @@ object Prof {
       val n = df.count()
       println(f"TIMING $name ${(System.nanoTime()-t0)/1e9}%.2f s, $n rows")
       if (sys.env.contains("EXPLAIN")) df.explain("formatted")
+      // release shared() intermediates like Bench does — without this,
+      // every profiled query's pinned caches accumulate for the session
+      // and later timings absorb the eviction/GC pressure (measured:
+      // dedup_jaccard_prefix 15 s cold but 39 s "warm" under the pile-up)
+      graft.ops.Spread.release(spark)
     }
     spark.stop()
   }
