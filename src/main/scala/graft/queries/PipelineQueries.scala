@@ -708,23 +708,8 @@ object PipelineQueries {
     // post-verify shuffle carries one partial row per (partition,
     // contained doc), never the pair list.
     Q("dedup_containment_mark",
-      (s, dir) => {
-        val pairs = Dedup.containmentPrefixPairs(documents(s, dir), "doc_id",
-          "text", "source", 3, tNum = 3, tDen = 4)
-        pairs
-          .withColumn("__w", when(col("contained_id") === col("id_a"),
-            col("id_b")).otherwise(col("id_a")))
-          .groupBy(col("contained_id"))
-          .agg(
-            max(struct(col("n_shared").as("i"), (-col("__w")).as("nw")))
-              .as("__m"),
-            min(least(col("n_a"), col("n_b"))).as("n_shingles"))
-          .select(col("contained_id"), col("n_shingles"),
-            col("__m.i").as("n_shared"),
-            round(col("__m.i").cast("double")
-              / col("n_shingles").cast("double"), 9).as("best_containment"),
-            (-col("__m.nw")).as("witness_id"))
-      },
+      (s, dir) => Dedup.containmentMark(documents(s, dir), "doc_id",
+        "text", "source", 3, tNum = 3, tDen = 4),
       Some("""WITH pos AS (
              |  SELECT doc_id, source, text,
              |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i

@@ -92,4 +92,30 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(Dedup.jaccardPrefixPairs(df, "doc_id", "text", "source", 3, 4, 5).count() == 0)
     Spread.release(spark)
   }
+
+  test("containmentMark: one row per contained doc, max-overlap witness, min-id tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      // chain: 1 ⊂ 2 ⊂ 3 (prefix supersets) — doc 3 is never the smaller
+      // side of a pair, so it must NOT appear as contained
+      (1L, "s", "abcdefgh"),        // 6 distinct trigrams
+      (2L, "s", "abcdefghijkl"),    // 10, fully contains doc 1
+      (3L, "s", "abcdefghijklmnop"),// 14, fully contains 1 and 2
+      // tie-break scope: doc 4's 4 trigrams appear whole in BOTH 5 and 6
+      // (equal shared count 4) → witness must be the smaller id, 5;
+      // 5 vs 6 share 4 of min-size 6 → 4/6 < 3/4, no pair between them
+      (4L, "s2", "wxyzab"),
+      (5L, "s2", "wxyzabcd"),
+      (6L, "s2", "wxyzabef")).toDF("doc_id", "source", "text")
+    val got = Dedup.containmentMark(df, "doc_id", "text", "source", 3, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    // doc 1's best witness: both 2 and 3 hold all 6 trigrams (tie on
+    // shared count) → min id 2; doc 2's only superset is 3
+    assert(got == Set(
+      (1L, 6, 6L, 1.0, 2L),
+      (2L, 10, 10L, 1.0, 3L),
+      (4L, 4, 4L, 1.0, 5L)), s"got $got")
+    Spread.release(spark)
+  }
 }
