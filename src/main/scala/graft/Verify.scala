@@ -26,7 +26,15 @@ object Verify {
     // driver's DuckDB compare flags a hash mismatch, these printed rows
     // pinpoint the diverging table/field without access to its parquet.
     val printRows = Set("dataset_fingerprint", "dataset_fingerprint_fields")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
+      f.delete(): Unit
+    }
     SparkEntry.queries.filter(kv => filter(kv._1)).foreach { case (name, fn) =>
+      // drop any prior output FIRST: a query that fails analysis/execution
+      // must not leave a stale result dir behind for the compare step to
+      // read as if it were this run's answer
+      rmTree(new java.io.File(s"$outDir/$name"))
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

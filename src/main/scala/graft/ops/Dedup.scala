@@ -45,10 +45,25 @@ object Dedup {
     ))).as("sh"))
 
   /** Integer key of a 3-char shingle from char codes (base-256 packing) —
-    * exact, portable. */
+    * exact, portable. Long literals force the multiply into Long BEFORE
+    * it can overflow: ascii() yields full codepoints (≤ 0x10FFFF), and
+    * 0x10000+·65536 no longer fits an Int (ANSI mode crashes, non-ANSI
+    * silently corrupts keys). */
   def shingleKey(sh: Column): Column =
-    ascii(substring(sh, 1, 1)) * 65536 + ascii(substring(sh, 2, 1)) * 256 +
-      ascii(substring(sh, 3, 1))
+    ascii(substring(sh, 1, 1)) * lit(65536L) +
+      ascii(substring(sh, 2, 1)) * lit(256L) + ascii(substring(sh, 3, 1))
+
+  /** (a·x + b) mod P computed exactly in Long arithmetic for any
+    * 0 ≤ x < 2^45 (4 packed codepoints ≤ 0x10FFFF reach ~2^44.2): the
+    * naive a·x product reaches 2^75 and overflows Long — under ANSI mode
+    * that kills the job on the first emoji/CJK document. Splitting x
+    * into 22-bit limbs keeps every intermediate below 2^54:
+    * a·x ≡ ((a·⌊x/2²²⌋ mod P)·2²² + a·(x mod 2²²)) (mod P).
+    * Value-identical to the direct form wherever that form didn't
+    * overflow, so every existing oracle hash is unchanged. */
+  private def hashAbModP(a: Long, b: Long, x: Column): Column =
+    ((lit(a) * shiftright(x, 22)) % P * lit(1L << 22)
+      + lit(a) * x.bitwiseAND(lit((1L << 22) - 1)) + lit(b)) % P
 
   /** Exact dedup: among rows sharing md5(text), keep the smallest id.
     * One shuffle on the digest. */
@@ -74,8 +89,9 @@ object Dedup {
       s"""array_sort(array_distinct(transform(
          |  transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)),
          |            i -> substr($textCol, i, $k)),
-         |  s -> CAST(ascii(substr(s,1,1)) * 65536 + ascii(substr(s,2,1)) * 256
-         |            + ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
+         |  s -> CAST(ascii(substr(s,1,1)) AS BIGINT) * 65536
+         |       + CAST(ascii(substr(s,2,1)) AS BIGINT) * 256
+         |       + CAST(ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
     // spread: a small single-file table arrives as ONE partition and would
     // serialize both the shingle extraction and all pair intersects;
     // shared: both pair sides read the one extracted shingle-set table
@@ -152,11 +168,16 @@ object Dedup {
   }
 
   private def shingleKeys3(textCol: String): Column = expr(
+    // the ascii() factors must be widened BEFORE the multiply: codepoints
+    // reach 0x10FFFF, and 0x10000+ · 65536 overflows INT under ANSI mode
+    // (fuzz corpus: emoji docs crashed every prefix-filter query); the
+    // BIGINT product is the same value the scaladoc bound reasons about
     s"""array_sort(array_distinct(transform(
        |  transform(sequence(1, greatest(length($textCol) - 2, 1)),
        |            i -> substr($textCol, i, 3)),
-       |  s -> CAST(ascii(substr(s,1,1)) * 65536 + ascii(substr(s,2,1)) * 256
-       |            + ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
+       |  s -> CAST(ascii(substr(s,1,1)) AS BIGINT) * 65536
+       |       + CAST(ascii(substr(s,2,1)) AS BIGINT) * 256
+       |       + CAST(ascii(substr(s,3,1)) AS BIGINT))))""".stripMargin)
 
   /** Rarest-first total order over shingle keys as ONE packed bigint:
     * `min(df, 2^26−1)·2^37 + key`. Injective for every key
@@ -632,7 +653,7 @@ object Dedup {
     val sh = charShingles(Spread.byKey(df, col(idCol)), idCol, textCol, shingleK)
       .withColumn("x", shingleKey(col("sh")).cast("long"))
     val aggs = hashParams(numHashes).map { case (i, a, b) =>
-      min((lit(a) * col("x") + lit(b)) % P).as(s"mh$i")
+      min(hashAbModP(a, b, col("x"))).as(s"mh$i")
     }
     sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
@@ -739,7 +760,7 @@ object Dedup {
     // numBits parallel sum aggregates (map-side combinable) instead of
     // exploding one row per (token, bit) — same win as minhashSignatures
     val aggs = hashParams(numBits).map { case (j, a, b) =>
-      sum(((lit(a) * col("x") + lit(b)) % P % 2) * 2 - 1).as(s"s$j")
+      sum((hashAbModP(a, b, col("x")) % 2) * 2 - 1).as(s"s$j")
     }
     val wide = withX.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     val sigExpr = hashParams(numBits).map { case (j, _, _) =>

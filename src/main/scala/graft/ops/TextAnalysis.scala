@@ -26,7 +26,10 @@ object TextAnalysis {
   def charCount(text: Column): Column = length(text)
 
   def meanTokenLen(text: Column): Column =
-    (length(regexp_replace(text, " ", "")).cast("double") / tokenCount(text))
+    // try_divide: a 0-token doc must yield NULL (DuckDB's x/0), not an
+    // ANSI DIVIDE_BY_ZERO that kills the whole job (fuzz: empty docs)
+    try_divide(length(regexp_replace(text, " ", "")).cast("double"),
+      tokenCount(text))
 
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
@@ -35,14 +38,14 @@ object TextAnalysis {
   def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
     val toks = filter(split(text, " "), t => length(t) > 0)
     val hits = size(filter(toks, t => t.isInCollection(stopwords)))
-    hits.cast("double") / size(toks)
+    try_divide(hits.cast("double"), size(toks))
   }
 
   /** Fraction of non-space characters that are not lowercase alphanumerics. */
   def punctRatio(text: Column): Column = {
     val nonSpace = length(regexp_replace(text, " ", ""))
     val alnum = length(regexp_replace(text, "[^a-z0-9]", ""))
-    (nonSpace - alnum).cast("double") / nonSpace
+    try_divide((nonSpace - alnum).cast("double"), nonSpace)
   }
 
   /** Language-ID by marker-token voting: per-language stopword lists scored

@@ -57,14 +57,14 @@ object PipelineQueries {
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |tx AS (
        |  SELECT doc_id,
-       |    coalesce(ascii(substr(tok,1,1)), 0)*16777216
-       |    + coalesce(ascii(substr(tok,2,1)), 0)*65536
+       |    CAST(coalesce(ascii(substr(tok,1,1)), 0) AS BIGINT)*16777216
+       |    + CAST(coalesce(ascii(substr(tok,2,1)), 0) AS BIGINT)*65536
        |    + coalesce(ascii(substr(tok,3,1)), 0)*256
        |    + coalesce(ascii(substr(tok,4,1)), 0) AS x
        |  FROM toks WHERE length(tok) > 0),
        |bits AS (
        |  SELECT doc_id, hp.j,
-       |    sum(((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647 % 2) * 2 - 1) AS s
+       |    sum(CAST(((CAST(hp.a AS HUGEINT) * x + hp.b) % 2147483647 % 2) * 2 - 1 AS BIGINT)) AS s
        |  FROM tx, ${hpSql(16, "j, a, b")}
        |  GROUP BY doc_id, hp.j),
        |sig AS (
@@ -145,10 +145,10 @@ object PipelineQueries {
        |  FROM $src),
        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh FROM pos),
        |shx AS (SELECT doc_id,
-       |    ascii(substr(sh,1,1))*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS x
+       |    CAST(ascii(substr(sh,1,1)) AS BIGINT)*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS x
        |  FROM sh),
        |sig AS MATERIALIZED (
-       |  SELECT doc_id, hp.i, min((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647) AS minhash
+       |  SELECT doc_id, hp.i, min(CAST((CAST(hp.a AS HUGEINT) * x + hp.b) % 2147483647 AS BIGINT)) AS minhash
        |  FROM shx, ${hpSql(16, "i, a, b")}
        |  GROUP BY doc_id, hp.i),
        |bandkey AS (
@@ -792,14 +792,14 @@ object PipelineQueries {
              |  FROM d),
              |tx AS (
              |  SELECT doc_id,
-             |    coalesce(ascii(substr(tok,1,1)), 0)*16777216
-             |    + coalesce(ascii(substr(tok,2,1)), 0)*65536
+             |    CAST(coalesce(ascii(substr(tok,1,1)), 0) AS BIGINT)*16777216
+             |    + CAST(coalesce(ascii(substr(tok,2,1)), 0) AS BIGINT)*65536
              |    + coalesce(ascii(substr(tok,3,1)), 0)*256
              |    + coalesce(ascii(substr(tok,4,1)), 0) AS x
              |  FROM toks WHERE length(tok) > 0),
              |bits AS (
              |  SELECT doc_id, hp.j,
-             |    sum(((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647 % 2) * 2 - 1) AS s
+             |    sum(CAST(((CAST(hp.a AS HUGEINT) * x + hp.b) % 2147483647 % 2) * 2 - 1 AS BIGINT)) AS s
              |  FROM tx, ${hpSql(16, "j, a, b")}
              |  GROUP BY doc_id, hp.j),
              |sig AS (
@@ -844,10 +844,10 @@ object PipelineQueries {
              |  FROM documents),
              |sh AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh FROM pos),
              |shx AS (SELECT doc_id,
-             |    ascii(substr(sh,1,1))*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS x
+             |    CAST(ascii(substr(sh,1,1)) AS BIGINT)*65536 + ascii(substr(sh,2,1))*256 + ascii(substr(sh,3,1)) AS x
              |  FROM sh),
              |sig AS MATERIALIZED (
-             |  SELECT doc_id, hp.i, min((CAST(hp.a AS BIGINT) * x + hp.b) % 2147483647) AS minhash
+             |  SELECT doc_id, hp.i, min(CAST((CAST(hp.a AS HUGEINT) * x + hp.b) % 2147483647 AS BIGINT)) AS minhash
              |  FROM shx, ${hpSql(16, "i, a, b")}
              |  GROUP BY doc_id, hp.i),
              |bandkey AS MATERIALIZED (
@@ -3239,8 +3239,8 @@ object PipelineQueries {
         documents(s, dir).select(col("doc_id"),
             size(toks).as("n_words"),
             round(TA.meanTokenLen(col("text")), 8).as("mean_word_len"),
-            round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
-              size(toks), 8).as("alpha_word_frac"),
+            round(try_divide(size(filter(toks, t => t.rlike("[a-z]")))
+              .cast("double"), size(toks)), 8).as("alpha_word_frac"),
             size(array_intersect(array_distinct(toks),
               lit(TA.defaultStopwords.toArray))).as("n_stop"))
           .select(col("doc_id"), col("n_words"), col("mean_word_len"),
@@ -3252,8 +3252,11 @@ object PipelineQueries {
             (col("alpha_word_frac") >= 0.8).cast("int").as("ok_alpha"),
             (col("n_stop") >= 2).cast("int").as("ok_stop"))
           .withColumn("keep",
-            (col("ok_words") * col("ok_wordlen") *
-             col("ok_alpha") * col("ok_stop")).cast("int"))
+            // three-valued AND, not flag multiplication: an empty doc has
+            // ok_words = 0 but NULL word-length/alpha flags, and SQL's
+            // FALSE AND NULL = FALSE must win (0·NULL = NULL diverges)
+            (col("ok_words") === 1 && col("ok_wordlen") === 1 &&
+             col("ok_alpha") === 1 && col("ok_stop") === 1).cast("int"))
       },
       Some(s"""WITH t AS (
              |  SELECT doc_id, text,

@@ -38,18 +38,25 @@ object StreamLshDedup {
     val params = Dedup.hashParams(numHashes)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val seen = scala.collection.mutable.HashSet.empty[Long]
-    val n = math.max(text.length - 2, 1)
+    // iterate CODE POINTS, not UTF-16 units: Spark's substr/ascii are
+    // codepoint-based, so astral chars (emoji) would otherwise shingle
+    // differently here than in the batch path
+    val cps = text.codePoints().toArray
+    val n = math.max(cps.length - 2, 1)
     var i = 0
     while (i < n) {
-      val c0 = if (i < text.length) text.charAt(i).toLong else 0L
-      val c1 = if (i + 1 < text.length) text.charAt(i + 1).toLong else 0L
-      val c2 = if (i + 2 < text.length) text.charAt(i + 2).toLong else 0L
+      val c0 = if (i < cps.length) cps(i).toLong else 0L
+      val c1 = if (i + 1 < cps.length) cps(i + 1).toLong else 0L
+      val c2 = if (i + 2 < cps.length) cps(i + 2).toLong else 0L
       val x = c0 * 65536L + c1 * 256L + c2
       if (seen.add(x)) {
         var j = 0
         while (j < numHashes) {
           val (_, a, b) = params(j)
-          val h = (a * x + b) % Dedup.P
+          // 22-bit-limb modmul, the batch hashAbModP: a·x for codepoint-
+          // packed x reaches 2^75, which wraps silently in JVM Long
+          val h = ((a * (x >>> 22)) % Dedup.P * (1L << 22)
+            + a * (x & ((1L << 22) - 1)) + b) % Dedup.P
           if (h < mins(j)) mins(j) = h
           j += 1
         }

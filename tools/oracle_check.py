@@ -35,7 +35,11 @@ for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-names = sorted(d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}"))
+# iterate the REQUESTED set, not just the dirs that exist: Verify deletes
+# a query's output dir before re-running it, so a failed query has no dir
+# at all and must still be reported as a failure, not silently skipped
+names = sorted(set(d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}"))
+               | (only or set(oracle)))
 npass = nfail = 0
 for name in names:
     if only and name not in only:
