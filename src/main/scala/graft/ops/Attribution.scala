@@ -33,9 +33,14 @@ import org.apache.spark.sql.functions._
  */
 object Attribution {
 
+  /** `channelFilter`: restrict removal scenarios (and credit
+    * normalization) to a FIXED business channel list — unknown event
+    * types still shape the chain's transitions, they just earn no
+    * credit row. None = every observed non-absorbing state. */
   def markovRemoval(ev: DataFrame, userCol: String, typeCol: String,
                     tsCol: String, idCol: String, convType: String,
-                    iters: Int = 12): DataFrame = {
+                    iters: Int = 12,
+                    channelFilter: Option[Seq[String]] = None): DataFrame = {
     val spark = ev.sparkSession
     val byUser = Window.partitionBy("__u")
     val seq = Window.partitionBy("__u").orderBy("__ts", "__id")
@@ -89,6 +94,7 @@ object Attribution {
     }
     val baseConv = absorb(None)("START")
     val channels = states.filterNot(_ == "START")
+      .filter(c => channelFilter.forall(_.contains(c)))
     val out = channels.map { c =>
       val rm = absorb(Some(c))("START")
       (c, tot(c), baseConv, rm)

@@ -782,6 +782,9 @@ object Dedup {
     val base = Spread.shared(Spread.byKey(df, col(idCol))
       .select(col(scopeCol).as("__s"), col(idCol).as("__id"), e0.as("__e0"))
       .withColumn("__n", sqrt(ArrayMath.dot(col("__e0"), col("__e0"))))
+      // zero-norm vectors have no direction: excluded, matching the
+      // Similarity.normalized contract and the DuckDB oracles' WHERE
+      .filter(col("__n") > 0)
       .select(col("__s"), col("__id"),
         transform(col("__e0"), x => x / col("__n")).as("__e")))
     val a = base.select(col("__s"), col("__id").as("id_a"), col("__e").as("__ea"))

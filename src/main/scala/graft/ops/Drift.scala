@@ -61,8 +61,10 @@ object Drift {
       .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
         max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
           .as("ks_num"))
-      .withColumn("ks", round(col("ks_num").cast("double") /
-        (col("n_a") * col("n_b")).cast("double"), 9))
+      // try_divide: a group entirely on one side of the split has
+      // n_a*n_b = 0 — ks is undefined (NULL), matching the oracle's x/0
+      .withColumn("ks", round(try_divide(col("ks_num").cast("double"),
+        (col("n_a") * col("n_b")).cast("double")), 9))
   }
 
   /**
@@ -151,8 +153,10 @@ object Drift {
       .agg(max("__na").as("n_a"), max("__nb").as("n_b"),
         max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
           .as("ks_num"))
-      .withColumn("ks", round(col("ks_num").cast("double") /
-        (col("n_a") * col("n_b")).cast("double"), 9))
+      // try_divide: a group entirely on one side of the split has
+      // n_a*n_b = 0 — ks is undefined (NULL), matching the oracle's x/0
+      .withColumn("ks", round(try_divide(col("ks_num").cast("double"),
+        (col("n_a") * col("n_b")).cast("double")), 9))
   }
 
   /** Cumulative Binomial(8, 1/8) thresholds over denominator 8^8 — the
@@ -250,9 +254,17 @@ object Drift {
     daily.groupBy("__g")
       .agg(sort_array(collect_list(struct(col("__day"), col("__cnt"))))
         .as("__ds"))
-      .filter(size(col("__ds")) >= 2)
-      .withColumn("__out", expr(
-        s"""aggregate(slice(__ds, 3, size(__ds) - 2),
+      // single-day groups can't seed a trend: emitted as one row with NULL
+      // level/trend/forecast and no horizon — matching the oracle's LEFT
+      // JOIN shape (a filter here would silently drop the whole group, and
+      // the unguarded slice(…, size-2) dies on ANSI for size = 1)
+      .withColumn("__out", when(size(col("__ds")) < 2, expr(
+        """array(struct(element_at(__ds, 1).__day AS day,
+          |  element_at(__ds, 1).__cnt AS cnt,
+          |  CAST(NULL AS BIGINT) AS l, CAST(NULL AS BIGINT) AS b,
+          |  CAST(NULL AS BIGINT) AS f))""".stripMargin))
+        .otherwise(expr(
+        s"""aggregate(slice(__ds, 3, greatest(size(__ds) - 2, 0)),
            |  struct(CAST(element_at(__ds, 2).__cnt * 1000000 AS BIGINT) AS l,
            |    CAST((element_at(__ds, 2).__cnt - element_at(__ds, 1).__cnt)
            |      * 1000000 AS BIGINT) AS b,
@@ -281,7 +293,7 @@ object Drift {
            |  a -> concat(a.out, transform(sequence(1, $horizon),
            |    h -> struct((element_at(a.out, size(a.out)).day + h) AS day,
            |      CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS l,
-           |      CAST(NULL AS BIGINT) AS b, (a.l + h * a.b) AS f))))""".stripMargin))
+           |      CAST(NULL AS BIGINT) AS b, (a.l + h * a.b) AS f))))""".stripMargin)))
       .select(col("__g"), explode(col("__out")).as("__r"))
       .select(col("__g").as(groupCol), col("__r.day").as("day"),
         col("__r.cnt").as("n_events"),

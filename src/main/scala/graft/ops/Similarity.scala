@@ -40,6 +40,10 @@ object Similarity {
     val e = asDouble(col(embCol))
     df.select(col(idCol).as(outId), e.as("__e"))
       .withColumn("__n", sqrt(ndot(col("__e"), col("__e"))))
+      // zero-norm vectors have no direction: EXCLUDED from cosine ops on
+      // both engines (ANSI /0 would otherwise kill the job on the first
+      // all-zero embedding in the corpus; oracles carry the same WHERE)
+      .filter(col("__n") > 0)
       .select(col(outId), transform(col("__e"), x => x / col("__n")).as(outEmb))
   }
 
@@ -569,6 +573,7 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(out_dim, v))), x -> x.v)")
         .as("p"))
       .withColumn("__n", sqrt(ndot(col("p"), col("p"))))
+      .filter(col("__n") > 0) // zero-norm exclusion (see normalized())
       .select(col("vec_id"), transform(col("p"), x => x / col("__n")).as("p")))
     val a = proj.select(col("vec_id"), col("p").as("pa"))
     val b = proj.select(col("vec_id").as("neighbor_id"), col("p").as("pb"))
@@ -650,6 +655,7 @@ object Similarity {
         .withColumnRenamed("cell", cellCol)
         .withColumn("__e", asDouble(col("__raw")))
         .withColumn("__n", sqrt(ndot(col("__e"), col("__e"))))
+        .filter(col("__n") > 0) // zero-norm exclusion (see normalized())
         .select(col(outId), col(cellCol),
           transform(col("__e"), x => x / col("__n")).as(outEmb))
     val q = prep(stream, idCol, embCol, "query_id", "eq", "cell")

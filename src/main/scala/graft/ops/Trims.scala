@@ -73,7 +73,9 @@ object Trims {
     * (100*diff/prev; stglib/core/qaqc.py:102-117,133-148). */
   def pctDiffPrev(v: String, order: Seq[String], part: Seq[String] = Nil): Column = {
     val prev = lag(col(v), 1).over(w(order, part))
-    lit(100.0) * (col(v) - prev) / prev
+    // try_divide: prev = 0 makes the percent change undefined — the NULL
+    // predicate keeps the value, exactly numpy's inf/nan-comparison-False
+    try_divide(lit(100.0) * (col(v) - prev), prev)
   }
 
   def trimMinDiffPct(df: DataFrame, v: String, thr: Double,
@@ -97,8 +99,8 @@ object Trims {
                      order: Seq[String], part: Seq[String] = Nil): DataFrame = {
     val prev = lag(col(v), 1).over(w(order, part))
     val next = lead(col(v), 1).over(w(order, part))
-    val risePct = lit(100.0) * (col(v) - prev) / prev
-    val fallPct = lit(100.0) * (next - col(v)) / col(v)
+    val risePct = try_divide(lit(100.0) * (col(v) - prev), prev)
+    val fallPct = try_divide(lit(100.0) * (next - col(v)), col(v))
     maskWhere(df, v, risePct > lit(thrPct) && fallPct < lit(-thrPct))
   }
 
@@ -172,14 +174,16 @@ object Trims {
   def trimMedDiffPct(df: DataFrame, v: String, thr: Double, k: Int,
                      order: Seq[String], part: Seq[String] = Nil,
                      zeroPad: Boolean = true): DataFrame =
+    // try_divide: value = 0 makes the percent ratio undefined — NULL
+    // comparison keeps the sample, matching the oracle's x/0 = NULL
     maskWhere(df, v,
-      lit(100.0) * abs(col(v) - rollingMedian(v, k, order, part, zeroPad)) / col(v) > lit(thr))
+      try_divide(lit(100.0) * abs(col(v) - rollingMedian(v, k, order, part, zeroPad)), col(v)) > lit(thr))
 
   /** trim_std_ratio: null where std/value > ratio, companion column `<v>_std`
     * (stglib/core/qaqc.py:636-659). */
   def trimStdRatio(df: DataFrame, v: String, ratio: Double,
                    stdCol: String): DataFrame =
-    maskWhere(df, v, col(stdCol) / col(v) > lit(ratio))
+    maskWhere(df, v, try_divide(col(stdCol), col(v)) > lit(ratio))
 
   /** trim_max_std: null where companion std > max (stglib/core/qaqc.py:339-356). */
   def trimMaxStd(df: DataFrame, v: String, maxStd: Double, stdCol: String): DataFrame =

@@ -220,14 +220,19 @@ object Aggregates {
 
     // rolling median smoother output (scipy.signal.medfilt analog,
     // stglib/core/filter.py:157-229), shrinking-window edges
+    // `+ 0.0` on BOTH engines: a window of signed zeros yields -0.0 or 0.0
+    // depending on the engine's sort placement of the two zeros (Spark
+    // orders -0.0 < 0.0, SQL compares them equal) — the IEEE identity
+    // x + 0.0 collapses -0.0 to 0.0 and is a no-op for every other value
     Q("rolling_median",
       (s, dir) => events(s, dir)
         .withColumn("med", graft.ops.Trims.rollingMedian(
-          "value", 5, Seq("ts", "event_id"), Seq("user_id"), zeroPad = false))
+          "value", 5, Seq("ts", "event_id"), Seq("user_id"), zeroPad = false)
+          + lit(0.0))
         .select("event_id", "med"),
       Some("""SELECT event_id, median(value) OVER
              |  (PARTITION BY user_id ORDER BY ts, event_id
-             |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med
+             |   ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) + 0.0 AS med
              |FROM events""".stripMargin))
   )
 }

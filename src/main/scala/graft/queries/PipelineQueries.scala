@@ -171,6 +171,9 @@ object PipelineQueries {
     * plain sequential dot — same normalize-then-dot order as Spark's
     * [[graft.ops.Similarity]] `normalized`+`ndot`, so the doubles agree
     * bitwise. */
+  // zero-norm vectors have no direction: excluded from every cosine op
+  // (the Spark side filters them in Similarity.normalized — ANSI /0 would
+  // otherwise kill the job on the first all-zero embedding)
   private val enCte =
     """e0n AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -179,7 +182,9 @@ object PipelineQueries {
       |    list_transform(generate_series(1, 64), i -> emb[i] /
       |      sqrt(list_sum(list_transform(generate_series(1, 64),
       |        j -> emb[j] * emb[j])))) AS e
-      |  FROM e0n)""".stripMargin
+      |  FROM e0n
+      |  WHERE list_sum(list_transform(generate_series(1, 64),
+      |    j -> emb[j] * emb[j])) > 0)""".stripMargin
 
   /** The full raw-vector IVF-PQ ADC pipeline (coarse cells → codebooks →
     * per-query LUTs → per-cell candidate pairs → summed ADC score) as a
@@ -2181,7 +2186,9 @@ object PipelineQueries {
              |    list_transform(generate_series(1, 64), i -> emb[i] /
              |      sqrt(list_sum(list_transform(generate_series(1, 64),
              |        j -> emb[j] * emb[j])))) AS e
-             |  FROM e0),
+             |  FROM e0
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    j -> emb[j] * emb[j])) > 0),
              |pairs AS (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |    list_sum(list_transform(generate_series(1, 64),
@@ -2213,7 +2220,9 @@ object PipelineQueries {
              |    list_transform(generate_series(1, 64), i -> emb[i] /
              |      sqrt(list_sum(list_transform(generate_series(1, 64),
              |        j -> emb[j] * emb[j])))) AS e
-             |  FROM e0 JOIN buck ON e0.vec_id = buck.vec_id),
+             |  FROM e0 JOIN buck ON e0.vec_id = buck.vec_id
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    j -> emb[j] * emb[j])) > 0),
              |pairs AS (
              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              |    list_sum(list_transform(generate_series(1, 64),
@@ -2316,7 +2325,7 @@ object PipelineQueries {
     Q("similarity_jl_rerank",
       (s, dir) => Similarity.jlRerank(embeddings(s, dir), "vec_id",
           "embedding", dims = 64, outDims = 16, kCand = 20, k = 5)
-        .withColumn("cosine", round(col("cosine"), 8)),
+        .withColumn("cosine", round(col("cosine"), 8) + lit(0.0)),
       Some("""WITH m AS (
              |  SELECT j, i,
              |    CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '_' ||
@@ -2336,7 +2345,9 @@ object PipelineQueries {
              |    list_transform(generate_series(1, 16), i -> p[i] /
              |      sqrt(list_sum(list_transform(generate_series(1, 16),
              |        q -> p[q] * p[q])))) AS p
-             |  FROM pl),
+             |  FROM pl
+             |  WHERE list_sum(list_transform(generate_series(1, 16),
+             |    q -> p[q] * p[q])) > 0),
              |cand AS (
              |  SELECT a.vec_id, b.vec_id AS neighbor_id,
              |    list_sum(list_transform(generate_series(1, 16),
@@ -2354,14 +2365,16 @@ object PipelineQueries {
              |    list_transform(generate_series(1, 64), i -> emb[i] /
              |      sqrt(list_sum(list_transform(generate_series(1, 64),
              |        j -> emb[j] * emb[j])))) AS e
-             |  FROM e0),
+             |  FROM e0
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    j -> emb[j] * emb[j])) > 0),
              |sc AS (
              |  SELECT t.vec_id, t.neighbor_id,
              |    list_sum(list_transform(generate_series(1, 64),
              |      i -> ea.e[i] * eb.e[i])) AS cosine
              |  FROM top t JOIN e ea ON ea.vec_id = t.vec_id
              |    JOIN e eb ON eb.vec_id = t.neighbor_id)
-             |SELECT vec_id, neighbor_id, round(cosine, 8) AS cosine,
+             |SELECT vec_id, neighbor_id, round(cosine, 8) + 0.0 AS cosine,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, neighbor_id, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -2457,7 +2470,7 @@ object PipelineQueries {
         Similarity.ivfTopKTrained(e, "vec_id",
           "embedding", nCentroids = Similarity.scaledCells(e), dims = 64,
           iters = 3, k = 5)
-        .withColumn("cosine", round(col("cosine"), 8)) },
+        .withColumn("cosine", round(col("cosine"), 8) + lit(0.0)) },
       Some(s"""WITH ${kmeansCtes(8, 64, 3)},
              |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
              |asgf AS (
@@ -2475,7 +2488,9 @@ object PipelineQueries {
              |    list_transform(generate_series(1, 64), i -> emb[i] /
              |      sqrt(list_sum(list_transform(generate_series(1, 64),
              |        j -> emb[j] * emb[j])))) AS e
-             |  FROM e0),
+             |  FROM e0
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    j -> emb[j] * emb[j])) > 0),
              |wc AS (SELECT e.vec_id, e.e, a.cell FROM e JOIN asgf a ON e.vec_id = a.id),
              |pairs AS (
              |  SELECT a.vec_id, a.cell, b.vec_id AS neighbor_id,
@@ -2483,7 +2498,7 @@ object PipelineQueries {
              |      i -> a.e[i] * b.e[i])) AS cosine
              |  FROM wc a JOIN wc b
              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-             |SELECT vec_id, cell, neighbor_id, round(cosine, 8) AS cosine,
+             |SELECT vec_id, cell, neighbor_id, round(cosine, 8) + 0.0 AS cosine,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, cell, neighbor_id, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -2509,9 +2524,9 @@ object PipelineQueries {
         Similarity.pqTopK(e, "vec_id", "embedding",
           dims = 64, m = 4, ksub = 16, iters = 2,
           nCells = Similarity.scaledCells(e), cellIters = 3, k = 5)
-        .withColumn("adc_dot", round(col("adc_dot"), 8)) },
+        .withColumn("adc_dot", round(col("adc_dot"), 8) + lit(0.0)) },
       Some(s"""WITH $pqScoredCtes
-             |SELECT vec_id, cell, neighbor_id, round(adc, 8) AS adc_dot,
+             |SELECT vec_id, cell, neighbor_id, round(adc, 8) + 0.0 AS adc_dot,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, cell, neighbor_id, adc, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
@@ -2526,7 +2541,7 @@ object PipelineQueries {
           dims = 64, m = 4, ksub = 16, iters = 2,
           nCells = Similarity.scaledCells(e), cellIters = 3,
           kCand = 10, k = 3)
-        .withColumn("cosine", round(col("cosine"), 8)) },
+        .withColumn("cosine", round(col("cosine"), 8) + lit(0.0)) },
       Some(s"""WITH $pqScoredCtes,
              |cand AS (
              |  SELECT vec_id, neighbor_id, CAST(rank AS INTEGER) AS adc_rank FROM (
@@ -2540,7 +2555,7 @@ object PipelineQueries {
              |      i -> q.e[i] * d.e[i])) AS cosine
              |  FROM cand c JOIN en q ON q.vec_id = c.vec_id
              |  JOIN en d ON d.vec_id = c.neighbor_id)
-             |SELECT vec_id, neighbor_id, adc_rank, round(cosine, 8) AS cosine,
+             |SELECT vec_id, neighbor_id, adc_rank, round(cosine, 8) + 0.0 AS cosine,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, neighbor_id, adc_rank, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -2719,7 +2734,7 @@ object PipelineQueries {
         Similarity.pqTopKResidual(e, "vec_id",
           "embedding", dims = 64, m = 4, ksub = 16, iters = 2,
           nCells = Similarity.scaledCells(e), cellIters = 3, k = 5)
-        .withColumn("adc_dot", round(col("adc_dot"), 8)) },
+        .withColumn("adc_dot", round(col("adc_dot"), 8) + lit(0.0)) },
       Some(s"""WITH ${kmeansCtes(8, 64, 3)},
              |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
              |asgf AS (
@@ -2760,7 +2775,7 @@ object PipelineQueries {
              |  JOIN lut_2 l2 ON l2.q_id = p.vec_id AND l2.code = c2.code
              |  JOIN codes_3 c3 ON c3.id = p.neighbor_id
              |  JOIN lut_3 l3 ON l3.q_id = p.vec_id AND l3.code = c3.code)
-             |SELECT vec_id, cell, neighbor_id, round(adc, 8) AS adc_dot,
+             |SELECT vec_id, cell, neighbor_id, round(adc, 8) + 0.0 AS adc_dot,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, cell, neighbor_id, adc, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY adc DESC, neighbor_id) AS rank
@@ -2829,7 +2844,7 @@ object PipelineQueries {
         Similarity.hardNegatives(e, "vec_id",
           "embedding", "label", dims = 64,
           nCells = Similarity.scaledCells(e), iters = 3, k = 3)
-        .withColumn("cosine", round(col("cosine"), 8)) },
+        .withColumn("cosine", round(col("cosine"), 8) + lit(0.0)) },
       Some(s"""WITH ${kmeansCtes(8, 64, 3)},
              |xdd AS (SELECT id, list_transform(xi, v -> CAST(v AS DOUBLE) / 1000000.0) AS x FROM xq),
              |asgf AS (
@@ -2847,7 +2862,9 @@ object PipelineQueries {
              |    list_transform(generate_series(1, 64), i -> emb[i] /
              |      sqrt(list_sum(list_transform(generate_series(1, 64),
              |        j -> emb[j] * emb[j])))) AS e
-             |  FROM e0),
+             |  FROM e0
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    j -> emb[j] * emb[j])) > 0),
              |wc AS (SELECT e.vec_id, e.label, e.e, a.cell
              |  FROM e JOIN asgf a ON e.vec_id = a.id),
              |prs AS (
@@ -2859,7 +2876,7 @@ object PipelineQueries {
              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
              |    AND a.label <> b.label)
              |SELECT vec_id, label, neighbor_id, neg_label,
-             |  round(cosine, 8) AS cosine, CAST(rank AS INTEGER) AS rank FROM (
+             |  round(cosine, 8) + 0.0 AS cosine, CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, label, neighbor_id, neg_label, cosine,
              |    row_number() OVER (PARTITION BY vec_id
              |      ORDER BY cosine DESC, neighbor_id) AS rank
@@ -2887,7 +2904,9 @@ object PipelineQueries {
              |    list_transform(generate_series(1, 64), i -> emb[i] /
              |      sqrt(list_sum(list_transform(generate_series(1, 64),
              |        j -> emb[j] * emb[j])))) AS e
-             |  FROM e0),
+             |  FROM e0
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    j -> emb[j] * emb[j])) > 0),
              |wc AS (SELECT e.vec_id, e.e, a.cell FROM e JOIN asgf a ON e.vec_id = a.id),
              |rem AS (
              |  SELECT DISTINCT b.vec_id FROM wc a JOIN wc b
@@ -2899,8 +2918,10 @@ object PipelineQueries {
 
     Q("similarity_topk",
       (s, dir) => Similarity.bruteTopK(embeddings(s, dir), "vec_id", "embedding", 5)
-        .withColumn("cosine", round(col("cosine"), 8)),
-      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        .withColumn("cosine", round(col("cosine"), 8) + lit(0.0)),
+      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    j -> CAST(embedding[j] AS DOUBLE) * embedding[j])) > 0),
              |pairs AS (
              |  SELECT a.vec_id, b.vec_id AS neighbor_id,
              |    list_sum(list_transform(generate_series(1, 64),
@@ -2911,7 +2932,7 @@ object PipelineQueries {
              |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
              |    AS cosine
              |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
-             |SELECT vec_id, neighbor_id, round(cosine, 8) AS cosine,
+             |SELECT vec_id, neighbor_id, round(cosine, 8) + 0.0 AS cosine,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, neighbor_id, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -2920,10 +2941,12 @@ object PipelineQueries {
     Q("similarity_lsh",
       (s, dir) => Similarity.lshTopK(embeddings(s, dir), "vec_id", "embedding",
         dims = 64, bits = 8, k = 5)
-        .withColumn("cosine", round(col("cosine"), 8)),
+        .withColumn("cosine", round(col("cosine"), 8) + lit(0.0)),
       Some("""WITH e AS (SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-             |  FROM embeddings),
+             |  FROM embeddings
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    j -> CAST(embedding[j] AS DOUBLE) * embedding[j])) > 0),
              |sigbits AS (
              |  SELECT vec_id, g.j,
              |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
@@ -2943,7 +2966,7 @@ object PipelineQueries {
              |     * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.emb[i] * b.emb[i]))))
              |    AS cosine
              |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-             |SELECT vec_id, bucket, neighbor_id, round(cosine, 8) AS cosine,
+             |SELECT vec_id, bucket, neighbor_id, round(cosine, 8) + 0.0 AS cosine,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, bucket, neighbor_id, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -2953,7 +2976,7 @@ object PipelineQueries {
       (s, dir) => { val e = embeddings(s, dir)
         Similarity.ivfTopK(e, "vec_id", "embedding",
           nCentroids = Similarity.scaledCells(e), k = 5)
-        .withColumn("cosine", round(col("cosine"), 8)) },
+        .withColumn("cosine", round(col("cosine"), 8) + lit(0.0)) },
       Some("""WITH e0 AS (SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
              |  FROM embeddings),
@@ -2961,7 +2984,9 @@ object PipelineQueries {
              |    list_transform(generate_series(1, 64), i -> emb[i] /
              |      sqrt(list_sum(list_transform(generate_series(1, 64),
              |        j -> emb[j] * emb[j])))) AS e
-             |  FROM e0),
+             |  FROM e0
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    j -> emb[j] * emb[j])) > 0),
              |cents AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < 8),
              |assigned AS (
              |  SELECT vec_id, e, cell FROM (
@@ -2977,7 +3002,7 @@ object PipelineQueries {
              |      i -> a.e[i] * b.e[i])) AS cosine
              |  FROM assigned a JOIN assigned b
              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-             |SELECT vec_id, cell, neighbor_id, round(cosine, 8) AS cosine,
+             |SELECT vec_id, cell, neighbor_id, round(cosine, 8) + 0.0 AS cosine,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, cell, neighbor_id, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -2989,7 +3014,7 @@ object PipelineQueries {
       (s, dir) => { val e = embeddings(s, dir)
         Similarity.ivfTopK(e, "vec_id", "embedding",
           nCentroids = Similarity.scaledCells(e), k = 5, nprobe = 2)
-        .withColumn("cosine", round(col("cosine"), 8)) },
+        .withColumn("cosine", round(col("cosine"), 8) + lit(0.0)) },
       Some("""WITH e0 AS (SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
              |  FROM embeddings),
@@ -2997,7 +3022,9 @@ object PipelineQueries {
              |    list_transform(generate_series(1, 64), i -> emb[i] /
              |      sqrt(list_sum(list_transform(generate_series(1, 64),
              |        j -> emb[j] * emb[j])))) AS e
-             |  FROM e0),
+             |  FROM e0
+             |  WHERE list_sum(list_transform(generate_series(1, 64),
+             |    j -> emb[j] * emb[j])) > 0),
              |cents AS (SELECT vec_id AS cent_id, e AS ce FROM e WHERE vec_id < 8),
              |ranked AS (
              |  SELECT a.vec_id, a.e, c.cent_id AS cell,
@@ -3013,7 +3040,7 @@ object PipelineQueries {
              |      i -> a.e[i] * b.e[i])) AS cosine
              |  FROM probed a JOIN assigned b
              |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
-             |SELECT vec_id, cell, neighbor_id, round(cosine, 8) AS cosine,
+             |SELECT vec_id, cell, neighbor_id, round(cosine, 8) + 0.0 AS cosine,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, cell, neighbor_id, cosine, row_number() OVER
              |    (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -3570,7 +3597,8 @@ object PipelineQueries {
              |  min(k) AS k_min, max(k) AS k_max,
              |  ${Exact.avgSql("k")} AS k_avg
              |FROM (SELECT event_type,
-             |    CAST(props::JSON->>'k' AS BIGINT) AS k
+             |    CAST(CASE WHEN json_valid(props) THEN props::JSON->>'k' END
+             |      AS BIGINT) AS k
              |  FROM events)
              |GROUP BY event_type""".stripMargin)),
 

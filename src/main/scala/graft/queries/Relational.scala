@@ -1246,8 +1246,11 @@ object Relational {
     // millionths (PageRank discipline) over the model-sized transition
     // matrix; the oracle unrolls every iteration of every scenario.
     Q("attribution_markov",
+      // fixed business channel list, matching the oracle's unrolled
+      // removal scenarios — unknown event types still shape the chain
       (s, dir) => graft.ops.Attribution.markovRemoval(events(s, dir),
-        "user_id", "event_type", "ts", "event_id", "purchase"),
+        "user_id", "event_type", "ts", "event_id", "purchase",
+        channelFilter = Some(Seq("view", "click", "signup", "error"))),
       Some {
         def iterCtes(tag: String, removed: Option[String]): String = {
           val v0 = s"v${tag}0 AS (SELECT from_s AS s, CAST(0 AS BIGINT) AS v FROM tot)"

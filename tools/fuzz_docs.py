@@ -1,54 +1,50 @@
 #!/usr/bin/env python3
 """Adversarial-corpus cross-engine fuzz (dev tool, driver-side python):
-builds a scratch SF dir whose `documents` table is packed with the inputs
-most likely to make Spark and DuckDB disagree — empty/whitespace-only
-texts, non-Latin-1 scripts (CJK/Greek/Cyrillic, exercising the 2^37
-shingle-token packing), emoji, embedded newlines/tabs, single-trigram
-saturation, megabyte repeats, identical texts across scopes, and dense
-near-dup template clusters — then replays the text/dedup query family
-through the SAME Spark-vs-DuckDB gate as tools/oracle_check.py.
+builds a scratch SF dir whose documents / events / embeddings tables are
+packed with the inputs most likely to make Spark and DuckDB disagree —
+empty/whitespace-only texts, non-Latin-1 scripts (CJK/Greek/Cyrillic,
+exercising the 2^37 shingle-token packing), emoji, embedded newlines,
+single-trigram saturation, periodic repeats, dense near-dup template
+clusters, duplicate timestamps, -0.0 vs 0.0 values (the gate compares
+float BITS), malformed JSON props, hot user keys, zero / denormal /
+duplicate / antipodal embedding vectors — then replays the ENTIRE
+registered query set through the SAME Spark-vs-DuckDB gate as
+tools/oracle_check.py.
 
 Usage: python3 tools/fuzz_docs.py [seed] [--only name,...]
-Non-documents tables are copied from sf0.001 so every registered query
-still *runs*; only the text family is gated by default.
+TPC-H-ish tables are copied from sf0.001, so the relational/ocean family
+re-verifies on its usual inputs while the doc/event/embedding families run
+on the adversarial ones.
+
+Documented oracle contracts the corpus respects (library limits are wider;
+the ORACLES bail loudly by design outside these):
+ - words <= 32 chars (bpe CTEs' BpeMaxWordLen positional explode)
+ - docs <= 256 tokens (dedup_substring capchk guard)
+ - |embedding component| small enough that floor(v*1e6) fits BIGINT
+ - |event value| <= ~1e6 (exact-decimal v^2 sums in DECIMAL(25,9); the
+   histogram-quantile integer interpolation) — beyond it BOTH engines
+   fail loudly with ANSI overflow rather than silently diverging
+Excluded queries:
+ - dedup_fuzzy_blocked — DuckDB's levenshtein() is BYTE-based while
+   Spark's is codepoint-based ('内'→'內' is 1 in Spark, 2 in DuckDB), so
+   cross-engine edit-distance parity only exists for ASCII; Spark-side
+   exactness is proven by FuzzyPassJoinSpec's randomized brute force.
+ - salinity_schemel / troll_salinity_density — physical formulas whose
+   domain is real sensor ranges; on the deliberately non-physical fuzz
+   values (negative conductivity) numpy/Spark produce NaN while DuckDB's
+   sqrt() ERRORS, an engine-primitive difference with no shared answer.
+   Their cross-engine gate is the sf0.01 run on physical data.
 """
-import os, random, shutil, subprocess, sys
+import json, os, random, shutil, subprocess, sys
 
 SEED = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 1
 BASE = "/root/testdata/sf0.001"
 DIR = f"/root/repo/scratch/fuzz{SEED}"
-
-# text/dedup queries whose oracles read ONLY `documents` — join-based
-# queries (similarity family etc.) would pass trivially on a corpus whose
-# ids no longer match embeddings, so they are not gated here.
-#
-# Deliberately excluded: dedup_fuzzy_blocked (DuckDB's levenshtein() is
-# BYTE-based while Spark's is codepoint-based — '内' vs '內' is distance 1
-# in Spark, 2 in DuckDB — so cross-engine edit-distance parity is only
-# possible for ASCII corpora; the Spark-side exactness contract is proven
-# by FuzzyPassJoinSpec's randomized brute-force instead).
-TEXT_QUERIES = """
-dedup_exact dedup_minhash_lsh dedup_simhash dedup_jaccard_prefix
-dedup_containment_prefix dedup_containment_mark dedup_containment_lsh
-dedup_winnow dedup_winnow_pairs
-dedup_substring_spans dedup_substring_clean dedup_spans dedup_span_merge
-dedup_span_fraction dedup_components dedup_cluster_keep dedup_cluster_best
-dedup_cluster_central dedup_report dedup_kcore
-text_langid text_quality text_tokens text_entropy text_repetition
-text_lm_score gopher_rules pii_redact boilerplate_filter chunk_overlap
-bpe_train bpe_segment bpe_doc_tokens bpe_oov tfidf_vector bm25_score
-bm25_retrieve pmi_collocations keyphrase_rank corpus_ngram_topk
-corpus_inverted_index corpus_data_card token_percentiles
-decontam_ngram decontam_fraction decontam_bloom
-dataset_fingerprint dataset_fingerprint_fields
-quality_percentile_filter sample_fixed_k sample_stratified
-pack_sequences shard_manifest webdataset_shards sketch_kmv
-sketch_kmv_jaccard sketch_hll sketch_bloom sketch_countmin
-""".split()
+EXCLUDE = {"dedup_fuzzy_blocked", "salinity_schemel", "troll_salinity_density"}
+EMB_DIM = 64
 
 
-def build_corpus(seed: int):
-    rnd = random.Random(seed)
+def build_corpus(rnd):
     docs = []
     did = 0
 
@@ -57,11 +53,7 @@ def build_corpus(seed: int):
         docs.append((did, text, lang, source, len(text)))
         did += 1
 
-    # degenerate shapes. Two documented ORACLE CONTRACTS bound the shapes
-    # here (the library itself has no such limits — the oracles do):
-    # words <= 32 chars (bpe CTEs' BpeMaxWordLen positional explode) and
-    # docs <= 256 tokens (dedup_substring capchk guard); exceeding either
-    # makes the ORACLE (not Spark) bail loudly by design.
+    # degenerate shapes (see the oracle contracts in the module docstring)
     add("")
     add(" ")
     add("\t\n  \n")
@@ -96,8 +88,7 @@ def build_corpus(seed: int):
         toks[rnd.randrange(len(toks))] = rnd.choice(words)
         add(" ".join(toks), source="tmpl")
     # random filler across sources/langs so stats queries have mass —
-    # explicit short tokens (<= 12 chars) to respect the bpe oracles'
-    # 32-char word cap; doc token counts stay far under the 256 cap
+    # explicit short tokens (<= 12 chars) respect the 32-char word cap
     alphabet = "abcdefghijklmnopqrstuvwxyz"
     for i in range(150):
         ntok = rnd.randint(1, 60)
@@ -109,36 +100,157 @@ def build_corpus(seed: int):
     return docs
 
 
+def build_events(rnd):
+    # (event_id, ts_us, user_id, event_type, value, props)
+    rows = []
+    eid = 0
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+
+    def add(ts_us, user, etype, value, props='{"k": 1}'):
+        nonlocal eid
+        rows.append((eid, ts_us, user, etype, value, props))
+        eid += 1
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    # same-microsecond burst for one user: total orderings must not rely
+    # on ts alone (every window in the repo orders by a unique key too)
+    for i in range(6):
+        add(base_us + 1_000_000, 1, types[i % 5], float(i))
+    # byte-identical rows except event_id
+    for i in range(3):
+        add(base_us + 2_000_000, 2, "click", 7.5)
+    # -0.0 vs 0.0 (the gate compares float BITS on sorted columns) and
+    # value ties across users
+    add(base_us + 3_000_000, 3, "view", 0.0)
+    add(base_us + 3_500_000, 3, "view", -0.0)
+    # |value| <= 1e6: the exact-decimal replay queries (value_autocorr,
+    # bootstrap_ci) sum v^2 in DECIMAL(25,9) and the histogram-quantile
+    # interpolation multiplies row-count by integer cent-span — beyond the
+    # envelope BOTH engines fail loudly (ANSI overflow), by design
+    add(base_us + 4_000_000, 4, "purchase", 1e6)
+    add(base_us + 4_500_000, 4, "purchase", 1e-15)
+    add(base_us + 5_000_000, 4, "purchase", -42.5)
+    # malformed / degenerate / unicode props (json_props_stats hardening)
+    add(base_us + 6_000_000, 5, "click", 1.0, "not json")
+    add(base_us + 6_100_000, 5, "click", 1.0, "")
+    add(base_us + 6_200_000, 5, "click", 1.0, "{}")
+    add(base_us + 6_300_000, 5, "click", 1.0, '{"k": null}')
+    add(base_us + 6_400_000, 5, "click", 1.0, '{"键": "值", "k": 3}')
+    # exact 6-hour session gap (sessionize boundary: gap == threshold)
+    add(base_us + 10_000_000, 6, "view", 1.0)
+    add(base_us + 10_000_000 + 6 * 3600 * 1_000_000, 6, "view", 2.0)
+    add(base_us + 10_000_000 + 6 * 3600 * 1_000_000 - 1, 7, "view", 3.0)
+    # hot key: one user, 300 events inside an hour; funnel-complete path
+    t = base_us + 86_400_000_000
+    for i in range(300):
+        t += rnd.randint(1, 12_000_000)
+        add(t, 8, rnd.choice(types), round(rnd.uniform(0, 400), 2),
+            '{"k": %d}' % rnd.randint(0, 99))
+    # single-event users, month-boundary timestamps, unicode event type
+    add(base_us + 30 * 86_400_000_000 - 1, 9, "signup", 5.0)
+    add(base_us + 30 * 86_400_000_000, 10, "purchase", 6.0)
+    add(base_us + 7_000_000, 11, "其他", 1.25)
+    add(base_us + 7_100_000, 12, "", 1.25)
+    # background traffic across the month for the windowed/daily queries
+    for i in range(400):
+        u = rnd.randint(0, 14)
+        ts = base_us + rnd.randint(0, 30 * 86_400_000_000 - 1)
+        add(ts, u, rnd.choice(types), round(rnd.uniform(0, 400), 2),
+            '{"k": %d}' % rnd.randint(0, 99))
+    rows.sort(key=lambda r: r[1])
+    return [(i,) + r[1:] for i, r in enumerate(rows)]
+
+
+def build_embeddings(rnd):
+    # (vec_id, [f32]*EMB_DIM, label)
+    rows = []
+    vid = 0
+
+    def add(vec, label=0):
+        nonlocal vid
+        rows.append((vid, [float(v) for v in vec], label))
+        vid += 1
+
+    add([0.0] * EMB_DIM)                         # zero vector (norm 0)
+    add([1e-30] * EMB_DIM, 1)                    # denormal-ish components
+    add([1.0] * EMB_DIM, 2)
+    add([-1.0] * EMB_DIM, 2)                     # antipodal (cosine -1)
+    base = [rnd.uniform(-1, 1) for _ in range(EMB_DIM)]
+    add(base, 3)
+    add(base, 3)                                  # exact duplicate, new id
+    add([v + 1e-7 for v in base], 3)              # near-duplicate
+    add([-v for v in base], 4)
+    # one-hot corners and sparse vectors
+    for d in (0, 1, EMB_DIM - 1):
+        v = [0.0] * EMB_DIM
+        v[d] = 1.0
+        add(v, 5)
+    # clustered filler: 10 loose gaussian-ish clusters
+    for c in range(10):
+        center = [rnd.uniform(-1, 1) for _ in range(EMB_DIM)]
+        for i in range(18):
+            add([x + rnd.uniform(-0.05, 0.05) for x in center], c)
+    return rows
+
+
 def main():
     only = None
     for a in sys.argv:
         if a.startswith("--only"):
             only = a.split("=", 1)[1]
+    rnd = random.Random(SEED)
     os.makedirs(DIR, exist_ok=True)
-    for t in ("region nation customer supplier part orders lineitem "
-              "events embeddings").split():
+    for t in "region nation customer supplier part orders lineitem".split():
         dst = f"{DIR}/{t}.parquet"
         if not os.path.exists(dst):
             shutil.copy2(f"{BASE}/{t}.parquet", dst)
     import pyarrow as pa
     import pyarrow.parquet as pq
-    docs = build_corpus(SEED)
-    tbl = pa.table({
+
+    def write(name, tbl):
+        path = f"{DIR}/{name}.parquet"
+        if os.path.exists(path):
+            os.remove(path)
+        pq.write_table(tbl, path)
+        print(f"[fuzz] {tbl.num_rows} adversarial {name} -> {path}")
+
+    docs = build_corpus(rnd)
+    write("documents", pa.table({
         "doc_id": pa.array([d[0] for d in docs], pa.int64()),
         "text": pa.array([d[1] for d in docs], pa.string()),
         "lang": pa.array([d[2] for d in docs], pa.string()),
         "source": pa.array([d[3] for d in docs], pa.string()),
         "n_chars": pa.array([d[4] for d in docs], pa.int64()),
-    })
-    dpath = f"{DIR}/documents.parquet"
-    if os.path.exists(dpath):
-        os.remove(dpath)
-    pq.write_table(tbl, dpath)
-    print(f"[fuzz] {len(docs)} adversarial docs -> {dpath}")
-    names = only if only else ",".join(sorted(set(TEXT_QUERIES)))
-    r = subprocess.run(
-        [sys.executable, "tools/oracle_check.py", DIR, f"--only={names}"],
-        cwd="/root/repo")
+    }))
+    ev = build_events(rnd)
+    write("events", pa.table({
+        "event_id": pa.array([r[0] for r in ev], pa.int64()),
+        "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in ev], pa.int64()),
+        "event_type": pa.array([r[3] for r in ev], pa.string()),
+        "value": pa.array([r[4] for r in ev], pa.float64()),
+        "props": pa.array([r[5] for r in ev], pa.string()),
+    }))
+    em = build_embeddings(rnd)
+    write("embeddings", pa.table({
+        "vec_id": pa.array([r[0] for r in em], pa.int64()),
+        "embedding": pa.array([r[1] for r in em], pa.list_(pa.float32())),
+        "label": pa.array([r[2] for r in em], pa.int32()),
+    }))
+    if only:
+        names = only
+    else:
+        reg = subprocess.run(
+            ["python3", "-c",
+             "import json;print(json.dumps(list(json.load(open("
+             "'/root/repo/target/verify_out/oracle_sql.json')))))"],
+            capture_output=True, text=True)
+        allq = set(json.loads(reg.stdout)) if reg.returncode == 0 else set()
+        names = ",".join(sorted(allq - EXCLUDE)) if allq else None
+    cmd = [sys.executable, "tools/oracle_check.py", DIR]
+    if names:
+        cmd.append(f"--only={names}")
+    r = subprocess.run(cmd, cwd="/root/repo")
     sys.exit(r.returncode)
 
 
