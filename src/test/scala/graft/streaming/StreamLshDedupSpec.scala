@@ -15,7 +15,14 @@ class StreamLshDedupSpec extends AnyFunSuite {
     (3L, "completely different content about spark engines"),
     (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
     (5L, "unrelated short text"),
-    (6L, "completely different content about spark engine"))// near-dup of 3
+    (6L, "completely different content about spark engine"),// near-dup of 3
+    // non-Latin-1 + astral chars: the batch path shingles CODE POINTS
+    // (Spark substr/ascii); the scalar twin must match — it used to
+    // iterate UTF-16 units, splitting every emoji into surrogate halves,
+    // and its naive (a·x+b) product wrapped silently on codepoint-packed x
+    (7L, "这是一个测试文档 重复 重复 重复 的内容 🎉🎊"),
+    (8L, "这是一个测试文档 重复 重复 重复 的內容 🎉🎊"),// near-dup of 7
+    (9L, "🎉🎊 emoji 🎉🎊 soup 🎉🎊 alone"))
 
   test("streaming pair set equals batch minhashLshPairs on an ordered feed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
