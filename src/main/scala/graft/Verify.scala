@@ -30,6 +30,10 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmTree)
       f.delete(): Unit
     }
+    // recorded to failed_queries.json so the compare step can report even
+    // a failed ROWS-ONLY query (no oracle entry + no output dir = it
+    // would otherwise vanish from the gate entirely)
+    val failed = scala.collection.mutable.SortedSet[String]()
     SparkEntry.queries.filter(kv => filter(kv._1)).foreach { case (name, fn) =>
       // drop any prior output FIRST: a query that fails analysis/execution
       // must not leave a stale result dir behind for the compare step to
@@ -43,6 +47,7 @@ object Verify {
             .foreach(r => println(s"[verify:$name] $r"))
       }
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // query-completion cache hook: shared() sub-plans are pinned by
@@ -65,6 +70,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/failed_queries.json"),
+      failed.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -86,29 +86,39 @@ object Attribution {
       }
       v
     }
+    import spark.implicits._
+    // a FIXED channel list emits a row for every requested channel, even
+    // one never observed as a from-state (n_visits NULL, removal a no-op
+    // so effect 0) — matching the oracle's per-channel scalar subqueries
     if (rows.isEmpty) {
-      import spark.implicits._
-      return Seq.empty[(String, Long, Double, Double, Double, Double)]
-        .toDF("channel", "n_visits", "base_conv", "removed_conv",
-          "removal_effect", "attribution")
+      return channelFilter.getOrElse(Nil).distinct.sorted
+        .map(c => (c, None: Option[Long], None: Option[Long],
+          None: Option[Long]))
+        .toDF("channel", "n_visits", "__b", "__r")
+        .select(col("channel"), col("n_visits"),
+          round(col("__b") / 1e6, 9).as("base_conv"),
+          round(col("__r") / 1e6, 9).as("removed_conv"),
+          lit(null).cast("double").as("removal_effect"),
+          lit(null).cast("double").as("attribution"))
     }
     val baseConv = absorb(None)("START")
-    val channels = states.filterNot(_ == "START")
-      .filter(c => channelFilter.forall(_.contains(c)))
+    val observed = states.filterNot(_ == "START")
+    val channels = channelFilter.map(_.distinct.sorted).getOrElse(observed.toSeq)
     val out = channels.map { c =>
-      val rm = absorb(Some(c))("START")
-      (c, tot(c), baseConv, rm)
+      val rm = if (states.contains(c)) absorb(Some(c))("START") else baseConv
+      (c, tot.get(c), Some(baseConv): Option[Long], Some(rm): Option[Long])
     }
-    val effSum = out.map { case (_, _, b, r) => b - r }.sum.toDouble
-    import spark.implicits._
+    val effSum = out.map { case (_, _, b, r) => b.get - r.get }.sum.toDouble
     out.toSeq.toDF("channel", "n_visits", "__b", "__r")
       .select(col("channel"), col("n_visits"),
         round(col("__b") / 1e6, 9).as("base_conv"),
         round(col("__r") / 1e6, 9).as("removed_conv"),
-        round((col("__b") - col("__r")).cast("double") / col("__b"), 9)
-          .as("removal_effect"),
-        round((col("__b") - col("__r")).cast("double") / effSum, 9)
-          .as("attribution"))
+        // try_divide: a chain with zero base absorption (no conversions at
+        // all) or zero total effect divides by 0 — NULL, the oracle's x/0
+        round(try_divide((col("__b") - col("__r")).cast("double"),
+          col("__b")), 9).as("removal_effect"),
+        round(try_divide((col("__b") - col("__r")).cast("double"),
+          lit(effSum)), 9).as("attribution"))
       .orderBy("channel")
   }
 }

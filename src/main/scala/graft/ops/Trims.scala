@@ -71,11 +71,23 @@ object Trims {
 
   /** trim_min_diff_pct / trim_max_diff_pct: percent change vs previous value
     * (100*diff/prev; stglib/core/qaqc.py:102-117,133-148). */
+  /** numpy-faithful percent division: x/0 is signed infinity (whose
+    * threshold comparison TRIMS, as the reference does when climbing off
+    * an exact zero) and 0/0 is NULL — numpy yields NaN there and NaN
+    * comparisons are False (keep), but Spark orders NaN above every
+    * value, so NULL's keep-through-three-valued-logic is the faithful
+    * mapping. (Sign of a -0.0 denominator is not honored — the
+    * reference's sensor series never carry negative zero.) */
+  private def pctOf(num: Column, den: Column): Column =
+    when(den === 0.0 && num === 0.0, lit(null).cast("double"))
+      .when(den === 0.0,
+        when(num > 0, lit(Double.PositiveInfinity))
+          .otherwise(lit(Double.NegativeInfinity)))
+      .otherwise(num / den)
+
   def pctDiffPrev(v: String, order: Seq[String], part: Seq[String] = Nil): Column = {
     val prev = lag(col(v), 1).over(w(order, part))
-    // try_divide: prev = 0 makes the percent change undefined — the NULL
-    // predicate keeps the value, exactly numpy's inf/nan-comparison-False
-    try_divide(lit(100.0) * (col(v) - prev), prev)
+    pctOf(lit(100.0) * (col(v) - prev), prev)
   }
 
   def trimMinDiffPct(df: DataFrame, v: String, thr: Double,
@@ -99,8 +111,8 @@ object Trims {
                      order: Seq[String], part: Seq[String] = Nil): DataFrame = {
     val prev = lag(col(v), 1).over(w(order, part))
     val next = lead(col(v), 1).over(w(order, part))
-    val risePct = try_divide(lit(100.0) * (col(v) - prev), prev)
-    val fallPct = try_divide(lit(100.0) * (next - col(v)), col(v))
+    val risePct = pctOf(lit(100.0) * (col(v) - prev), prev)
+    val fallPct = pctOf(lit(100.0) * (next - col(v)), col(v))
     maskWhere(df, v, risePct > lit(thrPct) && fallPct < lit(-thrPct))
   }
 
@@ -174,16 +186,18 @@ object Trims {
   def trimMedDiffPct(df: DataFrame, v: String, thr: Double, k: Int,
                      order: Seq[String], part: Seq[String] = Nil,
                      zeroPad: Boolean = true): DataFrame =
-    // try_divide: value = 0 makes the percent ratio undefined — NULL
-    // comparison keeps the sample, matching the oracle's x/0 = NULL
+    // pctOf: |x−med|/0 is +inf (trims, as numpy does climbing off an
+    // exact zero); 0/0 keeps via the NULL predicate
     maskWhere(df, v,
-      try_divide(lit(100.0) * abs(col(v) - rollingMedian(v, k, order, part, zeroPad)), col(v)) > lit(thr))
+      pctOf(lit(100.0) * abs(col(v) - rollingMedian(v, k, order, part, zeroPad)), col(v)) > lit(thr))
 
   /** trim_std_ratio: null where std/value > ratio, companion column `<v>_std`
     * (stglib/core/qaqc.py:636-659). */
   def trimStdRatio(df: DataFrame, v: String, ratio: Double,
                    stdCol: String): DataFrame =
-    maskWhere(df, v, try_divide(col(stdCol), col(v)) > lit(ratio))
+    // pctOf: std/0 is +inf for std > 0 (trims, numpy-faithfully); 0/0
+    // and -inf keep through the NULL/false predicate
+    maskWhere(df, v, pctOf(col(stdCol), col(v)) > lit(ratio))
 
   /** trim_max_std: null where companion std > max (stglib/core/qaqc.py:339-356). */
   def trimMaxStd(df: DataFrame, v: String, maxStd: Double, stdCol: String): DataFrame =

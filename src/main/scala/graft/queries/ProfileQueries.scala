@@ -114,10 +114,14 @@ object ProfileQueries {
           "value", 3.5, "value_std")
           .select("event_id", "value", "value_std")
       },
+      // value = 0: numpy's std/0 is +inf for std > 0 (ratio test TRIMS,
+      // reference-faithful) and NaN for 0/0 (comparison False, keeps) —
+      // spelled out because DuckDB's x/0 is NULL, not inf
       Some("""WITH b AS (SELECT event_id, value,
              |    CAST(event_id % 17 AS DOUBLE) / 4.0 AS value_std FROM events),
              |t1 AS (SELECT event_id, value_std,
-             |  CASE WHEN value_std / value > 0.1 THEN NULL ELSE value END AS value FROM b)
+             |  CASE WHEN value = 0.0 THEN (CASE WHEN value_std > 0 THEN NULL ELSE value END)
+             |       WHEN value_std / value > 0.1 THEN NULL ELSE value END AS value FROM b)
              |SELECT event_id,
              |  CASE WHEN value_std > 3.5 THEN NULL ELSE value END AS value, value_std
              |FROM t1""".stripMargin)),

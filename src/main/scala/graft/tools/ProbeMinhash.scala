@@ -23,11 +23,11 @@ object ProbeMinhash {
     val sh = Dedup.charShingles(Spread.byKey(df, col("doc_id")), "doc_id", "text", 3)
       .withColumn("x", Dedup.shingleKey(col("sh")).cast("long"))
     time("shingles explode+key")(sh.count())
-    val aggs = Dedup.hashParams(16).map { case (i, a, b) =>
-      min((lit(a) * col("x") + lit(b)) % Dedup.P).as(s"mh$i")
-    }
-    val wide = sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    time("wide signatures")(wide.count())
+    // profile the PRODUCTION signature path (limb-modmul hash family) —
+    // a hand-copied naive (a·x+b)%P here would measure a different
+    // expression than the library ships (and overflow on emoji corpora)
+    time("wide signatures")(
+      Dedup.wideSignatures(df, "doc_id", "text", 16).count())
     time("full pairs (1st)")(Dedup.minhashLshPairs(df, "doc_id", "text", 16, 2, 0.7).count())
     time("full pairs (2nd)")(Dedup.minhashLshPairs(df, "doc_id", "text", 16, 2, 0.7).count())
     spark.stop()

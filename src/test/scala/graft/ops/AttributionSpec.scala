@@ -36,4 +36,30 @@ class AttributionSpec extends AnyFunSuite {
     assert(math.abs(rB - 0.0) < 1e-5, s"removed B → $rB")
     assert(math.abs(eA - 2.0 / 3) < 1e-5 && math.abs(eB - 1.0) < 1e-5)
   }
+
+  test("fixed channel list: unobserved channels still get a zero-effect row") {
+    import spark.implicits._
+    // only A and B ever occur; the business list also requests C —
+    // matching the oracle's per-channel scalar subqueries, C must appear
+    // with NULL n_visits, removal = base (no-op), effect 0; and an
+    // event type OUTSIDE the list (X) shapes the chain but earns no row
+    val rows = Seq(
+      (0L, "A", 1L), (0L, "X", 2L), (0L, "B", 3L), (0L, "purchase", 4L),
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "purchase", 3L),
+      (2L, "A", 1L))
+    val ev = rows.zipWithIndex.map { case ((u, t, ts), i) => (u, t, ts, i.toLong) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Attribution.markovRemoval(ev, "user_id", "event_type", "ts",
+      "event_id", "purchase", channelFilter = Some(Seq("A", "B", "C")))
+    val byChan = out.collect().map(r => r.getString(0) -> r).toMap
+    assert(byChan.keySet == Set("A", "B", "C"), s"channels ${byChan.keySet}")
+    assert(byChan("C").isNullAt(1), "unobserved channel has NULL n_visits")
+    assert(byChan("C").getDouble(2) == byChan("C").getDouble(3),
+      "removal of an unobserved channel is a no-op")
+    assert(byChan("C").getDouble(4) == 0.0, "zero removal effect")
+    assert(!byChan.contains("X"), "out-of-list types earn no credit row")
+    // X still shaped the chain: user 0 converts THROUGH X, so removing A
+    // (the only entry) zeroes absorption — effect 1 for A
+    assert(math.abs(byChan("A").getDouble(4) - 1.0) < 1e-5)
+  }
 }

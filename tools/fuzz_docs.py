@@ -197,6 +197,8 @@ def main():
     only = None
     for a in sys.argv:
         if a.startswith("--only"):
+            if "=" not in a:
+                sys.exit("usage: --only=name1,name2 (the = form)")
             only = a.split("=", 1)[1]
     rnd = random.Random(SEED)
     os.makedirs(DIR, exist_ok=True)
@@ -240,16 +242,18 @@ def main():
     if only:
         names = only
     else:
-        reg = subprocess.run(
-            ["python3", "-c",
-             "import json;print(json.dumps(list(json.load(open("
-             "'/root/repo/target/verify_out/oracle_sql.json')))))"],
-            capture_output=True, text=True)
-        allq = set(json.loads(reg.stdout)) if reg.returncode == 0 else set()
-        names = ",".join(sorted(allq - EXCLUDE)) if allq else None
-    cmd = [sys.executable, "tools/oracle_check.py", DIR]
-    if names:
-        cmd.append(f"--only={names}")
+        # the registered-query list comes from the last Verify run's
+        # oracle_sql.json; running WITHOUT it would silently drop the
+        # documented EXCLUDE set (the gate would then fail on exactly the
+        # engine-primitive divergences excluded by design), so refuse
+        reg_path = "/root/repo/target/verify_out/oracle_sql.json"
+        if not os.path.exists(reg_path):
+            sys.exit(f"[fuzz] {reg_path} missing — run "
+                     "`python3 tools/oracle_check.py` once first so the "
+                     "registry (minus the documented exclusions) is known")
+        allq = set(json.load(open(reg_path)))
+        names = ",".join(sorted(allq - EXCLUDE))
+    cmd = [sys.executable, "tools/oracle_check.py", DIR, f"--only={names}"]
     r = subprocess.run(cmd, cwd="/root/repo")
     sys.exit(r.returncode)
 

@@ -14,6 +14,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 only = None
 for a in sys.argv:
     if a.startswith("--only"):
+        if "=" not in a:
+            sys.exit("usage: --only=name1,name2 (the = form)")
         only = set(a.split("=", 1)[1].split(","))
 
 if "--skip-verify" not in sys.argv:
@@ -37,9 +39,17 @@ for t in TABLES:
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 # iterate the REQUESTED set, not just the dirs that exist: Verify deletes
 # a query's output dir before re-running it, so a failed query has no dir
-# at all and must still be reported as a failure, not silently skipped
+# at all and must still be reported as a failure, not silently skipped.
+# Verify also records its per-query failures — union them in so a
+# rows-only (no-oracle) query that threw is reported too, instead of
+# vanishing from both listdir and the oracle key set.
+failed_list = set()
+fpath = f"{OUT}/failed_queries.json"
+if os.path.exists(fpath):
+    failed_list = set(json.load(open(fpath)))
 names = sorted(set(d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}"))
-               | (only or set(oracle)))
+               | (only or set(oracle))
+               | {n for n in failed_list if not only or n in only})
 npass = nfail = 0
 for name in names:
     if only and name not in only:
