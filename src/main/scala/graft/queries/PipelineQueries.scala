@@ -1209,11 +1209,21 @@ object PipelineQueries {
     // dedup stack already gates; same unrolled-iteration oracle.
     Q("keyphrase_rank",
       (s, dir) => {
+        // adjacent pairs exploded as STRUCTS: the space-joined-bigram form
+        // built a "w1 w2" string per pair and re-split it twice — three
+        // per-bigram string ops dropped (local timing is bound by the
+        // (w1, w2) count shuffle either way; the saved CPU matters on a
+        // cluster where cores, not the one local shuffle, are the budget)
         val toks = graft.ops.Spread.shared(
           graft.ops.Spread.byKey(documents(s, dir), col("doc_id"))
-            .select(explode(TA.wordNgrams(TA.tokens(col("text")), 2)).as("bg"))
-            .withColumn("w1", split(col("bg"), " ").getItem(0))
-            .withColumn("w2", split(col("bg"), " ").getItem(1))
+            .select(TA.tokens(col("text")).as("__tk"))
+            .filter(size(col("__tk")) >= 2)
+            .select(explode(expr(
+              """transform(sequence(1, size(__tk) - 1),
+                |  i -> struct(element_at(__tk, i) AS w1,
+                |              element_at(__tk, i + 1) AS w2))""".stripMargin))
+              .as("p"))
+            .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
             .filter(col("w1") =!= col("w2")))
         val dp = toks.groupBy("w1", "w2").agg(count(lit(1)).as("__c"))
           .filter(col("__c") >= 5)
