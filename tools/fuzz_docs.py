@@ -78,12 +78,12 @@ def build_corpus(rnd):
     # many supersets and light mutations in one scope
     words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
              "theta", "iota", "kappa", "lambda", "mu"]
-    base = " ".join(rnd.choices(words, k=30))
+    base = " ".join(rnd.choices(words, k=rnd.randint(20, 40)))
     add(base, source="tmpl")
-    for i in range(25):
+    for i in range(rnd.randint(15, 40)):
         extra = " ".join(rnd.choices(words, k=rnd.randint(1, 10)))
         add(base + " " + extra, source="tmpl")
-    for i in range(15):
+    for i in range(rnd.randint(8, 25)):
         toks = base.split()
         toks[rnd.randrange(len(toks))] = rnd.choice(words)
         add(" ".join(toks), source="tmpl")
@@ -140,9 +140,9 @@ def build_events(rnd):
     add(base_us + 10_000_000, 6, "view", 1.0)
     add(base_us + 10_000_000 + 6 * 3600 * 1_000_000, 6, "view", 2.0)
     add(base_us + 10_000_000 + 6 * 3600 * 1_000_000 - 1, 7, "view", 3.0)
-    # hot key: one user, 300 events inside an hour; funnel-complete path
+    # hot key: one user, hundreds of events inside an hour (seed-varied)
     t = base_us + 86_400_000_000
-    for i in range(300):
+    for i in range(rnd.randint(150, 500)):
         t += rnd.randint(1, 12_000_000)
         add(t, 8, rnd.choice(types), round(rnd.uniform(0, 400), 2),
             '{"k": %d}' % rnd.randint(0, 99))
