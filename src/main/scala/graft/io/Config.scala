@@ -33,7 +33,7 @@ object Config {
     * not decide whether a config parses. */
   private def readTextFile(path: String): String = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    try {
+    val text = try {
       java.nio.charset.StandardCharsets.UTF_8.newDecoder()
         .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
         .decode(java.nio.ByteBuffer.wrap(bytes)).toString
@@ -41,6 +41,11 @@ object Config {
       case _: java.nio.charset.CharacterCodingException =>
         new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
     }
+    // Windows editors prepend a UTF-8 BOM: decoded it becomes U+FEFF
+    // glued to the first key ("<BOM>MOORING" never matches) and
+    // snakeyaml treats it as content — strip it here, never from values
+    if (text.nonEmpty && text.charAt(0) == '\ufeff') text.substring(1)
+    else text
   }
 
   def readGlobalAttsFile(path: String): Meta =

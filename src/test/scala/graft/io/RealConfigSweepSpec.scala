@@ -48,6 +48,28 @@ class RealConfigSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("BOM/CRLF-mangled configs parse identically to their clean forms") {
+    // Windows-edited deployment files routinely carry a UTF-8 BOM and
+    // CRLF endings; a BOM glued to the first key silently drops it
+    // ("<BOM>MOORING" never matches) — regression-gate the strip
+    def tmp(name: String, bytes: Array[Byte]): String = {
+      val f = java.io.File.createTempFile(name, null)
+      f.deleteOnExit()
+      java.nio.file.Files.write(f.toPath, bytes)
+      f.getAbsolutePath
+    }
+    val bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+    val gatts = "MOORING; 1076a\r\nWATER_DEPTH; 12.5\r\ntitle; test deploy\r\n"
+    val g = Config.readGlobalAttsFile(
+      tmp("gatts_bom", bom ++ gatts.getBytes("UTF-8")))
+    assert(g.str("MOORING").contains("1076a"), s"got ${g.attrs}")
+    assert(g.dbl("WATER_DEPTH").contains(12.5))
+    val yaml = "basefile: 1121AQ04\r\ninitial_instrument_height: 0.125\r\n"
+    val y = Config.readYamlFile(tmp("yaml_bom", bom ++ yaml.getBytes("UTF-8")))
+    assert(y.str("basefile").contains("1121AQ04"), s"got ${y.attrs}")
+    assert(y.dbl("initial_instrument_height").contains(0.125))
+  }
+
   test("the real Aquadopp deployment pair merges with the documented values") {
     val g = new java.io.File(dataDir, "glob_att1121a_msl_aqd.txt")
     val y = new java.io.File(dataDir, "aqd1121A_config.yaml")
