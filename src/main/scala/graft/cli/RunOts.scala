@@ -79,9 +79,12 @@ object RunOts {
       graft.ops.Spread.release(spark)
   }
 
+  // the Config charset policy (UTF-8, Latin-1 fallback, BOM strip): real
+  // instrument exports carry degree signs and µ in their headers, which a
+  // US-ASCII decode replaces with U+FFFD and breaks the header-keyed
+  // renames (TROLL "Temperature (°C)", EXO "µS/cm")
   private def readText(path: String): String =
-    new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "US-ASCII")
+    graft.io.Config.readTextFile(path)
 
   /** Step input: the canonical parquet intermediates, or a netCDF
     * product of either family (the reference re-opens .cdf/.nc at every

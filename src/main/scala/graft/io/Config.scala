@@ -31,7 +31,7 @@ object Config {
     * real deployment files carry degree signs and are edited on varied
     * platforms; the JVM default charset (ASCII under a C locale) must
     * not decide whether a config parses. */
-  private def readTextFile(path: String): String = {
+  def readTextFile(path: String): String = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val text = try {
       java.nio.charset.StandardCharsets.UTF_8.newDecoder()

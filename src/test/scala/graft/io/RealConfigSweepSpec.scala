@@ -59,11 +59,18 @@ class RealConfigSweepSpec extends AnyFunSuite {
       f.getAbsolutePath
     }
     val bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
-    val gatts = "MOORING; 1076a\r\nWATER_DEPTH; 12.5\r\ntitle; test deploy\r\n"
+    val gatts = "MOORING; 1076a\r\nWATER_DEPTH; 12.5\r\ntitle; 25 °C µS/cm\r\n"
     val g = Config.readGlobalAttsFile(
       tmp("gatts_bom", bom ++ gatts.getBytes("UTF-8")))
     assert(g.str("MOORING").contains("1076a"), s"got ${g.attrs}")
     assert(g.dbl("WATER_DEPTH").contains(12.5))
+    // degree/µ survive the decode (a US-ASCII read yields U+FFFD) — the
+    // same readTextFile backs the CLI's instrument-CSV header renames
+    assert(g.str("title").contains("25 °C µS/cm"), s"got ${g.attrs}")
+    // Latin-1 fallback: the same title written as ISO-8859-1 bytes
+    val g2 = Config.readGlobalAttsFile(
+      tmp("gatts_latin1", "title; 25 °C µS/cm\n".getBytes("ISO-8859-1")))
+    assert(g2.str("title").contains("25 °C µS/cm"), s"got ${g2.attrs}")
     val yaml = "basefile: 1121AQ04\r\ninitial_instrument_height: 0.125\r\n"
     val y = Config.readYamlFile(tmp("yaml_bom", bom ++ yaml.getBytes("UTF-8")))
     assert(y.str("basefile").contains("1121AQ04"), s"got ${y.attrs}")
