@@ -693,8 +693,18 @@ object Similarity {
     * Recall < 1 by construction; increase bits→buckets tradeoff per scale. */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
               dims: Int, bits: Int, k: Int): DataFrame = {
-    val sig = Spread.shared(normalized(df, idCol, embCol, "vec_id", "e")
-      .withColumn("bucket", hyperplaneSignature(col("e"), dims, bits)))
+    // bucket from the RAW doubles, matching the oracle's sigbits —
+    // normalization scales every projection by a positive constant, which
+    // can't change sign mathematically but CAN flip a near-zero projection
+    // in the last ulp, silently moving a vector across buckets cross-engine
+    val e0 = asDouble(col(embCol))
+    val sig = Spread.shared(df
+      .select(col(idCol).as("vec_id"), e0.as("__e"))
+      .withColumn("bucket", hyperplaneSignature(col("__e"), dims, bits))
+      .withColumn("__n", sqrt(ndot(col("__e"), col("__e"))))
+      .filter(col("__n") > 0) // zero-norm exclusion (see normalized())
+      .select(col("vec_id"), col("bucket"),
+        transform(col("__e"), x => x / col("__n")).as("e")))
     val a = sig.select(col("vec_id"), col("e").as("ea"), col("bucket"))
     val b = sig.select(col("vec_id").as("neighbor_id"), col("e").as("eb"),
       col("bucket").as("__bucket2"))

@@ -2929,19 +2929,16 @@ object PipelineQueries {
     Q("similarity_topk",
       (s, dir) => Similarity.bruteTopK(embeddings(s, dir), "vec_id", "embedding", 5)
         .withColumn("cosine", round(col("cosine"), 8) + lit(0.0)),
-      Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings
-             |  WHERE list_sum(list_transform(generate_series(1, 64),
-             |    j -> CAST(embedding[j] AS DOUBLE) * embedding[j])) > 0),
+      // cosine computed EXACTLY as the Spark side does it — normalize
+      // each vector, THEN dot (divide-late (a·b)/(|a||b|) differs in the
+      // last ulp, and a rounded-equal tie at the top-k boundary then
+      // rank-swaps between engines; fuzz seed 12 caught it)
+      Some(s"""WITH $enCte,
              |pairs AS (
              |  SELECT a.vec_id, b.vec_id AS neighbor_id,
              |    list_sum(list_transform(generate_series(1, 64),
-             |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             |    / (sqrt(list_sum(list_transform(generate_series(1, 64),
-             |         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
-             |     * sqrt(list_sum(list_transform(generate_series(1, 64),
-             |         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
-             |    AS cosine
-             |  FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+             |      i -> a.e[i] * b.e[i])) AS cosine
+             |  FROM en a JOIN en b ON a.vec_id <> b.vec_id)
              |SELECT vec_id, neighbor_id, round(cosine, 8) + 0.0 AS cosine,
              |  CAST(rank AS INTEGER) AS rank FROM (
              |  SELECT vec_id, neighbor_id, cosine, row_number() OVER
@@ -2952,29 +2949,24 @@ object PipelineQueries {
       (s, dir) => Similarity.lshTopK(embeddings(s, dir), "vec_id", "embedding",
         dims = 64, bits = 8, k = 5)
         .withColumn("cosine", round(col("cosine"), 8) + lit(0.0)),
-      Some("""WITH e AS (SELECT vec_id,
-             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
-             |  FROM embeddings
-             |  WHERE list_sum(list_transform(generate_series(1, 64),
-             |    j -> CAST(embedding[j] AS DOUBLE) * embedding[j])) > 0),
+      // buckets from the RAW doubles, cosine normalize-early — both
+      // exactly the Spark side's arithmetic (see similarity_topk note)
+      Some(s"""WITH $enCte,
              |sigbits AS (
              |  SELECT vec_id, g.j,
              |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
              |        i -> emb[i] * sin((g.j + 1) * 1.0 * i))) > 0
              |      THEN (1::BIGINT << g.j) ELSE 0 END AS bit
-             |  FROM e, generate_series(0, 7) g(j)),
+             |  FROM e0n, generate_series(0, 7) g(j)),
              |sig AS (
-             |  SELECT b.vec_id, e.emb, b.bucket FROM
+             |  SELECT b.vec_id, en.e, b.bucket FROM
              |    (SELECT vec_id, CAST(sum(bit) AS BIGINT) AS bucket
              |     FROM sigbits GROUP BY vec_id) b
-             |    JOIN e ON b.vec_id = e.vec_id),
+             |    JOIN en ON b.vec_id = en.vec_id),
              |pairs AS (
              |  SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id,
              |    list_sum(list_transform(generate_series(1, 64),
-             |      i -> a.emb[i] * b.emb[i]))
-             |    / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> a.emb[i] * a.emb[i])))
-             |     * sqrt(list_sum(list_transform(generate_series(1, 64), i -> b.emb[i] * b.emb[i]))))
-             |    AS cosine
+             |      i -> a.e[i] * b.e[i])) AS cosine
              |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
              |SELECT vec_id, bucket, neighbor_id, round(cosine, 8) + 0.0 AS cosine,
              |  CAST(rank AS INTEGER) AS rank FROM (
