@@ -1373,6 +1373,9 @@ object RunOts {
 
   def clean(spark: SparkSession, meta0: Meta, input: String, output: String,
             instrument: String = ""): Unit = {
+    // the IQ family produces TWO datasets (flow + profiles) and has its
+    // own cdf_to_nc ordering (iq.py:43-118) — dedicated chain
+    if (instrument == "iq") { iqClean(spark, meta0, input, output); return }
     val meta = stepMeta(meta0, input)
     var df = readStepInput(spark, input)
     // the sonar family clips AFTER qaqc (son/cdf2nc.py:85 runs clip_ds
@@ -1385,40 +1388,7 @@ object RunOts {
     // common atmos step: P_1 only exists after `press_dbar` renames
     // (exo.py:189 ds_rename_vars precedes utils.atmos_correct at :218)
     if (instrument == "exo") df = exoRename(df)
-    // atmos_correct: aux time series (as-of nearest within tolerance, the
-    // reference's met["atmpres"].reindex_like(method="nearest",
-    // tolerance="5s") − offset; stglib/aqd/aqdutils.py:93-118). Scalar
-    // `atmpres` attr falls back to a constant offset.
-    meta.str("atmpres_file") match {
-      case Some(f) if df.columns.contains("P_1") =>
-        val met0 = if (f.toLowerCase.endsWith(".csv"))
-          spark.read.option("header", "true").option("inferSchema", "true").csv(f)
-        else if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc") ||
-                 f.toLowerCase.endsWith(".h5"))
-          Readers.readNetcdf(spark, f) // the reference's atmpres.cdf shape
-        else spark.read.parquet(f)
-        // the reference applies the atmpres VARIABLE's own `offset` attr
-        // (utils.py:1390); config atmpres_offset overrides when present
-        val fileOffset =
-          if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc") ||
-              f.toLowerCase.endsWith(".h5"))
-            Readers.netcdfVarAttrs(f, "atmpres").get("offset")
-              .flatMap(v => scala.util.Try(v.toDouble).toOption)
-          else None
-        val offset = meta.dbl("atmpres_offset").orElse(fileOffset).getOrElse(0.0)
-        val tolUs = (meta.dbl("atmpres_tolerance_sec").getOrElse(5.0) * 1e6).toLong
-        val l = df.withColumn("__tus", unix_micros(col("time")))
-        val r = met0.select(unix_micros(col("time").cast("timestamp")).as("__rus"),
-          col("atmpres").cast("double").as("__atm"))
-        df = graft.ops.Align.asofNearest(l, r, "__tus", "__rus", tolUs)
-          .withColumn("P_1ac", col("P_1") - col("__atm") - offset)
-          .drop("__tus", "__rus", "__atm")
-      case _ =>
-        meta.dbl("atmpres").foreach { atm =>
-          if (df.columns.contains("P_1"))
-            df = df.withColumn("P_1ac", col("P_1") - atm)
-        }
-    }
+    df = atmosCorrect(spark, df, meta, "P_1", "P_1ac")
     // instrument-specific clean chain (the reference's per-instrument
     // cdf2nc orderings), selected by instrument; Aquadopp/HR keys on the
     // header attrs as before
