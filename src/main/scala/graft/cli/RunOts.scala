@@ -214,8 +214,13 @@ object RunOts {
         // renames must precede CF metadata: cfAttrs is keyed by EPIC names
         Readers.withCfMetadata(applyRenames(d, meta))
       } else if (input.toLowerCase.endsWith(".log")) {
-        // EofE ECHOLOGGER point data; time parsed from the per-ping UTC stamp
+        // EofE ECHOLOGGER point data; time parsed from the per-ping UTC
+        // stamp. The .log header's EA* instrument attrs merge into the
+        // sidecar (the reference's log_to_cdf write_metadata) so the
+        // dedicated eofe clean chain sees Deadzone/Range/SoundSpeed.
         val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(input))
+        sidecarExtra = graft.io.Eofe.instMeta(
+          new String(bytes, "US-ASCII").linesIterator)
         graft.io.Eofe.readPoint(spark, bytes)
           .withColumn("time", to_timestamp(col("timeUtc"))).drop("timeUtc")
       } else if (input.toLowerCase.endsWith(".tid")) {
@@ -1053,6 +1058,47 @@ object RunOts {
     sonTheta(out)
   }
 
+  /** RDI ADCP clean chain (stglib/rdi/cdf2nc.py:9-107): per-beam EPIC
+    * renames for correlation (cor1_1285…) and echo intensity (AGC1_1221…),
+    * earth-coordinate velocity renames (the reference's
+    * ds["vel"].sel(velbeam="E"/"N"/"U1"/"U2") → u_1205/v_1206/w_1204/
+    * Werr_1201 — raw values carried as-is, matching the reference, which
+    * relabels without rescaling), magnetic declination, trim_vel over the
+    * renamed vars, and bin depth. Percent-good columns are kept (the
+    * reference's commented-out PGd block leaves `pg` in the raw set). */
+  private def rdiChain(df0: DataFrame, meta: Meta): DataFrame = {
+    var df = df0
+    if (df.columns.contains("bindistM") && !df.columns.contains("bindist"))
+      df = df.withColumnRenamed("bindistM", "bindist")
+    for (b <- 1 to 4) {
+      if (df.columns.contains(s"cor$b"))
+        df = df.withColumnRenamed(s"cor$b", s"cor${b}_${1284 + b}")
+      if (df.columns.contains(s"echo$b"))
+        df = df.withColumnRenamed(s"echo$b", s"AGC${b}_${1220 + b}")
+    }
+    // earth-coordinate deployments carry E/N/U1/U2 in the four vel slots
+    val coord = meta.str("Coord_Transform")
+      .orElse(meta.str("RDICoordTransform")).map(_.toUpperCase)
+    if (coord.contains("EARTH"))
+      for ((from, to) <- Seq("vel1" -> "u_1205", "vel2" -> "v_1206",
+          "vel3" -> "w_1204", "vel4" -> "Werr_1201")
+           if df.columns.contains(from))
+        df = df.withColumnRenamed(from, to)
+    df = magvarRotate(df, meta, "u_1205", "v_1206", Some("headingDeg"))
+    // trim_vel over the reference's data_vars list (beam_angle/bin_size
+    // come from the PD0 fixed-leader attrs via config, cdf2nc.py:66-67)
+    df = aqdTrimVel(df, meta, Seq("u_1205", "v_1206", "w_1204",
+      "AGC1_1221", "AGC2_1222", "AGC3_1223", "AGC4_1224"))
+    // make_bin_depth: pressure preferred, transducer depth as fallback
+    val down = meta.str("orientation").exists(_.equalsIgnoreCase("down"))
+    Seq("P_1ac", "P_1", "xducerDepthM").find(df.columns.contains).foreach { p =>
+      if (df.columns.contains("bindist"))
+        df = df.withColumn("bin_depth",
+          if (down) col(p) + col("bindist") else col(p) - col("bindist"))
+    }
+    df
+  }
+
   private def aqdVelocityChain(df0: DataFrame, meta: Meta): DataFrame = {
     val down = meta.str("orientation").exists(_.equalsIgnoreCase("down"))
     var df = aqdCoordTransform(df0, meta)
@@ -1371,11 +1417,481 @@ object RunOts {
     df
   }
 
+  /** atmos_correct (stglib/aqd/aqdutils.py:93-118 + core/utils.py:1386-1414):
+    * subtract an atmospheric-pressure aux series from `srcCol` into
+    * `dstCol`. The aux series joins as-of nearest within tolerance (the
+    * reference's `met["atmpres"].reindex_like(ds, method="nearest",
+    * tolerance="5s")`), minus the atmpres variable's own `offset` attr
+    * (utils.py:1390; config `atmpres_offset` overrides when present). A
+    * scalar `atmpres` attr falls back to a constant offset. No-op when
+    * neither is configured or `srcCol` is absent. */
+  def atmosCorrect(spark: SparkSession, df0: DataFrame, meta: Meta,
+                   srcCol: String, dstCol: String): DataFrame = {
+    var df = df0
+    meta.str("atmpres_file") match {
+      case Some(f) if df.columns.contains(srcCol) =>
+        val met0 = if (f.toLowerCase.endsWith(".csv"))
+          spark.read.option("header", "true").option("inferSchema", "true").csv(f)
+        else if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc") ||
+                 f.toLowerCase.endsWith(".h5"))
+          Readers.readNetcdf(spark, f) // the reference's atmpres.cdf shape
+        else spark.read.parquet(f)
+        // the reference applies the atmpres VARIABLE's own `offset` attr
+        // (utils.py:1390); config atmpres_offset overrides when present
+        val fileOffset =
+          if (f.toLowerCase.endsWith(".cdf") || f.toLowerCase.endsWith(".nc") ||
+              f.toLowerCase.endsWith(".h5"))
+            Readers.netcdfVarAttrs(f, "atmpres").get("offset")
+              .flatMap(v => scala.util.Try(v.toDouble).toOption)
+          else None
+        val offset = meta.dbl("atmpres_offset").orElse(fileOffset).getOrElse(0.0)
+        val tolUs = (meta.dbl("atmpres_tolerance_sec").getOrElse(5.0) * 1e6).toLong
+        val l = df.withColumn("__tus", unix_micros(col("time")))
+        val r = met0.select(unix_micros(col("time").cast("timestamp")).as("__rus"),
+          col("atmpres").cast("double").as("__atm"))
+        df = graft.ops.Align.asofNearest(l, r, "__tus", "__rus", tolUs)
+          .withColumn(dstCol, col(srcCol) - col("__atm") - offset)
+          .drop("__tus", "__rus", "__atm")
+      case _ =>
+        meta.dbl("atmpres").foreach { atm =>
+          if (df.columns.contains(srcCol))
+            df = df.withColumn(dstCol, col(srcCol) - atm)
+        }
+    }
+    df
+  }
+
+  /** EPIC renames for the IQ flow series (iq.py:771-816 rename_vars,
+    * restricted to the per-sample vars; the per-beam Profile_* renames
+    * collapse into the long-format profile frame's `beam` dim). */
+  private val iqFlowRenames = Seq(
+    "Batt" -> "Bat_106", "Temp" -> "T_28", "Pitch" -> "Ptch_1216",
+    "Roll" -> "Roll_1217", "Depth" -> "D_3", "Pressure" -> "P_1",
+    "AdjustedPressure" -> "InstP_1ac", "SoundSpeed" -> "SV_80",
+    "Pressure_ac" -> "P_1ac")
+
+  /** Vars the reference drops from BOTH output datasets
+    * (iq.py:119-153 dropvars; the per-beam ping-setup headers live in
+    * sidecar attrs here, not columns). */
+  private val iqDropVars = Seq(
+    "SampleNumber", "SampleTime", "Volume_Total", "Volume_Positive",
+    "Volume_Negative", "Vel", "HorizontalSkew", "PressOffsetAdjust",
+    "InstrumentHeight", "NumberOfGoodCells", "Cell_Location_Center",
+    "Cell_Location_Skew", "Z_Vel", "XL_Vel", "XR_Vel", "X_Vel")
+
+  /** SonTek IQ clean (stglib/iq.py:43-170 cdf_to_nc): the IQ family emits
+    * TWO products — the per-sample flow series and the (time, beam, bin)
+    * profile frame — with its own ordering: atmos → clip → vel_to_ms →
+    * bindepth/z → clean_iq → trim_iqvel → fill_snr → fill_vbper → renames
+    * → qaqc → fill_velmean → create_z → the flow/profiles split. The
+    * reference carries both in one xarray Dataset and splits on the
+    * `Profile_` prefix at the end (iq.py:102-112); here the ingest step
+    * already produced the two frames, so each chain step applies to the
+    * frame that owns its variables, and the per-time couplings (pressure
+    * for bindepth/trim, SNR for fill_snr) join flow→profiles on `time` —
+    * an equi-join on the profile frame's own time key, broadcastable when
+    * the flow series is small relative to bins×beams. */
+  def iqClean(spark: SparkSession, meta0: Meta, input: String,
+              output: String): Unit = {
+    val meta = stepMeta(meta0, input)
+    var flow = readStepInput(spark, input)
+    var prof = readStepInput(spark, input + "_profiles")
+
+    // aqdutils.atmos_correct runs on the raw `Pressure` name (iq.py:54;
+    // Pressure_ac → P_1ac happens in rename_vars)
+    flow = atmosCorrect(spark, flow, meta, "Pressure", "Pressure_ac")
+    // clip_ds (iq.py:57): both frames share the deployment window
+    flow = Clip.clipDs(flow, meta)
+    prof = Clip.clipDs(prof, meta)
+    // vel_to_ms (iq.py:59): every *Vel* var, mm/s → m/s (arrays included)
+    flow = graft.io.Iq.velToMs(flow)
+    prof = graft.io.Iq.velToMs(prof)
+
+    // clean_iq sentinels (iq.py:814-830): raw-count fills → null BEFORE
+    // any arithmetic (the reference nans them right after vel_to_ms
+    // scaled them, so the sentinels scale too)
+    val velSentinel = -214748368.0 / 1000.0
+    if (flow.columns.contains("Vel_Mean"))
+      flow = flow.withColumn("Vel_Mean",
+        when(col("Vel_Mean") < lit(-214748.0), lit(null))
+          .otherwise(col("Vel_Mean")))
+    if (flow.columns.contains("Vel"))
+      flow = flow.withColumn("Vel", transform(col("Vel"),
+        x => when(x === lit(velSentinel), lit(null)).otherwise(x)))
+    if (prof.columns.contains("Vel"))
+      prof = prof.withColumn("Vel",
+        when(col("Vel") === lit(velSentinel), lit(null)).otherwise(col("Vel")))
+    if (prof.columns.contains("Amp"))
+      prof = prof.withColumn("Amp",
+        when(col("Amp") === lit(65535.0), lit(null)).otherwise(col("Amp")))
+    if (prof.columns.contains("VelStd"))
+      prof = prof.withColumn("VelStd",
+        when(col("VelStd") < lit(0.0), lit(null)).otherwise(col("VelStd")))
+
+    // per-time couplings from the flow frame: pressure (bindepth, trim)
+    // and the 4-wide SNR array (fill_snr) — one broadcastable equi-join
+    val presCol =
+      if (flow.columns.contains("Pressure_ac")) Some("Pressure_ac")
+      else if (flow.columns.contains("Pressure")) Some("Pressure")
+      else None
+    val sideCols = presCol.toSeq ++
+      (if (flow.columns.contains("SNR")) Seq("SNR") else Nil)
+    if (sideCols.nonEmpty) {
+      val side = flow.select((col("time").as("__ftime") +:
+        sideCols.map(c => col(c).as(s"__f_$c"))): _*)
+      prof = prof.join(broadcast(side), prof("time") === col("__ftime"), "left")
+        .drop("__ftime")
+    }
+
+    // create_iqbindepth (iq.py:510-538): bin depth relative to sea surface
+    // from (atmos-corrected) pressure ± bindist by orientation
+    val orient = meta.str("orientation").map(_.toUpperCase).getOrElse("UP")
+    presCol.foreach { p =>
+      val pc = col(s"__f_$p")
+      prof = prof.withColumn("bindepth",
+        if (orient == "DOWN") pc + col("bindist") else pc - col("bindist"))
+    }
+    // create_iqz (iq.py:541-590): bin height vs geopotential datum
+    for (datum <- meta.dbl("height_above_geopotential_datum")) {
+      val base = datum + meta.dbl("initial_instrument_height").getOrElse(0.0)
+      prof = prof.withColumn("z",
+        if (orient == "DOWN") lit(base) - col("bindist")
+        else lit(base) + col("bindist"))
+    }
+
+    // trim_iqvel (iq.py:593-658): bindist < P (optionally · cos(beam
+    // angle) for "water level sl"); along beams (0,1) use the 25°
+    // along-channel angle, across beams (2,3) the 60° across-channel one
+    for (method <- meta.str("trim_method").map(_.toLowerCase)
+         if method != "none" && presCol.nonEmpty && prof.columns.contains("Vel")) {
+      val p = col(s"__f_${presCol.get}")
+      val along = math.toRadians(meta.dbl("AlongChannelBeamAngle").getOrElse(25.0))
+      val across = math.toRadians(meta.dbl("AcrossChannelBeamAngle").getOrElse(60.0))
+      val limit = method match {
+        case "water level" => p
+        case "water level sl" =>
+          p * when(col("beam") < 2, lit(math.cos(along)))
+            .otherwise(lit(math.cos(across)))
+        case _ => null
+      }
+      if (limit != null)
+        prof = prof.withColumn("Vel",
+          when(col("bindist") < limit, col("Vel")))
+    }
+
+    // fill_snr (iq.py:661-709): profile Vel gated by its own beam's SNR;
+    // flow Vel_X/Z by the beam pairs, Vel_Mean by all four
+    for (thr <- meta.dbl("snr_threshold")) {
+      if (prof.columns.contains("Vel") && flow.columns.contains("SNR"))
+        prof = prof.withColumn("Vel",
+          when(element_at(col("__f_SNR"), col("beam") + 1) > thr, col("Vel")))
+      if (flow.columns.contains("SNR")) {
+        val snr = (i: Int) => element_at(col("SNR"), i + 1)
+        def gate(c: String, cond: org.apache.spark.sql.Column): Unit =
+          if (flow.columns.contains(c))
+            flow = flow.withColumn(c, when(cond, col(c)))
+        // the 4-wide raw beam array gates element-wise against its own
+        // beam's SNR (ds["Vel"].where(ds.SNR > thr)) before rename_vars
+        // splits it into the per-beam series
+        if (flow.columns.contains("Vel"))
+          flow = flow.withColumn("Vel",
+            zip_with(col("Vel"), col("SNR"),
+              (v, s) => when(s > thr, v)))
+        gate("Vel_X_Center", snr(0) > thr && snr(1) > thr)
+        gate("Vel_Z_Center", snr(0) > thr && snr(1) > thr)
+        gate("Vel_X_Left", snr(2) > thr)
+        gate("Vel_X_Right", snr(3) > thr)
+        gate("Vel_Mean", snr(0) > thr && snr(1) > thr && snr(2) > thr && snr(3) > thr)
+      }
+    }
+    // fill_vbper (iq.py:712-741): stage/area/range/depth gated on the
+    // vertical-beam percent-good
+    for (thr <- meta.dbl("vbper_threshold") if flow.columns.contains("VbPercentGood");
+         v <- Seq("Depth", "Stage", "Area", "Range") if flow.columns.contains(v))
+      flow = flow.withColumn(v, when(col("VbPercentGood") > thr, col(v)))
+
+    // rename_vars (iq.py:771-816): per-beam vel series split out of the
+    // 4-wide Vel array, then the EPIC scalar renames
+    if (flow.columns.contains("Vel"))
+      for (b <- 0 until 4)
+        flow = flow.withColumn(s"vel${b + 1}_${1277 + b}",
+          element_at(col("Vel"), b + 1))
+    for ((from, to) <- iqFlowRenames if flow.columns.contains(from))
+      flow = flow.withColumnRenamed(from, to)
+
+    // call_qaqc (iq.py:84): config-keyed trims per frame; profile trims
+    // partition by (beam, bin) so neighbor-sensitive passes run down time
+    val flowVars = flow.columns.filterNot(_ == "time").toSeq
+    flow = Trims.nanToNull(flow, flowVars.filter(c =>
+      flow.schema(c).dataType.typeName == "double"))
+    flow = Qaqc.applyAll(flow, meta, flowVars, order = Seq("time"), part = Nil)
+    val profVars = prof.columns
+      .filterNot(c => Seq("time", "beam", "bin").contains(c) || c.startsWith("__f_"))
+      .toSeq
+    prof = Trims.nanToNull(prof, profVars.filter(c =>
+      prof.schema(c).dataType.typeName == "double"))
+    prof = Qaqc.applyAll(prof, meta, profVars, order = Seq("time"),
+      part = Seq("beam", "bin"))
+
+    // fill_velmean (iq.py:744-768): Vel_Mean masked wherever ANY
+    // component velocity is missing
+    if (flow.columns.contains("Vel_Mean")) {
+      val velVars = Seq("Vel_X_Center", "Vel_Z_Center", "Vel_X_Left",
+        "Vel_X_Right", "vel1_1277", "vel2_1278", "vel3_1279", "vel4_1280")
+        .filter(flow.columns.contains)
+      if (velVars.nonEmpty)
+        flow = flow.withColumn("Vel_Mean",
+          when(velVars.map(col(_).isNotNull).reduce(_ && _), col("Vel_Mean")))
+    }
+    // utils.create_z (iq.py:88): scalar sensor z for the flow series
+    for (datum <- meta.dbl("height_above_geopotential_datum"))
+      flow = flow.withColumn("z",
+        lit(datum + meta.dbl("initial_instrument_height").getOrElse(0.0)))
+
+    // the flow/profiles split (iq.py:102-153): dropvars from both; the
+    // long-format profile frame drops the flow-side join columns
+    flow = Clip.dropVars(flow, iqDropVars)
+    prof = Clip.dropVars(prof, iqDropVars.filterNot(_ == "Vel"))
+    prof = prof.drop(prof.columns.filter(_.startsWith("__f_")).toSeq: _*)
+
+    Sink.writeParquet(flow, output, Sink.insertHistory(meta,
+      "Clipped, corrected, QA/QC applied (IQ flow).", "1970-01-01T00:00:00Z"),
+      float32 = false)
+    Sink.writeParquet(prof, output + "_profiles", Sink.insertHistory(meta,
+      "Clipped, corrected, QA/QC applied (IQ profiles).",
+      "1970-01-01T00:00:00Z"), float32 = false)
+  }
+
+  /** EofE ECHOLOGGER clean (stglib/eofe.py:66-155 cdf_to_nc, point-data
+    * path): trim_alt → sound-speed-corrected brange → datum-referenced
+    * seabed elevation → renames/drops → clip → burst product, then the
+    * sample-dim burst average with call_qaqc → "-a" product. The adjusted
+    * sound speed uses Mackenzie (1981) in place of gsw.sound_speed
+    * (deviation documented at [[graft.functions.Physics.soundSpeedMackenzie]]).
+    */
+  def eofeClean(spark: SparkSession, meta0: Meta, input: String,
+                output: String): Unit = {
+    val meta = stepMeta(meta0, input)
+    var df = readStepInput(spark, input)
+    val orient = meta.str("orientation").map(_.toUpperCase).getOrElse("DOWN")
+    val iih = meta.dbl("initial_instrument_height").getOrElse(0.0)
+    // trim_alt (eofe.py:700-747): data nulled where altitude leaves the
+    // [Deadzone, Range] window; nulled altitude propagates to every var
+    // exactly like the reference's sequential .where() loop
+    val trimMethods = meta.strSeq("trim_method")
+      .getOrElse(meta.str("trim_method").toSeq).map(_.toLowerCase)
+    if (trimMethods.contains("altitude") && df.columns.contains("altitudeM")) {
+      val dead = meta.dbl("EADeadzone_m").getOrElse(0.0)
+      val rng = meta.dbl("EARange_m").getOrElse(Double.MaxValue)
+      val ok = col("altitudeM") >= dead && col("altitudeM") <= rng
+      for (v <- Seq("altitudeM", "counts", "temperatureC", "amplitudeFS")
+           if df.columns.contains(v))
+        df = df.withColumn(v, when(ok, col(v)))
+    }
+    // calc_cor_brange (eofe.py:373-416): travel time from the nominal
+    // sound speed × adjusted sound speed at p = WATER_DEPTH − iih ±
+    // median(altitude)/2 — the median is a 1-row broadcast, not a shuffle
+    // of the data spine
+    val svNom = meta.dbl("EASoundSpeed_mps")
+    val salAvg = meta.dbl("average_salinity")
+    val wd = meta.dbl("WATER_DEPTH")
+    if (svNom.isDefined && salAvg.isDefined && wd.isDefined &&
+        df.columns.contains("altitudeM") && df.columns.contains("temperatureC")) {
+      val med = df.agg(expr("median(altitudeM)").as("__med"))
+      df = df.crossJoin(broadcast(med))
+      val p =
+        if (orient == "DOWN") lit(wd.get - iih) + col("__med") / 2
+        else lit(wd.get - iih) - col("__med") / 2
+      val spd = graft.functions.Physics.soundSpeedMackenzie(
+        lit(salAvg.get), col("temperatureC"), p)
+      df = df.withColumn("brange",
+        round(col("altitudeM") / svNom.get * spd, 3)).drop("__med")
+    }
+    // calc_boundary_elev (eofe.py:418-519): NAVD88_ref >
+    // height_above_geopotential_datum > LMSL(WATER_DEPTH) precedence
+    if (df.columns.contains("brange")) {
+      val datum = meta.dbl("NAVD88_ref")
+        .orElse(meta.dbl("height_above_geopotential_datum"))
+      val be = datum match {
+        case Some(d) =>
+          if (orient == "DOWN") Some(lit(d) - col("brange") + iih)
+          else Some(lit(d) + col("brange") + iih)
+        case None => wd.map { w =>
+          if (orient == "DOWN") lit(w) + col("brange") - iih
+          else lit(w) - col("brange") - iih
+        }
+      }
+      be.foreach(b => df = df.withColumn("boundary_elevation", round(b, 3)))
+    }
+    // utils.create_z
+    for (d <- meta.dbl("NAVD88_ref")
+           .orElse(meta.dbl("height_above_geopotential_datum")))
+      df = df.withColumn("z", lit(d + iih))
+    // ds_rename_vars (eofe.py:286-302) on the long-format names
+    for ((from, to) <- Seq("temperatureC" -> "Tx_1211",
+        "pitchDeg" -> "Ptch_1216", "rollDeg" -> "Roll_1217",
+        "counts" -> "AGC_1202", "amplitudeFS" -> "AMP_723")
+         if df.columns.contains(from))
+      df = df.withColumnRenamed(from, to)
+    // drops (eofe.py:97-105); altitudeM only once brange replaced it
+    df = Clip.dropVars(df, Seq("ping", "pingNumInSeries", "batteryMV") ++
+      (if (df.columns.contains("brange")) Seq("altitudeM") else Nil))
+    df = Clip.clipDs(df, meta)
+    Sink.writeParquet(df, output, Sink.insertHistory(meta,
+      "Trimmed altimeter data, sound-speed-corrected brange.",
+      "1970-01-01T00:00:00Z"), float32 = false)
+    // average_burst (eofe.py:572-585): mean across the sample dim, then
+    // call_qaqc on the averaged product (the reference's qaqc placement)
+    val dataVars = df.columns
+      .filterNot(Seq("time", "burst", "sample").contains).toSeq
+    var avgDf =
+      if (df.columns.contains("burst") && df.columns.contains("sample"))
+        df.groupBy("burst").agg(min("time").as("time"),
+          dataVars.map(c => avg(col(c)).as(c)): _*)
+          .drop("burst")
+      else df
+    if (avgDf.columns.contains("brange"))
+      avgDf = avgDf.withColumn("brange", round(col("brange"), 3))
+    avgDf = Qaqc.applyAll(avgDf, meta,
+      avgDf.columns.filterNot(_ == "time").toSeq, order = Seq("time"), part = Nil)
+    val avgOut =
+      if (output.endsWith(".parquet")) output.stripSuffix(".parquet") + "-a.parquet"
+      else output + "-a"
+    Sink.writeParquet(avgDf, avgOut, Sink.insertHistory(meta,
+      "Burst-averaged altimeter product, QA/QC applied.",
+      "1970-01-01T00:00:00Z"), float32 = false)
+  }
+
+  /** AQUAscat ABSS clean (stglib/abss.py:58-145 cdf2nc): aux-channel
+    * scale_vars → atmos → clip → bin depth → call_qaqc → burst product,
+    * then the sample-dim mean with optional brange peak-tracking →
+    * "-a" product. The ingest frames are (time, xdcr_freq, bin, sample)
+    * long-format `abs` plus a per-(time, aux_sample) `aux` channel frame
+    * (amp dB and the ascending-frequency axis happen at ingest). */
+  def abssClean(spark: SparkSession, meta0: Meta, input: String,
+                output: String): Unit = {
+    val meta = stepMeta(meta0, input)
+    var abs = readStepInput(spark, input)
+    var aux = readStepInput(spark, input + "_aux")
+    val orient = meta.str("orientation").map(_.toUpperCase).getOrElse("DOWN")
+    // abs_rename (abss.py:256-272)
+    if (aux.columns.contains("ExtTemperature"))
+      aux = aux.withColumnRenamed("ExtTemperature", "Tx_1211")
+    // scale_vars (abss.py:274-349): (x − offset) · barConvert · scale
+    if (aux.columns.contains("Pressure")) {
+      val off = meta.dbl("P_1_offset").getOrElse(0.0)
+      val sc = meta.dbl("P_1_scale").getOrElse(1.0)
+      val conv = if (meta.str("ABSPressureUnits").exists(_.equalsIgnoreCase("Bar")))
+        10.0 else 1.0
+      if (off != 0 || sc != 1 || conv != 1)
+        aux = aux.withColumn("Pressure", (col("Pressure") - off) * conv * sc)
+    }
+    for ((v, okey, skey) <- Seq(("Tx_1211", "Tx_offset", "Tx_scale"),
+        ("Battery", "Bat_offset", "Bat_scale")) if aux.columns.contains(v)) {
+      val off = meta.dbl(okey).getOrElse(0.0)
+      val sc = meta.dbl(skey).getOrElse(1.0)
+      if (off != 0 || sc != 1)
+        aux = aux.withColumn(v, (col(v) - off) * sc)
+    }
+    aux = atmosCorrect(spark, aux, meta, "Pressure", "Pressure_ac")
+    abs = Clip.clipDs(abs, meta)
+    aux = Clip.clipDs(aux, meta)
+    // remove_aux_snum (abss.py:403-415): drop the leading aux sample so
+    // aux_sample i+1 aligns with profile sample i
+    if (aux.columns.contains("aux_sample"))
+      aux = aux.filter(col("aux_sample") >= 1)
+        .withColumn("sample", col("aux_sample") - 1).drop("aux_sample")
+    // make_bin_depth: per-(time, sample) pressure joined onto the profile
+    // spine — burst-count rows, broadcastable against bins × freqs
+    val presCol = Seq("Pressure_ac", "Pressure").find(aux.columns.contains)
+    presCol.filter(_ => aux.columns.contains("sample")).foreach { p =>
+      val side = aux.select(col("time").as("__atime"),
+        col("sample").as("__asample"), col(p).as("__P"))
+      abs = abs.join(broadcast(side),
+        abs("time") === col("__atime") && abs("sample") === col("__asample"),
+        "left").drop("__atime", "__asample")
+      abs = abs.withColumn("bin_depth",
+        if (orient == "DOWN") col("__P") + col("bindist")
+        else col("__P") - col("bindist")).drop("__P")
+    }
+    // utils.create_z
+    for (d <- meta.dbl("height_above_geopotential_datum"))
+      abs = abs.withColumn("z",
+        lit(d + meta.dbl("initial_instrument_height").getOrElse(0.0)))
+    // call_qaqc over both frames
+    abs = Qaqc.applyAll(abs, meta,
+      abs.columns.filterNot(c => Seq("time", "xdcr_freq", "bin", "sample")
+        .contains(c)).toSeq,
+      order = Seq("time", "sample"), part = Seq("xdcr_freq", "bin"))
+    aux = Qaqc.applyAll(aux, meta,
+      aux.columns.filterNot(c => Seq("time", "sample").contains(c)).toSeq,
+      order = Seq("time"), part = Nil)
+    Sink.writeParquet(abs, output, Sink.insertHistory(meta,
+      "Scaled, corrected, QA/QC applied (ABS bursts).",
+      "1970-01-01T00:00:00Z"), float32 = false)
+    Sink.writeParquet(aux, output + "_aux", Sink.insertHistory(meta,
+      "Scaled, corrected, QA/QC applied (ABS aux).",
+      "1970-01-01T00:00:00Z"), float32 = false)
+    // burst average (abss.py:117-135): optional average_duration window
+    // (samples_per_burst = duration · sample_rate), then mean over sample
+    var toAvg = abs
+    for (dur <- meta.dbl("average_duration");
+         rate <- meta.dbl("ABSAbsProfileRate").orElse(meta.dbl("sample_rate")))
+      toAvg = toAvg.filter(col("sample") < (dur * rate).toInt)
+    val absDataVars = toAvg.columns
+      .filterNot(Seq("time", "xdcr_freq", "bin", "sample").contains).toSeq
+    val absAggs = absDataVars.map(c => avg(col(c)).as(c))
+    var avgDf = toAvg.groupBy("time", "xdcr_freq", "bin")
+      .agg(absAggs.head, absAggs.tail: _*)
+    // add_brange_abss (abss.py:441-487): per-time boundary = bindist of
+    // the peak mean backscatter at the brange frequency, past the 0.2 m
+    // blanking guard — a groupBy max_by, no window shuffle over bins
+    if (meta.bool("brange").getOrElse(false) && avgDf.columns.contains("abs")) {
+      val freqDf = avgDf.select(min("xdcr_freq").as("__minf"))
+      val bfreq = meta.dbl("brange_freq")
+      val cand = avgDf.crossJoin(broadcast(freqDf))
+        .filter(col("xdcr_freq") === bfreq.map(lit).getOrElse(col("__minf")) &&
+          col("bindist") > 0.2)
+      val br = cand.groupBy("time")
+        .agg(max_by(col("bindist"), col("abs")).as("brange"))
+      avgDf = avgDf.join(broadcast(br), Seq("time"), "left")
+    }
+    val avgAux = {
+      val vars = aux.columns.filterNot(c => Seq("time", "sample", "Battery")
+        .contains(c)).toSeq
+      if (vars.nonEmpty) {
+        val aggs = vars.map(c => avg(col(c)).as(c))
+        aux.drop("Battery").groupBy("time").agg(aggs.head, aggs.tail: _*)
+      } else aux.drop("Battery").select("time").distinct()
+    }
+    val avgOut =
+      if (output.endsWith(".parquet")) output.stripSuffix(".parquet") + "-a.parquet"
+      else output + "-a"
+    Sink.writeParquet(Qaqc.applyAll(avgDf, meta,
+        avgDf.columns.filterNot(c => Seq("time", "xdcr_freq", "bin").contains(c)).toSeq,
+        order = Seq("time"), part = Seq("xdcr_freq", "bin")),
+      avgOut, Sink.insertHistory(meta,
+        "Created burst averaged data product", "1970-01-01T00:00:00Z"),
+      float32 = false)
+    Sink.writeParquet(avgAux, avgOut + "_aux", Sink.insertHistory(meta,
+      "Created burst averaged aux product", "1970-01-01T00:00:00Z"),
+      float32 = false)
+  }
+
   def clean(spark: SparkSession, meta0: Meta, input: String, output: String,
             instrument: String = ""): Unit = {
-    // the IQ family produces TWO datasets (flow + profiles) and has its
-    // own cdf_to_nc ordering (iq.py:43-118) — dedicated chain
+    // families with their own cdf_to_nc shapes and multi-product outputs
+    // route to dedicated chains
     if (instrument == "iq") { iqClean(spark, meta0, input, output); return }
+    if (instrument == "eofe" || instrument == "ea") {
+      eofeClean(spark, meta0, input, output); return
+    }
+    if (instrument == "abss") { abssClean(spark, meta0, input, output); return }
+    cleanCommon(spark, meta0, input, output, instrument)
+  }
+
+  private def cleanCommon(spark: SparkSession, meta0: Meta, input: String,
+                          output: String, instrument: String): Unit = {
     val meta = stepMeta(meta0, input)
     var df = readStepInput(spark, input)
     // the sonar family clips AFTER qaqc (son/cdf2nc.py:85 runs clip_ds
@@ -1396,6 +1912,7 @@ object RunOts {
       case "sig" => df = sigChain(df, meta)
       case "vec" => df = vecChain(df, meta)
       case "son" => df = sonChain(spark, df, meta)
+      case "rdi" => df = rdiChain(df, meta)
       case _ => if (meta.has("AQDTransMatrix")) df = aqdVelocityChain(df, meta)
     }
     df = waterLevelVars(df, meta, instrument)

@@ -225,10 +225,16 @@ class RunOtsSpec extends AnyFunSuite {
     assert(rawDf.columns.contains("altitudeM") && rawDf.columns.contains("time"))
     RunOts.runStep(spark, "eofe", "clean", meta, raw, clean)
     val cleanDf = spark.read.parquet(clean)
-    // deployment window keeps the first 120 minutes of data (all 60 rows),
-    // min/max trim nulls the deadzone spikes
+    // deployment window keeps the first 120 minutes of data (all 60 rows);
+    // EPIC renames applied, per-ping counters dropped (eofe.py:97-105)
     assert(cleanDf.count() == 60)
-    val nulls = cleanDf.filter("altitudeM IS NULL").count()
+    assert(cleanDf.columns.contains("Tx_1211") &&
+      !cleanDf.columns.contains("ping"))
+    // call_qaqc runs on the burst-AVERAGED product (eofe.py:137): min/max
+    // trim nulls the deadzone spikes there, not in the burst file
+    val avgDf = spark.read.parquet(clean + "-a")
+    assert(avgDf.count() == 60) // Pulses_in_series=1: one sample per burst
+    val nulls = avgDf.filter("altitudeM IS NULL").count()
     assert(nulls == 3, s"expected 3 trimmed spikes, got $nulls")
     val nc = new java.io.File(dir, "alt.nc").getAbsolutePath
     RunOts.runStep(spark, "eofe", "export", meta,
@@ -370,7 +376,9 @@ class RunOtsSpec extends AnyFunSuite {
     (1 to 6).foreach(i => os.write(
       graft.io.Pd0Fixture.ensemble(i, ncells = 4, nbeams = 4, (c, b) => 100 * c + 10 * b)))
     os.close()
-    val meta = graft.core.Meta(Map("rename_xducerDepthM" -> "P_1"))
+    val meta = graft.core.Meta(Map("rename_xducerDepthM" -> "P_1",
+      "Coord_Transform" -> "EARTH", "magnetic_variation" -> 10.0,
+      "orientation" -> "DOWN"))
     val raw = new java.io.File(dir, "raw").getAbsolutePath
     val clean = new java.io.File(dir, "clean").getAbsolutePath
     RunOts.runStep(spark, "rdi", "ingest", meta, pd0.getAbsolutePath, raw)
@@ -381,7 +389,132 @@ class RunOtsSpec extends AnyFunSuite {
     val t = rawDf.select("time").distinct().collect()(0).getTimestamp(0)
     assert(t.toInstant.toString == "2024-03-15T12:30:45.500Z")
     RunOts.runStep(spark, "rdi", "clean", meta, raw, clean)
-    assert(spark.read.parquet(clean).count() == 24)
+    val cdf = spark.read.parquet(clean)
+    assert(cdf.count() == 24)
+    // rdi chain (rdi/cdf2nc.py): EPIC per-beam renames + earth-velocity
+    // split + magvar rotation + bin_depth
+    for (c <- Seq("u_1205", "v_1206", "w_1204", "Werr_1201",
+        "cor1_1285", "AGC1_1221", "bin_depth"))
+      assert(cdf.columns.contains(c), s"missing $c")
+    assert(!cdf.columns.contains("vel1") && !cdf.columns.contains("cor1"))
+    // cell 0: E=0, N=10 -> u' = 10 sin(10 deg), v' = 10 cos(10 deg)
+    val r0 = cdf.filter("bin = 0").orderBy("time").collect()(0)
+    val rad = math.toRadians(10.0)
+    assert(math.abs(r0.getAs[Double]("u_1205") - 10 * math.sin(rad)) < 1e-9)
+    assert(math.abs(r0.getAs[Double]("v_1206") - 10 * math.cos(rad)) < 1e-9)
+    // bin_depth (DOWN) = P_1 + bindist; xducer 10.5 m, bin0 at 1.6 m
+    assert(math.abs(r0.getAs[Double]("bin_depth") - 12.1) < 1e-9)
+  }
+
+  test("ABSS lifecycle: burst dir ingest -> abss clean (scale_vars, atmos," +
+       " bin_depth, averaged product with brange)") {
+    import graft.io.Mat5Fixture._
+    def burstMat(timeS: String, burstNum: Double): Array[Byte] = {
+      val abs = for (x <- 0 until 2; s <- 0 until 2; b <- 0 until 2)
+        yield 0.001 * (100 * x + 10 * s + b)
+      val br = Seq(0.1, 0.2, 0.15, 0.3)
+      val aux = Seq(10.1, 10.2, 10.3, 21.0, 21.1, 21.2)
+      matFile(
+        matrixChars("BurstTime", timeS),
+        matrixNum("BurstNumber", 1, 1, burstNum),
+        matrixNum("AbsBinRange", 2, 2, br: _*),
+        matrixNum("AbsTxFrequency", 1, 2, 4e6, 1e6),
+        matrixNum3("AbsData", 2, 2, 2, abs: _*),
+        matrixNum("AuxData", 3, 2, aux: _*),
+        matrixCell("AuxChannelName", Seq(
+          matrixChars("", "Pressure"), matrixChars("", "Ext Temperature"))))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("abss_clean").toFile
+    java.nio.file.Files.write(new java.io.File(dir, "b1.mat").toPath,
+      burstMat("2024-02-01 00:00:00", 1))
+    java.nio.file.Files.write(new java.io.File(dir, "b2.mat").toPath,
+      burstMat("2024-02-01 01:00:00", 2))
+    val meta = graft.core.Meta(Map(
+      "P_1_offset" -> 10.0, "ABSPressureUnits" -> "Bar",
+      "atmpres" -> 0.5, "orientation" -> "DOWN", "brange" -> true))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    RunOts.runStep(spark, "abss", "ingest", meta, dir.getAbsolutePath, raw)
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "abss", "clean", meta, raw, clean)
+
+    // aux: scale_vars (P-10)*10*1 then scalar atmos -0.5; leading aux
+    // sample dropped (remove_aux_snum) -> samples 0,1 carry 2.0, 3.0
+    val aux = spark.read.parquet(clean + "_aux")
+    assert(aux.columns.contains("Tx_1211")) // ExtTemperature renamed
+    val a0 = aux.orderBy("time", "sample").collect()(0)
+    assert(math.abs(a0.getAs[Double]("Pressure") - 2.0) < 1e-9)
+    assert(math.abs(a0.getAs[Double]("Pressure_ac") - 1.5) < 1e-9)
+    assert(aux.count() == 4) // 2 bursts x 2 aligned samples
+
+    // abs: bin_depth = Pressure_ac(time, sample) + bindist
+    val abs = spark.read.parquet(clean)
+    assert(abs.count() == 16)
+    val b1 = abs.filter("xdcr_freq = 1.0 AND bin = 1 AND sample = 0")
+      .orderBy("time").collect()(0)
+    assert(math.abs(b1.getAs[Double]("bin_depth") - 1.8) < 1e-9)
+
+    // averaged product: mean over sample; brange = bindist of peak abs
+    // at the lowest frequency past the 0.2 m guard
+    val avg = spark.read.parquet(clean + "-a")
+    assert(avg.count() == 8) // 2 times x 2 freqs x 2 bins
+    val m = avg.filter("xdcr_freq = 1.0 AND bin = 1").orderBy("time").collect()(0)
+    assert(math.abs(m.getAs[Double]("abs") - 0.106) < 1e-12)
+    assert(math.abs(m.getAs[Double]("brange") - 0.3) < 1e-12)
+    val avgAux = spark.read.parquet(clean + "-a_aux")
+    val aa = avgAux.orderBy("time").collect()(0)
+    assert(math.abs(aa.getAs[Double]("Pressure") - 2.5) < 1e-9)
+    assert(math.abs(aa.getAs[Double]("Tx_1211") - 21.15) < 1e-9)
+  }
+
+  test("EofE clean: sound-speed-corrected brange + NAVD88 boundary elevation") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_ea2").toFile
+    val log = new java.io.File(dir, "alt.log")
+    val w = new java.io.PrintWriter(log)
+    w.println("#NSamples 4")
+    w.println("#Pulses in series,num  1")
+    w.println("#SoundSpeed,mps 1500.00")
+    w.println("#Deadzone,m 0.5")
+    w.println("#Range,m 9.0")
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    for (i <- 0 until 10) {
+      val alt = if (i == 4) 0.1 else 2.0 // one deadzone spike
+      w.println(s"#TimeUTC ${t0.plusSeconds(i * 60).toString.replace("T", " ").replace("Z", "")}")
+      w.println("#Ping   " + i)
+      w.println("#Ping num in series 1")
+      w.println(s"#Altitude,m $alt")
+      w.println("#Temperature,C 12.5")
+      w.println("#Pitch,deg 0.2")
+      w.println("#Roll,deg -0.1")
+    }
+    w.close()
+    val meta = graft.core.Meta(Map(
+      "trim_method" -> "altitude", "orientation" -> "DOWN",
+      "average_salinity" -> 32.0, "WATER_DEPTH" -> 10.0,
+      "initial_instrument_height" -> 0.5, "NAVD88_ref" -> -5.0))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "eofe", "log2cdf", meta, log.getAbsolutePath, raw)
+    RunOts.runStep(spark, "eofe", "cdf2nc", meta, raw, clean)
+    val df = spark.read.parquet(clean)
+    // altitudeM dropped once brange replaces it (eofe.py:97-105)
+    assert(!df.columns.contains("altitudeM") && df.columns.contains("brange"))
+    // expected: median(alt)=2 (spike trimmed first), p = 10 - 0.5 + 1,
+    // Mackenzie(32, 12.5, 10.5), brange = round(2/1500*sv, 3)
+    val (t, s35, d) = (12.5, 32.0 - 35.0, 10.5)
+    val sv = 1448.96 + 4.591 * t - 5.304e-2 * t * t + 2.374e-4 * t * t * t +
+      1.340 * s35 + 1.630e-2 * d + 1.675e-7 * d * d - 1.025e-2 * t * s35 -
+      7.139e-13 * t * d * d * d
+    val exp = math.round(2.0 / 1500.0 * sv * 1000.0) / 1000.0
+    val rows = df.orderBy("time").collect()
+    assert(math.abs(rows(0).getAs[Double]("brange") - exp) < 1e-9,
+      s"brange ${rows(0).getAs[Double]("brange")} vs $exp")
+    // trim_alt: the deadzone spike row has null brange
+    assert(rows(4).isNullAt(df.columns.indexOf("brange")))
+    // boundary_elevation (DOWN, NAVD88) = -5 - brange + 0.5
+    assert(math.abs(rows(0).getAs[Double]("boundary_elevation") -
+      (-5.0 - exp + 0.5)) < 1e-3)
+    // z = NAVD88_ref + initial_instrument_height
+    assert(math.abs(rows(0).getAs[Double]("z") - (-4.5)) < 1e-12)
   }
 
   test("Aquadopp waves chain: .wad burst ingest -> wave stats (no reshape)") {
@@ -1141,6 +1274,113 @@ class RunOtsSpec extends AnyFunSuite {
     // P_1ac = 12.0 - 10.18 - (-10.15) = 11.97
     assert(math.abs(r0.getAs[Double]("P_1ac") - (12.0 - 10.18 + 10.15)) < 1e-6,
       s"P_1ac ${r0.getAs[Double]("P_1ac")}")
+  }
+
+  test("IQ lifecycle: .mat ingest -> iq clean (atmos, sentinels, bindepth," +
+       " trim, snr/vbper fills, renames, two outputs)") {
+    import graft.io.Mat5Fixture._
+    val nt = 4
+    val t0us = (java.time.Instant.parse("2024-02-01T00:00:00Z").getEpochSecond -
+      java.time.Instant.parse("2000-01-01T00:00:00Z").getEpochSecond) * 1e6
+    val times = (0 until nt).map(i => t0us + i * 600e6)
+    // Pressure: sample 2 is effectively dry (P_1ac < bindist -> trim)
+    val pres = Seq(12.0, 12.1, 10.3, 12.3)
+    // Vel (time x 4 velbeams, mm/s), column-major
+    val vel = (0 until 4).flatMap(b => (0 until nt).map(t => 100.0 * b + t))
+    // SNR (time x 4): beam 1 below threshold at t=1; others high
+    val snr = (0 until 4).flatMap(b => (0 until nt).map(t =>
+      if (b == 1 && t == 1) 2.0 else 30.0))
+    // Vel_Mean with the raw int sentinel at t=3
+    val velMean = Seq(500.0, 510.0, 520.0, -214748368.0)
+    val vbper = Seq(90.0, 40.0, 95.0, 92.0) // t=1 below threshold
+    val depth = Seq(1.5, 1.6, 1.7, 1.8)
+    // Profile_0: 2 bins; Vel sentinel at (t=0,bin=0), Amp 65535 at (t=1,
+    // bin=1), VelStd negative at (t=2,bin=0); column-major (time x bins)
+    val p0v = Seq(-214748368.0, 11.0, 12.0, 13.0, 20.0, 21.0, 22.0, 23.0)
+    val p0a = Seq(50.0, 51.0, 52.0, 53.0, 60.0, 65535.0, 62.0, 63.0)
+    val p0s = Seq(1.0, 2.0, -3.0, 4.0, 5.0, 6.0, 7.0, 8.0)
+    val blank = (0 until nt).map(_ => 240.0)
+    val cs = (0 until nt).map(_ => 100.0)
+    val adv = matrixStruct("", Seq(
+      "recordSubSampleProfiles" -> matrixNum("", 1, 1, 1.0)))
+    val setup = matrixStruct("System_IqSetup", Seq("advancedSetup" -> adv))
+    val bytes = matFile(
+      matrixNum("FlowData_SampleTime", nt, 1, times: _*),
+      matrixNum("FlowData_Pressure", nt, 1, pres: _*),
+      matrixNum("FlowData_Depth", nt, 1, depth: _*),
+      matrixNum("FlowData_VbPercentGood", nt, 1, vbper: _*),
+      matrixNum("FlowData_Vel_Mean", nt, 1, velMean: _*),
+      matrixNum("FlowData_Vel", nt, 4, vel: _*),
+      matrixNum("FlowData_SNR", nt, 4, snr: _*),
+      matrixNum("Profile_0_Vel", nt, 2, p0v: _*),
+      matrixNum("Profile_0_Amp", nt, 2, p0a: _*),
+      matrixNum("Profile_0_VelStd", nt, 2, p0s: _*),
+      matrixNum("FlowSubData_PrfHeader_0_BlankingDistance", nt, 1, blank: _*),
+      matrixNum("FlowSubData_PrfHeader_0_CellSize", nt, 1, cs: _*),
+      setup)
+    val dir = java.nio.file.Files.createTempDirectory("iq_clean").toFile
+    val mat = new java.io.File(dir, "dep.mat")
+    java.nio.file.Files.write(mat.toPath, bytes)
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val meta = graft.core.Meta(Map(
+      "atmpres" -> 10.0, "orientation" -> "UP",
+      "trim_method" -> "water level", "snr_threshold" -> 5.0,
+      "vbper_threshold" -> 50.0,
+      "height_above_geopotential_datum" -> 2.5,
+      "initial_instrument_height" -> 0.5))
+    RunOts.runStep(spark, "iq", "mat2cdf", meta, mat.getAbsolutePath, raw)
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "iq", "cdf2nc", meta, raw, clean)
+
+    val flow = spark.read.parquet(clean).orderBy("time").collect()
+    val cols = spark.read.parquet(clean).columns
+    assert(flow.length == nt)
+    // renames: Pressure -> P_1, Pressure_ac -> P_1ac, Depth -> D_3;
+    // the 4-wide Vel array splits to vel1_1277.. then drops
+    assert(cols.contains("P_1") && cols.contains("P_1ac") && cols.contains("D_3"))
+    assert(!cols.contains("Vel") && cols.contains("vel1_1277") &&
+      cols.contains("vel4_1280"))
+    def d(r: org.apache.spark.sql.Row, c: String): Double =
+      r.getAs[Double](cols.indexOf(c))
+    // atmos scalar fallback: P_1ac = P - 10.0
+    assert(math.abs(d(flow(0), "P_1ac") - 2.0) < 1e-9)
+    // vel_to_ms + per-beam split: vel2_1278(t=0) = 100/1000
+    assert(math.abs(d(flow(0), "vel2_1278") - 0.1) < 1e-12)
+    // fill_snr: beam-2 series nulled at t=1 (SNR 2.0 < 5), kept at t=0
+    assert(flow(1).isNullAt(cols.indexOf("vel2_1278")))
+    assert(!flow(0).isNullAt(cols.indexOf("vel2_1278")))
+    // Vel_Mean: sentinel at t=3 gone; t=1 masked via the snr-nulled beam
+    assert(flow(3).isNullAt(cols.indexOf("Vel_Mean")))
+    assert(flow(1).isNullAt(cols.indexOf("Vel_Mean")))
+    assert(math.abs(d(flow(0), "Vel_Mean") - 0.5) < 1e-12)
+    // fill_vbper: D_3 nulled where VbPercentGood (40) <= 50
+    assert(flow(1).isNullAt(cols.indexOf("D_3")))
+    assert(math.abs(d(flow(0), "D_3") - 1.5) < 1e-12)
+    // flow z = datum + instrument height
+    assert(math.abs(d(flow(0), "z") - 3.0) < 1e-12)
+
+    val prof = spark.read.parquet(clean + "_profiles")
+    val pc = prof.columns
+    val pr = prof.orderBy("time", "bin").collect()
+    assert(pr.length == nt * 2)
+    def pd(r: org.apache.spark.sql.Row, c: String): Double =
+      r.getAs[Double](pc.indexOf(c))
+    // clean_iq sentinels: Vel (t0,bin0), Amp (t1,bin1), VelStd (t2,bin0)
+    assert(pr(0).isNullAt(pc.indexOf("Vel")))
+    assert(pr(3).isNullAt(pc.indexOf("Amp")))
+    assert(pr(4).isNullAt(pc.indexOf("VelStd")))
+    // vel_to_ms on the surviving profile vel: (t0,bin1) = 20/1000
+    assert(math.abs(pd(pr(1), "Vel") - 0.02) < 1e-12)
+    // bindepth (UP) = P_1ac - bindist; bindist(bin0) = .34, bin1 = .44
+    assert(math.abs(pd(pr(1), "bindepth") - (2.0 - 0.44)) < 1e-9)
+    // profile z (UP) = 2.5 + 0.5 + bindist
+    assert(math.abs(pd(pr(1), "z") - (3.0 + 0.44)) < 1e-9)
+    // trim "water level": t=2 P_1ac = 0.3 < bindist -> Vel nulled, and
+    // surviving samples keep theirs
+    assert(pr(5).isNullAt(pc.indexOf("Vel")))
+    assert(!pr(7).isNullAt(pc.indexOf("Vel")))
+    // flow-side join scaffolding does not leak into the product
+    assert(!pc.exists(_.startsWith("__f_")))
   }
 
 }
