@@ -578,7 +578,7 @@ object RunOts {
     * beam variables — those belong to `clean`). No-op when the header coords
     * are already ENU or the needed columns are absent. One codegen'd
     * projection per row; no shuffle. */
-  private def aqdCoordTransform(df0: DataFrame, meta: Meta,
+  private[cli] def aqdCoordTransform(df0: DataFrame, meta: Meta,
       outNames: Seq[String] = Seq("u_1205", "v_1206", "w_1204"),
       dropBeams: Boolean = true): DataFrame = {
     import graft.functions.Mat3
@@ -687,8 +687,15 @@ object RunOts {
   private def sonDirIngest(spark: SparkSession, meta: Meta, input: String,
                            output: String): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val all = Option(new java.io.File(input).listFiles)
-      .getOrElse(Array.empty[java.io.File])
+    // the sweep-set grouping below needs a LOCAL directory listing;
+    // java.io.File.listFiles is null for any non-local path (object
+    // store / HDFS URI), which must fail loudly, not as an empty ingest
+    val listed = Option(new java.io.File(input).listFiles)
+    require(listed.nonEmpty,
+      s"$input: not a listable local directory — sonar sweep-set ingest " +
+        "reads via java.io.File and cannot enumerate remote storage; " +
+        "stage the deployment directory locally")
+    val all = listed.get
       .map(_.getName).filter(_.toLowerCase.endsWith(".81r")).sorted
     require(all.nonEmpty, s"$input: no .81R files")
     val nSweeps = all.map(n => n.slice(6, 8)).distinct.length

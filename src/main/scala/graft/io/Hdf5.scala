@@ -457,6 +457,174 @@ object Hdf5 {
     } finally raf.close()
   }
 
+  /** Nested-group variant of [[write]]: each (name, df) pair becomes one
+    * SUBGROUP under root — a v1 object header with a symbol-table message
+    * pointing at the group's own B-tree/SNOD/local-heap trio, exactly the
+    * old-style layout libhdf5 emits for `nc.createGroup()` with
+    * libver='earliest' — holding that frame's numeric columns as 1-D
+    * contiguous datasets. `attrs` become root attrs; `varAttrs` is keyed
+    * "group/var". Round-trips through [[open]]'s recursive group walk
+    * (datasets surface as "group/var"). Root carries only group links (the
+    * netCDF-4 nested-group shape the reference's multi-dataset products
+    * use); per-group H5DS dimension wiring is left to the flat writer. */
+  def writeGroups(path: String, groups: Seq[(String, DataFrame)],
+                  attrs: Seq[(String, String)] = Nil,
+                  varAttrs: Map[String, Seq[(String, String)]] = Map.empty): Long = {
+    require(groups.nonEmpty, "writeGroups needs at least one group")
+    require(groups.map(_._1).distinct.length == groups.length,
+      "duplicate group names")
+    val btreeSize = 24 + (2 * LeafK + 1) * 8 + 2 * LeafK * 8
+    val snodSize = 8 + 2 * LeafK * 40
+    val heapHdrSize = 32
+
+    def mkHeap(names: Seq[String]): (Buf, Map[String, Long]) = {
+      val b = new Buf; b.u64(0) // empty-string slot at offset 0
+      val offs = names.map { nm =>
+        val o = b.pos.toLong
+        b.bytes(nm.getBytes("US-ASCII")).u8(0).pad(8)
+        nm -> o
+      }.toMap
+      (b, offs)
+    }
+    final case class GPlan(name: String, fields: Seq[(String, H5Type)],
+                           n: Long, heap: Buf, nameOff: Map[String, Long])
+    val plans = groups.map { case (gname, df) =>
+      val fs = df.schema.fields.toSeq.map(f => f.name -> h5Type(f.dataType))
+      require(fs.nonEmpty, s"group $gname has no columns")
+      val (h, o) = mkHeap(fs.map(_._1))
+      GPlan(gname, fs, df.count(), h, o)
+    }
+    val (rootHeap, rootNameOff) = mkHeap(plans.map(_.name))
+
+    def symMsg(bt: Long, hp: Long) =
+      Msg(0x0011, { val b = new Buf; b.u64(bt).u64(hp); b.result() })
+    def rootHdr(bt: Long, hp: Long) = objectHeader(symMsg(bt, hp) +:
+      attrs.map { case (k, v) => Msg(0x000c, attrBody(k, v)) })
+    def grpHdr(bt: Long, hp: Long) = objectHeader(Seq(symMsg(bt, hp)))
+    def dsHdr(g: String, nm: String, t: H5Type, n: Long, dAddr: Long) =
+      objectHeader(Seq(
+        Msg(0x0001, vectorSpaceBody(n)),
+        Msg(0x0003, datatypeBody(t)),
+        Msg(0x0005, { val b = new Buf; b.u8(2).u8(1).u8(2).u8(0); b.result() }),
+        Msg(0x0008, { val b = new Buf
+          b.u8(3).u8(1) // version 3, contiguous
+          b.u64(dAddr).u64(n * t.size); b.result() })) ++
+        varAttrs.getOrElse(s"$g/$nm", Nil)
+          .map { case (k, v) => Msg(0x000c, attrBody(k, v)) })
+
+    // fixed-width messages: placeholder builds measure exact final sizes
+    var at = 96L
+    val rootHdrAddr = at; at += rootHdr(0, 0).length
+    val rootBtreeAddr = at; at += btreeSize
+    val rootSnodAddr = at; at += snodSize
+    val rootHeapHdrAddr = at; at += heapHdrSize
+    val rootHeapSegAddr = at; at += rootHeap.pos
+    val gAddrs = plans.map { p =>
+      val hdrA = at; at += grpHdr(0, 0).length
+      val btA = at; at += btreeSize
+      val snA = at; at += snodSize
+      val hhA = at; at += heapHdrSize
+      val hsA = at; at += p.heap.pos
+      p.name -> ((hdrA, btA, snA, hhA, hsA))
+    }.toMap
+    val dsAddrs = plans.flatMap { p =>
+      p.fields.map { case (nm, t) =>
+        val a = at; at += dsHdr(p.name, nm, t, p.n, 0L).length
+        (p.name, nm) -> a
+      }
+    }.toMap
+    val dataAddrs = plans.flatMap { p =>
+      p.fields.map { case (nm, t) =>
+        val a = at; at += p.n * t.size
+        (p.name, nm) -> a
+      }
+    }.toMap
+    val eof = at
+
+    val raf = new RandomAccessFile(path, "rw")
+    try {
+      raf.setLength(0)
+      val sb = new Buf
+      sb.bytes(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n').map(_.toByte))
+      sb.u8(0).u8(0).u8(0).u8(0)
+      sb.u8(0)
+      sb.u8(8).u8(8).u8(0)
+      sb.u16(LeafK).u16(InternalK)
+      sb.u32(0)
+      sb.u64(0).u64(Undef).u64(eof).u64(Undef)
+      sb.u64(0).u64(rootHdrAddr)
+      sb.u32(1).u32(0) // cache type 1 (group)
+      sb.u64(rootBtreeAddr).u64(rootHeapHdrAddr)
+      require(sb.pos == 96, "superblock layout drifted: " + sb.pos)
+      raf.write(sb.result())
+
+      def writeSymTable(btA: Long, snA: Long, hhA: Long, hsA: Long,
+                        heap: Buf, nameOff: Map[String, Long],
+                        entries: Seq[(String, Long)]): Unit = {
+        val bt = new Buf
+        bt.bytes("TREE".getBytes("US-ASCII"))
+        bt.u8(0).u8(0)
+        bt.u16(1)
+        bt.u64(Undef).u64(Undef)
+        bt.u64(0)
+        bt.u64(snA)
+        bt.u64(nameOff(entries.map(_._1).max))
+        while (bt.pos < btreeSize) bt.u8(0)
+        raf.seek(btA); raf.write(bt.result())
+        val sn = new Buf
+        sn.bytes("SNOD".getBytes("US-ASCII"))
+        sn.u8(1).u8(0)
+        sn.u16(entries.length)
+        for ((nm, hdrAddr) <- entries.sortBy(_._1)) {
+          sn.u64(nameOff(nm)).u64(hdrAddr)
+          sn.u32(0).u32(0) // no cache
+          sn.u64(0).u64(0)
+        }
+        while (sn.pos < snodSize) sn.u8(0)
+        raf.seek(snA); raf.write(sn.result())
+        val hp = new Buf
+        hp.bytes("HEAP".getBytes("US-ASCII"))
+        hp.u8(0).u8(0).u8(0).u8(0)
+        hp.u64(heap.pos.toLong)
+        hp.u64(1)
+        hp.u64(hsA)
+        require(hp.pos == heapHdrSize, "heap header drifted")
+        raf.seek(hhA); raf.write(hp.result())
+        raf.seek(hsA); raf.write(heap.result())
+      }
+
+      val rh = rootHdr(rootBtreeAddr, rootHeapHdrAddr)
+      raf.seek(rootHdrAddr); raf.write(rh)
+      writeSymTable(rootBtreeAddr, rootSnodAddr, rootHeapHdrAddr,
+        rootHeapSegAddr, rootHeap, rootNameOff,
+        plans.map(p => p.name -> gAddrs(p.name)._1))
+      for (p <- plans) {
+        val (hdrA, btA, snA, hhA, hsA) = gAddrs(p.name)
+        raf.seek(hdrA); raf.write(grpHdr(btA, hhA))
+        writeSymTable(btA, snA, hhA, hsA, p.heap, p.nameOff,
+          p.fields.map { case (nm, _) => nm -> dsAddrs((p.name, nm)) })
+      }
+      for (p <- plans; (nm, t) <- p.fields) {
+        val h = dsHdr(p.name, nm, t, p.n, dataAddrs((p.name, nm)))
+        raf.seek(dsAddrs((p.name, nm))); raf.write(h)
+      }
+      for ((gname, df) <- groups) {
+        val p = plans.find(_.name == gname).get
+        val writers = p.fields.zipWithIndex.map { case ((nm, t), i) =>
+          new ColumnWriter(raf, dataAddrs((gname, nm)), t, i)
+        }
+        val it = df.toLocalIterator()
+        while (it.hasNext) {
+          val row = it.next()
+          var i = 0
+          while (i < writers.length) { writers(i).add(row); i += 1 }
+        }
+        writers.foreach(_.flush())
+      }
+      eof
+    } finally raf.close()
+  }
+
   /** Chunked + DEFLATE variant of [[write]] — the layout netCDF-4 tools
     * emit when compression is requested (and the read-side counterpart to
     * the chunked/deflate support in [[open]]/[[column]]): per column, a

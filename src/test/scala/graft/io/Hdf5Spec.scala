@@ -373,4 +373,28 @@ class Hdf5Spec extends AnyFunSuite {
     }
     assert(!Files.exists(path))
   }
+
+  test("nested-group write round-trips through the recursive group reader") {
+    import spark.implicits._
+    val flow = Seq((0.0, 10.5), (1.0, 11.5), (2.0, 12.5))
+      .toDF("time", "P_1")
+    val prof = Seq((0.0, 1, 0.25), (0.0, 2, 0.35), (1.0, 1, 0.45))
+      .toDF("time", "bin", "vel")
+    val path = Files.createTempDirectory("h5g").resolve("grp.nc").toString
+    Hdf5.writeGroups(path, Seq("flow" -> flow, "profiles" -> prof),
+      attrs = Seq("Conventions" -> "CF-1.8"),
+      varAttrs = Map("flow/P_1" -> Seq("units" -> "dbar")))
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val h5 = Hdf5.open(bytes)
+    assert(h5.attrs("Conventions") == "CF-1.8")
+    // the recursive walk flattens subgroups with the group/ prefix
+    assert(h5.datasets.map(_.name).toSet == Set(
+      "flow/time", "flow/P_1", "profiles/time", "profiles/bin",
+      "profiles/vel"))
+    def byName(n: String) = h5.datasets.find(_.name == n).get
+    assert(byName("flow/P_1").attrs("units") == "dbar")
+    assert(Hdf5.column(bytes, byName("flow/P_1")).toSeq == Seq(10.5, 11.5, 12.5))
+    assert(Hdf5.column(bytes, byName("profiles/bin")).toSeq == Seq(1.0, 2.0, 1.0))
+    assert(Hdf5.column(bytes, byName("profiles/vel")).toSeq == Seq(0.25, 0.35, 0.45))
+  }
 }
