@@ -619,6 +619,11 @@ object Curation {
                     labelPred: Column, trainPred: Column,
                     buckets: Int): DataFrame = {
     val scored = nbClassify(docs, idCol, textCol, labelPred, trainPred, buckets)
+    // mean_score runs in exact e9-integer space with explicit HALF_UP
+    // division: a 9-dp decimal sum divided by a small even n lands
+    // EXACTLY on the .5 boundary whenever the sum's last digit is odd,
+    // and double round(x, 9) then diverges cross-engine (Spark rounds
+    // the shortest decimal repr, DuckDB the binary value)
     scored
       .withColumn("bin",
         least(greatest(floor(col("score")).cast("int"), lit(-8)), lit(8)))
@@ -626,8 +631,12 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("label")).cast("long").as("n_pos"),
         round(sum(col("label")).cast("double") / count(lit(1)), 9).as("pos_rate"),
-        round(sum(col("score").cast("decimal(28,9)")).cast("double") /
-          count(lit(1)), 9).as("mean_score"))
+        sum(expr("CAST(CAST(score AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"))
+          .as("__se9"))
+      .withColumn("mean_score",
+        expr("CAST(CAST(sign(__se9) AS BIGINT) * " +
+          "((abs(__se9) * 2 + n_docs) DIV (2 * n_docs)) AS DOUBLE) / 1e9"))
+      .drop("__se9")
   }
 
   /**

@@ -420,17 +420,22 @@ object CurationQueries {
     Q("nb_calibration",
       (s, dir) => Curation.nbCalibration(documents(s, dir), "doc_id", "text",
         col("lang") === "en", col("doc_id") % 2 === 0, buckets = 256),
+      // mean_score in exact e9-integer HALF_UP space — double round(x,9)
+      // of a 9-dp sum over an even count sits exactly on the .5 boundary
+      // and the engines' round() disagree there (see Curation.nbCalibration)
       Some(s"""WITH $nbCtes,
               |cb AS (
               |  SELECT label,
-              |    least(greatest(CAST(floor(s) AS INTEGER), -8), 8) AS bin, s
+              |    least(greatest(CAST(floor(s) AS INTEGER), -8), 8) AS bin,
+              |    CAST(CAST(s AS DECIMAL(28,9)) * 1000000000 AS BIGINT) AS se9
               |  FROM scored)
               |SELECT CAST(bin AS INTEGER) AS bin,
               |  CAST(count(*) AS BIGINT) AS n_docs,
               |  CAST(sum(label) AS BIGINT) AS n_pos,
               |  round(CAST(sum(label) AS DOUBLE) / count(*), 9) AS pos_rate,
-              |  round(CAST(sum(CAST(s AS DECIMAL(28,9))) AS DOUBLE) / count(*), 9)
-              |    AS mean_score
+              |  CAST(CAST(sign(sum(se9)) AS BIGINT) *
+              |    ((abs(sum(se9)) * 2 + count(*)) // (2 * count(*)))
+              |    AS DOUBLE) / 1e9 AS mean_score
               |FROM cb GROUP BY 1""".stripMargin)),
 
     // binned ROC AUC for the held-out NB scores: eighth-log-odds grid

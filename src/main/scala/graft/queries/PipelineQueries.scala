@@ -494,10 +494,13 @@ object PipelineQueries {
     Q("dedup_fuzzy_blocked",
       (s, dir) => Dedup.fuzzyPrefixPairs(documents(s, dir), "doc_id", "text",
         "source", 5, 8),
+      // coalesce: DuckDB's array_to_string over an EMPTY list yields NULL
+      // (Spark's concat_ws yields '') — without it every pair touching an
+      // empty-prefix doc silently drops out of the oracle
       Some("""WITH t AS (
              |  SELECT doc_id, source,
-             |    array_to_string((list_filter(string_split(text, ' '),
-             |      x -> length(x) > 0))[1:5], ' ') AS pfx
+             |    coalesce(array_to_string((list_filter(string_split(text, ' '),
+             |      x -> length(x) > 0))[1:5], ' '), '') AS pfx
              |  FROM documents)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS edit_dist
@@ -518,7 +521,10 @@ object PipelineQueries {
     Q("entity_canonical",
       (s, dir) => {
         val docs = documents(s, dir)
+        // empty records cannot link (and the cross-engine contract needs
+        // it: DuckDB's jaro_winkler_similarity('','') is 0, ours is 1)
         val t = graft.ops.Spread.shared(docs
+          .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("source"),
             substring(col("text"), 1, 40).as("rec"),
             split(col("text"), " ").getItem(0).as("blk")))
@@ -550,7 +556,7 @@ object PipelineQueries {
       Some("""WITH RECURSIVE t AS (
              |  SELECT doc_id, source, text[1:40] AS rec,
              |    string_split(text, ' ')[1] AS blk
-             |  FROM documents),
+             |  FROM documents WHERE length(text) > 0),
              |pairs AS (
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM t a JOIN t b ON a.source = b.source AND a.blk = b.blk
@@ -582,7 +588,10 @@ object PipelineQueries {
 
     Q("record_linkage",
       (s, dir) => {
+        // empty records cannot link (jaro_winkler('','') diverges
+        // cross-engine: 0 in DuckDB, 1 here)
         val t = graft.ops.Spread.shared(documents(s, dir)
+          .filter(length(col("text")) > 0)
           .select(col("doc_id"), col("source"),
             substring(col("text"), 1, 40).as("rec"),
             split(col("text"), " ").getItem(0).as("blk")))
@@ -600,7 +609,7 @@ object PipelineQueries {
       Some("""WITH t AS (
              |  SELECT doc_id, source, text[1:40] AS rec,
              |    string_split(text, ' ')[1] AS blk
-             |  FROM documents)
+             |  FROM documents WHERE length(text) > 0)
              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              |  round(jaro_winkler_similarity(a.rec, b.rec), 9) AS jw
              |FROM t a JOIN t b ON a.source = b.source AND a.blk = b.blk

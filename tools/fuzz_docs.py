@@ -11,7 +11,7 @@ duplicate / antipodal embedding vectors — then replays the ENTIRE
 registered query set through the SAME Spark-vs-DuckDB gate as
 tools/oracle_check.py.
 
-Usage: python3 tools/fuzz_docs.py [seed] [--only name,...]
+Usage: python3 tools/fuzz_docs.py [seed] [--only name,...] [--ascii]
 TPC-H-ish tables are copied from sf0.001, so the relational/ocean family
 re-verifies on its usual inputs while the doc/event/embedding families run
 on the adversarial ones.
@@ -29,6 +29,16 @@ Excluded queries:
    Spark's is codepoint-based ('内'→'內' is 1 in Spark, 2 in DuckDB), so
    cross-engine edit-distance parity only exists for ASCII; Spark-side
    exactness is proven by FuzzyPassJoinSpec's randomized brute force.
+   `--ascii` closes this blind spot: the corpus swaps every non-ASCII
+   text for an ASCII stand-in and adds PassJoin-targeted shapes (prefix
+   lengths straddling the tau/2tau short-class boundaries, a 300-doc
+   near-empty scope driving the short-class join, template clusters one
+   or two edits apart), where byte- and codepoint-levenshtein agree —
+   and dedup_fuzzy_blocked then runs through the gate like every other
+   query. The near-empty scope stays at ~300 docs, not the 100k guard
+   bound, because the DUCKDB oracle is the quadratic scoped cross —
+   100k short docs would be 10^10 oracle levenshteins; the guard's own
+   red path is pinned JVM-side by FuzzyPassJoinSpec instead.
  - salinity_schemel / troll_salinity_density — physical formulas whose
    domain is real sensor ranges; on the deliberately non-physical fuzz
    values (negative conductivity) numpy/Spark produce NaN while DuckDB's
@@ -38,9 +48,13 @@ Excluded queries:
 import json, os, random, shutil, subprocess, sys
 
 SEED = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 1
+ASCII = "--ascii" in sys.argv
 BASE = "/root/testdata/sf0.001"
-DIR = f"/root/repo/scratch/fuzz{SEED}"
+DIR = f"/root/repo/scratch/fuzz{SEED}" + ("a" if ASCII else "")
 EXCLUDE = {"dedup_fuzzy_blocked", "salinity_schemel", "troll_salinity_density"}
+# --ascii: edit distance agrees byte-vs-codepoint, so the fuzzy query joins
+# the gate; the physics exclusions are value-domain, not encoding, and stay
+ACTIVE_EXCLUDE = EXCLUDE - {"dedup_fuzzy_blocked"} if ASCII else EXCLUDE
 EMB_DIM = 64
 
 
@@ -63,13 +77,48 @@ def build_corpus(rnd):
     add(("ab" * 12 + " ") * 250)         # periodic 24-char words, 250 tokens
     add("word " * 250)                   # 1-token-periodic text
     add("line one\nline two\twith tab\nline one")
-    # non-Latin-1 scripts — shingle keys beyond 8 bits/char
-    add("这是一个测试文档 重复 重复 重复 的内容", lang="zh")
-    add("这是一个测试文档 重复 重复 重复 的內容", lang="zh")   # near-dup
-    add("αβγδ εζηθ ικλμ νξοπ ρστυ φχψω " * 3, lang="el")
-    add("съешь же ещё этих мягких французских булок", lang="ru")
-    add("съешь же ещё этих мягких французских булок!", lang="ru")
-    add("🎉🎊 emoji 🎉🎊 soup 🎉🎊 " * 4)
+    if not ASCII:
+        # non-Latin-1 scripts — shingle keys beyond 8 bits/char
+        add("这是一个测试文档 重复 重复 重复 的内容", lang="zh")
+        add("这是一个测试文档 重复 重复 重复 的內容", lang="zh")   # near-dup
+        add("αβγδ εζηθ ικλμ νξοπ ρστυ φχψω " * 3, lang="el")
+        add("съешь же ещё этих мягких французских булок", lang="ru")
+        add("съешь же ещё этих мягких французских булок!", lang="ru")
+        add("🎉🎊 emoji 🎉🎊 soup 🎉🎊 " * 4)
+    else:
+        # ASCII stand-ins keep the same shapes (repeats, near-dup pair,
+        # punctuation-terminated variant) without leaving levenshtein's
+        # byte==codepoint domain
+        add("this is a test document repeat repeat repeat content", lang="zh")
+        add("this is a test document repeat repeat repeat kontent", lang="zh")
+        add("abcd efgh ijkl mnop qrst uvwx " * 3, lang="el")
+        add("the quick brown fox jumps over the lazy dog", lang="ru")
+        add("the quick brown fox jumps over the lazy dog!", lang="ru")
+        add(":-) ;-) ascii :-) ;-) soup :-) ;-) " * 4)
+        # PassJoin tau/2tau short-class boundaries (dedup_fuzzy_blocked has
+        # nTokens=5, tau=8): 5-token prefixes of total char length 7..9 and
+        # 15..17 land on both sides of the l<=tau / l<=2*tau splits
+        for L in (7, 8, 9, 15, 16, 17):
+            body = "abcdefghijklmnopq"[:L]
+            add(body, source="edge")
+            add(body[:-1] + "z" if L > 1 else "z", source="edge")
+        # 300-doc near-empty scope: every doc inside the degenerate short
+        # class, well under the 100k guard but enough mass that the
+        # short-class join (not the segment index) produces the answer
+        for i in range(300):
+            add(rnd.choice(["a", "ab", "abc", "ax by", "a b c d", ""]) +
+                ("" if i % 3 else " q"), source="shorts")
+        # template cluster at edit distances 1-2 around the tau boundary:
+        # ten 5-token bases, mutations substituting one or two words
+        fw = ["cat", "dog", "fox", "owl", "bat", "elk", "ant", "bee"]
+        for c in range(10):
+            base5 = [rnd.choice(fw) for _ in range(5)]
+            add(" ".join(base5), source="fz%d" % (c % 3))
+            for m in range(rnd.randint(3, 6)):
+                mut = list(base5)
+                for _ in range(rnd.randint(1, 2)):
+                    mut[rnd.randrange(5)] = rnd.choice(fw)
+                add(" ".join(mut), source="fz%d" % (c % 3))
     # identical text across scopes must never pair
     add("identical across scopes", source="web")
     add("identical across scopes", source="books")
@@ -252,7 +301,7 @@ def main():
                      "`python3 tools/oracle_check.py` once first so the "
                      "registry (minus the documented exclusions) is known")
         allq = set(json.load(open(reg_path)))
-        names = ",".join(sorted(allq - EXCLUDE))
+        names = ",".join(sorted(allq - ACTIVE_EXCLUDE))
     cmd = [sys.executable, "tools/oracle_check.py", DIR, f"--only={names}"]
     r = subprocess.run(cmd, cwd="/root/repo")
     sys.exit(r.returncode)
