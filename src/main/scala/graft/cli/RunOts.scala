@@ -142,6 +142,33 @@ object RunOts {
     if (instrument == "son" && new java.io.File(input).isDirectory) {
       sonDirIngest(spark, meta, input, output); return
     }
+    if (lower.endsWith(".log")) {
+      // EofE ECHOLOGGER: per-ping point annotations plus, when the log
+      // carries ##DataStart echo counts, the (burst, sample, bin) profile
+      // frame — the reference's `bins` branch (eofe.py:50-57,262-283).
+      // Header EA* attrs merge into the sidecar (log_to_cdf
+      // write_metadata) so the clean chain sees Deadzone/Range/SoundSpeed
+      // /Bin_size.
+      val bytes = readBytes(input)
+      val text = new String(bytes, "US-ASCII")
+      val em = graft.io.Eofe.instMeta(text.linesIterator)
+      val point = graft.io.Eofe.readPoint(spark, bytes)
+        .withColumn("time", to_timestamp(col("timeUtc"))).drop("timeUtc")
+      val sideMeta = Sink.insertHistory(Meta(meta.attrs ++ em),
+        s"Ingested $input.", "1970-01-01T00:00:00Z")
+      Sink.writeParquet(
+        Readers.applyClockError(applyRenames(point, meta), "time", meta),
+        output, sideMeta, float32 = false)
+      if (text.contains("##DataStart")) {
+        // per-bin echo counts keyed back to the ping times
+        val prof = graft.io.Eofe.readProfile(spark, bytes)
+          .join(point.select("burst", "sample", "time"), Seq("burst", "sample"))
+        Sink.writeParquet(
+          Readers.applyClockError(applyRenames(prof, meta), "time", meta),
+          output + "_profiles", sideMeta, float32 = false)
+      }
+      return
+    }
     if (instrument == "abss" &&
         (lower.endsWith(".mat") || new java.io.File(input).isDirectory)) {
       // AQUAscat: one .mat per burst in a deployment dir (stglib/abss.py)
@@ -213,16 +240,6 @@ object RunOts {
           .withColumn("time", expr("timestamp_millis(tstamp)")).drop("tstamp")
         // renames must precede CF metadata: cfAttrs is keyed by EPIC names
         Readers.withCfMetadata(applyRenames(d, meta))
-      } else if (input.toLowerCase.endsWith(".log")) {
-        // EofE ECHOLOGGER point data; time parsed from the per-ping UTC
-        // stamp. The .log header's EA* instrument attrs merge into the
-        // sidecar (the reference's log_to_cdf write_metadata) so the
-        // dedicated eofe clean chain sees Deadzone/Range/SoundSpeed.
-        val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(input))
-        sidecarExtra = graft.io.Eofe.instMeta(
-          new String(bytes, "US-ASCII").linesIterator)
-        graft.io.Eofe.readPoint(spark, bytes)
-          .withColumn("time", to_timestamp(col("timeUtc"))).drop("timeUtc")
       } else if (input.toLowerCase.endsWith(".tid")) {
         val text = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(input)), "US-ASCII")
@@ -1682,14 +1699,21 @@ object RunOts {
     var df = readStepInput(spark, input)
     val orient = meta.str("orientation").map(_.toUpperCase).getOrElse("DOWN")
     val iih = meta.dbl("initial_instrument_height").getOrElse(0.0)
+    // pre-trim altitude snapshot: the reference trims Counts "using
+    // altitude values before starting trimming" (eofe.py:714-716)
+    val altRaw =
+      if (df.columns.contains("altitudeM") && df.columns.contains("burst"))
+        Some(df.select(col("burst"), col("sample"),
+          col("altitudeM").as("__alt")))
+      else None
     // trim_alt (eofe.py:700-747): data nulled where altitude leaves the
     // [Deadzone, Range] window; nulled altitude propagates to every var
     // exactly like the reference's sequential .where() loop
     val trimMethods = meta.strSeq("trim_method")
       .getOrElse(meta.str("trim_method").toSeq).map(_.toLowerCase)
+    val dead = meta.dbl("EADeadzone_m").getOrElse(0.0)
+    val rng = meta.dbl("EARange_m").getOrElse(Double.MaxValue)
     if (trimMethods.contains("altitude") && df.columns.contains("altitudeM")) {
-      val dead = meta.dbl("EADeadzone_m").getOrElse(0.0)
-      val rng = meta.dbl("EARange_m").getOrElse(Double.MaxValue)
       val ok = col("altitudeM") >= dead && col("altitudeM") <= rng
       for (v <- Seq("altitudeM", "counts", "temperatureC", "amplitudeFS")
            if df.columns.contains(v))
@@ -1734,6 +1758,70 @@ object RunOts {
     for (d <- meta.dbl("NAVD88_ref")
            .orElse(meta.dbl("height_above_geopotential_datum")))
       df = df.withColumn("z", lit(d + iih))
+    // profile echo counts (the reference's `bins` branch, eofe.py:74-79):
+    // header bin geometry → bindist/bin_height, sound-speed-corrected
+    // bin height off the burst-mean temperature (calc_cor_bin_height,
+    // eofe.py:522-570), altitude-window trim on Counts, good_bins slice.
+    // All per-burst sides are tiny broadcasts against the (burst, sample,
+    // bin) spine.
+    val profPath = input + "_profiles"
+    if (new java.io.File(profPath).exists) {
+      var pf = readStepInput(spark, profPath)
+      for (bs <- meta.dbl("EABin_size_m")) {
+        // linspace(bs/2, (n-1)·bs + bs/2, n): center of 0-indexed bin
+        pf = pf.withColumn("bindist", (col("bin") + 0.5) * bs)
+        pf = pf.withColumn("bin_height",
+          if (orient == "UP") lit(iih) + col("bindist")
+          else lit(iih) - col("bindist"))
+      }
+      val svNomP = meta.dbl("EASoundSpeed_mps")
+      val salP = meta.dbl("average_salinity")
+      val wdP = meta.dbl("WATER_DEPTH")
+      if (svNomP.isDefined && salP.isDefined && wdP.isDefined &&
+          pf.columns.contains("bin_height") && df.columns.contains("temperatureC")) {
+        val tmean = df.groupBy("burst").agg(avg("temperatureC").as("__tm"))
+        pf = pf.join(broadcast(tmean), Seq("burst"), "left")
+        val spd = graft.functions.Physics.soundSpeedMackenzie(
+          lit(salP.get), col("__tm"), lit(wdP.get) - col("bin_height"))
+        pf = pf.withColumn("cor_bin_height",
+          round(col("bin_height") / svNomP.get * spd, 3)).drop("__tm")
+      }
+      // trim_alt on Counts against the PRE-trim altitude of the same ping
+      if (trimMethods.contains("altitude") && pf.columns.contains("counts"))
+        altRaw.foreach { alt =>
+          pf = pf.join(broadcast(alt), Seq("burst", "sample"), "left")
+            .withColumn("counts",
+              when(col("__alt") >= dead && col("__alt") <= rng, col("counts")))
+            .drop("__alt")
+        }
+      // "bin range" trim (eofe.py:740-757): good_bins index slice
+      if (trimMethods.contains("bin range"))
+        meta.dblSeq("good_bins").filter(_.length == 2).foreach { gb =>
+          pf = pf.filter(col("bin") >= gb(0).toInt && col("bin") < gb(1).toInt)
+        }
+      if (pf.columns.contains("counts"))
+        pf = pf.withColumnRenamed("counts", "AGC_1202")
+      pf = Clip.clipDs(pf, meta)
+      Sink.writeParquet(pf, output + "_profiles", Sink.insertHistory(meta,
+        "Trimmed profile echo data, corrected bin heights.",
+        "1970-01-01T00:00:00Z"), float32 = false)
+      // sample-dim burst average of the profile counts (the reference's
+      // single-ds mean("sample") covers Counts too)
+      val pvars = pf.columns
+        .filterNot(Seq("time", "burst", "sample", "bin").contains).toSeq
+      if (pf.columns.contains("burst") && pvars.nonEmpty) {
+        val paggs = pvars.map(c => avg(col(c)).as(c))
+        val pavg = pf.groupBy("burst", "bin")
+          .agg(min("time").as("time"), paggs: _*).drop("burst")
+        val pAvgOut =
+          if (output.endsWith(".parquet"))
+            output.stripSuffix(".parquet") + "-a_profiles.parquet"
+          else output + "-a_profiles"
+        Sink.writeParquet(pavg, pAvgOut, Sink.insertHistory(meta,
+          "Burst-averaged profile echo product.", "1970-01-01T00:00:00Z"),
+          float32 = false)
+      }
+    }
     // ds_rename_vars (eofe.py:286-302) on the long-format names
     for ((from, to) <- Seq("temperatureC" -> "Tx_1211",
         "pitchDeg" -> "Ptch_1216", "rollDeg" -> "Roll_1217",

@@ -473,6 +473,7 @@ class RunOtsSpec extends AnyFunSuite {
     w.println("#NSamples 4")
     w.println("#Pulses in series,num  1")
     w.println("#SoundSpeed,mps 1500.00")
+    w.println("#Resolution,m 0.5")
     w.println("#Deadzone,m 0.5")
     w.println("#Range,m 9.0")
     val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
@@ -485,10 +486,15 @@ class RunOtsSpec extends AnyFunSuite {
       w.println("#Temperature,C 12.5")
       w.println("#Pitch,deg 0.2")
       w.println("#Roll,deg -0.1")
+      // per-ping echo-count block (4 bins): counts = 100*i + bin
+      w.println("##DataStart")
+      for (b <- 0 until 4) w.println((100 * i + b).toString)
+      w.println("##DataEnd")
     }
     w.close()
     val meta = graft.core.Meta(Map(
-      "trim_method" -> "altitude", "orientation" -> "DOWN",
+      "trim_method" -> Seq("altitude", "bin range"),
+      "good_bins" -> Seq(0.0, 3.0), "orientation" -> "DOWN",
       "average_salinity" -> 32.0, "WATER_DEPTH" -> 10.0,
       "initial_instrument_height" -> 0.5, "NAVD88_ref" -> -5.0))
     val raw = new java.io.File(dir, "raw").getAbsolutePath
@@ -515,6 +521,33 @@ class RunOtsSpec extends AnyFunSuite {
       (-5.0 - exp + 0.5)) < 1e-3)
     // z = NAVD88_ref + initial_instrument_height
     assert(math.abs(rows(0).getAs[Double]("z") - (-4.5)) < 1e-12)
+
+    // profile product (the reference's `bins` branch): good_bins keeps
+    // bins 0-2, bin geometry from the header Resolution, sound-speed-
+    // corrected bin height, trim via the same ping's PRE-trim altitude
+    val pf = spark.read.parquet(clean + "_profiles")
+    assert(pf.count() == 30) // 10 bursts x 3 kept bins
+    val pfc = pf.columns
+    assert(pfc.contains("AGC_1202") && !pfc.contains("counts"))
+    val p0 = pf.filter("burst = 0 AND bin = 0").collect()(0)
+    // bindist = (0 + 0.5) * 0.5; bin_height (DOWN) = 0.5 - 0.25
+    assert(math.abs(p0.getAs[Double]("bindist") - 0.25) < 1e-12)
+    assert(math.abs(p0.getAs[Double]("bin_height") - 0.25) < 1e-12)
+    // cor_bin_height = round(bh/1500 * Mackenzie(32, 12.5, 10 - bh), 3)
+    val d2 = 10.0 - 0.25
+    val sv2 = 1448.96 + 4.591 * t - 5.304e-2 * t * t + 2.374e-4 * t * t * t +
+      1.340 * s35 + 1.630e-2 * d2 + 1.675e-7 * d2 * d2 - 1.025e-2 * t * s35 -
+      7.139e-13 * t * d2 * d2 * d2
+    val corExp = math.round(0.25 / 1500.0 * sv2 * 1000.0) / 1000.0
+    assert(math.abs(p0.getAs[Double]("cor_bin_height") - corExp) < 1e-9)
+    assert(math.abs(p0.getAs[Double]("AGC_1202") - 0.0) < 1e-12)
+    // deadzone ping (burst 4): counts trimmed via the raw altitude
+    val p4 = pf.filter("burst = 4 AND bin = 1").collect()(0)
+    assert(p4.isNullAt(pfc.indexOf("AGC_1202")))
+    // burst-averaged profile product
+    val pavg = spark.read.parquet(clean + "-a_profiles")
+    assert(pavg.count() == 30)
+    assert(pavg.columns.contains("AGC_1202") && !pavg.columns.contains("burst"))
   }
 
   test("Aquadopp waves chain: .wad burst ingest -> wave stats (no reshape)") {
