@@ -142,6 +142,22 @@ object RunOts {
     if (instrument == "son" && new java.io.File(input).isDirectory) {
       sonDirIngest(spark, meta, input, output); return
     }
+    if (lower.endsWith(".vel")) {
+      // SonTek Argonaut profile deployment: .vel/.snr/.std tables + .ctl
+      // geometry + optional .dat Level (stglib/argonaut.py:44-131)
+      val base = input.stripSuffix(".vel")
+      val datPath = java.nio.file.Paths.get(base + ".dat")
+      val df = graft.io.Dialects.readArgonautProfile(spark,
+        readText(input), readText(base + ".snr"), readText(base + ".std"),
+        readText(base + ".ctl"),
+        if (java.nio.file.Files.exists(datPath)) Some(readText(base + ".dat"))
+        else None)
+      Sink.writeParquet(
+        Readers.applyClockError(applyRenames(df, meta), "time", meta),
+        output, Sink.insertHistory(meta, s"Ingested $input (Argonaut profiles).",
+          "1970-01-01T00:00:00Z"), float32 = false)
+      return
+    }
     if (lower.endsWith(".log")) {
       // EofE ECHOLOGGER: per-ping point annotations plus, when the log
       // carries ##DataStart echo counts, the (burst, sample, bin) profile
@@ -297,6 +313,7 @@ object RunOts {
         case "troll" => graft.io.Dialects.readAquatroll(spark, readText(input),
           skipRows = meta.int("skiprows").getOrElse(69))
         case "mc" => graft.io.Dialects.readMicrocat(spark, readText(input))
+        case "argonaut" => graft.io.Dialects.readArgonautDat(spark, readText(input))
         case "tb" => graft.io.Dialects.readTruBlue(spark, readText(input))
         case "glx" => graft.io.Dialects.readGeolux(spark, readText(input))
         case "met" =>

@@ -219,6 +219,86 @@ object Dialects {
       .withColumn("time", to_timestamp(col("ts"))).drop("ts")
   }
 
+  /** One Argonaut two-header-row table (.vel/.snr/.std share the shape,
+    * stglib/argonaut.py:44-131): row 1 carries the per-cell group labels
+    * (Cell01 Cell01 …), row 2 the field names (Vx Vy Spd Dir / SNR1 SNR2 /
+    * Errx Erry); combined names are group_field exactly like the
+    * reference's `"_".join` over the pandas MultiIndex. Columns 1–6 are
+    * Y/M/D/H/M/S (the reference's parse_dates=[[1,2,3,4,5,6]] is
+    * positional). Returns (timestamp string, combined name → value). */
+  private def argonautTable(text: String): Seq[(String, Map[String, Double])] = {
+    val lines = text.linesIterator.filter(_.trim.nonEmpty).toSeq
+    require(lines.length >= 3, "argonaut profile table too short")
+    val g = lines(0).trim.split("\\s+")
+    val f = lines(1).trim.split("\\s+")
+    require(g.length == f.length,
+      s"argonaut header rows disagree: ${g.length} vs ${f.length} columns")
+    val names = g.zip(f).map { case (a, b) => s"${a}_$b" }
+    lines.drop(2).map { l =>
+      val c = l.trim.split("\\s+")
+      val ts = f"${c(1).toInt}%04d-${c(2).toInt}%02d-${c(3).toInt}%02d " +
+        f"${c(4).toInt}%02d:${c(5).toInt}%02d:${c(6).toInt}%02d"
+      ts -> (7 until math.min(c.length, names.length))
+        .map(i => names(i) -> c(i).toDouble).toMap
+    }
+  }
+
+  /** SonTek Argonaut profile deployment (stglib/argonaut.py:44-131
+    * read_vel_snr_std): the .vel/.snr/.std tables long-formatted to one
+    * row per (time, bin) with bindist = BlankDistance + bin·CellSize +
+    * CellSize/2 from the .ctl ("per Argonaut manual, blanking distance is
+    * distance to start of first cell"), plus the .dat `Level` series
+    * joined per time. Column names follow the reference's lower-cased
+    * vars (vx/vy/spd/dir/snr1/snr2/errx/erry/level). */
+  def readArgonautProfile(spark: SparkSession, velText: String,
+                          snrText: String, stdText: String, ctlText: String,
+                          datText: Option[String]): DataFrame = {
+    var blank = Double.NaN; var cs = Double.NaN
+    ctlText.linesIterator.foreach { row =>
+      val last = row.trim.split("\\s+").lastOption
+      if (row.contains("BlankDistance"))
+        last.foreach(v => blank = v.toDouble)
+      else if (row.contains("CellSize"))
+        last.foreach(v => cs = v.toDouble)
+    }
+    require(!blank.isNaN && !cs.isNaN,
+      "argonaut .ctl missing BlankDistance/CellSize")
+    val vel = argonautTable(velText)
+    val snr = argonautTable(snrText).toMap
+    val std = argonautTable(stdText).toMap
+    val numbins = vel.headOption.map(_._2.keys.count(_.endsWith("_Vy")))
+      .getOrElse(0)
+    require(numbins > 0, "argonaut .vel has no Cell*_Vy columns")
+    val rows = for ((ts, m) <- vel; k <- 0 until numbins) yield {
+      val cell = f"Cell${k + 1}%02d"
+      def at(src: Map[String, Double], fld: String): Any =
+        src.get(s"${cell}_$fld").map(Double.box).orNull
+      org.apache.spark.sql.Row(ts, k,
+        blank + k * cs + cs / 2.0,
+        at(m, "Vx"), at(m, "Vy"), at(m, "Spd"), at(m, "Dir"),
+        at(snr.getOrElse(ts, Map.empty), "SNR1"),
+        at(snr.getOrElse(ts, Map.empty), "SNR2"),
+        at(std.getOrElse(ts, Map.empty), "Errx"),
+        at(std.getOrElse(ts, Map.empty), "Erry"))
+    }
+    import org.apache.spark.sql.types._
+    val schema = StructType(
+      StructField("ts", StringType) +: StructField("bin", IntegerType) +:
+        Seq("bindist", "vx", "vy", "spd", "dir", "snr1", "snr2",
+          "errx", "erry").map(n => StructField(n, DoubleType)))
+    var df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList, 1), schema)
+      .withColumn("time", to_timestamp(col("ts"))).drop("ts")
+    datText.foreach { t =>
+      val level = readArgonautDat(spark, t)
+      if (level.columns.contains("Level"))
+        df = df.join(broadcast(level.select(col("time").as("__lt"),
+            col("Level").as("level"))),
+          df("time") === col("__lt"), "left").drop("__lt")
+    }
+    df
+  }
+
   /** AreaComp station area/stage export: 4 preamble lines then a CSV with
     * header (stglib/indexvel.py:7-16) — the stage-area rating input of the
     * index-velocity workflow. */

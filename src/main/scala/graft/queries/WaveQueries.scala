@@ -47,6 +47,17 @@ object WaveQueries {
 
   /** Shared synthetic PUV bursts: 8 s wave toward 30 deg (trig convention)
     * with linear-theory-consistent amplitudes. */
+  /** EXACT period-8 sine table for the monochromatic 0.125-cycle/sample
+    * fixtures — engine sin() (java Math.sin vs DuckDB's C sin) differs by
+    * 1 ulp on some arguments, which walked a burst-mean depth across a
+    * round(x, 8) boundary on one fuzz seed. Decimal literals parse to
+    * identical doubles in both engines; the SQL twin indexes the same
+    * list literal. */
+  private def sin8Lut =
+    element_at(array(Seq(0.0, 0.7071067811865476, 1.0, 0.7071067811865476,
+      0.0, -0.7071067811865476, -1.0, -0.7071067811865476).map(lit): _*),
+      (col("sample") % 8).cast("int") + 1)
+
   private def puvBursts(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val f0 = 0.125
     val k = graft.kernels.Diwasp.wavenumber(2 * math.Pi * f0, 10.0)
@@ -124,7 +135,7 @@ object WaveQueries {
         |  FROM events),
         |b0 AS (
         |  SELECT user_id * 1000 + rn // 64 AS burst, rn % 64 AS sample,
-        |    10.0 + 0.5 * sin(2*pi()*0.125 * (rn % 64)) + value / 1000.0 AS p
+        |    10.0 + 0.5 * ([0.0::DOUBLE, 0.7071067811865476, 1.0, 0.7071067811865476, 0.0, -0.7071067811865476, -1.0, -0.7071067811865476])[CAST(rn % 8 AS INTEGER) + 1] + value / 1000.0 AS p
         |  FROM pb),
         |fullb AS (SELECT burst FROM b0 GROUP BY burst HAVING count(*) = 64),
         |bb AS (SELECT b0.burst, b0.sample, b0.p FROM b0 JOIN fullb USING (burst))""".stripMargin
@@ -180,7 +191,7 @@ object WaveQueries {
         |  FROM events),
         |b0 AS (
         |  SELECT rn // 512 AS burst, rn % 512 AS sample,
-        |    0.4 * sin(2*pi()*0.125 * (rn % 512)) + value / 2000.0 - 0.025 AS p
+        |    0.4 * ([0.0::DOUBLE, 0.7071067811865476, 1.0, 0.7071067811865476, 0.0, -0.7071067811865476, -1.0, -0.7071067811865476])[CAST(rn % 8 AS INTEGER) + 1] + value / 2000.0 - 0.025 AS p
         |  FROM gb),
         |fullb AS (SELECT burst FROM b0 GROUP BY burst HAVING count(*) = 512),
         |bb AS (SELECT b0.burst, b0.sample, b0.p FROM b0 JOIN fullb USING (burst))""".stripMargin
@@ -687,7 +698,7 @@ object WaveQueries {
         // ~10.5 m column — a physically meaningful burst, so the J&M cutoff
         // and tail logic exercise their non-degenerate paths
         val b = bursts(s, dir, 64).withColumn("pres",
-          lit(10.0) + lit(0.5) * sin(lit(2.0 * math.Pi * 0.125) * col("sample")) +
+          lit(10.0) + lit(0.5) * sin8Lut +
             col("value") / 1000.0)
         // user wave_fcut cutoff (make_user_cutoff path): monochromatic
         // spectra hit define_cutoff's legitimate NaN branch (noise floor ≈
@@ -713,7 +724,7 @@ object WaveQueries {
         // 512-sample bursts so even the sf0.001 smoke table (1000 events)
         // yields a burst; flo = 1/(512/32) = 0.0625 Hz keeps the band valid
         val b = burstsGlobal(s, dir, 512).withColumn("elev",
-          lit(0.4) * sin(lit(2.0 * math.Pi * 0.125) * col("sample")) +
+          lit(0.4) * sin8Lut +
             col("value") / 2000.0 - lit(0.025))
         Spectra.waveStatsFromElevation(b.toDF(), "burst", "sample", "elev",
           fs = 1.0, nsegs = 8).toDF()
@@ -731,7 +742,7 @@ object WaveQueries {
     Q("wave_spectra",
       (s, dir) => {
         val b = bursts(s, dir, 64).withColumn("pres",
-          lit(10.0) + lit(0.5) * sin(lit(2.0 * math.Pi * 0.125) * col("sample")) +
+          lit(10.0) + lit(0.5) * sin8Lut +
             col("value") / 1000.0)
         Spectra.pressureSpectra(b.toDF(), "burst", "sample", "pres",
           fs = 1.0, z = 0.5, nsegs = 4, fcut = Some(0.2)).toDF()

@@ -147,4 +147,48 @@ class DialectsSpec extends AnyFunSuite {
     val r = df.orderBy("Stage").collect()(1)
     assert(r.getDouble(1) == 25.5)
   }
+
+  test("Argonaut profile set: .vel/.snr/.std long-format, .ctl geometry," +
+       " .dat level join") {
+    def table(fields: Seq[String], mk: (Int, Int, String) => Double): String = {
+      // two header rows: group row (Cell01 Cell01 ...), field row
+      val g = (Seq("Sample", "Year", "Month", "Day", "Hour", "Minute",
+        "Second") ++ (1 to 2).flatMap(c => fields.map(_ => f"Cell$c%02d")))
+        .mkString(" ")
+      val f2 = (Seq("#", "Y", "M", "D", "H", "M", "S") ++
+        (1 to 2).flatMap(_ => fields)).mkString(" ")
+      val rows = (0 until 3).map { t =>
+        (Seq(t + 1, 2024, 2, 1, 0, t * 10, 0) ++
+          (1 to 2).flatMap(c => fields.map(fl => mk(t, c, fl)))).mkString(" ")
+      }
+      (Seq(g, f2) ++ rows).mkString("\n")
+    }
+    val vel = table(Seq("Vx", "Vy", "Spd", "Dir"),
+      (t, c, fl) => 100.0 * c + 10 * t +
+        Seq("Vx", "Vy", "Spd", "Dir").indexOf(fl))
+    val snr = table(Seq("SNR1", "SNR2"),
+      (t, c, fl) => 30.0 + c + t + (if (fl == "SNR2") 0.5 else 0.0))
+    val std = table(Seq("Errx", "Erry"),
+      (t, c, fl) => 1.0 * c + (if (fl == "Erry") 0.25 else 0.0))
+    val ctl = Seq("Some preamble", "  BlankDistance ........... 0.5",
+      "  CellSize ................ 1.0").mkString("\n")
+    val dat = Seq("Year Month Day Hour Minute Second Level Flow",
+      "2024 2 1 0 0 0 3.25 12.0", "2024 2 1 0 10 0 3.35 12.5",
+      "2024 2 1 0 20 0 3.45 13.0").mkString("\n")
+    val df = Dialects.readArgonautProfile(spark, vel, snr, std, ctl, Some(dat))
+    assert(df.count() == 6) // 3 times x 2 bins
+    val cols = df.columns
+    val r = df.filter("bin = 1").orderBy("time").collect()(0)
+    // bindist = 0.5 + 1*1.0 + 0.5 (per-manual center of second cell)
+    assert(r.getDouble(cols.indexOf("bindist")) == 2.0)
+    // Cell02 at t=0: vx = 200, dir = 203
+    assert(r.getDouble(cols.indexOf("vx")) == 200.0)
+    assert(r.getDouble(cols.indexOf("dir")) == 203.0)
+    assert(r.getDouble(cols.indexOf("snr2")) == 32.5)
+    assert(r.getDouble(cols.indexOf("erry")) == 2.25)
+    assert(r.getDouble(cols.indexOf("level")) == 3.25)
+    val t0 = df.orderBy("time").collect()(0)
+      .getTimestamp(cols.indexOf("time"))
+    assert(t0.toInstant.toString == "2024-02-01T00:00:00Z")
+  }
 }
