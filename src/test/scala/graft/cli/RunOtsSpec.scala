@@ -1416,4 +1416,45 @@ class RunOtsSpec extends AnyFunSuite {
     assert(!pc.exists(_.startsWith("__f_")))
   }
 
+  test("dedicated clean chains tolerate minimal inputs (absent optional" +
+       " columns and attrs)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("chains_min").toFile
+    def p(n: String) = new java.io.File(dir, n).getAbsolutePath
+    val t0 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+
+    // IQ: flow with only time+a velocity-free scalar, profiles with the
+    // ingest spine — no SNR, no Vel_Mean, no Pressure, no thresholds
+    Seq((t0, 1.5), (t0, 1.6)).toDF("time", "Depth")
+      .write.parquet(p("iqraw"))
+    Seq((t0, 0, 0, 0.4, 5.0)).toDF("time", "beam", "bin", "bindist", "Vel")
+      .write.parquet(p("iqraw_profiles"))
+    RunOts.iqClean(spark, graft.core.Meta(Map.empty[String, Any]),
+      p("iqraw"), p("iqclean"))
+    assert(spark.read.parquet(p("iqclean")).count() == 2)
+    assert(spark.read.parquet(p("iqclean_profiles")).count() == 1)
+
+    // ABSS: abs spine without amp/mean_abs, aux with only time+sample —
+    // no Pressure channel, no scale attrs, no brange
+    Seq((t0, 1L, 1.0, 0, 0.3, 0, 0.5))
+      .toDF("time", "burst_number", "xdcr_freq", "bin", "bindist",
+        "sample", "abs").write.parquet(p("abraw"))
+    Seq((t0, 0), (t0, 1)).toDF("time", "aux_sample")
+      .write.parquet(p("abraw_aux"))
+    RunOts.abssClean(spark, graft.core.Meta(Map.empty[String, Any]),
+      p("abraw"), p("abclean"))
+    assert(spark.read.parquet(p("abclean")).count() == 1)
+    assert(spark.read.parquet(p("abclean-a")).count() == 1)
+
+    // EofE: point frame without altitude/temperature, no header attrs,
+    // no profile sibling
+    Seq((t0, 0L, 0L, 0.2)).toDF("time", "burst", "sample", "pitchDeg")
+      .write.parquet(p("earaw"))
+    RunOts.eofeClean(spark, graft.core.Meta(Map.empty[String, Any]),
+      p("earaw"), p("eaclean"))
+    assert(spark.read.parquet(p("eaclean")).columns.contains("Ptch_1216"))
+    assert(spark.read.parquet(p("eaclean-a")).count() == 1)
+    assert(!new java.io.File(p("eaclean_profiles")).exists)
+  }
+
 }
