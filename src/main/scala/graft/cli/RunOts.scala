@@ -1099,6 +1099,101 @@ object RunOts {
     sonTheta(out)
   }
 
+  /** WXT / ClimaVue EPIC renames (stglib/met.py:207-273), keyed on the
+    * config instrument_type exactly like the reference. */
+  private val metWxtRenames = Seq(
+    "WXTDn" -> "WD_min", "WXTDm" -> "WD_410", "WXTDx" -> "WD_gust",
+    "WXTSn" -> "WS_min", "WXTSm" -> "WS_401", "WXTSx" -> "WG_402",
+    "WXTTa" -> "T_21", "WXTUa" -> "RH_910", "WXTPa" -> "BPR_915",
+    "WXTRc" -> "Rn_963",
+    "WindDir_lull" -> "WD_min", "WindDir_avg" -> "WD_410",
+    "WindDir_gust" -> "WD_gust", "WindSpeed_lull" -> "WS_min",
+    "WindSpeed_avg" -> "WS_401", "WindSpeed_gust" -> "WG_402",
+    "Temp" -> "T_21", "RH" -> "RH_910", "Baro" -> "BPR_915",
+    "R_amt" -> "Rn_963", "R_dur" -> "rain_duration",
+    "R_int" -> "rain_rate", "H_amt" -> "hail_amount",
+    "H_dur" -> "hail_duration", "H_int" -> "hail_rate")
+  private val metClimavueRenames = Seq(
+    "PTemp_C_Avg" -> "internal_temp", "SlrFD_W" -> "solar_flux_density",
+    "Rain_mm_Tot" -> "rain_amount", "Strikes_Tot" -> "light_strikes",
+    "Dist_km" -> "strike_distance", "WS_ms" -> "wind_speed",
+    "WindDir" -> "wind_dir", "MaxWS_ms" -> "wind_gust",
+    "AirT_C" -> "air_temp", "VP_mbar" -> "vapor_pressure",
+    "BP_mbar" -> "baro_pressure", "RH" -> "relative_humidity",
+    "RHT_C" -> "humidity_sensor_temp", "TiltNS_deg" -> "tilt_NS",
+    "TiltWE_deg" -> "tilt_WE", "SlrTF_MJ_Tot" -> "solar_total_flux",
+    "Invalid_Wind" -> "wind_error")
+
+  /** Met-station pre-qaqc chain (stglib/met.py:73-101): drop list, the
+    * instrument-keyed EPIC renames, then fill_time_gaps — the sample
+    * interval is the MODE of the time diffs (met.py:93-96) and the series
+    * reindexes EXACTLY onto the regular grid (xarray reindex default:
+    * gap timestamps become all-null rows; no nearest matching). The mode
+    * and span are 1-row aggregates; the grid join is an equi-join on the
+    * time key. */
+  private[cli] def metChain(spark: SparkSession, df0: DataFrame,
+                            meta: Meta): DataFrame = {
+    var df = df0
+    df = Clip.dropVars(df, Seq("SampNum", "Battery", "BoardTemp",
+      "signalPercent", "RECORD", "panel_temp", "power_in",
+      "lithium_battery", "memory_free", "BattV_Max", "CVMeta"))
+    val renames = meta.str("instrument_type").map(_.toLowerCase) match {
+      case Some("wxt") => metWxtRenames
+      case Some("climavue") => metClimavueRenames
+      case _ => Nil
+    }
+    for ((from, to) <- renames if df.columns.contains(from))
+      df = df.withColumnRenamed(from, to)
+    if (!df.columns.contains("time") || df.head(1).isEmpty) return df
+    import org.apache.spark.sql.expressions.Window
+    val diffs = df.select(unix_micros(col("time")).as("__us"))
+      .withColumn("__d", col("__us") - lag("__us", 1).over(Window.orderBy("__us")))
+      .filter(col("__d").isNotNull && col("__d") > 0)
+    val modeRow = diffs.groupBy("__d").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__d")).head(1)
+    if (modeRow.isEmpty) return df
+    val stepUs = modeRow(0).getLong(0)
+    val b = df.agg(min(unix_micros(col("time"))).as("t0"),
+      max(unix_micros(col("time"))).as("t1")).head()
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    // pds = floor((t_last − t0)/interval) + 1 points (met.py:189-197) —
+    // an off-grid last sample must NOT add a grid point past it
+    val gridEnd = t0 + ((t1 - t0) / stepUs + 1) * stepUs
+    val grid = graft.ops.Align.calendarGrid(spark, t0, gridEnd, stepUs, "__gus")
+    val dd = df.dropDuplicates("time")
+      .withColumn("__tus", unix_micros(col("time")))
+    grid.join(dd, col("__tus") === col("__gus"), "left")
+      .withColumn("time", timestamp_micros(col("__gus")))
+      .drop("__gus", "__tus")
+  }
+
+  /** Met wind-direction corrections (stglib/met.py:110-161), which the
+    * reference runs AFTER call_qaqc ("remove bad rows ... before
+    * direction corrections"): optional dir_offset (gated on
+    * dir_offset_time when present), magnetic declination, then the
+    * reference's numpy `.round(0)` — banker's rounding, Spark `bround` —
+    * and the mod-360 wrap. */
+  private[cli] def metDirCorrections(df0: DataFrame, meta: Meta): DataFrame = {
+    var df = df0
+    val windVars = Seq("WD_min", "WD_410", "WD_gust", "wind_dir")
+      .filter(df.columns.contains)
+    if (windVars.isEmpty) return df
+    for (v <- windVars) {
+      (meta.dbl("dir_offset"), meta.str("dir_offset_time")) match {
+        case (Some(off), Some(start)) =>
+          df = df.withColumn(v,
+            when(col("time") < to_timestamp(lit(start)), col(v))
+              .otherwise(col(v) + off))
+        case (Some(off), None) => df = df.withColumn(v, col(v) + off)
+        case _ =>
+      }
+      meta.dbl("magnetic_variation").foreach { mv =>
+        df = df.withColumn(v, pmod(bround(col(v) + mv, 0), lit(360.0)))
+      }
+    }
+    df
+  }
+
   /** RDI ADCP clean chain (stglib/rdi/cdf2nc.py:9-107): per-beam EPIC
     * renames for correlation (cor1_1285…) and echo intensity (AGC1_1221…),
     * earth-coordinate velocity renames (the reference's
@@ -2025,6 +2120,7 @@ object RunOts {
       case "vec" => df = vecChain(df, meta)
       case "son" => df = sonChain(spark, df, meta)
       case "rdi" => df = rdiChain(df, meta)
+      case "met" => df = metChain(spark, df, meta)
       case _ => if (meta.has("AQDTransMatrix")) df = aqdVelocityChain(df, meta)
     }
     df = waterLevelVars(df, meta, instrument)
@@ -2036,6 +2132,9 @@ object RunOts {
     // EXO turbidity->SSC runs after call_qaqc in the reference
     // (exo.py:219-221), i.e. after the common qaqc tail here
     if (instrument == "exo") df = exoChain(df, meta)
+    // met wind-direction corrections also run after call_qaqc
+    // (met.py:102-161: "remove bad rows ... before direction corrections")
+    if (instrument == "met") df = metDirCorrections(df, meta)
     // glx filtered water level runs AFTER the water_level trims
     // (glx.py:114-128 ordering)
     if (instrument == "glx") df = glxFilteredWaterLevel(df, meta)

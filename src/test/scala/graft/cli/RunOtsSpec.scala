@@ -1416,6 +1416,52 @@ class RunOtsSpec extends AnyFunSuite {
     assert(!pc.exists(_.startsWith("__f_")))
   }
 
+  test("met lifecycle: TOA5 ingest -> met chain (renames, mode-interval" +
+       " gap fill, qaqc-then-direction corrections)") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_met").toFile
+    val csv = new java.io.File(dir, "met.dat")
+    val w = new java.io.PrintWriter(csv)
+    w.println("\"TOA5\",\"stn\",\"CR1000\",\"1\",\"x\",\"y\",\"z\",\"Tbl\"")
+    w.println("\"TIMESTAMP\",\"RECORD\",\"WindDir_avg\",\"WindSpeed_avg\",\"Temp\"")
+    w.println("\"TS\",\"RN\",\"deg\",\"m/s\",\"C\"")
+    w.println("\"\",\"\",\"Avg\",\"Avg\",\"Avg\"")
+    // 10-min cadence with ONE missing row (00:20) -> gap fill re-creates
+    // it as an all-null row; WD 350 + magvar 15 wraps past 360
+    val rows = Seq(
+      ("2024-02-01 00:00:00", 1, 350.2, 5.0, 12.0),
+      ("2024-02-01 00:10:00", 2, 10.6, 5.5, 12.1),
+      ("2024-02-01 00:30:00", 4, 20.0, 6.0, 12.3),
+      ("2024-02-01 00:40:00", 5, 30.0, 99999.0, 12.4)) // speed spike
+    rows.foreach { case (ts, rn, wd, ws, t) =>
+      w.println(s""""$ts",$rn,$wd,$ws,$t""") }
+    w.close()
+    val meta = graft.core.Meta(Map(
+      "instrument_type" -> "wxt", "magnetic_variation" -> 15.0,
+      "WS_401_max" -> 100.0))
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "met", "ingest", meta, csv.getAbsolutePath, raw)
+    RunOts.runStep(spark, "met", "clean", meta, raw, clean)
+    val df = spark.read.parquet(clean)
+    val cols = df.columns
+    // WXT renames applied; RECORD dropped (met_drop_vars)
+    assert(cols.contains("WD_410") && cols.contains("WS_401") &&
+      cols.contains("T_21") && !cols.contains("RECORD"))
+    // gap fill: 5 grid rows at 10-min mode interval, 00:20 all-null
+    val r = df.orderBy("time").collect()
+    assert(r.length == 5, s"rows ${r.length}")
+    assert(r(2).getTimestamp(cols.indexOf("time")).toInstant.toString ==
+      "2024-02-01T00:20:00Z")
+    assert(r(2).isNullAt(cols.indexOf("WD_410")))
+    // declination + banker's round + wrap: 350.2 + 15 = 365.2 -> 5.0
+    assert(r(0).getAs[Double](cols.indexOf("WD_410")) == 5.0)
+    // 10.6 + 15 = 25.6 -> 26
+    assert(r(1).getAs[Double](cols.indexOf("WD_410")) == 26.0)
+    // qaqc max trim removed the speed spike BEFORE direction math
+    assert(r(4).isNullAt(cols.indexOf("WS_401")))
+    assert(r(4).getAs[Double](cols.indexOf("WD_410")) == 45.0)
+  }
+
   test("dedicated clean chains tolerate minimal inputs (absent optional" +
        " columns and attrs)") {
     import spark.implicits._
