@@ -2085,6 +2085,80 @@ object RunOts {
       float32 = false)
   }
 
+  /** check_and_reshape_burst's INFERENCE (stglib/lisst.py:427-444): from
+    * the distinct timestamps, dt0 = the first diff; samples-per-burst =
+    * the first index whose diff departs from dt0; rows past the last full
+    * burst drop. Returns the (orig time µs → burst-start time, sample)
+    * map — one row per deployment timestamp, broadcastable onto both the
+    * scalar and the (time, ring) frames. None when the cadence never
+    * breaks (continuous deployment) or the series is shorter than two
+    * samples. The unpartitioned window runs over DISTINCT deployment
+    * timestamps — bounded by sampling cadence, not data width. */
+  private def lisstBurstMap(df: DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    val times = df.select(unix_micros(col("time")).as("__us")).distinct()
+    val head = times.orderBy("__us").limit(2).collect()
+    if (head.length < 2) return None
+    val dt0 = head(1).getLong(0) - head(0).getLong(0)
+    val w = Window.orderBy("__us")
+    val indexed = times
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__d", col("__us") - lag("__us", 1).over(w))
+    val firstBreak = indexed.filter(col("__d") =!= dt0)
+      .agg(min("__rn")).head()
+    if (firstBreak.isNullAt(0)) return None
+    val spb = firstBreak.getInt(0) - 1
+    val n = indexed.count()
+    val keep = n - n % spb
+    Some(indexed.filter(col("__rn") <= keep)
+      .withColumn("__burst", expr(s"(__rn - 1) div $spb"))
+      .withColumn("sample", ((col("__rn") - 1) % spb).cast("int"))
+      .withColumn("__bstart",
+        min("__us").over(Window.partitionBy("__burst")))
+      .select(col("__us"), timestamp_micros(col("__bstart")).as("__newtime"),
+        col("sample")))
+  }
+
+  /** LISST clean (stglib/lisst.py:37-76 cdf_to_nc): burst inference +
+    * reshape BEFORE clip (the reference's order), then clip + call_qaqc
+    * over BOTH products — the scalar engineering frame and the
+    * (time, ring) volume-concentration frame share the burst map. */
+  def lisstClean(spark: SparkSession, meta0: Meta, input: String,
+                 output: String): Unit = {
+    val meta = stepMeta(meta0, input)
+    var df = readStepInput(spark, input)
+    val bmap =
+      if (meta.str("operating_mode").exists(_.equalsIgnoreCase("burst")))
+        lisstBurstMap(df)
+      else None
+    def reshape(d: DataFrame): DataFrame = bmap match {
+      case Some(m) =>
+        d.withColumn("__us", unix_micros(col("time")))
+          .join(broadcast(m), "__us") // inner join drops the partial tail
+          .withColumn("time", col("__newtime"))
+          .drop("__us", "__newtime")
+      case None => d
+    }
+    def qaqcOut(d0: DataFrame, keyCols: Seq[String], part: Seq[String],
+                out: String, what: String): Unit = {
+      var d = Clip.clipDs(reshape(d0), meta)
+      val vars = d.columns.filterNot(keyCols.contains).toSeq
+      d = Trims.nanToNull(d, vars.filter(c =>
+        d.schema(c).dataType.typeName == "double"))
+      d = Qaqc.applyAll(d, meta, vars,
+        order = Seq("time") ++ (if (d.columns.contains("sample"))
+          Seq("sample") else Nil), part = part)
+      Sink.writeParquet(d, out, Sink.insertHistory(meta,
+        s"Clipped, QA/QC applied ($what).", "1970-01-01T00:00:00Z"),
+        float32 = false)
+    }
+    qaqcOut(df, Seq("time", "sample"), Nil, output, "LISST scalars")
+    val vcPath = input + "_vc"
+    if (new java.io.File(vcPath).exists)
+      qaqcOut(readStepInput(spark, vcPath), Seq("time", "sample", "ring"),
+        Seq("ring"), output + "_vc", "LISST vc rings")
+  }
+
   def clean(spark: SparkSession, meta0: Meta, input: String, output: String,
             instrument: String = ""): Unit = {
     // families with their own cdf_to_nc shapes and multi-product outputs
@@ -2094,6 +2168,7 @@ object RunOts {
       eofeClean(spark, meta0, input, output); return
     }
     if (instrument == "abss") { abssClean(spark, meta0, input, output); return }
+    if (instrument == "lisst") { lisstClean(spark, meta0, input, output); return }
     cleanCommon(spark, meta0, input, output, instrument)
   }
 

@@ -1416,6 +1416,49 @@ class RunOtsSpec extends AnyFunSuite {
     assert(!pc.exists(_.startsWith("__f_")))
   }
 
+  test("lisst clean: burst inference reshapes both frames, truncates the" +
+       " partial tail") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lisst_b").toFile
+    val raw = new java.io.File(dir, "raw").getAbsolutePath
+    // 2 bursts of 4 samples at 1 s cadence, 10 min apart, plus a 2-sample
+    // partial tail; one depth spike for the qaqc trim
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z").getEpochSecond
+    val times = (0 until 4).map(t0 + _) ++ (0 until 4).map(t0 + 600 + _) ++
+      Seq(t0 + 1200, t0 + 1201)
+    val depth = times.zipWithIndex.map { case (_, i) =>
+      if (i == 5) 999.0 else 2.0 + 0.01 * i }
+    times.zip(depth).map { case (s, d) =>
+      (new java.sql.Timestamp(s * 1000), d) }.toSeq
+      .toDF("time", "depth").write.parquet(raw)
+    times.flatMap(s => Seq(1, 2).map(r =>
+      (new java.sql.Timestamp(s * 1000), r, 0.5 * r))).toSeq
+      .toDF("time", "ring", "vc").write.parquet(raw + "_vc")
+    val meta = graft.core.Meta(Map(
+      "operating_mode" -> "burst", "depth_max" -> 100.0))
+    val clean = new java.io.File(dir, "clean").getAbsolutePath
+    RunOts.runStep(spark, "lisst", "clean", meta, raw, clean)
+    val df = spark.read.parquet(clean)
+    // partial tail dropped; (time, sample) carry the burst shape
+    assert(df.count() == 8)
+    val cols = df.columns
+    assert(cols.contains("sample"))
+    val r = df.orderBy("time", "sample").collect()
+    assert(r.map(_.getInt(cols.indexOf("sample"))).toSeq ==
+      Seq(0, 1, 2, 3, 0, 1, 2, 3))
+    // burst-start time replaces per-sample time
+    assert(r(3).getTimestamp(cols.indexOf("time")).toInstant.toString ==
+      "2024-02-01T00:00:00Z")
+    assert(r(4).getTimestamp(cols.indexOf("time")).toInstant.toString ==
+      "2024-02-01T00:10:00Z")
+    // qaqc max trim hit the spike (burst 1, sample 1)
+    assert(r(5).isNullAt(cols.indexOf("depth")))
+    // vc frame shares the map: 8 kept times x 2 rings
+    val vc = spark.read.parquet(clean + "_vc")
+    assert(vc.count() == 16)
+    assert(vc.columns.contains("sample"))
+  }
+
   test("met lifecycle: TOA5 ingest -> met chain (renames, mode-interval" +
        " gap fill, qaqc-then-direction corrections)") {
     val dir = java.nio.file.Files.createTempDirectory("runots_met").toFile
