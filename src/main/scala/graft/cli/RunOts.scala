@@ -142,9 +142,13 @@ object RunOts {
     if (instrument == "son" && new java.io.File(input).isDirectory) {
       sonDirIngest(spark, meta, input, output); return
     }
-    if (lower.endsWith(".vel")) {
+    if (lower.endsWith(".vel") &&
+        (instrument.isEmpty || instrument == "argonaut")) {
       // SonTek Argonaut profile deployment: .vel/.snr/.std tables + .ctl
-      // geometry + optional .dat Level (stglib/argonaut.py:44-131)
+      // geometry + optional .dat Level (stglib/argonaut.py:44-131).
+      // Gated on the instrument key so a future family whose input ends
+      // in .vel is never silently routed here; bare-extension fallback
+      // only when no instrument is configured
       val base = input.stripSuffix(".vel")
       val datPath = java.nio.file.Paths.get(base + ".dat")
       val df = graft.io.Dialects.readArgonautProfile(spark,
@@ -158,7 +162,8 @@ object RunOts {
           "1970-01-01T00:00:00Z"), float32 = false)
       return
     }
-    if (lower.endsWith(".log")) {
+    if (lower.endsWith(".log") &&
+        (instrument.isEmpty || instrument == "eofe" || instrument == "ea")) {
       // EofE ECHOLOGGER: per-ping point annotations plus, when the log
       // carries ##DataStart echo counts, the (burst, sample, bin) profile
       // frame — the reference's `bins` branch (eofe.py:50-57,262-283).
@@ -1142,12 +1147,20 @@ object RunOts {
       case Some("climavue") => metClimavueRenames
       case _ => Nil
     }
-    for ((from, to) <- renames if df.columns.contains(from))
+    // both the WXT-native and generic families map onto the same EPIC
+    // names; skip a rename whose target already exists so a frame
+    // carrying both never produces duplicate (ambiguous) columns
+    for ((from, to) <- renames
+         if df.columns.contains(from) && !df.columns.contains(to))
       df = df.withColumnRenamed(from, to)
     if (!df.columns.contains("time") || df.head(1).isEmpty) return df
-    import org.apache.spark.sql.expressions.Window
-    val diffs = df.select(unix_micros(col("time")).as("__us"))
-      .withColumn("__d", col("__us") - lag("__us", 1).over(Window.orderBy("__us")))
+    // mode of the consecutive time diffs (met.py:93-96) — the ordered lag
+    // goes through Index.withOrderedLag (ranged two-pass), never an
+    // unpartitioned Window.orderBy over the series
+    val diffs = graft.ops.Index.withOrderedLag(
+        df.select(unix_micros(col("time")).as("__us")),
+        Seq("__us"), "__us", "__prev")
+      .withColumn("__d", col("__us") - col("__prev"))
       .filter(col("__d").isNotNull && col("__d") > 0)
     val modeRow = diffs.groupBy("__d").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__d")).head(1)
@@ -1665,7 +1678,10 @@ object RunOts {
         when(col("VelStd") < lit(0.0), lit(null)).otherwise(col("VelStd")))
 
     // per-time couplings from the flow frame: pressure (bindepth, trim)
-    // and the 4-wide SNR array (fill_snr) — one broadcastable equi-join
+    // and the 4-wide SNR array (fill_snr) — a plain equi-join on time.
+    // The flow side is one row per deployment timestamp (bounded per
+    // deployment, iq.py:510-538 operates file-at-a-time); no explicit
+    // broadcast hint — AQE broadcasts when the side actually fits
     val presCol =
       if (flow.columns.contains("Pressure_ac")) Some("Pressure_ac")
       else if (flow.columns.contains("Pressure")) Some("Pressure")
@@ -1675,7 +1691,7 @@ object RunOts {
     if (sideCols.nonEmpty) {
       val side = flow.select((col("time").as("__ftime") +:
         sideCols.map(c => col(c).as(s"__f_$c"))): _*)
-      prof = prof.join(broadcast(side), prof("time") === col("__ftime"), "left")
+      prof = prof.join(side, prof("time") === col("__ftime"), "left")
         .drop("__ftime")
     }
 
@@ -2089,30 +2105,35 @@ object RunOts {
     * the distinct timestamps, dt0 = the first diff; samples-per-burst =
     * the first index whose diff departs from dt0; rows past the last full
     * burst drop. Returns the (orig time µs → burst-start time, sample)
-    * map — one row per deployment timestamp, broadcastable onto both the
+    * map — one row per deployment timestamp, joinable onto both the
     * scalar and the (time, ring) frames. None when the cadence never
     * breaks (continuous deployment) or the series is shorter than two
-    * samples. The unpartitioned window runs over DISTINCT deployment
-    * timestamps — bounded by sampling cadence, not data width. */
+    * samples. Scale shape: positions come from Index.withGlobalPosition
+    * (ranged two-pass — no single-partition window); the first cadence
+    * break is a scan aggregate, exploiting that before the first break
+    * the series is an exact arithmetic progression us0 + pos·dt0, so no
+    * ordered lag is needed at all; burst start times come from a window
+    * PARTITIONED by burst id. */
   private def lisstBurstMap(df: DataFrame): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     val times = df.select(unix_micros(col("time")).as("__us")).distinct()
     val head = times.orderBy("__us").limit(2).collect()
     if (head.length < 2) return None
-    val dt0 = head(1).getLong(0) - head(0).getLong(0)
-    val w = Window.orderBy("__us")
-    val indexed = times
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__d", col("__us") - lag("__us", 1).over(w))
-    val firstBreak = indexed.filter(col("__d") =!= dt0)
-      .agg(min("__rn")).head()
+    val us0 = head(0).getLong(0)
+    val dt0 = head(1).getLong(0) - us0
+    val pos = graft.ops.Index.withGlobalPosition(times, Seq("__us"), "__pos")
+    // first position whose timestamp departs the dt0 progression == the
+    // first index whose diff-from-previous departs dt0 (lisst.py:427-444)
+    val firstBreak = pos.agg(min(when(
+      col("__us") =!= lit(us0) + col("__pos") * lit(dt0), col("__pos"))),
+      count(lit(1))).head()
     if (firstBreak.isNullAt(0)) return None
-    val spb = firstBreak.getInt(0) - 1
-    val n = indexed.count()
+    val spb = firstBreak.getLong(0)
+    val n = firstBreak.getLong(1)
     val keep = n - n % spb
-    Some(indexed.filter(col("__rn") <= keep)
-      .withColumn("__burst", expr(s"(__rn - 1) div $spb"))
-      .withColumn("sample", ((col("__rn") - 1) % spb).cast("int"))
+    Some(pos.filter(col("__pos") < keep)
+      .withColumn("__burst", expr(s"__pos div $spb"))
+      .withColumn("sample", (col("__pos") % spb).cast("int"))
       .withColumn("__bstart",
         min("__us").over(Window.partitionBy("__burst")))
       .select(col("__us"), timestamp_micros(col("__bstart")).as("__newtime"),
@@ -2125,6 +2146,14 @@ object RunOts {
     * (time, ring) volume-concentration frame share the burst map. */
   def lisstClean(spark: SparkSession, meta0: Meta, input: String,
                  output: String): Unit = {
+    // the _vc sibling probe below is a LOCAL filesystem check; on a
+    // URI-schemed path (s3://, hdfs://…) java.io.File always reports
+    // absent, which would silently drop the volume-concentration product
+    // — fail loudly up front instead (same policy as sonDirIngest)
+    require(!input.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*") ||
+        input.startsWith("file:"),
+      s"$input: the LISST _vc sibling probe reads via java.io.File and " +
+        "cannot check remote storage; stage the deployment locally")
     val meta = stepMeta(meta0, input)
     var df = readStepInput(spark, input)
     val bmap =
@@ -2133,8 +2162,11 @@ object RunOts {
       else None
     def reshape(d: DataFrame): DataFrame = bmap match {
       case Some(m) =>
+        // plain equi-join (inner drops the partial tail): the map is one
+        // row per deployment timestamp — AQE broadcasts it when it fits,
+        // shuffles when a 100×-duration series wouldn't
         d.withColumn("__us", unix_micros(col("time")))
-          .join(broadcast(m), "__us") // inner join drops the partial tail
+          .join(m, "__us")
           .withColumn("time", col("__newtime"))
           .drop("__us", "__newtime")
       case None => d

@@ -225,22 +225,24 @@ object Dialects {
     * Errx Erry); combined names are group_field exactly like the
     * reference's `"_".join` over the pandas MultiIndex. Columns 1–6 are
     * Y/M/D/H/M/S (the reference's parse_dates=[[1,2,3,4,5,6]] is
-    * positional). Returns (timestamp string, combined name → value). */
-  private def argonautTable(text: String): Seq[(String, Map[String, Double])] = {
+    * positional). Returns the combined header names plus the rows as
+    * (timestamp string, combined name → value). */
+  private def argonautTable(
+      text: String): (Seq[String], Seq[(String, Map[String, Double])]) = {
     val lines = text.linesIterator.filter(_.trim.nonEmpty).toSeq
     require(lines.length >= 3, "argonaut profile table too short")
     val g = lines(0).trim.split("\\s+")
     val f = lines(1).trim.split("\\s+")
     require(g.length == f.length,
       s"argonaut header rows disagree: ${g.length} vs ${f.length} columns")
-    val names = g.zip(f).map { case (a, b) => s"${a}_$b" }
-    lines.drop(2).map { l =>
+    val names = g.zip(f).map { case (a, b) => s"${a}_$b" }.toSeq
+    (names, lines.drop(2).map { l =>
       val c = l.trim.split("\\s+")
       val ts = f"${c(1).toInt}%04d-${c(2).toInt}%02d-${c(3).toInt}%02d " +
         f"${c(4).toInt}%02d:${c(5).toInt}%02d:${c(6).toInt}%02d"
       ts -> (7 until math.min(c.length, names.length))
         .map(i => names(i) -> c(i).toDouble).toMap
-    }
+    })
   }
 
   /** SonTek Argonaut profile deployment (stglib/argonaut.py:44-131
@@ -263,11 +265,14 @@ object Dialects {
     }
     require(!blank.isNaN && !cs.isNaN,
       "argonaut .ctl missing BlankDistance/CellSize")
-    val vel = argonautTable(velText)
-    val snr = argonautTable(snrText).toMap
-    val std = argonautTable(stdText).toMap
-    val numbins = vel.headOption.map(_._2.keys.count(_.endsWith("_Vy")))
-      .getOrElse(0)
+    val (velNames, vel) = argonautTable(velText)
+    val snr = argonautTable(snrText)._2.toMap
+    val std = argonautTable(stdText)._2.toMap
+    // numbins from the HEADER names (the reference derives it from the
+    // variable names, argonaut.py:63-66) — never from the first data
+    // row, whose ragged trailing cells would undercount bins for the
+    // whole deployment
+    val numbins = velNames.count(_.endsWith("_Vy"))
     require(numbins > 0, "argonaut .vel has no Cell*_Vy columns")
     val rows = for ((ts, m) <- vel; k <- 0 until numbins) yield {
       val cell = f"Cell${k + 1}%02d"

@@ -297,6 +297,16 @@ object Hdf5 {
     val snodSize = 8 + 2 * LeafK * 40
     val heapHdrSize = 32
 
+    // a SNOD leaf holds at most 2·LeafK links and the single leaf-level
+    // B-tree node at most 2·LeafK children, so chunking the sorted links
+    // across several SNODs lifts the link cap from 8 to 64; past that,
+    // fail LOUDLY instead of overrunning the fixed layout
+    val snodChunks: Seq[Seq[String]] =
+      types.map(_._1).sorted.grouped(2 * LeafK).toSeq
+    require(snodChunks.length <= 2 * LeafK,
+      s"${types.length} variables exceed the ${2 * LeafK * 2 * LeafK}-link " +
+        "single-node group B-tree this writer emits")
+
     private val rootHeader0 = objectHeader(Seq(
       Msg(0x0011, { val b = new Buf; b.u64(0).u64(0); b.result() })) ++
       attrs.map { case (k, v) => Msg(0x000c, attrBody(k, v)) })
@@ -305,7 +315,7 @@ object Hdf5 {
     var at: Long = 96L // superblock + root symbol-table entry
     val rootAddr = at; at += rootHeader0.length
     val btreeAddr = at; at += btreeSize
-    val snodAddr = at; at += snodSize
+    val snodAddr = at; at += snodChunks.length.toLong * snodSize
     val heapHdrAddr = at; at += heapHdrSize
     val heapSegAddr = at; at += heapSegSize
     val gcolAddr = at
@@ -363,25 +373,29 @@ object Hdf5 {
       val bt = new Buf
       bt.bytes("TREE".getBytes("US-ASCII"))
       bt.u8(0).u8(0) // node type 0 (group), level 0
-      bt.u16(1) // entries used
+      bt.u16(snodChunks.length) // entries used = SNOD children
       bt.u64(Undef).u64(Undef) // siblings
       bt.u64(0) // key 0: heap offset of the null name
-      bt.u64(snodAddr) // child 0
-      bt.u64(nameOff(types.map(_._1).max)) // key 1: greatest link name
+      for ((ch, i) <- snodChunks.zipWithIndex) {
+        bt.u64(snodAddr + i.toLong * snodSize) // child i
+        bt.u64(nameOff(ch.max)) // key i+1: child's greatest link name
+      }
       while (bt.pos < btreeSize) bt.u8(0)
       raf.seek(btreeAddr); raf.write(bt.result())
 
-      val sn = new Buf
-      sn.bytes("SNOD".getBytes("US-ASCII"))
-      sn.u8(1).u8(0) // version, reserved
-      sn.u16(types.length)
-      for (nm <- types.map(_._1).sorted) {
-        sn.u64(nameOff(nm)).u64(dsHdrAddr(nm))
-        sn.u32(0).u32(0) // no cache
-        sn.u64(0).u64(0) // scratch
+      for ((ch, i) <- snodChunks.zipWithIndex) {
+        val sn = new Buf
+        sn.bytes("SNOD".getBytes("US-ASCII"))
+        sn.u8(1).u8(0) // version, reserved
+        sn.u16(ch.length)
+        for (nm <- ch) {
+          sn.u64(nameOff(nm)).u64(dsHdrAddr(nm))
+          sn.u32(0).u32(0) // no cache
+          sn.u64(0).u64(0) // scratch
+        }
+        while (sn.pos < snodSize) sn.u8(0)
+        raf.seek(snodAddr + i.toLong * snodSize); raf.write(sn.result())
       }
-      while (sn.pos < snodSize) sn.u8(0)
-      raf.seek(snodAddr); raf.write(sn.result())
 
       val hp = new Buf
       hp.bytes("HEAP".getBytes("US-ASCII"))
@@ -512,17 +526,27 @@ object Hdf5 {
         varAttrs.getOrElse(s"$g/$nm", Nil)
           .map { case (k, v) => Msg(0x000c, attrBody(k, v)) })
 
+    // a SNOD leaf holds ≤ 2·LeafK links, the leaf-level B-tree node
+    // ≤ 2·LeafK SNOD children → 64-link cap per symbol table; past it,
+    // fail loudly instead of overrunning the fixed layout
+    def snodCount(nLinks: Int): Int = {
+      val c = math.max(1, (nLinks + 2 * LeafK - 1) / (2 * LeafK))
+      require(c <= 2 * LeafK,
+        s"$nLinks links exceed the ${2 * LeafK * 2 * LeafK}-link " +
+          "single-node group B-tree this writer emits")
+      c
+    }
     // fixed-width messages: placeholder builds measure exact final sizes
     var at = 96L
     val rootHdrAddr = at; at += rootHdr(0, 0).length
     val rootBtreeAddr = at; at += btreeSize
-    val rootSnodAddr = at; at += snodSize
+    val rootSnodAddr = at; at += snodCount(plans.length).toLong * snodSize
     val rootHeapHdrAddr = at; at += heapHdrSize
     val rootHeapSegAddr = at; at += rootHeap.pos
     val gAddrs = plans.map { p =>
       val hdrA = at; at += grpHdr(0, 0).length
       val btA = at; at += btreeSize
-      val snA = at; at += snodSize
+      val snA = at; at += snodCount(p.fields.length).toLong * snodSize
       val hhA = at; at += heapHdrSize
       val hsA = at; at += p.heap.pos
       p.name -> ((hdrA, btA, snA, hhA, hsA))
@@ -561,27 +585,32 @@ object Hdf5 {
       def writeSymTable(btA: Long, snA: Long, hhA: Long, hsA: Long,
                         heap: Buf, nameOff: Map[String, Long],
                         entries: Seq[(String, Long)]): Unit = {
+        val chunks = entries.sortBy(_._1).grouped(2 * LeafK).toSeq
         val bt = new Buf
         bt.bytes("TREE".getBytes("US-ASCII"))
         bt.u8(0).u8(0)
-        bt.u16(1)
+        bt.u16(chunks.length) // entries used = SNOD children
         bt.u64(Undef).u64(Undef)
-        bt.u64(0)
-        bt.u64(snA)
-        bt.u64(nameOff(entries.map(_._1).max))
+        bt.u64(0) // key 0: heap offset of the null name
+        for ((ch, i) <- chunks.zipWithIndex) {
+          bt.u64(snA + i.toLong * snodSize) // child i
+          bt.u64(nameOff(ch.map(_._1).max)) // key i+1: greatest link name
+        }
         while (bt.pos < btreeSize) bt.u8(0)
         raf.seek(btA); raf.write(bt.result())
-        val sn = new Buf
-        sn.bytes("SNOD".getBytes("US-ASCII"))
-        sn.u8(1).u8(0)
-        sn.u16(entries.length)
-        for ((nm, hdrAddr) <- entries.sortBy(_._1)) {
-          sn.u64(nameOff(nm)).u64(hdrAddr)
-          sn.u32(0).u32(0) // no cache
-          sn.u64(0).u64(0)
+        for ((ch, i) <- chunks.zipWithIndex) {
+          val sn = new Buf
+          sn.bytes("SNOD".getBytes("US-ASCII"))
+          sn.u8(1).u8(0)
+          sn.u16(ch.length)
+          for ((nm, hdrAddr) <- ch) {
+            sn.u64(nameOff(nm)).u64(hdrAddr)
+            sn.u32(0).u32(0) // no cache
+            sn.u64(0).u64(0)
+          }
+          while (sn.pos < snodSize) sn.u8(0)
+          raf.seek(snA + i.toLong * snodSize); raf.write(sn.result())
         }
-        while (sn.pos < snodSize) sn.u8(0)
-        raf.seek(snA); raf.write(sn.result())
         val hp = new Buf
         hp.bytes("HEAP".getBytes("US-ASCII"))
         hp.u8(0).u8(0).u8(0).u8(0)

@@ -110,4 +110,40 @@ object Index {
         coalesce(max(col(valueCol).cast("long")).over(w), lit(Long.MinValue))))
       .drop("__p", "__carry", "__mid")
   }
+
+  /** Append the previous row's value of `valueCol` (BIGINT) in (orderCols)
+    * order — the scale-safe form of `lag(v, 1).over(Window.orderBy(...))`,
+    * whose empty partitioning serializes the series through one task.
+    * Partition-local lag from a window PARTITIONED by the ranged partition
+    * id (ordered by the mid tag, so ties in orderCols stay deterministic);
+    * each partition's first row takes the previous non-empty partition's
+    * last value from a tiny driver-side carry array (null for the global
+    * first row). `valueCol` must be non-null (nulls would fall back to
+    * the carry instead of propagating, unlike strict lag). */
+  def withOrderedLag(df: DataFrame, orderCols: Seq[String], valueCol: String,
+                     outCol: String, numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = rangedWithMid(df, orderCols, numPartitions)
+    // last in-partition value = value at the partition's max mid tag
+    val per = ranged
+      .groupBy(shiftright(col("__mid"), 33).as("__p"))
+      .agg(max_by(col(valueCol).cast("long"), col("__mid")).as("__l"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1)
+    var carry: Option[Long] = None
+    val offs = per.map { case (p, l) =>
+      val o = (p, carry); if (l.isDefined) carry = l; o
+    }
+    val offsDf = offs.toSeq.toDF("__p", "__carry")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__p").orderBy(col("__mid"))
+    ranged.withColumn("__p", shiftright(col("__mid"), 33))
+      .join(broadcast(offsDf), "__p")
+      .withColumn(outCol,
+        coalesce(lag(col(valueCol).cast("long"), 1).over(w), col("__carry")))
+      .drop("__p", "__carry", "__mid")
+  }
 }

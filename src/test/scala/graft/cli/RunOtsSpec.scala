@@ -1459,6 +1459,34 @@ class RunOtsSpec extends AnyFunSuite {
     assert(vc.columns.contains("sample"))
   }
 
+  test("lisst clean on a remote-scheme input fails loudly instead of" +
+       " silently dropping the _vc product") {
+    val meta = graft.core.Meta(Map("operating_mode" -> "continuous"))
+    val e = intercept[IllegalArgumentException] {
+      RunOts.runStep(spark, "lisst", "clean", meta,
+        "s3://bucket/deploy/raw", "/tmp/never-written")
+    }
+    assert(e.getMessage.contains("cannot check remote storage"))
+  }
+
+  test("met chain: a frame carrying both the WXT-native and generic " +
+       "wind families never produces duplicate EPIC columns") {
+    import spark.implicits._
+    val df = Seq(
+      ("2024-02-01 00:00:00", 120.0, 118.0, 4.0),
+      ("2024-02-01 00:10:00", 130.0, 131.0, 5.0))
+      .toDF("ts", "WXTDm", "WindDir_avg", "WindSpeed_avg")
+      .withColumn("time", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("ts"))).drop("ts")
+    val meta = graft.core.Meta(Map("instrument_type" -> "wxt"))
+    val out = RunOts.metChain(spark, df, meta)
+    assert(out.columns.count(_ == "WD_410") == 1)
+    // first match (WXT-native) wins; the generic column is left as-is
+    assert(out.columns.contains("WindDir_avg"))
+    assert(out.select("WD_410").orderBy("time").collect()
+      .map(_.getDouble(0)).toSeq == Seq(120.0, 130.0))
+  }
+
   test("met lifecycle: TOA5 ingest -> met chain (renames, mode-interval" +
        " gap fill, qaqc-then-direction corrections)") {
     val dir = java.nio.file.Files.createTempDirectory("runots_met").toFile

@@ -397,4 +397,65 @@ class Hdf5Spec extends AnyFunSuite {
     assert(Hdf5.column(bytes, byName("profiles/bin")).toSeq == Seq(1.0, 2.0, 1.0))
     assert(Hdf5.column(bytes, byName("profiles/vel")).toSeq == Seq(0.25, 0.35, 0.45))
   }
+
+  test("flat write with >8 variables chains SNOD leaves (no overrun)") {
+    // a 2·LeafK=8-entry SNOD can't hold a typical product frame; 20
+    // variables must split across 3 chained leaves under one B-tree node
+    val names = "time" +: (1 to 19).map(i => f"var$i%02d")
+    val row = org.apache.spark.sql.Row.fromSeq(
+      0.0 +: (1 to 19).map(_.toDouble))
+    val row2 = org.apache.spark.sql.Row.fromSeq(
+      1.0 +: (1 to 19).map(i => i + 100.0))
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(row, row2), schema)
+    val path = Files.createTempDirectory("h5w").resolve("wide.h5").toString
+    Hdf5.write(df, path)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val h5 = Hdf5.open(bytes)
+    assert(h5.datasets.map(_.name).sorted == names.sorted)
+    val byName = h5.datasets.map(d => d.name -> d).toMap
+    assert(Hdf5.column(bytes, byName("var07")).toSeq == Seq(7.0, 107.0))
+    assert(Hdf5.column(bytes, byName("var19")).toSeq == Seq(19.0, 119.0))
+    assert(Hdf5.column(bytes, byName("time")).toSeq == Seq(0.0, 1.0))
+  }
+
+  test("writeGroups with >8 columns and >8 groups chains SNODs") {
+    import spark.implicits._
+    // 12-column group exercises the per-group symbol table; 10 groups
+    // exercise the root one
+    val wideCols = "time" +: (1 to 11).map(i => f"c$i%02d")
+    var wide = Seq((0.0, 0), (1.0, 0)).toDF("time", "drop")
+      .drop("drop")
+    for ((c, i) <- wideCols.tail.zipWithIndex)
+      wide = wide.withColumn(c,
+        org.apache.spark.sql.functions.col("time") + (i + 1))
+    val small = Seq((0.0, 1.5)).toDF("time", "v")
+    val groups = ("wide" -> wide) +:
+      (1 to 9).map(i => f"g$i%02d" -> small)
+    val path = Files.createTempDirectory("h5g").resolve("many.nc").toString
+    Hdf5.writeGroups(path, groups)
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val h5 = Hdf5.open(bytes)
+    val names = h5.datasets.map(_.name).toSet
+    assert(wideCols.forall(c => names.contains(s"wide/$c")))
+    assert((1 to 9).forall(i => names.contains(f"g$i%02d/v")))
+    def byName(n: String) = h5.datasets.find(_.name == n).get
+    assert(Hdf5.column(bytes, byName("wide/c11")).toSeq == Seq(11.0, 12.0))
+    assert(Hdf5.column(bytes, byName("g05/v")).toSeq == Seq(1.5))
+  }
+
+  test("past the 64-link B-tree cap the writers fail loudly") {
+    val names = "time" +: (1 to 70).map(i => f"v$i%03d")
+    val schema = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DoubleType)))
+    val df = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val path = Files.createTempDirectory("h5x").resolve("cap.h5").toString
+    val e = intercept[IllegalArgumentException] { Hdf5.write(df, path) }
+    assert(e.getMessage.contains("64-link"))
+  }
 }

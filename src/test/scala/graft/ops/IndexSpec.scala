@@ -26,6 +26,23 @@ class IndexSpec extends AnyFunSuite {
     assert(diff == 0, s"$diff rows differ")
   }
 
+  test("withOrderedLag == lag(1) over global order (incl. duplicates)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    // duplicate order-key values on purpose: ties make lag's previous
+    // value the same key, which both formulations must agree on
+    val df = (1 to 4000).map(_ => rnd.nextInt(500).toLong).toDF("v")
+      .repartition(7)
+    val got = Index.withOrderedLag(df, Seq("v"), "v", "prev")
+      .select("v", "prev").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(x => (x._1, x._2))
+    val sorted = df.collect().map(_.getLong(0)).toSeq.sorted
+    val want = sorted.zip(None +: sorted.dropRight(1).map(Some(_)))
+      .sortBy(x => (x._1, x._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("withRunningMax == max over global order, nulls contribute nothing") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
