@@ -113,6 +113,23 @@ object RunOts {
   private def readBytes(path: String): Array[Byte] =
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
 
+  /** Sibling/directory probes read the LOCAL filesystem. Plain paths
+    * map directly; `file:` URIs resolve to their local path (java.io
+    * .File on the raw URI string would always report absent); any other
+    * scheme (s3://, hdfs://…) fails LOUDLY — a silently-absent probe
+    * would drop a product (_vc/_profiles) or mis-route a deployment
+    * directory to the single-file path. */
+  private[cli] def probeFile(path: String, what: String): java.io.File = {
+    val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://.*".r
+    path match {
+      case SchemeRe("file") => new java.io.File(java.net.URI.create(path))
+      case SchemeRe(s) => throw new IllegalArgumentException(
+        s"$path: the $what probe reads via java.io.File and cannot check " +
+          s"$s:// storage; stage the deployment locally")
+      case _ => new java.io.File(path)
+    }
+  }
+
   /** Config-driven EPIC renames (`rename_<col>: <EPIC name>`) — the
     * reference hardcodes the map per instrument family. */
   private def applyRenames(df: DataFrame, meta: Meta): DataFrame = {
@@ -139,7 +156,8 @@ object RunOts {
     if (lower.endsWith(".mat") && instrument == "iq") {
       iqIngest(spark, meta, input, output); return
     }
-    if (instrument == "son" && new java.io.File(input).isDirectory) {
+    if (instrument == "son" &&
+        probeFile(input, "son sweep-directory").isDirectory) {
       sonDirIngest(spark, meta, input, output); return
     }
     if (lower.endsWith(".vel") &&
@@ -191,10 +209,11 @@ object RunOts {
       return
     }
     if (instrument == "abss" &&
-        (lower.endsWith(".mat") || new java.io.File(input).isDirectory)) {
+        (lower.endsWith(".mat") ||
+          probeFile(input, "ABS deployment-directory").isDirectory)) {
       // AQUAscat: one .mat per burst in a deployment dir (stglib/abss.py)
-      val dir = if (new java.io.File(input).isDirectory) input
-                else new java.io.File(input).getParent
+      val inFile = probeFile(input, "ABS deployment-directory")
+      val dir = if (inFile.isDirectory) inFile.getPath else inFile.getParent
       val abss = graft.io.Abss.ingest(spark, dir)
       Sink.writeParquet(
         Readers.applyClockError(applyRenames(abss.abs, meta), "time", meta),
@@ -729,7 +748,7 @@ object RunOts {
     // the sweep-set grouping below needs a LOCAL directory listing;
     // java.io.File.listFiles is null for any non-local path (object
     // store / HDFS URI), which must fail loudly, not as an empty ingest
-    val listed = Option(new java.io.File(input).listFiles)
+    val listed = Option(probeFile(input, "sonar sweep-set listing").listFiles)
     require(listed.nonEmpty,
       s"$input: not a listable local directory — sonar sweep-set ingest " +
         "reads via java.io.File and cannot enumerate remote storage; " +
@@ -784,7 +803,9 @@ object RunOts {
     val setTime = t.groupBy(col("__set"))
       .agg(min(struct(col("__fname"), col("scan"), col("__t"))).as("__first"))
       .select(col("__set").as("__set2"), col("__first.__t").as("time"))
-    val out = withSweep.join(broadcast(setTime), col("__set") === col("__set2"))
+    // plain equi-join: setTime is one row per sweep set, which grows with
+    // directory size — let AQE broadcast only when it actually fits
+    val out = withSweep.join(setTime, col("__set") === col("__set2"))
       .drop("__set", "__set2", "__fname", "timeRaw", "__md", "__t")
     val cols = "time" +: out.columns.filter(_ != "time").toSeq
     Sink.writeParquet(
@@ -1823,6 +1844,10 @@ object RunOts {
     */
   def eofeClean(spark: SparkSession, meta0: Meta, input: String,
                 output: String): Unit = {
+    // probe the _profiles sibling UP FRONT: loud on remote schemes before
+    // any output is written, file:-URI-aware locally — a silent miss
+    // drops the profile product with no error
+    val profFile = probeFile(input + "_profiles", "EofE _profiles sibling")
     val meta = stepMeta(meta0, input)
     var df = readStepInput(spark, input)
     val orient = meta.str("orientation").map(_.toUpperCase).getOrElse("DOWN")
@@ -1893,7 +1918,7 @@ object RunOts {
     // All per-burst sides are tiny broadcasts against the (burst, sample,
     // bin) spine.
     val profPath = input + "_profiles"
-    if (new java.io.File(profPath).exists) {
+    if (profFile.exists) {
       var pf = readStepInput(spark, profPath)
       for (bs <- meta.dbl("EABin_size_m")) {
         // linspace(bs/2, (n-1)·bs + bs/2, n): center of 0-indexed bin
@@ -1908,7 +1933,9 @@ object RunOts {
       if (svNomP.isDefined && salP.isDefined && wdP.isDefined &&
           pf.columns.contains("bin_height") && df.columns.contains("temperatureC")) {
         val tmean = df.groupBy("burst").agg(avg("temperatureC").as("__tm"))
-        pf = pf.join(broadcast(tmean), Seq("burst"), "left")
+        // tmean is one row per burst (data-sized) — no forced broadcast;
+        // AQE picks the build side when it fits
+        pf = pf.join(tmean, Seq("burst"), "left")
         val spd = graft.functions.Physics.soundSpeedMackenzie(
           lit(salP.get), col("__tm"), lit(wdP.get) - col("bin_height"))
         pf = pf.withColumn("cor_bin_height",
@@ -1917,7 +1944,10 @@ object RunOts {
       // trim_alt on Counts against the PRE-trim altitude of the same ping
       if (trimMethods.contains("altitude") && pf.columns.contains("counts"))
         altRaw.foreach { alt =>
-          pf = pf.join(broadcast(alt), Seq("burst", "sample"), "left")
+          // alt is one row per (burst, sample) — the same cardinality as
+          // the profile frame; forcing a broadcast would ship a full-table
+          // copy to every executor on a long deployment
+          pf = pf.join(alt, Seq("burst", "sample"), "left")
             .withColumn("counts",
               when(col("__alt") >= dead && col("__alt") <= rng, col("counts")))
             .drop("__alt")
@@ -2025,12 +2055,13 @@ object RunOts {
       aux = aux.filter(col("aux_sample") >= 1)
         .withColumn("sample", col("aux_sample") - 1).drop("aux_sample")
     // make_bin_depth: per-(time, sample) pressure joined onto the profile
-    // spine — burst-count rows, broadcastable against bins × freqs
+    // spine — one row per burst×sample, i.e. linear in deployment length,
+    // so no forced broadcast: AQE builds the small side when it fits
     val presCol = Seq("Pressure_ac", "Pressure").find(aux.columns.contains)
     presCol.filter(_ => aux.columns.contains("sample")).foreach { p =>
       val side = aux.select(col("time").as("__atime"),
         col("sample").as("__asample"), col(p).as("__P"))
-      abs = abs.join(broadcast(side),
+      abs = abs.join(side,
         abs("time") === col("__atime") && abs("sample") === col("__asample"),
         "left").drop("__atime", "__asample")
       abs = abs.withColumn("bin_depth",
@@ -2077,7 +2108,8 @@ object RunOts {
           col("bindist") > 0.2)
       val br = cand.groupBy("time")
         .agg(max_by(col("bindist"), col("abs")).as("brange"))
-      avgDf = avgDf.join(broadcast(br), Seq("time"), "left")
+      // br is one row per burst time (data-sized) — plain join, AQE decides
+      avgDf = avgDf.join(br, Seq("time"), "left")
     }
     val avgAux = {
       val vars = aux.columns.filterNot(c => Seq("time", "sample", "Battery")
@@ -2146,14 +2178,12 @@ object RunOts {
     * (time, ring) volume-concentration frame share the burst map. */
   def lisstClean(spark: SparkSession, meta0: Meta, input: String,
                  output: String): Unit = {
-    // the _vc sibling probe below is a LOCAL filesystem check; on a
-    // URI-schemed path (s3://, hdfs://…) java.io.File always reports
-    // absent, which would silently drop the volume-concentration product
-    // — fail loudly up front instead (same policy as sonDirIngest)
-    require(!input.matches("^[A-Za-z][A-Za-z0-9+.-]*://.*") ||
-        input.startsWith("file:"),
-      s"$input: the LISST _vc sibling probe reads via java.io.File and " +
-        "cannot check remote storage; stage the deployment locally")
+    // probe the _vc sibling UP FRONT: loud on remote schemes before any
+    // output is written, and file:-URI-aware locally (the old raw
+    // java.io.File probe reported file:///… as absent, silently dropping
+    // the volume-concentration product)
+    val vcPath = input + "_vc"
+    val vcFile = probeFile(vcPath, "LISST _vc sibling")
     val meta = stepMeta(meta0, input)
     var df = readStepInput(spark, input)
     val bmap =
@@ -2185,8 +2215,7 @@ object RunOts {
         float32 = false)
     }
     qaqcOut(df, Seq("time", "sample"), Nil, output, "LISST scalars")
-    val vcPath = input + "_vc"
-    if (new java.io.File(vcPath).exists)
+    if (vcFile.exists)
       qaqcOut(readStepInput(spark, vcPath), Seq("time", "sample", "ring"),
         Seq("ring"), output + "_vc", "LISST vc rings")
   }

@@ -108,7 +108,10 @@ object Align {
                   leftTs: String, rightTs: String, tolerance: Long): DataFrame = {
     val (lb, cand) = subBucketCandidates(left, right, leftTs, rightTs,
       tolerance, withBefore = true, withAfter = true)
-    val joined = lb.as("l").join(broadcast(cand.as("r")),
+    // cand carries the sub-bucketed right SERIES (data-sized in
+    // deployment length) — no forced broadcast; the join is equi on
+    // __k, so AQE broadcasts a small aux series and shuffles a big one
+    val joined = lb.as("l").join(cand.as("r"),
         col("l.__k") === col("r.__k") &&
         col(rightTs) >= col(leftTs) - tolerance &&
         col(rightTs) <= col(leftTs) + tolerance, "left")
@@ -124,7 +127,10 @@ object Align {
                    leftTs: String, rightTs: String, tolerance: Long): DataFrame = {
     val (lb, cand) = subBucketCandidates(left, right, leftTs, rightTs,
       tolerance, withBefore = true, withAfter = false)
-    val joined = lb.as("l").join(broadcast(cand.as("r")),
+    // cand carries the sub-bucketed right SERIES (data-sized in
+    // deployment length) — no forced broadcast; the join is equi on
+    // __k, so AQE broadcasts a small aux series and shuffles a big one
+    val joined = lb.as("l").join(cand.as("r"),
         col("l.__k") === col("r.__k") &&
         col(rightTs) <= col(leftTs) &&
         col(rightTs) >= col(leftTs) - tolerance, "left")
@@ -153,7 +159,10 @@ object Align {
                   leftTs: String, rightTs: String, tolerance: Long): DataFrame = {
     val (lb, cand) = subBucketCandidates(left, right, leftTs, rightTs,
       tolerance, withBefore = false, withAfter = true)
-    val joined = lb.as("l").join(broadcast(cand.as("r")),
+    // cand carries the sub-bucketed right SERIES (data-sized in
+    // deployment length) — no forced broadcast; the join is equi on
+    // __k, so AQE broadcasts a small aux series and shuffles a big one
+    val joined = lb.as("l").join(cand.as("r"),
         col("l.__k") === col("r.__k") &&
         col(rightTs) >= col(leftTs) &&
         col(rightTs) <= col(leftTs) + tolerance, "left")

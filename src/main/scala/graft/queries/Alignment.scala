@@ -30,7 +30,9 @@ object Alignment {
           .agg(Exact.avg(col("value")).as("atm"))
         val main = ev.filter(col("event_type") === "click")
           .withColumn("hour", expr("ts div 3600000000000"))
-        main.join(broadcast(met), Seq("hour"), "left")
+        // the met series is one row per hour (data-sized in deployment
+        // length) — plain equi-join, AQE broadcasts it when it fits
+        main.join(met, Seq("hour"), "left")
           .select(col("event_id"),
             (col("value") - col("atm") - lit(0.2)).as("p_ac"))
       },

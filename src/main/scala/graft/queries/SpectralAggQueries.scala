@@ -29,8 +29,8 @@ object SpectralAggQueries {
              |FROM events GROUP BY event_type""".stripMargin)),
 
     // atmos_correct_profile (stglib/rsk/cdf2nc.py:181-209): met sampled at
-    // each profile's start time — per-order correction from a broadcast
-    // daily met series
+    // each profile's start time — per-order correction from a daily met
+    // series (one row per day, data-sized: plain equi-join, AQE decides)
     Q("atmos_profile",
       (s, dir) => {
         val met = orders(s, dir)
@@ -39,7 +39,7 @@ object SpectralAggQueries {
         val li = lineitem(s, dir).join(
           orders(s, dir).select(col("o_orderkey"), expr("cast(o_orderdate as date)").as("day")),
           col("l_orderkey") === col("o_orderkey"))
-        li.join(broadcast(met), Seq("day"), "left")
+        li.join(met, Seq("day"), "left")
           .select(col("l_orderkey"), col("l_linenumber"),
             (col("l_extendedprice") / 100.0 - col("atm")).as("p_ac"))
       },

@@ -31,9 +31,55 @@ object AuditAll {
     case _ => false
   }
 
+  // boundedness on the LOGICAL plan, for adjudicating forced-broadcast
+  // hints: groupless aggregates are 1-row; grouped aggregates over a
+  // bounded child stay bounded; a LocalRelation of ANY size is already
+  // driver-resident (broadcasting it cannot change its scale class —
+  // the driver-side reader that built it is the audited decision);
+  // literal limits are bounded; unary nodes preserve the bound.
+  private def boundedLogical(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    p match {
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty || boundedLogical(a.child)
+      case _: LocalRelation | _: OneRowRelation => true
+      case g: GlobalLimit =>
+        g.limitExpr.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Literal] ||
+          boundedLogical(g.child)
+      case j: Join => boundedLogical(j.left) && boundedLogical(j.right)
+      case u: Union => u.children.forall(boundedLogical)
+      case u if u.children.size == 1 => boundedLogical(u.children.head)
+      case _ => false
+    }
+  }
+
+  /** Forced `broadcast()` hints whose hinted side is not provably bounded
+    * — the driver-memory scale-killer class (a data-sized build ships a
+    * full-table copy to every executor on a 100× deployment). Detected on
+    * the optimized LOGICAL plan's JoinHints, not the physical plan: with
+    * small fixtures the planner broadcasts everything by size stats, so
+    * physical BroadcastExchange nodes carry no signal about FORCING. */
+  private def forcedBroadcasts(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, BROADCAST}
+    val bad = scala.collection.mutable.Buffer[String]()
+    df.queryExecution.optimizedPlan.foreach {
+      case j: Join =>
+        for ((h, side) <- Seq((j.hint.leftHint, j.left),
+                              (j.hint.rightHint, j.right)))
+          if (h.exists(_.strategy.contains(BROADCAST)) &&
+              !boundedLogical(side))
+            bad += "FORCED-BROADCAST"
+      case _ =>
+    }
+    bad.distinct.toSeq
+  }
+
   /** The distinct anti-pattern flags in a frame's executed plan. */
   def flagsOf(df: DataFrame): Seq[String] = {
     val bad = scala.collection.mutable.Buffer[String]()
+    bad ++= forcedBroadcasts(df)
     df.queryExecution.executedPlan.foreach {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => bad += "GLOBAL-WINDOW"
@@ -81,16 +127,40 @@ object AuditAll {
       "sketch_kmv_jaccard" -> "group-pair enumeration over the bounded group set",
       "nb_isotonic" -> "self-joins over the 17-bin calibration table",
       "chi2_independence" -> "langs x sources contingency grid cross")
+    // Justified FORCED-BROADCAST exemptions: each hinted side is bounded
+    // by MODEL/REGISTER cardinality (vocab, hash bins, sketch registers,
+    // embedding dims, source domain), not by data size — the prover can't
+    // see domain bounds through a grouped aggregate, so they're annotated
+    // here. Re-justify before adding entries.
+    val allowedBroadcast = Map(
+      "bpe_doc_tokens" -> "BPE segmentation table, bounded by the trained vocab",
+      "bpe_oov" -> "BPE segmentation table, bounded by the trained vocab",
+      "dsir_select" -> "feature-hash model, bounded by the bucket count",
+      "embed_standardize" -> "per-dimension stats, bounded by embedding dims",
+      "mixture_resample" -> "per-source counts over the bounded source domain",
+      "mixture_temperature" -> "per-source counts over the bounded source domain",
+      "nb_auc" -> "NB feature-hash model bins (model-sized)",
+      "nb_calibration" -> "NB feature-hash model bins (model-sized)",
+      "nb_crossval" -> "NB feature-hash model bins (model-sized)",
+      "nb_quality_eval" -> "NB feature-hash model bins (model-sized)",
+      "nb_quality_score" -> "NB feature-hash model bins (model-sized)",
+      "sketch_bloom" -> "bloom bit-words, bounded at BloomBits/64 registers",
+      "sketch_countmin" -> "CMS counters, bounded at depth x width registers")
     var flagged = 0
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val bad = flagsOf(fn(spark, sfDir))
-        if (bad.nonEmpty && allowedBnl.contains(name) &&
-            bad.forall(Set("BNL-JOIN", "CARTESIAN"))) {
-          // model-bounded non-equi joins plan as BNL or cartesian depending
-          // on sizes — the justification covers both physical forms
-          println(s"[audit] $name: ${bad.mkString(",")} " +
-            s"(allowed: ${allowedBnl(name)})")
+        // model-bounded non-equi joins plan as BNL or cartesian depending
+        // on sizes — the justification covers both physical forms
+        val allowed: Set[String] =
+          (if (allowedBnl.contains(name)) Set("BNL-JOIN", "CARTESIAN")
+           else Set.empty[String]) ++
+          (if (allowedBroadcast.contains(name)) Set("FORCED-BROADCAST")
+           else Set.empty[String])
+        if (bad.nonEmpty && bad.forall(allowed)) {
+          val why = (allowedBnl.get(name) ++ allowedBroadcast.get(name))
+            .mkString("; ")
+          println(s"[audit] $name: ${bad.mkString(",")} (allowed: $why)")
         } else if (bad.nonEmpty) { flagged += 1
           println(s"[audit] $name: ${bad.mkString(",")}")
         }
@@ -105,6 +175,36 @@ object AuditAll {
     println(s"[audit] chains done, $chainFlagged flagged")
     spark.stop()
     if (flagged + chainFlagged > 0) sys.exit(1)
+  }
+
+  /** Minimal 881A-GS ping record (the Son81RSpec fixture shape): 1024
+    * header + 1024 device list + 40 switch + 32 return header + echo
+    * bytes — just enough populated fields for Son81R.decode. */
+  private def ping81R(pingNum: Int, headPos: Int, nData: Int): Array[Byte] = {
+    val total = 2048 + 40 + 32 + 100
+    val rec = new Array[Byte](total)
+    rec(0) = '8'; rec(1) = '1'; rec(2) = 'R'
+    rec(3) = 1
+    java.nio.ByteBuffer.wrap(rec, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(total)
+    "2024000010.00".getBytes.copyToArray(rec, 14)
+    rec(319) = 1; rec(324) = 1
+    java.nio.ByteBuffer.wrap(rec, 338, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(1483.1f)
+    java.nio.ByteBuffer.wrap(rec, 373, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putFloat(0.02f)
+    java.nio.ByteBuffer.wrap(rec, 377, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(pingNum)
+    val sw = 2048
+    rec(sw + 11) = 70; rec(sw + 13) = 10
+    rec(sw + 19) = (nData / 10).toByte
+    rec(sw + 25) = 100
+    val rh = sw + 40
+    rec(rh + 5) = (headPos % 128).toByte
+    rec(rh + 6) = (headPos / 128).toByte
+    val d0 = rh + 32
+    for (i <- 0 until nData) rec(d0 + i) = (i % 256).toByte
+    rec
   }
 
   /** Run each per-family CLI chain on a synthetic fixture deployment with
@@ -135,10 +235,19 @@ object AuditAll {
         "sample", "abs").write.parquet(p("abraw"))
     (for (i <- 0 until 8; s <- 0 until 2) yield (ts(i * 600), s))
       .toDF("time", "aux_sample").write.parquet(p("abraw_aux"))
-    // EofE: point frame
+    // EofE: point frame WITH the altitude/temperature columns that drive
+    // the trim_alt and cor_bin_height joins, plus the _profiles sibling —
+    // so the (burst, sample) alt join and the per-burst tmean join are
+    // actually planned (they were the audit's blind spot)
     (for (b <- 0L until 4L; s <- 0L until 4L) yield
-      (ts(b * 60 + s), b, s, 0.2 + 0.01 * s))
-      .toDF("time", "burst", "sample", "pitchDeg").write.parquet(p("earaw"))
+      (ts(b * 60 + s), b, s, 0.2 + 0.01 * s, 2.0 + 0.01 * s, 150.0 + s,
+        15.0 + 0.1 * b, 0.5))
+      .toDF("time", "burst", "sample", "pitchDeg", "altitudeM", "counts",
+        "temperatureC", "amplitudeFS").write.parquet(p("earaw"))
+    (for (b <- 0L until 4L; s <- 0L until 4L; k <- 0 until 3) yield
+      (ts(b * 60 + s), b, s, k, 100.0 + k))
+      .toDF("time", "burst", "sample", "bin", "counts")
+      .write.parquet(p("earaw_profiles"))
     // LISST: burst cadence (4 bursts of 4 samples at 1 s, 10 min apart)
     // + partial tail + the (time, ring) vc sibling
     val ltimes = (0 until 4).flatMap(b => (0 until 4).map(s => b * 600L + s)) ++
@@ -164,6 +273,81 @@ object AuditAll {
         0.1 * math.sin(i * 0.31), i / 64, i % 64) }
       .toDF("time", "P_1", "u", "v", "burst", "sample")
       .write.parquet(p("comraw"))
+    // sig: renamed Signature velocities + beam amp/cor + AST pair
+    (0 until 32).map { i =>
+      (ts(i), 0.1 + 0.001 * i, 0.05, 0.02, 90.0 + i % 5, 10.0 + 0.01 * i,
+        80.0, 81.0, 82.0, 83.0, 70.0, 71.0, 72.0, 73.0,
+        90.0 - i % 7, 3.0 + 0.01 * i) }
+      .toDF("time", "VelEast", "VelNorth", "VelUp1", "Heading", "P_1",
+        "AmpBeam1", "AmpBeam2", "AmpBeam3", "AmpBeam4",
+        "CorBeam1", "CorBeam2", "CorBeam3", "CorBeam4",
+        "ast_quality", "brangeAST").write.parquet(p("sigraw"))
+    // vec: BEAM velocities + per-beam snr/cor + attitude + analog turbidity
+    val nortekT = "1.5774,-0.7891,-0.7891,0.0,-2.4204,2.4204," +
+      "0.3677,0.3677,0.3677"
+    (0 until 32).map { i =>
+      (ts(i), 0.1, 0.2, 0.3, 20.0, 21.0, 22.0, 80.0, 81.0, 82.0,
+        45.0 + i % 3, 0.5, -0.5, 1000.0 + i) }
+      .toDF("time", "vel1", "vel2", "vel3", "snr1", "snr2", "snr3",
+        "cor1", "cor2", "cor3", "heading", "pitch", "roll", "AnalogInput1")
+      .write.parquet(p("vecraw"))
+    // aqd/HR: beam velocities per bin + amp/cor + attitude + pressure
+    (for (i <- 0 until 16; b <- 0 until 3) yield
+      (ts(i), b, 0.225 + 0.25 * b, 0.1, 0.2, 0.3, 120.0, 130.0, 140.0,
+        80.0, 80.0, 80.0, 90.0, 0.0, 0.0, 10.0 + 0.01 * i))
+      .toDF("time", "bin", "bindist", "VEL1", "VEL2", "VEL3",
+        "amp1", "amp2", "amp3", "cor1", "cor2", "cor3",
+        "heading", "pitch", "roll", "P_1").write.parquet(p("aqdraw"))
+    // son: sweep-resolved attitude frame + the brange aux netCDF, and a
+    // separate averaged-product fixture for nc2xy (theta fan + image)
+    val sonT0 = java.sql.Timestamp.valueOf("2024-03-01 02:00:00")
+    (for (i <- 0 until 4; s <- 0 until 3) yield
+      (new java.sql.Timestamp(sonT0.getTime + 60000L * i), s, 600 + 10 * s,
+        0.3 * (10 * s), 10.0 + 10 * s, 1.0, 2.0))
+      .toDF("time", "sweep", "headPosition", "headAngleDeg",
+        "Heading", "Pitch", "Roll").write.parquet(p("sonraw"))
+    graft.io.Netcdf3.write(
+      Seq((0.0, 3.5)).toDF("time", "brange"), p("sonbrange.nc"),
+      attrs = Seq("initial_instrument_height" -> "1.5"),
+      varAttrs = Map("time" -> Seq("units" -> "seconds since 2024-03-01")))
+    val thetas = Seq(0.0, 90.0, 180.0, 270.0).map(math.toRadians)
+    (for (t <- 0 until 2; s <- 0 until 4) yield
+      (new java.sql.Timestamp(sonT0.getTime + 60000L * t), s, thetas(s),
+        Seq(1.0, 2.0), Seq(10.0 + s + 100 * t, 20.0 + s + 100 * t)))
+      .toDF("time", "scan", "theta", "HorizontalRange", "sonar_image")
+      .write.parquet(p("sonavg"))
+    // son sweep-set deployment dir: two complete 2-sweep sets of .81R files
+    val sonDir = new java.io.File(dir, "sondir")
+    sonDir.mkdirs()
+    for ((name, timeRaw) <- Seq(
+        "031400AE.81R" -> "2024000010.00", "031400AF.81R" -> "2024000110.00",
+        "031402AE.81R" -> "2024020010.00", "031402AF.81R" -> "2024020110.00")) {
+      val rec = ping81R(1, 700, 50) ++ ping81R(2, 705, 50)
+      timeRaw.getBytes.copyToArray(rec, 14)
+      timeRaw.getBytes.copyToArray(rec, rec.length / 2 + 14)
+      java.nio.file.Files.write(
+        new java.io.File(sonDir, name).toPath, rec)
+    }
+    // glx: 1 Hz water level with an in-tolerance null gap
+    (0 until 128).map(i => (ts(i),
+        if (i >= 40 && i < 50) None else Some(2.0 + 0.001 * i)))
+      .toDF("time", "water_level").write.parquet(p("glxraw"))
+    // exo: raw instrument column names ahead of the EPIC renames
+    (0 until 16).map(i => (ts(60L * i), 12.0 + 0.01 * i, 20.0 + i,
+        48012.2, 30.1, 21.3 + 0.01 * i))
+      .toDF("time", "press_dbar", "turbidity_ntu", "spcond_µs_per_cm",
+        "sal_psu", "temp_°c").write.parquet(p("exoraw"))
+    // hobo-class: pressure + temperature for the NAVD88 water-level path
+    (0 until 128).map(i => (ts(i), 11.0 + 0.001 * i, 15.0 + 0.01 * i))
+      .toDF("time", "P_1", "T_28").write.parquet(p("hoboraw"))
+    // turnaround: a logger CSV (the rsk csv2cdf ingest shape)
+    val taCsv = new java.io.File(dir, "logger.csv")
+    val taW = new java.io.PrintWriter(taCsv)
+    taW.println("time,Pressure")
+    val taT0 = java.time.Instant.parse("2024-02-01T00:00:00Z")
+    for (i <- 0 until 64)
+      taW.println(s"${taT0.plusSeconds(i)},${10.0 + 0.01 * i}")
+    taW.close()
 
     // ---- run the chains with the plan probe on --------------------------
     val results = scala.collection.mutable.Buffer[(String, Seq[String])]()
@@ -197,8 +381,15 @@ object AuditAll {
           Meta(Map.empty[String, Any]), p("abraw"), p("abclean"))
       }
       run("eofe/clean") {
+        // attrs chosen so the _profiles product plans its tmean and
+        // pre-trim-altitude joins (the paths behind the removed hints)
         RunOts.runStep(spark, "eofe", "clean",
-          Meta(Map.empty[String, Any]), p("earaw"), p("eaclean"))
+          Meta(Map[String, Any]("trim_method" -> "altitude",
+            "EADeadzone_m" -> 0.1, "EARange_m" -> 10.0,
+            "EABin_size_m" -> 0.5, "EASoundSpeed_mps" -> 1500.0,
+            "average_salinity" -> 32.0, "WATER_DEPTH" -> 10.0,
+            "orientation" -> "UP", "initial_instrument_height" -> 1.0)),
+          p("earaw"), p("eaclean"))
       }
       run("lisst/clean") {
         RunOts.runStep(spark, "lisst", "clean",
@@ -228,6 +419,68 @@ object AuditAll {
             "pressure_sensor_height" -> 0.5, "WATER_DEPTH" -> 10.0,
             "diwasp_nfft" -> 64, "diwasp_dres" -> 18)),
           p("comclean"), p("comdiwasp"))
+      }
+      run("sig/clean") {
+        RunOts.runStep(spark, "sig", "clean",
+          Meta(Map[String, Any]("magnetic_variation" -> 12.0,
+            "velocity_cor_min" -> 30.0, "trim_ast" -> "true",
+            "ast_qual_sf" -> 0.85)), p("sigraw"), p("sigclean"))
+      }
+      run("vec/clean") {
+        RunOts.runStep(spark, "vec", "clean",
+          Meta(Map[String, Any]("VECCoordinateSystem" -> "BEAM",
+            "VECTransMatrix" -> nortekT, "magnetic_variation" -> 10.0,
+            "snr_threshold" -> 10.0, "cor_threshold" -> 50.0,
+            "AnalogInput1_ssc_calibration" -> Seq(2.0, 1.0))),
+          p("vecraw"), p("vecclean"))
+      }
+      run("aqd/clean") {
+        RunOts.runStep(spark, "aqd", "clean",
+          Meta(Map[String, Any]("AQDCoordinateSystem" -> "BEAM",
+            "AQDTransMatrix" -> nortekT, "orientation" -> "UP",
+            "magnetic_variation" -> 15.0, "velocity_cor_min" -> 30.0,
+            "trim_method" -> "water level sl", "AQDCellSize" -> 250.0,
+            "trim_surf_bins" -> 1)), p("aqdraw"), p("aqdclean"))
+      }
+      run("son/clean") {
+        RunOts.runStep(spark, "son", "clean",
+          Meta(Map[String, Any]("brange_file" -> p("sonbrange.nc"),
+            "height_var" -> "brange", "initial_instrument_height" -> 1.0,
+            "SONNDataPoints" -> 5, "SONRange" -> 5.0,
+            "magnetic_variation_at_site" -> -15.0)),
+          p("sonraw"), p("sonclean"))
+      }
+      run("son/nc2xy") {
+        RunOts.runStep(spark, "son", "nc2xy",
+          Meta(Map[String, Any]("SONRange" -> 2.0, "dxy" -> 1.0)),
+          p("sonavg"), p("sonxy"))
+      }
+      run("son/dir-ingest") {
+        RunOts.runStep(spark, "son", "ingest", Meta(Map.empty[String, Any]),
+          new java.io.File(dir, "sondir").getAbsolutePath, p("sondirraw"))
+      }
+      run("glx/clean") {
+        RunOts.runStep(spark, "glx", "clean",
+          Meta(Map[String, Any]("filtered_wl" -> "true",
+            "sample_interval" -> 1.0)), p("glxraw"), p("glxclean"))
+      }
+      run("exo/clean") {
+        RunOts.runStep(spark, "exo", "clean",
+          Meta(Map[String, Any]("atmpres" -> 10.0, "Turb_max" -> 60.0,
+            "Turb_ssc_calibration" -> Seq(2.0, 1.0))),
+          p("exoraw"), p("exoclean"))
+      }
+      run("hobo/clean") {
+        RunOts.runStep(spark, "hobo", "clean",
+          Meta(Map[String, Any]("atmpres" -> 10.0, "NAVD88_ref" -> -1.25,
+            "filtered_wl" -> "true", "sample_interval" -> 1.0,
+            "average_salinity" -> 30.0, "initial_instrument_height" -> 0.25,
+            "latitude" -> 30.0)), p("hoboraw"), p("hoboclean"))
+      }
+      run("rsk/turnaround") {
+        RunOts.runStep(spark, "rsk", "turnaround",
+          Meta(Map[String, Any]("sample_interval" -> 1.0)),
+          new java.io.File(dir, "logger.csv").getAbsolutePath, p("turn"))
       }
     } finally graft.io.Sink.planProbe = None
     flagged

@@ -1466,7 +1466,39 @@ class RunOtsSpec extends AnyFunSuite {
       RunOts.runStep(spark, "lisst", "clean", meta,
         "s3://bucket/deploy/raw", "/tmp/never-written")
     }
-    assert(e.getMessage.contains("cannot check remote storage"))
+    assert(e.getMessage.contains("cannot check s3:// storage"))
+  }
+
+  test("eofe clean on a remote-scheme input fails loudly (before any " +
+       "output) instead of silently dropping the _profiles product") {
+    val e = intercept[IllegalArgumentException] {
+      RunOts.eofeClean(spark, graft.core.Meta(Map.empty[String, Any]),
+        "hdfs://nn/deploy/raw", "/tmp/never-written")
+    }
+    assert(e.getMessage.contains("cannot check hdfs:// storage"))
+    assert(e.getMessage.contains("_profiles"))
+  }
+
+  test("son/abss ingest dispatch on a remote-scheme input fails loudly " +
+       "instead of silently mis-routing to the single-file path") {
+    for (inst <- Seq("son", "abss")) {
+      val e = intercept[IllegalArgumentException] {
+        RunOts.ingest(spark, graft.core.Meta(Map.empty[String, Any]),
+          "s3://bucket/deploydir", "/tmp/never-written", inst)
+      }
+      assert(e.getMessage.contains("cannot check s3:// storage"), inst)
+    }
+  }
+
+  test("sibling probes resolve file: URIs to the local path (a raw " +
+       "java.io.File probe would report file:///… as absent)") {
+    val dir = java.nio.file.Files.createTempDirectory("runots_fileuri")
+    val sib = dir.resolve("raw_vc")
+    java.nio.file.Files.createFile(sib)
+    val uri = dir.resolve("raw").toUri.toString // file:///…/raw
+    assert(uri.startsWith("file:"))
+    assert(RunOts.probeFile(uri + "_vc", "test sibling").exists)
+    assert(!RunOts.probeFile(uri + "_profiles", "test sibling").exists)
   }
 
   test("met chain: a frame carrying both the WXT-native and generic " +
