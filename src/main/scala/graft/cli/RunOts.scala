@@ -1170,10 +1170,15 @@ object RunOts {
     }
     // both the WXT-native and generic families map onto the same EPIC
     // names; skip a rename whose target already exists so a frame
-    // carrying both never produces duplicate (ambiguous) columns
-    for ((from, to) <- renames
-         if df.columns.contains(from) && !df.columns.contains(to))
-      df = df.withColumnRenamed(from, to)
+    // carrying both never produces duplicate (ambiguous) columns — the
+    // reference's xarray rename errors on the conflict, so surface the
+    // masked column loudly rather than silently keeping it unrenamed
+    for ((from, to) <- renames if df.columns.contains(from)) {
+      if (df.columns.contains(to))
+        System.err.println(s"[runots] met rename $from -> $to skipped:" +
+          s" the frame already carries $to; $from stays unrenamed")
+      else df = df.withColumnRenamed(from, to)
+    }
     if (!df.columns.contains("time") || df.head(1).isEmpty) return df
     // mode of the consecutive time diffs (met.py:93-96) — the ordered lag
     // goes through Index.withOrderedLag (ranged two-pass), never an

@@ -47,14 +47,14 @@ object Sink {
     case other   => s"$base-$other"
   }
 
-  /** Write the canonical parquet: float32 encodings, global attrs as a
-    * sidecar JSON (the ds.attrs persistence), optional partitioning (the
-    * per-profile split-file analog, stglib/rsk/cdf2nc.py:212-239). */
   /** Dev-tool hook ([[graft.tools.AuditAll]]): observes every frame as a
     * CLI chain writes it, so chain plans get the same scale anti-pattern
     * sweep as registered queries. Never set in production paths. */
   @volatile var planProbe: Option[(String, DataFrame) => Unit] = None
 
+  /** Write the canonical parquet: float32 encodings, global attrs as a
+    * sidecar JSON (the ds.attrs persistence), optional partitioning (the
+    * per-profile split-file analog, stglib/rsk/cdf2nc.py:212-239). */
   def writeParquet(df: DataFrame, path: String, meta: Meta,
                    partitionBy: Seq[String] = Nil,
                    float32: Boolean = true): Unit = {

@@ -115,7 +115,12 @@ object Index {
     * order — the scale-safe form of `lag(v, 1).over(Window.orderBy(...))`,
     * whose empty partitioning serializes the series through one task.
     * Partition-local lag from a window PARTITIONED by the ranged partition
-    * id (ordered by the mid tag, so ties in orderCols stay deterministic);
+    * id (ordered by the mid tag, so ties in orderCols stay deterministic
+    * WITHIN a run — but the mid tag is arbitrary across runs, so when
+    * orderCols does not form a total order over the rows, lag results
+    * among tied keys are not reproducible run-to-run; include a unique
+    * tie-breaking key in orderCols, as [[withGlobalPosition]] requires,
+    * unless valueCol is itself a function of the order key);
     * each partition's first row takes the previous non-empty partition's
     * last value from a tiny driver-side carry array (null for the global
     * first row). `valueCol` must be non-null (nulls would fall back to

@@ -13,9 +13,23 @@ import org.apache.spark.sql.functions._
  * All codecs are REAL, pure-JVM implementations (BMP/PNG/GIF/JPEG/QOI,
  * WAV PCM16/mu-law/A-law/ADPCM/Rice/FLAC, DIB-frame AVI) — see
  * [[decodeMedia]] for the sniffing dispatcher the meta/feature/resize/
- * frame stages run on. The one absent codec is MP3 (no JVM-only
- * implementation path in this container) — a documented absence, not a
- * stub.
+ * frame stages run on.
+ *
+ * MP3 is PERMANENTLY OUT OF SCOPE (final decision, round 18). Every
+ * shipped codec here is verified by an in-repo gate: lossless codecs
+ * round-trip bit-exactly; JPEG gates bounded-RMS against the JDK's own
+ * conformant encoder/decoder pair. An MPEG-1 Layer I/II/III decoder has
+ * neither path in this container: the JDK cannot decode MP3 (no
+ * reference to gate against), there is no egress to fetch ISO
+ * conformance bitstreams, and the tabulated 512-tap synthesis window
+ * cannot be reproduced from public closed forms offline — so any
+ * implementation would ship ungated, which the repo's codec standard
+ * forbids. It is also not a parity item (the reference has no audio
+ * path), and the pipeline surface MP3 would feed (decode → PCM plane →
+ * features/fingerprint) is fully exercised by WAV/FLAC/mu-law/A-law/
+ * ADPCM — a production deployment transcodes MP3 to one of those at
+ * the quarantine/normalize stage, exactly where unknown containers
+ * already route.
  */
 object Multimodal {
 
@@ -36,9 +50,9 @@ object Multimodal {
     * magic and routes to the matching parser — BMP24, PNG
     * ([[graft.ops.Png]], pure java.util.zip), GIF/JPEG (JDK ImageIO),
     * WAV PCM16, and DIB-frame AVI. Unknown containers throw (a real
-    * pipeline routes those rows to a quarantine sink). The one absent
-    * codec is MP3 — no JVM-only implementation path in this container
-    * (documented absence, was previously a stub). */
+    * pipeline routes those rows to a quarantine sink). MP3 is
+    * permanently out of scope — see the object doc for the final
+    * decision and its gating rationale. */
   def decodeMedia(bytes: Array[Byte]): DecodedMedia = {
     def fcc(at: Int) =
       if (bytes.length >= at + 4) new String(bytes, at, 4, "US-ASCII") else ""
