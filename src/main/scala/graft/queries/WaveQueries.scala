@@ -58,22 +58,63 @@ object WaveQueries {
       0.0, -0.7071067811865476, -1.0, -0.7071067811865476).map(lit): _*),
       (col("sample") % 8).cast("int") + 1)
 
-  private def puvBursts(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val f0 = 0.125
-    val k = graft.kernels.Diwasp.wavenumber(2 * math.Pi * f0, 10.0)
+  /** Exact per-sensor signal LUTs for the PUV/DIWASP fixtures: Scala
+    * computes the linear-theory amplitude constants ONCE and embeds the
+    * resulting amplitude×phase products as decimal literals in BOTH the
+    * Spark fixture and its SQL twin — the engines index identical
+    * constants, so no libm trig difference (java vs C cos at 400-radian
+    * arguments) or dispersion-Newton ulp can split them. Closes the
+    * NOTES r17 "residual 1-ulp boundary risk" for these fixtures the
+    * same way sin8Lut did for the wave_stats trio. */
+  private def lutCol(vals: Seq[Double], idx: org.apache.spark.sql.Column) =
+    element_at(array(vals.map(lit): _*), idx.cast("int") + 1)
+  private def lutSqlList(vals: Seq[Double]): String =
+    vals.zipWithIndex.map { case (v, i) =>
+      val s = java.lang.Double.toString(v)
+      if (i == 0) s + "::DOUBLE" else s
+    }.mkString("[", ", ", "]")
+
+  // period-8 cos / period-10 sin phase tables (exact doubles of the true
+  // values — the fixture DEFINITION, not an engine's rounding of it)
+  private val cos8Vals = Seq(1.0, 0.7071067811865476, 0.0,
+    -0.7071067811865476, -1.0, -0.7071067811865476, 0.0, 0.7071067811865476)
+  private val sin10Vals = Seq(0.0, 0.5877852522924731, 0.9510565162951535,
+    0.9510565162951535, 0.5877852522924731, 0.0, -0.5877852522924731,
+    -0.9510565162951535, -0.9510565162951535, -0.5877852522924731)
+
+  /** DIWASP fixture LUTs: 8 s (f0 = 0.125) wave toward 30° at depth 10,
+    * zp = 0.5, zuv = 1 — (p, u, v) amplitude×cos-phase products. */
+  private lazy val (dwLutP, dwLutU, dwLutV) = {
+    val k = graft.kernels.Diwasp.wavenumber(2 * math.Pi * 0.125, 10.0)
     val aP = 0.5 * math.cosh(k * 0.5) / math.cosh(k * 10.0)
-    val aU = 0.5 * 2 * math.Pi * f0 * math.cosh(k * 1.0) / math.sinh(k * 10.0)
-    val dirR = math.toRadians(30.0)
-    val ph = col("sample") * lit(2.0 * math.Pi * f0)
+    val aU = 0.5 * 2 * math.Pi * 0.125 *
+      math.cosh(k * 1.0) / math.sinh(k * 10.0)
+    (cos8Vals.map(_ * aP),
+      cos8Vals.map(_ * aU * math.cos(math.toRadians(30.0))),
+      cos8Vals.map(_ * aU * math.sin(math.toRadians(30.0))))
+  }
+
+  /** puv_stats fixture LUTs: 10 s (f0 = 0.1) wave, v = 0.3·u. */
+  private lazy val (psLutP, psLutU, psLutV) = {
+    val k = graft.kernels.Spectral.qkfs(2 * math.Pi * 0.1, 10.0)
+    val aP = 0.5 * math.cosh(k * 0.5) / math.cosh(k * 10.0)
+    val aU = 0.5 * 2 * math.Pi * 0.1 *
+      math.cosh(k * 1.0) / math.sinh(k * 10.0)
+    (sin10Vals.map(_ * aP), sin10Vals.map(_ * aU),
+      sin10Vals.map(_ * 0.3 * aU))
+  }
+
+  private def puvBursts(s: org.apache.spark.sql.SparkSession, dir: String) = {
     // sensor noise must be DECORRELATED across p/u/v: with identical noise
     // the cross-spectral matrix is rank-1 (perfectly coherent) and the
     // matrix-inverting IMLM estimator blows up — only the direct DFTM
     // survives. Distinct integer mixes of `value` give pseudo-independent
     // deterministic noise per sensor.
+    val i8 = col("sample") % 8
     burstsGlobal(s, dir, 512)
-      .withColumn("p", lit(aP) * cos(ph) + (col("value") * 7919.0 % 97.0) / 5000.0)
-      .withColumn("u", lit(aU * math.cos(dirR)) * cos(ph) + (col("value") * 104729.0 % 89.0) / 5000.0)
-      .withColumn("v", lit(aU * math.sin(dirR)) * cos(ph) + (col("value") * 15485863.0 % 83.0) / 5000.0)
+      .withColumn("p", lutCol(dwLutP, i8) + (col("value") * 7919.0 % 97.0) / 5000.0)
+      .withColumn("u", lutCol(dwLutU, i8) + (col("value") * 104729.0 % 89.0) / 5000.0)
+      .withColumn("v", lutCol(dwLutV, i8) + (col("value") * 15485863.0 % 83.0) / 5000.0)
       .toDF()
   }
 
@@ -207,31 +248,18 @@ object WaveQueries {
     * f-grid:
     * ff=10, lf=103, ig=25 (same firstAbove/last<=cut logic, precomputed). */
   private def puvSql: String = {
-    // synthetic amplitude constants replicated in SQL (Scala computes them
-    // with math.tanh/cosh; exp-forms agree to ulps, absorbed by round(8))
-    val disp =
-      s"""k0 AS (
-         |  SELECT x, CASE WHEN x < 1.0 THEN sqrt(x) ELSE x END AS y0
-         |  FROM (SELECT (2*pi())*0.1*((2*pi())*0.1)*10.0/9.81 AS x)),
-         |k1 AS (SELECT *, ${newtonSql("y0")} AS y1 FROM k0),
-         |k2 AS (SELECT *, ${newtonSql("y1")} AS y2 FROM k1),
-         |k3 AS (SELECT y2 AS yy, ${newtonSql("y2")} AS y3 FROM k2),
-         |amp AS (SELECT
-         |    0.5 * ((exp((y3/10.0)*0.5)+exp(-((y3/10.0)*0.5)))/2)
-         |      / ((exp((y3/10.0)*10.0)+exp(-((y3/10.0)*10.0)))/2) AS ap,
-         |    0.5 * 2 * pi() * 0.1 * ((exp((y3/10.0)*1.0)+exp(-((y3/10.0)*1.0)))/2)
-         |      / ((exp((y3/10.0)*10.0)-exp(-((y3/10.0)*10.0)))/2) AS au
-         |  FROM k3)""".stripMargin
-    s"""WITH $disp,
-       |gb AS (
+    // fixture signal: the SAME amplitude×phase decimal literals the Spark
+    // side indexes (lutCol/psLut*) — no per-row trig or dispersion solve,
+    // so no engine-libm ulp can split the fixtures
+    s"""WITH gb AS (
        |  SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
        |  FROM events),
        |raw AS (
        |  SELECT rn // 512 AS burst, rn % 512 AS sample,
-       |    10.0 + amp.ap * sin((2*pi())*0.1 * (rn % 512)) + value / 5000.0 AS p0,
-       |    amp.au * sin((2*pi())*0.1 * (rn % 512)) + value / 10000.0 AS u0,
-       |    0.3 * amp.au * sin((2*pi())*0.1 * (rn % 512)) + value / 10000.0 AS v0
-       |  FROM gb, amp),
+       |    10.0 + (${lutSqlList(psLutP)})[CAST((rn % 512) % 10 AS INTEGER) + 1] + value / 5000.0 AS p0,
+       |    (${lutSqlList(psLutU)})[CAST((rn % 512) % 10 AS INTEGER) + 1] + value / 10000.0 AS u0,
+       |    (${lutSqlList(psLutV)})[CAST((rn % 512) % 10 AS INTEGER) + 1] + value / 10000.0 AS v0
+       |  FROM gb),
        |fullb AS (SELECT burst FROM raw GROUP BY burst HAVING count(*) = 512),
        |r2 AS (SELECT raw.* FROM raw JOIN fullb USING (burst)),
        |-- least-squares linear detrend per burst (y - (mean + b*(t - 255.5)))
@@ -412,9 +440,7 @@ object WaveQueries {
        |dg AS (SELECT unnest(generate_series(0, ${dres - 1})) AS d),
        |dd AS (SELECT d, -pi() + d*2.0*pi()/$dres AS dir FROM dg),
        |seeds AS (
-       |  SELECT q, ((2*pi())*(q*1.0/$nfft))*((2*pi())*(q*1.0/$nfft))*10.0/9.81 AS a0 FROM qg
-       |  UNION ALL
-       |  SELECT -1, ((2*pi())*0.125)*((2*pi())*0.125)*10.0/9.81),
+       |  SELECT q, ((2*pi())*(q*1.0/$nfft))*((2*pi())*(q*1.0/$nfft))*10.0/9.81 AS a0 FROM qg),
        |wn AS (
        |  SELECT q, a0,
        |    a0*pow(1.0/${th(s"pow(a0, 0.75)")}, 0.666) AS a1,
@@ -426,16 +452,14 @@ object WaveQueries {
        |    (-(a0 - a1*${th("a1")}) / (-a1/(${ch("a1")}*${ch("a1")}) - ${th("a1")}))
        |  FROM wn WHERE abs(da1/a1) > 1e-8),
        |kk AS (SELECT q, a1/10.0 AS k FROM wn WHERE abs(da1/a1) <= 1e-8),
-       |amp AS (
-       |  SELECT 0.5*${ch("(k*0.5)")}/${ch("(k*10.0)")} AS ap,
-       |    0.5*2*pi()*0.125*${ch("(k*1.0)")}/${sh("(k*10.0)")} AS au
-       |  FROM kk WHERE q = -1),
+       |-- fixture signal: the SAME amplitude×phase decimal literals the
+       |-- Spark side indexes (no per-row trig, no dispersion solve here)
        |raw AS (
        |  SELECT rn // 512 AS burst, rn % 512 AS sample,
-       |    amp.ap * cos(((2*pi())*0.125)*(rn % 512)) + (value*7919.0 % 97.0)/5000.0 AS x0,
-       |    (amp.au*cos((30.0/180.0)*pi())) * cos(((2*pi())*0.125)*(rn % 512)) + (value*104729.0 % 89.0)/5000.0 AS x1,
-       |    (amp.au*sin((30.0/180.0)*pi())) * cos(((2*pi())*0.125)*(rn % 512)) + (value*15485863.0 % 83.0)/5000.0 AS x2
-       |  FROM gb, amp),
+       |    (${lutSqlList(dwLutP)})[CAST(rn % 8 AS INTEGER) + 1] + (value*7919.0 % 97.0)/5000.0 AS x0,
+       |    (${lutSqlList(dwLutU)})[CAST(rn % 8 AS INTEGER) + 1] + (value*104729.0 % 89.0)/5000.0 AS x1,
+       |    (${lutSqlList(dwLutV)})[CAST(rn % 8 AS INTEGER) + 1] + (value*15485863.0 % 83.0)/5000.0 AS x2
+       |  FROM gb),
        |fullb AS (SELECT burst FROM raw GROUP BY burst HAVING count(*) = 512),
        |r2 AS (SELECT raw.* FROM raw JOIN fullb USING (burst)),
        |dt AS (
@@ -757,15 +781,13 @@ object WaveQueries {
     Q("puv_stats",
       (s, dir) => {
         val b = burstsGlobal(s, dir, 512)
-        val f0 = 0.1
-        val k = graft.kernels.Spectral.qkfs(2 * math.Pi * f0, 10.0)
-        val aP = 0.5 * math.cosh(k * 0.5) / math.cosh(k * 10.0)
-        val aU = 0.5 * 2 * math.Pi * f0 * math.cosh(k * 1.0) / math.sinh(k * 10.0)
-        val ph = col("sample") * lit(2.0 * math.Pi * f0)
+        // exact-LUT fixture (see lutCol): sample phase has period 10 at
+        // f0 = 0.1, so both engines index the same 10 decimal literals
+        val i10 = col("sample") % 10
         val withPuv = b
-          .withColumn("p", lit(10.0) + lit(aP) * sin(ph) + col("value") / 5000.0)
-          .withColumn("u", lit(aU) * sin(ph) + col("value") / 10000.0)
-          .withColumn("v", lit(0.3 * aU) * sin(ph) + col("value") / 10000.0)
+          .withColumn("p", lit(10.0) + lutCol(psLutP, i10) + col("value") / 5000.0)
+          .withColumn("u", lutCol(psLutU, i10) + col("value") / 10000.0)
+          .withColumn("v", lutCol(psLutV, i10) + col("value") / 10000.0)
         val r = Spectra.puvStats(withPuv.toDF(), "burst", "sample", "p", "u", "v",
           depth = 10.0, zp = 0.5, zuv = 1.0, fs = 1.0, fftLength = 512).toDF()
         r.select(col("burst") +: r.columns.filter(_ != "burst")
