@@ -6,8 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * query AND every CLI chain product frame (clean/waves/diwasp per family,
   * observed through [[graft.io.Sink.planProbe]] on synthetic fixture
   * inputs). Flags single-partition windows (empty partitionSpec serializes
-  * the table through one task at scale), cartesian products, and
-  * non-1-row broadcast-nested-loop builds in the physical plan. */
+  * the table through one task at scale), cartesian products, non-1-row
+  * broadcast-nested-loop builds, and forced data-sized broadcast hints,
+  * plus a source-level lint over every driver materialization site
+  * ([[auditCollectSites]]). */
 object AuditAll {
 
   // conservatively prove a subtree produces at most one row: groupless
@@ -101,6 +103,95 @@ object AuditAll {
     bad.distinct.toSeq
   }
 
+  /** The repo's justified driver-side materializations:
+    * (file relative to the lint root, statement marker, cardinality bound).
+    * Re-justify before adding entries. */
+  val collectAllowlist: Seq[(String, String, String)] = Seq(
+      ("ops/Index.scala", "shiftright(col(\"__mid\"), 33)",
+        "per-partition offset/max/last arrays: one row per shuffle partition"),
+      ("ops/Curation.scala", "groupBy(\"__w\").agg(sum(\"__v\")",
+        "bloom bit-words: bounded at BloomBits/63 registers"),
+      ("ops/Similarity.scala", "groupBy(\"cell\").agg(aggs.head",
+        "k-means centroid update: one row per cell, k is model-sized"),
+      ("ops/Similarity.scala", "groupBy(\"g\", \"cell\").agg(aggs.head",
+        "PQ centroid update: subspaces x k rows, model-sized"),
+      ("ops/Similarity.scala",
+        "cand.select(col(\"qid\"), col(\"cid\"), col(\"rel\")).collect()",
+        "MMR candidate model: <= |sample| x nCand rows (documented bounded-model collect)"),
+      ("ops/Similarity.scala", "val simMap = pairs.collect()",
+        "MMR pair model: <= |sample| x nCand^2 rows (documented bounded-model collect)"),
+      ("ops/Attribution.scala", "val rows = trans.collect()",
+        "Markov transition matrix: channel-vocab^2 rows, domain-bounded"),
+      ("io/Hdf5.scala", "val it = df.toLocalIterator()",
+        "netCDF-4 export writer: one deployment per file by the reference contract; streamed, never collected"),
+      ("io/Netcdf3.scala", "val it = df.toLocalIterator()",
+        "netCDF-3 export writer: one deployment per file by the reference contract; streamed, never collected")
+  )
+
+  /** Driver-materialization source lint over `src/main` (excluding
+    * `tools/` dev probes and the Verify/Bench harness mains, which ARE the
+    * gate): every `.collect()`, `.toLocalIterator()` and `.head()` Dataset
+    * action must be provably bounded in its statement context — a
+    * `limit(` upstream on the same statement, or a groupless `.agg(`
+    * (1-row) — or carry a justified [[collectAllowlist]] entry.
+    * Grouped-aggregate collects do NOT auto-pass: a `groupBy` over
+    * data-sized keys followed by `collect` is exactly the driver-OOM
+    * class this lint exists for, so each such site is annotated with its
+    * cardinality bound. Any NEW unjustified site trips the audit until it
+    * is either restructured or justified. Returns the flagged count.
+    *
+    * Markers are content snippets, not line numbers, so the entries
+    * survive unrelated edits; an entry that stops matching anything is
+    * itself reported (stale justifications are as misleading as missing
+    * ones). */
+  def auditCollectSites(rootDir: String = "src/main/scala/graft",
+      allowed: Seq[(String, String, String)] = collectAllowlist): Int = {
+    val action = """\.collect\(\)|\.toLocalIterator\(\)|\.head\(\)""".r
+    val root = java.nio.file.Paths.get(rootDir)
+    val files = {
+      val it = java.nio.file.Files.walk(root).iterator()
+      val buf = scala.collection.mutable.Buffer[java.nio.file.Path]()
+      while (it.hasNext) buf += it.next()
+      buf.filter(_.toString.endsWith(".scala"))
+        .filterNot(_.toString.contains("/tools/"))
+        .filterNot(p => Seq("Verify.scala", "Bench.scala")
+          .contains(p.getFileName.toString))
+        .sortBy(_.toString).toSeq
+    }
+    var flagged = 0
+    val matchedMarkers = scala.collection.mutable.Set[(String, String)]()
+    for (f <- files) {
+      val lines = {
+        val l = java.nio.file.Files.readAllLines(f)
+        (0 until l.size).map(l.get).toVector
+      }
+      val rel = root.relativize(f).toString
+      for (i <- lines.indices if action.findFirstIn(lines(i)).isDefined) {
+        val ctx = lines.slice(math.max(0, i - 3), i + 1).mkString(" ")
+        val auto = ctx.contains("limit(") ||
+          (ctx.contains(".agg(") && !ctx.contains("groupBy("))
+        // a context window can contain several justified statements (e.g.
+        // two adjacent model collects) — credit every matching entry
+        val just = allowed.filter { case (file, marker, _) =>
+          rel == file && ctx.contains(marker)
+        }
+        just.foreach(j => matchedMarkers += ((j._1, j._2)))
+        if (!auto && just.isEmpty) {
+          flagged += 1
+          println(s"[audit] collect-site $rel:${i + 1}: UNJUSTIFIED " +
+            s"driver action: ${lines(i).trim.take(90)}")
+        }
+      }
+    }
+    for ((file, marker, _) <- allowed
+         if !matchedMarkers.contains((file, marker))) {
+      flagged += 1
+      println(s"[audit] collect-site allowlist STALE: $file marker " +
+        s"'${marker.take(60)}' matches nothing")
+    }
+    flagged
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -173,8 +264,10 @@ object AuditAll {
     println(s"[audit] done, $flagged flagged of ${graft.SparkEntry.queries.size}")
     val chainFlagged = auditChains(spark)
     println(s"[audit] chains done, $chainFlagged flagged")
+    val collectFlagged = auditCollectSites()
+    println(s"[audit] collect-sites done, $collectFlagged flagged")
     spark.stop()
-    if (flagged + chainFlagged > 0) sys.exit(1)
+    if (flagged + chainFlagged + collectFlagged > 0) sys.exit(1)
   }
 
   /** Minimal 881A-GS ping record (the Son81RSpec fixture shape): 1024

@@ -57,6 +57,38 @@ class AuditAllSpec extends AnyFunSuite {
       .contains("FORCED-BROADCAST"))
   }
 
+  test("collect-site lint: unjustified driver actions trip, bounded and " +
+       "allowlisted ones pass, stale allowlist entries are reported") {
+    val dir = java.nio.file.Files.createTempDirectory("lint_src")
+    def write(name: String, body: String): Unit = {
+      val f = dir.resolve(name)
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f, body.getBytes)
+    }
+    write("ops/Bad.scala",
+      """val rows = df.groupBy("user").agg(sum("v"))
+        |  .collect()""".stripMargin)
+    write("ops/Bounded.scala",
+      """val a = df.limit(5).collect()
+        |val b = df.agg(sum("v")).head()
+        |val c = xs.take(3) // plain Scala, no Dataset action parens""".stripMargin)
+    write("ops/Justified.scala",
+      """val m = trainedModel.collect() // vocab-bounded""".stripMargin)
+    // unjustified grouped collect -> 1; plus one stale entry -> 2
+    val n = AuditAll.auditCollectSites(dir.toString, Seq(
+      ("ops/Justified.scala", "trainedModel.collect()", "vocab-bounded model"),
+      ("ops/Ghost.scala", "nothing matches this", "stale entry")))
+    assert(n == 2)
+    // with only live, matching entries the bad file alone is flagged
+    val n2 = AuditAll.auditCollectSites(dir.toString, Seq(
+      ("ops/Justified.scala", "trainedModel.collect()", "vocab-bounded model")))
+    assert(n2 == 1)
+  }
+
+  test("the repo's own collect-site lint is clean at HEAD") {
+    assert(AuditAll.auditCollectSites() == 0)
+  }
+
   test("an unhinted equi-join is not flagged even when the planner " +
        "broadcasts it by size") {
     val data = spark.range(100)
