@@ -52,11 +52,35 @@ object WaveQueries {
     * 1 ulp on some arguments, which walked a burst-mean depth across a
     * round(x, 8) boundary on one fuzz seed. Decimal literals parse to
     * identical doubles in both engines; the SQL twin indexes the same
-    * list literal. */
-  private def sin8Lut =
-    element_at(array(Seq(0.0, 0.7071067811865476, 1.0, 0.7071067811865476,
-      0.0, -0.7071067811865476, -1.0, -0.7071067811865476).map(lit): _*),
-      (col("sample") % 8).cast("int") + 1)
+    * list literal.
+    *
+    * The table is additionally snapped to a DYADIC grid (multiples of
+    * 2^-26): with the signal AND the noise term on a shared dyadic grid,
+    * every per-burst/per-segment SUM of the samples is exact in ANY
+    * summation order (64 values on a 2^-27 grid near magnitude 10 need
+    * ~44 mantissa bits < 53), so the kernel's sequential sample-order sum
+    * and the oracle's order-free SQL AVG agree BITWISE. Identical decimal
+    * literals alone are not enough: fuzz seed 12 walked the burst-mean
+    * depth across a round(,8) half-boundary purely through summation
+    * ORDER (Spark partial aggregation vs DuckDB storage order) on
+    * full-mantissa noise. The 1.5e-8 deviation from the true sine is a
+    * fixture definition choice, invisible to every spectral tolerance. */
+  private[queries] val sin8DyadicVals: Seq[Double] = {
+    val s = math.rint(0.7071067811865476 * (1L << 26)) / (1L << 26)
+    Seq(0.0, s, 1.0, s, 0.0, -s, -1.0, -s)
+  }
+  private def sin8Lut = lutCol(sin8DyadicVals, col("sample") % 8)
+
+  /** Dyadic noise from the events value stream: floor(value·2^s1)/2^s2
+    * lands every noise sample on the 2^(s1−s2) grid. `value·2^s1` is an
+    * exact exponent shift, `floor` of it is engine-identical, and the
+    * final division by a power of two is exact — so the whole term is the
+    * SAME double in both engines AND keeps burst sums order-exact (the
+    * fuzz corpus bounds |value| ≤ ~1e6, well inside floor's exact range). */
+  private def dyadicNoise(shiftUp: Int, shiftDown: Int) =
+    floor(col("value") * math.pow(2.0, shiftUp)) / math.pow(2.0, shiftDown)
+  private def dyadicNoiseSql(shiftUp: Int, shiftDown: Int): String =
+    s"floor(value * ${math.pow(2.0, shiftUp)}) / ${math.pow(2.0, shiftDown)}"
 
   /** Exact per-sensor signal LUTs for the PUV/DIWASP fixtures: Scala
     * computes the linear-theory amplitude constants ONCE and embeds the
@@ -170,13 +194,13 @@ object WaveQueries {
     * Kp=1) → pnn = pxx/Kp² → user cutoff (first f ≥ 0.2) → f⁻⁴ tail. */
   private def presSpecCtes: String = {
     val bb =
-      """pb AS (
+      s"""pb AS (
         |  SELECT user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
         |  FROM events),
         |b0 AS (
         |  SELECT user_id * 1000 + rn // 64 AS burst, rn % 64 AS sample,
-        |    10.0 + 0.5 * ([0.0::DOUBLE, 0.7071067811865476, 1.0, 0.7071067811865476, 0.0, -0.7071067811865476, -1.0, -0.7071067811865476])[CAST(rn % 8 AS INTEGER) + 1] + value / 1000.0 AS p
+        |    10.0 + 0.5 * (${lutSqlList(sin8DyadicVals)})[CAST(rn % 8 AS INTEGER) + 1] + ${dyadicNoiseSql(5, 15)} AS p
         |  FROM pb),
         |fullb AS (SELECT burst FROM b0 GROUP BY burst HAVING count(*) = 64),
         |bb AS (SELECT b0.burst, b0.sample, b0.p FROM b0 JOIN fullb USING (burst))""".stripMargin
@@ -227,12 +251,12 @@ object WaveQueries {
     * fhi = min(2, fs/2) = 0.5, no transfer, no tail. */
   private def elevSpecCtes: String = {
     val bb =
-      """gb AS (
+      s"""gb AS (
         |  SELECT value, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
         |  FROM events),
         |b0 AS (
         |  SELECT rn // 512 AS burst, rn % 512 AS sample,
-        |    0.4 * ([0.0::DOUBLE, 0.7071067811865476, 1.0, 0.7071067811865476, 0.0, -0.7071067811865476, -1.0, -0.7071067811865476])[CAST(rn % 8 AS INTEGER) + 1] + value / 2000.0 - 0.025 AS p
+        |    0.40625 * (${lutSqlList(sin8DyadicVals)})[CAST(rn % 8 AS INTEGER) + 1] + ${dyadicNoiseSql(4, 15)} - 0.025390625 AS p
         |  FROM gb),
         |fullb AS (SELECT burst FROM b0 GROUP BY burst HAVING count(*) = 512),
         |bb AS (SELECT b0.burst, b0.sample, b0.p FROM b0 JOIN fullb USING (burst))""".stripMargin
@@ -722,8 +746,7 @@ object WaveQueries {
         // ~10.5 m column — a physically meaningful burst, so the J&M cutoff
         // and tail logic exercise their non-degenerate paths
         val b = bursts(s, dir, 64).withColumn("pres",
-          lit(10.0) + lit(0.5) * sin8Lut +
-            col("value") / 1000.0)
+          lit(10.0) + lit(0.5) * sin8Lut + dyadicNoise(5, 15))
         // user wave_fcut cutoff (make_user_cutoff path): monochromatic
         // spectra hit define_cutoff's legitimate NaN branch (noise floor ≈
         // peak), exactly as the reference would; J&M auto-cutoff is covered
@@ -747,9 +770,10 @@ object WaveQueries {
       (s, dir) => {
         // 512-sample bursts so even the sf0.001 smoke table (1000 events)
         // yields a burst; flo = 1/(512/32) = 0.0625 Hz keeps the band valid
+        // dyadic amplitude 13/32 and offset 13/512 keep every sample on
+        // the shared dyadic grid (see sin8DyadicVals)
         val b = burstsGlobal(s, dir, 512).withColumn("elev",
-          lit(0.4) * sin8Lut +
-            col("value") / 2000.0 - lit(0.025))
+          lit(0.40625) * sin8Lut + dyadicNoise(4, 15) - lit(0.025390625))
         Spectra.waveStatsFromElevation(b.toDF(), "burst", "sample", "elev",
           fs = 1.0, nsegs = 8).toDF()
           .select(col("burst"),
@@ -766,8 +790,7 @@ object WaveQueries {
     Q("wave_spectra",
       (s, dir) => {
         val b = bursts(s, dir, 64).withColumn("pres",
-          lit(10.0) + lit(0.5) * sin8Lut +
-            col("value") / 1000.0)
+          lit(10.0) + lit(0.5) * sin8Lut + dyadicNoise(5, 15))
         Spectra.pressureSpectra(b.toDF(), "burst", "sample", "pres",
           fs = 1.0, z = 0.5, nsegs = 4, fcut = Some(0.2)).toDF()
           .select(col("burst"), col("frequency"),
