@@ -2334,8 +2334,12 @@ object RunOts {
     }
     val p = "P_1ac"
     val h = hagd.get
-    // one materialization serves the NaN probe AND the final write
-    var df = if (filtWl) df0.localCheckpoint() else df0
+    // one materialization serves the NaN probe AND the final write —
+    // tracked via Spread.shared so runStep's completion release frees the
+    // blocks (localCheckpoint blocks outlive the step: ContextCleaner
+    // reclaims them nondeterministically, which piled up across chains in
+    // a long session until a 50M-row x100 run OOMed)
+    var df = if (filtWl) graft.ops.Spread.shared(df0) else df0
     val z = h + meta.dbl("initial_instrument_height").getOrElse(0.0)
     val svar = meta.str("water_level_salinity_var").getOrElse("S_41")
     val wtvar0 = meta.str("water_level_temperature_var").getOrElse("T_28")
@@ -2413,8 +2417,10 @@ object RunOts {
     val tolSec = parseOffsetSeconds(
       meta.str("wlfilt_tolerance").getOrElse("60 s"))
     // one materialization serves the sample-rate probe, the grid bounds,
-    // the still-null probe and the final write
-    val dd = df00.dropDuplicates("time").localCheckpoint()
+    // the still-null probe and the final write — Spread.shared (not
+    // localCheckpoint) so the step-completion release frees the blocks
+    // deterministically
+    val dd = graft.ops.Spread.shared(df00.dropDuplicates("time"))
     val sr = meta.dbl("sample_rate")
       .orElse(meta.dbl("sample_interval").map(1.0 / _))
       .getOrElse {
@@ -2439,11 +2445,11 @@ object RunOts {
       .filter(col("water_level").isNotNull && !isnan(col("water_level")))
       .select(unix_micros(col("time")).as("__rus"),
         col("water_level").as("__wlg"))
-    val filled = graft.ops.Align.asofNearest(l, good, "__tus", "__rus",
-        (tolSec * 1e6).toLong)
-      .withColumn("water_level_filt", col("__wlg"))
-      .drop("__tus", "__rus", "__wlg")
-      .localCheckpoint()
+    val filled = graft.ops.Spread.shared(
+      graft.ops.Align.asofNearest(l, good, "__tus", "__rus",
+          (tolSec * 1e6).toLong)
+        .withColumn("water_level_filt", col("__wlg"))
+        .drop("__tus", "__rus", "__wlg"))
     val stillNull = filled.filter(col("water_level_filt").isNull ||
       isnan(col("water_level_filt"))).limit(1).count() > 0
     if (stillNull) {

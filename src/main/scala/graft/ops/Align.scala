@@ -195,10 +195,19 @@ object Align {
   }
 
   /** Perfect calendar grid [startUs, endUs) with the given step — the
-    * date_range(t0, Δ=1/sr) reindex target. Generated distributed via
-    * sequence+explode, not a driver-side loop. */
+    * date_range(t0, Δ=1/sr) reindex target. Generated as a plain
+    * `spark.range(n)` with an affine tick map: range partitions stream
+    * their ids lazily inside whole-stage codegen (no per-task arrays) and
+    * carry CORRECT size statistics. The previous sequence+explode form
+    * failed twice at x100 deployment scale (found by the chain-scale
+    * harness): the single `sequence()` materialized the whole grid as one
+    * ~400 MB in-task array, and after chunking, `explode`'s unchanged
+    * child statistics made the planner STATISTICS-BROADCAST the 20 M-row
+    * grid side of the reindex join. `range` has neither problem. */
   def calendarGrid(spark: SparkSession, startUs: Long, endUs: Long,
-                   stepUs: Long, colName: String): DataFrame =
-    spark.range(1).select(explode(
-      sequence(lit(startUs), lit(endUs - 1), lit(stepUs))).as(colName))
+                   stepUs: Long, colName: String): DataFrame = {
+    require(stepUs > 0, s"calendarGrid step must be positive, got $stepUs")
+    val n = if (endUs <= startUs) 0L else (endUs - 1 - startUs) / stepUs + 1
+    spark.range(n).select((lit(startUs) + col("id") * stepUs).as(colName))
+  }
 }

@@ -31,6 +31,10 @@ object ChainScale {
 
     val results =
       scala.collection.mutable.LinkedHashMap[String, Map[Int, Double]]()
+    // with an `only` filter, skip generating fixtures no selected chain
+    // reads — at x100 the unused families dominate wall and disk
+    def need(labels: String*): Boolean =
+      only.forall(sel => labels.exists(sel.contains))
     def time(label: String, m: Int)(body: => Unit): Unit = {
       if (only.exists(!_.contains(label))) return
       val t0 = System.nanoTime()
@@ -54,6 +58,7 @@ object ChainScale {
 
       // ---- generate (sizes at m=1 chosen so each chain runs seconds) ----
       // iq: 1 Hz flow spine + (beam, bin) profile sibling
+      if (need("iq/clean")) {
       val iqN = 100000L * m
       rng(iqN).select(
           expr(s"timestamp_micros(${T0}L + id * 1000000)").as("time"),
@@ -70,7 +75,9 @@ object ChainScale {
           (lit(0.4) + col("bin") * 0.1).as("bindist"),
           (lit(5.0) + col("bin") + (col("id") % 7) * 0.01).as("Vel"))
         .write.mode("overwrite").parquet(p("iqraw_profiles"))
+      }
       // abss: burst spine (10-min cadence) x 3 bins + aux with pressure
+      if (need("abss/clean")) {
       val abN = 20000L * m
       spark.range(abN)
         .select(col("id"), explode(sequence(lit(0), lit(2))).as("bin"))
@@ -88,7 +95,9 @@ object ChainScale {
           col("aux_sample"),
           (lit(10.0) + (col("id") % 13) * 0.01).as("Pressure"))
         .write.mode("overwrite").parquet(p("abraw_aux"))
+      }
       // eofe: burst x sample point frame + (bin) profile sibling
+      if (need("eofe/clean")) {
       val eaB = 20000L * m; val eaS = 8
       spark.range(eaB)
         .select(col("id").as("burst"),
@@ -114,7 +123,9 @@ object ChainScale {
           col("burst"), col("sample"), col("bin"),
           (lit(100.0) + col("bin")).as("counts"))
         .write.mode("overwrite").parquet(p("earaw_profiles"))
+      }
       // lisst: burst-cadence scalars + (ring) vc sibling
+      if (need("lisst/clean")) {
       val liB = 20000L * m; val liS = 8
       val liSpine = spark.range(liB)
         .select(col("id").as("b"),
@@ -130,7 +141,9 @@ object ChainScale {
           expr(s"timestamp_micros(${T0}L + sec * 1000000)").as("time"),
           col("ring"), (col("ring") * 0.5).as("vc"))
         .write.mode("overwrite").parquet(p("liraw_vc"))
+      }
       // met: 10-min cadence generic wind family
+      if (need("met/clean")) {
       val metN = 500000L * m
       rng(metN).select(
           expr(s"timestamp_micros(${T0}L + id * 600000000)").as("time"),
@@ -138,7 +151,9 @@ object ChainScale {
           (lit(5.0) + (col("id") % 19) * 0.1).as("WindSpeed_avg"),
           (lit(12.0) + (col("id") % 7) * 0.1).as("Temp"))
         .write.mode("overwrite").parquet(p("metraw"))
+      }
       // rdi: renamed beam columns x 3 bins
+      if (need("rdi/clean")) {
       val rdiN = 200000L * m
       spark.range(rdiN)
         .select(col("id"), explode(sequence(lit(0), lit(2))).as("bin"))
@@ -148,8 +163,10 @@ object ChainScale {
           (lit(90.0) + col("bin")).as("cor1"),
           (lit(120.0) + col("bin")).as("AGC1"))
         .write.mode("overwrite").parquet(p("rdiraw"))
+      }
       // common (rsk): 1 Hz pressure series; waves reshapes 512-sample
       // bursts; diwasp gets a SHORTER spine (per-burst FFT work dominates)
+      if (need("rsk/clean", "rsk/waves")) {
       val comN = 1000000L * m
       rng(comN).select(
           expr(s"timestamp_micros(${T0}L + id * 1000000)").as("time"),
@@ -157,6 +174,8 @@ object ChainScale {
           (cos(col("id") * 0.3) * 0.1).as("u"),
           (sin(col("id") * 0.31) * 0.1).as("v"))
         .write.mode("overwrite").parquet(p("comraw"))
+      }
+      if (need("rsk/diwasp")) {
       val dwN = 128000L * m
       rng(dwN).select(
           expr(s"timestamp_micros(${T0}L + id * 1000000)").as("time"),
@@ -164,7 +183,9 @@ object ChainScale {
           (cos(col("id") * 0.098175) * 0.1).as("u"),
           (sin(col("id") * 0.098175) * 0.02).as("v"))
         .write.mode("overwrite").parquet(p("dwraw"))
+      }
       // sig / vec / aqd / exo / hobo / glx spines
+      if (need("sig/clean")) {
       val sigN = 500000L * m
       rng(sigN).select(
           expr(s"timestamp_micros(${T0}L + id * 1000000)").as("time"),
@@ -179,6 +200,8 @@ object ChainScale {
           (lit(90.0) - col("id") % 7).as("ast_quality"),
           (lit(3.0) + (col("id") % 23) * 0.01).as("brangeAST"))
         .write.mode("overwrite").parquet(p("sigraw"))
+      }
+      if (need("vec/clean")) {
       val vecN = 500000L * m
       rng(vecN).select(
           expr(s"timestamp_micros(${T0}L + id * 1000000)").as("time"),
@@ -189,6 +212,8 @@ object ChainScale {
           lit(0.5).as("pitch"), lit(-0.5).as("roll"),
           (lit(1000.0) + col("id") % 100).as("AnalogInput1"))
         .write.mode("overwrite").parquet(p("vecraw"))
+      }
+      if (need("aqd/clean")) {
       val aqdN = 100000L * m
       spark.range(aqdN)
         .select(col("id"), explode(sequence(lit(0), lit(2))).as("bin"))
@@ -201,6 +226,8 @@ object ChainScale {
           lit(90.0).as("heading"), lit(0.0).as("pitch"), lit(0.0).as("roll"),
           (lit(10.0) + (col("id") % 13) * 0.01).as("P_1"))
         .write.mode("overwrite").parquet(p("aqdraw"))
+      }
+      if (need("exo/clean")) {
       val exoN = 500000L * m
       rng(exoN).select(
           expr(s"timestamp_micros(${T0}L + id * 60000000)").as("time"),
@@ -210,12 +237,16 @@ object ChainScale {
           lit(30.1).as("sal_psu"),
           (lit(21.3) + (col("id") % 11) * 0.01).as("temp_°c"))
         .write.mode("overwrite").parquet(p("exoraw"))
+      }
+      if (need("hobo/clean")) {
       val hoboN = 500000L * m
       rng(hoboN).select(
           expr(s"timestamp_micros(${T0}L + id * 1000000)").as("time"),
           (lit(11.0) + sin(col("id") * 0.01) * 0.2).as("P_1"),
           (lit(15.0) + (col("id") % 9) * 0.01).as("T_28"))
         .write.mode("overwrite").parquet(p("hoboraw"))
+      }
+      if (need("glx/clean")) {
       val glxN = 200000L * m
       rng(glxN).select(
           expr(s"timestamp_micros(${T0}L + id * 1000000)").as("time"),
@@ -223,7 +254,9 @@ object ChainScale {
             .otherwise(lit(2.0) + sin(col("id") * 0.001) * 0.1)
             .as("water_level"))
         .write.mode("overwrite").parquet(p("glxraw"))
+      }
       // son: sweep-resolved frame (3 sweeps per time step, 50-sample image)
+      if (need("son/clean")) {
       val sonN = 10000L * m
       spark.range(sonN)
         .select(col("id"), explode(sequence(lit(0), lit(2))).as("sweep"))
@@ -240,7 +273,9 @@ object ChainScale {
         Seq((0.0, 3.5)).toDF("time", "brange"), p("sonbrange.nc"),
         attrs = Seq("initial_instrument_height" -> "1.5"),
         varAttrs = Map("time" -> Seq("units" -> "seconds since 2024-02-01")))
+      }
       // son averaged fan for nc2xy: 36 scan lines x 50 range samples
+      if (need("son/nc2xy")) {
       val xyN = 2000L * m
       spark.range(xyN)
         .select(col("id"), explode(sequence(lit(0), lit(35))).as("scan"))
@@ -252,6 +287,7 @@ object ChainScale {
           expr("transform(sequence(0, 49), i -> CAST(i % 256 AS DOUBLE))")
             .as("sonar_image"))
         .write.mode("overwrite").parquet(p("sonavg"))
+      }
 
       // ---- run + time ---------------------------------------------------
       val nortekT = "1.5774,-0.7891,-0.7891,0.0,-2.4204,2.4204," +
