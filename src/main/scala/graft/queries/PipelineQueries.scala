@@ -1739,6 +1739,33 @@ object PipelineQueries {
              |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
              |GROUP BY 1""".stripMargin)),
 
+    // DOULION approximate triangles (Tsourakakis 2009) — the 100 TB form:
+    // deterministic-hash edge sampling cuts wedge work by p^2 and
+    // both engines sparsify identically, so the unbiased estimate is
+    // cross-engine exact (see Dedup.trianglesDoulion scaladoc for the
+    // measured 900x wedge blow-up that motivates it). Registered at
+    // den=2 (p=1/2) so the tiny sf0.01 gate corpus keeps sampled
+    // triangles; production picks den by target variance (the estimator
+    // is unbiased at any den).
+    Q("graph_triangles_doulion",
+      (s, dir) => Dedup.trianglesDoulion(
+        Dedup.simhashPairs(documents(s, dir), "doc_id", "text", "source", 16, 2),
+        "doc_id", den = 2),
+      Some(s"""WITH $simhashPairCtes,
+             |ed AS (SELECT DISTINCT least(id_a, id_b) AS a,
+             |         greatest(id_a, id_b) AS b FROM spairs),
+             |eds AS (SELECT a, b FROM ed
+             |  WHERE CAST(('0x' || substr(md5(
+             |      CAST(a AS VARCHAR) || '_' || CAST(b AS VARCHAR)), 1, 15))
+             |    AS BIGINT) % 2 = 0),
+             |tri AS (
+             |  SELECT e1.a, e1.b, e2.b AS c
+             |  FROM eds e1 JOIN eds e2 ON e2.a = e1.b
+             |  JOIN eds e3 ON e3.a = e1.a AND e3.b = e2.b)
+             |SELECT doc_id, CAST(count(*) * 8 AS BIGINT) AS est_triangles
+             |FROM (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+             |GROUP BY 1""".stripMargin)),
+
     // near-dup cluster labels: simhash pairs -> connected components
     // (min-reachable-id fixpoint; oracle = recursive-CTE reachability)
     Q("dedup_components",
