@@ -114,15 +114,25 @@ object RunOts {
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
 
   /** Sibling/directory probes read the LOCAL filesystem. Plain paths
-    * map directly; `file:` URIs resolve to their local path (java.io
-    * .File on the raw URI string would always report absent); any other
+    * map directly; `file:` URIs in EVERY form Hadoop/Spark emits
+    * (`file:///p`, `file:/p`, `file://localhost/p`) resolve to their
+    * local path (java.io.File on the raw URI string would always report
+    * absent, and File(URI) rejects an authority component); any other
     * scheme (s3://, hdfs://…) fails LOUDLY — a silently-absent probe
     * would drop a product (_vc/_profiles) or mis-route a deployment
     * directory to the single-file path. */
   private[cli] def probeFile(path: String, what: String): java.io.File = {
-    val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://.*".r
+    // single `:/` (not `://`) so Spark's `file:/p` form is caught too
+    val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):/.*".r
     path match {
-      case SchemeRe("file") => new java.io.File(java.net.URI.create(path))
+      case SchemeRe("file") =>
+        val uri = java.net.URI.create(path)
+        require(uri.getPath != null && uri.getPath.nonEmpty &&
+            (uri.getAuthority == null || uri.getAuthority.isEmpty ||
+              uri.getAuthority == "localhost"),
+          s"$path: cannot resolve this file: URI to a local path for the " +
+            s"$what probe")
+        new java.io.File(uri.getPath)
       case SchemeRe(s) => throw new IllegalArgumentException(
         s"$path: the $what probe reads via java.io.File and cannot check " +
           s"$s:// storage; stage the deployment locally")

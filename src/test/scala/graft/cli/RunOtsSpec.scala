@@ -1499,6 +1499,18 @@ class RunOtsSpec extends AnyFunSuite {
     assert(uri.startsWith("file:"))
     assert(RunOts.probeFile(uri + "_vc", "test sibling").exists)
     assert(!RunOts.probeFile(uri + "_profiles", "test sibling").exists)
+    // Spark/Hadoop also emit the single-slash (file:/p) and
+    // localhost-authority (file://localhost/p) forms — both must resolve,
+    // not silently probe the literal string
+    val plain = dir.resolve("raw").toString
+    assert(RunOts.probeFile("file:" + plain + "_vc", "test sibling").exists)
+    assert(RunOts.probeFile("file://localhost" + plain + "_vc",
+      "test sibling").exists)
+    // a file: URI with a REAL remote authority cannot be local — loud
+    val bad = intercept[IllegalArgumentException] {
+      RunOts.probeFile("file://nfs-host" + plain + "_vc", "test sibling")
+    }
+    assert(bad.getMessage.contains("cannot resolve"))
   }
 
   test("met chain: a frame carrying both the WXT-native and generic " +
