@@ -558,7 +558,42 @@ object CurationQueries {
               |  round(CAST(b.n_pos AS DOUBLE)/CAST(b.n_docs AS DOUBLE), 9)
               |    AS pos_rate,
               |  iso.iso_rate
-              |FROM bins b JOIN iso ON iso.ib = b.bin""".stripMargin)))
+              |FROM bins b JOIN iso ON iso.ib = b.bin""".stripMargin)),
+
+    // Unicode NFC + control-strip + whitespace-collapse — the normalize
+    // pass a curation pipeline runs BEFORE any content hash or dedup
+    // (decomposed e+U+0301 vs precomposed é would otherwise fingerprint
+    // as distinct docs). NFC via the codegen'd NfcNormalize expression
+    // (JDK Normalizer ≡ DuckDB's utf8proc, byte-identical on assigned
+    // code points); the strip/collapse regexes are simple character
+    // classes that Java regex and RE2 read identically. Pure per-row
+    // projection — no shuffle at any scale; output stays compact (md5 of
+    // the normalized text, not the text) so the gate compares content
+    // without dumping the corpus.
+    Q("text_nfc_normalize",
+      (s, dir) => {
+        val norm = trim(regexp_replace(regexp_replace(
+          graft.functions.NfcNormalize(col("text")),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""), "[ \\t]+", " "))
+        documents(s, dir)
+          .withColumn("norm", norm)
+          .select(col("doc_id"), col("source"),
+            when(col("norm") =!= col("text"), 1).otherwise(0).as("changed"),
+            length(col("norm")).as("n_chars_norm"),
+            md5(col("norm").cast("binary")).as("norm_md5"))
+      },
+      Some("""WITH n AS (
+             |  SELECT doc_id, source, text,
+             |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+             |      '[ \t]+', ' ', 'g')) AS norm
+             |  FROM documents)
+             |SELECT doc_id, source,
+             |  CAST(CASE WHEN norm <> text THEN 1 ELSE 0 END AS INTEGER)
+             |    AS changed,
+             |  CAST(length(norm) AS INTEGER) AS n_chars_norm,
+             |  md5(norm) AS norm_md5
+             |FROM n""".stripMargin)))
 
   // shared NB-classifier CTE chain: hashed-unigram bucket counts on the
   // training split (all 256 buckets, add-one smoothing), round-9 DECIMAL
