@@ -3161,7 +3161,7 @@ object PipelineQueries {
           .join(graft.ops.Spread.byKey(docs, col("doc_id"))
             .select(col("doc_id"), col("source"),
               round(TA.qualityScore(col("text")), 8).as("quality"),
-              round(TA.duplicateNgramFraction(TA.tokens(col("text")), 3), 8)
+              round(TA.repetitionFraction(col("text"), 3), 8)
                 .as("dup_frac")), "doc_id")
         import org.apache.spark.sql.expressions.Window
         val wLm = Window.partitionBy("source")
