@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, JaroWinkler, SortedIntersectCount}
+import graft.functions.{DotProduct, DupNgramFraction, IntDotProduct, JaroWinkler, NfcNormalize, QualityScore, SortedIntersectCount}
 
 /**
  * Injectable Spark session extensions — the standard deployment path for
@@ -15,7 +15,11 @@ import graft.functions.{DotProduct, JaroWinkler, SortedIntersectCount}
  * without driver-side code:
  *
  *  - `graft_dot(a, b)`               — dot product of two DOUBLE arrays
+ *  - `graft_int_dot(a, b)`           — BIGINT dot product of two INT arrays
  *  - `graft_sorted_intersect(a, b)`  — |a ∩ b| of two sorted BIGINT arrays
+ *  - `graft_nfc(s)`                  — Unicode NFC normalization
+ *  - `graft_quality(s)`              — single-pass text-quality score
+ *  - `graft_dup_ngram_frac(s, n)`    — duplicate word-n-gram fraction
  *
  * Both are full Catalyst `Expression`s with `doGenCode`, so they stay
  * inside whole-stage codegen (Spark's lambda HOFs are interpreted per
@@ -36,5 +40,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_int_dot"),
+      new ExpressionInfo(classOf[IntDotProduct].getName, "graft_int_dot"),
+      (exprs: Seq[Expression]) => IntDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(classOf[QualityScore].getName, "graft_quality"),
+      (exprs: Seq[Expression]) => QualityScore(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dup_ngram_frac"),
+      new ExpressionInfo(classOf[DupNgramFraction].getName,
+        "graft_dup_ngram_frac"),
+      (exprs: Seq[Expression]) => DupNgramFraction(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
   }
 }

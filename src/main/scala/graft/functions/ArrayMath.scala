@@ -102,12 +102,60 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * Codegen'd integer dot product (ArrayType(IntegerType) × 2 → Long) — the
+ * SQ8 pair-scan inner loop. Same motivation as [[DotProduct]]: the
+ * `aggregate(zip_with(...))` formulation interprets and boxes per element
+ * on every candidate pair. Pure integer arithmetic, so the value is
+ * trivially cross-engine exact.
+ */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getInt(i).toLong * y.getInt(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getInt($i) * $b.getInt($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object ArrayMath {
   import org.apache.spark.sql.{GraftColumnBridge => EU}
 
   /** Codegen'd dot product of two ArrayType(DoubleType) columns. */
   def dot(a: Column, b: Column): Column =
     EU.column(DotProduct(
+      EU.expression(a), EU.expression(b)))
+
+  /** Codegen'd Long dot product of two ArrayType(IntegerType) columns. */
+  def intDot(a: Column, b: Column): Column =
+    EU.column(IntDotProduct(
       EU.expression(a), EU.expression(b)))
 
   /** Codegen'd |a ∩ b| for two sorted ArrayType(LongType) columns. */

@@ -988,8 +988,10 @@ object Similarity {
     val pairs = Spread.saltedJoin(a, b,
         col("cell") === col("__cell2") && col("vec_id") =!= col("neighbor_id"),
         col("vec_id"), Dedup.SALT)
-      .withColumn("qdot", aggregate(zip_with(col("qa"), col("qb"),
-        (x, y) => (x * y).cast("long")), lit(0L), (acc, v) => acc + v))
+      // codegen'd integer dot (the DotProduct lesson: interpreted
+      // zip_with+aggregate per candidate pair dominated the scan)
+      .withColumn("qdot",
+        graft.functions.ArrayMath.intDot(col("qa"), col("qb")))
     val w = Window.partitionBy("vec_id").orderBy(col("qdot").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

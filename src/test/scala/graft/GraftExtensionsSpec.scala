@@ -33,6 +33,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2L)
   }
 
+  test("graft_int_dot / graft_nfc / graft_quality / graft_dup_ngram_frac " +
+       "resolve and evaluate from SQL") {
+    val r = spark.sql(
+      """SELECT graft_int_dot(array(1, 2, 3), array(4, 5, 6)) AS d,
+        |       graft_nfc('plain') AS s,
+        |       graft_quality('') AS q,
+        |       graft_dup_ngram_frac('a a a a a', 3) AS f""".stripMargin)
+      .head()
+    assert(r.getLong(0) == 32L)
+    assert(r.getString(1) == "plain")
+    assert(r.getDouble(2) == 0.2)
+    assert(r.getDouble(3) == 2.0 / 3.0)
+  }
+
   test("SQL function results match the typed Column API") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
