@@ -41,10 +41,15 @@ object Curation {
                          evalPred: Column, n: Int): DataFrame = {
     // Spread the document scan first: a small single-file input arrives as
     // one partition and would serialize the n-gram explode on one core.
-    val grams = Spread.shared(Spread.byKey(docs, col(idCol))
+    // The exploded gram relation is deliberately NOT cached (the bigram-LM
+    // lesson, TextAnalysis.charBigramLmScoreImpl): its two consumers each
+    // read it once, so a persist saves one whole-stage-codegen explode but
+    // materializes a corpus-sized row set — the largest working set in the
+    // registry, and the first thing memory pressure evicts mid-query.
+    val grams = Spread.byKey(docs, col(idCol))
       .withColumn("__eval", evalPred)
       .select(col(idCol), col("__eval"),
-        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram")))
+        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram"))
     val trainGrams = grams.filter(!col("__eval"))
       .select(col(idCol), col("__ngram")).distinct()
     val evalGrams = grams.filter(col("__eval"))
@@ -127,10 +132,11 @@ object Curation {
    */
   def contaminationFraction(docs: DataFrame, idCol: String, textCol: String,
                             evalPred: Column, n: Int): DataFrame = {
-    val grams = Spread.shared(Spread.byKey(docs, col(idCol))
+    // uncached gram explode — same reasoning as [[contaminationFlags]]
+    val grams = Spread.byKey(docs, col(idCol))
       .withColumn("__eval", evalPred)
       .select(col(idCol), col("__eval"),
-        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram")))
+        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram"))
     val trainGrams = grams.filter(!col("__eval"))
       .select(col(idCol), col("__ngram")).distinct()
     val evalGrams = grams.filter(col("__eval"))
