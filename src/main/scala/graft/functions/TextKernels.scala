@@ -58,6 +58,57 @@ object TextKernels {
     lenScore * 0.6 + (if (mtlOk) 1.0 else 0.5) * 0.4
   }
 
+  /** Non-empty-token byte spans (start, end) for space-split text. */
+  private def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    val starts = new Array[Int](bytes.length / 2 + 1)
+    val ends = new Array[Int](bytes.length / 2 + 1)
+    var nt = 0
+    var i = 0; var tokStart = -1
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) {
+        if (tokStart >= 0) { starts(nt) = tokStart; ends(nt) = i; nt += 1
+          tokStart = -1 }
+      } else if (tokStart < 0) tokStart = i
+      i += 1
+    }
+    if (tokStart >= 0) { starts(nt) = tokStart; ends(nt) = bytes.length
+      nt += 1 }
+    (starts, ends, nt)
+  }
+
+  /** Mirror of `TextAnalysis.wordNgrams(tokens(text), n)`: the space-joined
+    * word n-gram array (empty below n tokens), built in one byte pass —
+    * the explode-input form every decontam/dedup/PMI consumer uses. */
+  def wordNgrams(u: UTF8String, n: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = u.getBytes
+    val (starts, ends, nt) = tokenSpans(bytes)
+    val total = nt - (n - 1)
+    if (total <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](total)
+    var g = 0
+    while (g < total) {
+      var len = n - 1
+      var j = 0
+      while (j < n) { len += ends(g + j) - starts(g + j); j += 1 }
+      val gram = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < n) {
+        val s = starts(g + j); val l = ends(g + j) - s
+        System.arraycopy(bytes, s, gram, off, l)
+        off += l
+        if (j < n - 1) { gram(off) = 0x20; off += 1 }
+        j += 1
+      }
+      out(g) = UTF8String.fromBytes(gram)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Mirror of `TextAnalysis.duplicateNgramFraction(tokens(text), n)`:
     * 1 − distinct/total over space-joined word n-grams, 0.0 when the doc
     * has fewer than n tokens (including the empty/null-token cases the
@@ -146,5 +197,33 @@ object DupNgramFraction {
     org.apache.spark.sql.functions.coalesce(
       EU.column(DupNgramFraction(EU.expression(c), n)),
       org.apache.spark.sql.functions.lit(0.0))
+  }
+}
+
+/** Codegen'd [[TextKernels.wordNgrams]] (null-propagating; the Column
+  * wrapper folds null text to the empty array, matching the HOF form's
+  * `otherwise(array())`). */
+case class WordNgramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.wordNgrams(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.wordNgrams($s, $n);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object WordNgramsExpr {
+  /** Column form; null text folds to the empty gram array. */
+  def apply(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    import org.apache.spark.sql.functions.{array, coalesce}
+    coalesce(EU.column(WordNgramsExpr(EU.expression(c), n)),
+      array().cast("array<string>"))
   }
 }

@@ -49,7 +49,7 @@ object Curation {
     val grams = Spread.byKey(docs, col(idCol))
       .withColumn("__eval", evalPred)
       .select(col(idCol), col("__eval"),
-        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram"))
+        explode(TA.textNgrams(col(textCol), n)).as("__ngram"))
     val trainGrams = grams.filter(!col("__eval"))
       .select(col(idCol), col("__ngram")).distinct()
     val evalGrams = grams.filter(col("__eval"))
@@ -78,7 +78,7 @@ object Curation {
     val grams = Spread.shared(Spread.byKey(docs, col(idCol))
       .withColumn("__eval", evalPred)
       .select(col(idCol), col("__eval"),
-        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram")))
+        explode(TA.textNgrams(col(textCol), n)).as("__ngram")))
     val evalGrams = Spread.shared(
       grams.filter(col("__eval")).select("__ngram").distinct())
     val params = Dedup.hashParams(Sketches.BloomK)
@@ -136,7 +136,7 @@ object Curation {
     val grams = Spread.byKey(docs, col(idCol))
       .withColumn("__eval", evalPred)
       .select(col(idCol), col("__eval"),
-        explode(TA.wordNgrams(TA.tokens(col(textCol)), n)).as("__ngram"))
+        explode(TA.textNgrams(col(textCol), n)).as("__ngram"))
     val trainGrams = grams.filter(!col("__eval"))
       .select(col(idCol), col("__ngram")).distinct()
     val evalGrams = grams.filter(col("__eval"))
@@ -166,7 +166,7 @@ object Curation {
    */
   def contaminationFlagsStatic(docs: DataFrame, idCol: String, textCol: String,
                                evalGrams: Seq[String], n: Int): DataFrame = {
-    val grams = array_distinct(TA.wordNgrams(TA.tokens(col(textCol)), n))
+    val grams = array_distinct(TA.textNgrams(col(textCol), n))
     docs.select(col(idCol),
         size(array_intersect(grams, lit(evalGrams.toArray))).as("n_overlap"))
       .filter(col("n_overlap") > 0)
@@ -320,7 +320,7 @@ object Curation {
     // the exploded gram relation feeds BOTH the duplicate-count aggregate
     // and the final join — share it so the n-gram explode runs once
     val grams = Spread.shared(Spread.byKey(docs, col(idCol)).select(col(idCol),
-        posexplode(TA.wordNgrams(TA.tokens(col(textCol)), n))
+        posexplode(TA.textNgrams(col(textCol), n))
           .as(Seq("pos", "ngram"))))
     val dup = grams.groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
@@ -485,7 +485,7 @@ object Curation {
     val grams = Spread.byKey(docs, col(idCol))
       .withColumn("__t", targetPred)
       .select(col(idCol), col("__t"),
-        explode(TA.wordNgrams(TA.tokens(col(textCol)), 2)).as("__g"))
+        explode(TA.textNgrams(col(textCol), 2)).as("__g"))
       .withColumn("__b",
         expr(s"CAST(conv(substring(md5(__g), 1, 8), 16, 10) AS BIGINT) % $buckets"))
     val perDoc = Spread.shared(grams

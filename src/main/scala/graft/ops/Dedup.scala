@@ -1184,7 +1184,7 @@ object Dedup {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
                          n: Int, w: Int): DataFrame = {
     val grams = Spread.byKey(df, col(idCol)).select(col(idCol),
-        posexplode(TextAnalysis.wordNgrams(TextAnalysis.tokens(col(textCol)), n))
+        posexplode(TextAnalysis.textNgrams(col(textCol), n))
           .as(Seq("pos", "ngram")))
       .withColumn("__h",
         expr("CAST(conv(substring(md5(ngram), 1, 8), 16, 10) AS BIGINT)"))

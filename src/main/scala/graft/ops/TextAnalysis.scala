@@ -109,6 +109,14 @@ object TextAnalysis {
       .otherwise(0.0)
   }
 
+  /** Single-pass codegen form of `wordNgrams(tokens(text), n)` — the
+    * explode-input shape every decontam/dedup/PMI consumer uses. The HOF
+    * form re-tokenizes per n-gram element as interpreted lambdas; the
+    * kernel builds the gram array in one byte walk (value-identical,
+    * QualityKernelSpec). */
+  def textNgrams(text: Column, n: Int): Column =
+    graft.functions.WordNgramsExpr(text, n)
+
   /** Single-pass codegen form of `duplicateNgramFraction(tokens(text), n)`
     * for hot projections: the HOF formulation re-evaluates the
     * tokenization and the n-gram `transform` several times once Catalyst

@@ -1519,7 +1519,7 @@ object PipelineQueries {
       (s, dir) => graft.ops.Sketches.kmvDistinct(
         graft.ops.Spread.byKey(documents(s, dir), col("doc_id"))
           .select(col("source"),
-            explode(TA.wordNgrams(TA.tokens(col("text")), 3)).as("tri")),
+            explode(TA.textNgrams(col("text"), 3)).as("tri")),
         "source", "tri"),
       Some(s"""WITH $kmvTriCtes,
              |n AS (SELECT source, count(*) AS n_true FROM h GROUP BY 1),
@@ -1543,7 +1543,7 @@ object PipelineQueries {
       (s, dir) => graft.ops.Sketches.kmvJaccard(
         graft.ops.Spread.byKey(documents(s, dir), col("doc_id"))
           .select(col("source"),
-            explode(TA.wordNgrams(TA.tokens(col("text")), 3)).as("tri")),
+            explode(TA.textNgrams(col("text"), 3)).as("tri")),
         "source", "tri"),
       Some(s"""WITH $kmvTriCtes,
              |r AS (SELECT source, h,
@@ -3549,7 +3549,7 @@ object PipelineQueries {
         // project the gram array ONCE; all four outputs derive from it
         val d = documents(s, dir)
           .withColumn("__grams",
-            TA.wordNgrams(TA.tokens(col("text")), 3))
+            TA.textNgrams(col("text"), 3))
           .withColumn("__n", size(col("__grams")))
           .withColumn("__nd", size(array_distinct(col("__grams"))))
           .withColumn("__frac", when(col("__n") > 0,

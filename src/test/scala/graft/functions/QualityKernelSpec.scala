@@ -54,6 +54,17 @@ class QualityKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("textNgrams kernel == HOF wordNgrams(tokens(text)), corpus + edges") {
+    for (df <- Seq(edgeDf, corpus); n <- Seq(2, 3, 4)) {
+      val bad = df.select(
+          TA.textNgrams(col("text"), n).as("k"),
+          coalesce(TA.wordNgrams(TA.tokens(col("text")), n),
+            array().cast("array<string>")).as("h"))
+        .filter(!(col("k") <=> col("h"))).count()
+      assert(bad == 0, s"n=$n")
+    }
+  }
+
   test("kernel static values on known shapes") {
     assert(TextKernels.dupNgramFraction(UTF8String.fromString("a a a a a"), 3)
       == 2.0 / 3.0) // grams: "a a a" x3 -> total 3, distinct 1
