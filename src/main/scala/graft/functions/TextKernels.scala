@@ -109,6 +109,28 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Adjacent non-empty token pairs as (w1, w2) struct rows — see
+    * [[AdjacentWordPairs]]. */
+  def adjacentPairs(u: UTF8String):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val bytes = u.getBytes
+    val (starts, ends, nt) = tokenSpans(bytes)
+    if (nt < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val out = new Array[Any](nt - 1)
+    var i = 0
+    while (i < nt - 1) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromBytes(java.util.Arrays.copyOfRange(
+          bytes, starts(i), ends(i))),
+        UTF8String.fromBytes(java.util.Arrays.copyOfRange(
+          bytes, starts(i + 1), ends(i + 1))))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Mirror of `TextAnalysis.duplicateNgramFraction(tokens(text), n)`:
     * 1 − distinct/total over space-joined word n-grams, 0.0 when the doc
     * has fewer than n tokens (including the empty/null-token cases the
@@ -197,6 +219,36 @@ object DupNgramFraction {
     org.apache.spark.sql.functions.coalesce(
       EU.column(DupNgramFraction(EU.expression(c), n)),
       org.apache.spark.sql.functions.lit(0.0))
+  }
+}
+
+/** Codegen'd adjacent-word pair extraction: text → array of (w1, w2)
+  * structs for consecutive non-empty space-split tokens — the TextRank
+  * co-occurrence edge generator, one byte walk instead of the interpreted
+  * `transform(sequence, struct(element_at, element_at))` form. */
+case class AdjacentWordPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w1",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("w2",
+          org.apache.spark.sql.types.StringType, nullable = false))),
+      containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.adjacentPairs(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.adjacentPairs($s);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object AdjacentWordPairs {
+  def apply(c: Column): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(AdjacentWordPairs(EU.expression(c)))
   }
 }
 

@@ -1218,22 +1218,17 @@ object PipelineQueries {
     // dedup stack already gates; same unrolled-iteration oracle.
     Q("keyphrase_rank",
       (s, dir) => {
-        // adjacent pairs exploded as STRUCTS: the space-joined-bigram form
-        // built a "w1 w2" string per pair and re-split it twice — three
-        // per-bigram string ops dropped (local timing is bound by the
-        // (w1, w2) count shuffle either way; the saved CPU matters on a
-        // cluster where cores, not the one local shuffle, are the budget)
-        val toks = graft.ops.Spread.shared(
+        // adjacent pairs exploded as STRUCTS via the single-byte-walk
+        // codegen kernel (AdjacentWordPairs; the interpreted
+        // transform/element_at form was the per-row cost), uncached — one
+        // consumer (the pair-count aggregation), so a persist would only
+        // materialize a corpus-sized pair relation
+        val toks =
           graft.ops.Spread.byKey(documents(s, dir), col("doc_id"))
-            .select(TA.tokens(col("text")).as("__tk"))
-            .filter(size(col("__tk")) >= 2)
-            .select(explode(expr(
-              """transform(sequence(1, size(__tk) - 1),
-                |  i -> struct(element_at(__tk, i) AS w1,
-                |              element_at(__tk, i + 1) AS w2))""".stripMargin))
-              .as("p"))
+            .select(explode(
+              graft.functions.AdjacentWordPairs(col("text"))).as("p"))
             .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-            .filter(col("w1") =!= col("w2")))
+            .filter(col("w1") =!= col("w2"))
         val dp = toks.groupBy("w1", "w2").agg(count(lit(1)).as("__c"))
           .filter(col("__c") >= 5)
         val ids = dp

@@ -65,6 +65,27 @@ class QualityKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("adjacentPairs kernel == HOF transform form, corpus + edges") {
+    for (df <- Seq(edgeDf, corpus)) {
+      val hof = expr(
+        """CASE WHEN size(filter(split(text, ' '), t -> length(t) > 0)) >= 2
+          |THEN transform(
+          |  sequence(1, size(filter(split(text, ' '), t -> length(t) > 0)) - 1),
+          |  i -> struct(
+          |    element_at(filter(split(text, ' '), t -> length(t) > 0), i) AS w1,
+          |    element_at(filter(split(text, ' '), t -> length(t) > 0), i + 1) AS w2))
+          |ELSE array() END""".stripMargin)
+      // the kernel null-propagates (explode treats null and array()
+      // identically, so the query is unaffected) — null the HOF side too
+      val bad = df.select(
+          graft.functions.AdjacentWordPairs(col("text")).as("k"),
+          when(col("text").isNotNull, hof)
+            .cast("array<struct<w1:string,w2:string>>").as("h"))
+        .filter(!(col("k") <=> col("h"))).count()
+      assert(bad == 0)
+    }
+  }
+
   test("kernel static values on known shapes") {
     assert(TextKernels.dupNgramFraction(UTF8String.fromString("a a a a a"), 3)
       == 2.0 / 3.0) // grams: "a a a" x3 -> total 3, distinct 1
