@@ -109,6 +109,45 @@ object TextKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Sorted distinct base-256-packed 3-codepoint shingle keys — the
+    * prefix-filter/containment set representation (see Dedup.shingleKeys3).
+    * Exact edge parity with the SQL form: below 3 code points a single
+    * short shingle is emitted whose missing positions contribute
+    * `ascii('') = 0`; the empty string yields the single key 0. */
+  def shingleKeys3(u: UTF8String):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val nu = s.length
+    var n = 0 // code point count
+    var i = 0
+    while (i < nu) { i += Character.charCount(s.codePointAt(i)); n += 1 }
+    val cps = new Array[Int](n)
+    i = 0; var ci = 0
+    while (i < nu) {
+      val cp = s.codePointAt(i); cps(ci) = cp; ci += 1
+      i += Character.charCount(cp)
+    }
+    val count = math.max(n - 2, 1)
+    val keys = new Array[Long](count)
+    var g = 0
+    while (g < count) {
+      val c1 = if (g < n) cps(g).toLong else 0L
+      val c2 = if (g + 1 < n) cps(g + 1).toLong else 0L
+      val c3 = if (g + 2 < n) cps(g + 2).toLong else 0L
+      keys(g) = c1 * 65536L + c2 * 256L + c3
+      g += 1
+    }
+    java.util.Arrays.sort(keys)
+    var out = 0
+    var j = 0
+    while (j < count) {
+      if (j == 0 || keys(j) != keys(j - 1)) { keys(out) = keys(j); out += 1 }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(keys, out))
+  }
+
   /** Adjacent non-empty token pairs as (w1, w2) struct rows — see
     * [[AdjacentWordPairs]]. */
   def adjacentPairs(u: UTF8String):
@@ -219,6 +258,29 @@ object DupNgramFraction {
     org.apache.spark.sql.functions.coalesce(
       EU.column(DupNgramFraction(EU.expression(c), n)),
       org.apache.spark.sql.functions.lit(0.0))
+  }
+}
+
+/** Codegen'd [[TextKernels.shingleKeys3]] (null-propagating like the SQL
+  * form, whose length(null) collapses the whole expression to null). */
+case class ShingleKeys3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def checkInputDataTypes() =
+    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def nullSafeEval(s: Any): Any =
+    TextKernels.shingleKeys3(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TextKernels.shingleKeys3($s);")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object ShingleKeys3 {
+  def apply(c: Column): Column = {
+    import org.apache.spark.sql.{GraftColumnBridge => EU}
+    EU.column(ShingleKeys3(EU.expression(c)))
   }
 }
 

@@ -86,6 +86,23 @@ class QualityKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("shingleKeys3 kernel == SQL nested-transform form, corpus + edges") {
+    // null text: the SQL form accidentally yields [null] (greatest(null,1)
+    // = 1 keeps the sequence alive and the pack nulls out); the kernel
+    // null-propagates — the cleaner contract, and no corpus carries null
+    // texts. Non-null rows must agree exactly.
+    for (df <- Seq(edgeDf.filter(col("text").isNotNull), corpus)) {
+      val bad = df.select(
+          graft.functions.ShingleKeys3(col("text")).as("k"),
+          graft.ops.Dedup.shingleKeys3Hof("text").as("h"))
+        .filter(!(col("k") <=> col("h"))).count()
+      assert(bad == 0)
+    }
+    val nullRow = edgeDf.filter(col("text").isNull)
+      .select(graft.functions.ShingleKeys3(col("text")).as("k"))
+    assert(nullRow.head().isNullAt(0))
+  }
+
   test("kernel static values on known shapes") {
     assert(TextKernels.dupNgramFraction(UTF8String.fromString("a a a a a"), 3)
       == 2.0 / 3.0) // grams: "a a a" x3 -> total 3, distinct 1
