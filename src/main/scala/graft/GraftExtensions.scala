@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, DupNgramFraction, IntDotProduct, JaroWinkler, NfcNormalize, QualityScore, SortedIntersectCount}
+import graft.functions.{AdjacentWordPairs, DotProduct, DupNgramFraction, IntDotProduct, JaroWinkler, NfcNormalize, QualityScore, ShingleKeys3, SortedIntersectCount, WordNgramsExpr}
 
 /**
  * Injectable Spark session extensions — the standard deployment path for
@@ -20,6 +20,9 @@ import graft.functions.{DotProduct, DupNgramFraction, IntDotProduct, JaroWinkler
  *  - `graft_nfc(s)`                  — Unicode NFC normalization
  *  - `graft_quality(s)`              — single-pass text-quality score
  *  - `graft_dup_ngram_frac(s, n)`    — duplicate word-n-gram fraction
+ *  - `graft_word_ngrams(s, n)`       — space-joined word n-gram array
+ *  - `graft_adjacent_pairs(s)`       — adjacent (w1, w2) token structs
+ *  - `graft_shingle_keys3(s)`        — sorted distinct packed 3-shingles
  *
  * Both are full Catalyst `Expression`s with `doGenCode`, so they stay
  * inside whole-stage codegen (Spark's lambda HOFs are interpreted per
@@ -58,5 +61,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_dup_ngram_frac"),
       (exprs: Seq[Expression]) => DupNgramFraction(exprs(0),
         exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNgramsExpr].getName, "graft_word_ngrams"),
+      (exprs: Seq[Expression]) => WordNgramsExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adjacent_pairs"),
+      new ExpressionInfo(classOf[AdjacentWordPairs].getName,
+        "graft_adjacent_pairs"),
+      (exprs: Seq[Expression]) => AdjacentWordPairs(exprs(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingle_keys3"),
+      new ExpressionInfo(classOf[ShingleKeys3].getName, "graft_shingle_keys3"),
+      (exprs: Seq[Expression]) => ShingleKeys3(exprs(0))))
   }
 }

@@ -47,6 +47,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 2.0 / 3.0)
   }
 
+  test("graft_word_ngrams / graft_adjacent_pairs / graft_shingle_keys3 " +
+       "resolve and evaluate from SQL") {
+    val r = spark.sql(
+      """SELECT graft_word_ngrams('a b c', 2) AS g,
+        |       graft_adjacent_pairs('a b c') AS p,
+        |       graft_shingle_keys3('abc') AS s""".stripMargin).head()
+    assert(r.getSeq[String](0) == Seq("a b", "b c"))
+    assert(r.getSeq[org.apache.spark.sql.Row](1).map(x =>
+      (x.getString(0), x.getString(1))) == Seq(("a", "b"), ("b", "c")))
+    assert(r.getSeq[Long](2) ==
+      Seq('a'.toLong * 65536 + 'b'.toLong * 256 + 'c'.toLong))
+  }
+
   test("SQL function results match the typed Column API") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
