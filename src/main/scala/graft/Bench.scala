@@ -1,6 +1,50 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Benchmark main with NOISE CONTROLS (round 16): BENCH_r15.json committed a
+ * phantom 2.4x "regression" caused entirely by co-tenant CPU interference —
+ * indistinguishable, in the artifact, from a real one. The harness now
+ * measures its own environment so the committed record can't silently lie:
+ *
+ *  - a fixed 5-query CONTROL block runs at suite start AND end (best-of-2
+ *    per control query); `noise_index` = end/start total. Control queries
+ *    are cheap (~0.1 s) and planner-bound, so they track exactly the
+ *    driver/CPU contention that poisoned r15.
+ *  - any query whose best-of-2 exceeds 2x its committed prior (the
+ *    `queries` map of BENCH_DETAIL.json at the repo root, stamped from the
+ *    last accepted run) gets a THIRD pass; the min of 3 is recorded and
+ *    the name lands in `reruns`.
+ *  - when control drift exceeds 1.5x (either direction) the JSON line is
+ *    stamped `"noisy":true` — the driver record carries the flag instead
+ *    of a silent lie. rc stays 0: a noisy environment is not a failure.
+ */
 object Bench {
+
+  /** Cheap, stable, long-registered queries spanning scan+project, window
+    * trim, graph dedup, and text kernels — each ~0.1 s at sf0.1, so both
+    * control blocks together cost ~2 s of a ~170 s suite. */
+  private val ControlQueries =
+    Seq("rotate_magvar", "text_tokens", "dedup_components",
+        "trim_mask_expr", "text_quality")
+
+  /** Prior per-query seconds from the last accepted run's detail file
+    * (repo root, committed). Format is exactly what this main writes:
+    * one JSON object with a `"queries":{"name":sec,...}` member. */
+  private def readPrior(path: String): Map[String, Double] =
+    try {
+      val s = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val qStart = s.indexOf("\"queries\":{")
+      if (qStart < 0) Map.empty
+      else {
+        val body = s.substring(qStart + 11, s.indexOf('}', qStart))
+        "\"([^\"]+)\":([0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,7 +76,8 @@ object Bench {
     // analysis-broken queries as innocent 0.05 s rows): record it here and
     // surface a "failed" list on the JSON line + stderr
     val failed = scala.collection.mutable.SortedSet[String]()
-    def runOnce(tag: String): Map[String, Double] = names.map { case (name, fn) =>
+    def timeOne(tag: String, name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         failed += name
@@ -41,13 +86,52 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       if (debug) System.err.println(f"[bench:$tag] $name%-28s $dt%7.3f s")
       // query-completion cache hook — without it, shared() persists from all
-      // 174 queries × 2 passes stay pinned for the session (r6: 16× slowdowns)
+      // queries x passes stay pinned for the session (r6: 16x slowdowns)
       graft.ops.Spread.release(spark)
-      name -> dt
-    }.toMap
+      dt
+    }
+    def runOnce(tag: String): Map[String, Double] =
+      names.map { case (n, fn) => n -> timeOne(tag, n, fn) }.toMap
+    // control block: best-of-2 per control query, summed
+    val byName = names.toMap
+    def controlBlock(tag: String): Map[String, Double] = {
+      val present = ControlQueries.filter(byName.contains)
+      val p1 = present.map(n => n -> timeOne(s"$tag/1", n, byName(n))).toMap
+      val p2 = present.map(n => n -> timeOne(s"$tag/2", n, byName(n))).toMap
+      p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+    }
+    val ctlStart = controlBlock("ctl-start")
     val r1 = runOnce("r1")
     val r2 = runOnce("r2")
-    val results = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+    val best2 = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+    // third pass for movers vs the committed prior: a genuinely regressed
+    // query stays slow on its 3rd run; a scheduler hiccup doesn't.
+    // Prior = working-tree BENCH_DETAIL.json if present (last accepted
+    // run), else the newest committed BENCH_DETAIL_r*.json.
+    val prior = {
+      val direct = readPrior("BENCH_DETAIL.json")
+      if (direct.nonEmpty) direct
+      else Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.matches("BENCH_DETAIL_r\\d+\\.json"))
+        .sortBy(n => "\\d+".r.findFirstIn(n).get.toInt)
+        .lastOption.map(readPrior).getOrElse(Map.empty)
+    }
+    val movers = best2.collect {
+      case (k, v) if prior.get(k).exists(p => p > 0 && v > 2.0 * p) => k
+    }.toSeq.sorted
+    val r3pass = movers.map(n => n -> timeOne("r3", n, byName(n))).toMap
+    val results = best2.map { case (k, v) =>
+      k -> math.min(v, r3pass.getOrElse(k, v)) }
+    val ctlEnd = controlBlock("ctl-end")
+    val ctlStartTotal = ctlStart.values.sum
+    val ctlEndTotal = ctlEnd.values.sum
+    val noiseIndex =
+      if (ctlStartTotal > 0) ctlEndTotal / ctlStartTotal else 1.0
+    val noisy = noiseIndex > 1.5 || noiseIndex < (1.0 / 1.5)
+    if (noisy) System.err.println(
+      f"[bench] NOISY ENVIRONMENT: control block drifted ${noiseIndex}%.2fx " +
+        f"between suite start (${ctlStartTotal}%.3f s) and end " +
+        f"(${ctlEndTotal}%.3f s) — timings in this record are suspect")
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(m: Seq[(String, Double)]): String =
@@ -55,8 +139,14 @@ object Bench {
     val sorted = results.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val moversJson = movers.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val noiseMeta =
+      s""""noise_index":${r3(noiseIndex)},"noisy":$noisy,""" +
+      s""""control_start":${qjson(ctlStart.toSeq.sortBy(_._1))},""" +
+      s""""control_end":${qjson(ctlEnd.toSeq.sortBy(_._1))},""" +
+      s""""reruns":$moversJson"""
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qjson(sorted)},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qjson(sorted)},"failed":$failedJson,$noiseMeta,"sf":"$sfDir"}"""
     // full per-query map (~3 KB for 100+ queries) exceeds the output-tail
     // window the driver captures — keep it on disk + one full stdout line,
     // and END with a compact line (total + slowest 20) that fits the tail
@@ -67,7 +157,7 @@ object Bench {
     } catch { case _: Throwable => () }
     println(full)
     val top = results.toSeq.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"queries":${qjson(top)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,$noiseMeta,"queries":${qjson(top)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

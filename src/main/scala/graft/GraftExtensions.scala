@@ -1,8 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{AnalysisException, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Coalesce, Expression, ExpressionInfo, Literal}
 import graft.functions.{AdjacentWordPairs, DotProduct, DupNgramFraction, IntDotProduct, JaroWinkler, NfcNormalize, QualityScore, ShingleKeys3, SortedIntersectCount, WordNgramsExpr}
 
 /**
@@ -29,6 +29,27 @@ import graft.functions.{AdjacentWordPairs, DotProduct, DupNgramFraction, IntDotP
  * element and measured ~10x slower on the same workloads — NOTES round 1).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** The n-gram size argument must be a non-null integer LITERAL — the
+    * kernel bakes `n` into generated code, so a per-row n is not
+    * expressible. Checked at resolution time with a clear analysis error
+    * (a bare `eval().asInstanceOf[Int]` would NPE on NULL and
+    * ClassCastException on a BIGINT literal). Any integral literal type
+    * is accepted via `Number.intValue` (SQL integer literals parse as
+    * INT, but `CAST(3 AS BIGINT)` folds to a BIGINT literal). */
+  private def literalN(fn: String, e: Expression): Int = {
+    def fail(what: String): Nothing = throw new AnalysisException(
+      "USER_RAISED_EXCEPTION",
+      Map("errorMessage" ->
+        s"$fn requires a non-null foldable integer literal for the n-gram size; got $what"))
+    if (!e.foldable) fail(s"non-foldable expression ${e.sql}")
+    e.eval() match {
+      case null => fail("NULL")
+      case n: java.lang.Number => n.intValue()
+      case other => fail(s"a ${e.dataType.sql} value '$other'")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
@@ -55,17 +76,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_quality"),
       new ExpressionInfo(classOf[QualityScore].getName, "graft_quality"),
       (exprs: Seq[Expression]) => QualityScore(exprs(0))))
+    // Registered in the coalesced Column-wrapper form (null text → 0.0 /
+    // array()) so a SQL-only deployment reproduces exactly the driver-side
+    // semantics — the bare case classes null-propagate.
     ext.injectFunction((
       FunctionIdentifier("graft_dup_ngram_frac"),
       new ExpressionInfo(classOf[DupNgramFraction].getName,
         "graft_dup_ngram_frac"),
-      (exprs: Seq[Expression]) => DupNgramFraction(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => Coalesce(Seq(
+        DupNgramFraction(exprs(0), literalN("graft_dup_ngram_frac", exprs(1))),
+        Literal(0.0)))))
     ext.injectFunction((
       FunctionIdentifier("graft_word_ngrams"),
       new ExpressionInfo(classOf[WordNgramsExpr].getName, "graft_word_ngrams"),
-      (exprs: Seq[Expression]) => WordNgramsExpr(exprs(0),
-        exprs(1).eval().asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => Coalesce(Seq(
+        WordNgramsExpr(exprs(0), literalN("graft_word_ngrams", exprs(1))),
+        Literal.create(Array.empty[String],
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = false))))))
     ext.injectFunction((
       FunctionIdentifier("graft_adjacent_pairs"),
       new ExpressionInfo(classOf[AdjacentWordPairs].getName,

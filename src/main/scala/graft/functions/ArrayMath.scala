@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /**
  * Codegen'd array math — Spark's higher-order functions (`zip_with` +
@@ -14,11 +14,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  * whole-stage codegen: a tight primitive loop, no allocation.
  */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  // SQL-registered (`graft_dot`): mistyped arguments must fail (or coerce)
+  // at analysis time — ArrayData.getDouble over the wrong element stride
+  // would otherwise return silently wrong numbers.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -56,11 +59,11 @@ case class DotProduct(left: Expression, right: Expression)
  * Σ_shingle freq² — quadratic in shingle frequency.
  */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -110,11 +113,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
  * trivially cross-engine exact.
  */
 case class IntDotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def dataType: DataType = LongType
+  // array<bigint>/array<double> must NOT silently narrow: implicit casts
+  // only widen, so `graft_int_dot(array<bigint>, ...)` is an analysis error
+  // instead of getInt reads at the wrong element stride.
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(IntegerType), ArrayType(IntegerType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -21,11 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
  * (the generated code calls one static method, no boxing).
  */
 case class JaroWinkler(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     JaroWinkler.compute(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])

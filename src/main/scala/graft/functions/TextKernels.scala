@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -216,10 +216,10 @@ object TextKernels {
 
 /** Codegen'd [[TextKernels.qualityScore]]; null text → null (like the
   * Column form, whose `length(null)` propagates). */
-case class QualityScore(child: Expression) extends UnaryExpression {
+case class QualityScore(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullSafeEval(s: Any): Any =
     TextKernels.qualityScore(s.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -239,10 +239,9 @@ object QualityScore {
   * Column wrapper coalesces null text to 0.0, matching the Column form
   * that folds a null token array to `array()` → fraction 0.0). */
 case class DupNgramFraction(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullSafeEval(s: Any): Any =
     TextKernels.dupNgramFraction(s.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -263,12 +262,12 @@ object DupNgramFraction {
 
 /** Codegen'd [[TextKernels.shingleKeys3]] (null-propagating like the SQL
   * form, whose length(null) collapses the whole expression to null). */
-case class ShingleKeys3(child: Expression) extends UnaryExpression {
+case class ShingleKeys3(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.LongType, containsNull = false)
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullSafeEval(s: Any): Any =
     TextKernels.shingleKeys3(s.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -288,7 +287,8 @@ object ShingleKeys3 {
   * structs for consecutive non-empty space-split tokens — the TextRank
   * co-occurrence edge generator, one byte walk instead of the interpreted
   * `transform(sequence, struct(element_at, element_at))` form. */
-case class AdjacentWordPairs(child: Expression) extends UnaryExpression {
+case class AdjacentWordPairs(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StructType(Seq(
@@ -297,8 +297,7 @@ case class AdjacentWordPairs(child: Expression) extends UnaryExpression {
         org.apache.spark.sql.types.StructField("w2",
           org.apache.spark.sql.types.StringType, nullable = false))),
       containsNull = false)
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullSafeEval(s: Any): Any =
     TextKernels.adjacentPairs(s.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -318,12 +317,11 @@ object AdjacentWordPairs {
   * wrapper folds null text to the empty array, matching the HOF form's
   * `otherwise(array())`). */
 case class WordNgramsExpr(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
       org.apache.spark.sql.types.StringType, containsNull = false)
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullSafeEval(s: Any): Any =
     TextKernels.wordNgrams(s.asInstanceOf[UTF8String], n)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

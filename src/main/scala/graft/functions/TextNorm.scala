@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -24,11 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * web corpus), so the String round-trip is paid only by rows that can
  * actually change.
  */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class NfcNormalize(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
 
   override def dataType: DataType = StringType
-  override def checkInputDataTypes() =
-    org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def nullSafeEval(s: Any): Any =
     NfcNormalize.compute(s.asInstanceOf[UTF8String])

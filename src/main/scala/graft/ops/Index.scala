@@ -118,10 +118,16 @@ object Index {
     * id (ordered by the mid tag, so ties in orderCols stay deterministic
     * WITHIN a run — but the mid tag is arbitrary across runs, so when
     * orderCols does not form a total order over the rows, lag results
-    * among tied keys are not reproducible run-to-run; include a unique
-    * tie-breaking key in orderCols, as [[withGlobalPosition]] requires,
-    * unless valueCol is itself a function of the order key);
-    * each partition's first row takes the previous non-empty partition's
+    * among tied keys would not be reproducible run-to-run). The total-order
+    * contract is ENFORCED, not just documented: unless tied rows are
+    * provably indistinguishable (valueCol is one of the order keys and the
+    * frame carries no payload columns, so any tie assignment yields the
+    * same output multiset — the series-diff call sites), the counts pass
+    * also counts tied adjacent keys (equal keys are co-partitioned by the
+    * range exchange and contiguous after the partition-local sort, so any
+    * global duplicate shows up as an adjacent pair) and the call fails
+    * loudly when orderCols is not unique — include a tie-breaking key.
+    * Each partition's first row takes the previous non-empty partition's
     * last value from a tiny driver-side carry array (null for the global
     * first row). `valueCol` must be non-null (nulls would fall back to
     * the carry instead of propagating, unlike strict lag). */
@@ -130,11 +136,34 @@ object Index {
     val spark = df.sparkSession
     import spark.implicits._
     val ranged = rangedWithMid(df, orderCols, numPartitions)
-    // last in-partition value = value at the partition's max mid tag
-    val per = ranged
+    // ties are harmless exactly when tied rows are indistinguishable:
+    // valueCol is itself an order key and the frame carries nothing else
+    val tiesHarmless = orderCols.contains(valueCol) &&
+      df.columns.toSet.subsetOf(orderCols.toSet + valueCol)
+    // last in-partition value = value at the partition's max mid tag;
+    // when ties could matter, the same pass counts tied adjacent order
+    // keys (the window sort re-sorts data the range pass already sorted,
+    // so it adds no real work)
+    val wDup = org.apache.spark.sql.expressions.Window
+      .partitionBy(shiftright(col("__mid"), 33)).orderBy(col("__mid"))
+    val tied = orderCols
+      .map(c => col(c) <=> lag(col(c), 1).over(wDup))
+      .reduce(_ && _)
+    val perRows = ranged
+      .withColumn("__tied",
+        if (tiesHarmless) lit(0L) else when(tied, 1L).otherwise(0L))
       .groupBy(shiftright(col("__mid"), 33).as("__p"))
-      .agg(max_by(col(valueCol).cast("long"), col("__mid")).as("__l"))
+      .agg(max_by(col(valueCol).cast("long"), col("__mid")).as("__l"),
+           sum(col("__tied")).as("__t"))
       .collect()
+    val nTied = perRows.map(_.getLong(2)).sum
+    if (nTied > 0) throw new IllegalArgumentException(
+      s"withOrderedLag: orderCols ${orderCols.mkString("(", ", ", ")")} is not " +
+        s"a total order — $nTied row(s) tie with their predecessor; lag among " +
+        "tied keys would be nondeterministic across runs. Add a unique " +
+        "tie-breaking key to orderCols (or drop payload columns if the " +
+        "lagged value is itself the order key).")
+    val per = perRows
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .sortBy(_._1)

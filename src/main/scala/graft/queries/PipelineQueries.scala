@@ -753,6 +753,45 @@ object PipelineQueries {
              |  min(CASE WHEN i = mi THEN witness END) AS witness_id
              |FROM w GROUP BY 1""".stripMargin)),
 
+    // BOUNDED-OUTPUT containment with provenance: top-3 witnesses per
+    // contained doc ranked by shared count (ties → smallest witness id).
+    // The middle ground between the mark (1 row/doc) and the full pair
+    // list (quadratic in duplicate-cluster size at corpus scale): ≤ 3
+    // rows per contained doc, enough alternates for cluster repair /
+    // audit, output linear in corpus size. One shuffle keyed on
+    // contained_id over the verified prefix-filter pair stream.
+    Q("dedup_containment_topk",
+      (s, dir) => Dedup.containmentTopK(documents(s, dir), "doc_id",
+        "text", "source", 3, tNum = 3, tDen = 4, topK = 3),
+      Some("""WITH pos AS (
+             |  SELECT doc_id, source, text,
+             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
+             |sz AS (SELECT doc_id, CAST(count(*) AS INTEGER) n FROM sh GROUP BY 1),
+             |inter AS (
+             |  SELECT a.doc_id id_a, b.doc_id id_b, CAST(count(*) AS BIGINT) i
+             |  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |pairs AS (
+             |  SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, i,
+             |    CASE WHEN sa.n <= sb.n THEN id_a ELSE id_b END AS contained_id
+             |  FROM inter
+             |  JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+             |  WHERE i * 4 >= 3 * least(sa.n, sb.n)),
+             |r AS (
+             |  SELECT contained_id,
+             |    CASE WHEN contained_id = id_a THEN id_b ELSE id_a END AS witness_id,
+             |    CAST(least(n_a, n_b) AS INTEGER) AS n_shingles, i AS n_shared,
+             |    round(CAST(i AS DOUBLE) / least(n_a, n_b), 9) AS containment,
+             |    row_number() OVER (PARTITION BY contained_id ORDER BY i DESC,
+             |      CASE WHEN contained_id = id_a THEN id_b ELSE id_a END ASC) AS rk
+             |  FROM pairs)
+             |SELECT contained_id, witness_id, n_shingles, n_shared,
+             |  containment, CAST(rk AS INTEGER) AS rank
+             |FROM r WHERE rk <= 3""".stripMargin)),
+
     Q("dedup_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(documents(s, dir), "doc_id", "text",
         numHashes = 16, bands = 2, estThreshold = 0.7),

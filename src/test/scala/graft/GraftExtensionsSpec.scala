@@ -60,6 +60,59 @@ class GraftExtensionsSpec extends AnyFunSuite {
       Seq('a'.toLong * 65536 + 'b'.toLong * 256 + 'c'.toLong))
   }
 
+  test("n-gram size argument contract: BIGINT literal accepted, NULL and " +
+       "non-foldable rejected with a clear analysis error") {
+    // integral literal of any width converts via Number.intValue
+    val ok = spark.sql(
+      "SELECT graft_dup_ngram_frac('a a a a a', CAST(3 AS BIGINT)) AS f")
+      .head().getDouble(0)
+    assert(ok == 2.0 / 3.0)
+    val eNull = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_word_ngrams('a b c', NULL)").collect()
+    }
+    assert(eNull.getMessage.contains("graft_word_ngrams"))
+    assert(eNull.getMessage.contains("NULL"))
+    val eCol = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dup_ngram_frac(t, n) FROM VALUES ('a b', 2) v(t, n)")
+        .collect()
+    }
+    assert(eCol.getMessage.contains("non-foldable"))
+  }
+
+  test("SQL null-text semantics match the Column API (coalesced forms)") {
+    // the Column wrappers fold null text to 0.0 / array(); the SQL
+    // registration must agree — a SQL-only deployment reproducing a
+    // pipeline otherwise diverges on null rows
+    val r = spark.sql(
+      """SELECT graft_dup_ngram_frac(CAST(NULL AS STRING), 3) AS f,
+        |       graft_word_ngrams(CAST(NULL AS STRING), 2) AS g""".stripMargin)
+      .head()
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getSeq[String](1) == Seq.empty)
+  }
+
+  test("mistyped array arguments fail or coerce at analysis time") {
+    // array<bigint> into the int kernel coerces through an explicit
+    // element-wise Cast node: the values are genuinely converted, never
+    // read at the wrong element stride (the old always-succeed
+    // checkInputDataTypes let getInt read 4-byte halves of 8-byte slots —
+    // this exact query then returned 3, not 11)
+    val v = spark.sql("SELECT graft_int_dot(array(1L, 2L), array(3L, 4L)) AS d")
+      .head().getLong(0)
+    assert(v == 11L)
+    // array<int> into the double kernel widens implicitly and evaluates
+    val d = spark.sql("SELECT graft_dot(array(1, 2), array(3, 4)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+    // non-array arguments are an analysis error, not a runtime cast crash
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_sorted_intersect('ab', 'cd')").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_int_dot(map(1, 2), map(3, 4))").collect()
+    }
+  }
+
   test("SQL function results match the typed Column API") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

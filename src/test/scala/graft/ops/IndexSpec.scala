@@ -43,6 +43,26 @@ class IndexSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("withOrderedLag rejects tied order keys when rows are distinguishable") {
+    import spark.implicits._
+    // duplicate key 7 with DIFFERENT payloads: which payload row receives
+    // the previous-distinct lag value is run-order dependent, so the call
+    // must fail loudly instead of silently picking one
+    val df = Seq((7L, 100L), (7L, 200L), (3L, 300L), (9L, 400L))
+      .toDF("k", "payload").repartition(3)
+    val e = intercept[IllegalArgumentException] {
+      Index.withOrderedLag(df, Seq("k"), "payload", "prev").collect()
+    }
+    assert(e.getMessage.contains("not a total order"))
+    assert(e.getMessage.contains("tie-breaking key"))
+    // same data with the payload as a tie-break key: deterministic, allowed
+    val ok = Index.withOrderedLag(df, Seq("k", "payload"), "payload", "prev")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(x => (x._1, x._2))
+    assert(ok.toSeq == Seq((3L, 300L, None), (7L, 100L, Some(300L)),
+      (7L, 200L, Some(100L)), (9L, 400L, Some(200L))))
+  }
+
   test("withRunningMax == max over global order, nulls contribute nothing") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
