@@ -35,14 +35,23 @@ object SonarRegrid {
   def regrid(thetaDeg: Array[Double], horzRng: Array[Double],
              image: Array[Array[Double]], totalRange: Double,
              dxy: Double): (Array[Double], Array[Array[Double]]) = {
-    // ascending theta order
-    val order = thetaDeg.indices.sortBy(thetaDeg)
+    // ascending theta order; drop NaN-theta sweep lines first — a NaN
+    // grid coordinate passes the interp2 bounds guard (NaN comparisons
+    // are false) and then binarySearch yields index -1 (found by the
+    // FuzzChains all-NaN gate). scipy's RegularGridInterpolator raises
+    // ValueError on a non-ascending grid here, so failing loudly below
+    // when nothing usable remains matches the reference.
+    val lineKeep = thetaDeg.indices.filter(i => !thetaDeg(i).isNaN)
+    val order = lineKeep.sortBy(thetaDeg)
     val th = order.map(thetaDeg).toArray
     val im0 = order.map(image).toArray
     // drop NaN ranges (can't interpolate)
     val keep = horzRng.indices.filter(i => !horzRng(i).isNaN).toArray
     val rng = keep.map(horzRng)
     val im = im0.map(row => keep.map(row))
+    require(th.length >= 2 && rng.length >= 2,
+      s"sonar scan not regriddable: ${th.length} sweep line(s) with finite " +
+        s"theta and ${rng.length} finite range sample(s); need >= 2 of each")
 
     val n = math.floor(2 * totalRange / dxy).toInt + 1
     val axis = Array.tabulate(n)(i => -totalRange + i * dxy)
