@@ -1979,12 +1979,16 @@ object RunOts {
         "Trimmed profile echo data, corrected bin heights.",
         "1970-01-01T00:00:00Z"), float32 = false)
       // sample-dim burst average of the profile counts (the reference's
-      // single-ds mean("sample") covers Counts too)
-      val pvars = pf.columns
+      // single-ds mean("sample") covers Counts too). Averaging reads the
+      // JUST-WRITTEN product back: two actions on the pf lineage would
+      // re-run the whole trim/join pipeline per product (r16 ×100 tail
+      // profiling: the profiles branch is ~90% of eofe/clean wall)
+      val pfSaved = spark.read.parquet(output + "_profiles")
+      val pvars = pfSaved.columns
         .filterNot(Seq("time", "burst", "sample", "bin").contains).toSeq
-      if (pf.columns.contains("burst") && pvars.nonEmpty) {
+      if (pfSaved.columns.contains("burst") && pvars.nonEmpty) {
         val paggs = pvars.map(c => avg(col(c)).as(c))
-        val pavg = pf.groupBy("burst", "bin")
+        val pavg = pfSaved.groupBy("burst", "bin")
           .agg(min("time").as("time"), paggs: _*).drop("burst")
         val pAvgOut =
           if (output.endsWith(".parquet"))
@@ -2009,15 +2013,18 @@ object RunOts {
       "Trimmed altimeter data, sound-speed-corrected brange.",
       "1970-01-01T00:00:00Z"), float32 = false)
     // average_burst (eofe.py:572-585): mean across the sample dim, then
-    // call_qaqc on the averaged product (the reference's qaqc placement)
-    val dataVars = df.columns
+    // call_qaqc on the averaged product (the reference's qaqc placement).
+    // Reads the just-written burst product back rather than re-running
+    // the point chain's trim/median/brange lineage a second time.
+    val dfSaved = spark.read.parquet(output)
+    val dataVars = dfSaved.columns
       .filterNot(Seq("time", "burst", "sample").contains).toSeq
     var avgDf =
-      if (df.columns.contains("burst") && df.columns.contains("sample"))
-        df.groupBy("burst").agg(min("time").as("time"),
+      if (dfSaved.columns.contains("burst") && dfSaved.columns.contains("sample"))
+        dfSaved.groupBy("burst").agg(min("time").as("time"),
           dataVars.map(c => avg(col(c)).as(c)): _*)
           .drop("burst")
-      else df
+      else dfSaved
     if (avgDf.columns.contains("brange"))
       avgDf = avgDf.withColumn("brange", round(col("brange"), 3))
     avgDf = Qaqc.applyAll(avgDf, meta,
@@ -2102,8 +2109,10 @@ object RunOts {
       "Scaled, corrected, QA/QC applied (ABS aux).",
       "1970-01-01T00:00:00Z"), float32 = false)
     // burst average (abss.py:117-135): optional average_duration window
-    // (samples_per_burst = duration · sample_rate), then mean over sample
-    var toAvg = abs
+    // (samples_per_burst = duration · sample_rate), then mean over sample.
+    // Reads the just-written burst product back — two actions on the abs
+    // lineage would re-run the scale/atmos/qaqc pipeline per product.
+    var toAvg = spark.read.parquet(output)
     for (dur <- meta.dbl("average_duration");
          rate <- meta.dbl("ABSAbsProfileRate").orElse(meta.dbl("sample_rate")))
       toAvg = toAvg.filter(col("sample") < (dur * rate).toInt)
@@ -2298,8 +2307,11 @@ object RunOts {
         if (output.endsWith(".parquet"))
           output.stripSuffix(".parquet") + "-a.parquet"
         else output + "-a"
-      Sink.writeParquet(sonAvg(df, meta), avgOut, Sink.insertHistory(meta,
-        "Sweep-averaged sonar product.", "1970-01-01T00:00:00Z"),
+      // averaging reads the just-written product back instead of
+      // re-running the whole clean lineage for the second action
+      Sink.writeParquet(sonAvg(spark.read.parquet(output), meta), avgOut,
+        Sink.insertHistory(meta,
+          "Sweep-averaged sonar product.", "1970-01-01T00:00:00Z"),
         float32 = false)
     }
   }

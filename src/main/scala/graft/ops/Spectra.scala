@@ -268,12 +268,22 @@ object Spectra {
   def filtfiltWholeSeries(df: DataFrame, orderCols: Seq[String], valueCol: String,
                           sos: Array[Butterworth.Sos],
                           segLen: Int = 65536): Dataset[FiltRow] = {
-    val margin = Butterworth.marginFor(sos)
-    require(segLen > 2 * margin, s"segLen $segLen must exceed 2x margin $margin")
-    val spark = df.sparkSession
-    import spark.implicits._
     val pos = Index.withGlobalPosition(
       df.select((orderCols.map(col) :+ col(valueCol)): _*), orderCols, "__pos")
+    segmentFilt(pos, valueCol, sos, segLen)
+  }
+
+  /** Overlap-save segment pass over an ALREADY-POSITIONED frame (`__pos`
+    * global order column): rows within `margin` of a segment boundary are
+    * duplicated into the neighboring segment; each segment task runs
+    * filtfilt over (margin + segLen + margin) samples and keeps its own. */
+  private def segmentFilt(pos: DataFrame, valueCol: String,
+                          sos: Array[Butterworth.Sos],
+                          segLen: Int): Dataset[FiltRow] = {
+    val margin = Butterworth.marginFor(sos)
+    require(segLen > 2 * margin, s"segLen $segLen must exceed 2x margin $margin")
+    val spark = pos.sparkSession
+    import spark.implicits._
     val segd = pos.select(col("__pos").as("pos"),
         coalesce(col(valueCol).cast("double"), lit(Double.NaN)).as("v"))
       .withColumn("segs", array_compact(array(
@@ -292,16 +302,26 @@ object Spectra {
   }
 
   /** Replace `valueCol` with its whole-series zero-phase filtered values
-    * IN PLACE on the full frame — the shared join-back over
-    * [[filtfiltWholeSeries]] every config-keyed filter (qaqc butter
-    * filters, filter_vel, filtered water level) rides. */
+    * IN PLACE on the full frame — the shared join-back every config-keyed
+    * filter (qaqc butter filters, filter_vel, filtered water level) rides.
+    * ONE ranged position pass, cached: the segment-filter input and the
+    * join-back side both read the same positioned frame (the previous
+    * shape ran two independent range exchanges over the full series —
+    * r16 tail profiling measured the filtered-water-level step at ~93% of
+    * the hobo/clean ×100 wall, so the constant matters). */
   def filterColumnWholeSeries(df: DataFrame, orderCols: Seq[String],
                               valueCol: String,
                               sos: Array[Butterworth.Sos]): DataFrame = {
-    val filt = filtfiltWholeSeries(df, orderCols, valueCol, sos).toDF()
+    // ONE withGlobalPosition call: its internal ranged frame is cached
+    // (Index.rangedWithMid -> Spread.shared), so the segment-filter
+    // projection and the join-back side both read that single exchange.
+    // Do NOT add another full-width persist here — at 50M rows a second
+    // full-width cache thrashes the executor heap (measured: hobo ×100
+    // 546 s with the extra persist vs the shared-exchange-only form).
+    val pos = Index.withGlobalPosition(df, orderCols, "__pos")
+    val filt = segmentFilt(pos, valueCol, sos, 65536).toDF()
       .select(col("sample").as("__pos"), col("value_filt").as("__vf"))
-    Index.withGlobalPosition(df, orderCols, "__pos")
-      .join(filt, Seq("__pos"), "left")
+    pos.join(filt, Seq("__pos"), "left")
       .withColumn(valueCol, col("__vf"))
       .drop("__pos", "__vf")
   }
