@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
  *    per control query); `noise_index` = end/start total. Control queries
  *    are cheap (~0.1 s) and planner-bound, so they track exactly the
  *    driver/CPU contention that poisoned r15.
+ *  - `control_vs_prior` = the run's BEST control-block total vs the
+ *    accepted prior's record of the same queries — catches STEADY
+ *    co-tenant load, which produces no start/end drift at all (measured
+ *    live in r16: a 2.3x-slow run with noise_index 1.03).
  *  - any query whose best-of-2 exceeds 2x its committed prior (the
  *    `queries` map of BENCH_DETAIL.json at the repo root, stamped from the
  *    last accepted run) gets a THIRD pass; the min of 3 is recorded and
@@ -100,14 +104,10 @@ object Bench {
       val p2 = present.map(n => n -> timeOne(s"$tag/2", n, byName(n))).toMap
       p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     }
-    val ctlStart = controlBlock("ctl-start")
-    val r1 = runOnce("r1")
-    val r2 = runOnce("r2")
-    val best2 = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
-    // third pass for movers vs the committed prior: a genuinely regressed
-    // query stays slow on its 3rd run; a scheduler hiccup doesn't.
-    // Prior = working-tree BENCH_DETAIL.json if present (last accepted
-    // run), else the newest committed BENCH_DETAIL_r*.json.
+    // prior loaded BEFORE the suite so the control block has an absolute
+    // reference: steady co-tenant load (the r15/r16 reality — a constant
+    // 2-3x slowdown across the whole window) produces NO start/end drift,
+    // so drift alone cannot see it; control-vs-accepted-prior can.
     val prior = {
       val direct = readPrior("BENCH_DETAIL.json")
       if (direct.nonEmpty) direct
@@ -116,6 +116,14 @@ object Bench {
         .sortBy(n => "\\d+".r.findFirstIn(n).get.toInt)
         .lastOption.map(readPrior).getOrElse(Map.empty)
     }
+    val ctlStart = controlBlock("ctl-start")
+    val r1 = runOnce("r1")
+    val r2 = runOnce("r2")
+    val best2 = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
+    // third pass for movers vs the committed prior: a genuinely regressed
+    // query stays slow on its 3rd run; a scheduler hiccup doesn't.
+    // Prior = working-tree BENCH_DETAIL.json if present (last accepted
+    // run), else the newest committed BENCH_DETAIL_r*.json.
     val movers = best2.collect {
       case (k, v) if prior.get(k).exists(p => p > 0 && v > 2.0 * p) => k
     }.toSeq.sorted
@@ -125,13 +133,25 @@ object Bench {
     val ctlEnd = controlBlock("ctl-end")
     val ctlStartTotal = ctlStart.values.sum
     val ctlEndTotal = ctlEnd.values.sum
+    // detector 1: within-run drift (a co-tenant arriving or leaving)
     val noiseIndex =
       if (ctlStartTotal > 0) ctlEndTotal / ctlStartTotal else 1.0
-    val noisy = noiseIndex > 1.5 || noiseIndex < (1.0 / 1.5)
+    // detector 2: steady load — the BEST control measurement of the run
+    // vs the accepted prior's record of the same queries (best-of covers
+    // the case where only the start or only the end was loaded)
+    val ctlPrior = ctlStart.keys.toSeq.flatMap(prior.get).sum
+    val ctlBest = math.min(ctlStartTotal, ctlEndTotal)
+    val ctlVsPrior =
+      if (ctlPrior > 0 && ctlStart.keys.forall(prior.contains))
+        ctlBest / ctlPrior
+      else 1.0
+    val noisy = noiseIndex > 1.5 || noiseIndex < (1.0 / 1.5) ||
+      ctlVsPrior > 1.5
     if (noisy) System.err.println(
-      f"[bench] NOISY ENVIRONMENT: control block drifted ${noiseIndex}%.2fx " +
-        f"between suite start (${ctlStartTotal}%.3f s) and end " +
-        f"(${ctlEndTotal}%.3f s) — timings in this record are suspect")
+      f"[bench] NOISY ENVIRONMENT: control drift ${noiseIndex}%.2fx " +
+        f"(start ${ctlStartTotal}%.3f s, end ${ctlEndTotal}%.3f s), " +
+        f"control vs accepted prior ${ctlVsPrior}%.2fx — timings in this " +
+        "record are suspect")
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(m: Seq[(String, Double)]): String =
@@ -141,7 +161,8 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val moversJson = movers.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noiseMeta =
-      s""""noise_index":${r3(noiseIndex)},"noisy":$noisy,""" +
+      s""""noise_index":${r3(noiseIndex)},""" +
+      s""""control_vs_prior":${r3(ctlVsPrior)},"noisy":$noisy,""" +
       s""""control_start":${qjson(ctlStart.toSeq.sortBy(_._1))},""" +
       s""""control_end":${qjson(ctlEnd.toSeq.sortBy(_._1))},""" +
       s""""reruns":$moversJson"""
@@ -150,14 +171,23 @@ object Bench {
     // full per-query map (~3 KB for 100+ queries) exceeds the output-tail
     // window the driver captures — keep it on disk + one full stdout line,
     // and END with a compact line (total + slowest 20) that fits the tail
-    // whole and parses standalone
+    // whole and parses standalone. A NOISY run must not replace the
+    // accepted-run prior (BENCH_DETAIL.json seeds the >2x-mover third
+    // pass next run): it stamps BENCH_DETAIL_NOISY.json instead.
+    // escape hatch for a LEGITIMATE new baseline (hardware change, or a
+    // deliberate control-query change): SPARK_GRAFT_BENCH_ACCEPT=1
+    // force-stamps the accepted prior despite the flag
+    val forceAccept = sys.env.contains("SPARK_GRAFT_BENCH_ACCEPT")
+    val detailPath =
+      if (noisy && !forceAccept) "BENCH_DETAIL_NOISY.json"
+      else "BENCH_DETAIL.json"
     try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json", "UTF-8")
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
       w.println(full); w.close()
     } catch { case _: Throwable => () }
     println(full)
     val top = results.toSeq.sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,$noiseMeta,"queries":${qjson(top)},"detail":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,$noiseMeta,"queries":${qjson(top)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
