@@ -28,14 +28,14 @@ object Bench {
   /** Cheap, stable, long-registered queries spanning scan+project, window
     * trim, graph dedup, and text kernels — each ~0.1 s at sf0.1, so both
     * control blocks together cost ~2 s of a ~170 s suite. */
-  private val ControlQueries =
+  private[graft] val ControlQueries =
     Seq("rotate_magvar", "text_tokens", "dedup_components",
         "trim_mask_expr", "text_quality")
 
   /** Prior per-query seconds from the last accepted run's detail file
     * (repo root, committed). Format is exactly what this main writes:
     * one JSON object with a `"queries":{"name":sec,...}` member. */
-  private def readPrior(path: String): Map[String, Double] =
+  private[graft] def readPrior(path: String): Map[String, Double] =
     try {
       val s = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
