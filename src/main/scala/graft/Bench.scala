@@ -162,6 +162,9 @@ object Bench {
     val moversJson = movers.map("\"" + _ + "\"").mkString("[", ",", "]")
     val noiseMeta =
       s""""noise_index":${r3(noiseIndex)},""" +
+      // controls_run: 0 means BENCH_ONLY excluded the control queries —
+      // both detectors are then vacuous and noisy:false is NOT a verdict
+      s""""controls_run":${ctlStart.size},""" +
       s""""control_vs_prior":${r3(ctlVsPrior)},"noisy":$noisy,""" +
       s""""control_start":${qjson(ctlStart.toSeq.sortBy(_._1))},""" +
       s""""control_end":${qjson(ctlEnd.toSeq.sortBy(_._1))},""" +
