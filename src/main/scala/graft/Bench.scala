@@ -12,13 +12,18 @@ import org.apache.spark.sql.SparkSession
  *    are cheap (~0.1 s) and planner-bound, so they track exactly the
  *    driver/CPU contention that poisoned r15.
  *  - `control_vs_prior` = the run's BEST control-block total vs the
- *    accepted prior's record of the same queries — catches STEADY
- *    co-tenant load, which produces no start/end drift at all (measured
- *    live in r16: a 2.3x-slow run with noise_index 1.03).
- *  - any query whose best-of-2 exceeds 2x its committed prior (the
- *    `queries` map of BENCH_DETAIL.json at the repo root, stamped from the
- *    last accepted run) gets a THIRD pass; the min of 3 is recorded and
- *    the name lands in `reruns`.
+ *    newest COMMITTED `BENCH_DETAIL_r*.json`'s record of the same
+ *    queries — catches STEADY co-tenant load, which produces no
+ *    start/end drift at all (measured live in r16: a 2.3x-slow run with
+ *    noise_index 1.03). The anchor is never the gitignored live stamp:
+ *    r16's detector compared against the live file and accepted a
+ *    1.9-2.1x-loaded run as `control_vs_prior 1.000` because the prior
+ *    had been stamped in the same loaded window.
+ *  - any query whose best-of-2 exceeds 2x its rerun seed (the live
+ *    BENCH_DETAIL.json when present — last accepted run on THIS machine —
+ *    else the committed round stamp) gets a THIRD pass; the min of 3 is
+ *    recorded and the name lands in `reruns`. The seed only gates a third
+ *    timing pass; it never adjudicates `noisy`.
  *  - when control drift exceeds 1.5x (either direction) the JSON line is
  *    stamped `"noisy":true` — the driver record carries the flag instead
  *    of a silent lie. rc stays 0: a noisy environment is not a failure.
@@ -32,9 +37,9 @@ object Bench {
     Seq("rotate_magvar", "text_tokens", "dedup_components",
         "trim_mask_expr", "text_quality")
 
-  /** Prior per-query seconds from the last accepted run's detail file
-    * (repo root, committed). Format is exactly what this main writes:
-    * one JSON object with a `"queries":{"name":sec,...}` member. */
+  /** Prior per-query seconds from a detail file. Format is exactly what
+    * this main writes: one JSON object with a
+    * `"queries":{"name":sec,...}` member. */
   private[graft] def readPrior(path: String): Map[String, Double] =
     try {
       val s = new String(
@@ -48,6 +53,63 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** Newest per-round stamped detail file (`BENCH_DETAIL_r*.json`) in
+    * `dir` — these are the COMMITTED, judge-visible records. The
+    * gitignored live `BENCH_DETAIL.json` is deliberately excluded: it is
+    * re-stamped by every accepted run, so under STEADY co-tenant load a
+    * slow run would stamp a slow prior and the next slow run would
+    * compare 1.000 against it — exactly the laundering that let the r16
+    * record claim `control_vs_prior 1.000 / noisy false` while its
+    * controls ran 1.9-2.1x the committed quiet r14 values. */
+  private[graft] def newestCommittedDetail(dir: String = "."): Option[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("BENCH_DETAIL_r\\d+\\.json"))
+      .sortBy(n => "\\d+".r.findFirstIn(n).get.toInt)
+      .lastOption.map(n => new java.io.File(dir, n).getPath)
+
+  /** The steady-load anchor: per-query seconds from the newest COMMITTED
+    * per-round detail file only — never the live working-tree stamp. */
+  private[graft] def committedPrior(dir: String = "."): Map[String, Double] =
+    newestCommittedDetail(dir).map(readPrior).getOrElse(Map.empty)
+
+  /** The >2x-mover rerun seed: the live accepted stamp when present (it
+    * reflects this machine's most recent accepted run, so movers are
+    * judged against current-hardware timings), else the committed prior.
+    * Safe to be loose here — a contaminated seed only costs/saves a third
+    * timing pass; it never adjudicates `noisy`. */
+  private[graft] def livePrior(dir: String = "."): Map[String, Double] = {
+    val live = readPrior(new java.io.File(dir, "BENCH_DETAIL.json").getPath)
+    if (live.nonEmpty) live else committedPrior(dir)
+  }
+
+  /** Pure noise adjudication so BenchSpec can prove the thresholds.
+    * Returns (driftIndex, controlVsPrior, noisy).
+    *  - drift = ctl-end / ctl-start: a co-tenant ARRIVING or LEAVING
+    *    mid-suite. Asymmetric thresholds (>1.5, <0.55): the measured
+    *    undisturbed JIT-warmth bias runs end/start 0.72-0.77 even with
+    *    the pre-start warmup, so the symmetric 1/1.5 lower bound sat ~8%
+    *    from a false positive on a quiet machine (r16 advice).
+    *  - controlVsPrior = best(ctl-start, ctl-end) / committed quiet
+    *    anchor: STEADY load, which produces no drift at all. Flagged in
+    *    BOTH directions — >1.5x is a loaded run; <1/1.5x means the
+    *    ANCHOR itself was loaded (a later quiet run would otherwise read
+    *    as a fake improvement) or the control plans legitimately changed
+    *    (re-anchor via SPARK_GRAFT_BENCH_ACCEPT + a fresh stamped round
+    *    file).
+    *  - `None` prior (first round, renamed files) disables detector 2
+    *    VISIBLY: the JSON carries `"control_vs_prior":null` rather than a
+    *    vacuous 1.000 indistinguishable from a genuinely clean compare. */
+  private[graft] def noiseVerdict(ctlStartTotal: Double, ctlEndTotal: Double,
+                                  ctlPriorTotal: Option[Double])
+      : (Double, Option[Double], Boolean) = {
+    val drift = if (ctlStartTotal > 0) ctlEndTotal / ctlStartTotal else 1.0
+    val vsPrior = ctlPriorTotal.filter(_ > 0)
+      .map(p => math.min(ctlStartTotal, ctlEndTotal) / p)
+    val noisy = drift > 1.5 || drift < 0.55 ||
+      vsPrior.exists(r => r > 1.5 || r < 1.0 / 1.5)
+    (drift, vsPrior, noisy)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,28 +166,31 @@ object Bench {
       val p2 = present.map(n => n -> timeOne(s"$tag/2", n, byName(n))).toMap
       p1.map { case (k, v) => k -> math.min(v, p2(k)) }
     }
-    // prior loaded BEFORE the suite so the control block has an absolute
+    // priors loaded BEFORE the suite so the control block has an absolute
     // reference: steady co-tenant load (the r15/r16 reality — a constant
     // 2-3x slowdown across the whole window) produces NO start/end drift,
-    // so drift alone cannot see it; control-vs-accepted-prior can.
-    val prior = {
-      val direct = readPrior("BENCH_DETAIL.json")
-      if (direct.nonEmpty) direct
-      else Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .map(_.getName).filter(_.matches("BENCH_DETAIL_r\\d+\\.json"))
-        .sortBy(n => "\\d+".r.findFirstIn(n).get.toInt)
-        .lastOption.map(readPrior).getOrElse(Map.empty)
-    }
+    // so drift alone cannot see it; control-vs-COMMITTED-prior can. The
+    // anchor is the newest committed BENCH_DETAIL_r*.json ONLY — the live
+    // stamp is self-referential under steady load (see committedPrior).
+    val anchor = committedPrior()
+    val anchorFile = newestCommittedDetail()
+      .map(new java.io.File(_).getName).getOrElse("")
+    val seed = livePrior()
+    // untimed control warmup: without it the ctl-start block carries the
+    // first-execution JIT/codegen cost of each control plan, which shows
+    // up as a structural 1.3-1.4x end/start "improvement" that the drift
+    // detector must then leave headroom for (r16 advice)
+    ControlQueries.filter(byName.contains)
+      .foreach(n => timeOne("ctl-warm", n, byName(n)))
     val ctlStart = controlBlock("ctl-start")
     val r1 = runOnce("r1")
     val r2 = runOnce("r2")
     val best2 = r1.map { case (k, v) => k -> math.min(v, r2(k)) }
-    // third pass for movers vs the committed prior: a genuinely regressed
-    // query stays slow on its 3rd run; a scheduler hiccup doesn't.
-    // Prior = working-tree BENCH_DETAIL.json if present (last accepted
-    // run), else the newest committed BENCH_DETAIL_r*.json.
+    // third pass for movers vs the rerun seed (live stamp, else committed
+    // prior): a genuinely regressed query stays slow on its 3rd run; a
+    // scheduler hiccup doesn't.
     val movers = best2.collect {
-      case (k, v) if prior.get(k).exists(p => p > 0 && v > 2.0 * p) => k
+      case (k, v) if seed.get(k).exists(p => p > 0 && v > 2.0 * p) => k
     }.toSeq.sorted
     val r3pass = movers.map(n => n -> timeOne("r3", n, byName(n))).toMap
     val results = best2.map { case (k, v) =>
@@ -133,25 +198,21 @@ object Bench {
     val ctlEnd = controlBlock("ctl-end")
     val ctlStartTotal = ctlStart.values.sum
     val ctlEndTotal = ctlEnd.values.sum
-    // detector 1: within-run drift (a co-tenant arriving or leaving)
-    val noiseIndex =
-      if (ctlStartTotal > 0) ctlEndTotal / ctlStartTotal else 1.0
-    // detector 2: steady load — the BEST control measurement of the run
-    // vs the accepted prior's record of the same queries (best-of covers
-    // the case where only the start or only the end was loaded)
-    val ctlPrior = ctlStart.keys.toSeq.flatMap(prior.get).sum
-    val ctlBest = math.min(ctlStartTotal, ctlEndTotal)
-    val ctlVsPrior =
-      if (ctlPrior > 0 && ctlStart.keys.forall(prior.contains))
-        ctlBest / ctlPrior
-      else 1.0
-    val noisy = noiseIndex > 1.5 || noiseIndex < (1.0 / 1.5) ||
-      ctlVsPrior > 1.5
+    // detector 2's anchor: the committed prior's record of the same
+    // queries — present ONLY when every control query has a committed
+    // value, else the detector is visibly disabled (null in the JSON)
+    val ctlPriorTotal =
+      if (ctlStart.nonEmpty && ctlStart.keys.forall(anchor.contains))
+        Some(ctlStart.keys.toSeq.flatMap(anchor.get).sum)
+      else None
+    val (noiseIndex, ctlVsPriorOpt, noisy) =
+      noiseVerdict(ctlStartTotal, ctlEndTotal, ctlPriorTotal)
     if (noisy) System.err.println(
       f"[bench] NOISY ENVIRONMENT: control drift ${noiseIndex}%.2fx " +
         f"(start ${ctlStartTotal}%.3f s, end ${ctlEndTotal}%.3f s), " +
-        f"control vs accepted prior ${ctlVsPrior}%.2fx — timings in this " +
-        "record are suspect")
+        "control vs committed prior " +
+        ctlVsPriorOpt.map(r => f"$r%.2fx ($anchorFile)").getOrElse("n/a") +
+        " — timings in this record are suspect")
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(m: Seq[(String, Double)]): String =
@@ -165,7 +226,12 @@ object Bench {
       // controls_run: 0 means BENCH_ONLY excluded the control queries —
       // both detectors are then vacuous and noisy:false is NOT a verdict
       s""""controls_run":${ctlStart.size},""" +
-      s""""control_vs_prior":${r3(ctlVsPrior)},"noisy":$noisy,""" +
+      // null = no committed anchor covered the control set: detector 2
+      // DISABLED, visibly — never a fake 1.000
+      s""""control_vs_prior":${ctlVsPriorOpt.map(r3).getOrElse("null")},""" +
+      s""""prior_file":"$anchorFile",""" +
+      s""""prior_queries":${ctlStart.keys.count(anchor.contains)},""" +
+      s""""noisy":$noisy,""" +
       s""""control_start":${qjson(ctlStart.toSeq.sortBy(_._1))},""" +
       s""""control_end":${qjson(ctlEnd.toSeq.sortBy(_._1))},""" +
       s""""reruns":$moversJson"""

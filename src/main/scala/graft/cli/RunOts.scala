@@ -1959,13 +1959,22 @@ object RunOts {
       // trim_alt on Counts against the PRE-trim altitude of the same ping
       if (trimMethods.contains("altitude") && pf.columns.contains("counts"))
         altRaw.foreach { alt =>
-          // alt is one row per (burst, sample) — the same cardinality as
-          // the profile frame; forcing a broadcast would ship a full-table
-          // copy to every executor on a long deployment
-          pf = pf.join(alt, Seq("burst", "sample"), "left")
-            .withColumn("counts",
-              when(col("__alt") >= dead && col("__alt") <= rng, col("counts")))
-            .drop("__alt")
+          // The profile spine is bins × the ping count (160 M rows at the
+          // ×100 probe) against one row per (burst, sample) ping. A plain
+          // join plans as sort-merge, which SORTS the full profile side —
+          // r16 tail profiling measured that sort's spill at ~60% of the
+          // eofe/clean ×100 wall. SHUFFLE_HASH builds on the ping side
+          // (bounded at |pings| / shuffle-partitions per task) and STREAMS
+          // the profile side unsorted; forcing a broadcast instead would
+          // ship a full-table copy to every executor on a long deployment.
+          // The window predicate is pre-reduced to one boolean so the
+          // build side carries 1 bit, not the altitude double (null alt
+          // => null ok => counts nulled, same as the raw predicate).
+          val ok = alt.select(col("burst"), col("sample"),
+            (col("__alt") >= dead && col("__alt") <= rng).as("__ok"))
+          pf = pf.join(ok.hint("shuffle_hash"), Seq("burst", "sample"), "left")
+            .withColumn("counts", when(col("__ok"), col("counts")))
+            .drop("__ok")
         }
       // "bin range" trim (eofe.py:740-757): good_bins index slice
       if (trimMethods.contains("bin range"))

@@ -116,9 +116,13 @@ case class IntDotProduct(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
 
   override def dataType: DataType = LongType
-  // array<bigint>/array<double> must NOT silently narrow: implicit casts
-  // only widen, so `graft_int_dot(array<bigint>, ...)` is an analysis error
-  // instead of getInt reads at the wrong element stride.
+  // Spark's ImplicitTypeCasts coerces ANY numeric element type here —
+  // including NARROWING array<bigint>/array<double> → array<int> — via an
+  // explicit element-wise Cast node, so values are genuinely converted
+  // and getInt never reads at the wrong element stride. Long elements
+  // beyond Int range follow the session cast semantics: an error under
+  // ANSI mode (the Spark 4 default), a wrap under legacy non-ANSI. The
+  // library's own call sites (SQ8 codes, 0..255) never leave Int range.
   override def inputTypes: Seq[DataType] =
     Seq(ArrayType(IntegerType), ArrayType(IntegerType))
 

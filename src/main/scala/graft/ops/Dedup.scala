@@ -178,7 +178,12 @@ object Dedup {
     // degenerate [0] key set — the bare kernel null-propagates, which
     // would silently DROP null-text rows from pair generation (the HOF
     // form kept them via greatest(null,1)=1; corpus-invisible, but the
-    // op boundary shouldn't depend on upstream null hygiene).
+    // op boundary shouldn't depend on upstream null hygiene). Every
+    // shingle-family oracle mirrors this with coalesce(text, '') in its
+    // pos CTE (r17) — substr(NULL, i, 3) never equi-joins in DuckDB, so
+    // an uncoalesced oracle silently diverges the moment a null-text doc
+    // enters the corpus; the fuzz corpus now carries null-text docs to
+    // keep both sides honest.
     graft.functions.ShingleKeys3(coalesce(col(textCol), lit("")))
 
   /** Reference SQL formulation of [[shingleKeys3]], kept for the

@@ -302,28 +302,98 @@ object Spectra {
   }
 
   /** Replace `valueCol` with its whole-series zero-phase filtered values
-    * IN PLACE on the full frame — the shared join-back every config-keyed
-    * filter (qaqc butter filters, filter_vel, filtered water level) rides.
-    * ONE ranged position pass, cached: the segment-filter input and the
-    * join-back side both read the same positioned frame (the previous
-    * shape ran two independent range exchanges over the full series —
-    * r16 tail profiling measured the filtered-water-level step at ~93% of
-    * the hobo/clean ×100 wall, so the constant matters). */
+    * IN PLACE on the full frame — the shared in-place filter every
+    * config-keyed filter (qaqc butter filters, filter_vel, filtered water
+    * level) rides.
+    *
+    * FUSED overlap-save (r17): the wide rows themselves ride the segment
+    * pass — explode duplicates only the margin rows into the neighboring
+    * segment, one AQE-exempt hash exchange on the segment id, a
+    * partition-local (seg, pos) sort, then one mapPartitions runs
+    * filtfilt per contiguous segment run and emits each row with the
+    * filtered value written through. The previous shape filtered a
+    * narrow (pos, v) projection and JOINED the values back on __pos —
+    * a sort-merge join that re-sorted BOTH 50M-row sides; r16 ×100 tail
+    * profiling measured that step at ~93% of the hobo/clean wall, and
+    * the sort-spill under the 8 GiB local heap made the chain
+    * super-linear (5.7× wall on 10× data). Per-task state is one
+    * segment (segLen + 2·margin wide rows), bounded regardless of
+    * series length; numeric output is bit-identical (same kernel, same
+    * segmentation, same margins — ButterworthSpec + the hash-exact
+    * filtered-wl oracles gate it). */
   def filterColumnWholeSeries(df: DataFrame, orderCols: Seq[String],
                               valueCol: String,
                               sos: Array[Butterworth.Sos]): DataFrame = {
-    // ONE withGlobalPosition call: its internal ranged frame is cached
-    // (Index.rangedWithMid -> Spread.shared), so the segment-filter
-    // projection and the join-back side both read that single exchange.
-    // Do NOT add another full-width persist here — at 50M rows a second
-    // full-width cache thrashes the executor heap (measured: hobo ×100
-    // 546 s with the extra persist vs the shared-exchange-only form).
+    val margin = Butterworth.marginFor(sos)
+    val segLen = 65536
+    require(segLen > 2 * margin, s"segLen $segLen must exceed 2x margin $margin")
+    val spark = df.sparkSession
+    // ONE withGlobalPosition call; its internal ranged frame is cached
+    // (Index.rangedWithMid -> Spread.shared) so the offsets pass and this
+    // single data pass share one exchange. Do NOT add another full-width
+    // persist — at 50M rows a second full-width cache thrashes the
+    // executor heap (measured: hobo ×100 546 s with the extra persist).
+    // The value column is normalized to non-null DOUBLE up front (the
+    // kernel contract), which also fixes the output slot the kernel
+    // writes back into.
     val pos = Index.withGlobalPosition(df, orderCols, "__pos")
-    val filt = segmentFilt(pos, valueCol, sos, 65536).toDF()
-      .select(col("sample").as("__pos"), col("value_filt").as("__vf"))
-    pos.join(filt, Seq("__pos"), "left")
-      .withColumn(valueCol, col("__vf"))
-      .drop("__pos", "__vf")
+      .withColumn(valueCol,
+        coalesce(col(valueCol).cast("double"), lit(Double.NaN)))
+    val segd = pos
+      .withColumn("__segs", array_compact(array(
+        expr(s"__pos div $segLen"),
+        when(col("__pos") % segLen < margin, expr(s"__pos div $segLen - 1")),
+        when(col("__pos") % segLen >= segLen - margin,
+          expr(s"__pos div $segLen + 1")))))
+      .withColumn("__seg", explode(col("__segs")))
+      .drop("__segs")
+      .filter(col("__seg") >= 0)
+    val inSchema = segd.schema
+    val vIdx = inSchema.fieldIndex(valueCol)
+    val posIdx = inSchema.fieldIndex("__pos")
+    val segIdx = inSchema.fieldIndex("__seg")
+    val outFields = inSchema.fields.zipWithIndex
+      .filter { case (_, i) => i != posIdx && i != segIdx }
+    val outSchema = org.apache.spark.sql.types.StructType(outFields.map(_._1))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val n = spark.sparkContext.defaultParallelism
+    // lit(0) keeps the exchange AQE-exempt (same trick as perGroup): an
+    // upstream hash partitioning on a colliding key set must not elide
+    // the repartition and serialize the kernel through one task
+    segd.repartition(n, col("__seg"), lit(0))
+      .sortWithinPartitions("__seg", "__pos")
+      .mapPartitions { it =>
+        val b = it.buffered
+        new Iterator[org.apache.spark.sql.Row] {
+          private var out: Iterator[org.apache.spark.sql.Row] = Iterator.empty
+          private def advance(): Unit = {
+            while (!out.hasNext && b.hasNext) {
+              val seg = b.head.getLong(segIdx)
+              val buf = scala.collection.mutable.ArrayBuffer
+                .empty[org.apache.spark.sql.Row]
+              while (b.hasNext && b.head.getLong(segIdx) == seg) buf += b.next()
+              val y = Butterworth.filtfilt(sos,
+                buf.map(_.getDouble(vIdx)).toArray)
+              out = buf.indices.iterator
+                .filter(i => buf(i).getLong(posIdx) / segLen == seg)
+                .map { i =>
+                  val r = buf(i)
+                  val vals = new Array[Any](outFields.length)
+                  var j = 0
+                  while (j < outFields.length) {
+                    val srcIdx = outFields(j)._2
+                    vals(j) = if (srcIdx == vIdx) y(i) else r.get(srcIdx)
+                    j += 1
+                  }
+                  new org.apache.spark.sql.catalyst.expressions
+                    .GenericRowWithSchema(vals, outSchema)
+                }
+            }
+          }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): org.apache.spark.sql.Row = { advance(); out.next() }
+        }
+      }(enc)
   }
 
   /** Zero-phase Butterworth filtering per series/burst/bin group

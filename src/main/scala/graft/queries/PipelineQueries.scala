@@ -475,7 +475,10 @@ object PipelineQueries {
              |  SELECT count(*) AS nover FROM t WHERE len(tk) > 256)
              |SELECT t.doc_id,
              |  CAST(len(tk) AS BIGINT) AS n_tokens_orig,
-             |  CAST(coalesce(k.n, 0) AS BIGINT) AS n_tokens_kept,
+             |  -- null text: kept is NULL like n_tokens_orig (the engine's
+             |  -- size(filter(NULL)) = NULL), not a fake 0
+             |  CAST(CASE WHEN tk IS NULL THEN NULL ELSE coalesce(k.n, 0) END
+             |    AS BIGINT) AS n_tokens_kept,
              |  coalesce(k.txt, '') AS clean_text
              |FROM t LEFT JOIN (
              |  SELECT doc_id, count(*) AS n,
@@ -666,7 +669,7 @@ object PipelineQueries {
       (s, dir) => Dedup.jaccardPrefixPairs(documents(s, dir), "doc_id", "text",
         "source", 3, tNum = 4, tDen = 5),
       Some("""WITH pos AS (
-             |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  SELECT doc_id, source, coalesce(text, '') AS text, unnest(generate_series(1, greatest(length(coalesce(text, ''))-2, 1))) AS i
              |  FROM documents),
              |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
              |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
@@ -692,8 +695,8 @@ object PipelineQueries {
       (s, dir) => Dedup.containmentPrefixPairs(documents(s, dir), "doc_id",
         "text", "source", 3, tNum = 3, tDen = 4),
       Some("""WITH pos AS (
-             |  SELECT doc_id, source, text,
-             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  SELECT doc_id, source, coalesce(text, '') AS text,
+             |    unnest(generate_series(1, greatest(length(coalesce(text, ''))-2, 1))) AS i
              |  FROM documents),
              |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
              |sz AS (SELECT doc_id, CAST(count(*) AS INTEGER) n FROM sh GROUP BY 1),
@@ -725,8 +728,8 @@ object PipelineQueries {
       (s, dir) => Dedup.containmentMark(documents(s, dir), "doc_id",
         "text", "source", 3, tNum = 3, tDen = 4),
       Some("""WITH pos AS (
-             |  SELECT doc_id, source, text,
-             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  SELECT doc_id, source, coalesce(text, '') AS text,
+             |    unnest(generate_series(1, greatest(length(coalesce(text, ''))-2, 1))) AS i
              |  FROM documents),
              |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
              |sz AS (SELECT doc_id, CAST(count(*) AS INTEGER) n FROM sh GROUP BY 1),
@@ -764,8 +767,8 @@ object PipelineQueries {
       (s, dir) => Dedup.containmentTopK(documents(s, dir), "doc_id",
         "text", "source", 3, tNum = 3, tDen = 4, topK = 3),
       Some("""WITH pos AS (
-             |  SELECT doc_id, source, text,
-             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  SELECT doc_id, source, coalesce(text, '') AS text,
+             |    unnest(generate_series(1, greatest(length(coalesce(text, ''))-2, 1))) AS i
              |  FROM documents),
              |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
              |sz AS (SELECT doc_id, CAST(count(*) AS INTEGER) n FROM sh GROUP BY 1),
@@ -813,10 +816,14 @@ object PipelineQueries {
       Some(s"""WITH docs5 AS (SELECT * FROM documents WHERE doc_id % 10 = 0 AND doc_id < 5000),
              |${minhashEstCtes("docs5")},
              |lp AS (SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.7),
-             |tsz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+             |tpos AS (SELECT doc_id, coalesce(text, '') AS t,
+             |    unnest(generate_series(1, greatest(length(coalesce(text, ''))-2, 1))) AS i
+             |  FROM docs5),
+             |tsh AS (SELECT DISTINCT doc_id, substr(t, i, 3) AS sh FROM tpos),
+             |tsz AS (SELECT doc_id, count(*) n FROM tsh GROUP BY 1),
              |tint AS (
              |  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
-             |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |  FROM tsh a JOIN tsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2),
              |tp AS (
              |  SELECT id_a, id_b FROM tint
@@ -863,8 +870,8 @@ object PipelineQueries {
              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
              |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-             |pos AS (SELECT doc_id, text,
-             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |pos AS (SELECT doc_id, coalesce(text, '') AS text,
+             |    unnest(generate_series(1, greatest(length(coalesce(text, ''))-2, 1))) AS i
              |  FROM d),
              |sh AS (SELECT DISTINCT doc_id, substr(text, i, 3) AS sh FROM pos),
              |tsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -3449,8 +3456,12 @@ object PipelineQueries {
     // construction.
     Q("token_percentiles",
       (s, dir) => {
-        val d = documents(s, dir).select(col("source"),
-          TA.tokenCount(col("text")).as("n_tokens"))
+        // null-text docs are excluded from the stats on both sides:
+        // tokenCount null-propagates, and a NULL n_tokens would land at
+        // OPPOSITE ends of the cumulative window (Spark orders NULLS
+        // FIRST, DuckDB NULLS LAST), silently shifting every threshold
+        val d = documents(s, dir).filter(col("text").isNotNull)
+          .select(col("source"), TA.tokenCount(col("text")).as("n_tokens"))
         val hist = d.groupBy("source", "n_tokens").agg(count(lit(1)).as("c"))
         val byVal = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy("n_tokens")
@@ -3469,7 +3480,7 @@ object PipelineQueries {
              |  SELECT source,
              |    CAST(len(list_filter(string_split(text, ' '),
              |      t -> length(t) > 0)) AS INTEGER) AS n_tokens
-             |  FROM documents),
+             |  FROM documents WHERE text IS NOT NULL),
              |h AS (SELECT source, n_tokens, count(*) AS c FROM d GROUP BY 1, 2),
              |cw AS (
              |  SELECT source, n_tokens, c,
@@ -4476,7 +4487,7 @@ object PipelineQueries {
       (s, dir) => Dedup.ngramJaccardPairs(documents(s, dir), "doc_id", "text",
         "source", 3, 0.8),
       Some("""WITH pos AS (
-             |  SELECT doc_id, source, text, unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  SELECT doc_id, source, coalesce(text, '') AS text, unnest(generate_series(1, greatest(length(coalesce(text, ''))-2, 1))) AS i
              |  FROM documents),
              |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
              |sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
@@ -4498,8 +4509,8 @@ object PipelineQueries {
       (s, dir) => Dedup.containmentPairs(documents(s, dir), "doc_id", "text",
         "source", 3, tNum = 3, tDen = 4),
       Some("""WITH pos AS (
-             |  SELECT doc_id, source, text,
-             |    unnest(generate_series(1, greatest(length(text)-2, 1))) AS i
+             |  SELECT doc_id, source, coalesce(text, '') AS text,
+             |    unnest(generate_series(1, greatest(length(coalesce(text, ''))-2, 1))) AS i
              |  FROM documents),
              |sh AS (SELECT DISTINCT doc_id, source, substr(text, i, 3) AS sh FROM pos),
              |sz AS (SELECT doc_id, CAST(count(*) AS INTEGER) n FROM sh GROUP BY 1),

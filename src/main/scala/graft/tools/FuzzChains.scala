@@ -89,7 +89,11 @@ object FuzzChains {
       Option(x.listFiles).foreach(_.foreach(rm)); x.delete()
     }
     rm(new java.io.File(path))
-    new java.io.File(mutPath).renameTo(new java.io.File(path))
+    // a silently failed rename degrades the mutation into a missing-input
+    // case that passes as a typed error — broken setup must FAIL the
+    // harness, so use the throwing move, not boolean renameTo
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(mutPath), java.nio.file.Paths.get(path))
   }
 
   /** Per-family config conflicts: broken metas must fail loudly at plan

@@ -119,6 +119,16 @@ def build_corpus(rnd):
                 for _ in range(rnd.randint(1, 2)):
                     mut[rnd.randrange(5)] = rnd.choice(fw)
                 add(" ".join(mut), source="fz%d" % (c % 3))
+    # NULL text (r17, per-advice): the char-3 shingle dedup family
+    # coalesces null->'' at the op boundary (Dedup.shingleKeys3), so a
+    # null-text doc participates with the degenerate shingle set and must
+    # pair with ''/null docs in its scope; the oracles mirror the coalesce.
+    # Every OTHER text path null-propagates identically in both engines.
+    # Two nulls in one scope + one in another: exercises null<->null and
+    # null<->'' pairing AND the scope isolation.
+    docs.append((did, None, "en", "web", 0)); did += 1
+    docs.append((did, None, "en", "web", 0)); did += 1
+    docs.append((did, None, "de", "books", 0)); did += 1
     # identical text across scopes must never pair
     add("identical across scopes", source="web")
     add("identical across scopes", source="books")
