@@ -62,6 +62,24 @@ object RunOts {
       case "nc2diwasp" => "diwasp"
       case other => other // unknown names still error in the match below
     }
+    // deployment-sized shuffle width for the WHOLE step: every exchange a
+    // chain plans (grid joins, as-of fills, window/agg shuffles) inherits
+    // spark.sql.shuffle.partitions, so a fixed session width turns a
+    // growing deployment into growing per-task sorts — the proven ×100
+    // spill tail (SCALING.md r17: the same plans run 2-2.4× faster once
+    // the sorts stop spilling). Sized from the input's on-disk bytes
+    // (~10 MB of parquet per partition ≈ ~32 MB decompressed), floored at
+    // the session setting, capped at 4096; restored after the step. On a
+    // real cluster this is the ops knob every job sets per input — here
+    // the CLI IS the job entry point, so it owns the knob.
+    val prevWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    val inBytes = stepInputBytes(input)
+    val scaled = math.max(prevWidth.toInt,
+      math.min(inBytes / (10L << 20) + 1L, 4096L).toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", scaled)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_WIDTH"))
+      System.err.println(s"[width] step $instrument/$step: $inBytes input B" +
+        s" -> shuffle width $scaled")
     try step match {
       case "ingest" => ingest(spark, meta, input, output, instrument)
       case "clean"  => clean(spark, meta, input, output, instrument)
@@ -71,12 +89,28 @@ object RunOts {
       case "turnaround" => turnaround(spark, meta, input, output, instrument)
       case "nc2xy" => sonXy(spark, meta, input, output)
       case other    => throw new IllegalArgumentException(s"unknown step $other")
-    } finally
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevWidth)
       // batch-completion cache hygiene: each CLI step is an independent
       // batch, so shared() plans persisted while building it are released
       // deterministically (the Spread.release contract) instead of
       // pinning executor memory for the life of the session
       graft.ops.Spread.release(spark)
+    }
+  }
+
+  /** Total on-disk bytes of a step's input: the path itself (file or
+    * directory, recursive) plus the `_profiles` sibling some families
+    * carry. Local-FS only by contract of the CLI fixtures; remote URIs
+    * return 0 and the width stays at the session setting. */
+  private def stepInputBytes(input: String): Long = {
+    def sizeOf(p: java.io.File): Long =
+      if (p.isDirectory)
+        Option(p.listFiles).getOrElse(Array.empty).map(sizeOf).sum
+      else if (p.isFile) p.length
+      else 0L
+    val f = new java.io.File(input)
+    sizeOf(f) + sizeOf(new java.io.File(input + "_profiles"))
   }
 
   // the Config charset policy (UTF-8, Latin-1 fallback, BOM strip): real
@@ -1972,7 +2006,13 @@ object RunOts {
           // => null ok => counts nulled, same as the raw predicate).
           val ok = alt.select(col("burst"), col("sample"),
             (col("__alt") >= dead && col("__alt") <= rng).as("__ok"))
-          pf = pf.join(ok.hint("shuffle_hash"), Seq("burst", "sample"), "left")
+          // both exchanges widened with the profile size (parquet stats are
+          // credible here): bounds the per-task hash build AND keeps the
+          // probe-side shuffle blocks small under a tight heap
+          val n = graft.ops.Index.scaledPartitions(pf)
+          pf = pf.repartition(n, col("burst"), col("sample"))
+            .join(ok.repartition(n, col("burst"), col("sample"))
+              .hint("shuffle_hash"), Seq("burst", "sample"), "left")
             .withColumn("counts", when(col("__ok"), col("counts")))
             .drop("__ok")
         }

@@ -23,10 +23,30 @@ object Index {
     * canonicalized plan). Everything stays in DataFrame land: no RDD
     * round-trip, no Row re-encoding, downstream plans keep whole-stage
     * codegen. */
+  /** Shuffle width for a whole-series pass, scaled to the INPUT SIZE
+    * (never below the session setting): the ranged exchange sorts
+    * full-width rows, so a fixed session width turns a growing series
+    * into a growing per-task sort — measured at the ×100 hobo probe
+    * (50 M rows, 32 partitions): the position pass + join-back spill
+    * under the 8 GiB local heap and the chain goes super-linear, while
+    * the same plan at 256 partitions runs 2.4× faster (ProbeFiltWl,
+    * same session). ~32 MB of estimated input per partition, capped at
+    * 4096; plans whose stats are the unknown-size default (≥ 2^50) fall
+    * back to the session width rather than exploding the exchange. */
+  private[graft] def scaledPartitions(df: DataFrame): Int = {
+    val base = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = if (bytes <= 0 || bytes >= (BigInt(1L) << 50)) base
+    else math.max(base,
+      math.min((bytes / (32L << 20)).toLong + 1L, 4096L).toInt)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_WIDTH"))
+      System.err.println(s"[width] ranged: est ${bytes} B -> $n partitions")
+    n
+  }
+
   private def rangedWithMid(df: DataFrame, orderCols: Seq[String],
                             numPartitions: Int): DataFrame = {
-    val n = if (numPartitions > 0) numPartitions
-            else df.sparkSession.sessionState.conf.numShufflePartitions
+    val n = if (numPartitions > 0) numPartitions else scaledPartitions(df)
     Spread.shared(
       df.repartitionByRange(n, orderCols.map(col): _*)
         .sortWithinPartitions(orderCols.map(col): _*)
@@ -39,12 +59,17 @@ object Index {
   private def offsetsDf(ranged: DataFrame, agg: Column): DataFrame = {
     val spark = ranged.sparkSession
     import spark.implicits._
-    val per = ranged.groupBy((shiftright(col("__mid"), 33)).as("__p")).agg(agg.as("__c"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val per = perPartition(ranged, agg)
     var acc = 0L
     val offs = per.map { case (p, c) => val o = (p, acc); acc += c; o }
     offs.toSeq.toDF("__p", "__off")
   }
+
+  /** (partition id, aggregated value) rows of the ranged frame, sorted —
+    * the tiny driver-side array every two-pass op cumulates over. */
+  private def perPartition(ranged: DataFrame, agg: Column): Array[(Long, Long)] =
+    ranged.groupBy((shiftright(col("__mid"), 33)).as("__p")).agg(agg.as("__c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
 
   /** Append a 0-based global position column in (orderCols) order.
     * orderCols must form a total order (include a unique key).
@@ -52,13 +77,29 @@ object Index {
     * row's local index from the mid tag. One ranged shuffle, no partition
     * ever holds the series, fully codegen'd. */
   def withGlobalPosition(df: DataFrame, orderCols: Seq[String],
-                         posCol: String, numPartitions: Int = 0): DataFrame = {
+                         posCol: String, numPartitions: Int = 0): DataFrame =
+    withGlobalPositionCounted(df, orderCols, posCol, numPartitions)._1
+
+  /** [[withGlobalPosition]] plus the TOTAL row count, which the counts
+    * pass has already collected — callers sizing downstream exchanges by
+    * series length (filterColumnWholeSeries) must use this instead of an
+    * extra max()/count() action: with two full-width caches near the
+    * storage-memory limit an extra full scan can tip LRU eviction into a
+    * recompute cascade. */
+  def withGlobalPositionCounted(df: DataFrame, orderCols: Seq[String],
+                                posCol: String, numPartitions: Int = 0)
+      : (DataFrame, Long) = {
     val ranged = rangedWithMid(df, orderCols, numPartitions)
-    val offs = offsetsDf(ranged, count(lit(1)))
-    ranged.withColumn("__p", shiftright(col("__mid"), 33))
-      .join(broadcast(offs), "__p")
+    val offsArr = perPartition(ranged, count(lit(1)))
+    var acc = 0L
+    val offs = offsArr.map { case (p, c) => val o = (p, acc); acc += c; o }
+    val spark = ranged.sparkSession
+    import spark.implicits._
+    val out = ranged.withColumn("__p", shiftright(col("__mid"), 33))
+      .join(broadcast(offs.toSeq.toDF("__p", "__off")), "__p")
       .withColumn(posCol, col("__off") + (col("__mid") bitwiseAND ((1L << 33) - 1)))
       .drop("__p", "__off", "__mid")
+    (out, acc)
   }
 
   /** Append a running total (inclusive prefix sum) of an integral column in

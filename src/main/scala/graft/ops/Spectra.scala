@@ -37,9 +37,11 @@ object Spectra {
     * through one task (measured 195 IMLM bursts on a single core). A
     * distinct expression set keeps the REPARTITION_BY_NUM exchange, which
     * AQE must honor. */
-  private def perGroup[T: ClassTag, R](ds: Dataset[T], keyOf: T => Long)(
+  private def perGroup[T: ClassTag, R](ds: Dataset[T], keyOf: T => Long,
+      numPartitions: Int = 0)(
       f: (Long, Array[T]) => Iterator[R])(implicit enc: Encoder[R]): Dataset[R] = {
-    val n = ds.sparkSession.sparkContext.defaultParallelism
+    val n = if (numPartitions > 0) numPartitions
+            else ds.sparkSession.sparkContext.defaultParallelism
     ds.repartition(n, col("_1"), lit(0))
       .sortWithinPartitions("_1", "_2")
       .mapPartitions { it =>
@@ -277,9 +279,10 @@ object Spectra {
     * global order column): rows within `margin` of a segment boundary are
     * duplicated into the neighboring segment; each segment task runs
     * filtfilt over (margin + segLen + margin) samples and keeps its own. */
-  private def segmentFilt(pos: DataFrame, valueCol: String,
+  private[graft] def segmentFilt(pos: DataFrame, valueCol: String,
                           sos: Array[Butterworth.Sos],
-                          segLen: Int): Dataset[FiltRow] = {
+                          segLen: Int,
+                          numPartitions: Int = 0): Dataset[FiltRow] = {
     val margin = Butterworth.marginFor(sos)
     require(segLen > 2 * margin, s"segLen $segLen must exceed 2x margin $margin")
     val spark = pos.sparkSession
@@ -293,7 +296,7 @@ object Spectra {
       .select(explode(col("segs")).as("_1"), col("pos").as("_2"), col("v").as("_3"))
       .filter(col("_1") >= 0)
       .as[(Long, Long, Double)]
-    perGroup(segd, (t: (Long, Long, Double)) => t._1) { (seg, rows) =>
+    perGroup(segd, (t: (Long, Long, Double)) => t._1, numPartitions) { (seg, rows) =>
       val y = Butterworth.filtfilt(sos, rows.map(_._3))
       rows.indices.iterator
         .filter(i => rows(i)._2 / segLen == seg) // keep own samples only
@@ -306,36 +309,94 @@ object Spectra {
     * config-keyed filter (qaqc butter filters, filter_vel, filtered water
     * level) rides.
     *
-    * FUSED overlap-save (r17): the wide rows themselves ride the segment
+    * Shape (r17, measured via ProbeFiltWl — one 50 M-row session, all
+    * forms, so co-tenant noise cancels): the narrow (pos, v) projection
+    * rides the overlap-save segment kernel and the filtered values JOIN
+    * back on `__pos`, UNFORCED — the planner/AQE picks the algorithm.
+    * Two attempted "improvements" both lost to the plain join at ×100:
+    *  - hint("shuffle_hash") on the narrow side CRASHES at 50 M ×
+    *    32 partitions under the 8 GiB local heap ("Can't acquire
+    *    67108864 bytes to build hash relation") — 32 concurrent ~1.5 M
+    *    -entry builds compete with the ranged-frame cache for unified
+    *    memory. A forced data-sized build is the same trap as a forced
+    *    data-sized broadcast; kept only as an env opt-in for probes.
+    *  - the fused wide-row segment pass (explode + sort + RowEncoder
+    *    mapPartitions, no join at all) loses whole-stage codegen on the
+    *    full width; interpreted Row handling cost ~3× the join it saved
+    *    (ProbeChainTail ×100: hobo 301 s fused vs 94 s r16 smj).
+    * All forms produce bit-identical output (same fixed 65536 grid,
+    * same margins, same kernel); SPARK_GRAFT_FILTWL_FORM picks one for
+    * A/B probes. */
+  def filterColumnWholeSeries(df: DataFrame, orderCols: Seq[String],
+                              valueCol: String,
+                              sos: Array[Butterworth.Sos]): DataFrame =
+    sys.env.getOrElse("SPARK_GRAFT_FILTWL_FORM", "smj") match {
+      case "fused" => filterColumnWholeSeriesFused(df, orderCols, valueCol, sos)
+      case "hash" => filterColumnWholeSeriesJoin(df, orderCols, valueCol, sos,
+        hashHint = true)
+      case _ => filterColumnWholeSeriesJoin(df, orderCols, valueCol, sos,
+        hashHint = false)
+    }
+
+  /** Narrow segment kernel + join-back on `__pos`. `hashHint` forces a
+    * shuffled hash build on the narrow filtered side (probe-only: at
+    * 50 M × 32 partitions the 32 concurrent builds exhaust unified
+    * memory and the query DIES — see [[filterColumnWholeSeries]]);
+    * unforced, the planner's sort-merge join sorts both sides but
+    * spills gracefully, and partition count is the scale knob. */
+  private[graft] def filterColumnWholeSeriesJoin(df: DataFrame, orderCols: Seq[String],
+                                          valueCol: String,
+                                          sos: Array[Butterworth.Sos],
+                                          hashHint: Boolean): DataFrame = {
+    // ONE withGlobalPosition call: its internal ranged frame is cached
+    // (Index.rangedWithMid -> Spread.shared), so the segment-filter
+    // projection and the join-back side both read that single exchange.
+    // Do NOT add another full-width persist here — at 50M rows a second
+    // full-width cache thrashes the executor heap (measured: hobo ×100
+    // 546 s with the extra persist vs the shared-exchange-only form).
+    // every exchange below is widened with the SERIES LENGTH for the same
+    // reason the position pass is (Index.scaledPartitions): a fixed
+    // session width turns a growing series into a growing per-task sort.
+    // The exact count rides the position op's own counts pass — NO extra
+    // action (an extra full scan can tip the two full-width caches into
+    // LRU recompute cascades). ~256k rows / task => ~6 MB narrow segment
+    // sorts, ~26 MB wide join sorts.
+    val (pos, total) =
+      Index.withGlobalPositionCounted(df, orderCols, "__pos")
+    val base = df.sparkSession.sessionState.conf.numShufflePartitions
+    val n = math.max(base, math.min(total / 262144L + 1L, 4096L).toInt)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG_WIDTH"))
+      System.err.println(s"[width] filtwl: $total rows -> $n partitions")
+    val filt0 = segmentFilt(pos, valueCol, sos, 65536, n).toDF()
+      .select(col("sample").as("__pos"), col("value_filt").as("__vf"))
+    // explicit same-width same-key repartitions on both join sides
+    // satisfy the join's required distribution: no extra exchange planned
+    pos.repartition(n, col("__pos"))
+      .join(if (hashHint) filt0.hint("shuffle_hash")
+            else filt0.repartition(n, col("__pos")), Seq("__pos"), "left")
+      .withColumn(valueCol, col("__vf"))
+      .drop("__pos", "__vf")
+  }
+
+  /** FUSED overlap-save (kept for the A/B probe; see
+    * [[filterColumnWholeSeries]] — measured 3.4× slower than the hash
+    * join-back at ×100): the wide rows themselves ride the segment
     * pass — explode duplicates only the margin rows into the neighboring
     * segment, one AQE-exempt hash exchange on the segment id, a
     * partition-local (seg, pos) sort, then one mapPartitions runs
     * filtfilt per contiguous segment run and emits each row with the
-    * filtered value written through. The previous shape filtered a
-    * narrow (pos, v) projection and JOINED the values back on __pos —
-    * a sort-merge join that re-sorted BOTH 50M-row sides; r16 ×100 tail
-    * profiling measured that step at ~93% of the hobo/clean wall, and
-    * the sort-spill under the 8 GiB local heap made the chain
-    * super-linear (5.7× wall on 10× data). Per-task state is one
-    * segment (segLen + 2·margin wide rows), bounded regardless of
-    * series length; numeric output is bit-identical (same kernel, same
-    * segmentation, same margins — ButterworthSpec + the hash-exact
-    * filtered-wl oracles gate it). */
-  def filterColumnWholeSeries(df: DataFrame, orderCols: Seq[String],
-                              valueCol: String,
-                              sos: Array[Butterworth.Sos]): DataFrame = {
+    * filtered value written through. Loses whole-stage codegen for the
+    * full width (RowEncoder round-trip per row), which costs more than
+    * the join it saves. */
+  private[graft] def filterColumnWholeSeriesFused(
+      df: DataFrame, orderCols: Seq[String], valueCol: String,
+      sos: Array[Butterworth.Sos]): DataFrame = {
     val margin = Butterworth.marginFor(sos)
     val segLen = 65536
     require(segLen > 2 * margin, s"segLen $segLen must exceed 2x margin $margin")
     val spark = df.sparkSession
-    // ONE withGlobalPosition call; its internal ranged frame is cached
-    // (Index.rangedWithMid -> Spread.shared) so the offsets pass and this
-    // single data pass share one exchange. Do NOT add another full-width
-    // persist — at 50M rows a second full-width cache thrashes the
-    // executor heap (measured: hobo ×100 546 s with the extra persist).
-    // The value column is normalized to non-null DOUBLE up front (the
-    // kernel contract), which also fixes the output slot the kernel
-    // writes back into.
+    // value column normalized to non-null DOUBLE up front (the kernel
+    // contract), which also fixes the output slot the kernel writes into
     val pos = Index.withGlobalPosition(df, orderCols, "__pos")
       .withColumn(valueCol,
         coalesce(col(valueCol).cast("double"), lit(Double.NaN)))

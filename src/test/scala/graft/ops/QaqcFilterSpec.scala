@@ -44,6 +44,31 @@ class QaqcFilterSpec extends AnyFunSuite {
     assert(rms < 0.1, s"high-frequency energy survived: rms $rms")
   }
 
+  test("all three whole-series filter forms are value-identical") {
+    // the smj join-back is the shipped default; the hash-hint and fused
+    // forms are kept for A/B probes (SCALING.md r17) and must not rot:
+    // same fixed 65536 grid, same margins, same kernel => same bits
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = series(3000)
+    val df = rows.toDF("t", "P_1")
+      .withColumn("other", col("t") % 7)
+    val sos = Butterworth.lowpass(4, 1.0 / 10.0, 1.0)
+    def vals(d: org.apache.spark.sql.DataFrame): Seq[Double] =
+      d.orderBy("t").collect().map(_.getAs[Double]("P_1")).toSeq
+    val smj = vals(Spectra.filterColumnWholeSeriesJoin(
+      df, Seq("t"), "P_1", sos, hashHint = false))
+    val hash = vals(Spectra.filterColumnWholeSeriesJoin(
+      df, Seq("t"), "P_1", sos, hashHint = true))
+    val fused = vals(Spectra.filterColumnWholeSeriesFused(
+      df, Seq("t"), "P_1", sos))
+    assert(smj == hash, "hash-hint form diverged from smj")
+    assert(smj == fused, "fused form diverged from smj")
+    // and the schema round-trips: same columns, filtered col is double
+    val out = Spectra.filterColumnWholeSeriesFused(df, Seq("t"), "P_1", sos)
+    assert(out.columns.toSet == Set("t", "P_1", "other"))
+  }
+
   test("{var}_med_filt smooths with scipy's zero-padded median") {
     import spark.implicits._
     val vals = Seq(1.0, 9.0, 2.0, 3.0, 8.0, 4.0)
