@@ -93,17 +93,17 @@ object Curation {
       .collect()
     val words = Array.fill(nWords)(0L)
     wordRows.foreach(r => words(r.getInt(0)) = r.getLong(1))
-    val wl = array(words.map(lit): _*)
-    // k bit probes as one codegen'd predicate over the literal word array
-    var pre = grams.filter(!col("__eval"))
-      .withColumn("__key", Sketches.tokenKey(col("__ngram")))
-    val checks = params.zipWithIndex.map { case ((_, a, b), i) =>
-      pre = pre
-        .withColumn(s"__p$i", Sketches.bucketHash(col("__key"), a, b, Sketches.BloomBits))
-        .withColumn(s"__wv$i", element_at(wl, (col(s"__p$i") / 63).cast("int") + 1))
-      expr(s"(shiftright(__wv$i, CAST(__p$i % 63 AS INT)) & 1) = 1")
-    }
-    val trainPre = pre.filter(checks.reduce(_ && _))
+    // ONE codegen'd k-probe predicate: the per-probe withColumn/AND-chain
+    // form collapsed under predicate pushdown into a FilterExec that
+    // re-evaluated the md5 key per conjunct reference (10 md5s per gram,
+    // 38 executor-CPU-seconds at sf0.1 — r17 measurement); the fused
+    // expression evaluates the key once and probes the literal word array
+    // in a primitive loop. Probe arithmetic mirrors bucketHash exactly,
+    // so the filter stays lossless vs the build side.
+    val trainPre = grams.filter(!col("__eval"))
+      .filter(graft.functions.BloomProbe.containsAll(
+        Sketches.tokenKey(col("__ngram")), words, params, Dedup.P,
+        Sketches.BloomBits, 63))
       .select(col(idCol), col("__ngram")).distinct()
     trainPre.join(evalGrams, "__ngram")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
@@ -487,7 +487,7 @@ object Curation {
       .select(col(idCol), col("__t"),
         explode(TA.textNgrams(col(textCol), 2)).as("__g"))
       .withColumn("__b",
-        expr(s"CAST(conv(substring(md5(__g), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+        graft.functions.Md5Prefix.md5PrefixLong(col("__g"), 8) % buckets)
     val perDoc = Spread.shared(grams
       .groupBy(col(idCol), col("__t"), col("__b"))
       .agg(count(lit(1)).as("__n")))
@@ -576,7 +576,7 @@ object Curation {
       .select(col(idCol), col("__y"), col("__tr"),
         explode(TA.tokens(col(textCol))).as("__g"))
       .withColumn("__b",
-        expr(s"CAST(conv(substring(md5(__g), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+        graft.functions.Md5Prefix.md5PrefixLong(col("__g"), 8) % buckets)
     val perDoc = Spread.shared(grams
       .groupBy(col(idCol), col("__y"), col("__tr"), col("__b"))
       .agg(count(lit(1)).as("__n")))
@@ -808,7 +808,7 @@ object Curation {
       .select(col(idCol), col("__y"), col("__f"),
         explode(TA.tokens(col(textCol))).as("__g"))
       .withColumn("__b",
-        expr(s"CAST(conv(substring(md5(__g), 1, 8), 16, 10) AS BIGINT) % $buckets"))
+        graft.functions.Md5Prefix.md5PrefixLong(col("__g"), 8) % buckets)
     val perDoc = Spread.shared(grams
       .groupBy(col(idCol), col("__y"), col("__f"), col("__b"))
       .agg(count(lit(1)).as("__n")))

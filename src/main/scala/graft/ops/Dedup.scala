@@ -83,7 +83,8 @@ object Dedup {
     * produces Σ_shingle freq² intermediate rows, which explodes on common
     * shingles ("the", " an") that appear in nearly every document. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        scopeCol: String, k: Int, threshold: Double): DataFrame = {
+                        scopeCol: String, k: Int, threshold: Double,
+                        salt: Int = SALT): DataFrame = {
     import graft.functions.ArrayMath
     // the base-256 packing is only injective for 3-codepoint shingles
     // (same constraint as shingleKeys); the codegen kernel replaces the
@@ -113,7 +114,7 @@ object Dedup {
         col("__scope") === col("__scope2") && col("id_a") < col("id_b") &&
           col("__na") >= lit(threshold) * col("__nb") &&
           col("__nb") >= lit(threshold) * col("__na"),
-        col("id_a"), SALT)
+        col("id_a"), salt)
       .withColumn("__i", ArrayMath.sortedIntersectCount(col("__ka"), col("__kb")))
       .withColumn("jaccard",
         col("__i").cast("double") / (col("__na") + col("__nb") - col("__i")).cast("double"))
@@ -1166,18 +1167,19 @@ object Dedup {
 
   /** SimHash near-dup pairs within a scope: hamming(sig_a, sig_b) <= maxDist. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   scopeCol: String, numBits: Int, maxDist: Int): DataFrame = {
+                   scopeCol: String, numBits: Int, maxDist: Int,
+                   salt: Int = SALT): DataFrame = {
     val key = (df.sparkSession.hashCode(),
       df.queryExecution.analyzed.canonicalized,
-      s"$idCol|$textCol|$scopeCol|$numBits|$maxDist")
+      s"$idCol|$textCol|$scopeCol|$numBits|$maxDist|$salt")
     simhashPairsMemo.getOrCompute(key,
-      simhashPairsImpl(df, idCol, textCol, scopeCol, numBits, maxDist)
+      simhashPairsImpl(df, idCol, textCol, scopeCol, numBits, maxDist, salt)
         .localCheckpoint())
   }
 
   private def simhashPairsImpl(df: DataFrame, idCol: String, textCol: String,
                                scopeCol: String, numBits: Int,
-                               maxDist: Int): DataFrame = {
+                               maxDist: Int, salt: Int): DataFrame = {
     val sig = Spread.shared(simhash(df, idCol, textCol, numBits)
       .join(df.select(col(idCol), col(scopeCol)), idCol))
     val a = sig.select(col(scopeCol).as("__s"), col(idCol).as("id_a"),
@@ -1188,7 +1190,7 @@ object Dedup {
     // pair generation at scopes × SALT parallelism with bounded build sides
     Spread.saltedJoin(a, b,
         col("__s") === col("__s2") && col("id_a") < col("id_b"),
-        col("id_a"), SALT)
+        col("id_a"), salt)
       .withColumn("hamming", bit_count(expr("sig_a ^ sig_b")))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
@@ -1247,7 +1249,7 @@ object Dedup {
         posexplode(TextAnalysis.textNgrams(col(textCol), n))
           .as(Seq("pos", "ngram")))
       .withColumn("__h",
-        expr("CAST(conv(substring(md5(ngram), 1, 8), 16, 10) AS BIGINT)"))
+        graft.functions.Md5Prefix.md5PrefixLong(col("ngram"), 8))
     val byDoc = Window.partitionBy(col(idCol))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
@@ -1314,8 +1316,15 @@ object Dedup {
     val df = df0.filter(evalSlice)
     val lsh = minhashLshPairs(df, idCol, textCol, numHashes, bands, threshold)
       .select(col("id_a"), col("id_b"), lit(1L).as("__l"))
+    // the truth side is ONE scope over a FIXED-SIZE sample: salt to the
+    // core count (not the global SALT=8 scoped-join default) so the
+    // all-pairs intersect work spreads over every core — replicating a
+    // bounded sample is free at any scale (r17: the 8-way salt left the
+    // quality harnesses on 1-2 busy tasks under local[32])
+    val wideSalt = math.max(SALT,
+      df0.sparkSession.sparkContext.defaultParallelism)
     val truth = ngramJaccardPairs(df.withColumn("__all", lit(1)), idCol,
-        textCol, "__all", 3, threshold)
+        textCol, "__all", 3, threshold, salt = wideSalt)
       .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
     // ONE full-outer join + one aggregation: the naive three-branch plan
     // (count(lsh) × count(truth) × count(lsh⋈truth)) executes each pair
@@ -1342,9 +1351,15 @@ object Dedup {
                      numBits: Int, maxDist: Int, threshold: Double,
                      evalSlice: Column): DataFrame = {
     val df = df0.filter(evalSlice).withColumn("__all", lit(1))
-    val sim = simhashPairs(df, idCol, textCol, "__all", numBits, maxDist)
+    // bounded-sample, single-scope pair joins: salt to core count (see
+    // [[lshQuality]])
+    val wideSalt = math.max(SALT,
+      df0.sparkSession.sparkContext.defaultParallelism)
+    val sim = simhashPairs(df, idCol, textCol, "__all", numBits, maxDist,
+        salt = wideSalt)
       .select(col("id_a"), col("id_b"), lit(1L).as("__l"))
-    val truth = ngramJaccardPairs(df, idCol, textCol, "__all", 3, threshold)
+    val truth = ngramJaccardPairs(df, idCol, textCol, "__all", 3, threshold,
+        salt = wideSalt)
       .select(col("id_a"), col("id_b"), lit(1L).as("__t"))
     sim.join(truth, Seq("id_a", "id_b"), "full_outer")
       .agg(coalesce(sum(col("__t")), lit(0L)).as("n_true"),

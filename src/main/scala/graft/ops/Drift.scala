@@ -194,7 +194,13 @@ object Drift {
       .foldLeft(lit(8): Column) { case (acc, (c, k)) =>
         when(col("__u") < c, k).otherwise(acc)
       }
-    val rows = df.select(col(groupCol).as("__g"),
+    // spread BEFORE the replicate explode: a single-file input arrives as
+    // one scan partition, and the explode + per-replicate md5 (reps× the
+    // row count, the query's entire cost) would otherwise run on one core
+    // inside the scan stage (measured r17: 4.0 s of a 4.4 s query in a
+    // tasks=1 stage at sf0.1; guide §2.5 input parallelism)
+    val rows = Spread.byKey(df, col(idCol))
+      .select(col(groupCol).as("__g"),
         col(idCol).cast("string").as("__id"),
         round(col(valueCol) * 100).cast("long").as("__c"),
         explode(sequence(lit(0), lit(reps - 1))).as("__b"))

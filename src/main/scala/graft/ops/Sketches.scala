@@ -30,13 +30,19 @@ object Sketches {
   /** 60-bit positive hash of a column's string form (15 hex chars of md5)
     * — portable to any engine with md5 + string ops. */
   def hash60(c: Column): Column =
-    expr(s"CAST(conv(substring(md5(CAST(${c.toString} AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+    // codegen kernel — value-identical to the SQL form
+    // CAST(conv(substring(md5(CAST(c AS STRING)), 1, 15), 16, 10) AS BIGINT)
+    // (Md5PrefixSpec), without the hex-string materialization + conv
+    // re-parse + per-row MessageDigest allocation (r17: md5-prefix hashing
+    // is the per-row floor of bootstrap_ci, the sketch family and the
+    // fingerprints)
+    graft.functions.Md5Prefix.md5PrefixLong(c.cast("string"), 15)
 
   /** Same 60-bit hash built from Column functions (no SQL-string round-trip)
     * — safe for composite inputs (CASE WHEN, concat, …) whose `toString`
     * isn't guaranteed to re-parse as SQL. */
   def hash60c(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Prefix.md5PrefixLong(c.cast("string"), 15)
 
   /**
    * HyperLogLog distinct-count estimate per group (Flajolet et al. 2007):
@@ -276,7 +282,7 @@ object Sketches {
 
   /** 32-bit md5 token key, shared by build and probe sides. */
   private[ops] def tokenKey(c: Column): Column =
-    expr(s"CAST(conv(substring(md5(${c.toString}), 1, 8), 16, 10) AS BIGINT)")
+    graft.functions.Md5Prefix.md5PrefixLong(c, 8)
 
   /** Shared (a·key + b) mod P mod width bucket hash for the Count-Min
     * counters and the Bloom bit positions. */

@@ -131,7 +131,12 @@ object Fp {
               fields: Seq[(String, Column)]): DataFrame = {
     val rowStr = concat(fields.map(_._2)
       .flatMap(c => Seq(lit("\u0001"), c)).drop(1): _*)
-    df.select(rowStr.as("__r"))
+    // spread the scan before hashing: the md5-per-row partial aggregation
+    // otherwise collapses into the one-split scan stage of a small file
+    // and runs single-task (r17 measurement); the hash sum is commutative,
+    // so a keyed repartition cannot change the result
+    graft.ops.Spread.byKey(df, fields.head._2)
+      .select(rowStr.as("__r"))
       .agg(lit(name).as("table_name"), count(lit(1)).as("n_rows"),
         modFp(sum(hash60c(col("__r")).cast("decimal(38,0)")))
           .as("fingerprint"))
@@ -157,7 +162,10 @@ object Fp {
               fields: Seq[(String, Column)]): DataFrame = {
     val aggs = count(lit(1)).as("n_rows") +: fields.map { case (n, c) =>
       modFp(sum(hash60c(c).cast("decimal(38,0)"))).as(s"fp_$n") }
-    df.agg(aggs.head, aggs.tail: _*).selectExpr(
+    // spread for the same reason as [[tableFp]]: fields.size md5s per row
+    // otherwise run single-task inside the one-split scan
+    graft.ops.Spread.byKey(df, fields.head._2)
+      .agg(aggs.head, aggs.tail: _*).selectExpr(
       s"'$table' AS table_name",
       "n_rows",
       s"stack(${fields.size}, " + fields.map { case (n, _) =>

@@ -1152,9 +1152,8 @@ object Relational {
     // sampled key). Portable md5 hash = same slice on any engine.
     Q("universe_sample",
       (s, dir) => {
-        val slice = expr(
-          "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) " +
-            "AS BIGINT) % 8 = 0")
+        val slice =
+          graft.ops.Sketches.hash60(col("user_id")) % 8 === 0
         events(s, dir).filter(slice)
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"),
