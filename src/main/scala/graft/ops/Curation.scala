@@ -83,10 +83,17 @@ object Curation {
       grams.filter(col("__eval")).select("__ngram").distinct())
     val params = Dedup.hashParams(Sketches.BloomK)
     val nWords = (Sketches.BloomBits + 62) / 63
-    val wordRows = params.map { case (_, a, b) =>
-        evalGrams.select(Sketches.bucketHash(
-          Sketches.tokenKey(col("__ngram")), a, b, Sketches.BloomBits).as("__p"))
-      }.reduce(_ unionByName _)
+    // ONE pass over the eval grams: the k-branch union form ran k
+    // concurrent subtrees over the still-cold evalGrams cache, so each
+    // branch recomputed the corpus gram explode (r17: a 160-task stage
+    // with 28.8 executor-seconds for a table the single-pass form probes
+    // in one 32-task stage); the k positions explode from one projection
+    // whose md5 key is subexpression-eliminated to a single digest
+    val wordRows = evalGrams
+      .select(explode(array(params.map { case (_, a, b) =>
+          Sketches.bucketHash(Sketches.tokenKey(col("__ngram")), a, b,
+            Sketches.BloomBits)
+        }: _*)).as("__p"))
       .select((col("__p") / 63).cast("int").as("__w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 63 AS INT))").as("__v"))
       .distinct().groupBy("__w").agg(sum("__v").as("__word"))
@@ -663,29 +670,51 @@ object Curation {
    * Output: (bin, n_docs, n_pos, pos_rate, iso_rate), iso_rate monotone.
    */
   def isotonicFit(bins: DataFrame): DataFrame = {
-    val b = Spread.shared(bins.select(col("bin").cast("int").as("bin"),
-      col("n_docs").cast("long").as("n_docs"),
-      col("n_pos").cast("long").as("n_pos")))
-    val j = b.select(col("bin").as("jb"))
-    val k = b.select(col("bin").as("kb"))
-    val t = b.select(col("bin").as("tb"), col("n_docs").as("tn"),
-      col("n_pos").as("tp"))
-    // weighted rate of every bin interval [j, k]
-    val avgjk = j.join(k, col("jb") <= col("kb"))
-      .join(t, col("tb") >= col("jb") && col("tb") <= col("kb"))
-      .groupBy("jb", "kb")
-      .agg((sum("tp").cast("double") / sum("tn").cast("double")).as("__avg"))
-    // iso_i = max over j ≤ i of (min over k ≥ i of avg(j, k))
-    val i = b.select(col("bin").as("ib"))
-    val iso = avgjk
-      .join(i, col("jb") <= col("ib") && col("kb") >= col("ib"))
-      .groupBy("ib", "jb").agg(min("__avg").as("__mn"))
-      .groupBy("ib").agg(round(max("__mn"), 9).as("iso_rate"))
-    b.join(iso, col("bin") === col("ib"))
+    val spark = bins.sparkSession
+    // model collect: the calibration table is bounded by the bin clamp
+    // (17 rows for the [-8,8] NB bins) — the r16 shape ran the minimax
+    // as three theta-joins + two aggregations over a 17-row cached
+    // relation, paying ~6 shuffle stages of pure scheduling overhead per
+    // query (r17 measurement); the driver loop below is O(bins³) over a
+    // model-sized array, the same bounded-model pattern as the MMR
+    // greedy. Arithmetic is IEEE-identical: interval rates are single
+    // double divisions of exact long sums, min/max are order-free, and
+    // the round-9 still happens in Spark expressions on the local
+    // relation so engine rounding is unchanged.
+    val rows = bins.select(col("bin").cast("int"),
+        col("n_docs").cast("long"), col("n_pos").cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(rows.length <= 512,
+      s"isotonicFit: ${rows.length} bins exceeds the 512 bounded-model " +
+        "cap — the PAV minimax is O(bins³) driver work; a calibration " +
+        "table is bins-clamped by construction, so an oversized input " +
+        "is a caller bug, not a scale path")
+    val n = rows.length
+    val cumN = rows.scanLeft(0L)(_ + _._2).toArray // cumN(i) = Σ n_docs[0..i)
+    val cumP = rows.scanLeft(0L)(_ + _._3).toArray
+    def avg(j: Int, k: Int): Double = // weighted rate over bins j..k
+      (cumP(k + 1) - cumP(j)).toDouble / (cumN(k + 1) - cumN(j)).toDouble
+    val iso = Array.tabulate(n) { i =>
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j <= i) {
+        var mn = Double.PositiveInfinity
+        var k = i
+        while (k < n) { val a = avg(j, k); if (a < mn) mn = a; k += 1 }
+        if (mn > best) best = mn
+        j += 1
+      }
+      best
+    }
+    import spark.implicits._
+    rows.zip(iso).toSeq
+      .map { case ((bin, nd, np), r) => (bin, nd, np, r) }
+      .toDF("bin", "n_docs", "n_pos", "__iso")
       .select(col("bin"), col("n_docs"), col("n_pos"),
         round(col("n_pos").cast("double") / col("n_docs").cast("double"), 9)
           .as("pos_rate"),
-        col("iso_rate"))
+        round(col("__iso"), 9).as("iso_rate"))
   }
 
   /**

@@ -281,6 +281,12 @@ object Dedup {
   def containmentPrefixPairs(df: DataFrame, idCol: String, textCol: String,
                              scopeCol: String, k: Int,
                              tNum: Int, tDen: Int): DataFrame = {
+    // NOTE (r17): caching the per-doc key arrays here (one Spread.shared
+    // of (scope, id, keys) consumed by both the freq branch and the
+    // assembly branch) was measured SLOWER at sf0.1 — the cache
+    // materialization + double cache indirection cost more than the
+    // saved second ShingleKeys3 pass (mark 4.2 -> 6.6 s). Deliberately
+    // kept as two explodes of the scan.
     val sh = Spread.byKey(df, col(idCol))
       .select(col(scopeCol).as("__scope"), col(idCol).as("__id"),
         explode(shingleKeys(textCol, k)).as("__key"))
@@ -569,7 +575,8 @@ object Dedup {
     import graft.functions.ArrayMath
     val threshold = tNum.toDouble / tDen
     // (scope, id, shingle-key) long rows — one explode of the per-doc
-    // distinct sorted key array
+    // distinct sorted key array (two passes beat caching the arrays —
+    // see the note in containmentPrefixPairs)
     val sh = Spread.byKey(df, col(idCol))
       .select(col(scopeCol).as("__scope"), col(idCol).as("__id"),
         explode(shingleKeys(textCol, k)).as("__key"))
@@ -1133,11 +1140,17 @@ object Dedup {
 
   def pageRank(edges: DataFrame, nodes: DataFrame, idCol: String,
                iters: Int = 3): DataFrame = {
-    val sym = Spread.shared(
+    // cache the symmetric edges PRE-PARTITIONED by __src: the degree
+    // aggregation, the e=sym⋈deg build and every iteration's contribution
+    // join are all keyed on __src, so the cached partitioning serves all
+    // of them — without it each of the `iters` iterations re-exchanged
+    // the full edge relation (the largest table in the loop; r17: 3
+    // edge-sized exchanges in keyphrase_rank's plan, all removable)
+    val sym = Spread.shared(Spread.byKey(
       edges.select(col("id_a").cast("long").as("__src"),
           col("id_b").cast("long").as("__dst"))
         .union(edges.select(col("id_b").cast("long").as("__src"),
-          col("id_a").cast("long").as("__dst"))))
+          col("id_a").cast("long").as("__dst"))), col("__src")))
     val deg = sym.groupBy("__src").agg(count(lit(1)).as("__deg"))
     val e = sym.join(deg, "__src")
     var r = nodes.select(col(idCol).cast("long").as("__nid"),

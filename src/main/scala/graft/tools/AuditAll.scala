@@ -111,6 +111,8 @@ object AuditAll {
         "per-partition offset/max/last arrays: one row per shuffle partition"),
       ("ops/Curation.scala", "groupBy(\"__w\").agg(sum(\"__v\")",
         "bloom bit-words: bounded at BloomBits/63 registers"),
+      ("ops/Curation.scala", "bins.select(col(\"bin\").cast(\"int\")",
+        "isotonic calibration table: bounded by the bin clamp (17 rows), require-capped at 512"),
       ("ops/Similarity.scala", "groupBy(\"cell\").agg(aggs.head",
         "k-means centroid update: one row per cell, k is model-sized"),
       ("ops/Similarity.scala", "groupBy(\"g\", \"cell\").agg(aggs.head",
