@@ -520,38 +520,35 @@ object Similarity {
    * ±xi terms with one final double scale (1/outDims when outDims is a
    * power of four ⇒ the 1/√outDims JL scale is exactly representable).
    *
-   * Scale shape: explode to (vec, in-dim) rows, join the 16×64-row sign
-   * matrix (broadcast), one groupBy (vec, out-dim) integer sum —
-   * map-side combinable, no windows.
+   * Scale shape (r17 rework): ONE codegen projection per vector over a
+   * LITERAL outDims×dims ±1 matrix (model-sized by construction) — the
+   * previous explode→broadcast-join→(vec, out-dim) re-aggregate pushed
+   * corpus×dims rows through two data-sized exchanges to compute what is
+   * a per-row expression. The sign matrix is the identical md5-parity
+   * derivation (JlProjectSpec proves the kernel against the in-engine
+   * join form bit-for-bit, including null/empty/short embeddings).
    *
    * Returns (vec_id, out_dim, v) in long format.
    */
   def jlProject(df: DataFrame, idCol: String, embCol: String,
-                dims: Int, outDims: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+                dims: Int, outDims: Int): DataFrame =
+    jlProjectArrays(df, idCol, embCol, dims, outDims)
+      .select(col("vec_id"),
+        posexplode(col("__p")).as(Seq("out_dim", "v")))
+
+  /** Array-form JL projection: (vec_id, __p) with __p ordered by out-dim;
+    * vectors whose embedding is null or empty are ABSENT (the long form
+    * explodes to no rows for them, matching the old join form). */
+  private[graft] def jlProjectArrays(df: DataFrame, idCol: String,
+                                     embCol: String, dims: Int,
+                                     outDims: Int): DataFrame = {
     require(math.sqrt(outDims.toDouble).isWhole,
       "outDims must be a perfect square so the JL scale is exact")
     val scale = 1.0 / math.sqrt(outDims.toDouble)
-    // sign matrix from md5 parity, computed with the engine's own md5 so
-    // the oracle derives the identical matrix; the (j, i) grid is ONE
-    // local relation (a cross of two local tables plans as a broadcast
-    // nested loop for no benefit)
-    val m = (for (j <- 0 until outDims; i <- 1 to dims) yield (j, i))
-      .toDF("j", "i")
-      .withColumn("s", expr(
-        "CASE WHEN CAST(conv(substring(md5(concat(CAST(j AS STRING), '_', " +
-          "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 " +
-          "THEN 1 ELSE -1 END"))
-    val x = df.select(col(idCol).cast("long").as("vec_id"),
-        posexplode(transform(asDouble(col(embCol)),
-          v => floor(v * lit(1000000.0)).cast("long"))).as(Seq("i0", "xi")))
-      .withColumn("i", col("i0") + 1).drop("i0")
-    x.join(broadcast(m), "i")
-      .groupBy("vec_id", "j")
-      .agg(sum(col("xi") * col("s")).as("__acc"))
-      .select(col("vec_id"), col("j").as("out_dim"),
-        (col("__acc").cast("double") / 1000000.0 * lit(scale)).as("v"))
+    df.select(col(idCol).cast("long").as("vec_id"),
+        graft.functions.JlProject.project(asDouble(col(embCol)),
+          dims, outDims, scale).as("__p"))
+      .filter(col("__p").isNotNull)
   }
 
   /**
@@ -567,11 +564,12 @@ object Similarity {
    */
   def jlRerank(df: DataFrame, idCol: String, embCol: String, dims: Int,
                outDims: Int, kCand: Int, k: Int): DataFrame = {
-    // projected vectors back to array form, ordered by out_dim
-    val proj = Spread.shared(jlProject(df, idCol, embCol, dims, outDims)
-      .groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(out_dim, v))), x -> x.v)")
-        .as("p"))
+    // array-form projection straight from the codegen kernel (r17): the
+    // long-form explode + collect_list regroup added a full (vec, out-dim)
+    // exchange just to rebuild the array the kernel already produces
+    val proj = Spread.shared(
+      jlProjectArrays(df, idCol, embCol, dims, outDims)
+        .select(col("vec_id"), col("__p").as("p"))
       .withColumn("__n", sqrt(ndot(col("p"), col("p"))))
       .filter(col("__n") > 0) // zero-norm exclusion (see normalized())
       .select(col("vec_id"), transform(col("p"), x => x / col("__n")).as("p")))
