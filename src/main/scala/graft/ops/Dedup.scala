@@ -1159,6 +1159,15 @@ object Dedup {
       val contrib = e.join(r, col("__src") === col("__nid"))
         .select(col("__dst"), expr("__r div __deg").as("__c"))
         .groupBy("__dst").agg(sum("__c").as("__t"))
+      // NOTE (r17): each iteration references r twice, so the final plan
+      // carries 2^iters copies of the seed subtree (keyphrase_rank's
+      // explain is ~97 KB) — but caching the per-round rank table
+      // (Spread.shared, the labelPropagation pattern) was measured
+      // SLOWER: ReusedExchange already dedupes the replicated subtrees
+      // at execution, and the 3 extra cache materializations cost more
+      // than the planning overhead they save (same-subset A/B:
+      // keyphrase_rank 3.54 -> 3.91 s, dedup_cluster_central
+      // 0.64 -> 2.41 s). Deliberately left uncached.
       r = r.select(col("__nid"))
         .join(contrib, col("__nid") === col("__dst"), "left")
         .select(col("__nid"),
