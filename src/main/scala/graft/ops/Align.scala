@@ -182,10 +182,34 @@ object Align {
   def interpLinear(left: DataFrame, right: DataFrame, leftTs: String,
                    rightTs: String, valCol: String, tolerance: Long,
                    outCol: String): DataFrame = {
-    val r0 = right.select(col(rightTs).as("__t0"), col(valCol).as("__y0"))
-    val r1 = right.select(col(rightTs).as("__t1"), col(valCol).as("__y1"))
-    asofForward(asofBackward(left, r0, leftTs, "__t0", tolerance),
-        r1, leftTs, "__t1", tolerance)
+    // BOTH brackets from ONE sub-bucket pass (r17): the chained
+    // asofBackward∘asofForward form ran the whole candidate machinery
+    // (bucket index, boundary rows via two running-max passes, join,
+    // per-left aggregate) twice over the same right series. One joined
+    // candidate set + two conditional struct aggregates select the
+    // identical rows: max(struct(t0, y0)) over rightTs ≤ leftTs is
+    // exactly asofBackward's max_by(payload, struct(rightTs, y)) because
+    // payload and ordering struct have the same fields in the same
+    // order, and min(struct(t1, y1)) over rightTs ≥ leftTs is
+    // asofForward's min_by — InterpSamePathSpec proves row equality
+    // against the chained form on the registered query and edge series.
+    val r = right.select(col(rightTs).as("__rt"), col(valCol).as("__rv"))
+    val (lb, cand) = subBucketCandidates(left, r, leftTs, "__rt",
+      tolerance, withBefore = true, withAfter = true)
+    val joined = lb.as("l").join(cand.as("r"),
+        col("l.__k") === col("r.__k") &&
+        col("__rt") >= col(leftTs) - tolerance &&
+        col("__rt") <= col(leftTs) + tolerance, "left")
+      .drop("__k")
+    joined.groupBy(left.columns.map(col): _*)
+      .agg(
+        max(when(col("__rt") <= col(leftTs),
+          struct(col("__rt").as("__t0"), col("__rv").as("__y0")))).as("__lo"),
+        min(when(col("__rt") >= col(leftTs),
+          struct(col("__rt").as("__t1"), col("__rv").as("__y1")))).as("__hi"))
+      .select(left.columns.map(col) :+
+        col("__lo.__t0").as("__t0") :+ col("__lo.__y0").as("__y0") :+
+        col("__hi.__t1").as("__t1") :+ col("__hi.__y1").as("__y1"): _*)
       .withColumn(outCol,
         when(col("__t1") === col("__t0"), col("__y0"))
           .otherwise(col("__y0") + (col("__y1") - col("__y0")) *
