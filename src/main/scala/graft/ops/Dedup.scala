@@ -249,7 +249,9 @@ object Dedup {
       .select("id_a", "id_b")
     val sets = Spread.shared(Spread.byKey(df, col(idCol))
       .select(col(idCol).as("__id"), shingleKeys(textCol, k).as("__keys")))
-    containmentTail(cand
+    // explicit width on the pair stream before the CPU-heavy sorted-merge
+    // verify — same rationale as [[containmentPrefixPairs]]'s tail
+    containmentTail(Spread.byKey(cand, col("id_a"))
       .join(sets.select(col("__id").as("id_a"), col("__keys").as("__ka"),
         size(col("__keys")).as("__na")), "id_a")
       .join(sets.select(col("__id").as("id_b"), col("__keys").as("__kb"),
@@ -306,21 +308,40 @@ object Dedup {
       col("__id").as("__idl"), col("__n").as("__nl"),
       explode(col("__toks")).as("__tok2"))
     // smaller-or-tied side probes with its prefix; ties generate both
-    // orders and collapse under least/greatest + distinct
+    // orders and collapse under least/greatest + distinct. __scope is
+    // dropped before the dedup: ids are corpus-unique, so (id_a, id_b)
+    // determines the pair (and its scope) — narrower distinct state.
     val cands = prefixSmall.join(fullLarge,
         col("__scope") === col("__scope2") && col("__tok") === col("__tok2") &&
           (col("__ns") < col("__nl") ||
             (col("__ns") === col("__nl") && col("__ids") =!= col("__idl"))))
-      .select(col("__scope"),
-        least(col("__ids"), col("__idl")).as("id_a"),
+      .select(least(col("__ids"), col("__idl")).as("id_a"),
         greatest(col("__ids"), col("__idl")).as("id_b"))
       .distinct()
-    val a = sets.select(col("__scope").as("__sa"), col("__id").as("__ida"),
+    // verify joins keyed on the doc id ALONE (scope equality was redundant:
+    // both pair members share the candidate join's scope by construction,
+    // and one id maps to one sets row). id-only keys let the pair stream
+    // co-partition with `sets` (partitioned by __id from Spread.byKey) at
+    // cluster scale, and the explicit width pins the CPU-heavy
+    // sorted-merge verify at defaultParallelism instead of the AQE
+    // byte-coalesced width (measured: the fused verify stage ran 5 tasks
+    // at sf0.1 — 0.55 s of the query on a 32-core driver).
+    // NOTE (r18): fusing the distinct + both verify joins into ONE
+    // unpivot join + (id_a, id_b) aggregate (each pair as two probe rows,
+    // max(when(side,...)) re-assembling the arrays) was measured 2.2x
+    // SLOWER on the same subset (mark/topk/prefix 7.36 -> 15.89 s): the
+    // pair aggregate ships candidate x token-ARRAY rows through the final
+    // exchange and max(array) demotes it to SortAggregate, while the
+    // two-join form broadcasts (locally) or co-partitions (at scale) the
+    // sets relation and shuffles only id triples. Deliberately kept as
+    // distinct + two id-keyed joins.
+    val wide = Spread.byKey(cands, col("id_a"))
+    val a = sets.select(col("__id").as("__ida"),
       col("__toks").as("__ka"), col("__n").as("__na"))
     val b = sets.select(col("__id").as("__idb"), col("__toks").as("__kb"),
       col("__n").as("__nb"))
-    containmentTail(cands
-      .join(a, col("__scope") === col("__sa") && col("id_a") === col("__ida"))
+    containmentTail(wide
+      .join(a, col("id_a") === col("__ida"))
       .join(b, col("id_b") === col("__idb")), tNum, tDen)
   }
 
@@ -609,17 +630,19 @@ object Dedup {
           col("id_a") < col("id_b") &&
           col("__na") * tDen >= col("__nb") * tNum &&
           col("__nb") * tDen >= col("__na") * tNum)
-      .select(col("__scope"), col("id_a"), col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
     // exact verification on candidates only — O(|a|+|b|) sorted merge per
     // candidate pair (packed tokens are bijective with keys, so intersect
-    // counts are unchanged)
-    val a = sets.select(col("__scope").as("__sa"), col("__id").as("__ida"),
+    // counts are unchanged). Joins keyed on the doc id alone and the pair
+    // stream explicitly widened — same rationale as
+    // [[containmentPrefixPairs]]'s verify tail.
+    val a = sets.select(col("__id").as("__ida"),
       col("__toks").as("__ka"), col("__n").as("__va"))
     val b = sets.select(col("__id").as("__idb"), col("__toks").as("__kb"),
       col("__n").as("__vb"))
-    cands
-      .join(a, col("__scope") === col("__sa") && col("id_a") === col("__ida"))
+    Spread.byKey(cands, col("id_a"))
+      .join(a, col("id_a") === col("__ida"))
       .join(b, col("id_b") === col("__idb"))
       .withColumn("__i", ArrayMath.sortedIntersectCount(col("__ka"), col("__kb")))
       .withColumn("jaccard", col("__i").cast("double") /
