@@ -154,6 +154,18 @@ object Bench {
       // query-completion cache hook — without it, shared() persists from all
       // queries x passes stay pinned for the session (r6: 16x slowdowns)
       graft.ops.Spread.release(spark)
+      // cold-cost hook (r17 verdict): the BoundedMemo trainer memos
+      // (simhash pairs, connected components, k-means, BPE, char-bigram
+      // LM) survive Spread.release by design — legitimate cross-query
+      // model reuse for production bulk drivers, but in a benchmark they
+      // let pass 2 time a memo hit and let later alphabetical consumers
+      // ride models warmed by earlier queries (dedup_cluster_central read
+      // 0.27 s warm vs 2.4 s cold). Clearing them at the per-query
+      // boundary makes every timed pass pay full training cost. The
+      // committed prior was re-stamped in the same change
+      // (SPARK_GRAFT_BENCH_ACCEPT) so the detector anchor matches the new
+      // timing basis.
+      graft.ops.BoundedMemo.clearAll()
       dt
     }
     def runOnce(tag: String): Map[String, Double] =
