@@ -204,7 +204,18 @@ object Similarity {
   private def kmeansLoopImpl(df: DataFrame, idCol: String, embCol: String,
                              k: Int, dims: Int, iters: Int)
       : (Array[Array[Double]], DataFrame) = {
-    val x = df.select(col(idCol).cast("long").as("id"),
+    // input-parallelism guard (r18): the vector table is typically one
+    // small parquet file locally, so every Lloyd iteration's assignment +
+    // aggregation ran as ONE task (ProbeQ: all tasks=1 across the pq/ivf
+    // family). The k*dims-flop assignment expression is the CPU floor of
+    // the loop — spread it. Integer micro-unit sums are order-independent,
+    // so centroids are bit-identical. Caching x (Spread.shared) to save
+    // the per-iteration scan+repartition re-execution was measured ~5%
+    // SLOWER on the family subset (23.9/24.8 vs 23.0/22.6 s) — cache
+    // materialization + read indirection beats re-reading a small table;
+    // deliberately uncached.
+    val x = Spread.byKey(df, col(idCol))
+      .select(col(idCol).cast("long").as("id"),
         transform(asDouble(col(embCol)),
           v => floor(v * lit(1000000.0)).cast("long")).as("xi"))
       .withColumn("x", transform(col("xi"), v => v.cast("double") / lit(1000000.0)))
@@ -265,7 +276,9 @@ object Similarity {
                               problems: Seq[KProblem]): Unit = {
     val todo = problems.filterNot(p => kmeansMemo.contains(p.key))
     if (todo.isEmpty) return
-    val x = df.select(col(idCol).cast("long").as("id"),
+    // same input-parallelism guard as kmeansLoopImpl (r18)
+    val x = Spread.byKey(df, col(idCol))
+      .select(col(idCol).cast("long").as("id"),
       transform(asDouble(col(embCol)),
         v => floor(v * lit(1000000.0)).cast("long")).as("xi"))
     // one init collect serves every problem: each seeds from the first k

@@ -36,6 +36,9 @@ object ProbeQ {
         graft.SparkEntry.queries(name)(spark, dir).count()
         println(f"PROBE $name $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
         graft.ops.Spread.release(spark)
+        // match Bench's cold-cost basis (r18): trainer memos cleared at
+        // the query boundary, so run3 stage attribution covers training
+        graft.ops.BoundedMemo.clearAll()
       }
       once("run1"); once("run2")
       stages.clear()

@@ -23,6 +23,8 @@ object Prof {
       // and later timings absorb the eviction/GC pressure (measured:
       // dedup_jaccard_prefix 15 s cold but 39 s "warm" under the pile-up)
       graft.ops.Spread.release(spark)
+      // match Bench's cold-cost basis (r18)
+      graft.ops.BoundedMemo.clearAll()
     }
     spark.stop()
   }
