@@ -840,7 +840,21 @@ object Dedup {
   /** Portable SimHash over whitespace tokens: bit j of the signature is the
     * sign of Σ_tokens (2·((a_j·x+b_j mod p) & 1) − 1), with x the base-256
     * packing of the token's first 4 chars. numBits ≤ 32. */
-  def simhash(df: DataFrame, idCol: String, textCol: String, numBits: Int): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String, numBits: Int): DataFrame =
+    // one-pass codegen kernel (r18): the tokenize → explode → numBits
+    // hash-sums → groupBy pipeline became a pure projection — no
+    // corpus-token explode, no exchange (graph family: ~12 registered
+    // queries build signatures cold per query on the bench's cold-cost
+    // basis). Bit-equality vs [[simhashSql]] proven in SimhashSigSpec;
+    // the isNotNull filter reproduces "no tokens → no signature row".
+    Spread.byKey(df, col(idCol)).select(col(idCol),
+      graft.functions.Simhash.simhashSig(col(textCol), numBits).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** Reference SQL formulation of [[simhash]], kept for the equivalence
+    * spec (the shingleKeys3Hof pattern). */
+  private[graft] def simhashSql(df: DataFrame, idCol: String, textCol: String,
+                                numBits: Int): DataFrame = {
     val toks = Spread.byKey(df, col(idCol)).select(col(idCol),
       explode(split(col(textCol), " ")).as("tok")).filter(length(col("tok")) > 0)
     val x = (coalesce(ascii(substring(col("tok"), 1, 1)), lit(0)) * 16777216L +
@@ -1191,6 +1205,15 @@ object Dedup {
       // than the planning overhead they save (same-subset A/B:
       // keyphrase_rank 3.54 -> 3.91 s, dedup_cluster_central
       // 0.64 -> 2.41 s). Deliberately left uncached.
+      // NOTE (r18): the aggregated-message form — contributions UNIONED
+      // with a zero seed row per node into ONE aggregate, no second join
+      // — was also measured SLOWER on the same subset (keyphrase_rank
+      // 2.55 -> 3.12 s, dedup_cluster_central 4.45 -> 5.39 s cold-basis):
+      // the seed branch references r with NO exchange above it, so
+      // ReusedExchange can no longer dedupe the replicated rank subtree
+      // and every iteration re-executes the previous one's lineage.
+      // Both rank-table references must stay under identical exchanges
+      // (the join + left-join shape below) for the reuse to fire.
       r = r.select(col("__nid"))
         .join(contrib, col("__nid") === col("__dst"), "left")
         .select(col("__nid"),

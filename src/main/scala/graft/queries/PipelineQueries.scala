@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import graft.ops.{Dedup, Multimodal, Similarity, Spread, TextAnalysis => TA}
 import org.apache.spark.sql.functions._
 
 /**
@@ -335,8 +335,14 @@ object PipelineQueries {
         val docs = documents(s, dir)
         val pairs = Dedup.simhashPairs(docs, "doc_id", "text", "source", 16, 2)
         val comp = Dedup.connectedComponents(pairs, docs, "doc_id")
-        val k1 = docs.join(
-          comp.filter(col("doc_id") === col("comp")).select("doc_id"), "doc_id")
+        // Spread + share the dedup-survivor relation: k1 feeds THREE
+        // consumers (its own stage count, the gopher filter, and through
+        // k2 the boilerplate pass + k3) — uncached, the join and the
+        // rlike-heavy gopher predicate re-executed per consumer, all on
+        // the single-partition documents scan (r18 ProbeQ: a tail of
+        // 1-task 0.3-0.8 s stages). One cached 32-wide pass each.
+        val k1 = Spread.shared(Spread.byKey(docs, col("doc_id")).join(
+          comp.filter(col("doc_id") === col("comp")).select("doc_id"), "doc_id"))
         val toks = TA.tokens(col("text"))
         def gopherKeep(df: org.apache.spark.sql.DataFrame) = df.filter(
           size(toks) >= 20 && size(toks) <= 1000 &&
@@ -345,7 +351,7 @@ object PipelineQueries {
             size(toks), 8) >= 0.8 &&
           size(array_intersect(array_distinct(toks),
             lit(TA.defaultStopwords.toArray))) >= 2)
-        val k2 = gopherKeep(k1)
+        val k2 = Spread.shared(gopherKeep(k1))
         val bp = Dedup.boilerplateChunks(k2, "doc_id", "text", 2, 1.0 / 32)
         val k3 = k2.join(bp.filter(col("n_kept") > 0).select("doc_id"), "doc_id")
         def stage(df: org.apache.spark.sql.DataFrame, i: Int, label: String) =
