@@ -246,8 +246,20 @@ object Similarity {
 
   /** Nearest-centroid id: argmin_j (|c_j|² − 2·x·c_j), ties to the lowest
     * id — the shared Lloyd assignment expression (sequential and fused
-    * trainers must agree bitwise, so there is exactly one copy of it). */
-  private def kmAssignExpr(cs: Array[Array[Double]], x: Column): Column = {
+    * trainers must agree bitwise, so there is exactly one copy of it).
+    * r18: the KmArgminExpr kernel replaces the literal
+    * least(struct(...)) tree — the matrix rides as a reference object,
+    * so the generated source (and its janino compilation) is SHARED
+    * across Lloyd iterations and models instead of recompiled per
+    * iteration (the measured driver floor of the pq/ivf family).
+    * Bit-equality incl. ties/NaN/null proven in KmAssignSpec against the
+    * retained literal form [[kmAssignExprLiteral]]. */
+  private def kmAssignExpr(cs: Array[Array[Double]], x: Column): Column =
+    graft.functions.KmAssign.argminCol(x, cs, quantize = false)
+
+  /** Reference literal-expression form of [[kmAssignExpr]], kept for the
+    * equivalence spec. */
+  private[graft] def kmAssignExprLiteral(cs: Array[Array[Double]], x: Column): Column = {
     val structs = cs.zipWithIndex.map { case (c, j) =>
       val d = lit(c.map(v => v * v).sum) -
         lit(2.0) * ndot(x, array(c.map(lit): _*))
@@ -767,7 +779,14 @@ object Similarity {
     * [[kmeansLoop]]'s micro-unit quantization (floor(x·1e6)/1e6) so codes
     * equal what the trainer's own final assignment would emit; ties break
     * by codeword id. */
-  private def quantAssignExpr(cs: Array[Array[Double]], sub: Column): Column = {
+  private def quantAssignExpr(cs: Array[Array[Double]], sub: Column): Column =
+    // same kernel as kmAssignExpr with the micro-unit floor fused into
+    // the loop (KmAssignSpec proves equality against the transform +
+    // literal-struct form)
+    graft.functions.KmAssign.argminCol(sub, cs, quantize = true)
+
+  /** Reference literal form of [[quantAssignExpr]] for the spec. */
+  private[graft] def quantAssignExprLiteral(cs: Array[Array[Double]], sub: Column): Column = {
     val x = transform(sub,
       v => floor(v * lit(1000000.0)).cast("long").cast("double") / lit(1000000.0))
     val structs = cs.zipWithIndex.map { case (c, j) =>
