@@ -741,6 +741,24 @@ object Dedup {
     * format) and [[minhashLshPairs]] (bands + estimates). */
   def wideSignatures(df: DataFrame, idCol: String, textCol: String,
                      numHashes: Int, shingleK: Int = 3): DataFrame = {
+    // one-pass codegen kernel (r18, the simhash pattern): the shingle
+    // explode + numHashes min-aggregates + groupBy exchange became a pure
+    // projection. k=3 is the only registered width (the kernel packs
+    // exactly 3 codepoints); other widths keep the SQL form.
+    // Bit-equality proven in MinhashSigsSpec incl. null/empty/short/CJK.
+    if (shingleK != 3)
+      return wideSignaturesSql(df, idCol, textCol, numHashes, shingleK)
+    Spread.byKey(df, col(idCol))
+      .select(col(idCol),
+        graft.functions.MinhashSigs.sigs(col(textCol), numHashes).as("__mhs"))
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("__mhs"), i + 1).as(s"mh$i")): _*)
+  }
+
+  /** Reference SQL formulation of [[wideSignatures]] (equivalence spec +
+    * non-default shingle widths). */
+  private[graft] def wideSignaturesSql(df: DataFrame, idCol: String, textCol: String,
+                                       numHashes: Int, shingleK: Int = 3): DataFrame = {
     val sh = charShingles(Spread.byKey(df, col(idCol)), idCol, textCol, shingleK)
       .withColumn("x", shingleKey(col("sh")).cast("long"))
     val aggs = hashParams(numHashes).map { case (i, a, b) =>
