@@ -108,12 +108,19 @@ object Bpe {
     // distinct-word frequency table, symbols = characters
     // literal single-space split — matching the DuckDB oracle and the
     // repo's text-op convention (regex \s+ would diverge on tabs/newlines)
+    // Lazy checkpoints (r18): each step's word table materializes inside
+    // the NEXT step's pair-count job instead of paying a dedicated
+    // persist+count job per merge step (2k jobs -> k+1), and the
+    // truncated lineage keeps per-step planning flat. Checkpoint blocks
+    // are reclaimed by the ContextCleaner when the superseded table goes
+    // out of scope (explicitly unpersisting a localCheckpoint would lose
+    // the only copy — lineage is truncated).
     var words = df
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .withColumn("sym", split(col("w"), ""))
-      .persist()
+      .localCheckpoint(eager = false)
 
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (step <- 1 to k) {
@@ -131,28 +138,23 @@ object Bpe {
         .agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
-      if (best.isEmpty) {
-        words.unpersist(false)
+      if (best.isEmpty)
         return (merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count"), words)
-      }
       val (l, r, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
       merges += ((step, l, r, c))
 
       // greedy left-to-right merge as a left fold over each word's symbols
       val lLit = lit(l); val rLit = lit(r); val m = lit(l + r)
-      val next = words.withColumn("sym",
+      words = words.withColumn("sym",
         aggregate(col("sym"),
           array().cast("array<string>"),
           (acc: Column, x: Column) =>
             when(size(acc) > 0 &&
                  element_at(acc, -1) === lLit && x === rLit,
               concat(slice(acc, lit(1), size(acc) - 1), array(m)))
-              .otherwise(concat(acc, array(x))))).persist()
-      next.count() // materialize before dropping the parent cache entry
-      words.unpersist(false)
-      words = next
+              .otherwise(concat(acc, array(x)))))
+        .localCheckpoint(eager = false)
     }
-    words.unpersist(false)
     (merges.toSeq.toDF("step", "merge_left", "merge_right", "pair_count"), words)
   }
 }
