@@ -975,14 +975,16 @@ object Dedup {
         col(idCol).cast("long").as("comp"))
     // materialize the edge list once — its lineage (often a whole candidate-
     // pair pipeline) would otherwise re-execute on every iteration
+    // lazy: sym materializes inside iteration 1's job, comp inside the
+    // seed-sum job below (the BPE r18 pattern — no dedicated init jobs)
     val sym = edges.select(col("id_a").cast("long").as("__src"),
         col("id_b").cast("long").as("__dst"))
       .union(edges.select(col("id_b").cast("long").as("__src"),
         col("id_a").cast("long").as("__dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var comp = nodes
       .select(col(idCol).cast("long").as("__nid"), col(idCol).cast("long").as("__c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prevSum = comp.agg(sum("__c")).head().getLong(0)
     var iter = 0
     var converged = false
@@ -1179,14 +1181,15 @@ object Dedup {
     if (nodes.isEmpty)
       return nodes.select(col(idCol).cast("long").as(idCol),
         lit(0L).as("core_deg"))
+    // lazy init checkpoints: materialize inside the first round's job
     val sym = edges.select(col("id_a").cast("long").as("__src"),
         col("id_b").cast("long").as("__dst"))
       .union(edges.select(col("id_b").cast("long").as("__src"),
         col("id_a").cast("long").as("__dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var surv = nodes.select(col(idCol).cast("long").as("__id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var deg: DataFrame = null
     var n = surv.count()
     var r = 0
@@ -1196,9 +1199,11 @@ object Dedup {
         .join(surv.select(col("__id").as("__src")), "__src")
         .join(surv.select(col("__id").as("__dst")), "__dst")
         .groupBy(col("__src")).agg(count(lit(1)).as("__deg"))
+      // lazy checkpoint: materializes inside the convergence count's job
+      // (one job per round instead of two — the BPE/cc r18 pattern)
       val next = deg.filter(col("__deg") >= k)
         .select(col("__src").as("__id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val m = next.count()
       converged = m == n
       surv = next
@@ -1276,8 +1281,10 @@ object Dedup {
       df.queryExecution.analyzed.canonicalized,
       s"$idCol|$textCol|$scopeCol|$numBits|$maxDist|$salt")
     simhashPairsMemo.getOrCompute(key,
+      // lazy: the first consumer action materializes the pair blocks —
+      // no dedicated memo-fill job
       simhashPairsImpl(df, idCol, textCol, scopeCol, numBits, maxDist, salt)
-        .localCheckpoint())
+        .localCheckpoint(eager = false))
   }
 
   private def simhashPairsImpl(df: DataFrame, idCol: String, textCol: String,

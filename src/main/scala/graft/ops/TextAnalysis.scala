@@ -169,7 +169,8 @@ object TextAnalysis {
     val key = (df.sparkSession.hashCode(),
       df.queryExecution.analyzed.canonicalized, s"$idCol|$textCol")
     lmMemo.getOrCompute(key,
-      charBigramLmScoreImpl(df, idCol, textCol).localCheckpoint())
+      // lazy: the first consumer action materializes (r18 pattern)
+      charBigramLmScoreImpl(df, idCol, textCol).localCheckpoint(eager = false))
   }
 
   private def charBigramLmScoreImpl(df: org.apache.spark.sql.DataFrame,
