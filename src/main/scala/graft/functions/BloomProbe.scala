@@ -31,6 +31,20 @@ case class BloomContainsAll(child: Expression, words: Array[Long],
 
   override def dataType: DataType = BooleanType
   override def inputTypes: Seq[DataType] = Seq(LongType)
+  // raw long arrays compare by reference; content equality keeps
+  // canonicalized plans (cache reuse, subexpression elimination) honest —
+  // r17 advice, fixed r18
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomContainsAll =>
+      child == o.child && p == o.p && bits == o.bits &&
+        wordBits == o.wordBits &&
+        java.util.Arrays.equals(words, o.words) &&
+        java.util.Arrays.equals(as, o.as) && java.util.Arrays.equals(bs, o.bs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Long.box(p), Int.box(bits),
+      Int.box(wordBits), Int.box(java.util.Arrays.hashCode(words)))
 
   private def pmod(x: Long, m: Long): Long = { val r = x % m; if (r < 0) r + m else r }
 

@@ -33,6 +33,25 @@ case class JlProjectExpr(child: Expression, signs: Array[Byte],
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  // NULL for a non-null EMPTY input array — must not inherit child
+  // nullability: with a non-nullable embedding column the optimizer would
+  // fold away the IsNotNull guard in jlProjectArrays, and nullSafeCodeGen
+  // would write `isNull = true` into a slot the planner believes
+  // constant-false (janino failure → interpreted fallback, then a null in
+  // a non-nullable slot downstream). r17 advice, fixed r18.
+  override def nullable: Boolean = true
+  // the raw sign array compares by reference; semantic equality (and so
+  // canonicalized-plan equality, cache reuse and subexpression
+  // elimination) needs content comparison. r17 advice, fixed r18.
+  override def equals(other: Any): Boolean = other match {
+    case o: JlProjectExpr =>
+      child == o.child && dims == o.dims && outDims == o.outDims &&
+        scale == o.scale && java.util.Arrays.equals(signs, o.signs)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(dims), Int.box(outDims),
+      Double.box(scale), Int.box(java.util.Arrays.hashCode(signs)))
 
   override def nullSafeEval(input: Any): Any = {
     val e = input.asInstanceOf[ArrayData]

@@ -683,7 +683,16 @@ object Curation {
     // relation so engine rounding is unchanged.
     val rows = bins.select(col("bin").cast("int"),
         col("n_docs").cast("long"), col("n_pos").cast("long"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .collect().map { r =>
+        // degenerate inputs fail LOUDLY (r17 advice): the old Spark-side
+        // form returned null iso_rate for zero-weight intervals via null
+        // division; the driver fit would silently emit NaN/Infinity (and
+        // NPE on a null bin). Unreachable from nb_isotonic — bins come
+        // from groupBy counts ≥ 1 — but isotonicFit is a public op.
+        require(!r.isNullAt(0) && !r.isNullAt(1) && r.getLong(1) > 0,
+          "isotonicFit: bin must be non-null and n_docs > 0 per interval")
+        (r.getInt(0), r.getLong(1), r.getLong(2))
+      }
       .sortBy(_._1)
     require(rows.length <= 512,
       s"isotonicFit: ${rows.length} bins exceeds the 512 bounded-model " +
